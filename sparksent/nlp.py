@@ -1,0 +1,238 @@
+"""Deterministic NLP enrichment — the public-knowledge replacement for
+the reference's Google Cloud Natural Language calls (SURVEY.md §2.8).
+
+The reference calls three external APIs per message (SentimentAnalysis
+.scala:231-240 sentiment, :62-93 entity sentiment, :126-148 classify),
+creating a new API client per record — the dominant cost by construction
+(BASELINE.md). Here each becomes a *pure expression pipeline* over a
+closed lexicon (AFINN-style word->integer weights):
+
+- JVM-side only: map-literal lookup + ``F.aggregate`` over the token
+  array — stays inside whole-stage codegen, no Python UDF, no shuffle,
+  no per-record client;
+- integer arithmetic until a final division (SURVEY.md §7.3.4), so the
+  DuckDB oracle (generated from the same tables below) reproduces every
+  value bit-for-bit;
+- trivially scalable: per-row expressions with a broadcast-free constant
+  lexicon folded into the plan.
+
+Semantics mapping:
+- ``score_raw``  = sum of token weights          (document "polarity")
+- ``mag_raw``    = sum of |token weights|        (document "intensity")
+- ``score``      = score_raw / max(mag_raw, 1)   in [-1, 1] like the API
+- ``magnitude``  = mag_raw / 10.0                >= 0 like the API
+- mood value (score * magnitude) simplifies to ``score_raw / 10`` — so
+  mood aggregation sums BIGINT ``score_raw`` and divides once at the
+  end: exact, associative, shuffle-order-independent.
+
+Entity extraction (SA.scala:62-93): entities are the closed ENTITY set;
+salience = mentions / n_tokens. Per-entity sentiment uses the document
+sentiment (the reference's per-entity token-window sentiment is an
+external-API behavior we replace; the operator shape — flatMap to
+0..n entity rows — is preserved).
+
+Classification (SA.scala:126-148): the >=25-word guard, then per
+category confidence = matching-token count / n_tokens, emitting one row
+per matched category (the reference's List[Category] explode).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# the closed lexicons (the fixture vocabulary is 31 tokens — FIXTURES.md)
+# ---------------------------------------------------------------------------
+
+LEXICON: dict[str, int] = {
+    # positive
+    "fast": 2,
+    "spark": 1,
+    "merge": 1,
+    "vector": 1,
+    "big": 1,
+    "join": 1,
+    "query": 1,
+    "stream": 1,
+    "batch": 1,
+    "group": 1,
+    # negative (weighted so document moods are signed with a negative
+    # tilt — the reference's toxicity thresholds assume mood sums that
+    # can actually go negative, SA.scala:194-213)
+    "slow": -4,
+    "dup": -4,
+    "scan": -3,
+    "small": -2,
+    "hash": -1,
+    "sort": -2,
+    "filter": -1,
+    "part": -1,
+}
+
+ENTITIES: tuple[str, ...] = (
+    "spark",
+    "customer",
+    "table",
+    "vector",
+    "window",
+    "hash",
+    "stream",
+    "query",
+)
+
+# token -> category (single membership)
+CATEGORIES: dict[str, str] = {
+    "table": "storage",
+    "row": "storage",
+    "column": "storage",
+    "scan": "storage",
+    "part": "storage",
+    "join": "execution",
+    "sort": "execution",
+    "merge": "execution",
+    "agg": "execution",
+    "group": "execution",
+    "filter": "execution",
+    "order": "execution",
+    "hash": "execution",
+    "stream": "streaming",
+    "batch": "streaming",
+    "window": "streaming",
+    "line": "streaming",
+    "vector": "vector_search",
+    "key": "vector_search",
+    "query": "vector_search",
+}
+
+MIN_CLASSIFY_TOKENS = 25  # the reference's word-count guard (SA.scala:129)
+
+
+# ---------------------------------------------------------------------------
+# Spark expression builders (all JVM-side, codegen-friendly)
+# ---------------------------------------------------------------------------
+
+
+def _weight_map() -> Column:
+    return F.create_map(*[F.lit(x) for kv in LEXICON.items() for x in kv])
+
+
+def tokens(text: Column | str) -> Column:
+    t = F.col(text) if isinstance(text, str) else text
+    return F.split(t, " ")
+
+
+def score_raw(text: Column | str) -> Column:
+    """Sum of lexicon weights over the tokens (BIGINT)."""
+    m = _weight_map()
+    return F.aggregate(
+        tokens(text),
+        F.lit(0).cast("long"),
+        lambda acc, w: acc + F.coalesce(F.try_element_at(m, w), F.lit(0)),
+    )
+
+
+def magnitude_raw(text: Column | str) -> Column:
+    """Sum of |lexicon weights| over the tokens (BIGINT)."""
+    m = _weight_map()
+    return F.aggregate(
+        tokens(text),
+        F.lit(0).cast("long"),
+        lambda acc, w: acc + F.abs(F.coalesce(F.try_element_at(m, w), F.lit(0))),
+    )
+
+
+def with_sentiment(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """sentimentStream's enrichment (SA.scala:55-59): adds score_raw,
+    mag_raw (exact ints) and score, magnitude (API-shaped floats)."""
+    return (
+        df.withColumn("score_raw", score_raw(text_col))
+        .withColumn("mag_raw", magnitude_raw(text_col))
+        .withColumn(
+            "score", F.col("score_raw") / F.greatest(F.col("mag_raw"), F.lit(1))
+        )
+        .withColumn("magnitude", F.col("mag_raw") / F.lit(10.0))
+    )
+
+
+def with_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("n_tokens", F.size(tokens(text_col)))
+
+
+def entity_rows(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """entityStream (SA.scala:62-93): flatMap each document into 0..n
+    entity rows (key, mentions, salience) + the document sentiment.
+
+    Plan: per-row token explode -> filter to the entity set -> one hash
+    aggregate on (doc keys, entity). The sentiment/n_tokens columns are
+    computed before the explode and ride along as grouping keys, so no
+    second join is needed.
+    """
+    base = with_token_count(with_sentiment(df, text_col), text_col)
+    carried = [c for c in base.columns if c != text_col]
+    exploded = base.select(
+        *carried, F.explode(tokens(text_col)).alias("entity_key")
+    ).filter(F.col("entity_key").isin(*ENTITIES))
+    return (
+        exploded.groupBy(*carried, "entity_key")
+        .agg(F.count("*").alias("mentions"))
+        .withColumn("salience", F.col("mentions") / F.col("n_tokens"))
+    )
+
+
+def category_rows(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """categoryStream + explode (SA.scala:126-160): documents with >=25
+    tokens, one row per matched category with confidence = hits/n_tokens.
+    Same explode-aggregate shape as entity_rows with the token->category
+    map applied before grouping."""
+    cmap = F.create_map(*[F.lit(x) for kv in CATEGORIES.items() for x in kv])
+    base = with_token_count(with_sentiment(df, text_col), text_col).filter(
+        F.col("n_tokens") >= MIN_CLASSIFY_TOKENS
+    )
+    carried = [c for c in base.columns if c != text_col]
+    exploded = (
+        base.select(*carried, F.explode(tokens(text_col)).alias("tok"))
+        .select(*carried, F.try_element_at(cmap, F.col("tok")).alias("category"))
+        .filter(F.col("category").isNotNull())
+    )
+    return (
+        exploded.groupBy(*carried, "category")
+        .agg(F.count("*").alias("hits"))
+        .withColumn("confidence", F.col("hits") / F.col("n_tokens"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB SQL mirrors (generated from the same tables — single source)
+# ---------------------------------------------------------------------------
+
+
+def lexicon_case_sql(var: str = "tok", absolute: bool = False) -> str:
+    """CASE expression mapping a token to its (|weight| if absolute)."""
+    arms = " ".join(
+        f"WHEN '{w}' THEN {abs(k) if absolute else k}" for w, k in LEXICON.items()
+    )
+    return f"CASE {var} {arms} ELSE 0 END"
+
+
+def score_raw_sql(text: str = "text") -> str:
+    return (
+        f"coalesce(list_sum([{lexicon_case_sql('tok')} "
+        f"FOR tok IN string_split({text}, ' ')]), 0)::BIGINT"
+    )
+
+
+def magnitude_raw_sql(text: str = "text") -> str:
+    return (
+        f"coalesce(list_sum([{lexicon_case_sql('tok', absolute=True)} "
+        f"FOR tok IN string_split({text}, ' ')]), 0)::BIGINT"
+    )
+
+
+def entity_list_sql() -> str:
+    return "(" + ", ".join(f"'{e}'" for e in ENTITIES) + ")"
+
+
+def category_case_sql(var: str = "tok") -> str:
+    arms = " ".join(f"WHEN '{t}' THEN '{c}'" for t, c in CATEGORIES.items())
+    return f"CASE {var} {arms} ELSE NULL END"
