@@ -1,0 +1,160 @@
+"""The full reference topology as one declarative DAG.
+
+``SentimentAnalysis.scala:34-228`` declares 13 named streams off one
+socket source; this module builds the same dataflow over any message
+DataFrame (batch or streaming — the transformations are identical, which
+is the point of Structured Streaming's unified model):
+
+    lines ──parse──> parsedStream(1s concat) ──> aggregateStream(100s)
+    parsed ──sentiment──> sentimentStream ──> userMoodStream (cumulative)
+                                         ├──> channelMoodStream (90s/60s)
+                                         └──> toxicUserStream (cw 10 ≤ -10)
+                                              toxicChannelStream (cw 50 ≤ -30)
+    parsed ──entities──> entityStream ──> topicStream (10s counts)
+                                     ├──> entityOpinionStream (30s)
+                                     ├──> trendingStream (share — dead code
+                                     │     in the reference, SA.scala:106-123)
+                                     └──> toxicTopicStream (cw 25 ≤ -20)
+    aggregate ──classify──> categoryStream ──> categorySentimentStream
+                                          └──> categoryOpinionStream (cumulative)
+
+Every node is a lazily-composed DataFrame; "execute" is whatever action
+the caller runs — Catalyst sees the whole DAG and shares the scan.
+Fan-out reuses the parent plan by reference exactly like the reference's
+val-reuse of streams.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from . import nlp, windows
+from .parse import parse_lines
+from .pipeline import toxicity_stream, topic_counts, trending_stream
+
+# Reference parameters (SA.scala:48,52,103,167,175,183,191,194-213)
+PARSED_WINDOW_S = 1
+AGGREGATE_WINDOW_S = 100
+TOPIC_WINDOW_S = 10
+ENTITY_OPINION_WINDOW_S = 30
+CHANNEL_MOOD_SIZE_S, CHANNEL_MOOD_SLIDE_S = 90, 60
+TOXIC_TOPIC = (25, -20.0)
+TOXIC_USER = (10, -10.0)
+TOXIC_CHANNEL = (50, -30.0)
+
+
+def _mood_value() -> F.Column:
+    # score * magnitude == score_raw / 10 exactly (nlp.py header)
+    return (F.col("score_raw") / F.lit(10.0)).alias("value")
+
+
+def build_topology(lines: DataFrame) -> dict[str, DataFrame]:
+    """lines(line, ts, event_id) -> every named stream of the reference.
+
+    Returns the full dict; callers materialize whichever sinks they
+    attach (the reference printed sentimentStream and toxicUserStream;
+    tests materialize all of them).
+    """
+    msgs = parse_lines(lines)
+
+    # parsedStream / aggregateStream (SA.scala:44-52): windowed concat
+    concat = F.array_join(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("ts", "event_id", "text"))),
+            lambda x: x["text"],
+        ),
+        "\n",
+    ).alias("text")
+    parsed = windows.tumbling_agg(msgs, ["channel", "user"], PARSED_WINDOW_S, [concat])
+    aggregate = windows.tumbling_agg(
+        msgs, ["channel", "user"], AGGREGATE_WINDOW_S, [concat]
+    )
+
+    # sentimentStream (SA.scala:55-59)
+    sentiment = nlp.with_sentiment(msgs)
+
+    # entityStream (SA.scala:62-93): one row per (message, entity)
+    entities = (
+        sentiment.select(
+            "channel", "user", "ts", "event_id", "score_raw",
+            F.explode(nlp.tokens("text")).alias("key"),
+        )
+        .filter(F.col("key").isin(*nlp.ENTITIES))
+        .distinct()
+    )
+
+    # topicStream (SA.scala:95-104) + the dead trendingStream done right
+    topics = topic_counts(entities, "key", TOPIC_WINDOW_S)
+    trending = trending_stream(entities, "key", TOPIC_WINDOW_S)
+
+    # mood streams (SA.scala:162-192)
+    user_mood = _cumulative_mood(sentiment, "user", "User")
+    channel_mood = windows.sliding_agg(
+        sentiment.select(F.col("channel").alias("key"), "ts", "score_raw"),
+        ["key"],
+        CHANNEL_MOOD_SIZE_S,
+        CHANNEL_MOOD_SLIDE_S,
+        [(F.sum("score_raw") / F.lit(10.0)).alias("value"),
+         F.first(F.lit("Channel")).alias("moodType")],
+    )
+    entity_opinion = windows.tumbling_agg(
+        entities,
+        ["key"],
+        ENTITY_OPINION_WINDOW_S,
+        [(F.sum("score_raw") / F.lit(10.0)).alias("value"),
+         F.first(F.lit("Entity")).alias("moodType")],
+    )
+
+    # categoryStream / categorySentimentStream / categoryOpinionStream
+    # (SA.scala:126-160, 178-184) — over the 100s aggregate, as in the
+    # reference (the >=25-word guard needs the longer concatenation)
+    agg_msgs = aggregate.withColumn(
+        "event_id", F.col("window_start_s")  # window identity is the order key
+    ).withColumn("ts", F.timestamp_seconds(F.col("window_start_s")))
+    category_sentiment = nlp.category_rows(agg_msgs)
+    category_opinion = _cumulative_mood(
+        category_sentiment.withColumnRenamed("category", "cat"), "cat", "Category"
+    )
+
+    # toxicity (SA.scala:194-213) — note toxicChannelStream consumes the
+    # *user* moods in the reference (apparent bug we reproduce literally)
+    per_msg_mood = sentiment.select(
+        F.col("user").alias("key"), _mood_value(), "ts", "event_id"
+    )
+    per_entity_mood = entities.select("key", _mood_value(), "ts", "event_id")
+    toxic_topic = toxicity_stream(per_entity_mood, *TOXIC_TOPIC)
+    toxic_user = toxicity_stream(per_msg_mood, *TOXIC_USER)
+    toxic_channel = toxicity_stream(per_msg_mood, *TOXIC_CHANNEL)
+
+    return {
+        "parsedStream": parsed,
+        "aggregateStream": aggregate,
+        "sentimentStream": sentiment,
+        "entityStream": entities,
+        "topicStream": topics,
+        "trendingStream": trending,
+        "userMoodStream": user_mood,
+        "channelMoodStream": channel_mood,
+        "entityOpinionStream": entity_opinion,
+        "categorySentimentStream": category_sentiment,
+        "categoryOpinionStream": category_opinion,
+        "toxicTopicStream": toxic_topic,
+        "toxicUserStream": toxic_user,
+        "toxicChannelStream": toxic_channel,
+    }
+
+
+def _cumulative_mood(df: DataFrame, key_col: str, mood_type: str) -> DataFrame:
+    order = [c for c in ("ts", "event_id") if c in df.columns]
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.select(
+        F.col(key_col).alias("key"),
+        (F.sum("score_raw").over(w) / F.lit(10.0)).alias("value"),
+        F.lit(mood_type).alias("moodType"),
+        *[F.col(c) for c in order],
+    )
