@@ -1,0 +1,21 @@
+"""Structured Streaming wrappers (SURVEY.md §7.1 M4).
+
+Structured Streaming's design premise — identical transformations for
+batch and stream — means most of the engine needs no streaming-specific
+code: the :mod:`sparksent.windows` / :mod:`sparksent.nlp` /
+:mod:`sparksent.pipeline` functions apply unchanged to a streaming
+DataFrame. This package holds the parts that ARE streaming-specific:
+
+- sources.py: socket (the reference's ingest, SA.scala:41), file-replay
+  (deterministic testing), rate (load generation)
+- ops.py:     watermarked windowed aggregation + update-mode cumulative
+- count_window.py: the one genuinely stateful custom operator
+  (countWindow(N).sum, SA.scala:304-311) via applyInPandasWithState
+- sinks.py:   console (the reference's only sink), memory (tests),
+  parquet, foreachBatch
+"""
+
+from .count_window import streaming_count_window  # noqa: F401
+from .ops import streaming_cumulative_sum, streaming_tumbling_agg  # noqa: F401
+from .sources import file_replay_source, socket_lines  # noqa: F401
+from .sinks import to_console, to_memory, to_parquet  # noqa: F401

@@ -1,0 +1,65 @@
+"""Streaming aggregation wrappers.
+
+Same logical shapes as :mod:`sparksent.windows`, with the two
+streaming-specific concerns the reference never had (processing time ⇒
+no lateness concept, SURVEY.md §2.6):
+
+- a watermark bounds state for append-mode windowed aggregation;
+- the reference's per-record running reduce (SA.scala:285) becomes an
+  update-mode ``groupBy().agg()`` — Spark emits per *trigger* rather
+  than per record; the batch cumulative form reproduces the per-record
+  history exactly (documented delta, SURVEY.md §2.6.3).
+
+State sizing at scale: windowed-agg state is O(open windows × keys) and
+the watermark expires it; update-mode running sums are O(keys). Both are
+per-key hash state in the state store, partitioned by the same keys as
+the shuffle — no skew beyond the data's own key skew.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def streaming_tumbling_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    size_s: int,
+    aggs: Sequence[Column],
+    ts_col: str = "ts",
+    watermark: str = "10 seconds",
+    slide_s: int | None = None,
+) -> DataFrame:
+    """Watermarked keyed tumbling/sliding window aggregation — the
+    streaming twin of windows.tumbling_agg/sliding_agg with the same
+    output shape (window_start_s BIGINT + keys + aggs)."""
+    size = f"{size_s} seconds"
+    win = (
+        F.window(F.col(ts_col), size)
+        if slide_s is None
+        else F.window(F.col(ts_col), size, f"{slide_s} seconds")
+    )
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(win.alias("w"), *keys)
+        .agg(*aggs)
+        .withColumn("window_start_s", F.unix_timestamp(F.col("w.start")))
+        .drop("w")
+    )
+
+
+def streaming_cumulative_sum(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    out_col: str = "value",
+) -> DataFrame:
+    """The unwindowed keyed running reduce (SA.scala:285) for streams:
+    unbounded per-key sum, to be run with outputMode('update') — one
+    updated row per key per trigger (vs Flink's per record)."""
+    return df.groupBy(*keys).agg(
+        F.sum(F.col(value_col).cast("decimal(28,6)")).cast("double").alias(out_col)
+    )

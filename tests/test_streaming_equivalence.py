@@ -1,0 +1,138 @@
+"""Batch ≡ stream equivalence (SURVEY.md §5.2.3): replay the same fixture
+rows through Structured Streaming (file source, one file per
+micro-batch) into a memory sink; assert the final state equals the batch
+answer computed by the same transformation functions."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sparksent import windows
+from sparksent.streaming import (
+    file_replay_source,
+    streaming_count_window,
+    streaming_cumulative_sum,
+    streaming_tumbling_agg,
+)
+from sparksent.streaming.sources import write_replay_chunks
+from sparksent.tables import load_table
+
+from conftest import SF_DIR_SMALL
+
+N_CHUNKS = 5
+SENTINEL_TS = "2030-01-01 00:00:00"
+
+
+@pytest.fixture(scope="module")
+def replay_dir(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("replay")
+    ev = load_table(spark, SF_DIR_SMALL, "events")
+    write_replay_chunks(ev, str(base), N_CHUNKS)
+    return str(base)
+
+
+def _add_sentinels(spark, replay_dir):
+    """Two far-future rows in two separate files: the first raises the
+    max event time, the second's batch runs with the advanced watermark
+    so every real window is closed and emitted in append mode."""
+    from sparksent.streaming.sources import append_flat_file
+
+    for i, off in enumerate((0, 1)):
+        row = (
+            spark.createDataFrame(
+                [(10**9 + i, -1, "__sentinel__", 0.0, "{}")],
+                "event_id long, user_id long, event_type string, value double, props string",
+            )
+            .withColumn(
+                "ts",
+                F.lit(SENTINEL_TS).cast("timestamp") + F.expr(f"INTERVAL {off} SECONDS"),
+            )
+            .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        )
+        append_flat_file(row, replay_dir, f"zz_sentinel_{i}.parquet")
+
+
+def _run_to_memory(df, name, mode):
+    q = (
+        df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_tumbling_window_equivalence(spark, replay_dir, tmp_path):
+    stream = file_replay_source(spark, replay_dir)
+    agg = streaming_tumbling_agg(
+        stream, ["event_type"], 10, [F.count("*").alias("count")],
+        watermark="10 seconds",
+    )
+    _add_sentinels(spark, replay_dir)
+    _run_to_memory(agg, "t_tumble", "append")
+    got = (
+        spark.table("t_tumble")
+        .filter(F.col("event_type") != "__sentinel__")
+        .select("window_start_s", "event_type", "count")
+    )
+    ev = load_table(spark, SF_DIR_SMALL, "events")
+    want = windows.tumbling_agg(ev, ["event_type"], 10, [F.count("*").alias("count")])
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_cumulative_sum_equivalence(spark, replay_dir):
+    """Update-mode running sum: the last update per key equals the batch
+    total (per-trigger emission granularity is the documented delta vs
+    the reference's per-record emission, SURVEY.md §2.6.3)."""
+    stream = file_replay_source(spark, replay_dir).filter(
+        F.col("event_type") != "__sentinel__"
+    )
+    agg = streaming_cumulative_sum(stream, ["user_id"], "value")
+    _run_to_memory(agg, "t_cumsum", "complete")
+    got = spark.table("t_cumsum").select("user_id", "value")
+    ev = load_table(spark, SF_DIR_SMALL, "events")
+    want = ev.groupBy("user_id").agg(
+        F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("value")
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_count_window_equivalence(spark, replay_dir):
+    """Streaming count windows emit exactly the batch form's complete
+    buckets, in the same (key, bucket) identity."""
+    stream = file_replay_source(spark, replay_dir).filter(
+        F.col("event_type") != "__sentinel__"
+    )
+    keyed = stream.select(
+        F.col("user_id").cast("string").alias("key"), "value", "ts", "event_id"
+    )
+    out = streaming_count_window(keyed, 10, value_col="value")
+    _run_to_memory(out, "t_cw", "append")
+    got = spark.table("t_cw").toPandas().sort_values(["key", "bucket"]).reset_index(drop=True)
+
+    ev = load_table(spark, SF_DIR_SMALL, "events")
+    batch_keyed = ev.select(
+        F.col("user_id").cast("string").alias("key"), "value", "ts", "event_id"
+    )
+    want = (
+        windows.count_window_agg(
+            batch_keyed, ["key"], 10,
+            [windows.exact_sum("value").alias("value"), F.count("*").alias("n")],
+        )
+        .filter(F.col("n") == 10)
+        .toPandas()
+        .sort_values(["key", "bucket"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    assert (got["key"].to_numpy() == want["key"].to_numpy()).all()
+    assert (got["bucket"].to_numpy() == want["bucket"].to_numpy()).all()
+    # streaming sums doubles sequentially; batch accumulates in decimal —
+    # equal up to float associativity
+    assert np.allclose(got["value"].to_numpy(), want["value"].to_numpy(), rtol=1e-9)
