@@ -1,0 +1,368 @@
+"""Document deduplication operators (exact and near-dup).
+
+Four independent strategies, each a standard technique from the public
+literature (Broder's MinHash resemblance estimation; Charikar's SimHash;
+shingle-based Jaccard), all expressed as declarative DataFrame plans:
+
+- exact_dedup:       hash-groupBy on md5(text) — one shuffle on the
+                     fingerprint, the canonical 100 TB exact-dedup shape.
+- minhash_lsh_pairs: shingle -> 16 minhashes -> 4 bands of 4 -> band
+                     bucket self-join -> signature-similarity estimate.
+                     Candidate generation is the band join; nothing
+                     pairwise happens outside shared buckets.
+- simhash_pairs:     32-bit simhash over token counts; candidate pairs
+                     share >=1 of 4 signature bytes (pigeonhole: hamming
+                     distance <=3 cannot change all four bytes), then
+                     exact hamming filter via bit_count(xor).
+- ngram_jaccard_pairs: shingle inverted-index self-join -> per-pair
+                     intersection counts -> exact Jaccard >= threshold.
+
+Scale notes: every strategy shuffles on a *bucket key* (fingerprint,
+band signature, byte value, shingle) so the pairwise stage only sees
+collision groups. Skewed buckets (a very common shingle) are the known
+hazard of the inverted-index form — AQE skew-join splitting handles
+moderate skew; stop-shingle removal is the documented escalation.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .hashing import (
+    MERSENNE31 as P,
+    affine_params,
+    h28,
+    h28_sql,
+    shingles,
+    shingles_sql,
+)
+
+NUM_HASHES = 16
+BANDS = 4
+ROWS_PER_BAND = NUM_HASHES // BANDS
+MINHASH_PARAMS = affine_params(NUM_HASHES)
+
+SIMHASH_BITS = 32
+SIMHASH_BYTES = 4
+
+
+# ---------------------------------------------------------------------------
+# exact
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact duplicate groups: md5 fingerprint -> (fingerprint, n_docs,
+    canonical_id = min id). Downstream, keep rows whose id equals the
+    canonical. One hash-aggregate, map-side partial."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("fingerprint"), F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min(id_col).alias("canonical_id"),
+        )
+    )
+
+
+def exact_dedup_sql(table: str = "documents", id_col: str = "doc_id", text: str = "text") -> str:
+    return f"""
+    SELECT md5({text}) AS fingerprint, count(*) AS n_docs,
+           min({id_col}) AS canonical_id
+    FROM {table} GROUP BY 1
+    """
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature(text: Column | str) -> Column:
+    """Array of NUM_HASHES minhashes: min over shingles of the affine
+    hash (a*h28(s)+b) mod 2^31-1. Array-expression only — per-row, no
+    shuffle, no UDF."""
+    sh = shingles(text)
+
+    def affine(a: int, b: int):
+        return lambda s: (F.lit(a) * h28(s) + F.lit(b)) % P
+
+    cols = [
+        F.array_min(F.transform(sh, affine(a, b))) for a, b in MINHASH_PARAMS
+    ]
+    return F.array(*cols)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded LSH over the minhash
+    signature, scored by signature agreement (estimated Jaccard).
+
+    Plan: signatures (narrow) -> explode 4 band rows -> self-join on
+    (band, band_signature) -> distinct pairs -> estimate = fraction of
+    equal signature positions >= threshold.
+    """
+    sigs = df.select(F.col(id_col).alias("id"), minhash_signature(text_col).alias("sig"))
+    bands = sigs.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "-", *[F.element_at("sig", b * ROWS_PER_BAND + r + 1).cast("string")
+                                   for r in range(ROWS_PER_BAND)]
+                        ).alias("bsig"),
+                    )
+                    for b in range(BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "sig", "bb.band", "bb.bsig")
+    left = bands.select(
+        F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "band", "bsig"
+    )
+    right = bands.select(
+        F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), "band", "bsig"
+    )
+    pairs = (
+        left.join(right, ["band", "bsig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    est = (
+        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
+        / F.lit(NUM_HASHES)
+    ).alias("est_jaccard")
+    return (
+        pairs.select("id_a", "id_b", est)
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
+def minhash_lsh_pairs_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text: str = "text",
+    threshold: float = 0.5,
+) -> str:
+    mh_exprs = ", ".join(
+        f"list_min([({a} * {h28_sql('s')} + {b}) % {P} FOR s IN sh]) AS mh{i}"
+        for i, (a, b) in enumerate(MINHASH_PARAMS)
+    )
+    sig_list = "[" + ", ".join(f"mh{i}" for i in range(NUM_HASHES)) + "]"
+    band_rows = " UNION ALL ".join(
+        f"SELECT id, sig, {b} AS band, "
+        + " || '-' || ".join(
+            f"sig[{b * ROWS_PER_BAND + r + 1}]::VARCHAR" for r in range(ROWS_PER_BAND)
+        )
+        + " AS bsig FROM sigs"
+        for b in range(BANDS)
+    )
+    return f"""
+    WITH sh AS (
+      SELECT {id_col} AS id, {shingles_sql(text)} AS sh FROM {table}
+    ),
+    sigs AS (
+      SELECT id, {sig_list} AS sig
+      FROM (SELECT id, {mh_exprs} FROM sh)
+    ),
+    bands AS ({band_rows}),
+    pairs AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+             a.sig AS sig_a, b.sig AS sig_b
+      FROM bands a JOIN bands b USING (band, bsig)
+      WHERE a.id < b.id
+    )
+    SELECT id_a, id_b,
+           len(list_filter([sig_a[i] = sig_b[i] FOR i IN generate_series(1, {NUM_HASHES})],
+                           x -> x)) / {NUM_HASHES}.0 AS est_jaccard
+    FROM pairs
+    WHERE len(list_filter([sig_a[i] = sig_b[i] FOR i IN generate_series(1, {NUM_HASHES})],
+                          x -> x)) / {NUM_HASHES}.0 >= {threshold}
+    """
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """32-bit simhash over token counts: bit j is set when the
+    count-weighted sum of (+-1 for bit j of each token hash) is > 0.
+    Explode + one hash-aggregate on (id, token), then 32 conditional
+    sums per id."""
+    toks = (
+        df.select(F.col(id_col).alias("id"), F.explode(F.split(text_col, " ")).alias("tok"))
+        .groupBy("id", "tok")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("h", h28("tok"))
+    )
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright("h", j).bitwiseAND(F.lit(1)) == 1, F.col("cnt")).otherwise(
+                -F.col("cnt")
+            )
+        ).alias(f"b{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    agg = toks.groupBy("id").agg(*bit_sums)
+    combined = reduce(
+        lambda acc, j: acc
+        + F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0)).cast("long"),
+        range(SIMHASH_BITS),
+        F.lit(0).cast("long"),
+    )
+    return agg.select("id", combined.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= max_hamming. Candidates
+    share at least one of the 4 signature bytes (exact for distance <=3
+    by pigeonhole), then the exact bit_count(xor) filter."""
+    sh = simhash(df, id_col, text_col)
+    bytes_df = sh.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("byte_idx"),
+                        F.shiftright("simhash", 8 * b).bitwiseAND(F.lit(255)).alias("byte_val"),
+                    )
+                    for b in range(SIMHASH_BYTES)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "simhash", "bb.byte_idx", "bb.byte_val")
+    left = bytes_df.select(
+        F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"), "byte_idx", "byte_val"
+    )
+    right = bytes_df.select(
+        F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"), "byte_idx", "byte_val"
+    )
+    return (
+        left.join(right, ["byte_idx", "byte_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.expr("sh_a ^ sh_b")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def simhash_pairs_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text: str = "text",
+    max_hamming: int = 3,
+) -> str:
+    bit_sums = ", ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN cnt ELSE -cnt END) AS b{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    combined = " + ".join(
+        f"(CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(SIMHASH_BITS)
+    )
+    byte_rows = " UNION ALL ".join(
+        f"SELECT id, simhash, {b} AS byte_idx, (simhash >> {8 * b}) & 255 AS byte_val FROM sh"
+        for b in range(SIMHASH_BYTES)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT {id_col} AS id, tok, count(*) AS cnt, {h28_sql('tok')} AS h
+      FROM (SELECT {id_col}, unnest(string_split({text}, ' ')) AS tok FROM {table})
+      GROUP BY 1, 2
+    ),
+    bits AS (SELECT id, {bit_sums} FROM tok GROUP BY id),
+    sh AS (SELECT id, ({combined})::BIGINT AS simhash FROM bits),
+    bytes AS ({byte_rows}),
+    pairs AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+             a.simhash AS sh_a, b.simhash AS sh_b
+      FROM bytes a JOIN bytes b USING (byte_idx, byte_val)
+      WHERE a.id < b.id
+    )
+    SELECT id_a, id_b, bit_count(xor(sh_a, sh_b))::INT AS hamming
+    FROM pairs WHERE bit_count(xor(sh_a, sh_b)) <= {max_hamming}
+    """
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard over word-3-gram shingle sets, candidates via the
+    shingle inverted index (docs sharing no shingle never meet)."""
+    sh = df.select(
+        F.col(id_col).alias("id"), F.explode(shingles(text_col)).alias("shingle")
+    )
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    left = sh.select(F.col("id").alias("id_a"), "shingle")
+    right = sh.select(F.col("id").alias("id_b"), "shingle")
+    inter = (
+        left.join(right, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({"id": "id_a", "n_sh": "n_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "n_sh": "n_b"}), "id_b")
+        .withColumn(
+            "jaccard", F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "inter", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text: str = "text",
+    threshold: float = 0.5,
+) -> str:
+    return f"""
+    WITH sh AS (
+      SELECT {id_col} AS id, unnest({shingles_sql(text)}) AS shingle FROM {table}
+    ),
+    sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+      FROM sh a JOIN sh b USING (shingle)
+      WHERE a.id < b.id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, inter,
+           inter / (sa.n_sh + sb.n_sh - inter) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.id = id_a
+    JOIN sizes sb ON sb.id = id_b
+    WHERE inter / (sa.n_sh + sb.n_sh - inter) >= {threshold}
+    """

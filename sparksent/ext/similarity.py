@@ -1,0 +1,251 @@
+"""Similarity search over the ``embeddings`` table (ARRAY<FLOAT>, dim 64).
+
+Two tiers (SURVEY.md §7.1 M5):
+
+- brute_force_topk: exact cosine top-k. The query set is broadcast; the
+  corpus is scanned once; per-partition partial top-k via the analytic
+  rank keeps the shuffle tiny. This is the correctness baseline and is
+  already the right plan when the query set is small.
+- lsh_topk: random-hyperplane LSH (sign-random-projection) — each vector
+  lands in a 2^NUM_PLANES bucket; search touches only the query's
+  bucket. The planes are deterministic ±1 vectors derived from an LCG so
+  the DuckDB oracle reproduces bucket assignment exactly. At 100 TB this
+  is the shape that avoids the full scan per query (bucket pruning via
+  partitioning on ``bucket``); multi-probe (flipping low-margin bits) is
+  the documented recall escalation.
+
+All dot products accumulate left-to-right in double on both engines —
+bit-identical scores, verified in tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+NUM_PLANES = 4
+_LCG_A, _LCG_C, _LCG_M = 1103515245, 12345, 2_147_483_647
+
+
+def _plane(j: int, dim: int = 64) -> list[int]:
+    """Deterministic ±1 hyperplane #j (same constants in SQL mirror)."""
+    out = []
+    x = 1 + j
+    for _ in range(dim):
+        x = (_LCG_A * x + _LCG_C) % _LCG_M
+        out.append(1 if (x >> 16) & 1 else -1)
+    return out
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Left-to-right double-accumulated dot product of two float arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def dot_sql(a: str, b: str, dim: int = 64) -> str:
+    return (
+        f"list_sum([CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE) "
+        f"FOR i IN generate_series(1, {dim})])"
+    )
+
+
+def cosine_sql(a: str, b: str, dim: int = 64) -> str:
+    return (
+        f"({dot_sql(a, b, dim)} / "
+        f"(sqrt({dot_sql(a, a, dim)}) * sqrt({dot_sql(b, b, dim)})))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# brute force top-k
+# ---------------------------------------------------------------------------
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors per query by cosine (self excluded); ties
+    broken by neighbor id for a total, engine-independent order."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("sim", cosine(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("sim", 6).alias("sim_r"))
+    )
+
+
+def brute_force_topk_sql(
+    table: str = "embeddings",
+    k: int = 5,
+    n_queries: int = 10,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+) -> str:
+    return f"""
+    WITH q AS (SELECT {id_col} AS query_id, {vec} AS qv FROM {table}
+               WHERE {id_col} < {n_queries}),
+    scored AS (
+      SELECT q.query_id, c.{id_col} AS neighbor_id,
+             {cosine_sql('qv', f'c.{vec}')} AS sim
+      FROM {table} c, q WHERE c.{id_col} <> q.query_id
+    )
+    SELECT query_id, neighbor_id, rank, round(sim, 6) AS sim_r
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY sim DESC, neighbor_id) AS rank
+          FROM scored)
+    WHERE rank <= {k}
+    """
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed ANN
+# ---------------------------------------------------------------------------
+
+
+def lsh_bucket(vec_col: Column | str, dim: int = 64) -> Column:
+    """Sign-random-projection bucket id in [0, 2^NUM_PLANES)."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    acc = F.lit(0)
+    for j in range(NUM_PLANES):
+        plane = F.array(*[F.lit(float(p)) for p in _plane(j, dim)])
+        bit = (dot(v, plane) > 0).cast("int")
+        acc = acc + bit * F.lit(1 << j)
+    return acc
+
+
+def lsh_bucket_sql(vec: str, dim: int = 64) -> str:
+    terms = []
+    for j in range(NUM_PLANES):
+        plane = "[" + ", ".join(str(float(p)) for p in _plane(j, dim)) + "]"
+        d = (
+            f"list_sum([CAST({vec}[i] AS DOUBLE) * ({plane}::DOUBLE[])[i] "
+            f"FOR i IN generate_series(1, {dim})])"
+        )
+        terms.append(f"(CASE WHEN {d} > 0 THEN {1 << j} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k: exact cosine ranking restricted to the query's LSH
+    bucket. The bucket equi-join replaces the cross join — at scale the
+    corpus is partitioned (or bucketed at rest) on ``bucket`` and only
+    matching partitions are read."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        lsh_bucket(vec_col).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        lsh_bucket(vec_col).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("sim", cosine(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("sim", 6).alias("sim_r"))
+    )
+
+
+def lsh_topk_sql(
+    table: str = "embeddings",
+    k: int = 5,
+    n_queries: int = 10,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+) -> str:
+    return f"""
+    WITH b AS (
+      SELECT {id_col}, {vec} AS v, {lsh_bucket_sql(vec)} AS bucket FROM {table}
+    ),
+    q AS (SELECT {id_col} AS query_id, v AS qv, bucket FROM b
+          WHERE {id_col} < {n_queries}),
+    scored AS (
+      SELECT q.query_id, c.{id_col} AS neighbor_id,
+             {cosine_sql('qv', 'c.v')} AS sim
+      FROM b c JOIN q USING (bucket) WHERE c.{id_col} <> q.query_id
+    )
+    SELECT query_id, neighbor_id, rank, round(sim, 6) AS sim_r
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY sim DESC, neighbor_id) AS rank
+          FROM scored)
+    WHERE rank <= {k}
+    """
+
+
+# ---------------------------------------------------------------------------
+# embedding near-dup pairs (threshold form)
+# ---------------------------------------------------------------------------
+
+
+def cosine_neardup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All pairs with cosine >= threshold. Exact (cross-join) form — the
+    correctness baseline; the LSH-bucketed candidate restriction is the
+    scale path (same trade as lsh_topk)."""
+    a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("sim", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", F.round("sim", 6).alias("sim_r"))
+    )
+
+
+def cosine_neardup_pairs_sql(
+    table: str = "embeddings", threshold: float = 0.4,
+    id_col: str = "vec_id", vec: str = "embedding",
+) -> str:
+    return f"""
+    SELECT a.{id_col} AS id_a, b.{id_col} AS id_b,
+           round({cosine_sql(f'a.{vec}', f'b.{vec}')}, 6) AS sim_r
+    FROM {table} a JOIN {table} b ON a.{id_col} < b.{id_col}
+    WHERE {cosine_sql(f'a.{vec}', f'b.{vec}')} >= {threshold}
+    """

@@ -1,0 +1,96 @@
+"""Text analytics for training-data curation (SURVEY.md §7.1 M5):
+language-ID heuristic, quality scoring, token counting, document
+fingerprinting. All pure column expressions (codegen, no shuffle), all
+integer-exact until final ratios, all SQL-mirrorable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .hashing import MERSENNE31 as P, h28, h28_sql
+
+STOPWORDS = ("the", "a")
+BPE_ISH_PATTERN = "[a-z]+|[0-9]+"  # identical RE2/Java semantics
+EN_STOPWORD_MIN_RATIO = 0.03
+
+
+def text_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document statistics:
+
+    - n_tokens (whitespace), n_types (distinct), sum_len (total chars in
+      tokens) — exact integers
+    - ttr (type/token ratio), avg_token_len, stop_ratio — exact int
+      ratios
+    - n_bpe_tokens: regex token count (the BPE-ish lower bound)
+    - lang_pred: stopword-ratio heuristic ('en' iff ratio >= 3%)
+    - quality: ttr damped outside the 20..80-token sweet spot — the
+      length/stopword-style quality gate of C4-like pipelines
+    """
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    n_types = F.size(F.array_distinct(toks))
+    sum_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0).cast("long"), lambda a, b: a + b
+    )
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    n_bpe = F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_PATTERN), F.lit(0)))
+    stop_ratio = n_stop / n
+    return df.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        n_types.alias("n_types"),
+        sum_len.alias("sum_len"),
+        n_bpe.alias("n_bpe_tokens"),
+        (n_types / n).alias("ttr"),
+        (sum_len / n).alias("avg_token_len"),
+        stop_ratio.alias("stop_ratio"),
+        F.when(stop_ratio >= EN_STOPWORD_MIN_RATIO, F.lit("en"))
+        .otherwise(F.lit("unknown"))
+        .alias("lang_pred"),
+        (
+            (n_types / n)
+            * F.when((n >= 20) & (n <= 80), F.lit(1.0)).otherwise(F.lit(0.5))
+        ).alias("quality"),
+    )
+
+
+def text_stats_sql(table: str = "documents", id_col: str = "doc_id", text: str = "text") -> str:
+    toks = f"string_split({text}, ' ')"
+    stop_set = ", ".join(f"'{s}'" for s in STOPWORDS)
+    return f"""
+    SELECT {id_col},
+           len({toks}) AS n_tokens,
+           len(list_distinct({toks})) AS n_types,
+           list_sum([strlen(t) FOR t IN {toks}])::BIGINT AS sum_len,
+           len(regexp_extract_all({text}, '{BPE_ISH_PATTERN}')) AS n_bpe_tokens,
+           len(list_distinct({toks})) / len({toks}) AS ttr,
+           list_sum([strlen(t) FOR t IN {toks}])::BIGINT / len({toks}) AS avg_token_len,
+           len(list_filter({toks}, t -> t IN ({stop_set}))) / len({toks}) AS stop_ratio,
+           CASE WHEN len(list_filter({toks}, t -> t IN ({stop_set}))) / len({toks})
+                     >= {EN_STOPWORD_MIN_RATIO} THEN 'en' ELSE 'unknown' END AS lang_pred,
+           (len(list_distinct({toks})) / len({toks}))
+             * (CASE WHEN len({toks}) BETWEEN 20 AND 80 THEN 1.0 ELSE 0.5 END) AS quality
+    FROM {table}
+    """
+
+
+def rolling_fingerprint(text: Column | str) -> Column:
+    """Order-sensitive document fingerprint: polynomial rolling hash over
+    token hashes, mod 2^31-1. Distinguishes permuted documents (md5 of
+    the text does too, but this is the streamable/shardable form)."""
+    toks = F.split(F.col(text) if isinstance(text, str) else text, " ")
+    return F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * 31 + h28(t)) % P,
+    )
+
+
+def rolling_fingerprint_sql(text: str = "text") -> str:
+    toks = f"string_split({text}, ' ')"
+    return (
+        f"list_reduce(list_prepend(0::BIGINT, [{h28_sql('t')} FOR t IN {toks}]), "
+        f"(a, b) -> (a * 31 + b) % {P})"
+    )

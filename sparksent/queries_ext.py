@@ -1,0 +1,164 @@
+"""Extension-operator queries (dedup, similarity, text analytics, JSON,
+multimodal) with DuckDB oracles — the LLM-data-pipeline surface
+(SURVEY.md §7.1 M5, BASELINE.json north star)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import tables
+from .ext import dedup, jsonops, multimodal, similarity, textstats
+from .registry import register
+
+N_QUERIES = 10  # similarity-search query set: vec_id < 10
+TOPK = 5
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tables.load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tables.load_table(spark, sf_dir, "embeddings")
+
+
+# ---------------------------------------------------------------------------
+# deduplication
+# ---------------------------------------------------------------------------
+
+
+@register("dedup_exact", oracle=dedup.exact_dedup_sql(), tags=("ext", "dedup"))
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups: md5(text) fingerprint -> n_docs + canonical
+    (min) id. One map-side-combined hash aggregate."""
+    return dedup.exact_dedup(_docs(spark, sf_dir))
+
+
+@register("dedup_minhash_lsh", oracle=dedup.minhash_lsh_pairs_sql(), tags=("ext", "dedup"))
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16)+LSH(4x4) candidate pairs with signature-estimated
+    Jaccard >= 0.5. Shingle->signature is per-row array math; the only
+    shuffles are the band-bucket self-join and the distinct."""
+    return dedup.minhash_lsh_pairs(_docs(spark, sf_dir))
+
+
+@register("dedup_simhash", oracle=dedup.simhash_pairs_sql(), tags=("ext", "dedup"))
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-32 near-dup pairs at hamming <= 3, candidates via shared
+    signature bytes (pigeonhole-exact for this radius)."""
+    return dedup.simhash_pairs(_docs(spark, sf_dir))
+
+
+@register("dedup_ngram_jaccard", oracle=dedup.ngram_jaccard_pairs_sql(), tags=("ext", "dedup"))
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard >= 0.5 via the shingle inverted index."""
+    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir))
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=similarity.cosine_neardup_pairs_sql(),
+    tags=("ext", "dedup"),
+)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: cosine >= 0.4 (exact baseline form)."""
+    return similarity.cosine_neardup_pairs(_emb(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "similarity_topk_brute",
+    oracle=similarity.brute_force_topk_sql(k=TOPK, n_queries=N_QUERIES),
+    tags=("ext", "similarity"),
+)
+def q_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for the 10-query set over the full corpus —
+    broadcast queries, one corpus scan, per-query analytic rank."""
+    emb = _emb(spark, sf_dir)
+    return similarity.brute_force_topk(
+        emb, emb.filter(F.col("vec_id") < N_QUERIES), k=TOPK
+    )
+
+
+@register(
+    "similarity_topk_lsh",
+    oracle=similarity.lsh_topk_sql(k=TOPK, n_queries=N_QUERIES),
+    tags=("ext", "similarity"),
+)
+def q_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-5: cosine ranking restricted to the query's random-
+    hyperplane LSH bucket (the scale path — bucket equi-join instead of
+    cross join)."""
+    emb = _emb(spark, sf_dir)
+    return similarity.lsh_topk(emb, emb.filter(F.col("vec_id") < N_QUERIES), k=TOPK)
+
+
+# ---------------------------------------------------------------------------
+# text analytics
+# ---------------------------------------------------------------------------
+
+
+@register("text_stats", oracle=textstats.text_stats_sql(), tags=("ext", "text"))
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document curation stats: token/type counts, BPE-ish regex
+    token count, TTR, stopword ratio, lang-ID heuristic, quality gate."""
+    return textstats.text_stats(_docs(spark, sf_dir))
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+    SELECT doc_id, {textstats.rolling_fingerprint_sql()} AS fingerprint
+    FROM documents
+    """,
+    tags=("ext", "text"),
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling-hash document fingerprint (mod 2^31-1)."""
+    return _docs(spark, sf_dir).select(
+        "doc_id", textstats.rolling_fingerprint("text").alias("fingerprint")
+    )
+
+
+# ---------------------------------------------------------------------------
+# JSON scalar ops
+# ---------------------------------------------------------------------------
+
+
+@register("json_field_stats", oracle=jsonops.json_field_stats_sql(), tags=("ext", "json"))
+def q_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """props.k rollup per event_type: count / exact sum / avg / min /
+    max with a single JSON parse in the scan projection."""
+    ev = tables.load_table(spark, sf_dir, "events")
+    return jsonops.json_field_stats(ev)
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_features",
+    oracle="""
+    SELECT doc_id AS media_id,
+           strlen(text)::BIGINT AS n_bytes,
+           unicode(substr(text, 1, 1)) AS head_byte,
+           (list_sum([unicode(c) FOR c IN string_split(text, '')])::BIGINT % 997)
+             AS checksum
+    FROM documents
+    """,
+    tags=("ext", "multimodal"),
+)
+def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column feature extraction through the real mapInPandas
+    decode pipeline (deterministic stand-in decoder; the ASCII fixture
+    text makes byte features oracle-computable). The decode stub is the
+    single swap point for real media libs (ext/multimodal.py)."""
+    media = multimodal.media_from_documents(_docs(spark, sf_dir))
+    return multimodal.extract_features(media)

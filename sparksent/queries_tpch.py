@@ -1,0 +1,201 @@
+"""Relational coverage queries (TPC-H-shaped) over the star-schema
+fixtures — the join/aggregate/sort/limit surface a complete engine needs
+(the reference has zero joins, SURVEY.md §2.3; these are the extension
+layer's analytical core and the bench workhorses).
+
+Exactness: money aggregates accumulate in DECIMAL and cast the final
+value to DOUBLE (identical across engines and shuffle orders); averages
+divide the exact sum by the exact count; dates are emitted as formatted
+strings (wall-clock, timezone-proof); every ORDER BY ends in a unique
+key so LIMIT is total.
+
+Scale shape: dimension tables (region/nation/customer/supplier/part)
+broadcast; the fact tables (lineitem, orders) never shuffle for the
+joins — only for the final aggregation. Filters sit directly on the
+scans where Catalyst pushes them into parquet.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import tables
+from .registry import register
+
+
+def _dec(col: str, scale: int = 2):
+    return F.col(col).cast(f"decimal(18,{scale})")
+
+
+@register(
+    "tpch_q1_pricing",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           sum(l_quantity::DECIMAL(18,2))::DOUBLE AS sum_qty,
+           sum(l_extendedprice::DECIMAL(18,2))::DOUBLE AS sum_base_price,
+           sum(l_extendedprice::DECIMAL(18,2) * (1 - l_discount::DECIMAL(18,2)))::DOUBLE
+             AS sum_disc_price,
+           sum(l_extendedprice::DECIMAL(18,2) * (1 - l_discount::DECIMAL(18,2))
+               * (1 + l_tax::DECIMAL(18,2)))::DOUBLE AS sum_charge,
+           sum(l_quantity::DECIMAL(18,2))::DOUBLE / count(*) AS avg_qty,
+           sum(l_extendedprice::DECIMAL(18,2))::DOUBLE / count(*) AS avg_price,
+           sum(l_discount::DECIMAL(18,2))::DOUBLE / count(*) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY 1, 2
+    """,
+    tags=("tpch", "agg"),
+)
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1 pricing summary: one scan, map-side partial aggregation into
+    4-6 groups; the shipdate filter and 7-column projection push into
+    the parquet reader."""
+    li = tables.load_table(spark, sf_dir, "lineitem")
+    disc_price = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    charge = disc_price * (F.lit(1).cast("decimal(18,2)") + _dec("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (F.sum(_dec("l_quantity")).cast("double") / F.count("*")).alias("avg_qty"),
+            (F.sum(_dec("l_extendedprice")).cast("double") / F.count("*")).alias("avg_price"),
+            (F.sum(_dec("l_discount")).cast("double") / F.count("*")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "tpch_q3_shipping",
+    oracle="""
+    SELECT l_orderkey,
+           sum(l_extendedprice::DECIMAL(18,2) * (1 - l_discount::DECIMAL(18,2)))::DOUBLE
+             AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    tags=("tpch", "join"),
+)
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 shipping priority: broadcast the filtered customer dimension
+    into orders, join lineitem, top-10 revenue. The customer filter
+    shrinks the broadcast side to one segment before shipping it."""
+    cu = tables.load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = tables.load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp_ntz")
+    )
+    li = tables.load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp_ntz")
+    )
+    revenue = F.sum(
+        _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    ).cast("double")
+    return (
+        li.join(o.join(F.broadcast(cu), o.o_custkey == cu.c_custkey),
+                li.l_orderkey == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(revenue.alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "tpch_q5_regional",
+    oracle="""
+    SELECT n_name,
+           sum(l_extendedprice::DECIMAL(18,2) * (1 - l_discount::DECIMAL(18,2)))::DOUBLE
+             AS revenue
+    FROM region JOIN nation ON n_regionkey = r_regionkey
+                JOIN customer ON c_nationkey = n_nationkey
+                JOIN orders ON o_custkey = c_custkey
+                JOIN lineitem ON l_orderkey = o_orderkey
+                JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY 1
+    """,
+    tags=("tpch", "join"),
+)
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 local-supplier volume: five joins; every dimension side
+    broadcasts (region->nation->customer chain collapses before touching
+    the facts), so lineitem/orders shuffle only for the l_orderkey join
+    and the final 25-group aggregate."""
+    r = tables.load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = tables.load_table(spark, sf_dir, "nation")
+    c = tables.load_table(spark, sf_dir, "customer")
+    s = tables.load_table(spark, sf_dir, "supplier")
+    o = tables.load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    li = tables.load_table(spark, sf_dir, "lineitem")
+    dims = (
+        c.join(F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)),
+               c.c_nationkey == F.col("n_nationkey"))
+    )
+    revenue = F.sum(
+        _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    ).cast("double")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(dims), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s),
+              (li.l_suppkey == s.s_suppkey)
+              & (s.s_nationkey == F.col("c_nationkey")))
+        .groupBy("n_name")
+        .agg(revenue.alias("revenue"))
+    )
+
+
+@register(
+    "tpch_q6_forecast",
+    oracle="""
+    SELECT sum(l_extendedprice::DECIMAL(18,2) * l_discount::DECIMAL(18,2))::DOUBLE
+             AS revenue,
+           count(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.04 AND 0.06
+      AND l_quantity < 24
+    """,
+    tags=("tpch", "agg"),
+)
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 revenue-change forecast: pure scan-and-aggregate; all four
+    predicates push to the parquet row-group level, the projection reads
+    3 columns."""
+    li = tables.load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+        & (F.col("l_discount") >= 0.04)
+        & (F.col("l_discount") <= 0.06)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.sum(_dec("l_extendedprice") * _dec("l_discount")).cast("double").alias("revenue"),
+        F.count("*").alias("n"),
+    )

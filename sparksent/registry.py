@@ -72,4 +72,8 @@ def _ensure_loaded() -> None:
         from . import queries_ext  # noqa: F401
     except ImportError:
         pass
+    try:
+        from . import queries_tpch  # noqa: F401
+    except ImportError:
+        pass
     _LOADED = True
