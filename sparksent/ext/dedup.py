@@ -28,9 +28,10 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..tables import rebalance
 from .hashing import (
     MERSENNE31 as P,
     affine_params,
@@ -81,19 +82,28 @@ def exact_dedup_sql(table: str = "documents", id_col: str = "doc_id", text: str 
 # ---------------------------------------------------------------------------
 
 
-def minhash_signature(text: Column | str) -> Column:
-    """Array of NUM_HASHES minhashes: min over shingles of the affine
-    hash (a*h28(s)+b) mod 2^31-1. Array-expression only — per-row, no
-    shuffle, no UDF."""
-    sh = shingles(text)
+def _affine(a: int, b: int):
+    return lambda h: (F.lit(a) * h + F.lit(b)) % P
 
-    def affine(a: int, b: int):
-        return lambda s: (F.lit(a) * h28(s) + F.lit(b)) % P
 
-    cols = [
-        F.array_min(F.transform(sh, affine(a, b))) for a, b in MINHASH_PARAMS
-    ]
-    return F.array(*cols)
+def minhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, sig ARRAY<BIGINT>[NUM_HASHES]) minhash signatures: min over
+    shingles of the affine hash (a*h28(s)+b) mod 2^31-1.
+
+    Two projections on purpose: the md5-derived base hash is computed
+    ONCE per shingle into `hs`, then the NUM_HASHES affine mins are
+    cheap integer math over that array. CollapseProject keeps the
+    non-cheap `hs` from being inlined NUM_HASHES times (a 16x md5
+    blow-up measured at ~10x wall-clock). Per-row, no shuffle, no UDF.
+    """
+    hashed = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(shingles(text_col), h28).alias("hs"),
+    )
+    cols = [F.array_min(F.transform("hs", _affine(a, b))) for a, b in MINHASH_PARAMS]
+    return hashed.select("id", F.array(*cols).alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -109,7 +119,7 @@ def minhash_lsh_pairs(
     (band, band_signature) -> distinct pairs -> estimate = fraction of
     equal signature positions >= threshold.
     """
-    sigs = df.select(F.col(id_col).alias("id"), minhash_signature(text_col).alias("sig"))
+    sigs = minhash_signatures(rebalance(df), id_col, text_col)
     bands = sigs.select(
         "id",
         "sig",
@@ -204,7 +214,8 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     Explode + one hash-aggregate on (id, token), then 32 conditional
     sums per id."""
     toks = (
-        df.select(F.col(id_col).alias("id"), F.explode(F.split(text_col, " ")).alias("tok"))
+        rebalance(df)
+        .select(F.col(id_col).alias("id"), F.explode(F.split(text_col, " ")).alias("tok"))
         .groupBy("id", "tok")
         .agg(F.count("*").alias("cnt"))
         .withColumn("h", h28("tok"))
@@ -319,7 +330,7 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact Jaccard over word-3-gram shingle sets, candidates via the
     shingle inverted index (docs sharing no shingle never meet)."""
-    sh = df.select(
+    sh = rebalance(df).select(
         F.col(id_col).alias("id"), F.explode(shingles(text_col)).alias("shingle")
     )
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))

@@ -25,6 +25,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..tables import rebalance
+
 MEDIA_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
@@ -99,5 +101,5 @@ def extract_features(media: DataFrame) -> DataFrame:
     """The decode/feature stage: mapInPandas over (media_id, payload)
     only — metadata and payload columns are pruned before the Python
     boundary so Arrow ships the minimum."""
-    narrow = media.select("media_id", "payload")
+    narrow = rebalance(media.select("media_id", "payload"))
     return narrow.mapInPandas(fake_decode_features, FEATURE_SCHEMA)

@@ -35,6 +35,22 @@ TABLE_NAMES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def rebalance(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition a narrow input up to the session's default
+    parallelism before CPU-heavy per-row work (hashing, shingling, decode).
+
+    The small local fixtures arrive as a single parquet split, which would
+    serialize an expression-heavy map stage onto one core; on a real
+    cluster the scan of a large table already yields >= cores splits and
+    this returns the input unchanged. The round-robin shuffle moves only
+    the narrow projected input once, before the expensive stage.
+    """
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
