@@ -47,6 +47,11 @@ HEADLINE = [
     "tpch_q3_shipping",
     "tpch_q5_regional",
     "tpch_q6_forecast",
+    "semi_late_orders",
+    "outer_order_count_distribution",
+    "rangejoin_price_bands",
+    "session_agg_30m",
+    "asof_purchase_last_view",
 ]
 
 

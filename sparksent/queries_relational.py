@@ -1,0 +1,391 @@
+"""Relational operator families beyond the reference's surface — semi /
+anti / outer joins, set operations, rollup, rank top-n, range-band
+joins, session windows, and the as-of join — each with a DuckDB oracle.
+
+The reference has no joins at all (SURVEY.md §2.3) and only keyed
+window reduces; these queries make the engine's relational layer
+complete enough that every standard analytics shape has a named,
+oracle-verified entry.
+
+Exactness follows registry conventions: DECIMAL accumulation cast to
+DOUBLE at the end, epoch-microsecond BIGINTs instead of raw timestamps,
+identical aliases both sides, NULL-free outputs (COALESCE to sentinel).
+
+Scale notes per query live on the builder docstrings; the common rules:
+dimension/derived-small sides broadcast, fact tables shuffle at most
+once, and the as-of join is the single-shuffle carry-forward form
+(sparksent/joins.py), never a nested-loop range join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import tables
+from .joins import asof_join
+from .registry import register
+
+
+def _dec(col: str, scale: int = 2):
+    return F.col(col).cast(f"decimal(18,{scale})")
+
+
+def _dec28(col: str):
+    return F.col(col).cast("decimal(28,6)")
+
+
+# ---------------------------------------------------------------------------
+# semi / anti / outer joins
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "semi_late_orders",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+    GROUP BY 1
+    """,
+    tags=("relational", "join"),
+)
+def q_semi_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shaped EXISTS: 1996 orders having at least one line item
+    shipped >90 days after the order date, counted per priority. A left
+    SEMI join (existence only — lineitem rows are never widened into the
+    output), shuffled on the order key once."""
+    o = tables.load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    li = tables.load_table(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+@register(
+    "anti_customers_no_orders",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n_customers
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY 1
+    """,
+    tags=("relational", "join"),
+)
+def q_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no order since 2000, per market segment — a left
+    ANTI join on the customer key. The date filter pushes into the
+    orders scan, and the anti side is pruned to its join key before the
+    shuffle."""
+    c = tables.load_table(spark, sf_dir, "customer")
+    o = tables.load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp_ntz")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@register(
+    "outer_order_count_distribution",
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+          FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+          GROUP BY 1)
+    GROUP BY 1
+    """,
+    tags=("relational", "join"),
+)
+def q_outer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-shaped: orders-per-customer distribution via a LEFT
+    OUTER join (zero-order customers must appear with c_count 0 — the
+    row inner joins would drop). Two aggregations; the second input is
+    one row per customer, so the re-shuffle is tiny."""
+    c = tables.load_table(spark, sf_dir, "customer")
+    o = tables.load_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+# ---------------------------------------------------------------------------
+# set operations
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "setop_user_cohorts",
+    oracle="""
+    WITH p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+         e AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'error')
+    SELECT 'purchase_and_error' AS cohort, count(*) AS n_users
+    FROM (SELECT user_id FROM p INTERSECT SELECT user_id FROM e)
+    UNION ALL
+    SELECT 'purchase_not_error' AS cohort, count(*) AS n_users
+    FROM (SELECT user_id FROM p EXCEPT SELECT user_id FROM e)
+    """,
+    tags=("relational", "setop"),
+)
+def q_setop_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT / UNION ALL in one query: purchasing users who
+    also hit errors vs. those who never did. Set ops hash-shuffle on the
+    full row — here a single pruned BIGINT column."""
+    ev = tables.load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    e = ev.filter(F.col("event_type") == "error").select("user_id").distinct()
+    both = p.intersect(e).agg(F.count("*").alias("n_users")).select(
+        F.lit("purchase_and_error").alias("cohort"), "n_users"
+    )
+    only = p.subtract(e).agg(F.count("*").alias("n_users")).select(
+        F.lit("purchase_not_error").alias("cohort"), "n_users"
+    )
+    return both.unionAll(only)
+
+
+# ---------------------------------------------------------------------------
+# rollup / rank / range band
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rollup_event_value",
+    oracle="""
+    SELECT coalesce(event_type, 'ALL') AS event_type,
+           coalesce(user_bucket, -1) AS user_bucket,
+           count(*) AS n,
+           sum(v)::DOUBLE AS sum_value
+    FROM (SELECT event_type, (user_id % 10)::INT AS user_bucket,
+                 value::DECIMAL(28,6) AS v
+          FROM events)
+    GROUP BY ROLLUP(event_type, user_bucket)
+    """,
+    tags=("relational", "agg"),
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP (event_type, user bucket): per-bucket,
+    per-type subtotal, and grand total in one pass — Spark computes all
+    grouping sets in a single Expand + aggregate, not three scans."""
+    ev = tables.load_table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("user_id") % 10).cast("int").alias("user_bucket"),
+        _dec28("value").alias("v"),
+    )
+    return (
+        ev.rollup("event_type", "user_bucket")
+        .agg(F.count("*").alias("n"), F.sum("v").cast("double").alias("sum_value"))
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce("user_bucket", F.lit(-1)).alias("user_bucket"),
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "topn_orders_per_priority",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey, o_totalprice, rn
+    FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_orderpriority
+                                    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          FROM orders)
+    WHERE rn <= 3
+    """,
+    tags=("relational", "window"),
+)
+def q_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders by value per priority — the canonical rank-filter
+    window. One shuffle on the (low-cardinality) partition key; the
+    rank filter cuts before anything else consumes the result. The tie
+    break on o_orderkey makes row_number deterministic."""
+    o = tables.load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_orderpriority",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+PRICE_BANDS = [
+    ("lt_2k", 0.0, 2_000.0),
+    ("2k_10k", 2_000.0, 10_000.0),
+    ("10k_30k", 10_000.0, 30_000.0),
+    ("30k_100k", 30_000.0, 100_000.0),
+    ("ge_100k", 100_000.0, 1e18),
+]
+
+
+@register(
+    "rangejoin_price_bands",
+    oracle=f"""
+    SELECT band, count(*) AS n_items,
+           sum(l_extendedprice::DECIMAL(18,2))::DOUBLE AS sum_price
+    FROM lineitem
+    JOIN (VALUES {", ".join(f"('{b}', {lo}, {hi})" for b, lo, hi in PRICE_BANDS)})
+         bands(band, lo, hi)
+      ON l_extendedprice >= lo AND l_extendedprice < hi
+    GROUP BY 1
+    """,
+    tags=("relational", "join"),
+)
+def q_rangejoin_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval/range join: line items binned into non-uniform price
+    bands via an inequality join against a broadcast 5-row band table —
+    the scale-correct plan for band joins (broadcast NL over a tiny
+    build side; the fact table never shuffles for the join)."""
+    li = tables.load_table(spark, sf_dir, "lineitem")
+    bands = spark.createDataFrame(PRICE_BANDS, "band string, lo double, hi double")
+    return (
+        li.join(
+            F.broadcast(bands),
+            (li.l_extendedprice >= bands.lo) & (li.l_extendedprice < bands.hi),
+        )
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# session windows
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "session_agg_30m",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts, value, event_id,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)
+                       >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, ts, value,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o
+    )
+    SELECT user_id, min(epoch_us(ts)) AS session_start_us,
+           count(*) AS n_events,
+           sum(value::DECIMAL(28,6))::DOUBLE AS sum_value
+    FROM s GROUP BY user_id, sid
+    """,
+    tags=("relational", "window", "session"),
+)
+def q_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session aggregation with a 30-minute inactivity gap —
+    ``F.session_window`` (batch and streaming share the operator). The
+    oracle reproduces the merge semantics with the gaps-and-islands
+    form: a new session starts exactly when the gap to the previous
+    event is >= the timeout."""
+    ev = tables.load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(_dec28("value")).cast("double").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros("sw.start").alias("session_start_us"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# as-of join
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "asof_purchase_last_view",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, ts, 1 AS side, event_id AS tie,
+             event_id AS l_id, NULL::BIGINT AS r_id, NULL::TIMESTAMP AS r_ts
+      FROM events WHERE event_type = 'purchase'
+      UNION ALL
+      SELECT user_id, ts, 0 AS side, event_id AS tie,
+             NULL::BIGINT, event_id, ts
+      FROM events WHERE event_type = 'view'
+    ),
+    m AS (
+      SELECT *,
+             last_value(r_id IGNORE NULLS) OVER w AS view_id,
+             last_value(r_ts IGNORE NULLS) OVER w AS view_ts
+      FROM u
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, side, tie
+                   ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT l_id AS purchase_id, user_id,
+           coalesce(view_id, -1) AS view_id,
+           coalesce(epoch_us(ts) - epoch_us(view_ts), -1) AS gap_us
+    FROM m WHERE side = 1
+    """,
+    tags=("relational", "join", "asof"),
+)
+def q_asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution as-of join: each purchase picks the user's most
+    recent prior 'view' event (ties: the view at the same timestamp
+    counts; equal-ts views resolve to the greatest event_id). Runs as
+    ONE shuffle on user_id via the union + carry-forward plan
+    (sparksent/joins.py), not a nested-loop range join."""
+    ev = tables.load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_id")
+    )
+    joined = asof_join(
+        purchases,
+        views,
+        on="user_id",
+        left_tie=F.col("purchase_id"),
+        right_tie=F.col("view_id"),
+    )
+    return joined.select(
+        "purchase_id",
+        "user_id",
+        F.coalesce("r_view_id", F.lit(-1)).alias("view_id"),
+        F.coalesce(
+            F.unix_micros("ts") - F.unix_micros("r_ts"), F.lit(-1)
+        ).alias("gap_us"),
+    )

@@ -76,4 +76,8 @@ def _ensure_loaded() -> None:
         from . import queries_tpch  # noqa: F401
     except ImportError:
         pass
+    try:
+        from . import queries_relational  # noqa: F401
+    except ImportError:
+        pass
     _LOADED = True
