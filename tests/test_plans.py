@@ -1,0 +1,113 @@
+"""Physical-plan regression tests: the scale-critical properties of each
+query family, asserted against the optimized plan text so a refactor
+can't silently reintroduce a full-scan, an extra shuffle, or a
+shuffled dimension join.
+
+These assert plan *shape* (what would dominate at 100 TB), not timing:
+- filters/projections reach the parquet scan (PushedFilters/ReadSchema)
+- dimension joins broadcast (BroadcastHashJoin, never shuffled)
+- the as-of join runs on ONE data shuffle (union + window, no join node)
+- per-row signature pipelines have NO shuffle at all
+- aggregates are partial+final (map-side combine)
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from sparksent.registry import queries
+
+from conftest import SF_DIR
+
+
+def plan_of(spark, name: str) -> str:
+    df = queries()[name](spark, SF_DIR)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def count_data_shuffles(plan: str) -> int:
+    """Exchange nodes that move data between partitions (broadcasts and
+    AQE wrappers excluded)."""
+    return len(re.findall(r"\(\d+\) Exchange\b", plan))
+
+
+def test_q6_pushdown_and_pruning(spark):
+    plan = plan_of(spark, "tpch_q6_forecast")
+    assert "PushedFilters" in plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "LessThan(l_quantity,24.0)" in plan
+    # projection pruning: the scan reads only the 4 needed columns
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and len(m.group(1).split(",")) <= 4
+    # map-side combine before the single-partition exchange
+    assert "partial_sum" in plan
+
+
+def test_q3_q5_dimensions_broadcast(spark):
+    for name in ("tpch_q3_shipping", "tpch_q5_regional"):
+        plan = plan_of(spark, name)
+        assert "BroadcastHashJoin" in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        # the fact-side scans push their date/segment filters
+        assert "PushedFilters" in plan, name
+
+
+def test_asof_join_single_shuffle(spark):
+    plan = plan_of(spark, "asof_purchase_last_view")
+    # union + carry-forward window: no join operator at all
+    assert "Join" not in plan
+    assert "Window" in plan
+    assert count_data_shuffles(plan) == 1
+    # both event-type filters push into the scans
+    assert "EqualTo(event_type,purchase)" in plan
+    assert "EqualTo(event_type,view)" in plan
+
+
+def test_rangejoin_broadcasts_band_table(spark):
+    plan = plan_of(spark, "rangejoin_price_bands")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "BuildRight" in plan
+    # lineitem scan reads exactly the price column
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and m.group(1).split(",") == ["l_extendedprice:double"]
+
+
+def test_minhash_signature_no_shuffle(spark):
+    from sparksent.ext.dedup import minhash_signatures
+    from sparksent import tables
+
+    docs = tables.load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    sigs = minhash_signatures(docs)
+    plan = sigs._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert count_data_shuffles(plan) == 0
+    # the md5-derived base hash is materialized once, not once per
+    # affine function (the 16x re-evaluation regression)
+    assert plan.count("md5") <= 2  # one per projection branch at most
+
+
+def test_exact_dedup_partial_agg(spark):
+    plan = plan_of(spark, "dedup_exact")
+    assert "partial_count" in plan
+    assert count_data_shuffles(plan) == 1
+
+
+def test_topn_single_shuffle_window(spark):
+    plan = plan_of(spark, "topn_orders_per_priority")
+    assert "Window" in plan
+    assert count_data_shuffles(plan) == 1
+
+
+def test_semi_anti_join_types(spark):
+    semi = plan_of(spark, "semi_late_orders")
+    assert "LeftSemi" in semi
+    anti = plan_of(spark, "anti_customers_no_orders")
+    assert "LeftAnti" in anti
+    # anti side pruned to the join key before shuffling
+    m = re.findall(r"ReadSchema: struct<([^>]*)>", anti)
+    assert any(s.startswith("o_custkey") for s in m)
