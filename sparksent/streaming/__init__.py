@@ -16,6 +16,11 @@ DataFrame. This package holds the parts that ARE streaming-specific:
 """
 
 from .count_window import streaming_count_window  # noqa: F401
-from .ops import streaming_cumulative_sum, streaming_tumbling_agg  # noqa: F401
+from .ops import (  # noqa: F401
+    streaming_cumulative_sum,
+    streaming_interval_join,
+    streaming_session_agg,
+    streaming_tumbling_agg,
+)
 from .sources import file_replay_source, socket_lines  # noqa: F401
 from .sinks import to_console, to_memory, to_parquet  # noqa: F401

@@ -63,3 +63,56 @@ def streaming_cumulative_sum(
     return df.groupBy(*keys).agg(
         F.sum(F.col(value_col).cast("decimal(28,6)")).cast("double").alias(out_col)
     )
+
+
+def streaming_session_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    gap: str,
+    aggs: Sequence[Column],
+    ts_col: str = "ts",
+    watermark: str = "10 seconds",
+) -> DataFrame:
+    """Watermarked keyed session-window aggregation (append mode): the
+    streaming twin of the batch ``F.session_window`` form — identical
+    merge semantics (a new session starts when the inactivity gap
+    reaches ``gap``), identical output shape (session_start_us BIGINT +
+    keys + aggs). A session emits once the watermark passes its close.
+
+    State at scale: O(open sessions) per key, expired by the watermark —
+    the same state-store partitioning as the group-by shuffle."""
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("sw"), *keys)
+        .agg(*aggs)
+        .withColumn("session_start_us", F.unix_micros(F.col("sw.start")))
+        .drop("sw")
+    )
+
+
+def streaming_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    within: str,
+    left_ts: str,
+    right_ts: str,
+    watermark: str = "1 minute",
+) -> DataFrame:
+    """Stream-stream inner interval join: pair each left row with the
+    right rows of the same key whose timestamp falls in
+    ``[left_ts - within, left_ts]``. Timestamp columns must be named
+    differently on the two sides (both survive into the output).
+
+    Matches emit as soon as both rows have arrived; the time bound plus
+    the two watermarks let the state store drop buffered rows once they
+    can no longer match — the condition Structured Streaming requires
+    for bounded stream-stream join state."""
+    l = left.withWatermark(left_ts, watermark)
+    r = right.withWatermark(right_ts, watermark)
+    cond = (
+        (l[on] == r[on])
+        & (r[right_ts] >= l[left_ts] - F.expr(f"INTERVAL {within}"))
+        & (r[right_ts] <= l[left_ts])
+    )
+    return l.join(r, cond).drop(r[on])

@@ -136,3 +136,69 @@ def test_count_window_equivalence(spark, replay_dir):
     # streaming sums doubles sequentially; batch accumulates in decimal —
     # equal up to float associativity
     assert np.allclose(got["value"].to_numpy(), want["value"].to_numpy(), rtol=1e-9)
+
+
+def test_session_window_equivalence(spark, tmp_path):
+    """Streaming session windows == batch F.session_window over the same
+    rows, after a watermark-advancing sentinel closes every session."""
+    from sparksent.streaming import streaming_session_agg
+
+    replay = str(tmp_path / "session_replay")
+    ev = load_table(spark, SF_DIR_SMALL, "events")
+    write_replay_chunks(ev, replay, N_CHUNKS)
+
+    aggs = [
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("sum_value"),
+    ]
+    stream = file_replay_source(spark, replay)
+    out = streaming_session_agg(stream, ["user_id"], "30 minutes", aggs)
+    _add_sentinels(spark, replay)
+    _run_to_memory(out, "t_session", "append")
+    got = spark.table("t_session").filter(F.col("user_id") != -1)
+
+    want = (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(*aggs)
+        .withColumn("session_start_us", F.unix_micros(F.col("sw.start")))
+        .drop("sw")
+    )
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+
+
+def test_interval_join_equivalence(spark, tmp_path):
+    """Stream-stream interval join (purchase <- views within 1h) == the
+    same join run as one batch."""
+    from sparksent.streaming import streaming_interval_join
+
+    replay = str(tmp_path / "join_replay")
+    ev = load_table(spark, SF_DIR_SMALL, "events")
+    write_replay_chunks(ev, replay, N_CHUNKS)
+
+    def split(df):
+        p = df.filter(F.col("event_type") == "purchase").select(
+            "user_id", F.col("ts").alias("p_ts"), F.col("event_id").alias("purchase_id")
+        )
+        v = df.filter(F.col("event_type") == "view").select(
+            "user_id", F.col("ts").alias("v_ts"), F.col("event_id").alias("view_id")
+        )
+        return p, v
+
+    sp, sv = split(file_replay_source(spark, replay))
+    out = streaming_interval_join(sp, sv, "user_id", "1 hour", "p_ts", "v_ts")
+    _run_to_memory(out, "t_ij", "append")
+    got = spark.table("t_ij").select("purchase_id", "view_id")
+
+    bp, bv = split(ev)
+    want = (
+        bp.join(
+            bv,
+            (bp.user_id == bv.user_id)
+            & (bv.v_ts >= bp.p_ts - F.expr("INTERVAL 1 HOUR"))
+            & (bv.v_ts <= bp.p_ts),
+        )
+        .select("purchase_id", "view_id")
+    )
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
