@@ -249,3 +249,114 @@ def cosine_neardup_pairs_sql(
     FROM {table} a JOIN {table} b ON a.{id_col} < b.{id_col}
     WHERE {cosine_sql(f'a.{vec}', f'b.{vec}')} >= {threshold}
     """
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN
+# ---------------------------------------------------------------------------
+
+N_CENTROIDS = 8
+CENTROID_ID_LO = 100  # centroids = corpus vectors [100, 100+K): fixed,
+NPROBE = 2            # deterministic, disjoint from the query id range
+
+
+def _ivf_cells(corpus: DataFrame, id_col: str, vec_col: str):
+    """(centroids, assignment): every corpus vector assigned to its
+    max-cosine centroid (ties -> lowest centroid id). The centroid set
+    is K fixed corpus vectors — a deterministic stand-in for k-means
+    (the training step is orthogonal to the search plan; swapping in
+    learned centroids changes no query code)."""
+    cents = corpus.filter(
+        (F.col(id_col) >= CENTROID_ID_LO)
+        & (F.col(id_col) < CENTROID_ID_LO + N_CENTROIDS)
+    ).select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cvec"))
+    w = Window.partitionBy("vid").orderBy(F.col("csim").desc(), F.col("cent_id"))
+    assign = (
+        corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vv"))
+        .crossJoin(F.broadcast(cents))
+        .withColumn("csim", cosine(F.col("vv"), F.col("cvec")))
+        .withColumn("crank", F.row_number().over(w))
+    )
+    return cents, assign
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = NPROBE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN top-k: corpus vectors live in their nearest-centroid cell
+    (crank = 1); each query probes its ``nprobe`` nearest cells and
+    ranks exact cosine inside the probed candidates only.
+
+    Scale shape: assignment is one broadcast pass (N x K dot products,
+    embarrassingly parallel); at rest the corpus is partitioned by
+    ``cell`` so a query reads nprobe/K of the data. Recall grows with
+    nprobe at linear cost — the standard IVF trade."""
+    cents, assign = _ivf_cells(corpus, id_col, vec_col)
+    cells = assign.filter(F.col("crank") == 1).select(
+        F.col("vid").alias("neighbor_id"),
+        F.col("vv").alias("cv"),
+        F.col("cent_id").alias("cell"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("csim").desc(), F.col("cent_id"))
+    probes = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+        .crossJoin(F.broadcast(cents))
+        .withColumn("csim", cosine(F.col("qv"), F.col("cvec")))
+        .withColumn("crank", F.row_number().over(wq))
+        .filter(F.col("crank") <= nprobe)
+        .select("query_id", "qv", F.col("cent_id").alias("cell"))
+    )
+    scored = (
+        cells.join(F.broadcast(probes), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("sim", cosine(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("sim", 6).alias("sim_r"))
+    )
+
+
+def ivf_topk_sql(
+    table: str = "embeddings",
+    k: int = 5,
+    n_queries: int = 10,
+    nprobe: int = NPROBE,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+) -> str:
+    return f"""
+    WITH cents AS (
+      SELECT {id_col} AS cent_id, {vec} AS cvec FROM {table}
+      WHERE {id_col} >= {CENTROID_ID_LO}
+        AND {id_col} < {CENTROID_ID_LO + N_CENTROIDS}
+    ),
+    assign AS (
+      SELECT v.{id_col} AS vid, v.{vec} AS vv, c.cent_id,
+             row_number() OVER (PARTITION BY v.{id_col}
+                                ORDER BY {cosine_sql(f'v.{vec}', 'c.cvec')} DESC,
+                                         c.cent_id) AS crank
+      FROM {table} v, cents c
+    ),
+    cells AS (SELECT vid AS neighbor_id, vv AS cv, cent_id AS cell
+              FROM assign WHERE crank = 1),
+    probes AS (SELECT vid AS query_id, vv AS qv, cent_id AS cell
+               FROM assign WHERE crank <= {nprobe} AND vid < {n_queries}),
+    scored AS (
+      SELECT p.query_id, c.neighbor_id, {cosine_sql('p.qv', 'c.cv')} AS sim
+      FROM cells c JOIN probes p USING (cell)
+      WHERE c.neighbor_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, rank, round(sim, 6) AS sim_r
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY sim DESC, neighbor_id) AS rank
+          FROM scored)
+    WHERE rank <= {k}
+    """

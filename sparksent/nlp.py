@@ -236,3 +236,44 @@ def entity_list_sql() -> str:
 def category_case_sql(var: str = "tok") -> str:
     arms = " ".join(f"WHEN '{t}' THEN '{c}'" for t, c in CATEGORIES.items())
     return f"CASE {var} {arms} ELSE NULL END"
+
+
+# ---------------------------------------------------------------------------
+# MLlib sentiment (the learned alternative to the lexicon scorer)
+# ---------------------------------------------------------------------------
+
+
+def mllib_sentiment(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Learned sentiment via an MLlib pipeline (Tokenizer -> HashingTF ->
+    LogisticRegression), trained on the deterministic lexicon labels
+    (score_raw > 0) and applied back to the corpus — the BASELINE.json
+    "MLlib sentiment" path. Inference is a pure per-row model transform
+    (broadcast coefficients, no shuffle); training is one treeAggregate
+    pass per LBFGS iteration.
+
+    Not oracle-mirrorable (model internals aren't SQL), so this
+    registers as a rows-only query; the lexicon scorer remains the
+    bit-exact surface the oracle checks.
+    """
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import HashingTF, Tokenizer
+    from pyspark.ml.functions import vector_to_array
+
+    labeled = with_sentiment(df, text_col).withColumn(
+        "label", (F.col("score_raw") > 0).cast("double")
+    )
+    pipe = Pipeline(
+        stages=[
+            Tokenizer(inputCol=text_col, outputCol="toks"),
+            HashingTF(inputCol="toks", outputCol="features", numFeatures=256),
+            LogisticRegression(maxIter=10, regParam=0.01),
+        ]
+    )
+    model = pipe.fit(labeled)
+    return model.transform(labeled).select(
+        F.col(id_col),
+        "label",
+        "prediction",
+        vector_to_array("probability").getItem(1).alias("p_positive"),
+    )

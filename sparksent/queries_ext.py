@@ -98,6 +98,20 @@ def q_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_topk(emb, emb.filter(F.col("vec_id") < N_QUERIES), k=TOPK)
 
 
+@register(
+    "similarity_topk_ivf",
+    oracle=similarity.ivf_topk_sql(k=TOPK, n_queries=N_QUERIES),
+    tags=("ext", "similarity"),
+)
+def q_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-5: each query probes its 2 nearest of 8 centroid
+    cells and ranks exact cosine within them — the partition-pruning
+    scale path (corpus partitioned by cell at rest reads nprobe/K of
+    the data per query)."""
+    emb = _emb(spark, sf_dir)
+    return similarity.ivf_topk(emb, emb.filter(F.col("vec_id") < N_QUERIES), k=TOPK)
+
+
 # ---------------------------------------------------------------------------
 # text analytics
 # ---------------------------------------------------------------------------

@@ -322,3 +322,20 @@ def q_toxic_user_nlp(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     out = windows.count_window_agg(keyed, ["key"], 10, agg)
     return out.filter(F.col("value") <= F.lit(-10.0))
+
+
+# ---------------------------------------------------------------------------
+# MLlib sentiment (BASELINE.json approach: "Structured Streaming + MLlib
+# sentiment") — learned scorer; rows-only driver check (model internals
+# are not SQL-mirrorable; the lexicon scorer stays the bit-exact surface)
+# ---------------------------------------------------------------------------
+
+
+@register("doc_sentiment_mllib", oracle=None, tags=("nlp", "mllib"))
+def q_doc_sentiment_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer -> HashingTF -> LogisticRegression pipeline trained on
+    the lexicon labels and applied to the corpus (sparksent.nlp
+    .mllib_sentiment). Inference broadcasts the coefficient vector —
+    per-row, shuffle-free."""
+    docs = tables.load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return nlp.mllib_sentiment(docs)
