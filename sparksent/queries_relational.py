@@ -389,3 +389,27 @@ def q_asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_micros("ts") - F.unix_micros("r_ts"), F.lit(-1)
         ).alias("gap_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# skew-proof holistic aggregation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "skew_distinct_users",
+    oracle="""
+    SELECT event_type, count(DISTINCT user_id) AS n_distinct
+    FROM events GROUP BY 1
+    """,
+    tags=("relational", "skew"),
+)
+def q_skew_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct users per event type via the salted two-phase plan
+    (sparksent/skew.py): 5 hot keys scatter over (key, hash(user) % 16)
+    so no single reducer owns a whole key's distinct set; the per-salt
+    counts are disjoint and sum exactly."""
+    from .skew import salted_distinct_count
+
+    ev = tables.load_table(spark, sf_dir, "events")
+    return salted_distinct_count(ev, ["event_type"], "user_id")
