@@ -199,3 +199,81 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(_dec("l_extendedprice") * _dec("l_discount")).cast("double").alias("revenue"),
         F.count("*").alias("n"),
     )
+
+
+@register(
+    "tpch_q17_small_quantity",
+    oracle="""
+    SELECT sum(l_extendedprice::DECIMAL(18,2))::DOUBLE / 7.0 AS avg_yearly
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#1'
+      AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                          FROM lineitem l2
+                          WHERE l2.l_partkey = l.l_partkey)
+    """,
+    tags=("tpch", "subquery"),
+)
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 small-quantity revenue: a correlated scalar subquery
+    (per-part average quantity) decorrelated by hand into the plan
+    Catalyst would produce — one per-part aggregate joined back to the
+    filtered fact rows. The brand filter broadcasts part; the per-part
+    averages aggregate BEFORE the join, so the big side joins against
+    #parts rows, not #lineitem."""
+    li = tables.load_table(spark, sf_dir, "lineitem")
+    p = tables.load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    avg_q = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (F.sum(_dec("l_quantity")) / F.count("*")).alias("avg_qty")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(avg_q, li.l_partkey == F.col("pk"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            (F.sum(_dec("l_extendedprice")).cast("double") / F.lit(7.0)).alias(
+                "avg_yearly"
+            )
+        )
+    )
+
+
+@register(
+    "tpch_q18_large_orders",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+           sum(l.l_quantity::DECIMAL(18,2))::DOUBLE AS total_qty
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem
+                           GROUP BY l_orderkey
+                           HAVING sum(l_quantity::DECIMAL(18,2)) > 55)
+    GROUP BY o.o_orderkey, o.o_custkey, o.o_orderdate
+    """,
+    tags=("tpch", "subquery"),
+)
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 large-volume orders: IN-subquery with HAVING — the qualifying
+    key set (orders whose total quantity exceeds the threshold) is
+    computed once and semi-joined against orders, then the detail rows
+    re-aggregate. The HAVING aggregate and the final aggregate share the
+    l_orderkey shuffle key, so AQE reuses the partitioning."""
+    li = tables.load_table(spark, sf_dir, "lineitem")
+    o = tables.load_table(spark, sf_dir, "orders")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("tq"))
+        .filter(F.col("tq") > 55)
+        .select("l_orderkey")
+    )
+    return (
+        o.join(big.withColumnRenamed("l_orderkey", "bk"), o.o_orderkey == F.col("bk"), "left_semi")
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_custkey", "o_orderdate")
+        .agg(F.sum(_dec("l_quantity")).cast("double").alias("total_qty"))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "total_qty",
+        )
+    )
