@@ -209,21 +209,24 @@ def minhash_lsh_pairs_sql(
 
 
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """32-bit simhash over token counts: bit j is set when the
-    count-weighted sum of (+-1 for bit j of each token hash) is > 0.
-    Explode + one hash-aggregate on (id, token), then 32 conditional
-    sums per id."""
+    """32-bit simhash: bit j is set when the sum over token occurrences
+    of (+1 if bit j of the token hash else -1) is > 0.
+
+    One explode + ONE hash-aggregate on id (map-side partial combine):
+    per-occurrence +-1 sums equal the count-weighted form, so the
+    distinct-token pre-aggregation the textbook description implies is
+    unnecessary. The 32 conditional sums stay inside whole-stage
+    codegen — measured faster than the shuffle-free array-expression
+    form, whose higher-order functions evaluate interpreted."""
     toks = (
         rebalance(df)
         .select(F.col(id_col).alias("id"), F.explode(F.split(text_col, " ")).alias("tok"))
-        .groupBy("id", "tok")
-        .agg(F.count("*").alias("cnt"))
         .withColumn("h", h28("tok"))
     )
     bit_sums = [
         F.sum(
-            F.when(F.shiftright("h", j).bitwiseAND(F.lit(1)) == 1, F.col("cnt")).otherwise(
-                -F.col("cnt")
+            F.when(F.shiftright("h", j).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(
+                F.lit(-1)
             )
         ).alias(f"b{j}")
         for j in range(SIMHASH_BITS)
