@@ -34,6 +34,32 @@ def nlp_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.join(F.broadcast(docs), ev.event_id % 500 == docs.doc_id).drop("doc_id")
 
 
+def _events_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tables.load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", F.col("user_id").cast("string").alias("user"),
+        F.col("event_type").alias("channel"),
+        (F.col("event_id") % 500).alias("doc_id"),
+    )
+
+
+def scored_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentiment-scored documents DIMENSION. Scoring runs once per
+    distinct document (500 per SF unit) instead of once per event (the
+    fact side re-references each document ~200x) — enrich the dimension,
+    broadcast the scores. The expensive lexicon aggregation never
+    touches the fact stream."""
+    docs = tables.load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return nlp.with_sentiment(nlp.with_token_count(docs))
+
+
+def nlp_messages_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events broadcast-joined to pre-scored documents: same columns as
+    ``nlp.with_sentiment(nlp_messages(...))`` with the per-event scoring
+    hoisted onto the dimension."""
+    ev = _events_keyed(spark, sf_dir)
+    return ev.join(F.broadcast(scored_docs(spark, sf_dir)), "doc_id").drop("doc_id")
+
+
 _MSGS_SQL = """
     msgs AS (
       SELECT e.event_id, e.ts, e.user_id::VARCHAR AS "user",
@@ -170,8 +196,9 @@ def q_doc_categories(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_user_mood_nlp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """userMoodStream (SA.scala:162-168) with lexicon sentiment: running
     per-user mood emitted per record. Sums BIGINT score_raw and divides
-    once — exact under any partitioning."""
-    msgs = nlp.with_sentiment(nlp_messages(spark, sf_dir))
+    once — exact under any partitioning. Scores come pre-computed off
+    the broadcast documents dimension (scored_docs)."""
+    msgs = nlp_messages_scored(spark, sf_dir)
     w = (
         Window.partitionBy("user")
         .orderBy("ts", "event_id")
@@ -210,14 +237,19 @@ def q_user_mood_nlp(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_entity_opinion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entityOpinionStream (SA.scala:186-192): one mood row per distinct
-    (message, entity), summed per entity over 30s tumbling windows."""
-    msgs = nlp.with_sentiment(nlp_messages(spark, sf_dir))
-    ents = (
-        msgs.select(
-            "event_id", "ts", "score_raw", F.explode(nlp.tokens("text")).alias("key")
-        )
+    (message, entity), summed per entity over 30s tumbling windows. The
+    token explode + entity filter run on the 500-row documents dimension
+    and ride the broadcast join — never on the event stream."""
+    d_ents = (
+        scored_docs(spark, sf_dir)
+        .select("doc_id", "score_raw", F.explode(nlp.tokens("text")).alias("key"))
         .filter(F.col("key").isin(*nlp.ENTITIES))
         .distinct()
+    )
+    ents = (
+        _events_keyed(spark, sf_dir)
+        .join(F.broadcast(d_ents), "doc_id")
+        .select("event_id", "ts", "score_raw", "key")
     )
     agg = [
         (F.sum("score_raw") / F.lit(10.0)).alias("value"),
@@ -255,20 +287,23 @@ def q_entity_opinion(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_category_opinion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """categoryOpinionStream (SA.scala:178-184): per-category running
     mood over the categorySentiment explode (guarded at >=25 tokens),
-    one output per (message, category) arrival."""
-    msgs = nlp.with_sentiment(nlp.with_token_count(nlp_messages(spark, sf_dir)))
+    one output per (message, category) arrival. Classification explodes
+    the 500-row documents dimension, not the event stream."""
     cmap = F.create_map(*[F.lit(x) for kv in nlp.CATEGORIES.items() for x in kv])
-    cats = (
-        msgs.filter(F.col("n_tokens") >= nlp.MIN_CLASSIFY_TOKENS)
+    d_cats = (
+        scored_docs(spark, sf_dir)
+        .filter(F.col("n_tokens") >= nlp.MIN_CLASSIFY_TOKENS)
+        .select("doc_id", "score_raw", F.explode(nlp.tokens("text")).alias("tok"))
         .select(
-            "event_id", "ts", "score_raw", F.explode(nlp.tokens("text")).alias("tok")
-        )
-        .select(
-            "event_id", "ts", "score_raw",
-            F.try_element_at(cmap, F.col("tok")).alias("key"),
+            "doc_id", "score_raw", F.try_element_at(cmap, F.col("tok")).alias("key")
         )
         .filter(F.col("key").isNotNull())
         .distinct()
+    )
+    cats = (
+        _events_keyed(spark, sf_dir)
+        .join(F.broadcast(d_cats), "doc_id")
+        .select("event_id", "ts", "score_raw", "key")
     )
     w = (
         Window.partitionBy("key")
@@ -311,8 +346,9 @@ def q_category_opinion(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_toxic_user_nlp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """toxicUserStream (SA.scala:201-206) with real signed moods and the
     reference's own parameters: count windows of 10 messages per user,
-    alert when the summed mood <= -10."""
-    msgs = nlp.with_sentiment(nlp_messages(spark, sf_dir))
+    alert when the summed mood <= -10. Scores come pre-computed off the
+    broadcast documents dimension (scored_docs)."""
+    msgs = nlp_messages_scored(spark, sf_dir)
     keyed = msgs.select(
         F.col("user").alias("key"), "score_raw", "ts", "event_id"
     )
