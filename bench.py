@@ -63,8 +63,13 @@ def main() -> None:
 
     spark = get_spark("sparksent-bench")
     qs = queries()
-    # warm-up: JVM/codegen/file-listing paths
+    # warm-up: JVM/codegen/file-listing paths, plus the Python worker
+    # pool (reused across queries; its one-time spawn cost is not a
+    # property of any query)
     qs["topic_count_10s"](spark, SF_DIR).write.mode("overwrite").format("noop").save()
+    spark.range(32).repartition(32).mapInPandas(
+        lambda it: it, "id long"
+    ).write.mode("overwrite").format("noop").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
