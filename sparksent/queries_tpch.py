@@ -252,28 +252,25 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("tpch", "subquery"),
 )
 def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q18 large-volume orders: IN-subquery with HAVING — the qualifying
-    key set (orders whose total quantity exceeds the threshold) is
-    computed once and semi-joined against orders, then the detail rows
-    re-aggregate. The HAVING aggregate and the final aggregate share the
-    l_orderkey shuffle key, so AQE reuses the partitioning."""
+    """Q18 large-volume orders: IN-subquery with HAVING. The naive plan
+    (semi-join the qualifying keys, then re-join the detail rows and
+    re-aggregate) shuffles lineitem twice; since the final per-order
+    total IS the HAVING aggregate, we aggregate lineitem ONCE, filter,
+    and join the small qualifying set to orders — one fact shuffle, and
+    the post-filter side is small enough that AQE broadcasts it."""
     li = tables.load_table(spark, sf_dir, "lineitem")
     o = tables.load_table(spark, sf_dir, "orders")
     big = (
         li.groupBy("l_orderkey")
         .agg(F.sum(_dec("l_quantity")).alias("tq"))
         .filter(F.col("tq") > 55)
-        .select("l_orderkey")
     )
     return (
-        o.join(big.withColumnRenamed("l_orderkey", "bk"), o.o_orderkey == F.col("bk"), "left_semi")
-        .join(li, o.o_orderkey == li.l_orderkey)
-        .groupBy("o_orderkey", "o_custkey", "o_orderdate")
-        .agg(F.sum(_dec("l_quantity")).cast("double").alias("total_qty"))
+        o.join(big, o.o_orderkey == big.l_orderkey)
         .select(
             "o_orderkey",
             "o_custkey",
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
-            "total_qty",
+            F.col("tq").cast("double").alias("total_qty"),
         )
     )

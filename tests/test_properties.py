@@ -1,0 +1,116 @@
+"""Property-based tests (SURVEY.md §5.2.4) over generated data — the
+invariants that must hold for ANY input, not just the fixtures.
+
+Each property drives one Spark job per example batch (examples are
+generated up front and evaluated in a single DataFrame), keeping
+hypothesis's example count decoupled from Spark job count.
+"""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from sparksent import parse, windows
+from sparksent.joins import asof_join
+
+# no commas in the two key fields (the wire format gives them no quoting);
+# the text tail may contain anything including commas
+_key = st.text(
+    alphabet=st.characters(blacklist_characters=",\n\r", min_codepoint=32, max_codepoint=0x7E),
+    min_size=1,
+    max_size=12,
+)
+_text = st.text(
+    alphabet=st.characters(blacklist_characters="\n\r", min_codepoint=32, max_codepoint=0x7E),
+    min_size=0,
+    max_size=40,
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(st.tuples(_key, _key, _text), min_size=1, max_size=30))
+def test_parse_roundtrip(spark, rows):
+    """to_raw_lines . parse_lines == identity for any channel/user
+    without commas and any text (commas in the text survive)."""
+    df = spark.createDataFrame(rows, "channel string, user string, text string")
+    back = parse.parse_lines(parse.to_raw_lines(df))
+    got = sorted(map(tuple, back.collect()))
+    assert got == sorted(rows)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(-100, 100)),
+        min_size=1,
+        max_size=80,
+    ),
+    st.integers(2, 7),
+)
+def test_count_window_partition(spark, rows, n):
+    """Count-window bucketing: per key, bucket sizes are n except the
+    last (1..n), bucket ids are dense from 0, and bucket sums add up to
+    the key's total."""
+    data = [(str(k), float(v), i) for i, (k, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "key string, value double, event_id long")
+    out = windows.count_window_agg(
+        df.withColumn("ts", F.col("event_id").cast("timestamp")),
+        ["key"],
+        n,
+        [F.sum("value").alias("value"), F.count("*").alias("cnt")],
+    ).collect()
+
+    by_key: dict[str, list] = {}
+    for r in out:
+        by_key.setdefault(r["key"], []).append(r)
+    totals: dict[str, float] = {}
+    counts: dict[str, int] = {}
+    for k, v, _ in data:
+        totals[k] = totals.get(k, 0.0) + v
+        counts[k] = counts.get(k, 0) + 1
+    assert set(by_key) == set(totals)
+    for k, rs in by_key.items():
+        rs.sort(key=lambda r: r["bucket"])
+        assert [r["bucket"] for r in rs] == list(range(len(rs)))
+        assert len(rs) == math.ceil(counts[k] / n)
+        assert all(r["cnt"] == n for r in rs[:-1])
+        assert 1 <= rs[-1]["cnt"] <= n
+        assert math.isclose(sum(r["value"] for r in rs), totals[k], abs_tol=1e-9)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 50), st.booleans()),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: (t[0], t[1]),
+    )
+)
+def test_asof_join_matches_reference_model(spark, rows):
+    """asof_join == the obvious per-row model: for each left row, the
+    right row of the same key with the greatest ts <= left.ts."""
+    lefts = [(k, t) for (k, t, is_left) in rows if is_left]
+    rights = [(k, t) for (k, t, is_left) in rows if not is_left]
+    if not lefts or not rights:
+        return
+    ldf = spark.createDataFrame(
+        [(k, float(t), i) for i, (k, t) in enumerate(lefts)],
+        "k int, ts double, lid long",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    rdf = spark.createDataFrame(
+        [(k, float(t), i) for i, (k, t) in enumerate(rights)],
+        "k int, ts double, rid long",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    got = {
+        r["lid"]: r["r_rid"]
+        for r in asof_join(ldf, rdf, on="k", left_tie=F.col("lid"), right_tie=F.col("rid")).collect()
+    }
+    for i, (k, t) in enumerate(lefts):
+        cands = [(rt, j) for j, (rk, rt) in enumerate(rights) if rk == k and rt <= t]
+        want = max(cands)[1] if cands else None
+        assert got[i] == want, (i, k, t, cands)
