@@ -413,3 +413,61 @@ def q_skew_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = tables.load_table(spark, sf_dir, "events")
     return salted_distinct_count(ev, ["event_type"], "user_id")
+
+
+# ---------------------------------------------------------------------------
+# distribution statistics
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "percentile_order_value",
+    oracle="""
+    SELECT o_orderpriority,
+           quantile_cont(o_totalprice, 0.5) AS p50,
+           quantile_cont(o_totalprice, 0.9) AS p90,
+           count(*) AS n
+    FROM orders GROUP BY 1
+    """,
+    tags=("relational", "agg", "percentile"),
+)
+def q_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles of order value per priority —
+    Spark's percentile() matches DuckDB's quantile_cont bit-for-bit
+    (same linear-interpolation definition). Exact percentiles are a
+    holistic aggregate (per-group sort); at 100 TB the drop-in
+    alternative is approx_percentile (t-digest sketch, mergeable
+    map-side) at bounded error — the query shape is identical."""
+    o = tables.load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.percentile("o_totalprice", 0.5).alias("p50"),
+        F.percentile("o_totalprice", 0.9).alias("p90"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "pivot_event_counts",
+    oracle="""
+    SELECT (user_id % 10)::INT AS user_bucket,
+           count(*) FILTER (event_type = 'click')    AS click,
+           count(*) FILTER (event_type = 'error')    AS error,
+           count(*) FILTER (event_type = 'purchase') AS purchase,
+           count(*) FILTER (event_type = 'signup')   AS signup,
+           count(*) FILTER (event_type = 'view')     AS view
+    FROM events GROUP BY 1
+    """,
+    tags=("relational", "pivot"),
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-format event counts per user bucket via groupBy().pivot()
+    with the value list pinned (no extra distinct-values job, and the
+    output schema is static — both required for a predictable plan at
+    scale; pivot compiles to one aggregate with conditional counts,
+    the same plan as the FILTER clauses in the oracle)."""
+    ev = tables.load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy((F.col("user_id") % 10).cast("int").alias("user_bucket"))
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .count()
+    )
