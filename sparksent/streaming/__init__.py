@@ -22,5 +22,5 @@ from .ops import (  # noqa: F401
     streaming_session_agg,
     streaming_tumbling_agg,
 )
-from .sources import file_replay_source, socket_lines  # noqa: F401
+from .sources import file_replay_source, rate_events, socket_lines  # noqa: F401
 from .sinks import to_console, to_memory, to_parquet  # noqa: F401
