@@ -114,3 +114,19 @@ def test_asof_join_matches_reference_model(spark, rows):
         cands = [(rt, j) for j, (rk, rt) in enumerate(rights) if rk == k and rt <= t]
         want = max(cands)[1] if cands else None
         assert got[i] == want, (i, k, t, cands)
+
+
+def test_parse_malformed_lines_do_not_abort(spark):
+    """Spark 4 runs ANSI mode by default: element_at on a short array
+    aborts the job. The parser must degrade per-record (NULL fields,
+    empty text) — a single bad line cannot kill a 100 TB run."""
+    bad = spark.createDataFrame(
+        [("",), ("nocommas",), ("a,b",), ("a,b,",), (",,",), ("a",)],
+        "line string",
+    )
+    out = parse.parse_lines(bad).collect()
+    assert len(out) == 6  # every line survives
+    triples = {(r["channel"], r["user"], r["text"]) for r in out}
+    assert ("a", "b", "") in triples      # two fields, empty tail
+    assert ("a", None, "") in triples     # one field: user NULL
+    assert ("", "", "") in triples        # ",," -> two empty fields
