@@ -158,3 +158,82 @@ def _cumulative_mood(df: DataFrame, key_col: str, mood_type: str) -> DataFrame:
         F.lit(mood_type).alias("moodType"),
         *[F.col(c) for c in order],
     )
+
+
+def build_streaming_topology(lines: DataFrame, watermark: str = "10 seconds") -> dict[str, DataFrame]:
+    """The reference topology over a STREAMING lines DataFrame — the
+    same transformation functions as :func:`build_topology` wherever
+    Structured Streaming expresses them directly (the unified-model
+    claim, verified end-to-end by tests/test_streaming_equivalence.py):
+
+    - sentimentStream: stateless enrichment, identical code;
+    - parsedStream / topicStream / entityOpinionStream /
+      channelMoodStream: watermarked windowed aggs (append mode);
+    - entityStream: the explode + per-(message, entity) dedup uses
+      ``dropDuplicates`` keyed on (event_id, key) — watermark-bounded
+      state instead of the batch ``distinct()``;
+    - toxicUserStream: the applyInPandasWithState count window.
+
+    Deliberately absent (documented deltas, SURVEY.md §2.6):
+    userMood/categoryOpinion cumulative streams run in update mode via
+    streaming_cumulative_sum (per-trigger emission, not per-record);
+    trendingStream's agg-to-agg ratio join runs in foreachBatch.
+    """
+    from .streaming import streaming_count_window, streaming_tumbling_agg
+
+    msgs = parse_lines(lines)
+    sentiment = nlp.with_sentiment(msgs)
+
+    entities = (
+        sentiment.select(
+            "channel", "user", "ts", "event_id", "score_raw",
+            F.explode(nlp.tokens("text")).alias("key"),
+        )
+        .filter(F.col("key").isin(*nlp.ENTITIES))
+        .withWatermark("ts", watermark)
+        .dropDuplicates(["event_id", "key"])
+    )
+
+    concat = F.array_join(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("ts", "event_id", "text"))),
+            lambda x: x["text"],
+        ),
+        "\n",
+    ).alias("text")
+    parsed = streaming_tumbling_agg(
+        msgs, ["channel", "user"], PARSED_WINDOW_S, [concat], watermark=watermark
+    )
+
+    topics = streaming_tumbling_agg(
+        entities, ["key"], TOPIC_WINDOW_S,
+        [F.count("*").alias("count")], watermark=watermark,
+    )
+    entity_opinion = streaming_tumbling_agg(
+        entities, ["key"], ENTITY_OPINION_WINDOW_S,
+        [(F.sum("score_raw") / F.lit(10.0)).alias("value"),
+         F.first(F.lit("Entity")).alias("moodType")],
+        watermark=watermark,
+    )
+    channel_mood = streaming_tumbling_agg(
+        sentiment.select(F.col("channel").alias("key"), "ts", "score_raw"),
+        ["key"], CHANNEL_MOOD_SIZE_S,
+        [(F.sum("score_raw") / F.lit(10.0)).alias("value"),
+         F.first(F.lit("Channel")).alias("moodType")],
+        watermark=watermark, slide_s=CHANNEL_MOOD_SLIDE_S,
+    )
+
+    toxic_user = streaming_count_window(
+        sentiment.select(F.col("user").alias("key"), _mood_value(), "ts", "event_id"),
+        TOXIC_USER[0],
+    ).filter(F.col("value") <= TOXIC_USER[1])
+
+    return {
+        "sentimentStream": sentiment,
+        "parsedStream": parsed,
+        "entityStream": entities,
+        "topicStream": topics,
+        "entityOpinionStream": entity_opinion,
+        "channelMoodStream": channel_mood,
+        "toxicUserStream": toxic_user,
+    }

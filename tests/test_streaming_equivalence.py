@@ -202,3 +202,74 @@ def test_interval_join_equivalence(spark, tmp_path):
     )
     assert got.count() == want.count()
     assert got.exceptAll(want).count() == 0
+
+
+def test_streaming_topology_equivalence(spark, tmp_path):
+    """The reference topology end-to-end in streaming mode — raw wire
+    lines replayed file-per-microbatch through parse -> NLP -> windowed
+    aggs / count windows — equals the batch topology on the same rows."""
+    from pyspark.sql import types as T
+    from sparksent.parse import to_raw_lines
+    from sparksent.tables import messages
+    from sparksent.topology import build_streaming_topology, build_topology
+
+    msgs = messages(spark, SF_DIR_SMALL)
+    lines = to_raw_lines(msgs)
+
+    replay = str(tmp_path / "lines_replay")
+    write_replay_chunks(lines, replay, N_CHUNKS)
+    schema = T.StructType(
+        [
+            T.StructField("line", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_id", T.LongType()),
+        ]
+    )
+    stream = file_replay_source(spark, replay, schema=schema)
+    nodes = build_streaming_topology(stream)
+
+    # sentinel lines close every window before the final batch
+    for i in range(2):
+        row = spark.createDataFrame(
+            [("__sentinel__,-1,", 10**9 + i)], "line string, event_id long"
+        ).withColumn(
+            "ts",
+            F.lit(SENTINEL_TS).cast("timestamp") + F.expr(f"INTERVAL {i} SECONDS"),
+        ).select("line", "ts", "event_id")
+        from sparksent.streaming.sources import append_flat_file
+        append_flat_file(row, replay, f"zz_sentinel_{i}.parquet")
+
+    _run_to_memory(nodes["topicStream"], "t_topo_topics", "append")
+    _run_to_memory(nodes["entityOpinionStream"], "t_topo_entop", "append")
+    _run_to_memory(nodes["toxicUserStream"], "t_topo_toxic", "append")
+
+    batch = build_topology(lines)
+    not_sentinel = ~F.col("key").isin("__sentinel__")
+
+    got_topics = spark.table("t_topo_topics").filter(not_sentinel)
+    want_topics = batch["topicStream"].select("window_start_s", "key", "count")
+    assert got_topics.select(*want_topics.columns).exceptAll(want_topics).count() == 0
+    assert want_topics.exceptAll(got_topics.select(*want_topics.columns)).count() == 0
+
+    got_entop = spark.table("t_topo_entop").filter(not_sentinel)
+    want_entop = batch["entityOpinionStream"].select(
+        "window_start_s", "key", "value", "moodType"
+    )
+    assert got_entop.select(*want_entop.columns).exceptAll(want_entop).count() == 0
+    assert want_entop.exceptAll(got_entop.select(*want_entop.columns)).count() == 0
+
+    got_toxic = (
+        spark.table("t_topo_toxic").filter(F.col("key") != "-1")
+        .toPandas().sort_values(["key", "bucket"]).reset_index(drop=True)
+    )
+    want_toxic = (
+        batch["toxicUserStream"]
+        .filter(F.col("n") == 10)  # streaming emits complete buckets only
+        .select("key", "bucket", "value", "n")
+        .toPandas().sort_values(["key", "bucket"]).reset_index(drop=True)
+    )
+    assert len(got_toxic) == len(want_toxic)
+    assert (got_toxic["key"].to_numpy() == want_toxic["key"].to_numpy()).all()
+    assert np.allclose(
+        got_toxic["value"].to_numpy(), want_toxic["value"].to_numpy(), rtol=1e-9
+    )
