@@ -380,3 +380,49 @@ def ngram_jaccard_pairs_sql(
     JOIN sizes sb ON sb.id = id_b
     WHERE inter / (sa.n_sh + sb.n_sh - inter) >= {threshold}
     """
+
+
+# ---------------------------------------------------------------------------
+# end-to-end: the surviving document set
+# ---------------------------------------------------------------------------
+
+
+def dedup_keep_set(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """The deduplicated corpus a pipeline actually materializes:
+    keep-first policy — a document is dropped iff it is the LARGER id of
+    some near-duplicate pair (exact duplicates collapse to their min id
+    through the same pairs, since identical texts share all signatures).
+
+    One anti-join of the corpus against the distinct drop set. This is
+    the standard single-pass policy; full transitive clustering
+    (connected components) is an iterative algorithm layered on the same
+    pairs output when chain-merging is required."""
+    drops = (
+        minhash_lsh_pairs(df, id_col, text_col, threshold)
+        .select(F.col("id_b").alias("drop_id"))
+        .distinct()
+    )
+    return (
+        df.join(drops, F.col(id_col) == F.col("drop_id"), "left_anti")
+        .select(F.col(id_col), F.length(text_col).alias("text_len"))
+    )
+
+
+def dedup_keep_set_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text: str = "text",
+    threshold: float = 0.5,
+) -> str:
+    pairs = minhash_lsh_pairs_sql(table, id_col, text, threshold)
+    return f"""
+    WITH mh_pairs AS ({pairs})
+    SELECT {id_col}, length({text})::INT AS text_len
+    FROM {table}
+    WHERE {id_col} NOT IN (SELECT DISTINCT id_b FROM mh_pairs)
+    """

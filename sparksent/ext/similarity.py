@@ -360,3 +360,77 @@ def ivf_topk_sql(
           FROM scored)
     WHERE rank <= {k}
     """
+
+
+def lsh_topk_multiprobe(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-probe ANN: each query searches its own LSH bucket PLUS the
+    NUM_PLANES buckets at hamming distance 1 (one flipped hyperplane
+    bit) — the standard recall escalation at ~(1+NUM_PLANES)x candidate
+    cost, still reading only probed buckets (never the full corpus).
+    Corpus vectors live in exactly one bucket, so probing distinct
+    buckets yields no duplicate pairs."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        lsh_bucket(vec_col).alias("bucket"),
+    )
+    probes = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.explode(
+            F.array(
+                lsh_bucket(vec_col),
+                *[
+                    lsh_bucket(vec_col).bitwiseXOR(F.lit(1 << j))
+                    for j in range(NUM_PLANES)
+                ],
+            )
+        ).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(probes), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("sim", cosine(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("sim", 6).alias("sim_r"))
+    )
+
+
+def lsh_topk_multiprobe_sql(
+    table: str = "embeddings",
+    k: int = 5,
+    n_queries: int = 10,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+) -> str:
+    flips = ", ".join(f"xor(bucket, {1 << j})" for j in range(NUM_PLANES))
+    return f"""
+    WITH b AS (
+      SELECT {id_col}, {vec} AS v, {lsh_bucket_sql(vec)}::BIGINT AS bucket FROM {table}
+    ),
+    probes AS (
+      SELECT {id_col} AS query_id, v AS qv,
+             unnest([bucket, {flips}]) AS bucket
+      FROM b WHERE {id_col} < {n_queries}
+    ),
+    scored AS (
+      SELECT p.query_id, c.{id_col} AS neighbor_id,
+             {cosine_sql('p.qv', 'c.v')} AS sim
+      FROM b c JOIN probes p USING (bucket) WHERE c.{id_col} <> p.query_id
+    )
+    SELECT query_id, neighbor_id, rank, round(sim, 6) AS sim_r
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY sim DESC, neighbor_id) AS rank
+          FROM scored)
+    WHERE rank <= {k}
+    """

@@ -176,3 +176,29 @@ def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     single swap point for real media libs (ext/multimodal.py)."""
     media = multimodal.media_from_documents(_docs(spark, sf_dir))
     return multimodal.extract_features(media)
+
+
+@register(
+    "dedup_keep_set",
+    oracle=dedup.dedup_keep_set_sql(),
+    tags=("ext", "dedup"),
+)
+def q_dedup_keep_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup output: the corpus anti-joined against the
+    near-duplicate drop set (keep-first policy over MinHash-LSH pairs)."""
+    return dedup.dedup_keep_set(_docs(spark, sf_dir))
+
+
+@register(
+    "similarity_topk_multiprobe",
+    oracle=similarity.lsh_topk_multiprobe_sql(k=TOPK, n_queries=N_QUERIES),
+    tags=("ext", "similarity"),
+)
+def q_topk_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN top-5: the query's bucket plus its 4
+    hamming-1 neighbors — recall between single-bucket LSH and brute
+    force at (1+NUM_PLANES)x candidate cost, still bucket-pruned."""
+    emb = _emb(spark, sf_dir)
+    return similarity.lsh_topk_multiprobe(
+        emb, emb.filter(F.col("vec_id") < N_QUERIES), k=TOPK
+    )
