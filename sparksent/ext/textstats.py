@@ -6,9 +6,10 @@ integer-exact until final ratios, all SQL-mirrorable.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..tables import rebalance
 from .hashing import MERSENNE31 as P, h28, h28_sql
 
 STOPWORDS = ("the", "a")
@@ -94,3 +95,53 @@ def rolling_fingerprint_sql(text: str = "text") -> str:
         f"list_reduce(list_prepend(0::BIGINT, [{h28_sql('t')} FOR t IN {toks}]), "
         f"(a, b) -> (a * 31 + b) % {P})"
     )
+
+
+def top_distinctive_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Per-document top-k distinctive terms by tf/df ratio (a
+    rational-idf TF-IDF variant chosen because tf/df division is
+    IEEE-exact and therefore bit-reproducible across engines, unlike
+    ln-based idf which can differ in the last ulp between libm
+    implementations). Ties break on the term string.
+
+    Plan: explode -> (doc, term) tf counts -> term df counts (broadcast
+    back: #distinct terms << corpus) -> rank. Two aggregations, one
+    broadcast join, one analytic rank — no cross join anywhere."""
+    toks = rebalance(df).select(
+        F.col(id_col).alias("id"), F.explode(F.split(text_col, " ")).alias("term")
+    )
+    tf = toks.groupBy("id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("id").orderBy(
+        (F.col("tf") / F.col("df")).desc(), F.col("term")
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("id", "term", "tf", "df", "rank")
+    )
+
+
+def top_distinctive_terms_sql(
+    table: str = "documents", id_col: str = "doc_id", text: str = "text", k: int = 3
+) -> str:
+    return f"""
+    WITH toks AS (
+      SELECT {id_col} AS id, unnest(string_split({text}, ' ')) AS term FROM {table}
+    ),
+    tf AS (SELECT id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
+    SELECT id, term, tf, df, rank
+    FROM (SELECT tf.id, tf.term, tf.tf, dfreq.df,
+                 row_number() OVER (PARTITION BY tf.id
+                                    ORDER BY (tf.tf::DOUBLE / dfreq.df) DESC,
+                                             tf.term) AS rank
+          FROM tf JOIN dfreq USING (term))
+    WHERE rank <= {k}
+    """

@@ -202,3 +202,15 @@ def q_topk_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_topk_multiprobe(
         emb, emb.filter(F.col("vec_id") < N_QUERIES), k=TOPK
     )
+
+
+@register(
+    "text_distinctive_terms",
+    oracle=textstats.top_distinctive_terms_sql(),
+    tags=("ext", "text"),
+)
+def q_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 distinctive terms per document by tf/df (rational-idf
+    TF-IDF variant — division is bit-reproducible across engines where
+    ln-based idf is not)."""
+    return textstats.top_distinctive_terms(_docs(spark, sf_dir))
