@@ -36,6 +36,37 @@ def to_parquet(df: DataFrame, path: str, checkpoint: str) -> StreamingQuery:
 
 
 def to_foreach_batch(
-    df: DataFrame, fn: Callable[[DataFrame, int], None], mode: str = "update"
+    df: DataFrame,
+    fn: Callable[[DataFrame, int], None],
+    mode: str = "update",
+    available_now: bool = False,
 ) -> StreamingQuery:
-    return df.writeStream.outputMode(mode).foreachBatch(fn).start()
+    """``available_now=True`` drains the currently-available input and
+    stops (batch-over-stream runs, tests); False runs continuously."""
+    w = df.writeStream.outputMode(mode).foreachBatch(fn)
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
+def foreach_batch_upsert(
+    df: DataFrame,
+    store: dict,
+    key_cols: list[str],
+    mode: str = "update",
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Update-mode upsert sink: each micro-batch delivers only the
+    (key, aggregate) rows that changed; merge them into a keyed store.
+    This is the sink-side half of queries Structured Streaming cannot
+    chain internally (e.g. trending's agg-over-agg ratio): keep the
+    per-key aggregate updated in the store, derive the second-level
+    result on read. In production the store is a keyed table (Delta /
+    JDBC / state backend); here a dict, and the per-batch collect only
+    ever sees the updated rows, never the full state."""
+
+    def fn(batch_df: DataFrame, batch_id: int) -> None:
+        for row in batch_df.collect():
+            store[tuple(row[k] for k in key_cols)] = row.asDict()
+
+    return to_foreach_batch(df, fn, mode, available_now=available_now)

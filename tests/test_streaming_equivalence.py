@@ -273,3 +273,47 @@ def test_streaming_topology_equivalence(spark, tmp_path):
     assert np.allclose(
         got_toxic["value"].to_numpy(), want_toxic["value"].to_numpy(), rtol=1e-9
     )
+
+
+def test_streaming_trending_via_foreach_batch(spark, tmp_path):
+    """trendingStream (the reference's dead code, SA.scala:106-123) in
+    streaming mode: update-mode windowed counts upserted into a keyed
+    store per micro-batch; share-of-window ratios derived from the
+    final store equal the batch trending query."""
+    import pandas as pd
+    from sparksent.streaming import streaming_tumbling_agg
+    from sparksent.streaming.sinks import foreach_batch_upsert
+
+    replay = str(tmp_path / "trend_replay")
+    ev = load_table(spark, SF_DIR_SMALL, "events")
+    write_replay_chunks(ev, replay, N_CHUNKS)
+
+    stream = file_replay_source(spark, replay)
+    counts = streaming_tumbling_agg(
+        stream, ["event_type"], 10, [F.count("*").alias("count")],
+        watermark="10 seconds",
+    )
+    store: dict = {}
+    q = foreach_batch_upsert(
+        counts, store, ["window_start_s", "event_type"], available_now=True
+    )
+    q.awaitTermination(120)
+
+    got = pd.DataFrame(store.values())
+    totals = got.groupby("window_start_s")["count"].transform("sum")
+    got["share"] = got["count"] / totals
+
+    from sparksent.pipeline import trending_stream
+    want = (
+        trending_stream(
+            ev.select(F.col("event_type").alias("key"), "ts", "event_id"), "key", 10
+        )
+        .toPandas()
+        .sort_values(["window_start_s", "key"])
+        .reset_index(drop=True)
+    )
+    got = got.sort_values(["window_start_s", "event_type"]).reset_index(drop=True)
+    assert len(got) == len(want)
+    assert (got["event_type"].to_numpy() == want["key"].to_numpy()).all()
+    assert (got["count"].to_numpy() == want["count"].to_numpy()).all()
+    assert np.allclose(got["share"].to_numpy(), want["share"].to_numpy(), rtol=1e-12)
