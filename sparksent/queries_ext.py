@@ -214,3 +214,37 @@ def q_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     TF-IDF variant — division is bit-reproducible across engines where
     ln-based idf is not)."""
     return textstats.top_distinctive_terms(_docs(spark, sf_dir))
+
+
+@register(
+    "dedup_components",
+    oracle=f"""
+    WITH RECURSIVE mh_pairs AS ({dedup.minhash_lsh_pairs_sql()}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM mh_pairs
+      UNION
+      SELECT id_b, id_a FROM mh_pairs
+    ),
+    reach(id, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id
+    )
+    SELECT id AS doc_id, min(label) AS component FROM reach GROUP BY id
+    """,
+    tags=("ext", "dedup", "iterative"),
+)
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-duplicate clustering: connected components over
+    the MinHash-LSH pair graph (Pregel-style min-label propagation,
+    sparksent/graph.py — similarity chains merge where the pairwise
+    keep-first policy cannot). Oracle: recursive-CTE reachability."""
+    from .graph import connected_components
+
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(docs).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    return connected_components(
+        docs.select("doc_id"), pairs, id_col="doc_id"
+    ).select(F.col("id").alias("doc_id"), F.col("label").alias("component"))
