@@ -130,3 +130,21 @@ def test_parse_malformed_lines_do_not_abort(spark):
     assert ("a", "b", "") in triples      # two fields, empty tail
     assert ("a", None, "") in triples     # one field: user NULL
     assert ("", "", "") in triples        # ",," -> two empty fields
+
+
+def test_connected_components_chain_convergence(spark):
+    """A path graph (0-1-2-...-7) plus isolated vertices: labels need
+    multiple propagation rounds to reach the chain's far end — exercises
+    the fixpoint loop beyond the single-round clique case."""
+    from sparksent.graph import connected_components
+
+    chain = [(i, i + 1) for i in range(7)]            # one 8-node path
+    other = [(20, 21)]                                # a second component
+    verts = spark.createDataFrame(
+        [(i,) for i in range(8)] + [(20,), (21,), (99,)], "id long"
+    )
+    edges = spark.createDataFrame(chain + other, "src long, dst long")
+    got = {r["id"]: r["label"] for r in connected_components(verts, edges).collect()}
+    assert all(got[i] == 0 for i in range(8))
+    assert got[20] == got[21] == 20
+    assert got[99] == 99  # isolated vertex keeps its own label
