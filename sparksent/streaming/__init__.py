@@ -15,7 +15,10 @@ DataFrame. This package holds the parts that ARE streaming-specific:
   parquet, foreachBatch
 """
 
-from .count_window import streaming_count_window  # noqa: F401
+from .count_window import (  # noqa: F401
+    streaming_count_window,
+    streaming_cumulative_per_record,
+)
 from .ops import (  # noqa: F401
     streaming_cumulative_sum,
     streaming_interval_join,

@@ -87,3 +87,60 @@ def streaming_count_window(
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+CUMSUM_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("event_id", T.LongType()),
+    ]
+)
+
+CUMSUM_STATE_SCHEMA = T.StructType([T.StructField("acc", T.DoubleType())])
+
+
+def _make_cumsum_fn(value_col: str, order_cols: Sequence[str]):
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (acc,) = state.get if state.exists else (0.0,)
+        for pdf in pdfs:
+            pdf = pdf.sort_values(list(order_cols))
+            vals = pdf[value_col].to_numpy()
+            out = vals.cumsum() + acc
+            acc = float(out[-1]) if len(out) else acc
+            yield pd.DataFrame(
+                {
+                    "key": pdf["key"].to_numpy(),
+                    "value": out,
+                    "ts": pdf[order_cols[0]].to_numpy(),
+                    "event_id": pdf[order_cols[1]].to_numpy(),
+                }
+            )
+        state.update((acc,))
+
+    return fn
+
+
+def streaming_cumulative_per_record(
+    df: DataFrame,
+    value_col: str = "value",
+    key_col: str = "key",
+    order_cols: Sequence[str] = ("ts", "event_id"),
+) -> DataFrame:
+    """The reference's running keyed reduce at its EXACT emission
+    granularity — one output row per input record carrying the
+    cumulative per-key value (SentimentAnalysis.scala:285 emits per
+    arriving element; the groupBy/update-mode form only emits per
+    trigger). applyInPandasWithState holds one double per key; rows
+    within a micro-batch process in (ts, event_id) order, matching the
+    batch cumulative window's ordering contract."""
+    return df.groupBy(key_col).applyInPandasWithState(
+        _make_cumsum_fn(value_col, order_cols),
+        CUMSUM_OUTPUT_SCHEMA,
+        CUMSUM_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -317,3 +317,36 @@ def test_streaming_trending_via_foreach_batch(spark, tmp_path):
     assert (got["event_type"].to_numpy() == want["key"].to_numpy()).all()
     assert (got["count"].to_numpy() == want["count"].to_numpy()).all()
     assert np.allclose(got["share"].to_numpy(), want["share"].to_numpy(), rtol=1e-12)
+
+
+def test_cumulative_per_record_equivalence(spark, tmp_path):
+    """Per-record streaming cumulative sums == the batch analytic
+    cumulative window, row for row (the reference's exact emission
+    granularity, closing the per-trigger delta of update mode)."""
+    from sparksent.streaming.count_window import streaming_cumulative_per_record
+
+    replay = str(tmp_path / "cum_replay")
+    ev = load_table(spark, SF_DIR_SMALL, "events")
+    write_replay_chunks(ev, replay, N_CHUNKS)
+
+    stream = file_replay_source(spark, replay).select(
+        F.col("user_id").cast("string").alias("key"), "value", "ts", "event_id"
+    )
+    out = streaming_cumulative_per_record(stream)
+    _run_to_memory(out, "t_cpr", "append")
+    got = (
+        spark.table("t_cpr").toPandas()
+        .sort_values(["key", "ts", "event_id"]).reset_index(drop=True)
+    )
+
+    batch = windows.cumulative_agg(
+        ev.select(F.col("user_id").cast("string").alias("key"), "value", "ts", "event_id"),
+        ["key"], "value", out_col="cum",
+    )
+    want = (
+        batch.select("key", F.col("cum").alias("value"), "ts", "event_id")
+        .toPandas().sort_values(["key", "ts", "event_id"]).reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    assert (got["event_id"].to_numpy() == want["event_id"].to_numpy()).all()
+    assert np.allclose(got["value"].to_numpy(), want["value"].to_numpy(), rtol=1e-9)
