@@ -259,16 +259,31 @@ PRICE_BANDS = [
     tags=("relational", "join"),
 )
 def q_rangejoin_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Interval/range join: line items binned into non-uniform price
-    bands via an inequality join against a broadcast 5-row band table —
-    the scale-correct plan for band joins (broadcast NL over a tiny
-    build side; the fact table never shuffles for the join)."""
+    """Interval/range join via interval binning: each band explodes into
+    the log2 buckets it overlaps, the fact side equi-joins on its price
+    exponent (a broadcast HASH join inside codegen), and the exact range
+    predicate filters the coarse matches. This replaces the broadcast
+    nested-loop plan a naive inequality join produces — O(1) bucket
+    probe per row instead of O(bands) comparisons, and the plan shape
+    survives band tables far larger than a literal CASE could."""
+    import math
+
     li = tables.load_table(spark, sf_dir, "lineitem")
-    bands = spark.createDataFrame(PRICE_BANDS, "band string, lo double, hi double")
+    rows = []
+    for band, lo, hi in PRICE_BANDS:
+        e_lo = max(0, int(math.floor(math.log2(max(lo, 1.0)))) - 1)
+        e_hi = min(63, int(math.floor(math.log2(hi))) + 1)
+        rows.extend((band, lo, hi, e) for e in range(e_lo, e_hi + 1))
+    binned = spark.createDataFrame(rows, "band string, lo double, hi double, e int")
+    fact = li.withColumn(
+        "e",
+        F.floor(F.log2(F.greatest(F.col("l_extendedprice"), F.lit(1.0)))).cast("int"),
+    )
     return (
-        li.join(
-            F.broadcast(bands),
-            (li.l_extendedprice >= bands.lo) & (li.l_extendedprice < bands.hi),
+        fact.join(F.broadcast(binned), "e")
+        .filter(
+            (F.col("l_extendedprice") >= F.col("lo"))
+            & (F.col("l_extendedprice") < F.col("hi"))
         )
         .groupBy("band")
         .agg(

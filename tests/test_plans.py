@@ -67,10 +67,12 @@ def test_asof_join_single_shuffle(spark):
     assert "EqualTo(event_type,view)" in plan
 
 
-def test_rangejoin_broadcasts_band_table(spark):
+def test_rangejoin_binned_hash_join(spark):
     plan = plan_of(spark, "rangejoin_price_bands")
-    assert "BroadcastNestedLoopJoin" in plan
-    assert "BuildRight" in plan
+    # interval binning turns the range join into a broadcast HASH join
+    # on the coarse bucket — never a nested loop
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
     # lineitem scan reads exactly the price column
     m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
     assert m and m.group(1).split(",") == ["l_extendedprice:double"]
