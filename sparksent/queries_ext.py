@@ -248,3 +248,38 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(
         docs.select("doc_id"), pairs, id_col="doc_id"
     ).select(F.col("id").alias("doc_id"), F.col("label").alias("component"))
+
+
+@register(
+    "corpus_curation_pipeline",
+    oracle=f"""
+    WITH stats AS ({textstats.text_stats_sql()}),
+    mh_pairs AS ({dedup.minhash_lsh_pairs_sql()}),
+    drops AS (SELECT DISTINCT id_b AS doc_id FROM mh_pairs)
+    SELECT s.doc_id, s.n_tokens, s.lang_pred, s.quality
+    FROM stats s
+    WHERE s.quality >= 0.5 AND s.lang_pred = 'en'
+      AND s.doc_id NOT IN (SELECT doc_id FROM drops)
+    """,
+    tags=("ext", "pipeline"),
+)
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full C4-style curation endpoint in ONE plan: per-document
+    quality/language stats (pure projections), the quality + lang gate,
+    and near-duplicate removal (anti-join against the MinHash-LSH drop
+    set). Catalyst sees the whole pipeline — the stats projection and
+    the gate fuse into the scan side of the anti-join; nothing
+    materializes between stages."""
+    docs = _docs(spark, sf_dir)
+    stats = textstats.text_stats(docs).filter(
+        (F.col("quality") >= 0.5) & (F.col("lang_pred") == "en")
+    )
+    drops = (
+        dedup.minhash_lsh_pairs(docs)
+        .select(F.col("id_b").alias("drop_id"))
+        .distinct()
+    )
+    return (
+        stats.join(drops, stats.doc_id == drops.drop_id, "left_anti")
+        .select("doc_id", "n_tokens", "lang_pred", "quality")
+    )
