@@ -324,23 +324,21 @@ def q_rangejoin_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user session aggregation with a 30-minute inactivity gap —
-    ``F.session_window`` (batch and streaming share the operator). The
-    oracle reproduces the merge semantics with the gaps-and-islands
+    ``windows.session_agg`` (batch and streaming share the operator).
+    The oracle reproduces the merge semantics with the gaps-and-islands
     form: a new session starts exactly when the gap to the previous
     event is >= the timeout."""
+    from .windows import session_agg
+
     ev = tables.load_table(spark, sf_dir, "events")
-    return (
-        ev.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
-        .agg(
+    return session_agg(
+        ev,
+        ["user_id"],
+        30 * 60,
+        [
             F.count("*").alias("n_events"),
             F.sum(_dec28("value")).cast("double").alias("sum_value"),
-        )
-        .select(
-            "user_id",
-            F.unix_micros("sw.start").alias("session_start_us"),
-            "n_events",
-            "sum_value",
-        )
+        ],
     )
 
 

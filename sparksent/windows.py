@@ -176,6 +176,27 @@ def count_window_agg(
     )
 
 
+def session_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    gap_s: int,
+    aggs: Sequence[Column],
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Keyed session windows with a ``gap_s``-second inactivity timeout
+    (``F.session_window`` — identical semantics batch and streaming; a
+    new session starts when the gap to the previous event reaches the
+    timeout). Output: keys + session_start_us BIGINT + aggs."""
+    return (
+        df.groupBy(
+            F.session_window(F.col(ts_col), f"{gap_s} seconds").alias("sw"), *keys
+        )
+        .agg(*aggs)
+        .withColumn("session_start_us", F.unix_micros(F.col("sw.start")))
+        .drop("sw")
+    )
+
+
 def windowed_agg(
     df: DataFrame,
     keys: Sequence[str],
@@ -184,11 +205,15 @@ def windowed_agg(
     ts_col: str = "ts",
     value_col: str = "value",
     order_cols: Sequence[str] = ("ts", "event_id"),
+    gap_s: int | None = None,
 ) -> DataFrame:
     """The ``processChatStream`` dispatcher (SA.scala:269-287): timings
     ``(t, 0)`` -> tumbling t-second window; ``(t1, t2)`` -> sliding
     t1-size/t2-slide; ``(0, 0)`` -> unbounded running reduce (cumulative
-    sum of ``value_col``)."""
+    sum of ``value_col``). ``gap_s`` (an extension beyond the
+    reference's three regimes) dispatches to session windows instead."""
+    if gap_s is not None:
+        return session_agg(df, keys, gap_s, aggs, ts_col)
     t1, t2 = timings
     if t1 == 0 and t2 == 0:
         return cumulative_agg(df, keys, value_col, order_cols)
