@@ -47,8 +47,10 @@ HEADLINE = [
     "tpch_q3_shipping",
     "tpch_q5_regional",
     "tpch_q6_forecast",
+    "tpch_q10_returns",
     "tpch_q17_small_quantity",
     "tpch_q18_large_orders",
+    "tpch_q19_disjunctive",
     "semi_late_orders",
     "outer_order_count_distribution",
     "rangejoin_price_bands",

@@ -274,3 +274,157 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("tq").cast("double").alias("total_qty"),
         )
     )
+
+
+@register(
+    "tpch_q10_returns",
+    oracle="""
+    SELECT c_custkey, c_name, n_name, c_acctbal,
+           sum(l_extendedprice::DECIMAL(18,2) * (1 - l_discount::DECIMAL(18,2)))::DOUBLE
+             AS revenue
+    FROM customer JOIN orders ON o_custkey = c_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+                  JOIN nation ON n_nationkey = c_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate < TIMESTAMP '1997-07-01'
+      AND l_returnflag = 'R'
+    GROUP BY 1, 2, 3, 4
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    tags=("tpch", "join"),
+)
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 returned-item reporting: top-20 customers by lost revenue on
+    returned items in a half-year. Both filters push into the fact
+    scans; customer and nation broadcast; one aggregate on the customer
+    key, then a global top-20 (TakeOrderedAndProject — no full sort)."""
+    c = tables.load_table(spark, sf_dir, "customer")
+    n = tables.load_table(spark, sf_dir, "nation")
+    o = tables.load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp_ntz"))
+    )
+    li = tables.load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    revenue = F.sum(
+        _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    ).cast("double")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+        .agg(revenue.alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "tpch_q14_promo",
+    oracle="""
+    SELECT 100.0 * sum(CASE WHEN p_type = 'PROMO'
+                            THEN (l_extendedprice::DECIMAL(18,2)
+                                  * (1 - l_discount::DECIMAL(18,2)))
+                            ELSE 0::DECIMAL(18,2) END)::DOUBLE
+           / sum(l_extendedprice::DECIMAL(18,2)
+                 * (1 - l_discount::DECIMAL(18,2)))::DOUBLE AS promo_revenue_pct
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+    """,
+    tags=("tpch", "join"),
+)
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 promotion effect: share of revenue from promo parts in a
+    year — conditional aggregation over a broadcast part join; the
+    shipdate window pushes into the lineitem scan."""
+    li = tables.load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    p = tables.load_table(spark, sf_dir, "part")
+    disc = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", disc).otherwise(
+        F.lit(0).cast("decimal(18,2)")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            (
+                F.lit(100.0) * F.sum(promo).cast("double")
+                / F.sum(disc).cast("double")
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+@register(
+    "tpch_q16_supplier_cnt",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_size IN (1, 2, 3, 4, 5)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY 1, 2, 3
+    """,
+    tags=("tpch", "subquery"),
+)
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16-shaped supplier counting (lineitem as the part-supplier
+    relation; exclusion set = negative-balance suppliers standing in
+    for the comment filter): NOT IN anti-join + exact distinct count
+    per part attribute group."""
+    li = tables.load_table(spark, sf_dir, "lineitem")
+    p = tables.load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1") & (F.col("p_size").isin(1, 2, 3, 4, 5))
+    )
+    bad = tables.load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "tpch_q19_disjunctive",
+    oracle="""
+    SELECT sum(l_extendedprice::DECIMAL(18,2) * (1 - l_discount::DECIMAL(18,2)))::DOUBLE
+             AS revenue,
+           count(*) AS n
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 30)
+    """,
+    tags=("tpch", "join"),
+)
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 discounted revenue under disjunctive brand/quantity
+    predicates — the OR-of-conjunctions shape that exercises predicate
+    normalization: the quantity bounds refer to both sides, so the
+    disjunction evaluates post-join while the common subexpressions
+    stay in one codegen stage."""
+    li = tables.load_table(spark, sf_dir, "lineitem")
+    p = tables.load_table(spark, sf_dir, "part")
+    cond = (
+        ((p.p_brand == "Brand#1") & F.col("l_quantity").between(1, 11))
+        | ((p.p_brand == "Brand#2") & F.col("l_quantity").between(10, 20))
+        | ((p.p_brand == "Brand#3") & F.col("l_quantity").between(20, 30))
+    )
+    revenue = F.sum(
+        _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    ).cast("double")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(revenue.alias("revenue"), F.count("*").alias("n"))
+    )
