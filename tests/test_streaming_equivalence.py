@@ -350,3 +350,32 @@ def test_cumulative_per_record_equivalence(spark, tmp_path):
     assert len(got) == len(want)
     assert (got["event_id"].to_numpy() == want["event_id"].to_numpy()).all()
     assert np.allclose(got["value"].to_numpy(), want["value"].to_numpy(), rtol=1e-9)
+
+
+def test_stream_static_dimension_join(spark, tmp_path):
+    """Stream-static broadcast join: streaming events enriched by the
+    static scored-documents dimension (stateless — no watermark needed),
+    aggregated per event_type; equals the batch twin. The production
+    shape for dimension enrichment of a stream."""
+    from sparksent.queries_nlp import scored_docs
+
+    replay = str(tmp_path / "ss_replay")
+    ev = load_table(spark, SF_DIR_SMALL, "events")
+    write_replay_chunks(ev, replay, N_CHUNKS)
+
+    docs = scored_docs(spark, SF_DIR_SMALL).select("doc_id", "score_raw")
+
+    def enrich(df):
+        return (
+            df.withColumn("doc_id", F.col("event_id") % 500)
+            .join(F.broadcast(docs), "doc_id")
+            .groupBy("event_type")
+            .agg(F.sum("score_raw").alias("total_score"), F.count("*").alias("n"))
+        )
+
+    out = enrich(file_replay_source(spark, replay))
+    _run_to_memory(out, "t_ss", "complete")
+    got = spark.table("t_ss")
+    want = enrich(ev)
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
