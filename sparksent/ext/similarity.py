@@ -225,13 +225,43 @@ def cosine_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """All pairs with cosine >= threshold. Exact (cross-join) form — the
-    correctness baseline; the LSH-bucketed candidate restriction is the
-    scale path (same trade as lsh_topk)."""
-    a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    """Embedding near-dup pairs with cosine >= threshold, candidates via
+    multi-probe LSH: every vector lives in one sign-random-projection
+    bucket; the probe side explodes each vector into its own bucket plus
+    the NUM_PLANES buckets at hamming distance 1. A pair (a, b) is a
+    candidate iff hamming(bucket_a, bucket_b) <= 1, and because hamming
+    distance is symmetric and the probe set per vector is distinct
+    buckets, each candidate pair joins EXACTLY once — no dedup needed.
+
+    Scale shape: a hash equi-join on ``bucket`` — O(sum of per-bucket
+    n^2) instead of all-pairs O(N^2); at rest the corpus is partitioned
+    on ``bucket`` so only co-bucketed partitions meet. Recall-bounded by
+    construction (pairs whose buckets differ in >= 2 bits are missed) —
+    the standard LSH dedup trade; raise NUM_PLANES probes or band count
+    for recall. The exact all-pairs form survives as
+    ``cosine_neardup_pairs_exact`` for test-side recall measurement.
+    """
+    b = corpus.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        lsh_bucket(vec_col).alias("bucket"),
+    )
+    a = corpus.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        lsh_bucket(vec_col).alias("own"),
+    ).select(
+        "id_a",
+        "va",
+        F.explode(
+            F.array(
+                F.col("own"),
+                *[F.col("own").bitwiseXOR(F.lit(1 << j)) for j in range(NUM_PLANES)],
+            )
+        ).alias("bucket"),
+    )
     return (
-        a.crossJoin(b)
+        a.join(b, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("sim", cosine(F.col("va"), F.col("vb")))
         .filter(F.col("sim") >= threshold)
@@ -243,12 +273,42 @@ def cosine_neardup_pairs_sql(
     table: str = "embeddings", threshold: float = 0.4,
     id_col: str = "vec_id", vec: str = "embedding",
 ) -> str:
+    """DuckDB mirror of the multi-probe bucket restriction above."""
+    flips = ", ".join(f"xor(own, {1 << j})" for j in range(NUM_PLANES))
     return f"""
-    SELECT a.{id_col} AS id_a, b.{id_col} AS id_b,
-           round({cosine_sql(f'a.{vec}', f'b.{vec}')}, 6) AS sim_r
-    FROM {table} a JOIN {table} b ON a.{id_col} < b.{id_col}
-    WHERE {cosine_sql(f'a.{vec}', f'b.{vec}')} >= {threshold}
+    WITH b AS (
+      SELECT {id_col}, {vec} AS v, {lsh_bucket_sql(vec)}::BIGINT AS own
+      FROM {table}
+    ),
+    probes AS (
+      SELECT {id_col} AS id_a, v AS va, unnest([own, {flips}]) AS bucket
+      FROM b
+    )
+    SELECT p.id_a, c.{id_col} AS id_b,
+           round({cosine_sql('p.va', 'c.v')}, 6) AS sim_r
+    FROM b c JOIN probes p ON p.bucket = c.own
+    WHERE p.id_a < c.{id_col}
+      AND {cosine_sql('p.va', 'c.v')} >= {threshold}
     """
+
+
+def cosine_neardup_pairs_exact(
+    corpus: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All-pairs exact form — O(N^2) cross join; test-side oracle helper
+    for measuring the LSH candidate recall, NOT a registered query."""
+    a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("sim", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", F.round("sim", 6).alias("sim_r"))
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -62,7 +62,9 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("ext", "dedup"),
 )
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs: cosine >= 0.4 (exact baseline form)."""
+    """Embedding near-dup pairs: cosine >= 0.4, candidates restricted to
+    multi-probe LSH buckets (hash equi-join on bucket — no all-pairs
+    cross join; oracle mirrors the same bucket restriction)."""
     return similarity.cosine_neardup_pairs(_emb(spark, sf_dir))
 
 

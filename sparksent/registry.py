@@ -63,21 +63,12 @@ def _ensure_loaded() -> None:
     global _LOADED
     if _LOADED:
         return
+    # A broken query module must fail loudly: swallowing ImportError here
+    # silently shrinks the driver's checked surface (whole families would
+    # vanish from queries()/oracle_sql() with no signal).
     from . import queries_reference  # noqa: F401
-    try:
-        from . import queries_nlp  # noqa: F401
-    except ImportError:
-        pass
-    try:
-        from . import queries_ext  # noqa: F401
-    except ImportError:
-        pass
-    try:
-        from . import queries_tpch  # noqa: F401
-    except ImportError:
-        pass
-    try:
-        from . import queries_relational  # noqa: F401
-    except ImportError:
-        pass
+    from . import queries_nlp  # noqa: F401
+    from . import queries_ext  # noqa: F401
+    from . import queries_tpch  # noqa: F401
+    from . import queries_relational  # noqa: F401
     _LOADED = True

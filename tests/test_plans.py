@@ -93,6 +93,17 @@ def test_minhash_signature_no_shuffle(spark):
     assert plan.count("md5") <= 2  # one per projection branch at most
 
 
+def test_embedding_cosine_bucketed_join(spark):
+    plan = plan_of(spark, "dedup_embedding_cosine")
+    # candidate generation is a hash equi-join on the LSH bucket —
+    # never an all-pairs cross join (the O(N^2) scale-killer)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert re.search(r"(Broadcast|Shuffled)HashJoin|SortMergeJoin", plan)
+    # the equi-join key is the LSH bucket
+    assert re.search(r"keys(?:.|\n)*bucket", plan)
+
+
 def test_exact_dedup_partial_agg(spark):
     plan = plan_of(spark, "dedup_exact")
     assert "partial_count" in plan
