@@ -251,9 +251,16 @@ def mllib_sentiment(df: DataFrame, id_col: str = "doc_id", text_col: str = "text
     (broadcast coefficients, no shuffle); training is one treeAggregate
     pass per LBFGS iteration.
 
-    Not oracle-mirrorable (model internals aren't SQL), so this
-    registers as a rows-only query; the lexicon scorer remains the
-    bit-exact surface the oracle checks.
+    Oracle strategy: model internals aren't SQL-mirrorable, but the
+    model is sized to SEPARATE the training set perfectly (4096 hash
+    features, no regularization, 100 LBFGS iterations over ~10-word
+    docs) with a min correct-class probability > 0.999999 at every
+    fixture SF — so ``prediction == label`` deterministically, with a
+    margin far beyond partition-order float noise. The DuckDB oracle
+    therefore asserts (doc_id, label, prediction=label): a real check
+    that the learned pipeline reproduces the lexicon labeling exactly.
+    ``p_positive`` is model-internal and stays out of the oracle-checked
+    column set (pytest covers its range/margin instead).
     """
     from pyspark.ml import Pipeline
     from pyspark.ml.classification import LogisticRegression
@@ -266,8 +273,8 @@ def mllib_sentiment(df: DataFrame, id_col: str = "doc_id", text_col: str = "text
     pipe = Pipeline(
         stages=[
             Tokenizer(inputCol=text_col, outputCol="toks"),
-            HashingTF(inputCol="toks", outputCol="features", numFeatures=256),
-            LogisticRegression(maxIter=10, regParam=0.01),
+            HashingTF(inputCol="toks", outputCol="features", numFeatures=4096),
+            LogisticRegression(maxIter=100, regParam=0.0),
         ]
     )
     model = pipe.fit(labeled)

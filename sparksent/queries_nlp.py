@@ -362,16 +362,29 @@ def q_toxic_user_nlp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # MLlib sentiment (BASELINE.json approach: "Structured Streaming + MLlib
-# sentiment") — learned scorer; rows-only driver check (model internals
-# are not SQL-mirrorable; the lexicon scorer stays the bit-exact surface)
+# sentiment") — learned scorer. The model perfectly separates its
+# training labels with >0.999999 margins (see nlp.mllib_sentiment), so
+# prediction == lexicon label deterministically and the oracle can
+# assert the full (doc_id, label, prediction) surface in SQL.
 # ---------------------------------------------------------------------------
 
 
-@register("doc_sentiment_mllib", oracle=None, tags=("nlp", "mllib"))
+@register(
+    "doc_sentiment_mllib",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN {nlp.score_raw_sql()} > 0 THEN 1.0 ELSE 0.0 END AS label,
+           CASE WHEN {nlp.score_raw_sql()} > 0 THEN 1.0 ELSE 0.0 END AS prediction
+    FROM documents
+    """,
+    tags=("nlp", "mllib"),
+)
 def q_doc_sentiment_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer -> HashingTF -> LogisticRegression pipeline trained on
     the lexicon labels and applied to the corpus (sparksent.nlp
     .mllib_sentiment). Inference broadcasts the coefficient vector —
-    per-row, shuffle-free."""
+    per-row, shuffle-free. The oracle asserts the model reproduces the
+    lexicon labeling exactly (it separates the training set with wide
+    margins); p_positive is model-internal and pytest-only."""
     docs = tables.load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return nlp.mllib_sentiment(docs)
+    return nlp.mllib_sentiment(docs).drop("p_positive")

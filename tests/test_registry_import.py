@@ -1,0 +1,38 @@
+"""Registry loading must fail loudly: a broken query module silently
+shrinking queries()/oracle_sql() would invisibly narrow the driver's
+checked surface (VERDICT r1, "What's wrong" #3)."""
+
+from __future__ import annotations
+
+import importlib
+import sys
+
+import pytest
+
+
+def test_broken_query_module_fails_loudly():
+    saved = {k: v for k, v in sys.modules.items() if k.startswith("sparksent")}
+    for k in list(sys.modules):
+        if k.startswith("sparksent"):
+            del sys.modules[k]
+    # None in sys.modules makes `import sparksent.queries_tpch` raise
+    # ImportError — simulates a module whose import fails
+    sys.modules["sparksent.queries_tpch"] = None
+    try:
+        reg = importlib.import_module("sparksent.registry")
+        with pytest.raises(ImportError):
+            reg.queries()
+    finally:
+        for k in list(sys.modules):
+            if k.startswith("sparksent"):
+                del sys.modules[k]
+        sys.modules.update(saved)
+
+
+def test_registry_full_surface_loads():
+    from sparksent.registry import oracle_sql, queries
+
+    qs, osql = queries(), oracle_sql()
+    assert len(qs) >= 58
+    # every oracle belongs to a registered query
+    assert set(osql) <= set(qs)
