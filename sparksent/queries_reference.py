@@ -226,12 +226,15 @@ def _toxicity(spark: SparkSession, sf_dir: str, key_col, n: int, threshold: floa
     tags=("reference", "count_window"),
 )
 def q_toxic_user(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """toxicUserStream (SA.scala:201-206): count windows of 10 per user,
-    sum the mood value, alert (keep) windows with sum <= threshold.
-    The reference's threshold (-10) assumes signed sentiment moods; over
-    the all-positive events.value fixture we use an in-range threshold
-    (450) so the filter is exercised — the NLP-mood variant in
-    queries_nlp.py uses the reference's own parameters."""
+    """toxicUserStream (SA.scala:201-206), EVIDENT-INTENT form: count
+    windows of 10 RAW per-event mood values per user, sum, alert (keep)
+    windows with sum <= threshold. The reference literally feeds the
+    cumulative userMoodStream emissions instead — that wiring is
+    ``toxic_user_literal_cw10`` below. The reference's threshold (-10)
+    assumes signed sentiment moods; over the all-positive events.value
+    fixture we use an in-range threshold (450) so the filter is
+    exercised — the NLP-mood variant in queries_nlp.py uses the
+    reference's own parameters."""
     return _toxicity(spark, sf_dir, F.col("user_id").cast("string"), 10, 450.0)
 
 
@@ -241,8 +244,11 @@ def q_toxic_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("reference", "count_window"),
 )
 def q_toxic_topic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """toxicTopicStream (SA.scala:194-199): count windows of 25 per
-    entity key (threshold adapted as in toxic_user_cw10)."""
+    """toxicTopicStream (SA.scala:194-199), EVIDENT-INTENT form: count
+    windows of 25 raw per-event moods per entity key (threshold adapted
+    as in toxic_user_cw10). The reference literally consumes the
+    30s-windowed entityOpinionStream emissions —
+    ``toxic_topic_literal_cw25`` below."""
     return _toxicity(spark, sf_dir, F.col("event_type"), 25, 1300.0)
 
 
@@ -252,8 +258,115 @@ def q_toxic_topic(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("reference", "count_window"),
 )
 def q_toxic_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """toxicChannelStream (SA.scala:208-213): count windows of 50. Note
-    the reference consumes userMoodStream here, not channelMoodStream
-    (apparent bug, SURVEY.md §2.0 #24) — we reproduce the literal
-    behavior (keyed by user)."""
+    """toxicChannelStream (SA.scala:208-213), keyed by USER because the
+    reference consumes userMoodStream here, not channelMoodStream
+    (apparent bug, SURVEY.md §2.0 #24) — but over raw per-event moods;
+    the reference's full literal wiring (cumulative emissions) is
+    ``toxic_channel_literal_cw50`` below."""
     return _toxicity(spark, sf_dir, F.col("user_id").cast("string"), 50, 2600.0)
+
+
+# --- literal wiring (SA.scala:194-213): count windows over the
+# cumulative userMoodStream / 30s entityOpinionStream EMISSIONS, exactly
+# as the reference composes its streams (summing N running totals is
+# semantically odd, which is why the evident-intent forms above exist —
+# but the literal behavior is what a reference user observes, so it is
+# implemented and oracle-verified too; topology.py wires these names).
+
+
+def _cumulative_toxicity_oracle(n: int, threshold: float) -> str:
+    return f"""
+    WITH c AS (
+      SELECT user_id::VARCHAR AS key,
+             sum(value::DECIMAL(28,6))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING)::DOUBLE AS value,
+             ts, event_id
+      FROM events
+    ),
+    b AS (
+      SELECT key, value,
+             ((row_number() OVER (PARTITION BY key ORDER BY ts, event_id)) - 1) // {n}
+               AS bucket
+      FROM c
+    )
+    SELECT key, bucket,
+           sum(value::DECIMAL(28,6))::DOUBLE AS value,
+           count(*) AS n
+    FROM b GROUP BY 1, 2
+    HAVING sum(value::DECIMAL(28,6))::DOUBLE <= {threshold}
+    """
+
+
+def _cumulative_toxicity(spark: SparkSession, sf_dir: str, n: int, threshold: float) -> DataFrame:
+    ev = tables.load_table(spark, sf_dir, "events")
+    moods = pipeline.mood_stream(
+        ev, F.col("user_id").cast("string"), "User", (0, 0), value_col="value"
+    )
+    return pipeline.toxicity_stream(
+        moods.select("key", "value", "ts", "event_id"), n, threshold
+    )
+
+
+@register(
+    "toxic_user_literal_cw10",
+    oracle=_cumulative_toxicity_oracle(10, 7800.0),
+    tags=("reference", "count_window"),
+)
+def q_toxic_user_literal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """toxicUserStream LITERAL (SA.scala:201-206): the count window
+    consumes userMoodStream's cumulative per-record emissions — each
+    window of 10 sums ten consecutive RUNNING totals. One extra shuffle
+    vs the intent form (the cumulative analytic), same (key, bucket)
+    aggregate after. Threshold at ~P25 of the window sums so the alert
+    filter keeps a nontrivial subset."""
+    return _cumulative_toxicity(spark, sf_dir, 10, 7800.0)
+
+
+@register(
+    "toxic_channel_literal_cw50",
+    oracle=_cumulative_toxicity_oracle(50, 45000.0),
+    tags=("reference", "count_window"),
+)
+def q_toxic_channel_literal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """toxicChannelStream LITERAL (SA.scala:208-213): same cumulative
+    userMoodStream input (the reference's channel-vs-user bug), N=50."""
+    return _cumulative_toxicity(spark, sf_dir, 50, 45000.0)
+
+
+@register(
+    "toxic_topic_literal_cw25",
+    oracle="""
+    WITH e AS (
+      SELECT event_type AS key,
+             (floor(epoch(ts))::BIGINT // 30) * 30 AS window_start_s,
+             sum(value::DECIMAL(28,6))::DOUBLE AS value
+      FROM events GROUP BY 1, 2
+    ),
+    b AS (
+      SELECT key, value,
+             ((row_number() OVER (PARTITION BY key ORDER BY window_start_s)) - 1) // 25
+               AS bucket
+      FROM e
+    )
+    SELECT key, bucket,
+           sum(value::DECIMAL(28,6))::DOUBLE AS value,
+           count(*) AS n
+    FROM b GROUP BY 1, 2
+    HAVING sum(value::DECIMAL(28,6))::DOUBLE <= 1070.0
+    """,
+    tags=("reference", "count_window"),
+)
+def q_toxic_topic_literal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """toxicTopicStream LITERAL (SA.scala:194-199): the count window
+    consumes the 30s-tumbling entityOpinionStream emissions, ordered by
+    window start — each window of 25 sums 25 consecutive 30s-window
+    sums per key."""
+    ev = tables.load_table(spark, sf_dir, "events")
+    opinion = pipeline.mood_stream(ev, "event_type", "Entity", (30, 0), value_col="value")
+    return pipeline.toxicity_stream(
+        opinion.select("key", "value", "window_start_s"),
+        25,
+        1070.0,
+        order_cols=("window_start_s",),
+    )

@@ -7,14 +7,27 @@ arrives, then reset. Flink gives this via count-trigger window state; in
 Spark it is ``applyInPandasWithState`` with per-key state
 (bucket_index, running_count, running_sum):
 
-- rows of each micro-batch group are processed in (ts, event_id) order
+- rows of each micro-batch group are processed in ``order_cols`` order
   (sorted per batch; cross-batch order = arrival order, same contract as
   the batch form's order_cols);
 - whenever running_count reaches N the operator emits one output row and
   resets — so emission is per completed window, exactly the reference's
   semantics (not per trigger);
-- state is three numbers per key — O(keys) total, store-partitioned by
+- state is a few numbers per key — O(keys) total, store-partitioned by
   key alongside the shuffle.
+
+``streaming_toxicity_literal`` fuses the reference's LITERAL toxicity
+wiring (SA.scala:194-213) into ONE stateful operator: toxicUser /
+toxicChannel consume userMoodStream's cumulative per-record emissions,
+so the count window sums *running* per-key totals, not raw moods.
+Chaining ``streaming_cumulative_per_record`` into
+``streaming_count_window`` would be two arbitrary stateful operators in
+one query — unsupported by Structured Streaming — so the fused operator
+keeps (cumulative_acc, bucket, count, window_acc) in one state row.
+
+All output/state schemas are derived from the input DataFrame's actual
+key/order column names and types — callers with non-default ``key_col``
+/ ``order_cols`` get correctly-named, correctly-typed outputs.
 """
 
 from __future__ import annotations
@@ -27,41 +40,61 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql import types as T
 
-OUTPUT_SCHEMA = T.StructType(
-    [
-        T.StructField("key", T.StringType()),
-        T.StructField("bucket", T.LongType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("n", T.LongType()),
-    ]
-)
 
-STATE_SCHEMA = T.StructType(
-    [
-        T.StructField("bucket", T.LongType()),
-        T.StructField("cnt", T.LongType()),
-        T.StructField("acc", T.DoubleType()),
-    ]
-)
+def _field(df: DataFrame, name: str) -> T.StructField:
+    return T.StructField(name, df.schema[name].dataType)
 
 
-def _make_fn(n: int, value_col: str, order_cols: Sequence[str]):
+def _count_window_schemas(df: DataFrame, key_col: str):
+    out = T.StructType(
+        [
+            _field(df, key_col),
+            T.StructField("bucket", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+    state = T.StructType(
+        [
+            T.StructField("bucket", T.LongType()),
+            T.StructField("cnt", T.LongType()),
+            T.StructField("acc", T.DoubleType()),
+        ]
+    )
+    return out, state
+
+
+def _make_fn(n: int, value_col: str, key_col: str, order_cols: Sequence[str],
+             cumulative: bool = False):
+    """Count-window emitter. With ``cumulative=True`` each arriving value
+    first advances a per-key running total and the window sums those
+    running totals (the literal SA.scala:201-213 wiring)."""
+
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        bucket, cnt, acc = state.get if state.exists else (0, 0, 0.0)
+        if cumulative:
+            bucket, cnt, acc, cum = (
+                state.get if state.exists else (0, 0, 0.0, 0.0)
+            )
+        else:
+            bucket, cnt, acc = state.get if state.exists else (0, 0, 0.0)
         out: list[tuple] = []
         for pdf in pdfs:
             pdf = pdf.sort_values(list(order_cols))
             for v in pdf[value_col].to_numpy():
-                acc += float(v)
+                if cumulative:
+                    cum += float(v)
+                    acc += cum
+                else:
+                    acc += float(v)
                 cnt += 1
                 if cnt == n:
                     out.append((key[0], bucket, acc, cnt))
                     bucket, cnt, acc = bucket + 1, 0, 0.0
-        state.update((bucket, cnt, acc))
+        state.update((bucket, cnt, acc, cum) if cumulative else (bucket, cnt, acc))
         if out:
-            yield pd.DataFrame(out, columns=["key", "bucket", "value", "n"])
+            yield pd.DataFrame(out, columns=[key_col, "bucket", "value", "n"])
 
     return fn
 
@@ -80,28 +113,45 @@ def streaming_count_window(
     so it is deterministic for a fixed replay order — the equivalence
     tests compare against the batch bucketing form restricted to
     complete buckets."""
+    out_schema, state_schema = _count_window_schemas(df, key_col)
     return df.groupBy(key_col).applyInPandasWithState(
-        _make_fn(n, value_col, order_cols),
-        OUTPUT_SCHEMA,
-        STATE_SCHEMA,
+        _make_fn(n, value_col, key_col, order_cols),
+        out_schema,
+        state_schema,
         "append",
         GroupStateTimeout.NoTimeout,
     )
 
 
-CUMSUM_OUTPUT_SCHEMA = T.StructType(
-    [
-        T.StructField("key", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("ts", T.TimestampType()),
-        T.StructField("event_id", T.LongType()),
-    ]
-)
+def streaming_toxicity_literal(
+    df: DataFrame,
+    n: int,
+    threshold: float,
+    value_col: str = "value",
+    key_col: str = "key",
+    order_cols: Sequence[str] = ("ts", "event_id"),
+) -> DataFrame:
+    """The reference's literal toxicity chain in one stateful operator:
+    per-key cumulative running sum (userMoodStream, SA.scala:285) fed
+    into a count window of ``n`` emissions (buildToxicityStream,
+    SA.scala:304-311), then the <= threshold alert filter."""
+    from pyspark.sql import functions as F
 
-CUMSUM_STATE_SCHEMA = T.StructType([T.StructField("acc", T.DoubleType())])
+    out_schema, state_schema = _count_window_schemas(df, key_col)
+    state_schema = T.StructType(
+        list(state_schema.fields) + [T.StructField("cum", T.DoubleType())]
+    )
+    windows = df.groupBy(key_col).applyInPandasWithState(
+        _make_fn(n, value_col, key_col, order_cols, cumulative=True),
+        out_schema,
+        state_schema,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+    return windows.filter(F.col("value") <= F.lit(threshold))
 
 
-def _make_cumsum_fn(value_col: str, order_cols: Sequence[str]):
+def _make_cumsum_fn(value_col: str, key_col: str, order_cols: Sequence[str]):
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
@@ -111,17 +161,16 @@ def _make_cumsum_fn(value_col: str, order_cols: Sequence[str]):
             vals = pdf[value_col].to_numpy()
             out = vals.cumsum() + acc
             acc = float(out[-1]) if len(out) else acc
-            yield pd.DataFrame(
-                {
-                    "key": pdf["key"].to_numpy(),
-                    "value": out,
-                    "ts": pdf[order_cols[0]].to_numpy(),
-                    "event_id": pdf[order_cols[1]].to_numpy(),
-                }
-            )
+            cols = {key_col: pdf[key_col].to_numpy(), "value": out}
+            for c in order_cols:
+                cols[c] = pdf[c].to_numpy()
+            yield pd.DataFrame(cols)
         state.update((acc,))
 
     return fn
+
+
+CUMSUM_STATE_SCHEMA = T.StructType([T.StructField("acc", T.DoubleType())])
 
 
 def streaming_cumulative_per_record(
@@ -135,11 +184,15 @@ def streaming_cumulative_per_record(
     cumulative per-key value (SentimentAnalysis.scala:285 emits per
     arriving element; the groupBy/update-mode form only emits per
     trigger). applyInPandasWithState holds one double per key; rows
-    within a micro-batch process in (ts, event_id) order, matching the
+    within a micro-batch process in ``order_cols`` order, matching the
     batch cumulative window's ordering contract."""
+    out_schema = T.StructType(
+        [_field(df, key_col), T.StructField("value", T.DoubleType())]
+        + [_field(df, c) for c in order_cols]
+    )
     return df.groupBy(key_col).applyInPandasWithState(
-        _make_cumsum_fn(value_col, order_cols),
-        CUMSUM_OUTPUT_SCHEMA,
+        _make_cumsum_fn(value_col, key_col, order_cols),
+        out_schema,
         CUMSUM_STATE_SCHEMA,
         "append",
         GroupStateTimeout.NoTimeout,

@@ -7,16 +7,24 @@ is the point of Structured Streaming's unified model):
 
     lines ──parse──> parsedStream(1s concat) ──> aggregateStream(100s)
     parsed ──sentiment──> sentimentStream ──> userMoodStream (cumulative)
-                                         ├──> channelMoodStream (90s/60s)
-                                         └──> toxicUserStream (cw 10 ≤ -10)
-                                              toxicChannelStream (cw 50 ≤ -30)
+                                         └──> channelMoodStream (90s/60s)
+    userMoodStream ──> toxicUserStream (cw 10 ≤ -10)      [literal:
+                  └──> toxicChannelStream (cw 50 ≤ -30)    SA.scala:201-213
+                                                           feeds USER moods]
     parsed ──entities──> entityStream ──> topicStream (10s counts)
                                      ├──> entityOpinionStream (30s)
-                                     ├──> trendingStream (share — dead code
-                                     │     in the reference, SA.scala:106-123)
-                                     └──> toxicTopicStream (cw 25 ≤ -20)
+                                     └──> trendingStream (share — dead code
+                                           in the reference, SA.scala:106-123)
+    entityOpinionStream ──> toxicTopicStream (cw 25 ≤ -20, SA.scala:194-199)
     aggregate ──classify──> categoryStream ──> categorySentimentStream
                                           └──> categoryOpinionStream (cumulative)
+
+    The toxicity streams follow the reference LITERALLY: count windows
+    consume the cumulative userMoodStream emissions (toxicUser/
+    toxicChannel) and the 30s entityOpinionStream emissions (toxicTopic)
+    — summing N running totals, not N raw moods. The evident-intent
+    forms (raw per-message/per-entity moods; channel toxicity keyed by
+    channel) are the ``*StreamIntent`` nodes.
 
 Every node is a lazily-composed DataFrame; "execute" is whatever action
 the caller runs — Catalyst sees the whole DAG and shares the scan.
@@ -117,15 +125,33 @@ def build_topology(lines: DataFrame) -> dict[str, DataFrame]:
         category_sentiment.withColumnRenamed("category", "cat"), "cat", "Category"
     )
 
-    # toxicity (SA.scala:194-213) — note toxicChannelStream consumes the
-    # *user* moods in the reference (apparent bug we reproduce literally)
-    per_msg_mood = sentiment.select(
+    # toxicity (SA.scala:194-213) — LITERAL reference wiring:
+    # toxicUserStream and toxicChannelStream both consume
+    # userMoodStream's cumulative per-record emissions (SA.scala:201-213
+    # — including the apparent channel-vs-user bug), and toxicTopicStream
+    # consumes the 30s-windowed entityOpinionStream emissions
+    # (SA.scala:194-199). Count windows therefore sum N consecutive
+    # *running totals* / *window sums*, not N raw moods.
+    toxic_user = toxicity_stream(user_mood, *TOXIC_USER)
+    toxic_channel = toxicity_stream(user_mood, *TOXIC_CHANNEL)
+    toxic_topic = toxicity_stream(
+        entity_opinion, *TOXIC_TOPIC, order_cols=("window_start_s",)
+    )
+
+    # Evident-intent variants (the semantics the reference author likely
+    # wanted: count windows over the raw per-message / per-entity moods,
+    # channel toxicity keyed by channel) — kept as first-class nodes so
+    # both interpretations are queryable (SURVEY.md §2.0 rows 21-24).
+    per_msg_user_mood = sentiment.select(
         F.col("user").alias("key"), _mood_value(), "ts", "event_id"
     )
+    per_msg_channel_mood = sentiment.select(
+        F.col("channel").alias("key"), _mood_value(), "ts", "event_id"
+    )
     per_entity_mood = entities.select("key", _mood_value(), "ts", "event_id")
-    toxic_topic = toxicity_stream(per_entity_mood, *TOXIC_TOPIC)
-    toxic_user = toxicity_stream(per_msg_mood, *TOXIC_USER)
-    toxic_channel = toxicity_stream(per_msg_mood, *TOXIC_CHANNEL)
+    toxic_user_intent = toxicity_stream(per_msg_user_mood, *TOXIC_USER)
+    toxic_channel_intent = toxicity_stream(per_msg_channel_mood, *TOXIC_CHANNEL)
+    toxic_topic_intent = toxicity_stream(per_entity_mood, *TOXIC_TOPIC)
 
     return {
         "parsedStream": parsed,
@@ -142,6 +168,9 @@ def build_topology(lines: DataFrame) -> dict[str, DataFrame]:
         "toxicTopicStream": toxic_topic,
         "toxicUserStream": toxic_user,
         "toxicChannelStream": toxic_channel,
+        "toxicTopicStreamIntent": toxic_topic_intent,
+        "toxicUserStreamIntent": toxic_user_intent,
+        "toxicChannelStreamIntent": toxic_channel_intent,
     }
 
 
@@ -172,7 +201,10 @@ def build_streaming_topology(lines: DataFrame, watermark: str = "10 seconds") ->
     - entityStream: the explode + per-(message, entity) dedup uses
       ``dropDuplicates`` keyed on (event_id, key) — watermark-bounded
       state instead of the batch ``distinct()``;
-    - toxicUserStream: the applyInPandasWithState count window.
+    - toxicUserStream: the literal cumulative-mood count window fused
+      into ONE applyInPandasWithState operator (two chained arbitrary
+      stateful operators are unsupported — streaming/count_window.py);
+      toxicUserStreamIntent is the raw-mood count window.
 
     Deliberately absent (documented deltas, SURVEY.md §2.6):
     userMood/categoryOpinion cumulative streams run in update mode via
@@ -180,6 +212,7 @@ def build_streaming_topology(lines: DataFrame, watermark: str = "10 seconds") ->
     trendingStream's agg-to-agg ratio join runs in foreachBatch.
     """
     from .streaming import streaming_count_window, streaming_tumbling_agg
+    from .streaming.count_window import streaming_toxicity_literal
 
     msgs = parse_lines(lines)
     sentiment = nlp.with_sentiment(msgs)
@@ -223,10 +256,13 @@ def build_streaming_topology(lines: DataFrame, watermark: str = "10 seconds") ->
         watermark=watermark, slide_s=CHANNEL_MOOD_SLIDE_S,
     )
 
-    toxic_user = streaming_count_window(
-        sentiment.select(F.col("user").alias("key"), _mood_value(), "ts", "event_id"),
-        TOXIC_USER[0],
-    ).filter(F.col("value") <= TOXIC_USER[1])
+    user_moods = sentiment.select(
+        F.col("user").alias("key"), _mood_value(), "ts", "event_id"
+    )
+    toxic_user = streaming_toxicity_literal(user_moods, *TOXIC_USER)
+    toxic_user_intent = streaming_count_window(user_moods, TOXIC_USER[0]).filter(
+        F.col("value") <= TOXIC_USER[1]
+    )
 
     return {
         "sentimentStream": sentiment,
@@ -236,4 +272,5 @@ def build_streaming_topology(lines: DataFrame, watermark: str = "10 seconds") ->
         "entityOpinionStream": entity_opinion,
         "channelMoodStream": channel_mood,
         "toxicUserStream": toxic_user,
+        "toxicUserStreamIntent": toxic_user_intent,
     }
