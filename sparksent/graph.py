@@ -34,6 +34,11 @@ def connected_components(
     Each round sends every vertex's current label to its neighbors and
     takes the min; converged when no label changes. Deterministic for
     any partitioning (min is commutative/associative).
+
+    Raises RuntimeError if ``max_iter`` rounds pass without convergence
+    — returning silently non-converged labels would hand transitive
+    dedup wrong clusters with no signal (a chain longer than max_iter
+    hops needs more rounds, not a wrong answer).
     """
     e = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
@@ -60,5 +65,8 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
-            break
-    return labels
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds "
+        f"(last round still changed {changed} labels); raise max_iter"
+    )

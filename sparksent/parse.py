@@ -43,9 +43,19 @@ def parse_lines(df: DataFrame, line_col: str = "line") -> DataFrame:
 def to_raw_lines(messages: DataFrame) -> DataFrame:
     """Inverse: message rows -> the socket wire format
     ``channel,user,text`` (FIXTURES.md §B1). Used to build parse-parity
-    fixtures from the events table without inventing new data."""
+    fixtures from the events table without inventing new data.
+
+    channel/user are coalesced to '' first: concat_ws silently SKIPS
+    NULLs, which would shift the text into the user/channel slots on the
+    round trip. A NULL key field serializes as the empty field — the
+    closest representable inverse (the wire format has no NULL token)."""
     others = [c for c in messages.columns if c not in ("channel", "user", "text")]
     return messages.select(
-        F.concat_ws(",", F.col("channel"), F.col("user"), F.col("text")).alias("line"),
+        F.concat_ws(
+            ",",
+            F.coalesce(F.col("channel"), F.lit("")),
+            F.coalesce(F.col("user"), F.lit("")),
+            F.col("text"),
+        ).alias("line"),
         *[F.col(c) for c in others],
     )

@@ -477,10 +477,15 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the value list pinned (no extra distinct-values job, and the
     output schema is static — both required for a predictable plan at
     scale; pivot compiles to one aggregate with conditional counts,
-    the same plan as the FILTER clauses in the oracle)."""
+    the same plan as the FILTER clauses in the oracle). Spark's pivoted
+    count() yields NULL for absent (bucket, type) combos where the
+    oracle's count(*) FILTER yields 0 — na.fill(0) restores the
+    NULL-free convention on any sparse input."""
     ev = tables.load_table(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
     return (
         ev.groupBy((F.col("user_id") % 10).cast("int").alias("user_bucket"))
-        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .pivot("event_type", types)
         .count()
+        .na.fill(0, types)
     )

@@ -132,6 +132,54 @@ def test_parse_malformed_lines_do_not_abort(spark):
     assert ("", "", "") in triples        # ",," -> two empty fields
 
 
+def test_serialize_null_fields_keep_positions(spark):
+    """concat_ws skips NULLs, which would shift the text into the user
+    slot on the round trip; to_raw_lines coalesces the key fields to ''
+    so field positions survive (NULL -> '' is the closest inverse the
+    un-quoted wire format can represent)."""
+    df = spark.createDataFrame(
+        [("a", None, "x,y"), (None, "u", "t")],
+        "channel string, user string, text string",
+    )
+    back = parse.parse_lines(parse.to_raw_lines(df)).collect()
+    got = sorted((r["channel"], r["user"], r["text"]) for r in back)
+    assert got == [("", "u", "t"), ("a", "", "x,y")]
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    """max_iter exhaustion must raise, not silently return wrong
+    clusters (a 5-node path needs >1 round)."""
+    import pytest as _pytest
+    from sparksent.graph import connected_components
+
+    verts = spark.createDataFrame([(i,) for i in range(5)], "id long")
+    edges = spark.createDataFrame([(i, i + 1) for i in range(4)], "src long, dst long")
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(verts, edges, max_iter=1)
+
+
+def test_mllib_sentiment_margin(spark):
+    """The oracle for doc_sentiment_mllib asserts prediction == lexicon
+    label; that is only sound if the model separates its training set
+    with margins far beyond float noise. Pin the margin invariant."""
+    from sparksent import nlp, tables
+
+    docs = tables.load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    out = nlp.mllib_sentiment(docs)
+    agg = out.agg(
+        F.sum((F.col("label") != F.col("prediction")).cast("int")).alias("errs"),
+        F.min(
+            F.when(F.col("label") == 1.0, F.col("p_positive")).otherwise(
+                1 - F.col("p_positive")
+            )
+        ).alias("min_p"),
+    ).collect()[0]
+    assert agg.errs == 0
+    assert agg.min_p > 0.999  # wide margin: partition-order noise can't flip it
+
+
 def test_connected_components_chain_convergence(spark):
     """A path graph (0-1-2-...-7) plus isolated vertices: labels need
     multiple propagation rounds to reach the chain's far end — exercises
