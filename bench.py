@@ -29,6 +29,7 @@ HEADLINE = [
     "channel_mood_sliding_90_60",
     "user_mood_cumulative",
     "toxic_user_cw10",
+    "toxic_user_literal_cw10",
     "doc_sentiment",
     "doc_entities",
     "user_mood_nlp_cumulative",
@@ -37,12 +38,15 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
     "similarity_topk_brute",
     "similarity_topk_lsh",
     "text_stats",
     "text_fingerprint",
     "json_field_stats",
     "multimodal_features",
+    "multimodal_image_headers",
+    "doc_sentiment_mllib",
     "tpch_q1_pricing",
     "tpch_q3_shipping",
     "tpch_q5_regional",

@@ -20,8 +20,15 @@ shingle-based Jaccard), all expressed as declarative DataFrame plans:
 Scale notes: every strategy shuffles on a *bucket key* (fingerprint,
 band signature, byte value, shingle) so the pairwise stage only sees
 collision groups. Skewed buckets (a very common shingle) are the known
-hazard of the inverted-index form — AQE skew-join splitting handles
-moderate skew; stop-shingle removal is the documented escalation.
+hazard of the inverted-index form: one stop-shingle with occurrence
+count D makes a D^2 join partition. ``ngram_jaccard_pairs(max_df=...)``
+implements the escalation — shingles above the document-frequency cap
+are dropped BEFORE the join (an anti-join against the tiny hot set),
+and set sizes are computed post-filter so the Jaccard over the capped
+shingle universe stays internally exact. The minhash band join has no
+equivalent hazard: band signatures are hashes (near-uniform), so a hot
+band bucket means genuinely identical content — AQE skew splitting
+covers the residual case.
 """
 
 from __future__ import annotations
@@ -330,12 +337,31 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard over word-3-gram shingle sets, candidates via the
-    shingle inverted index (docs sharing no shingle never meet)."""
+    shingle inverted index (docs sharing no shingle never meet).
+
+    ``max_df`` is the stop-shingle skew escalation: shingles occurring
+    more than max_df times across the corpus are removed before the
+    self-join (a hot shingle with D occurrences otherwise creates one
+    D^2-row join partition — the 100 TB killer). The hot set is tiny by
+    construction (<= total_occurrences / max_df shingles), so the
+    removal is a broadcast anti-join; sizes are computed AFTER the
+    filter, so the result is the exact Jaccard over the capped shingle
+    universe (ubiquitous shingles carry no dedup signal — standard
+    stop-word practice, mirrored identically in the oracle)."""
     sh = rebalance(df).select(
         F.col(id_col).alias("id"), F.explode(shingles(text_col)).alias("shingle")
     )
+    if max_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df_cnt"))
+            .filter(F.col("df_cnt") > max_df)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     left = sh.select(F.col("id").alias("id_a"), "shingle")
     right = sh.select(F.col("id").alias("id_b"), "shingle")
@@ -361,11 +387,22 @@ def ngram_jaccard_pairs_sql(
     id_col: str = "doc_id",
     text: str = "text",
     threshold: float = 0.5,
+    max_df: int | None = None,
 ) -> str:
+    cap = (
+        f"""
+    sh AS (
+      SELECT * FROM sh0 WHERE shingle NOT IN (
+        SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) > {max_df}
+      )
+    ),"""
+        if max_df is not None
+        else "\n    sh AS (SELECT * FROM sh0),"
+    )
     return f"""
-    WITH sh AS (
+    WITH sh0 AS (
       SELECT {id_col} AS id, unnest({shingles_sql(text)}) AS shingle FROM {table}
-    ),
+    ),{cap}
     sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY 1),
     inter AS (
       SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter

@@ -52,14 +52,135 @@ FEATURE_SCHEMA = (
 
 
 def decode_media(payload: bytes, mime: str):  # pragma: no cover - stub
-    """STUB — real decode (PIL/ffmpeg/torchaudio) is not available in
-    this environment. Contract: payload bytes + mime -> ndarray
-    (H,W,C) image / (samples, channels) audio / frame iterator video.
-    Swap this single function to go live; everything around it is real
-    Spark plumbing."""
+    """STUB — full pixel/sample decode (PIL/ffmpeg/torchaudio) is not
+    available in this environment. Contract: payload bytes + mime ->
+    ndarray (H,W,C) image / (samples, channels) audio / frame iterator
+    video. Swap this single function to go live; everything around it is
+    real Spark plumbing — and HEADER decoding (format, dimensions, bit
+    depth) is fully real already: see :func:`parse_image_header`."""
     raise NotImplementedError(
-        "media decode requires an image/audio library not present in this "
-        "container; use fake_decode_features for the deterministic test path"
+        "full media decode requires an image/audio library not present in "
+        "this container; parse_image_header decodes real headers, and "
+        "fake_decode_features is the deterministic byte-feature path"
+    )
+
+
+# ---------------------------------------------------------------------------
+# real header decode (pure Python — no media libraries needed)
+# ---------------------------------------------------------------------------
+
+
+def parse_image_header(payload: bytes | None):
+    """Decode (format, width, height, bit_depth) from real image bytes.
+
+    Pure-Python parsers for the three classic formats:
+    - PNG: 8-byte signature then the IHDR chunk — width/height are
+      big-endian u32 at offsets 16/20, bit depth at 24.
+    - JPEG: marker scan from SOI (FFD8) skipping variable-length
+      segments until a frame header SOFn (C0-CF except C4/C8/CC);
+      height/width are big-endian u16 at +5/+7, sample precision at +4.
+    - GIF: 'GIF87a'/'GIF89a' then width/height little-endian u16.
+
+    Returns (None, None, None, None) for unrecognized/truncated bytes —
+    per-record degradation, same contract as the CSV parser (a corrupt
+    blob cannot kill a 100 TB scan).
+    """
+    if not payload:
+        return (None, None, None, None)
+    b = payload
+    if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 26 and b[12:16] == b"IHDR":
+        w = int.from_bytes(b[16:20], "big")
+        h = int.from_bytes(b[20:24], "big")
+        return ("png", w, h, b[24])
+    if b[:2] == b"\xff\xd8":
+        i = 2
+        while i + 9 < len(b):
+            if b[i] != 0xFF:
+                return ("jpeg", None, None, None)  # corrupt marker stream
+            marker = b[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2  # standalone markers have no length field
+                continue
+            seg_len = int.from_bytes(b[i + 2 : i + 4], "big")
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h = int.from_bytes(b[i + 5 : i + 7], "big")
+                w = int.from_bytes(b[i + 7 : i + 9], "big")
+                return ("jpeg", w, h, b[i + 4])
+            i += 2 + seg_len
+        return ("jpeg", None, None, None)
+    if b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
+        w = int.from_bytes(b[6:8], "little")
+        h = int.from_bytes(b[8:10], "little")
+        return ("gif", w, h, 8)
+    return (None, None, None, None)
+
+
+def synth_image_payload(media_id: int, body: bytes) -> bytes:
+    """Deterministic REAL image headers for the fixture corpus: format
+    rotates by id % 3, dimensions are arithmetic in the id (so the
+    DuckDB oracle can state the expected decode output without parsing
+    bytes). The body is the document text — irrelevant to header
+    parsing, present so payloads have realistic non-header content."""
+    w = media_id % 640 + 1
+    h = media_id % 480 + 1
+    m = media_id % 3
+    if m == 0:  # PNG signature + IHDR
+        ihdr = (13).to_bytes(4, "big") + b"IHDR"
+        ihdr += w.to_bytes(4, "big") + h.to_bytes(4, "big")
+        ihdr += bytes([8, 2, 0, 0, 0]) + b"\x00\x00\x00\x00"  # depth..crc
+        return b"\x89PNG\r\n\x1a\n" + ihdr + body
+    if m == 1:  # JPEG: SOI + APP0 (skipped by the scan) + SOF0
+        app0 = b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + bytes(9)
+        sof0 = b"\xff\xc0" + (17).to_bytes(2, "big") + bytes([8])
+        sof0 += h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([3])
+        return b"\xff\xd8" + app0 + sof0 + body
+    return b"GIF89a" + w.to_bytes(2, "little") + h.to_bytes(2, "little") + body
+
+
+HEADER_SCHEMA = "media_id long, format string, width int, height int, bit_depth int"
+
+
+def decode_image_headers(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas stage: real header parse per payload, Arrow-batched."""
+    for pdf in batches:
+        parsed = [parse_image_header(b) for b in pdf["payload"]]
+        yield pd.DataFrame(
+            {
+                "media_id": pdf["media_id"],
+                "format": [p[0] for p in parsed],
+                "width": pd.array([p[1] for p in parsed], dtype="Int32"),
+                "height": pd.array([p[2] for p in parsed], dtype="Int32"),
+                "bit_depth": pd.array([p[3] for p in parsed], dtype="Int32"),
+            }
+        )
+
+
+def _synth_payload_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "media_id": pdf["media_id"],
+                "payload": [
+                    synth_image_payload(int(i), t.encode("utf-8"))
+                    for i, t in zip(pdf["media_id"], pdf["text"])
+                ],
+            }
+        )
+
+
+def image_media_from_documents(docs: DataFrame) -> DataFrame:
+    """documents -> (media_id, payload BINARY) with real PNG/JPEG/GIF
+    header bytes (format/dims deterministic in doc_id)."""
+    narrow = rebalance(docs.select(F.col("doc_id").alias("media_id"), "text"))
+    return narrow.mapInPandas(_synth_payload_batches, "media_id long, payload binary")
+
+
+def extract_image_headers(docs: DataFrame) -> DataFrame:
+    """End-to-end: synthesize payloads, then DECODE the real bytes back
+    (two Arrow-batched stages; the parser never sees the generator's
+    arithmetic — it reads the bytes)."""
+    return image_media_from_documents(docs).mapInPandas(
+        decode_image_headers, HEADER_SCHEMA
     )
 
 

@@ -50,10 +50,17 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_pairs(_docs(spark, sf_dir))
 
 
-@register("dedup_ngram_jaccard", oracle=dedup.ngram_jaccard_pairs_sql(), tags=("ext", "dedup"))
+@register(
+    "dedup_ngram_jaccard",
+    oracle=dedup.ngram_jaccard_pairs_sql(max_df=25),
+    tags=("ext", "dedup"),
+)
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact word-3-gram Jaccard >= 0.5 via the shingle inverted index."""
-    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir))
+    """Exact word-3-gram Jaccard >= 0.5 via the shingle inverted index,
+    with the stop-shingle skew cap active (max_df=25: shingles above the
+    occurrence cap are anti-joined out before the self-join, bounding
+    the worst join partition at ~max_df^2 rows — ext/dedup.py)."""
+    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), max_df=25)
 
 
 @register(
@@ -178,6 +185,31 @@ def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     single swap point for real media libs (ext/multimodal.py)."""
     media = multimodal.media_from_documents(_docs(spark, sf_dir))
     return multimodal.extract_features(media)
+
+
+@register(
+    "multimodal_image_headers",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'gif' END
+             AS format,
+           (doc_id % 640 + 1)::INT AS width,
+           (doc_id % 480 + 1)::INT AS height,
+           8::INT AS bit_depth
+    FROM documents
+    """,
+    tags=("ext", "multimodal"),
+)
+def q_multimodal_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode, end to end: payloads carry genuine PNG/JPEG/
+    GIF header bytes (synthesized deterministically from doc_id), and a
+    pure-Python header parser — magic detection, JPEG marker scan, IHDR
+    /logical-screen reads — recovers format and dimensions FROM THE
+    BYTES (ext/multimodal.py::parse_image_header). The oracle states the
+    expected decode output arithmetically; any parser regression
+    mismatches. Two Arrow-batched mapInPandas stages, payload pruned
+    right after decode."""
+    return multimodal.extract_image_headers(_docs(spark, sf_dir))
 
 
 @register(

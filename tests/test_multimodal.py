@@ -1,0 +1,79 @@
+"""parse_image_header decodes real format bytes — tested against
+hand-assembled files, NOT the payload synthesizer (so a bug symmetric in
+both would still be caught by these independent fixtures)."""
+
+from __future__ import annotations
+
+from sparksent.ext.multimodal import parse_image_header, synth_image_payload
+
+
+def _png(w: int, h: int, depth: int = 8) -> bytes:
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + (13).to_bytes(4, "big")
+        + b"IHDR"
+        + w.to_bytes(4, "big")
+        + h.to_bytes(4, "big")
+        + bytes([depth, 6, 0, 0, 0])
+        + b"\xde\xad\xbe\xef"
+    )
+
+
+def test_png_header():
+    assert parse_image_header(_png(1920, 1080, 16)) == ("png", 1920, 1080, 16)
+
+
+def test_jpeg_header_with_skipped_segments():
+    # SOI, APP1 (Exif, variable length), COM, DRI, then SOF2 (progressive)
+    app1 = b"\xff\xe1" + (8).to_bytes(2, "big") + b"Exif\x00\x00"
+    com = b"\xff\xfe" + (7).to_bytes(2, "big") + b"hello"
+    dri = b"\xff\xdd" + (4).to_bytes(2, "big") + b"\x00\x08"
+    sof2 = b"\xff\xc2" + (17).to_bytes(2, "big") + bytes([12]) + (600).to_bytes(
+        2, "big"
+    ) + (800).to_bytes(2, "big") + bytes([3])
+    assert parse_image_header(b"\xff\xd8" + app1 + com + dri + sof2 + b"junk") == (
+        "jpeg",
+        800,
+        600,
+        12,
+    )
+
+
+def test_jpeg_dht_not_mistaken_for_frame():
+    # C4 (DHT) and CC (DAC) are in C0-CF but are NOT frame headers
+    dht = b"\xff\xc4" + (5).to_bytes(2, "big") + b"\x00\x01\x02"
+    sof0 = b"\xff\xc0" + (17).to_bytes(2, "big") + bytes([8]) + (10).to_bytes(
+        2, "big"
+    ) + (20).to_bytes(2, "big") + bytes([1])
+    assert parse_image_header(b"\xff\xd8" + dht + sof0) == ("jpeg", 20, 10, 8)
+
+
+def test_gif_header():
+    assert parse_image_header(b"GIF87a" + (320).to_bytes(2, "little") + (200).to_bytes(2, "little")) == (
+        "gif",
+        320,
+        200,
+        8,
+    )
+
+
+def test_garbage_and_truncation_degrade_per_record():
+    assert parse_image_header(None) == (None, None, None, None)
+    assert parse_image_header(b"") == (None, None, None, None)
+    assert parse_image_header(b"not an image at all") == (None, None, None, None)
+    assert parse_image_header(b"\x89PNG\r\n\x1a\nIH") == (None, None, None, None)
+    # JPEG with no frame marker before the bytes run out
+    assert parse_image_header(b"\xff\xd8\xff\xe0\x00\x04\x00\x00") == (
+        "jpeg",
+        None,
+        None,
+        None,
+    )
+
+
+def test_synthesizer_roundtrip():
+    for mid in (0, 1, 2, 639, 640, 997):
+        fmt, w, h, depth = parse_image_header(synth_image_payload(mid, b"body"))
+        assert fmt == ("png", "jpeg", "gif")[mid % 3]
+        assert (w, h) == (mid % 640 + 1, mid % 480 + 1)
+        assert depth == 8

@@ -158,6 +158,49 @@ def test_connected_components_nonconvergence_raises(spark):
         connected_components(verts, edges, max_iter=1)
 
 
+def test_jaccard_stop_shingle_cap_bounds_hot_partition(spark):
+    """One ubiquitous shingle must not create an O(D^2) join partition:
+    with max_df set, (a) the hot shingle is gone from the inverted index
+    so no candidate pair exists through it, and (b) Jaccard over the
+    capped universe matches the per-pair Python model exactly."""
+    from sparksent.ext.dedup import ngram_jaccard_pairs
+    from sparksent.ext.hashing import shingles
+
+    hot = "copyright footer boilerplate all rights reserved"  # in EVERY doc
+    docs = [
+        (i, f"unique words {i} alpha beta gamma delta {hot}") for i in range(30)
+    ] + [(100, f"unique words 0 alpha beta gamma delta {hot}")]  # near-dup of 0
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, threshold=0.1, max_df=10).collect()
+    }
+    # python model over the capped shingle universe
+    sh_rows = df.select("doc_id", F.explode(shingles("text")).alias("s")).collect()
+    from collections import Counter
+
+    freq = Counter(r["s"] for r in sh_rows)
+    by_doc: dict[int, list] = {}
+    for r in sh_rows:
+        if freq[r["s"]] <= 10:
+            by_doc.setdefault(r["doc_id"], []).append(r["s"])
+    want = {}
+    ids = sorted(by_doc)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            sa, sb = set(by_doc[a]), set(by_doc[b])
+            inter = len(sa & sb)
+            if inter and inter / len(sa | sb) >= 0.1:
+                want[(a, b)] = inter / len(sa | sb)
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-12, k
+    # without the cap the hot shingle alone creates 31*30/2 candidates;
+    # with it, only the genuine near-dup pair survives
+    assert (0, 100) in got
+
+
 def test_mllib_sentiment_margin(spark):
     """The oracle for doc_sentiment_mllib asserts prediction == lexicon
     label; that is only sound if the model separates its training set

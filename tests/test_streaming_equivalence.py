@@ -167,6 +167,35 @@ def test_session_window_equivalence(spark, tmp_path):
     assert got.exceptAll(want).count() == 0
 
 
+def test_session_window_matches_oracle_sf001(spark, ducks, tmp_path):
+    """The streaming session agg against the DuckDB gaps-and-islands
+    oracle at sf0.01 — the SAME hard gate (rows + schema + exact values)
+    the driver applies to the batch ``session_agg_30m`` query, so the
+    streaming surface gets the oracle-grade signal too (VERDICT r1 #8)."""
+    from sparksent.registry import REGISTRY, _ensure_loaded
+    from sparksent.streaming import streaming_session_agg
+
+    from conftest import SF_DIR, assert_oracle_match
+
+    _ensure_loaded()
+    replay = str(tmp_path / "session_oracle_replay")
+    ev = load_table(spark, SF_DIR, "events")
+    write_replay_chunks(ev, replay, N_CHUNKS)
+
+    aggs = [
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("sum_value"),
+    ]
+    stream = file_replay_source(spark, replay)
+    out = streaming_session_agg(stream, ["user_id"], "30 minutes", aggs)
+    _add_sentinels(spark, replay)
+    _run_to_memory(out, "t_session_oracle", "append")
+    got = spark.table("t_session_oracle").filter(F.col("user_id") != -1).select(
+        "user_id", "session_start_us", "n_events", "sum_value"
+    )
+    assert_oracle_match(got, ducks, REGISTRY["session_agg_30m"].oracle)
+
+
 def test_interval_join_equivalence(spark, tmp_path):
     """Stream-stream interval join (purchase <- views within 1h) == the
     same join run as one batch."""
