@@ -355,6 +355,13 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("id"), F.explode(shingles(text_col)).alias("shingle")
     )
     if max_df is not None:
+        # The hot set is found with a map-side-combined aggregate (its
+        # shuffle carries one row per shingle per partition, never the
+        # raw occurrences) and removed with a BROADCAST anti-join — so
+        # hot rows are dropped map-side BEFORE any shuffle. A window
+        # count over shingle would avoid the extra aggregate pass but
+        # would ship every hot occurrence into one partition first —
+        # reintroducing the straggler this cap exists to kill.
         hot = (
             sh.groupBy("shingle")
             .agg(F.count("*").alias("df_cnt"))

@@ -175,13 +175,21 @@ def image_media_from_documents(docs: DataFrame) -> DataFrame:
     return narrow.mapInPandas(_synth_payload_batches, "media_id long, payload binary")
 
 
+def _synth_then_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Fused synth+decode: one Python worker round-trip instead of two
+    (one Arrow ship of the text in, headers out — the payload bytes
+    never cross a worker boundary). The parser still only reads the
+    bytes the synthesizer wrote; the functions stay independent."""
+    yield from decode_image_headers(_synth_payload_batches(batches))
+
+
 def extract_image_headers(docs: DataFrame) -> DataFrame:
-    """End-to-end: synthesize payloads, then DECODE the real bytes back
-    (two Arrow-batched stages; the parser never sees the generator's
-    arithmetic — it reads the bytes)."""
-    return image_media_from_documents(docs).mapInPandas(
-        decode_image_headers, HEADER_SCHEMA
-    )
+    """End-to-end: synthesize payloads, then DECODE the real bytes back.
+    The two stages fuse into one mapInPandas (a separate-stage variant
+    exists via image_media_from_documents + decode_image_headers and is
+    what a real pipeline with a stored media table would run)."""
+    narrow = rebalance(docs.select(F.col("doc_id").alias("media_id"), "text"))
+    return narrow.mapInPandas(_synth_then_decode, HEADER_SCHEMA)
 
 
 def fake_decode_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

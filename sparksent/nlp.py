@@ -253,8 +253,8 @@ def mllib_sentiment(df: DataFrame, id_col: str = "doc_id", text_col: str = "text
 
     Oracle strategy: model internals aren't SQL-mirrorable, but the
     model is sized to SEPARATE the training set perfectly (4096 hash
-    features, no regularization, 100 LBFGS iterations over ~10-word
-    docs) with a min correct-class probability > 0.999999 at every
+    features, no regularization, 30 LBFGS iterations over ~10-word
+    docs) with a min correct-class probability > 0.9998 at every
     fixture SF — so ``prediction == label`` deterministically, with a
     margin far beyond partition-order float noise. The DuckDB oracle
     therefore asserts (doc_id, label, prediction=label): a real check
@@ -274,7 +274,7 @@ def mllib_sentiment(df: DataFrame, id_col: str = "doc_id", text_col: str = "text
         stages=[
             Tokenizer(inputCol=text_col, outputCol="toks"),
             HashingTF(inputCol="toks", outputCol="features", numFeatures=4096),
-            LogisticRegression(maxIter=100, regParam=0.0),
+            LogisticRegression(maxIter=30, regParam=0.0),
         ]
     )
     model = pipe.fit(labeled)
