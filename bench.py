@@ -60,6 +60,14 @@ HEADLINE = [
     "rangejoin_price_bands",
     "session_agg_30m",
     "asof_purchase_last_view",
+    "event_gap_stats",
+    "cube_event_value",
+    "hll_distinct_users",
+    "sample_stratified_events",
+    "embedding_centroids",
+    "embedding_quantize_error",
+    "grouped_mode_event_type",
+    "text_bigram_lift",
 ]
 
 

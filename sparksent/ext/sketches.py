@@ -1,0 +1,216 @@
+"""Sketch + deterministic-sampling operators for corpus-scale profiling.
+
+Reference scope: traubad/FlinkSentimentAnalysis has no sketches; these
+are the "training-data pipeline at 100 TB" extensions (SURVEY.md §7.1
+M5 family) where exact global aggregates stop being affordable:
+
+- ``hll_distinct``: a HyperLogLog distinct-count sketch expressed in
+  pure relational algebra, cross-engine **bit-exact** (no libm, no
+  float accumulation — see below). Register state is 256 small ints
+  per group; both aggregates are map-side combinable, so the shuffle
+  carries ~256 rows per (group, partition) instead of the raw values.
+- ``bernoulli_sample``: deterministic hash-threshold sampling — a pure
+  scan-side filter (no shuffle, no RNG state, reproducible across
+  retries/speculative tasks, which ``rand()`` sampling is not).
+- ``stratified_sample``: exact per-group top-k by hash order in TWO
+  phases (local per-salt top-k, then global top-k) so no single
+  reducer ever sees a whole hot group — the one-window form has a
+  per-group straggler at 100 TB.
+
+Cross-engine exactness strategy for HLL (FIXTURES.md §C spirit):
+the usual estimator ``alpha*m^2 / sum(2^-M_j)`` sums negative powers
+of two in float — order-sensitive once registers differ by > 53. We
+instead sum ``2^(53 - M_j)`` as BIGINT (M_j <= 53, 256 registers:
+max sum < 2^62 — exact, order-insensitive), and divide the float
+constant ``alpha*m^2*2^53`` (one literal, identical in both plans) by
+that integer: one float op, identical operands, identical result.
+The standard small/large-range corrections need ``ln`` (libm — not
+bit-portable); production applies them driver-side on the returned
+scalar state (n_zero is emitted for exactly that purpose).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .hashing import h60, h60_sql
+
+HLL_P = 8  # 2^8 = 256 registers
+HLL_M = 1 << HLL_P
+HLL_REST_BITS = 60 - HLL_P  # h60 yields 60 hash bits
+# alpha_256 * m^2 * 2^(REST_BITS + 1): the numerator of the estimator,
+# computed once here and embedded as the SAME literal in both engines.
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+HLL_NUMER = HLL_ALPHA * HLL_M * HLL_M * float(1 << (HLL_REST_BITS + 1))
+
+
+def _rho(rest: F.Column) -> F.Column:
+    """Position (1-based) of the leftmost 1-bit in the REST_BITS-wide
+    field, via binary-string length — integer-exact in both engines
+    (probed: Spark ``length(bin(x))`` == DuckDB ``length(bin(x))``)."""
+    return F.when(
+        rest > 0, F.lit(HLL_REST_BITS + 1) - F.length(F.bin(rest))
+    ).otherwise(F.lit(HLL_REST_BITS + 1))
+
+
+def hll_distinct(
+    df: DataFrame, group_col: str, value_col: str, with_exact: bool = True
+) -> DataFrame:
+    """Per-group HLL distinct estimate of ``value_col``.
+
+    Plan shape: two map-side-combined hash aggregates —
+    (group, bucket) -> max(rho), then group -> integer register sum.
+    Nothing wider than 256 rows per group ever shuffles. The optional
+    ``exact_distinct`` column (a real count-distinct, i.e. the
+    expensive thing the sketch replaces) is joined on for accuracy
+    reporting at test SFs; drop it at production scale.
+    """
+    h = h60(F.col(value_col).cast("string"))
+    regs = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            (h % HLL_M).alias("bucket"),
+            _rho(F.shiftright(h, HLL_P)).alias("rho"),
+        )
+        .groupBy("grp", "bucket")
+        .agg(F.max("rho").alias("mj"))
+    )
+    shift = f"shiftleft(cast(1 as bigint), cast({HLL_REST_BITS + 1} - mj as int))"
+    per_grp = regs.groupBy("grp").agg(
+        F.count("*").alias("n_present"),
+        F.sum(F.expr(shift)).alias("sum_present"),
+    )
+    n_zero = F.lit(HLL_M) - F.col("n_present")
+    sum_scaled = (
+        F.col("sum_present") + n_zero * F.lit(1 << (HLL_REST_BITS + 1))
+    ).alias("sum_scaled")
+    est = (F.lit(HLL_NUMER) / sum_scaled).alias("est_hll")
+    out = per_grp.select(
+        F.col("grp").alias(group_col),
+        n_zero.cast("int").alias("n_zero"),
+        sum_scaled,
+        est,
+    )
+    if with_exact:
+        exact = df.groupBy(F.col(group_col)).agg(
+            F.countDistinct(value_col).alias("exact_distinct")
+        )
+        out = out.join(F.broadcast(exact), group_col)
+    return out
+
+
+def hll_distinct_sql(
+    table: str, group_col: str, value_col: str, with_exact: bool = True
+) -> str:
+    h = h60_sql(f"{value_col}::VARCHAR")
+    rb = HLL_REST_BITS
+    exact_cte = (
+        f", exact AS (SELECT {group_col} AS grp, "
+        f"count(DISTINCT {value_col}) AS exact_distinct FROM {table} GROUP BY 1)"
+        if with_exact
+        else ""
+    )
+    exact_sel = ", exact.exact_distinct" if with_exact else ""
+    exact_join = " JOIN exact USING (grp)" if with_exact else ""
+    return f"""
+    WITH hashed AS (
+      SELECT {group_col} AS grp, h % {HLL_M} AS bucket, h >> {HLL_P} AS rest
+      FROM (SELECT {group_col}, {h} AS h FROM {table})
+    ),
+    regs AS (
+      SELECT grp, bucket,
+             max(CASE WHEN rest > 0 THEN {rb + 1} - length(bin(rest))
+                      ELSE {rb + 1} END) AS mj
+      FROM hashed GROUP BY 1, 2
+    ),
+    per_grp AS (
+      SELECT grp, count(*) AS n_present,
+             sum(1::BIGINT << ({rb + 1} - mj))::BIGINT AS sum_present
+      FROM regs GROUP BY 1
+    ){exact_cte}
+    SELECT grp AS {group_col},
+           ({HLL_M} - n_present)::INT AS n_zero,
+           sum_present + ({HLL_M} - n_present) * (1::BIGINT << {rb + 1})
+             AS sum_scaled,
+           {HLL_NUMER!r} / (sum_present
+             + ({HLL_M} - n_present) * (1::BIGINT << {rb + 1})) AS est_hll
+           {exact_sel}
+    FROM per_grp{exact_join}
+    """
+
+
+# ---------------------------------------------------------------------------
+# deterministic sampling
+# ---------------------------------------------------------------------------
+
+SAMPLE_MOD = 1_000_000
+
+
+def bernoulli_sample(
+    df: DataFrame, key_col: str, rate_ppm: int, cols: list[str]
+) -> DataFrame:
+    """Keep rows whose md5-derived hash of ``key_col`` lands below
+    ``rate_ppm``/1e6 — a deterministic Bernoulli sample. Pure per-row
+    filter at the scan: no shuffle, no RNG, stable under task retries
+    and across engines (unlike ``df.sample``, whose per-partition RNG
+    ties results to the physical split)."""
+    keep = (h60(F.col(key_col).cast("string")) % SAMPLE_MOD) < rate_ppm
+    return df.filter(keep).select(*cols)
+
+
+def bernoulli_sample_sql(
+    table: str, key_col: str, rate_ppm: int, cols: list[str]
+) -> str:
+    h = h60_sql(f"{key_col}::VARCHAR")
+    return (
+        f"SELECT {', '.join(cols)} FROM {table} "
+        f"WHERE {h} % {SAMPLE_MOD} < {rate_ppm}"
+    )
+
+
+def stratified_sample(
+    df: DataFrame, group_col: str, key_col: str, k: int, n_salt: int = 32
+) -> DataFrame:
+    """Exact per-group sample of the k smallest hash values (a fixed-k
+    stratified sample that every engine reproduces). Two-phase so no
+    reducer sorts a whole group: phase 1 ranks within (group, salt)
+    partitions and keeps k candidates per salt (>= the true global
+    top-k by pigeonhole), phase 2 ranks the <= k*n_salt survivors per
+    group. At 100 TB the single-window form makes one task per group
+    sort the entire group; here the per-reducer working set is bounded
+    by group_size/n_salt, then k*n_salt.
+    """
+    hk = h60(F.col(key_col).cast("string"))
+    base = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(key_col).alias("key"),
+        hk.alias("hk"),
+        (hk % n_salt).alias("salt"),
+    )
+    w1 = Window.partitionBy("grp", "salt").orderBy("hk", "key")
+    w2 = Window.partitionBy("grp").orderBy("hk", "key")
+    return (
+        base.withColumn("rn1", F.row_number().over(w1))
+        .filter(F.col("rn1") <= k)
+        .withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") <= k)
+        .select(
+            F.col("grp").alias(group_col), F.col("key").alias(key_col), "rk"
+        )
+    )
+
+
+def stratified_sample_sql(table: str, group_col: str, key_col: str, k: int) -> str:
+    """Oracle: the single-window form — semantically identical to the
+    two-phase plan (phase 1 only discards rows that cannot be in the
+    global per-group top-k)."""
+    h = h60_sql(f"{key_col}::VARCHAR")
+    return f"""
+    SELECT {group_col}, {key_col}, rk FROM (
+      SELECT {group_col}, {key_col},
+             row_number() OVER (PARTITION BY {group_col}
+                                ORDER BY {h}, {key_col}) AS rk
+      FROM {table})
+    WHERE rk <= {k}
+    """

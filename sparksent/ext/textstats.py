@@ -97,6 +97,103 @@ def rolling_fingerprint_sql(text: str = "text") -> str:
     )
 
 
+def bigram_lift(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 20,
+) -> DataFrame:
+    """Corpus-level collocation mining: top-k word bigrams by lift
+    (observed/expected co-occurrence). Lift instead of log-PMI because
+    ``N_uni^2 * c_ab / (N_bi * c_a * c_b)`` is float division over
+    exact integer counts in a fixed association order — bit-identical
+    across engines, where ``ln``-based PMI inherits libm ulp drift.
+
+    Plan: per-row bigram arrays (no shuffle), explode -> ONE hash
+    aggregate each for bigram and unigram counts (map-side combined);
+    unigram counts broadcast back onto bigram counts (vocab << corpus);
+    scalar totals broadcast via a 1-row cross join; global top-k is
+    TakeOrdered (no single-reducer full sort).
+    """
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    grams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(
+                " ", F.try_element_at(toks, i), F.try_element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = rebalance(df)
+    bg = (
+        base.select(F.explode(grams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("c_ab"))
+    )
+    uni = (
+        base.select(F.explode(toks).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("c"))
+    )
+    totals = uni.agg(F.sum("c").alias("n_uni")).crossJoin(
+        bg.agg(F.sum("c_ab").alias("n_bi"))
+    )
+    parts = F.split(F.col("bigram"), " ")
+    scored = (
+        bg.filter(F.col("c_ab") >= min_count)
+        .withColumn("w1", parts[0])
+        .withColumn("w2", parts[1])
+        .join(F.broadcast(uni.select(F.col("term").alias("w1"), F.col("c").alias("c_a"))), "w1")
+        .join(F.broadcast(uni.select(F.col("term").alias("w2"), F.col("c").alias("c_b"))), "w2")
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "lift",
+            (F.col("c_ab").cast("double") * F.col("n_uni") * F.col("n_uni"))
+            / (F.col("n_bi").cast("double") * F.col("c_a") * F.col("c_b")),
+        )
+    )
+    return (
+        scored.orderBy(F.col("lift").desc(), "bigram")
+        .limit(k)
+        .select("bigram", "c_ab", "c_a", "c_b", F.round("lift", 6).alias("lift_r"))
+    )
+
+
+def bigram_lift_sql(
+    table: str = "documents", text: str = "text", min_count: int = 5, k: int = 20
+) -> str:
+    toks = f"string_split({text}, ' ')"
+    return f"""
+    WITH grams AS (
+      SELECT unnest(CASE WHEN len({toks}) >= 2 THEN
+               [array_to_string({toks}[i:i+1], ' ')
+                FOR i IN generate_series(1, len({toks}) - 1)]
+             ELSE [] END) AS bigram
+      FROM {table}
+    ),
+    bg AS (SELECT bigram, count(*) AS c_ab FROM grams GROUP BY 1),
+    uni AS (SELECT unnest({toks}) AS term FROM {table}),
+    uc AS (SELECT term, count(*) AS c FROM uni GROUP BY 1),
+    tot AS (SELECT (SELECT sum(c) FROM uc) AS n_uni,
+                   (SELECT sum(c_ab) FROM bg) AS n_bi)
+    SELECT bigram, c_ab, c_a, c_b, round(lift, 6) AS lift_r
+    FROM (
+      SELECT bg.bigram, bg.c_ab, a.c AS c_a, b.c AS c_b,
+             (bg.c_ab::DOUBLE * tot.n_uni * tot.n_uni)
+               / (tot.n_bi::DOUBLE * a.c * b.c) AS lift
+      FROM bg
+      CROSS JOIN tot
+      JOIN uc a ON a.term = string_split(bg.bigram, ' ')[1]
+      JOIN uc b ON b.term = string_split(bg.bigram, ' ')[2]
+      WHERE bg.c_ab >= {min_count}
+    )
+    ORDER BY lift DESC, bigram
+    LIMIT {k}
+    """
+
+
 def top_distinctive_terms(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -8,7 +8,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import tables
-from .ext import dedup, jsonops, multimodal, similarity, textstats
+from .ext import dedup, grouped, jsonops, multimodal, similarity, sketches, textstats, vectorops
 from .registry import register
 
 N_QUERIES = 10  # similarity-search query set: vec_id < 10
@@ -282,6 +282,117 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(
         docs.select("doc_id"), pairs, id_col="doc_id"
     ).select(F.col("id").alias("doc_id"), F.col("label").alias("component"))
+
+
+# ---------------------------------------------------------------------------
+# sketches + deterministic sampling
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "hll_distinct_users",
+    oracle=sketches.hll_distinct_sql("events", "event_type", "user_id"),
+    tags=("ext", "sketch"),
+)
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog(p=8) distinct users per event type — register state
+    only on the wire (two map-side-combined aggregates, <= 256 rows per
+    group), with the exact count joined on for accuracy reporting at
+    test SFs. Bit-exact estimator: integer register sums + one float
+    division (ext/sketches.py module docstring)."""
+    ev = tables.load_table(spark, sf_dir, "events")
+    return sketches.hll_distinct(ev, "event_type", "user_id")
+
+
+@register(
+    "sample_bernoulli_events",
+    oracle=sketches.bernoulli_sample_sql(
+        "events", "event_id", 50_000, ["event_id", "user_id", "event_type"]
+    ),
+    tags=("ext", "sample"),
+)
+def q_sample_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5% Bernoulli sample by hash threshold on event_id:
+    a pure scan-side filter — no shuffle, no RNG, identical output on
+    any engine/partitioning/retry (df.sample is none of those)."""
+    ev = tables.load_table(spark, sf_dir, "events")
+    return sketches.bernoulli_sample(
+        ev, "event_id", 50_000, ["event_id", "user_id", "event_type"]
+    )
+
+
+@register(
+    "sample_stratified_events",
+    oracle=sketches.stratified_sample_sql("events", "event_type", "event_id", 20),
+    tags=("ext", "sample"),
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 20-per-event-type stratified sample by hash order, in two
+    window phases (per-salt local top-k, then top-k over the <= k*32
+    survivors) so no reducer sorts a whole stratum — the single-window
+    form has one straggler task per hot group at 100 TB."""
+    ev = tables.load_table(spark, sf_dir, "events")
+    return sketches.stratified_sample(ev, "event_type", "event_id", 20)
+
+
+# ---------------------------------------------------------------------------
+# vector ops beyond search
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_centroids",
+    oracle=vectorops.embedding_centroids_sql(),
+    tags=("ext", "vector"),
+)
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label elementwise embedding centroids (class prototypes):
+    posexplode + one map-side-combined aggregate on (label, pos) —
+    only (labels x dims) partial sums shuffle, never vectors. Exact
+    via floor-scaled BIGINT sums (ext/vectorops.py)."""
+    return vectorops.embedding_centroids(_emb(spark, sf_dir))
+
+
+@register(
+    "embedding_quantize_error",
+    oracle=vectorops.quantize_error_stats_sql(),
+    tags=("ext", "vector"),
+)
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 scalar quantization round-trip per vector:
+    summed reconstruction error (floor-scaled exact), q range, clip
+    count. Pure per-row array expressions — zero shuffle."""
+    return vectorops.quantize_error_stats(_emb(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# grouped-pandas escape hatch (proven under the exact gate)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "grouped_mode_event_type",
+    oracle=grouped.grouped_mode_sql(),
+    tags=("ext", "grouped"),
+)
+def q_grouped_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user modal event type via Arrow-batched applyInPandas,
+    bit-matching the SQL window oracle — keeps the custom-Python path
+    honest for operators Spark genuinely lacks (ext/grouped.py)."""
+    ev = tables.load_table(spark, sf_dir, "events")
+    return grouped.grouped_mode(ev)
+
+
+@register(
+    "text_bigram_lift",
+    oracle=textstats.bigram_lift_sql(),
+    tags=("ext", "text"),
+)
+def q_bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 corpus collocations by lift (observed/expected bigram
+    rate) — rational lift instead of log-PMI for cross-engine bit
+    equality; unigram counts broadcast, top-k via TakeOrdered."""
+    return textstats.bigram_lift(_docs(spark, sf_dir))
 
 
 @register(

@@ -489,3 +489,89 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .count()
         .na.fill(0, types)
     )
+
+
+# ---------------------------------------------------------------------------
+# analytic windows + grouping sets
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "event_gap_stats",
+    oracle="""
+    WITH g AS (
+      SELECT user_id,
+             epoch_us(ts) - lag(epoch_us(ts))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events
+    )
+    SELECT user_id,
+           count(*) AS n_events,
+           count(gap_us) AS n_gaps,
+           coalesce(sum(gap_us), 0)::BIGINT AS sum_gap_us,
+           coalesce(max(gap_us), 0)::BIGINT AS max_gap_us
+    FROM g GROUP BY 1
+    """,
+    tags=("relational", "window"),
+)
+def q_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-event gap statistics via lag(): the canonical
+    sessionization precursor. Epoch-microsecond BIGINT arithmetic is
+    integer-exact on both engines; the groupBy(user_id) after the
+    window reuses the window's hash partitioning (no second shuffle —
+    ensure_requirements sees the distribution already satisfied)."""
+    ev = tables.load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    um = F.unix_micros(F.col("ts"))
+    gaps = ev.select(
+        "user_id", (um - F.lag(um).over(w)).alias("gap_us")
+    )
+    return gaps.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.count("gap_us").alias("n_gaps"),
+        F.coalesce(F.sum("gap_us"), F.lit(0)).alias("sum_gap_us"),
+        F.coalesce(F.max("gap_us"), F.lit(0)).alias("max_gap_us"),
+    )
+
+
+@register(
+    "cube_event_value",
+    oracle="""
+    SELECT coalesce(event_type, 'ALL') AS event_type,
+           coalesce(user_bucket, -1) AS user_bucket,
+           GROUPING(event_type, user_bucket) AS gid,
+           count(*) AS n,
+           sum(v)::DOUBLE AS sum_value
+    FROM (SELECT event_type, (user_id % 10)::INT AS user_bucket,
+                 value::DECIMAL(28,6) AS v
+          FROM events)
+    GROUP BY CUBE(event_type, user_bucket)
+    """,
+    tags=("relational", "agg"),
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CUBE over (event_type, user bucket): all four grouping sets
+    in one Expand + single aggregate pass (vs four scans), with
+    grouping_id() disambiguating rolled-up NULLs from data NULLs —
+    probe-verified to use the same bit order as DuckDB's GROUPING()
+    (first cube column = most significant bit)."""
+    ev = tables.load_table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("user_id") % 10).cast("int").alias("user_bucket"),
+        _dec28("value").alias("v"),
+    )
+    return (
+        ev.cube("event_type", "user_bucket")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count("*").alias("n"),
+            F.sum("v").cast("double").alias("sum_value"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce("user_bucket", F.lit(-1)).alias("user_bucket"),
+            "gid",
+            "n",
+            "sum_value",
+        )
+    )

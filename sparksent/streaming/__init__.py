@@ -21,6 +21,7 @@ from .count_window import (  # noqa: F401
 )
 from .ops import (  # noqa: F401
     streaming_cumulative_sum,
+    streaming_exact_dedup,
     streaming_interval_join,
     streaming_session_agg,
     streaming_tumbling_agg,

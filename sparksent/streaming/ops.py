@@ -90,6 +90,36 @@ def streaming_session_agg(
     )
 
 
+def streaming_exact_dedup(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str | None = None,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Streaming first-wins exact deduplication on ``key_cols`` — the
+    streaming twin of the batch md5-fingerprint dedup (ext/dedup.py).
+
+    Two state regimes:
+    - ``watermark=None``: global dedup; state is one entry per distinct
+      key, forever. Correct, but only affordable when the distinct-key
+      cardinality is bounded (or the run is).
+    - with ``ts_col`` + ``watermark``: ``dropDuplicatesWithinWatermark``
+      — state expires once the watermark passes a key's event time, so
+      memory is bounded by the duplicate-arrival horizon. The right
+      form for re-delivered/replayed feeds where dupes cluster in time.
+
+    Either way the state store partitions by the dedup key — the same
+    hash distribution as a batch groupBy, no extra skew.
+    """
+    if watermark is not None:
+        if ts_col is None:
+            raise ValueError("watermarked dedup needs ts_col")
+        return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            list(key_cols)
+        )
+    return df.dropDuplicates(list(key_cols))
+
+
 def streaming_interval_join(
     left: DataFrame,
     right: DataFrame,

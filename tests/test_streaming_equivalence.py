@@ -408,3 +408,44 @@ def test_stream_static_dimension_join(spark, tmp_path):
     want = enrich(ev)
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+def test_exact_dedup_equivalence(spark, replay_dir):
+    """Streaming first-wins dedup keeps exactly one row per key; the
+    surviving KEY SET equals the batch distinct (which row of a dup
+    group survives is arrival-order-defined in streaming and
+    partition-order-defined in batch — the set is the invariant)."""
+    from sparksent.streaming import streaming_exact_dedup
+
+    stream = file_replay_source(spark, replay_dir).filter(
+        F.col("event_type") != "__sentinel__"
+    )
+    out = streaming_exact_dedup(stream, ["user_id", "event_type"])
+    _run_to_memory(out, "t_dedup", "append")
+    got = spark.table("t_dedup").select("user_id", "event_type")
+    assert got.groupBy("user_id", "event_type").count().filter(
+        F.col("count") > 1
+    ).count() == 0
+    ev = load_table(spark, SF_DIR_SMALL, "events")
+    want = ev.select("user_id", "event_type").distinct()
+    assert got.select("user_id", "event_type").exceptAll(want).count() == 0
+    assert want.exceptAll(got.select("user_id", "event_type")).count() == 0
+
+
+def test_exact_dedup_within_watermark(spark, replay_dir):
+    """The state-bounded variant: duplicates within the watermark
+    horizon are dropped; with the fixture's duplicates all inside one
+    horizon, the output key set still matches the batch distinct."""
+    from sparksent.streaming import streaming_exact_dedup
+
+    stream = file_replay_source(spark, replay_dir).filter(
+        F.col("event_type") != "__sentinel__"
+    )
+    out = streaming_exact_dedup(
+        stream, ["user_id", "event_type"], ts_col="ts", watermark="2 hours"
+    )
+    _run_to_memory(out, "t_dedup_wm", "append")
+    got = spark.table("t_dedup_wm").select("user_id", "event_type").distinct()
+    ev = load_table(spark, SF_DIR_SMALL, "events")
+    want = ev.select("user_id", "event_type").distinct()
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
