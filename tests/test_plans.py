@@ -124,3 +124,61 @@ def test_semi_anti_join_types(spark):
     # anti side pruned to the join key before shuffling
     m = re.findall(r"ReadSchema: struct<([^>]*)>", anti)
     assert any(s.startswith("o_custkey") for s in m)
+
+
+def test_hll_register_aggregation_shape(spark):
+    """HLL: both aggregates map-side combined (partial_max on registers,
+    partial_sum on the integer register sum) — the shuffle carries
+    register partials, never raw values; the exact-count side joins by
+    broadcast."""
+    plan = plan_of(spark, "hll_distinct_users")
+    assert "partial_max" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bernoulli_sample_no_shuffle(spark):
+    plan = plan_of(spark, "sample_bernoulli_events")
+    assert count_data_shuffles(plan) == 0
+    assert "Join" not in plan
+
+
+def test_centroids_single_partial_agg_shuffle(spark):
+    """posexplode + ONE map-side-combined aggregate: only (label, pos)
+    partial sums cross the wire."""
+    plan = plan_of(spark, "embedding_centroids")
+    assert "partial_sum" in plan
+    assert count_data_shuffles(plan) == 1
+    assert "Generate" in plan  # the posexplode
+
+
+def test_quantize_error_zero_shuffle(spark):
+    plan = plan_of(spark, "embedding_quantize_error")
+    assert count_data_shuffles(plan) == 0
+    assert "Join" not in plan
+
+
+def test_bigram_lift_broadcasts_and_takeordered(spark):
+    """Unigram-count enrichments broadcast (vocab << corpus); the
+    global top-k is TakeOrdered — no single-reducer full sort."""
+    plan = plan_of(spark, "text_bigram_lift")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_event_gaps_single_shuffle(spark):
+    """The groupBy(user_id) after the lag window reuses the window's
+    hash partitioning — one Exchange total."""
+    plan = plan_of(spark, "event_gap_stats")
+    assert "Window" in plan
+    assert count_data_shuffles(plan) == 1
+
+
+def test_cube_single_expand_aggregate(spark):
+    """CUBE compiles to Expand + one partial/final aggregate pair, not
+    one scan per grouping set."""
+    plan = plan_of(spark, "cube_event_value")
+    assert "Expand" in plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "partial_sum" in plan
