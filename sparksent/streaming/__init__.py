@@ -27,4 +27,9 @@ from .ops import (  # noqa: F401
     streaming_tumbling_agg,
 )
 from .sources import file_replay_source, rate_events, socket_lines  # noqa: F401
-from .sinks import to_console, to_memory, to_parquet  # noqa: F401
+from .sinks import (  # noqa: F401
+    parquet_keyed_merge,
+    to_console,
+    to_memory,
+    to_parquet,
+)

@@ -449,3 +449,39 @@ def test_exact_dedup_within_watermark(spark, replay_dir):
     want = ev.select("user_id", "event_type").distinct()
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_parquet_keyed_merge_equivalence(spark, replay_dir, tmp_path):
+    """The distributed upsert sink: update-mode windowed counts merged
+    into a bucket-partitioned parquet store across micro-batches; the
+    final store equals the batch aggregate (and holds exactly one row
+    per key — later updates replaced earlier ones)."""
+    from sparksent.streaming import streaming_tumbling_agg
+    from sparksent.streaming.sinks import parquet_keyed_merge
+
+    store_path = str(tmp_path / "merge_store")
+    stream = file_replay_source(spark, replay_dir).filter(
+        F.col("event_type") != "__sentinel__"
+    )
+    counts = streaming_tumbling_agg(
+        stream, ["event_type"], 10, [F.count("*").alias("count")],
+        watermark="10 seconds",
+    )
+    q = parquet_keyed_merge(
+        counts, store_path, ["window_start_s", "event_type"], available_now=True
+    )
+    q.awaitTermination(180)
+
+    got = spark.read.parquet(store_path).select(
+        "window_start_s", "event_type", "count"
+    )
+    assert (
+        got.groupBy("window_start_s", "event_type").count()
+        .filter(F.col("count") > 1).count() == 0
+    )
+    ev = load_table(spark, SF_DIR_SMALL, "events")
+    want = windows.tumbling_agg(
+        ev, ["event_type"], 10, [F.count("*").alias("count")]
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
