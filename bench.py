@@ -62,6 +62,8 @@ HEADLINE = [
     "asof_purchase_last_view",
     "event_gap_stats",
     "cube_event_value",
+    "hist_event_value",
+    "decile_user_value",
     "hll_distinct_users",
     "sample_stratified_events",
     "embedding_centroids",

@@ -575,3 +575,81 @@ def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+@register(
+    "hist_event_value",
+    oracle="""
+    SELECT floor(value / 25.0)::BIGINT AS bucket,
+           floor(value / 25.0) * 25.0 AS lo,
+           count(*) AS n,
+           sum(value::DECIMAL(28,6))::DOUBLE AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+    tags=("relational", "agg"),
+)
+def q_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram (width 25): the scalable histogram
+    sketch — bucketing is a per-row projection, the aggregate is one
+    map-side-combined pass with at most ~n_buckets rows on the wire.
+    ``floor(value/width)`` is the same IEEE op on both engines (unlike
+    width_bucket, whose edge semantics differ); lo = bucket*width
+    re-derives the edge with one exact multiply."""
+    ev = tables.load_table(spark, sf_dir, "events")
+    bucket = F.floor(F.col("value") / F.lit(25.0))
+    return (
+        ev.select(
+            bucket.cast("long").alias("bucket"),
+            (bucket * F.lit(25.0)).alias("lo"),
+            _dec28("value").alias("v"),
+        )
+        .groupBy("bucket", "lo")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("v").cast("double").alias("sum_value"),
+        )
+    )
+
+
+@register(
+    "decile_user_value",
+    oracle="""
+    WITH totals AS (
+      SELECT user_id, sum(value::DECIMAL(28,6)) AS total
+      FROM events GROUP BY 1
+    ),
+    ranked AS (
+      SELECT user_id, total,
+             ntile(10) OVER (ORDER BY total, user_id) AS decile
+      FROM totals
+    )
+    SELECT decile, count(*) AS n_users,
+           sum(total)::DOUBLE AS sum_value,
+           min(total)::DOUBLE AS min_value,
+           max(total)::DOUBLE AS max_value
+    FROM ranked GROUP BY 1
+    """,
+    tags=("relational", "window"),
+)
+def q_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-value decile segmentation: per-user decimal totals (one
+    partial-agg shuffle over the fact table), then ntile(10) over the
+    aggregated totals with a (total, user_id) total order so tie
+    placement is deterministic. The unpartitioned ntile window sorts
+    only the POST-AGGREGATE rows (one per user) on a single reducer —
+    fine to ~1e8 users; beyond that, production swaps ntile for decile
+    boundaries from exact/approx percentiles broadcast back (the
+    percentile_order_value query shows that primitive)."""
+    ev = tables.load_table(spark, sf_dir, "events")
+    totals = ev.groupBy("user_id").agg(F.sum(_dec28("value")).alias("total"))
+    w = Window.orderBy("total", "user_id")
+    return (
+        totals.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.sum("total").cast("double").alias("sum_value"),
+            F.min("total").cast("double").alias("min_value"),
+            F.max("total").cast("double").alias("max_value"),
+        )
+    )
