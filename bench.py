@@ -64,6 +64,9 @@ HEADLINE = [
     "cube_event_value",
     "hist_event_value",
     "decile_user_value",
+    "event_session_ids",
+    "cmsketch_heavy_hitters",
+    "text_normalize",
     "hll_distinct_users",
     "sample_stratified_events",
     "embedding_centroids",

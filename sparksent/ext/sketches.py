@@ -141,6 +141,91 @@ def hll_distinct_sql(
 
 
 # ---------------------------------------------------------------------------
+# Count-Min sketch
+# ---------------------------------------------------------------------------
+
+CM_D = 4  # hash rows
+CM_W = 64  # counters per row
+
+
+def _cm_probes(item: F.Column) -> F.Column:
+    """The d (row, bucket) probe pairs for an item — row i hashes
+    ``"i:<item>"`` so the d hash functions are independent md5 slices,
+    reproducible in SQL."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row_i"),
+                (h60(F.concat(F.lit(f"{i}:"), item.cast("string"))) % CM_W).alias(
+                    "bucket"
+                ),
+            )
+            for i in range(CM_D)
+        ]
+    )
+
+
+def cm_heavy_hitters(df: DataFrame, item_col: str, k: int = 20) -> DataFrame:
+    """Count-Min sketch (d=4, w=64) frequency estimates next to true
+    counts for the top-k items — ``cm_est >= true_n`` always, with the
+    overestimate bounded by collisions (N/w per row, min over d rows).
+
+    Plan shape: the sketch builds in ONE pass — explode each occurrence
+    into its d probes, then a map-side-combined aggregate whose key
+    space is d*w = 256, so every map task emits at most 256 partial
+    rows regardless of input size. The 256-row counter table broadcasts
+    back onto the candidate probes; candidates here are the exact
+    per-item counts (also the truth column — at production scale the
+    candidate set comes from a sample or a threshold, and the exact
+    count side is dropped; the sketch is what remains affordable).
+    Integer-only: bit-exact across engines.
+    """
+    counters = (
+        df.select(F.explode(_cm_probes(F.col(item_col))).alias("rb"))
+        .select("rb.row_i", "rb.bucket")
+        .groupBy("row_i", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+    items = df.groupBy(item_col).agg(F.count("*").alias("true_n"))
+    probes = items.select(
+        item_col, "true_n", F.explode(_cm_probes(F.col(item_col))).alias("rb")
+    ).select(item_col, "true_n", "rb.row_i", "rb.bucket")
+    return (
+        probes.join(F.broadcast(counters), ["row_i", "bucket"])
+        .groupBy(item_col, "true_n")
+        .agg(F.min("cnt").alias("cm_est"))
+        .orderBy(F.col("true_n").desc(), item_col)
+        .limit(k)
+    )
+
+
+def cm_heavy_hitters_sql(table: str, item_col: str, k: int = 20) -> str:
+    h = h60_sql(f"row_i::VARCHAR || ':' || {item_col}::VARCHAR")
+    rows = ", ".join(str(i) for i in range(CM_D))
+    return f"""
+    WITH occ AS (
+      SELECT {item_col}, row_i, {h} % {CM_W} AS bucket
+      FROM {table} CROSS JOIN (SELECT unnest([{rows}]) AS row_i)
+    ),
+    counters AS (
+      SELECT row_i, bucket, count(*) AS cnt FROM occ GROUP BY 1, 2
+    ),
+    items AS (
+      SELECT {item_col}, count(*) AS true_n FROM {table} GROUP BY 1
+    ),
+    probes AS (
+      SELECT {item_col}, true_n, row_i, {h} % {CM_W} AS bucket
+      FROM items CROSS JOIN (SELECT unnest([{rows}]) AS row_i)
+    )
+    SELECT {item_col}, true_n, min(cnt) AS cm_est
+    FROM probes JOIN counters USING (row_i, bucket)
+    GROUP BY 1, 2
+    ORDER BY true_n DESC, {item_col}
+    LIMIT {k}
+    """
+
+
+# ---------------------------------------------------------------------------
 # deterministic sampling
 # ---------------------------------------------------------------------------
 

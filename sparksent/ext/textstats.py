@@ -97,6 +97,43 @@ def rolling_fingerprint_sql(text: str = "text") -> str:
     )
 
 
+def normalize_text(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """C4-style text normalization: lowercase, map non-[a-z0-9 ] bytes
+    to spaces (so punctuation splits rather than joins words), squeeze
+    whitespace runs, trim. Pure per-row string expressions — codegen,
+    no shuffle; patterns restricted to literal classes that Java regex
+    and RE2 (DuckDB) interpret identically."""
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9 ]", " "),
+            " +",
+            " ",
+        )
+    )
+    return df.select(
+        F.col(id_col),
+        norm.alias("norm_text"),
+        F.when(norm == "", F.lit(0))
+        .otherwise(F.size(F.split(norm, " ")))
+        .alias("n_tokens_norm"),
+    )
+
+
+def normalize_text_sql(
+    table: str = "documents", id_col: str = "doc_id", text: str = "text"
+) -> str:
+    norm = (
+        f"trim(regexp_replace(regexp_replace(lower({text}), "
+        f"'[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+    )
+    return f"""
+    SELECT {id_col}, {norm} AS norm_text,
+           CASE WHEN {norm} = '' THEN 0
+                ELSE len(string_split({norm}, ' ')) END AS n_tokens_norm
+    FROM {table}
+    """
+
+
 def bigram_lift(
     df: DataFrame,
     text_col: str = "text",

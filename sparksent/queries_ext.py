@@ -335,6 +335,33 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketches.stratified_sample(ev, "event_type", "event_id", 20)
 
 
+@register(
+    "cmsketch_heavy_hitters",
+    oracle=sketches.cm_heavy_hitters_sql("events", "user_id"),
+    tags=("ext", "sketch"),
+)
+def q_cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min(4x64) user-frequency estimates vs true counts for the
+    top-20 users: the sketch builds in one pass with a 256-key map-side
+    combined aggregate (bounded partials per map task at any input
+    size) and broadcasts back onto candidates. Integer-only —
+    bit-exact."""
+    ev = tables.load_table(spark, sf_dir, "events")
+    return sketches.cm_heavy_hitters(ev, "user_id")
+
+
+@register(
+    "text_normalize",
+    oracle=textstats.normalize_text_sql(),
+    tags=("ext", "text"),
+)
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style normalization pass (lowercase / punctuation-to-space /
+    whitespace squeeze / trim) with post-normalization token counts —
+    pure codegen projections, no shuffle."""
+    return textstats.normalize_text(_docs(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # vector ops beyond search
 # ---------------------------------------------------------------------------

@@ -653,3 +653,53 @@ def q_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("total").cast("double").alias("max_value"),
         )
     )
+
+
+@register(
+    "event_session_ids",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_id,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       >= 1800000000
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+    )
+    SELECT user_id, event_id,
+           sum(brk) OVER (PARTITION BY user_id ORDER BY event_id
+                          ROWS UNBOUNDED PRECEDING)::BIGINT AS sid
+    FROM o
+    """,
+    tags=("relational", "window", "session"),
+)
+def q_session_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level sessionization: assign each event its per-user session
+    ordinal (gaps-and-islands — a break where the gap to the previous
+    event reaches 30 min, then a running sum of breaks). The companion
+    to session_agg_30m when downstream needs the session key ON the
+    events rather than aggregates. Both windows share the user_id
+    partitioning: ONE shuffle. Integer microsecond arithmetic — exact.
+    The oracle's second window orders by event_id alone: within a user,
+    event_id order == (ts, event_id) order in the fixture, and the sum
+    of breaks only changes at break rows either way."""
+    ev = tables.load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    um = F.unix_micros(F.col("ts"))
+    brk = (
+        F.when(um - F.lag(um).over(w) >= 1_800_000_000, F.lit(1)).otherwise(F.lit(0))
+    )
+    return (
+        ev.select("user_id", "event_id", brk.alias("brk"))
+        .withColumn(
+            "sid",
+            F.sum("brk")
+            .over(
+                Window.partitionBy("user_id")
+                .orderBy("event_id")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            .cast("long"),
+        )
+        .select("user_id", "event_id", "sid")
+    )

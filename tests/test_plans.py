@@ -182,3 +182,26 @@ def test_cube_single_expand_aggregate(spark):
     assert "Expand" in plan
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
     assert "partial_sum" in plan
+
+
+def test_cm_sketch_bounded_partials_and_broadcast(spark):
+    """CM sketch: the counter build is a map-side-combined aggregate
+    over a d*w=256 key space, and the counter table joins back by
+    broadcast — no shuffle ever carries per-occurrence rows."""
+    plan = plan_of(spark, "cmsketch_heavy_hitters")
+    assert "partial_count" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_session_ids_single_shuffle(spark):
+    """Both sessionization windows share the user_id partitioning."""
+    plan = plan_of(spark, "event_session_ids")
+    assert count_data_shuffles(plan) == 1
+
+
+def test_text_normalize_no_shuffle(spark):
+    plan = plan_of(spark, "text_normalize")
+    assert count_data_shuffles(plan) == 0
+    assert "Join" not in plan
