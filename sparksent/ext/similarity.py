@@ -20,8 +20,12 @@ bit-identical scores, verified in tests.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType
 
 NUM_PLANES = 4
 _LCG_A, _LCG_C, _LCG_M = 1103515245, 12345, 2_147_483_647
@@ -44,6 +48,30 @@ def dot(a: Column, b: Column) -> Column:
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
+
+
+# returnType as a DataType INSTANCE, not a DDL string: string schemas
+# parse through the active SparkSession, which would make importing this
+# module require a running session (it broke pytest collection).
+@pandas_udf(DoubleType())
+def dot_arrow(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Arrow-vectorized dot product, bit-identical to :func:`dot`: the
+    accumulator adds one (float64) element product per step in dim
+    order — the same IEEE op sequence as the JVM fold and the DuckDB
+    list_sum, just batched across rows. Spark's higher-order functions
+    run interpreted per element, so on the candidate-PAIR hot path
+    (pairs >> rows) this is the ~2x-faster form; per-row projections
+    (buckets, norms) stay JVM-side where codegen already wins.
+    Measured identical output on the full neardup pair set (sf0.1)."""
+    n = len(a)
+    if n == 0:
+        return pd.Series(np.empty(0, dtype=np.float64))
+    am = np.stack(a.to_numpy()).astype(np.float64)
+    bm = np.stack(b.to_numpy()).astype(np.float64)
+    acc = np.zeros(n, dtype=np.float64)
+    for d in range(am.shape[1]):
+        acc = acc + am[:, d] * bm[:, d]
+    return pd.Series(acc)
 
 
 def norm(a: Column) -> Column:
@@ -83,13 +111,23 @@ def brute_force_topk(
     """Exact top-k neighbors per query by cosine (self excluded); ties
     broken by neighbor id for a total, engine-independent order."""
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        norm(F.col(vec_col)).alias("nq"),
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        norm(F.col(vec_col)).alias("nc"),
+    )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("sim", cosine(F.col("qv"), F.col("cv")))
+        # norms materialize per SIDE (once per vector); the pair-level
+        # dot is Arrow-vectorized — same double values as cosine()
+        .withColumn(
+            "sim", dot_arrow(F.col("qv"), F.col("cv")) / (F.col("nq") * F.col("nc"))
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id")
@@ -167,16 +205,20 @@ def lsh_topk(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
         lsh_bucket(vec_col).alias("bucket"),
+        norm(F.col(vec_col)).alias("nc"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
         lsh_bucket(vec_col).alias("bucket"),
+        norm(F.col(vec_col)).alias("nq"),
     )
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("sim", cosine(F.col("qv"), F.col("cv")))
+        .withColumn(
+            "sim", dot_arrow(F.col("qv"), F.col("cv")) / (F.col("nq") * F.col("nc"))
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id")
@@ -273,7 +315,7 @@ def cosine_neardup_pairs(
         a.join(b, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn(
-            "sim", dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+            "sim", dot_arrow(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
         )
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", F.round("sim", 6).alias("sim_r"))
@@ -343,12 +385,23 @@ def _ivf_cells(corpus: DataFrame, id_col: str, vec_col: str):
     cents = corpus.filter(
         (F.col(id_col) >= CENTROID_ID_LO)
         & (F.col(id_col) < CENTROID_ID_LO + N_CENTROIDS)
-    ).select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cvec"))
+    ).select(
+        F.col(id_col).alias("cent_id"),
+        F.col(vec_col).alias("cvec"),
+        norm(F.col(vec_col)).alias("ncent"),
+    )
     w = Window.partitionBy("vid").orderBy(F.col("csim").desc(), F.col("cent_id"))
     assign = (
-        corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vv"))
+        corpus.select(
+            F.col(id_col).alias("vid"),
+            F.col(vec_col).alias("vv"),
+            norm(F.col(vec_col)).alias("nv"),
+        )
         .crossJoin(F.broadcast(cents))
-        .withColumn("csim", cosine(F.col("vv"), F.col("cvec")))
+        .withColumn(
+            "csim",
+            dot_arrow(F.col("vv"), F.col("cvec")) / (F.col("nv") * F.col("ncent")),
+        )
         .withColumn("crank", F.row_number().over(w))
     )
     return cents, assign
@@ -374,21 +427,31 @@ def ivf_topk(
     cells = assign.filter(F.col("crank") == 1).select(
         F.col("vid").alias("neighbor_id"),
         F.col("vv").alias("cv"),
+        F.col("nv").alias("nc"),
         F.col("cent_id").alias("cell"),
     )
     wq = Window.partitionBy("query_id").orderBy(F.col("csim").desc(), F.col("cent_id"))
     probes = (
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            norm(F.col(vec_col)).alias("nq"),
+        )
         .crossJoin(F.broadcast(cents))
-        .withColumn("csim", cosine(F.col("qv"), F.col("cvec")))
+        .withColumn(
+            "csim",
+            dot_arrow(F.col("qv"), F.col("cvec")) / (F.col("nq") * F.col("ncent")),
+        )
         .withColumn("crank", F.row_number().over(wq))
         .filter(F.col("crank") <= nprobe)
-        .select("query_id", "qv", F.col("cent_id").alias("cell"))
+        .select("query_id", "qv", "nq", F.col("cent_id").alias("cell"))
     )
     scored = (
         cells.join(F.broadcast(probes), "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("sim", cosine(F.col("qv"), F.col("cv")))
+        .withColumn(
+            "sim", dot_arrow(F.col("qv"), F.col("cv")) / (F.col("nq") * F.col("nc"))
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (
@@ -453,10 +516,12 @@ def lsh_topk_multiprobe(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
         lsh_bucket(vec_col).alias("bucket"),
+        norm(F.col(vec_col)).alias("nc"),
     )
     probes = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
+        norm(F.col(vec_col)).alias("nq"),
         F.explode(
             F.array(
                 lsh_bucket(vec_col),
@@ -470,7 +535,9 @@ def lsh_topk_multiprobe(
     scored = (
         c.join(F.broadcast(probes), "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("sim", cosine(F.col("qv"), F.col("cv")))
+        .withColumn(
+            "sim", dot_arrow(F.col("qv"), F.col("cv")) / (F.col("nq") * F.col("nc"))
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (
