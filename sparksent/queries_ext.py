@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from . import tables
 from .ext import dedup, grouped, jsonops, multimodal, similarity, sketches, textstats, vectorops
+from .graph import triangle_count_sql
 from .registry import register
 
 N_QUERIES = 10  # similarity-search query set: vec_id < 10
@@ -282,6 +283,29 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(
         docs.select("doc_id"), pairs, id_col="doc_id"
     ).select(F.col("id").alias("doc_id"), F.col("label").alias("component"))
+
+
+@register(
+    "graph_triangle_counts",
+    oracle=triangle_count_sql(
+        f"SELECT id_a AS src, id_b AS dst FROM ({dedup.minhash_lsh_pairs_sql()})"
+    ),
+    tags=("ext", "graph"),
+)
+def q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex triangle counts over the MinHash-LSH near-dup pair
+    graph (sparksent/graph.py:triangle_count): oriented low->high edges,
+    wedge join + closing join — each triangle counted once, wedge count
+    bounded by sum(min-degree^2), the standard skew mitigation. A dense
+    triangle neighborhood marks template/boilerplate duplicate families
+    that pairwise thresholds under-merge."""
+    from .graph import triangle_count
+
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(docs).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    return triangle_count(pairs)
 
 
 # ---------------------------------------------------------------------------

@@ -45,14 +45,89 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
     return deco
 
 
-def queries() -> dict[str, QueryFn]:
+# The driver verifies only the FIRST 50 entries of ``queries()`` per round
+# (CORRECTNESS_r01/r02 are both exactly the 50-name registration-order
+# prefix).  Registration order is an import-order accident, so we pin an
+# explicit verification priority instead: queries that have never had a
+# driver CORRECTNESS row come first, then queries whose code changed after
+# their last driver check, then one representative of each already-green
+# family.  Names not listed keep registration order after the priority
+# block, so the registry surface itself is unchanged — only the iteration
+# order of queries()/oracle_sql() moves.
+_PRIORITY: tuple[str, ...] = (
+    # -- never driver-checked as of CORRECTNESS_r02 (VERDICT r2 item #1) --
+    "tpch_q2_min_cost_supplier",
+    "tpch_q4_priority_check",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q11_important_stock",
+    "tpch_q12_late_shipments",
+    "tpch_q15_top_supplier",
+    "tpch_q20_excess_suppliers",
+    "tpch_q21_waiting_supplier",
+    "tpch_q22_global_sales_opportunity",
+    "rollup_event_value",
+    "cube_event_value",
+    "topn_orders_per_priority",
+    "rangejoin_price_bands",
+    "session_agg_30m",
+    "event_session_ids",
+    "event_gap_stats",
+    "asof_purchase_last_view",
+    "skew_distinct_users",
+    "percentile_order_value",
+    "pivot_event_counts",
+    "decile_user_value",
+    "hist_event_value",
+    # -- new this round: first driver check pending --
+    "graph_triangle_counts",
+    # -- driver-checked only in r01, code touched since (e59d445) --
+    "tpch_q5_regional",
+    "tpch_q6_forecast",
+    "tpch_q7_nation_trade",
+    "tpch_q10_returns",
+    "tpch_q14_promo",
+    "tpch_q16_supplier_cnt",
+    "tpch_q17_small_quantity",
+    "tpch_q18_large_orders",
+    "tpch_q19_disjunctive",
+    "semi_late_orders",
+    "anti_customers_no_orders",
+    "outer_order_count_distribution",
+    "setop_user_cohorts",
+    # -- representative green sample of every remaining family (r02) --
+    "parse_lines",
+    "window_concat_100s",
+    "trending_10s",
+    "toxic_user_cw10",
+    "doc_sentiment",
+    "doc_entities",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
+    "similarity_topk_ivf",
+    "hll_distinct_users",
+    "sample_stratified_events",
+    "tpch_q1_pricing",
+)
+
+
+def _ordered() -> list[Query]:
     _ensure_loaded()
-    return {q.name: q.fn for q in REGISTRY.values()}
+    missing = [n for n in _PRIORITY if n not in REGISTRY]
+    if missing:  # a typo here would silently shrink the checked surface
+        raise KeyError(f"_PRIORITY names not registered: {missing}")
+    prioritized = [REGISTRY[n] for n in _PRIORITY]
+    rest = [q for q in REGISTRY.values() if q.name not in set(_PRIORITY)]
+    return prioritized + rest
+
+
+def queries() -> dict[str, QueryFn]:
+    return {q.name: q.fn for q in _ordered()}
 
 
 def oracle_sql() -> dict[str, str]:
-    _ensure_loaded()
-    return {q.name: q.oracle for q in REGISTRY.values() if q.oracle is not None}
+    return {q.name: q.oracle for q in _ordered() if q.oracle is not None}
 
 
 _LOADED = False

@@ -205,3 +205,14 @@ def test_text_normalize_no_shuffle(spark):
     plan = plan_of(spark, "text_normalize")
     assert count_data_shuffles(plan) == 0
     assert "Join" not in plan
+
+
+def test_triangle_oriented_two_join_shape(spark):
+    """Triangle counting is the oriented wedge join + closing join —
+    two hash equi-joins, never a cross product; the per-vertex count is
+    map-side combined."""
+    plan = plan_of(spark, "graph_triangle_counts")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert len(re.findall(r"(?:Broadcast|Shuffled)HashJoin|SortMergeJoin", plan)) >= 2
+    assert "partial_count" in plan
