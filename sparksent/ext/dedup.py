@@ -369,6 +369,15 @@ def ngram_jaccard_pairs(
             .select("shingle")
         )
         sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    # Three downstream consumers (sizes + both self-join sides) would
+    # each recompute the explode(+cap anti-join) as separate subplans —
+    # only the identical join sides can hit ReusedExchange. Materialize
+    # the capped shingle frame once instead: store ~|shingle rows| in
+    # block-manager memory/disk vs re-deriving it from the raw corpus up
+    # to 3x. At 100 TB the exploded frame is large but spills to disk;
+    # recompute-vs-store here trades 3 corpus scans for 1 — the standard
+    # multi-consumer persist.
+    sh = sh.localCheckpoint()
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     left = sh.select(F.col("id").alias("id_a"), "shingle")
     right = sh.select(F.col("id").alias("id_b"), "shingle")
