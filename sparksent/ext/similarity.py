@@ -167,21 +167,25 @@ def brute_force_topk_sql(
 # ---------------------------------------------------------------------------
 
 
-def lsh_bucket(vec_col: Column | str, dim: int = 64) -> Column:
-    """Sign-random-projection bucket id in [0, 2^NUM_PLANES)."""
+def lsh_bucket(vec_col: Column | str, dim: int = 64, table: int = 0) -> Column:
+    """Sign-random-projection bucket id in [0, 2^NUM_PLANES). ``table``
+    selects an independent hash table (disjoint plane set — planes
+    table*NUM_PLANES .. table*NUM_PLANES+NUM_PLANES-1)."""
     v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     acc = F.lit(0)
     for j in range(NUM_PLANES):
-        plane = F.array(*[F.lit(float(p)) for p in _plane(j, dim)])
+        plane = F.array(*[F.lit(float(p)) for p in _plane(table * NUM_PLANES + j, dim)])
         bit = (dot(v, plane) > 0).cast("int")
         acc = acc + bit * F.lit(1 << j)
     return acc
 
 
-def lsh_bucket_sql(vec: str, dim: int = 64) -> str:
+def lsh_bucket_sql(vec: str, dim: int = 64, table: int = 0) -> str:
     terms = []
     for j in range(NUM_PLANES):
-        plane = "[" + ", ".join(str(float(p)) for p in _plane(j, dim)) + "]"
+        plane = "[" + ", ".join(
+            str(float(p)) for p in _plane(table * NUM_PLANES + j, dim)
+        ) + "]"
         d = (
             f"list_sum([CAST({vec}[i] AS DOUBLE) * ({plane}::DOUBLE[])[i] "
             f"FOR i IN generate_series(1, {dim})])"
@@ -261,6 +265,9 @@ def lsh_topk_sql(
 # ---------------------------------------------------------------------------
 
 
+N_TABLES = 2  # independent LSH tables for the near-dup candidate union
+
+
 def cosine_neardup_pairs(
     corpus: DataFrame,
     threshold: float = 0.4,
@@ -268,57 +275,77 @@ def cosine_neardup_pairs(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Embedding near-dup pairs with cosine >= threshold, candidates via
-    multi-probe LSH: every vector lives in one sign-random-projection
-    bucket; the probe side explodes each vector into its own bucket plus
-    the NUM_PLANES buckets at hamming distance 1. A pair (a, b) is a
-    candidate iff hamming(bucket_a, bucket_b) <= 1, and because hamming
-    distance is symmetric and the probe set per vector is distinct
-    buckets, each candidate pair joins EXACTLY once — no dedup needed.
+    multi-probe LSH over ``N_TABLES`` independent hash tables: in each
+    table every vector lives in one sign-random-projection bucket, and
+    the probe side explodes each vector into its own bucket plus the
+    NUM_PLANES buckets at hamming distance 1. A pair is a candidate iff
+    hamming(bucket_a, bucket_b) <= 1 in ANY table — per-table miss
+    probabilities multiply (standard LSH banding), which lifts measured
+    recall vs exact all-pairs from ~0.46 to ~0.8 at the fixture's hard
+    threshold (0.4 ~ 66 deg; at production dedup thresholds >= 0.9 each
+    table alone is >0.9). A pair matching in several tables joins once
+    per table, so a final distinct on the (tiny) post-threshold output
+    dedups — candidate generation itself stays join-once per table.
 
-    Scale shape: a hash equi-join on ``bucket`` — O(sum of per-bucket
-    n^2) instead of all-pairs O(N^2); at rest the corpus is partitioned
-    on ``bucket`` so only co-bucketed partitions meet. Recall-bounded by
-    construction (pairs whose buckets differ in >= 2 bits are missed) —
-    the standard LSH dedup trade; raise NUM_PLANES probes or band count
-    for recall. The exact all-pairs form survives as
-    ``cosine_neardup_pairs_exact`` for test-side recall measurement.
+    Scale shape: a hash equi-join on (tbl, bucket) — O(sum of
+    per-bucket n^2) per table instead of all-pairs O(N^2); at rest the
+    corpus is partitioned on (tbl, bucket) so only co-bucketed
+    partitions meet. Recall is tunable by N_TABLES at linear candidate
+    cost; the exact all-pairs form survives as
+    ``cosine_neardup_pairs_exact``, and the measured recall floor is
+    pinned in tests/test_properties.py.
     """
     # Norms materialize per SIDE, before the join: the join is a
     # projection-collapse barrier, so each vector's norm evaluates once
     # per row instead of once per candidate pair — the per-pair cost
     # drops from three interpreted array-fold passes (dot + 2 norms) to
-    # one (the dot). Bucket comes from the RAW vector, exactly as the
-    # oracle computes it.
-    b = corpus.select(
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("vb"),
-        lsh_bucket(vec_col).alias("bucket"),
-        norm(F.col(vec_col)).alias("nb"),
+    # one (the dot). Buckets come from the RAW vector, exactly as the
+    # oracle computes them.
+    base = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        norm(F.col(vec_col)).alias("nrm"),
+        *[lsh_bucket(vec_col, table=t).alias(f"own{t}") for t in range(N_TABLES)],
     )
-    a = corpus.select(
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("va"),
-        lsh_bucket(vec_col).alias("own"),
-        norm(F.col(vec_col)).alias("na"),
-    ).select(
-        "id_a",
-        "va",
-        "na",
+    b = base.select(
+        F.col("id").alias("id_b"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
         F.explode(
             F.array(
-                F.col("own"),
-                *[F.col("own").bitwiseXOR(F.lit(1 << j)) for j in range(NUM_PLANES)],
+                *[
+                    F.struct(F.lit(t).alias("tbl"), F.col(f"own{t}").alias("bucket"))
+                    for t in range(N_TABLES)
+                ]
             )
-        ).alias("bucket"),
-    )
+        ).alias("tb"),
+    ).select("id_b", "vb", "nb", "tb.tbl", "tb.bucket")
+    a = base.select(
+        F.col("id").alias("id_a"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        F.col(f"own{t}").bitwiseXOR(F.lit(flip)).alias("bucket"),
+                    )
+                    for t in range(N_TABLES)
+                    for flip in [0] + [1 << j for j in range(NUM_PLANES)]
+                ]
+            )
+        ).alias("tb"),
+    ).select("id_a", "va", "na", "tb.tbl", "tb.bucket")
     return (
-        a.join(b, "bucket")
+        a.join(b, ["tbl", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn(
             "sim", dot_arrow(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
         )
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", F.round("sim", 6).alias("sim_r"))
+        .distinct()
     )
 
 
@@ -326,24 +353,30 @@ def cosine_neardup_pairs_sql(
     table: str = "embeddings", threshold: float = 0.4,
     id_col: str = "vec_id", vec: str = "embedding",
 ) -> str:
-    """DuckDB mirror of the multi-probe bucket restriction above
+    """DuckDB mirror of the multi-table multi-probe restriction above
     (norms materialized per side, same float op order as the plan)."""
     flips = ", ".join(f"xor(own, {1 << j})" for j in range(NUM_PLANES))
     sim = f"({dot_sql('p.va', 'c.v')} / (p.na * c.nb))"
+    per_table = " UNION ALL ".join(
+        f"SELECT {t} AS tbl, {id_col} AS id, v, nrm, own{t} AS own FROM base"
+        for t in range(N_TABLES)
+    )
     return f"""
-    WITH b AS (
-      SELECT {id_col}, {vec} AS v, {lsh_bucket_sql(vec)}::BIGINT AS own,
-             sqrt({dot_sql(vec, vec)}) AS nb
+    WITH base AS (
+      SELECT {id_col}, {vec} AS v, sqrt({dot_sql(vec, vec)}) AS nrm,
+             {", ".join(f"{lsh_bucket_sql(vec, table=t)}::BIGINT AS own{t}" for t in range(N_TABLES))}
       FROM {table}
     ),
+    cand AS ({per_table}),
     probes AS (
-      SELECT {id_col} AS id_a, v AS va, nb AS na,
+      SELECT tbl, id AS id_a, v AS va, nrm AS na,
              unnest([own, {flips}]) AS bucket
-      FROM b
+      FROM cand
     )
-    SELECT p.id_a, c.{id_col} AS id_b, round({sim}, 6) AS sim_r
-    FROM b c JOIN probes p ON p.bucket = c.own
-    WHERE p.id_a < c.{id_col}
+    SELECT DISTINCT p.id_a, c.id AS id_b, round({sim}, 6) AS sim_r
+    FROM (SELECT tbl, id, v, nrm AS nb, own FROM cand) c
+    JOIN probes p ON p.tbl = c.tbl AND p.bucket = c.own
+    WHERE p.id_a < c.id
       AND {sim} >= {threshold}
     """
 

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql.streaming import StreamingQuery
 
 
@@ -104,11 +104,27 @@ def parquet_keyed_merge(
     """
     from pyspark.sql import functions as F
 
-    key_hash = F.abs(F.hash(*key_cols))
+    # pmod, not abs(hash) % n: abs(Int.MinValue) overflows back to a
+    # negative, which would put ~1/2^32 of keys in a negative bucket
+    # partition on disk (consistent, but surprising) — ADVICE r2.
+    key_bucket = F.pmod(F.hash(*key_cols), F.lit(n_buckets))
 
     def fn(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        delta = batch_df.withColumn("kbucket", key_hash % n_buckets)
+        # Keep-last per key: update mode emits one row per key per
+        # trigger, but the merge's one-row-per-key invariant should not
+        # depend on the upstream's emission discipline.
+        delta = (
+            batch_df.withColumn(
+                "_rn",
+                F.row_number().over(
+                    Window.partitionBy(*key_cols).orderBy(F.monotonically_increasing_id().desc())
+                ),
+            )
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+            .withColumn("kbucket", key_bucket)
+        )
         touched = [r[0] for r in delta.select("kbucket").distinct().collect()]
         if not touched:
             return

@@ -201,13 +201,22 @@ def test_jaccard_stop_shingle_cap_bounds_hot_partition(spark):
     assert (0, 100) in got
 
 
-def test_mllib_sentiment_margin(spark):
+import pytest
+
+
+@pytest.mark.parametrize(
+    "sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+)
+def test_mllib_sentiment_margin(spark, sf_dir):
     """The oracle for doc_sentiment_mllib asserts prediction == lexicon
     label; that is only sound if the model separates its training set
-    with margins far beyond float noise. Pin the margin invariant."""
+    with margins far beyond float noise. Pin the margin invariant at
+    BOTH the smoke SF and the SF the driver verifies (ADVICE r2 #4: a
+    fixture change or MLlib version bump must surface here as a clear
+    margin regression, not a confusing oracle mismatch)."""
     from sparksent import nlp, tables
 
-    docs = tables.load_table(spark, "/root/testdata/sf0.001", "documents").select(
+    docs = tables.load_table(spark, sf_dir, "documents").select(
         "doc_id", "text"
     )
     out = nlp.mllib_sentiment(docs)
@@ -239,3 +248,27 @@ def test_connected_components_chain_convergence(spark):
     assert all(got[i] == 0 for i in range(8))
     assert got[20] == got[21] == 20
     assert got[99] == 99  # isolated vertex keeps its own label
+
+
+def test_cosine_lsh_recall_floor(spark):
+    """The documented LSH trade, measured: multi-probe candidates over
+    N_TABLES independent hash tables recover >= 70% of the exact
+    all-pairs near-dup set at sf0.01's hard threshold (0.4 ~ 66 deg
+    between vectors — production dedup thresholds >= 0.9 sit far higher
+    on the SRP collision curve). Also pins zero false positives: every
+    emitted pair carries its EXACT cosine, so lsh-pairs is always a
+    subset of exact-pairs (VERDICT r2 #7 / ADVICE r2 #2)."""
+    from sparksent.ext.similarity import (
+        cosine_neardup_pairs,
+        cosine_neardup_pairs_exact,
+    )
+    from sparksent.tables import load_table
+
+    from conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    lsh = {(r.id_a, r.id_b) for r in cosine_neardup_pairs(emb).collect()}
+    exact = {(r.id_a, r.id_b) for r in cosine_neardup_pairs_exact(emb).collect()}
+    assert lsh <= exact  # exact-sim filter => no false positives
+    recall = len(lsh & exact) / len(exact)
+    assert recall >= 0.70, f"recall {recall:.3f} below the pinned floor"
