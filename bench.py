@@ -98,6 +98,10 @@ HEADLINE = [
     "decile_user_value",
     "event_session_ids",
     "cmsketch_heavy_hitters",
+    "seq_packing_512",
+    "decontaminate_5gram",
+    "repetition_stats",
+    "rare_word_stats",
     "text_normalize",
     "hll_distinct_users",
     "sample_stratified_events",

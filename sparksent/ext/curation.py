@@ -1,0 +1,335 @@
+"""Training-data curation operators beyond dedup/quality-gating: the
+pieces a pretraining pipeline runs between "corpus" and "batches".
+
+- sequence packing (concat-and-chunk): assign every document a
+  (shard, seq_id, offset) so fixed-length training sequences can be
+  materialized shard-parallel — the standard packing scheme, expressed
+  as one per-shard running sum.
+- benchmark decontamination: flag training documents that share a word
+  n-gram with a held-out benchmark set — the overlap check every
+  published model card cites.
+- repetition statistics: Gopher-style quality signals (top-n-gram
+  fraction, duplicate-n-gram fraction, duplicate-word fraction) that
+  catch boilerplate/spam the stopword-ratio quality score misses.
+- rare-word statistics: per-document fraction of corpus-rare distinct
+  words — the exact-arithmetic stand-in for a unigram-LM perplexity
+  score (ratios of exact integers; no libm, so the DuckDB oracle
+  matches bit-for-bit).
+
+The reference (traubad/FlinkSentimentAnalysis, SentimentAnalysis.scala)
+has no corpus layer at all; these extend its text analytics
+(SA.scala:241-265 tokenization) to the 100 TB curation setting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .hashing import shingles, shingles_sql
+
+CTX_LEN = 512
+N_SHARDS = 64
+BENCH_MOD = 97  # doc_id % 97 == 0 plays the held-out benchmark set
+DECON_NGRAM = 5
+RARE_MAX_DF = 2
+
+
+def word_ngrams(text: Column | str, w: int = 3) -> Column:
+    """NON-distinct word w-grams (repetition needs multiplicity, unlike
+    the dedup shingle set); texts shorter than w words collapse to one
+    whole-text gram so downstream ratios never divide by zero."""
+    t = F.col(text) if isinstance(text, str) else text
+    toks = F.split(t, " ")
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), n - (w - 1)),
+        lambda i: F.concat_ws(" ", *[F.try_element_at(toks, i + j) for j in range(w)]),
+    )
+    return F.when(n >= w, grams).otherwise(F.array(t))
+
+
+def word_ngrams_sql(text: str = "text", w: int = 3) -> str:
+    toks = f"string_split({text}, ' ')"
+    return (
+        f"(CASE WHEN len({toks}) >= {w} THEN "
+        f"[array_to_string({toks}[i:i+{w - 1}], ' ') "
+        f"FOR i IN generate_series(1, len({toks}) - {w - 1})] "
+        f"ELSE [{text}] END)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# sequence packing
+# ---------------------------------------------------------------------------
+
+
+def seq_packing(
+    df: DataFrame,
+    ctx_len: int = CTX_LEN,
+    n_shards: int = N_SHARDS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Concat-and-chunk packing plan: documents are ordered within a
+    shard and laid head-to-tail; sequence ``seq_id`` holds tokens
+    [seq_id*ctx_len, (seq_id+1)*ctx_len) of the shard's concatenation,
+    and each document starts at ``offset`` inside its first sequence.
+
+    Scale shape: ONE window shuffle, partitioned by shard — packing is
+    embarrassingly parallel across shards (this is how real pipelines
+    shard packing; a global pack would serialize the corpus through one
+    reducer). The shard key is ``doc_id % n_shards`` — plain integer
+    arithmetic so the DuckDB oracle reproduces it; swap in
+    ``F.pmod(F.hash(id), n)`` on a cluster if ids are clustered.
+    Emitting (doc, seq, offset) instead of materialized token arrays
+    keeps the operator data-size-neutral; the chunk materialization is
+    a downstream gather."""
+    n_tok = F.size(F.split(F.col(text_col), " "))
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            (F.col(id_col) % n_shards).alias("shard"),
+            n_tok.alias("n_tokens"),
+        )
+        .withColumn("cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+        .select(
+            id_col,
+            "shard",
+            "n_tokens",
+            (F.col("cum_before") / ctx_len).cast("long").alias("seq_id"),
+            (F.col("cum_before") % ctx_len).alias("offset"),
+        )
+    )
+
+
+def seq_packing_sql(
+    table: str = "documents",
+    ctx_len: int = CTX_LEN,
+    n_shards: int = N_SHARDS,
+    id_col: str = "doc_id",
+    text: str = "text",
+) -> str:
+    return f"""
+    WITH t AS (
+      SELECT {id_col}, {id_col} % {n_shards} AS shard,
+             len(string_split({text}, ' ')) AS n_tokens
+      FROM {table}
+    )
+    SELECT {id_col}, shard, n_tokens,
+           (COALESCE(sum(n_tokens) OVER (PARTITION BY shard ORDER BY {id_col}
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            // {ctx_len}) AS seq_id,
+           (COALESCE(sum(n_tokens) OVER (PARTITION BY shard ORDER BY {id_col}
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            % {ctx_len}) AS "offset"
+    FROM t
+    """
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+
+
+def decontaminate(
+    df: DataFrame,
+    n: int = DECON_NGRAM,
+    bench_mod: int = BENCH_MOD,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Training documents sharing at least one word ``n``-gram with the
+    held-out benchmark slice (``doc_id % bench_mod == 0``), with the
+    shared-gram count — the published-eval decontamination check.
+
+    Scale shape: the benchmark gram set is corpus-fraction 1/bench_mod
+    and deduplicated, so it BROADCASTS; the training side explodes its
+    distinct grams and hash-joins map-side — no shuffle of the corpus,
+    one aggregate by doc. At real benchmark sizes (a few thousand evals)
+    the broadcast side is megabytes."""
+    grams = lambda d: d.select(  # noqa: E731
+        F.col(id_col).alias("id"), F.explode(shingles(text_col, n)).alias("g")
+    )
+    bench = grams(df.filter(F.col(id_col) % bench_mod == 0)).select("g").distinct()
+    train = grams(df.filter(F.col(id_col) % bench_mod != 0))
+    return (
+        train.join(F.broadcast(bench), "g")
+        .groupBy("id")
+        .agg(F.count("*").alias("n_shared_grams"))
+        .select(F.col("id").alias(id_col), "n_shared_grams")
+    )
+
+
+def decontaminate_sql(
+    table: str = "documents",
+    n: int = DECON_NGRAM,
+    bench_mod: int = BENCH_MOD,
+    id_col: str = "doc_id",
+    text: str = "text",
+) -> str:
+    return f"""
+    WITH bench AS (
+      SELECT DISTINCT unnest({shingles_sql(text, n)}) AS g
+      FROM {table} WHERE {id_col} % {bench_mod} = 0
+    ),
+    train AS (
+      SELECT {id_col} AS id, unnest({shingles_sql(text, n)}) AS g
+      FROM {table} WHERE {id_col} % {bench_mod} <> 0
+    )
+    SELECT id AS {id_col}, count(*) AS n_shared_grams
+    FROM train JOIN bench USING (g)
+    GROUP BY 1
+    """
+
+
+# ---------------------------------------------------------------------------
+# repetition statistics
+# ---------------------------------------------------------------------------
+
+
+def repetition_stats(
+    df: DataFrame, w: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition signals per document: top-``w``-gram
+    fraction, duplicate-gram fraction, duplicate-word fraction. All
+    ratios are single divisions of exact integers (identical IEEE
+    result on both engines — no accumulation-order hazard).
+
+    Scale shape: one explode feeding one (id, gram) map-side-combined
+    aggregate, then one (id) aggregate; word-level counts ride along as
+    per-row constants (F.first) instead of a second join against the
+    corpus."""
+    n_words = F.size(F.split(F.col(text_col), " "))
+    n_distinct_words = F.size(F.array_distinct(F.split(F.col(text_col), " ")))
+    g = df.select(
+        F.col(id_col).alias("id"),
+        n_words.alias("n_words"),
+        n_distinct_words.alias("n_dw"),
+        F.explode(word_ngrams(text_col, w)).alias("g"),
+    )
+    per_gram = g.groupBy("id", "g").agg(
+        F.count("*").alias("cnt"),
+        F.first("n_words").alias("n_words"),
+        F.first("n_dw").alias("n_dw"),
+    )
+    return (
+        per_gram.groupBy("id")
+        .agg(
+            F.sum("cnt").alias("n_grams"),
+            F.max("cnt").alias("max_gram_cnt"),
+            F.count("*").alias("n_distinct_grams"),
+            F.first("n_words").alias("n_words"),
+            F.first("n_dw").alias("n_dw"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_grams",
+            (F.col("max_gram_cnt") / F.col("n_grams")).alias("top_gram_frac"),
+            ((F.col("n_grams") - F.col("n_distinct_grams")) / F.col("n_grams")).alias(
+                "dup_gram_frac"
+            ),
+            ((F.col("n_words") - F.col("n_dw")) / F.col("n_words")).alias(
+                "dup_word_frac"
+            ),
+        )
+    )
+
+
+def repetition_stats_sql(
+    table: str = "documents", w: int = 3, id_col: str = "doc_id", text: str = "text"
+) -> str:
+    toks = f"string_split({text}, ' ')"
+    return f"""
+    WITH g AS (
+      SELECT {id_col} AS id,
+             len({toks}) AS n_words,
+             len(list_distinct({toks})) AS n_dw,
+             unnest({word_ngrams_sql(text, w)}) AS g
+      FROM {table}
+    ),
+    per_gram AS (
+      SELECT id, g, count(*) AS cnt, any_value(n_words) AS n_words,
+             any_value(n_dw) AS n_dw
+      FROM g GROUP BY 1, 2
+    )
+    SELECT id AS {id_col},
+           sum(cnt) AS n_grams,
+           max(cnt) / sum(cnt)::DOUBLE AS top_gram_frac,
+           (sum(cnt) - count(*)) / sum(cnt)::DOUBLE AS dup_gram_frac,
+           (any_value(n_words) - any_value(n_dw)) / any_value(n_words)::DOUBLE
+             AS dup_word_frac
+    FROM per_gram GROUP BY 1
+    """
+
+
+# ---------------------------------------------------------------------------
+# rare-word statistics
+# ---------------------------------------------------------------------------
+
+
+def rare_word_stats(
+    df: DataFrame,
+    max_df: int = RARE_MAX_DF,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document count/fraction of distinct words whose corpus
+    document frequency is <= ``max_df`` — the exact-integer proxy for a
+    unigram-LM "surprisal" score (a log-prob mean would need libm,
+    which is not bit-reproducible across engines; rank-based rarity is,
+    and sorts documents almost identically).
+
+    Scale shape: one explode of distinct words, one map-side-combined
+    (word) aggregate for document frequencies, then a (word) hash join
+    back and a final (id) aggregate. Nothing requires a broadcast: at
+    fixture scale Catalyst broadcasts the aggregated df table, and at
+    100 TB vocabulary sizes the same plan degrades to a shuffle join on
+    the word key both sides already hash on."""
+    words = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("word"),
+    )
+    dfreq = words.groupBy("word").agg(F.count("*").alias("wdf"))
+    return (
+        words.join(dfreq, "word")
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_distinct_words"),
+            F.sum((F.col("wdf") <= max_df).cast("long")).alias("n_rare_words"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_distinct_words",
+            "n_rare_words",
+            (F.col("n_rare_words") / F.col("n_distinct_words")).alias("rare_frac"),
+        )
+    )
+
+
+def rare_word_stats_sql(
+    table: str = "documents",
+    max_df: int = RARE_MAX_DF,
+    id_col: str = "doc_id",
+    text: str = "text",
+) -> str:
+    return f"""
+    WITH words AS (
+      SELECT {id_col} AS id,
+             unnest(list_distinct(string_split({text}, ' '))) AS word
+      FROM {table}
+    ),
+    dfreq AS (SELECT word, count(*) AS wdf FROM words GROUP BY 1)
+    SELECT id AS {id_col},
+           count(*) AS n_distinct_words,
+           sum(CASE WHEN wdf <= {max_df} THEN 1 ELSE 0 END) AS n_rare_words,
+           sum(CASE WHEN wdf <= {max_df} THEN 1 ELSE 0 END)
+             / count(*)::DOUBLE AS rare_frac
+    FROM words JOIN dfreq USING (word)
+    GROUP BY 1
+    """

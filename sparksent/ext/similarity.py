@@ -167,24 +167,29 @@ def brute_force_topk_sql(
 # ---------------------------------------------------------------------------
 
 
-def lsh_bucket(vec_col: Column | str, dim: int = 64, table: int = 0) -> Column:
-    """Sign-random-projection bucket id in [0, 2^NUM_PLANES). ``table``
+def lsh_bucket(
+    vec_col: Column | str, dim: int = 64, table: int = 0,
+    num_planes: int = NUM_PLANES,
+) -> Column:
+    """Sign-random-projection bucket id in [0, 2^num_planes). ``table``
     selects an independent hash table (disjoint plane set — planes
-    table*NUM_PLANES .. table*NUM_PLANES+NUM_PLANES-1)."""
+    table*num_planes .. (table+1)*num_planes-1)."""
     v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     acc = F.lit(0)
-    for j in range(NUM_PLANES):
-        plane = F.array(*[F.lit(float(p)) for p in _plane(table * NUM_PLANES + j, dim)])
+    for j in range(num_planes):
+        plane = F.array(*[F.lit(float(p)) for p in _plane(table * num_planes + j, dim)])
         bit = (dot(v, plane) > 0).cast("int")
         acc = acc + bit * F.lit(1 << j)
     return acc
 
 
-def lsh_bucket_sql(vec: str, dim: int = 64, table: int = 0) -> str:
+def lsh_bucket_sql(
+    vec: str, dim: int = 64, table: int = 0, num_planes: int = NUM_PLANES
+) -> str:
     terms = []
-    for j in range(NUM_PLANES):
+    for j in range(num_planes):
         plane = "[" + ", ".join(
-            str(float(p)) for p in _plane(table * NUM_PLANES + j, dim)
+            str(float(p)) for p in _plane(table * num_planes + j, dim)
         ) + "]"
         d = (
             f"list_sum([CAST({vec}[i] AS DOUBLE) * ({plane}::DOUBLE[])[i] "
@@ -273,6 +278,8 @@ def cosine_neardup_pairs(
     threshold: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    num_planes: int = NUM_PLANES,
+    n_tables: int = N_TABLES,
 ) -> DataFrame:
     """Embedding near-dup pairs with cosine >= threshold, candidates via
     multi-probe LSH over ``N_TABLES`` independent hash tables: in each
@@ -290,8 +297,14 @@ def cosine_neardup_pairs(
     Scale shape: a hash equi-join on (tbl, bucket) — O(sum of
     per-bucket n^2) per table instead of all-pairs O(N^2); at rest the
     corpus is partitioned on (tbl, bucket) so only co-bucketed
-    partitions meet. Recall is tunable by N_TABLES at linear candidate
-    cost; the exact all-pairs form survives as
+    partitions meet. Recall is tunable by n_tables at linear candidate
+    cost, and ``num_planes`` MUST grow with the corpus
+    (~log2(N / target_bucket_load)): the bucket count is 2^num_planes,
+    so a fixed plane count at growing N degrades the equi-join back
+    toward all-pairs one bucket at a time. The registered sf-fixture
+    query keeps the oracle-mirrored defaults; the scale demo
+    (tools/scale_demo.py) runs num_planes=8. The exact all-pairs form
+    survives as
     ``cosine_neardup_pairs_exact``, and the measured recall floor is
     pinned in tests/test_properties.py.
     """
@@ -305,7 +318,8 @@ def cosine_neardup_pairs(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         norm(F.col(vec_col)).alias("nrm"),
-        *[lsh_bucket(vec_col, table=t).alias(f"own{t}") for t in range(N_TABLES)],
+        *[lsh_bucket(vec_col, table=t, num_planes=num_planes).alias(f"own{t}")
+          for t in range(n_tables)],
     )
     b = base.select(
         F.col("id").alias("id_b"),
@@ -315,7 +329,7 @@ def cosine_neardup_pairs(
             F.array(
                 *[
                     F.struct(F.lit(t).alias("tbl"), F.col(f"own{t}").alias("bucket"))
-                    for t in range(N_TABLES)
+                    for t in range(n_tables)
                 ]
             )
         ).alias("tb"),
@@ -331,8 +345,8 @@ def cosine_neardup_pairs(
                         F.lit(t).alias("tbl"),
                         F.col(f"own{t}").bitwiseXOR(F.lit(flip)).alias("bucket"),
                     )
-                    for t in range(N_TABLES)
-                    for flip in [0] + [1 << j for j in range(NUM_PLANES)]
+                    for t in range(n_tables)
+                    for flip in [0] + [1 << j for j in range(num_planes)]
                 ]
             )
         ).alias("tb"),
@@ -352,19 +366,20 @@ def cosine_neardup_pairs(
 def cosine_neardup_pairs_sql(
     table: str = "embeddings", threshold: float = 0.4,
     id_col: str = "vec_id", vec: str = "embedding",
+    num_planes: int = NUM_PLANES, n_tables: int = N_TABLES,
 ) -> str:
     """DuckDB mirror of the multi-table multi-probe restriction above
     (norms materialized per side, same float op order as the plan)."""
-    flips = ", ".join(f"xor(own, {1 << j})" for j in range(NUM_PLANES))
+    flips = ", ".join(f"xor(own, {1 << j})" for j in range(num_planes))
     sim = f"({dot_sql('p.va', 'c.v')} / (p.na * c.nb))"
     per_table = " UNION ALL ".join(
         f"SELECT {t} AS tbl, {id_col} AS id, v, nrm, own{t} AS own FROM base"
-        for t in range(N_TABLES)
+        for t in range(n_tables)
     )
     return f"""
     WITH base AS (
       SELECT {id_col}, {vec} AS v, sqrt({dot_sql(vec, vec)}) AS nrm,
-             {", ".join(f"{lsh_bucket_sql(vec, table=t)}::BIGINT AS own{t}" for t in range(N_TABLES))}
+             {", ".join(f"{lsh_bucket_sql(vec, table=t, num_planes=num_planes)}::BIGINT AS own{t}" for t in range(n_tables))}
       FROM {table}
     ),
     cand AS ({per_table}),

@@ -8,7 +8,17 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import tables
-from .ext import dedup, grouped, jsonops, multimodal, similarity, sketches, textstats, vectorops
+from .ext import (
+    curation,
+    dedup,
+    grouped,
+    jsonops,
+    multimodal,
+    similarity,
+    sketches,
+    textstats,
+    vectorops,
+)
 from .graph import triangle_count_sql
 from .registry import register
 
@@ -479,3 +489,63 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         stats.join(drops, stats.doc_id == drops.drop_id, "left_anti")
         .select("doc_id", "n_tokens", "lang_pred", "quality")
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus curation beyond dedup: packing, decontamination, repetition,
+# rarity (sparksent/ext/curation.py)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "seq_packing_512",
+    oracle=curation.seq_packing_sql(),
+    tags=("ext", "curation"),
+)
+def q_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing plan: per shard (doc_id % 64),
+    documents lay head-to-tail and every doc gets its (seq_id, offset)
+    in the 512-token training-sequence stream — ONE window shuffle,
+    parallel across shards (the global-pack single-reducer trap is the
+    thing this shape avoids)."""
+    return curation.seq_packing(_docs(spark, sf_dir))
+
+
+@register(
+    "decontaminate_5gram",
+    oracle=curation.decontaminate_sql(),
+    tags=("ext", "curation"),
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs sharing a word 5-gram
+    with the held-out slice (doc_id % 97 == 0), with shared-gram
+    counts. The benchmark gram set is distinct + broadcast, so the
+    corpus side never shuffles raw text."""
+    return curation.decontaminate(_docs(spark, sf_dir))
+
+
+@register(
+    "repetition_stats",
+    oracle=curation.repetition_stats_sql(),
+    tags=("ext", "curation"),
+)
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals: top-trigram fraction,
+    duplicate-trigram fraction, duplicate-word fraction per document.
+    One explode, two map-side-combined aggregates; every ratio is a
+    single division of exact integers (bit-identical on both engines)."""
+    return curation.repetition_stats(_docs(spark, sf_dir))
+
+
+@register(
+    "rare_word_stats",
+    oracle=curation.rare_word_stats_sql(),
+    tags=("ext", "curation"),
+)
+def q_rare_word_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document rare-word fraction (corpus df <= 2) — the
+    exact-integer surprisal proxy. The plan never REQUIRES a broadcast:
+    at fixture scale Catalyst broadcasts the aggregated df table; at
+    100 TB vocabulary sizes it degrades gracefully to a shuffle join on
+    the word key both sides already hash on."""
+    return curation.rare_word_stats(_docs(spark, sf_dir))

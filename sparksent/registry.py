@@ -81,6 +81,10 @@ _PRIORITY: tuple[str, ...] = (
     "hist_event_value",
     # -- new this round: first driver check pending --
     "graph_triangle_counts",
+    "seq_packing_512",
+    "decontaminate_5gram",
+    "repetition_stats",
+    "rare_word_stats",
     # -- driver-checked only in r01, code touched since (e59d445) --
     "tpch_q5_regional",
     "tpch_q6_forecast",
@@ -105,10 +109,6 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",
-    "similarity_topk_ivf",
-    "hll_distinct_users",
-    "sample_stratified_events",
-    "tpch_q1_pricing",
 )
 
 

@@ -207,6 +207,43 @@ def test_text_normalize_no_shuffle(spark):
     assert "Join" not in plan
 
 
+def test_seq_packing_single_shard_window_shuffle(spark):
+    """Packing is one per-shard window — parallel across shards, never a
+    global single-reducer sort."""
+    plan = plan_of(spark, "seq_packing_512")
+    assert "Window" in plan
+    assert count_data_shuffles(plan) == 1
+    assert "Join" not in plan
+
+
+def test_decontaminate_broadcast_bench_grams(spark):
+    """The benchmark gram set broadcasts; the corpus side never
+    shuffles raw text — only the per-doc counts aggregate."""
+    plan = plan_of(spark, "decontaminate_5gram")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert count_data_shuffles(plan) <= 2
+
+
+def test_repetition_stats_two_partial_aggs(spark):
+    plan = plan_of(spark, "repetition_stats")
+    assert "partial_" in plan
+    assert count_data_shuffles(plan) == 2
+    assert "Join" not in plan
+
+
+def test_rare_word_stats_no_cartesian(spark):
+    """Two shuffles (word df agg, id agg) + a join that broadcasts at
+    fixture scale and degrades to shuffle at vocab scale — never a
+    cross product."""
+    plan = plan_of(spark, "rare_word_stats")
+    assert "partial_" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert count_data_shuffles(plan) <= 3
+
+
 def test_triangle_oriented_two_join_shape(spark):
     """Triangle counting is the oriented wedge join + closing join —
     two hash equi-joins, never a cross product; the per-vertex count is
