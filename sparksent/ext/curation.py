@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..tables import rebalance
 from .hashing import shingles, shingles_sql
 
 CTX_LEN = 512
@@ -156,8 +157,11 @@ def decontaminate(
     grams = lambda d: d.select(  # noqa: E731
         F.col(id_col).alias("id"), F.explode(shingles(text_col, n)).alias("g")
     )
+    # only the TRAIN side rebalances (narrow single-split fixtures would
+    # serialize its gram construction; no-op on wide scans) — the bench
+    # slice is 1/bench_mod of the corpus and cheap wherever it runs
     bench = grams(df.filter(F.col(id_col) % bench_mod == 0)).select("g").distinct()
-    train = grams(df.filter(F.col(id_col) % bench_mod != 0))
+    train = grams(rebalance(df.filter(F.col(id_col) % bench_mod != 0)))
     return (
         train.join(F.broadcast(bench), "g")
         .groupBy("id")
@@ -207,7 +211,7 @@ def repetition_stats(
     corpus."""
     n_words = F.size(F.split(F.col(text_col), " "))
     n_distinct_words = F.size(F.array_distinct(F.split(F.col(text_col), " ")))
-    g = df.select(
+    g = rebalance(df).select(
         F.col(id_col).alias("id"),
         n_words.alias("n_words"),
         n_distinct_words.alias("n_dw"),
