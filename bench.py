@@ -64,6 +64,8 @@ HEADLINE = [
     "json_field_stats",
     "multimodal_features",
     "multimodal_image_headers",
+    "multimodal_resize_plan",
+    "multimodal_frame_sample",
     "tpch_q1_pricing",
     "tpch_q2_min_cost_supplier",
     "tpch_q3_shipping",

@@ -232,3 +232,119 @@ def extract_features(media: DataFrame) -> DataFrame:
     boundary so Arrow ships the minimum."""
     narrow = rebalance(media.select("media_id", "payload"))
     return narrow.mapInPandas(fake_decode_features, FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# resize + frame sampling (task-spec multimodal surface)
+# ---------------------------------------------------------------------------
+
+RESIZE_SCHEMA = (
+    "media_id long, format string, width int, height int, "
+    "out_w int, out_h int, out_bytes long"
+)
+
+
+def resize_plan(batches: Iterator[pd.DataFrame], max_w: int = 224, max_h: int = 224):
+    """mapInPandas stage: parse each payload's REAL header, then compute
+    the aspect-fit resize control plane — scale factor, output dims,
+    output byte size (out_w*out_h*3, the RGB buffer a real resampler
+    would emit). The pixel resample itself is the STUB (no image lib in
+    this container); everything a scheduler/planner needs from a resize
+    stage — dims, buffer sizes, batch shape — is computed from the real
+    decoded header."""
+    for pdf in batches:
+        rows = []
+        for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+            fmt, w, h, _ = parse_image_header(payload)
+            if w is None:
+                rows.append((int(mid), fmt, None, None, None, None, None))
+                continue
+            scale = min(max_w / w, max_h / h, 1.0)
+            ow, oh = max(1, int(w * scale)), max(1, int(h * scale))
+            rows.append((int(mid), fmt, w, h, ow, oh, ow * oh * 3))
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "media_id", "format", "width", "height", "out_w", "out_h", "out_bytes",
+            ],
+        )
+
+
+def resize_images(docs: DataFrame, max_w: int = 224, max_h: int = 224) -> DataFrame:
+    """synth payload -> real header decode -> aspect-fit resize plan,
+    fused into ONE Arrow-batched mapInPandas (payload bytes never leave
+    the worker)."""
+    def fused(batches: Iterator[pd.DataFrame]):
+        yield from resize_plan(_synth_payload_batches(batches), max_w, max_h)
+
+    narrow = rebalance(docs.select(F.col("doc_id").alias("media_id"), "text"))
+    return narrow.mapInPandas(fused, RESIZE_SCHEMA)
+
+
+def resize_images_sql(
+    table: str = "documents", max_w: int = 224, max_h: int = 224
+) -> str:
+    """Oracle: the synthetic header dims are arithmetic in doc_id, and
+    the aspect-fit math is plain IEEE double ops (identical results both
+    engines — division, min, multiply, floor)."""
+    return f"""
+    WITH dims AS (
+      SELECT doc_id AS media_id,
+             CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'gif' END
+               AS format,
+             (doc_id % 640 + 1)::INT AS width,
+             (doc_id % 480 + 1)::INT AS height
+      FROM {table}
+    ),
+    s AS (
+      SELECT *, least({max_w}.0 / width, {max_h}.0 / height, 1.0) AS scale
+      FROM dims
+    )
+    SELECT media_id, format, width, height,
+           greatest(1, floor(width * scale))::INT AS out_w,
+           greatest(1, floor(height * scale))::INT AS out_h,
+           (greatest(1, floor(width * scale))
+            * greatest(1, floor(height * scale)) * 3)::BIGINT AS out_bytes
+    FROM s
+    """
+
+
+FRAME_SCHEMA = "media_id long, sample_idx int, frame_no long, frame_fp long"
+
+
+def frame_sample(media: DataFrame, k: int = 8) -> DataFrame:
+    """Uniform k-frame sampling of a 'video' (stand-in: the document,
+    with n_frames = payload byte length): a ROW-EXPANDING mapInPandas
+    (1 video in, <=k frames out) emitting (sample_idx, frame_no,
+    frame_fp). frame_no = floor(i * n_frames / k) — the uniform
+    sampler every video pipeline uses; the frame DECODE is the stub
+    (frame_fp is a deterministic stand-in fingerprint, (media_id*31 +
+    frame_no) % 997), while the expansion shape, schema, and batch
+    plumbing are real."""
+    def fn(batches: Iterator[pd.DataFrame]):
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                n = len(payload) if payload is not None else 0
+                for i in range(min(k, n)):
+                    fno = i * n // k
+                    rows.append((int(mid), i, fno, (int(mid) * 31 + fno) % 997))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "sample_idx", "frame_no", "frame_fp"]
+            )
+
+    narrow = rebalance(media.select("media_id", "payload"))
+    return narrow.mapInPandas(fn, FRAME_SCHEMA)
+
+
+def frame_sample_sql(table: str = "documents", k: int = 8) -> str:
+    """Oracle over the documents-derived media table (payload = UTF-8
+    text bytes, so n_frames = strlen of the ASCII fixture text)."""
+    return f"""
+    WITH v AS (SELECT doc_id AS media_id, strlen(text)::BIGINT AS n FROM {table}),
+    idx AS (SELECT unnest(generate_series(0, {k - 1})) AS sample_idx)
+    SELECT media_id, sample_idx::INT AS sample_idx,
+           (sample_idx * n) // {k} AS frame_no,
+           (media_id * 31 + (sample_idx * n) // {k}) % 997 AS frame_fp
+    FROM v JOIN idx ON sample_idx < least({k}, n)
+    """

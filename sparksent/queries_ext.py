@@ -549,3 +549,31 @@ def q_rare_word_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB vocabulary sizes it degrades gracefully to a shuffle join on
     the word key both sides already hash on."""
     return curation.rare_word_stats(_docs(spark, sf_dir))
+
+
+@register(
+    "multimodal_resize_plan",
+    oracle=multimodal.resize_images_sql(),
+    tags=("ext", "multimodal"),
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-fit image resize stage over real decoded headers: synth
+    payload -> pure-Python header parse -> scale/output-dims/buffer-size
+    computation, fused into one Arrow mapInPandas. The pixel resample is
+    the documented stub (no image lib here); the decode and all resize
+    control-plane math are real and oracle-checked arithmetically."""
+    return multimodal.resize_images(_docs(spark, sf_dir))
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle=multimodal.frame_sample_sql(),
+    tags=("ext", "multimodal"),
+)
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform 8-frame video sampling plumbing: row-expanding
+    mapInPandas (one media row in, k frame rows out) with the uniform
+    frame_no = floor(i*n/k) sampler; frame decode stubbed as a
+    deterministic fingerprint, expansion/schema/batching real."""
+    media = multimodal.media_from_documents(_docs(spark, sf_dir))
+    return multimodal.frame_sample(media)

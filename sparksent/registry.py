@@ -85,6 +85,8 @@ _PRIORITY: tuple[str, ...] = (
     "decontaminate_5gram",
     "repetition_stats",
     "rare_word_stats",
+    "multimodal_resize_plan",
+    "multimodal_frame_sample",
     # -- driver-checked only in r01, code touched since (e59d445) --
     "tpch_q5_regional",
     "tpch_q6_forecast",
@@ -102,12 +104,11 @@ _PRIORITY: tuple[str, ...] = (
     # -- representative green sample of every remaining family (r02) --
     "parse_lines",
     "window_concat_100s",
-    "trending_10s",
     "toxic_user_cw10",
     "doc_sentiment",
-    "doc_entities",
-    "dedup_exact",
     "dedup_minhash_lsh",
+    # changed this round (materialization / table count), re-verify:
+    "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
 )
 
