@@ -272,3 +272,47 @@ def test_cosine_lsh_recall_floor(spark):
     assert lsh <= exact  # exact-sim filter => no false positives
     recall = len(lsh & exact) / len(exact)
     assert recall >= 0.70, f"recall {recall:.3f} below the pinned floor"
+
+
+def test_curation_invariants(spark):
+    """Structural invariants of the round-3 curation operators over the
+    sf0.01 corpus — properties any input must satisfy, complementing
+    the value-exact oracle rows."""
+    from sparksent.ext import curation
+    from sparksent.tables import load_table
+
+    from conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+
+    pack = curation.seq_packing(docs).collect()
+    n_docs = docs.count()
+    assert len(pack) == n_docs  # packing assigns every document
+    assert all(0 <= r.offset < curation.CTX_LEN for r in pack)
+    assert all(0 <= r.shard < curation.N_SHARDS for r in pack)
+    # within a shard, seq_id is non-decreasing in doc_id order and the
+    # stream has no holes: each doc starts where the previous one ended
+    by_shard: dict = {}
+    for r in sorted(pack, key=lambda r: (r.shard, r.doc_id)):
+        prev = by_shard.get(r.shard, 0)
+        assert r.seq_id * curation.CTX_LEN + r.offset == prev
+        by_shard[r.shard] = prev + r.n_tokens
+
+    contaminated = curation.decontaminate(docs).collect()
+    bench_ids = {
+        r.doc_id for r in docs.filter(F.col("doc_id") % curation.BENCH_MOD == 0).collect()
+    }
+    assert contaminated  # the near-dup fixture guarantees some overlap
+    assert all(r.doc_id not in bench_ids for r in contaminated)
+    assert all(r.n_shared_grams >= 1 for r in contaminated)
+
+    rep = curation.repetition_stats(docs).collect()
+    assert len(rep) == n_docs
+    for r in rep:
+        assert 0 < r.top_gram_frac <= 1
+        assert 0 <= r.dup_gram_frac < 1
+        assert 0 <= r.dup_word_frac < 1
+
+    rare = curation.rare_word_stats(docs).collect()
+    assert len(rare) == n_docs
+    assert all(0 <= r.n_rare_words <= r.n_distinct_words for r in rare)
