@@ -113,21 +113,11 @@ def minhash_signatures(
     return hashed.select("id", F.array(*cols).alias("sig"))
 
 
-def minhash_lsh_pairs(
-    df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    threshold: float = 0.5,
-) -> DataFrame:
-    """Candidate near-duplicate pairs via banded LSH over the minhash
-    signature, scored by signature agreement (estimated Jaccard).
-
-    Plan: signatures (narrow) -> explode 4 band rows -> self-join on
-    (band, band_signature) -> distinct pairs -> estimate = fraction of
-    equal signature positions >= threshold.
-    """
-    sigs = minhash_signatures(rebalance(df), id_col, text_col)
-    bands = sigs.select(
+def minhash_bands(sigs: DataFrame) -> DataFrame:
+    """(id, sig) -> one row per LSH band: (id, sig, band, bsig). Pure
+    per-row explode — streaming-safe (reused by the stream-static
+    incremental dedup in sparksent/streaming/neardup.py)."""
+    return sigs.select(
         "id",
         "sig",
         F.explode(
@@ -145,6 +135,31 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("id", "sig", "bb.band", "bb.bsig")
+
+
+def signature_agreement(sig_a, sig_b):
+    """Estimated Jaccard: fraction of equal minhash positions."""
+    return (
+        F.size(F.filter(F.zip_with(sig_a, sig_b, lambda x, y: x == y), lambda v: v))
+        / F.lit(NUM_HASHES)
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded LSH over the minhash
+    signature, scored by signature agreement (estimated Jaccard).
+
+    Plan: signatures (narrow) -> explode 4 band rows -> self-join on
+    (band, band_signature) -> distinct pairs -> estimate = fraction of
+    equal signature positions >= threshold.
+    """
+    sigs = minhash_signatures(rebalance(df), id_col, text_col)
+    bands = minhash_bands(sigs)
     left = bands.select(
         F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "band", "bsig"
     )
@@ -157,10 +172,7 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b", "sig_a", "sig_b")
         .distinct()
     )
-    est = (
-        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
-        / F.lit(NUM_HASHES)
-    ).alias("est_jaccard")
+    est = signature_agreement(F.col("sig_a"), F.col("sig_b")).alias("est_jaccard")
     return (
         pairs.select("id_a", "id_b", est)
         .filter(F.col("est_jaccard") >= threshold)

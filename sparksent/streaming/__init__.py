@@ -13,8 +13,14 @@ DataFrame. This package holds the parts that ARE streaming-specific:
   (countWindow(N).sum, SA.scala:304-311) via applyInPandasWithState
 - sinks.py:   console (the reference's only sink), memory (tests),
   parquet, foreachBatch
+- neardup.py: incremental new-vs-corpus MinHash dedup (stream-static
+  band join against a precomputed corpus index)
 """
 
+from .neardup import (  # noqa: F401
+    minhash_band_index,
+    streaming_neardup_candidates,
+)
 from .count_window import (  # noqa: F401
     streaming_count_window,
     streaming_cumulative_per_record,

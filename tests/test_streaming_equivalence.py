@@ -516,3 +516,50 @@ def test_parquet_keyed_merge_equivalence(spark, replay_dir, tmp_path):
     )
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_streaming_neardup_vs_batch(spark, tmp_path):
+    """Incremental new-vs-corpus dedup: odd doc_ids replayed as the
+    stream against the even-id corpus index; the streamed candidate set
+    must equal (a) the same stream-static computation run as one batch
+    and (b) the full batch minhash_lsh_pairs restricted to odd-even
+    pairs — the incremental operator finds exactly the cross pairs the
+    batch self-join finds."""
+    from sparksent.ext.dedup import minhash_lsh_pairs
+    from sparksent.streaming import minhash_band_index, streaming_neardup_candidates
+    from sparksent.tables import load_table
+
+    docs = load_table(spark, SF_DIR_SMALL, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    newdocs = docs.filter(F.col("doc_id") % 2 == 1)
+    index = minhash_band_index(corpus).localCheckpoint()
+
+    replay = str(tmp_path / "neardup_replay")
+    write_replay_chunks(newdocs, replay, N_CHUNKS, order_col="doc_id")
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    stream = file_replay_source(spark, replay, schema=schema)
+    out = streaming_neardup_candidates(stream, index)
+    _run_to_memory(out, "t_neardup", "append")
+    got = {
+        (r.new_id, r.corpus_id, round(r.est_jaccard, 9))
+        for r in spark.table("t_neardup").collect()
+    }
+
+    batch_twin = {
+        (r.new_id, r.corpus_id, round(r.est_jaccard, 9))
+        for r in streaming_neardup_candidates(newdocs, index).collect()
+    }
+    assert got == batch_twin
+
+    cross = {
+        (r.id_a if r.id_a % 2 == 1 else r.id_b,
+         r.id_b if r.id_a % 2 == 1 else r.id_a,
+         round(r.est_jaccard, 9))
+        for r in minhash_lsh_pairs(docs).collect()
+        if (r.id_a % 2) != (r.id_b % 2)
+    }
+    assert got == cross
