@@ -316,3 +316,29 @@ def test_curation_invariants(spark):
     rare = curation.rare_word_stats(docs).collect()
     assert len(rare) == n_docs
     assert all(0 <= r.n_rare_words <= r.n_distinct_words for r in rare)
+
+
+def test_ann_topk_recall_ladder(spark):
+    """The ANN cost/recall trade, measured and pinned against exact
+    brute force at sf0.01. The fixture embeddings are near-random (no
+    cluster structure), which is the WORST regime for bucketed ANN —
+    true top-5 neighbors sit at cosine ~0.3-0.5 and scatter across
+    buckets — so these floors document the honest lower bound of the
+    trade, not a showcase: single-bucket LSH reads ~1/16 of the corpus,
+    multi-probe ~5/16, IVF nprobe/K = 1/4. The ladder must be monotone:
+    more candidates, more recall."""
+    from sparksent.registry import queries as _q
+
+    from conftest import SF_DIR
+
+    qs = _q()
+
+    def pairset(name):
+        return {(r.query_id, r.neighbor_id) for r in qs[name](spark, SF_DIR).collect()}
+
+    brute = pairset("similarity_topk_brute")
+    lsh = len(pairset("similarity_topk_lsh") & brute) / len(brute)
+    multi = len(pairset("similarity_topk_multiprobe") & brute) / len(brute)
+    ivf = len(pairset("similarity_topk_ivf") & brute) / len(brute)
+    assert multi >= lsh  # probe budget buys recall
+    assert lsh >= 0.05 and multi >= 0.30 and ivf >= 0.20, (lsh, multi, ivf)
