@@ -273,8 +273,10 @@ def simhash_pairs(
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_hamming. Candidates
     share at least one of the 4 signature bytes (exact for distance <=3
-    by pigeonhole), then the exact bit_count(xor) filter."""
-    sh = simhash(df, id_col, text_col)
+    by pigeonhole), then the exact bit_count(xor) filter. The simhash
+    frame (one long per document) is materialized once instead of being
+    recomputed by each self-join side."""
+    sh = simhash(df, id_col, text_col).localCheckpoint()
     bytes_df = sh.select(
         "id",
         "simhash",

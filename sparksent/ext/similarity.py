@@ -314,6 +314,11 @@ def cosine_neardup_pairs(
     # drops from three interpreted array-fold passes (dot + 2 norms) to
     # one (the dot). Buckets come from the RAW vector, exactly as the
     # oracle computes them.
+    # NOT checkpointed, deliberately: the A/B (sf0.1, 3 rounds) shows
+    # the pair-dot stage dominates and materializing `base` is a wash on
+    # time while storing the full vector per row — the expensive side of
+    # recompute-vs-store at corpus scale (contrast minhash/simhash,
+    # whose signature frames are a few longs per doc and ARE stored).
     base = corpus.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
