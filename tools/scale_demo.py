@@ -27,7 +27,8 @@ track corpus size, see similarity.cosine_neardup_pairs), stratified
 sampling, and sessionization.
 
 Usage: python tools/scale_demo.py [--base /tmp/sparksent-scale]
-Writes SCALE.md to the repo root.
+Prints the metrics report as JSON; SCALE.md in the repo root is the
+committed narrative over one such run.
 """
 
 from __future__ import annotations
