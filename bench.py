@@ -86,6 +86,7 @@ HEADLINE = [
     "tpch_q22_global_sales_opportunity",
     "semi_late_orders",
     "outer_order_count_distribution",
+    "fullouter_user_activity",
     "rollup_event_value",
     "topn_orders_per_priority",
     "rangejoin_price_bands",

@@ -703,3 +703,36 @@ def q_session_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("user_id", "event_id", "sid")
     )
+
+
+@register(
+    "fullouter_user_activity",
+    oracle="""
+    WITH e AS (SELECT user_id, count(*) AS n_events FROM events GROUP BY 1),
+    o AS (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY 1)
+    SELECT COALESCE(user_id, o_custkey) AS entity_id,
+           COALESCE(n_events, 0) AS n_events,
+           COALESCE(n_orders, 0) AS n_orders
+    FROM e FULL OUTER JOIN o ON user_id = o_custkey
+    """,
+    tags=("relational", "join"),
+)
+def q_fullouter_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join shape (completing the join-type inventory:
+    inner / left / semi / anti / as-of / range / full): per-entity
+    event counts full-outer-joined with order counts over the shared
+    integer key space — entities active on only one side survive with a
+    zero on the other. Two map-side-combined aggregates, then one
+    shuffle join on keys both sides already hash on."""
+    ev = tables.load_table(spark, sf_dir, "events")
+    od = tables.load_table(spark, sf_dir, "orders")
+    e = ev.groupBy("user_id").agg(F.count("*").alias("n_events"))
+    o = od.groupBy("o_custkey").agg(F.count("*").alias("n_orders"))
+    return (
+        e.join(o, e.user_id == o.o_custkey, "full_outer")
+        .select(
+            F.coalesce("user_id", "o_custkey").alias("entity_id"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        )
+    )

@@ -102,9 +102,9 @@ _PRIORITY: tuple[str, ...] = (
     "outer_order_count_distribution",
     "setop_user_cohorts",
     # -- representative green sample of every remaining family (r02) --
+    "fullouter_user_activity",
     "parse_lines",
     "window_concat_100s",
-    "toxic_user_cw10",
     "doc_sentiment",
     "dedup_minhash_lsh",
     # changed this round (materialization / table count), re-verify:

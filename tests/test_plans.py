@@ -255,3 +255,12 @@ def test_triangle_oriented_two_join_shape(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert len(re.findall(r"(?:Broadcast|Shuffled)HashJoin|SortMergeJoin", plan)) >= 2
     assert "partial_count" in plan
+
+
+def test_fullouter_join_shape(spark):
+    """FULL OUTER over two pre-aggregated sides: map-side partial aggs,
+    then one join on the keys both sides already hash on."""
+    plan = plan_of(spark, "fullouter_user_activity")
+    assert "FullOuter" in plan
+    assert "partial_count" in plan
+    assert "CartesianProduct" not in plan
