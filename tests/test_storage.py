@@ -83,3 +83,30 @@ def test_lsh_bucket_partitioned_corpus_prunes(spark, tmp_path):
     # pruned read returns exactly the bucket's rows
     want = emb.filter(F.col("bucket") == 3).count()
     assert back.count() == want
+
+
+def test_jsonl_and_csv_roundtrip(spark, tmp_path):
+    """Source-format breadth beyond parquet: the events table written as
+    JSONL and quoted CSV reads back value-identical with an explicit
+    schema (no inference in production paths — inference samples the
+    data and can flip types between runs)."""
+    ev = tables.load_table(spark, SF_DIR, "events").select(
+        "event_id", "user_id", "event_type", "value", "props"
+    )
+    schema = ev.schema
+
+    jpath = str(tmp_path / "ev_jsonl")
+    ev.write.mode("overwrite").json(jpath)
+    jback = spark.read.schema(schema).json(jpath)
+    assert jback.count() == ev.count()
+    assert jback.exceptAll(ev).count() == 0 and ev.exceptAll(jback).count() == 0
+
+    cpath = str(tmp_path / "ev_csv")
+    # props is a JSON string containing commas/quotes: quote-all proves
+    # the escaping path, unlike the reference's naive split-on-comma
+    ev.write.mode("overwrite").option("header", True).option(
+        "quoteAll", True
+    ).csv(cpath)
+    cback = spark.read.schema(schema).option("header", True).csv(cpath)
+    assert cback.count() == ev.count()
+    assert cback.exceptAll(ev).count() == 0 and ev.exceptAll(cback).count() == 0
