@@ -44,6 +44,8 @@ from .hashing import (
     affine_params,
     h28,
     h28_sql,
+    h60,
+    h60_sql,
     shingles,
     shingles_sql,
 )
@@ -370,9 +372,16 @@ def ngram_jaccard_pairs(
     filter, so the result is the exact Jaccard over the capped shingle
     universe (ubiquitous shingles carry no dedup signal — standard
     stop-word practice, mirrored identically in the oracle)."""
+    # Shingles enter the index as 60-bit hashes, not strings: the
+    # inverted-index shuffle carries 8-byte longs instead of ~25-byte
+    # grams (~3x less shuffle at any scale). Both engines derive the
+    # hash from md5 identically (hashing.h60), so the oracle mirrors
+    # collisions bit-for-bit; at 2^60 a colliding shingle pair is
+    # astronomically unlikely and would merely add one shared-shingle
+    # count on both sides.
     sh = rebalance(df).select(
-        F.col(id_col).alias("id"), F.explode(shingles(text_col)).alias("shingle")
-    )
+        F.col(id_col).alias("id"), F.explode(shingles(text_col)).alias("g")
+    ).select("id", h60("g").alias("shingle"))
     if max_df is not None:
         # The hot set is found with a map-side-combined aggregate (its
         # shuffle carries one row per shingle per partition, never the
@@ -435,9 +444,10 @@ def ngram_jaccard_pairs_sql(
         else "\n    sh AS (SELECT * FROM sh0),"
     )
     return f"""
-    WITH sh0 AS (
-      SELECT {id_col} AS id, unnest({shingles_sql(text)}) AS shingle FROM {table}
-    ),{cap}
+    WITH sh_raw AS (
+      SELECT {id_col} AS id, unnest({shingles_sql(text)}) AS g FROM {table}
+    ),
+    sh0 AS (SELECT id, {h60_sql('g')} AS shingle FROM sh_raw),{cap}
     sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY 1),
     inter AS (
       SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
