@@ -106,6 +106,12 @@ HEADLINE = [
     "repetition_stats",
     "rare_word_stats",
     "text_normalize",
+    "pii_redaction",
+    "boilerplate_removal",
+    "lang_id_confusion",
+    "sample_weighted_tickets",
+    "split_train_valid_test",
+    "anomaly_robust_events",
     "hll_distinct_users",
     "sample_stratified_events",
     "embedding_centroids",

@@ -299,3 +299,75 @@ def stratified_sample_sql(table: str, group_col: str, key_col: str, k: int) -> s
       FROM {table})
     WHERE rk <= {k}
     """
+
+
+def weighted_ticket_sample(
+    df: DataFrame, key_col: str, weight: F.Column, k: int
+) -> DataFrame:
+    """Weighted sampling without replacement with INTEGER weights, done
+    exactly in integer arithmetic: a row with weight w holds w lottery
+    tickets h(key, 1..w); its sampling key is the smallest ticket, and
+    the k rows with the smallest keys win — equivalent to drawing
+    without replacement from the expanded ticket pool, with zero
+    floating point (the float A-Res scheme — u^(1/w) — needs pow/log,
+    which are not bit-portable across engines).
+
+    Scale: ticket keys are computed at the scan (w <= a few md5s per
+    row, no explode); the global top-k is a TakeOrdered — per-partition
+    heaps of size k, never a full sort shuffle.
+    """
+    kc = F.col(key_col).cast("string")
+    key = F.array_min(
+        F.transform(
+            F.sequence(F.lit(1), weight),
+            lambda j: h60(F.concat(F.lit("wsamp:"), kc, F.lit(":"), j.cast("string"))),
+        )
+    )
+    return (
+        df.withColumn("w", weight.cast("long"))
+        .withColumn("key", key)
+        .orderBy("key", key_col)
+        .limit(k)
+    )
+
+
+def weighted_ticket_sample_sql(
+    table: str, key_col: str, weight_sql: str, k: int, cols: list[str]
+) -> str:
+    h = h60_sql(f"'wsamp:'||{key_col}||':'||j")
+    return f"""
+    SELECT {', '.join(cols)}, w, key FROM (
+      SELECT *, CAST({weight_sql} AS BIGINT) AS w,
+             list_min([{h} FOR j IN generate_series(1, {weight_sql})]) AS key
+      FROM {table})
+    ORDER BY key, {key_col} LIMIT {k}
+    """
+
+
+def group_split(
+    df: DataFrame,
+    group_col: str,
+    pct_train: int = 80,
+    pct_valid: int = 10,
+) -> DataFrame:
+    """Leakage-free train/valid/test assignment: the hash BUCKET is
+    computed from the group key (e.g. user_id), so every row of a group
+    lands in the same split — the standard guard against train/test
+    contamination when rows of one entity correlate. Deterministic
+    md5 bucketing (no RNG, engine-portable); pure scan-side column."""
+    bucket = h60(F.concat(F.lit("split:"), F.col(group_col).cast("string"))) % 100
+    return df.withColumn(
+        "split",
+        F.when(bucket < pct_train, "train")
+        .when(bucket < pct_train + pct_valid, "valid")
+        .otherwise("test"),
+    )
+
+
+def group_split_bucket_sql(group_col: str, pct_train: int = 80, pct_valid: int = 10) -> str:
+    h = h60_sql(f"'split:'||{group_col}")
+    return (
+        f"CASE WHEN {h} % 100 < {pct_train} THEN 'train' "
+        f"WHEN {h} % 100 < {pct_train + pct_valid} THEN 'valid' "
+        f"ELSE 'test' END"
+    )

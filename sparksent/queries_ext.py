@@ -16,6 +16,7 @@ from .ext import (
     multimodal,
     similarity,
     sketches,
+    textclean,
     textstats,
     vectorops,
 )
@@ -577,3 +578,110 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic fingerprint, expansion/schema/batching real."""
     media = multimodal.media_from_documents(_docs(spark, sf_dir))
     return multimodal.frame_sample(media)
+
+
+@register(
+    "pii_redaction",
+    oracle=textclean.pii_redaction_sql(),
+    tags=("ext", "textclean"),
+)
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex PII scrub (emails, IPv4s, phone extensions) with per-class
+    match counts. The fixture text carries no PII, so each document is
+    first enriched with deterministic doc_id-derived PII — identically
+    on both engines — and the redactor is verified on that. Pure
+    scan-side codegen regex: zero shuffle, zero UDF."""
+    docs = _docs(spark, sf_dir)
+    enriched = docs.select(
+        "doc_id", textclean.enrich_with_pii(docs).alias("full_text")
+    )
+    return textclean.pii_redact(enriched)
+
+
+@register(
+    "boilerplate_removal",
+    oracle=textclean.remove_boilerplate_sql(),
+    tags=("ext", "textclean"),
+)
+def q_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/CCNet frequent-line filter: corpus-wide line-frequency pass,
+    hot lines (df >= 20) broadcast-anti-joined out of every document,
+    text reassembled in original order. Same skew-capped shape as the
+    stop-shingle filter; at sf0.01 it strips ~19% of line occurrences."""
+    return textclean.remove_boilerplate(_docs(spark, sf_dir))
+
+
+@register(
+    "lang_id_confusion",
+    oracle=textclean.lang_id_confusion_sql(),
+    tags=("ext", "textclean"),
+)
+def q_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-trigram language-ID scored against the fixture's true lang
+    labels, reported as a confusion matrix. Seed docs (doc_id%5==0)
+    build broadcast per-language trigram profiles; held-out docs score
+    languages by integer profile overlap. (The synthetic fixture draws
+    every lang from one vocabulary, so the matrix shows the honest
+    near-random outcome — the operator, not the model, is under test.)"""
+    docs = tables.load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    return textclean.lang_id_confusion(docs)
+
+
+@register(
+    "sample_weighted_tickets",
+    oracle=sketches.weighted_ticket_sample_sql(
+        "events",
+        "event_id",
+        "CASE event_type WHEN 'purchase' THEN 4 WHEN 'signup' THEN 3 "
+        "WHEN 'click' THEN 2 ELSE 1 END",
+        500,
+        ["event_id", "event_type"],
+    ),
+    tags=("ext", "sampling"),
+)
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact weighted sampling without replacement: event types
+    hold 4/3/2/1 lottery tickets; a row's key is the min md5 ticket and
+    the global 500 smallest keys win (TakeOrdered — no full sort).
+    Purchase events are ~4x over-represented vs their base rate."""
+    ev = tables.load_table(spark, sf_dir, "events")
+    weight = (
+        F.when(F.col("event_type") == "purchase", 4)
+        .when(F.col("event_type") == "signup", 3)
+        .when(F.col("event_type") == "click", 2)
+        .otherwise(1)
+    )
+    return sketches.weighted_ticket_sample(ev, "event_id", weight, 500).select(
+        "event_id", "event_type", "w", "key"
+    )
+
+
+@register(
+    "split_train_valid_test",
+    oracle=f"""
+    SELECT {sketches.group_split_bucket_sql("user_id")} AS split,
+      count(DISTINCT user_id) AS n_users, count(*) AS n_events,
+      CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1
+    """,
+    tags=("ext", "sampling"),
+)
+def q_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free 80/10/10 split assignment hashed on user_id (every
+    event of a user lands in one split), summarized per split. The
+    split column is a pure scan-side expression; the summary is one
+    map-side-combined aggregate."""
+    ev = tables.load_table(spark, sf_dir, "events")
+    return (
+        sketches.group_split(ev, "user_id")
+        .groupBy("split")
+        .agg(
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )

@@ -736,3 +736,59 @@ def q_fullouter_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
         )
     )
+
+
+@register(
+    "anomaly_robust_events",
+    oracle="""
+    WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+                 FROM events GROUP BY 1),
+    mad AS (
+      SELECT e.event_type, quantile_cont(abs(e.value - m.med), 0.5) AS mad
+      FROM events e JOIN med m ON e.event_type = m.event_type GROUP BY 1)
+    SELECT e.event_type, any_value(m.med) AS med, any_value(d.mad) AS mad,
+      sum(CASE WHEN abs(e.value - m.med) > 3 * d.mad THEN 1 ELSE 0 END)
+        AS n_outliers,
+      count(*) AS n_total
+    FROM events e
+    JOIN med m ON e.event_type = m.event_type
+    JOIN mad d ON e.event_type = d.event_type
+    GROUP BY 1
+    """,
+    tags=("relational", "analytics"),
+)
+def q_anomaly_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median/MAD) outlier flagging per event_type: a value is
+    anomalous when |v - median| > 3*MAD — the standard heavy-tail-safe
+    z-score. Spark ``percentile`` matches DuckDB ``quantile_cont``
+    bit-for-bit, and the flag uses only sub/mul/abs (exact IEEE), so the
+    whole surface hash-matches.
+
+    Scale: two tiny grouped aggregates (one row per event_type) each
+    broadcast back onto the fact scan — the fact table is read twice...
+    or once with a cheap re-scan; no fact-sized shuffle occurs anywhere
+    (the groupBy carries map-side partials of 5 groups)."""
+    ev = tables.load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(F.percentile("value", 0.5).alias("med"))
+    with_med = ev.join(F.broadcast(med), "event_type")
+    mad = (
+        with_med.select(
+            "event_type", F.abs(F.col("value") - F.col("med")).alias("dev")
+        )
+        .groupBy("event_type")
+        .agg(F.percentile("dev", 0.5).alias("mad"))
+    )
+    return (
+        with_med.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.any_value("med").alias("med"),
+            F.any_value("mad").alias("mad"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("value") - F.col("med")) > 3 * F.col("mad"), 1
+                ).otherwise(0)
+            ).alias("n_outliers"),
+            F.count("*").alias("n_total"),
+        )
+    )

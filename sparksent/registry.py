@@ -87,13 +87,19 @@ _PRIORITY: tuple[str, ...] = (
     "rare_word_stats",
     "multimodal_resize_plan",
     "multimodal_frame_sample",
+    "pii_redaction",
+    "boilerplate_removal",
+    "lang_id_confusion",
+    "sample_weighted_tickets",
+    "split_train_valid_test",
+    "anomaly_robust_events",
     # -- driver-checked only in r01, code touched since (e59d445) --
+    # (q6/q14/q16 displaced to fit the six new never-checked queries
+    #  above: simplest shapes, r01-green and green in the full local
+    #  driver-sim since)
     "tpch_q5_regional",
-    "tpch_q6_forecast",
     "tpch_q7_nation_trade",
     "tpch_q10_returns",
-    "tpch_q14_promo",
-    "tpch_q16_supplier_cnt",
     "tpch_q17_small_quantity",
     "tpch_q18_large_orders",
     "tpch_q19_disjunctive",
@@ -103,9 +109,6 @@ _PRIORITY: tuple[str, ...] = (
     "setop_user_cohorts",
     # -- representative green sample of every remaining family (r02) --
     "fullouter_user_activity",
-    "parse_lines",
-    "window_concat_100s",
-    "doc_sentiment",
     "dedup_minhash_lsh",
     # changed this round (materialization / table count), re-verify:
     "dedup_ngram_jaccard",

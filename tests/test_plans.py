@@ -264,3 +264,58 @@ def test_fullouter_join_shape(spark):
     assert "FullOuter" in plan
     assert "partial_count" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_pii_redaction_scan_side(spark):
+    # per-row regex scrub: zero shuffle, and the documents scan reads
+    # only the two needed columns
+    plan = plan_of(spark, "pii_redaction")
+    assert count_data_shuffles(plan) == 0
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and sorted(c.split(":")[0] for c in m.group(1).split(",")) == [
+        "doc_id",
+        "text",
+    ]
+
+
+def test_boilerplate_hot_set_broadcast_anti(spark):
+    # the C4 frequent-line filter: hot set reaches the lines via a
+    # broadcast ANTI join (not a shuffled join), and the line-frequency
+    # aggregate combines map-side before its exchange
+    plan = plan_of(spark, "boilerplate_removal")
+    assert re.search(r"BroadcastHashJoin.*LeftAnti", plan)
+    assert "partial_count" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_lang_id_profile_broadcast(spark):
+    # the |langs| * profile_k model joins the held-out trigrams as a
+    # broadcast — the fact side never shuffles for the scoring join
+    plan = plan_of(spark, "lang_id_confusion")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_weighted_sample_take_ordered(spark):
+    # global top-k via per-partition heaps, not a full sort shuffle
+    plan = plan_of(spark, "sample_weighted_tickets")
+    assert "TakeOrderedAndProject" in plan
+    assert count_data_shuffles(plan) == 0
+
+
+def test_group_split_single_aggregate(spark):
+    # split assignment is a scan-side expression; the summary is one
+    # aggregate (count-distinct expands it to the standard two-phase
+    # form, still map-side-combined, no join anywhere)
+    plan = plan_of(spark, "split_train_valid_test")
+    assert "Join" not in plan
+    assert "partial_count" in plan
+
+
+def test_anomaly_broadcast_stats(spark):
+    # the per-type median/MAD frames (5 rows) broadcast back onto the
+    # fact scan; the fact table itself never shuffles raw rows for a join
+    plan = plan_of(spark, "anomaly_robust_events")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
