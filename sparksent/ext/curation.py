@@ -27,7 +27,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..tables import rebalance
-from .hashing import shingles, shingles_sql
+from .hashing import overlapping_gram_re, shingles, shingles_sql
 
 CTX_LEN = 512
 N_SHARDS = 64
@@ -39,15 +39,12 @@ RARE_MAX_DF = 2
 def word_ngrams(text: Column | str, w: int = 3) -> Column:
     """NON-distinct word w-grams (repetition needs multiplicity, unlike
     the dedup shingle set); texts shorter than w words collapse to one
-    whole-text gram so downstream ratios never divide by zero."""
+    whole-text gram so downstream ratios never divide by zero. One
+    codegen'd lookahead-regex pass (ext/hashing.py:overlapping_gram_re)
+    instead of the ~13x-slower interpreted HOF chain."""
     t = F.col(text) if isinstance(text, str) else text
-    toks = F.split(t, " ")
-    n = F.size(toks)
-    grams = F.transform(
-        F.sequence(F.lit(1), n - (w - 1)),
-        lambda i: F.concat_ws(" ", *[F.try_element_at(toks, i + j) for j in range(w)]),
-    )
-    return F.when(n >= w, grams).otherwise(F.array(t))
+    grams = F.regexp_extract_all(t, F.lit(overlapping_gram_re(w)), 1)
+    return F.when(F.size(grams) > 0, grams).otherwise(F.array(t))
 
 
 def word_ngrams_sql(text: str = "text", w: int = 3) -> str:

