@@ -112,6 +112,9 @@ HEADLINE = [
     "sample_weighted_tickets",
     "split_train_valid_test",
     "anomaly_robust_events",
+    "dedup_ngram_containment",
+    "bloom_semijoin_customers",
+    "quantile_sketch_value",
     "hll_distinct_users",
     "sample_stratified_events",
     "embedding_centroids",

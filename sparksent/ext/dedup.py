@@ -464,6 +464,88 @@ def ngram_jaccard_pairs_sql(
     """
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.6,
+    max_df: int | None = 25,
+) -> DataFrame:
+    """Asymmetric near-dup: containment = |A∩B| / min(|A|,|B|) over the
+    word-3-gram shingle sets — catches a small document embedded in (or
+    templated into) a larger one, which symmetric Jaccard misses because
+    the union is dominated by the large side. Same capped inverted-index
+    plan as :func:`ngram_jaccard_pairs` (one explode, hot-shingle
+    broadcast anti-join, localCheckpointed across consumers); only the
+    denominator differs."""
+    sh = rebalance(df).select(
+        F.col(id_col).alias("id"), F.explode(shingles(text_col)).alias("g")
+    ).select("id", h60("g").alias("shingle"))
+    if max_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df_cnt"))
+            .filter(F.col("df_cnt") > max_df)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    sh = sh.localCheckpoint()
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    left = sh.select(F.col("id").alias("id_a"), "shingle")
+    right = sh.select(F.col("id").alias("id_b"), "shingle")
+    inter = (
+        left.join(right, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({"id": "id_a", "n_sh": "n_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "n_sh": "n_b"}), "id_b")
+        .withColumn("containment", F.col("inter") / F.least("n_a", "n_b"))
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "inter", "containment")
+    )
+
+
+def ngram_containment_pairs_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text: str = "text",
+    threshold: float = 0.6,
+    max_df: int | None = 25,
+) -> str:
+    cap = (
+        f"""
+    sh AS (
+      SELECT * FROM sh0 WHERE shingle NOT IN (
+        SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) > {max_df}
+      )
+    ),"""
+        if max_df is not None
+        else "\n    sh AS (SELECT * FROM sh0),"
+    )
+    return f"""
+    WITH sh_raw AS (
+      SELECT {id_col} AS id, unnest({shingles_sql(text)}) AS g FROM {table}
+    ),
+    sh0 AS (SELECT id, {h60_sql('g')} AS shingle FROM sh_raw),{cap}
+    sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+      FROM sh a JOIN sh b USING (shingle)
+      WHERE a.id < b.id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, inter,
+           inter / least(sa.n_sh, sb.n_sh) AS containment
+    FROM inter
+    JOIN sizes sa ON sa.id = id_a
+    JOIN sizes sb ON sb.id = id_b
+    WHERE inter / least(sa.n_sh, sb.n_sh) >= {threshold}
+    """
+
+
 # ---------------------------------------------------------------------------
 # end-to-end: the surviving document set
 # ---------------------------------------------------------------------------

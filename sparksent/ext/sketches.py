@@ -371,3 +371,163 @@ def group_split_bucket_sql(group_col: str, pct_train: int = 80, pct_valid: int =
         f"WHEN {h} % 100 < {pct_train + pct_valid} THEN 'valid' "
         f"ELSE 'test' END"
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter semi-join pruning (explicit runtime-filter pattern)
+# ---------------------------------------------------------------------------
+
+BLOOM_BITS = 16384  # m: filter size in bits (512 x 32-bit words)
+BLOOM_WORD = 32  # bits per word; 32 keeps every mask positive in a long
+BLOOM_K = 4  # hash functions
+
+
+def _bloom_positions(key: F.Column) -> list[F.Column]:
+    return [
+        h60(F.concat(F.lit(f"bloom{j}:"), key.cast("string"))) % BLOOM_BITS
+        for j in range(BLOOM_K)
+    ]
+
+
+def _pow2_long(k: F.Column) -> F.Column:
+    """2^k as a long for 0 <= k < 32 (exact: powers of two are exactly
+    representable and F.shiftleft only takes literal shift amounts)."""
+    return F.pow(F.lit(2.0), k.cast("double")).cast("long")
+
+
+def bloom_build(df: DataFrame, key_col: str) -> DataFrame:
+    """Build a Bloom filter over a key column as ONE row holding a
+    map<word_idx, bits>: per-row bit positions explode map-side, the
+    distinct-position set collapses through a map-side-combined bit_or
+    aggregate (<= m/32 = 512 rows on the wire), and the final row is
+    broadcast-sized (~4 KiB) regardless of input row count."""
+    pos = F.explode(F.array(*_bloom_positions(F.col(key_col)))).alias("pos")
+    words = (
+        df.select(pos)
+        .select(
+            (F.col("pos") / BLOOM_WORD).cast("int").alias("word_idx"),
+            _pow2_long(F.col("pos") % BLOOM_WORD).alias("mask"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+    return words.agg(
+        F.map_from_entries(F.collect_list(F.struct("word_idx", "bits"))).alias(
+            "bloom"
+        )
+    )
+
+
+def bloom_prefilter(df: DataFrame, key_col: str, bloom: DataFrame) -> DataFrame:
+    """Keep rows whose key MIGHT be in the built set (no false
+    negatives): all k bits present. The bloom broadcasts as one row;
+    the probe is a scan-side flat expression (md5 + map lookup + bit
+    test), so rows failing the filter never reach any shuffle — the
+    explicit form of the runtime row-level filtering Spark applies
+    adaptively, here made deterministic and plan-visible."""
+    out = df.crossJoin(F.broadcast(bloom))
+    cond = F.lit(True)
+    for p in _bloom_positions(F.col(key_col)):
+        widx = (p / BLOOM_WORD).cast("int")
+        mask = _pow2_long(p % BLOOM_WORD)
+        cond = cond & (
+            F.coalesce(F.try_element_at("bloom", widx), F.lit(0))
+            .bitwiseAND(mask)
+            != 0
+        )
+    return out.filter(cond).drop("bloom")
+
+
+# ---------------------------------------------------------------------------
+# mergeable histogram quantile sketch
+# ---------------------------------------------------------------------------
+
+QSKETCH_BINS = 4096
+
+
+def hist_quantiles(
+    df: DataFrame, value_col: str, qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.99)
+) -> DataFrame:
+    """Quantile estimates from a fixed-width histogram sketch: one
+    min/max/count pass, one bounded (<= QSKETCH_BINS rows) bin-count
+    aggregate, linear interpolation inside the rank's bin. The per-task
+    state is a bounded bin array that merges by addition — the property
+    that lets this run as a single map-side-combined pass at any scale,
+    where exact quantiles would need a full sort. Error is bounded by
+    the bin width ((max-min)/4096); every arithmetic step uses the same
+    IEEE operations on both engines, so the ESTIMATE itself is
+    bit-exact against the oracle (approximate vs the true quantile,
+    exact as a computation)."""
+    v = F.col(value_col)
+    stats = df.agg(
+        F.min(v).alias("lo"), F.max(v).alias("hi"), F.count("*").alias("n")
+    )
+    width = (F.col("hi") - F.col("lo")) / QSKETCH_BINS
+    binned = (
+        df.crossJoin(F.broadcast(stats))
+        .select(
+            F.least(
+                F.lit(QSKETCH_BINS - 1),
+                F.floor((v - F.col("lo")) / width).cast("int"),
+            ).alias("bin")
+        )
+    )
+    cum = (
+        binned.groupBy("bin")
+        .agg(F.count("*").alias("c"))
+        .withColumn(
+            "cum",
+            F.sum("c").over(
+                Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    ranks = (
+        df.sparkSession.range(1)
+        .select(F.explode(F.array(*[F.lit(q) for q in qs])).alias("q"))
+        .crossJoin(F.broadcast(stats))
+        .select("q", "lo", "hi", "n", F.ceil(F.col("q") * F.col("n")).alias("r"))
+    )
+    w2 = (F.col("hi") - F.col("lo")) / QSKETCH_BINS
+    return (
+        cum.join(
+            F.broadcast(ranks),
+            (F.col("cum") >= F.col("r")) & (F.col("cum") - F.col("c") < F.col("r")),
+        )
+        .select(
+            "q",
+            "r",
+            (
+                F.col("lo")
+                + w2 * F.col("bin")
+                + w2 * (F.col("r") - (F.col("cum") - F.col("c"))) / F.col("c")
+            ).alias("est"),
+        )
+    )
+
+
+def hist_quantiles_sql(
+    table: str, value_col: str, qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.99)
+) -> str:
+    qlist = ", ".join(repr(q) for q in qs)
+    b = QSKETCH_BINS
+    return f"""
+    WITH stats AS (
+      SELECT min({value_col}) AS lo, max({value_col}) AS hi, count(*) AS n
+      FROM {table}),
+    binned AS (
+      SELECT least({b - 1},
+                   CAST(floor(({value_col} - lo) / ((hi - lo) / {b})) AS INT))
+               AS bin
+      FROM {table}, stats),
+    cum AS (
+      SELECT bin, c, sum(c) OVER (ORDER BY bin) AS cum
+      FROM (SELECT bin, count(*) AS c FROM binned GROUP BY 1)),
+    ranked AS (
+      SELECT q, CAST(ceil(q * n) AS BIGINT) AS r, lo, hi FROM
+        (SELECT unnest([{qlist}]) AS q), stats)
+    SELECT q, r,
+           lo + ((hi - lo) / {b}) * bin
+              + ((hi - lo) / {b}) * (r - (cum - c)) / c AS est
+    FROM cum JOIN ranked ON cum >= r AND cum - c < r
+    """

@@ -685,3 +685,72 @@ def q_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_value"),
         )
     )
+
+
+@register(
+    "dedup_ngram_containment",
+    oracle=dedup.ngram_containment_pairs_sql(),
+    tags=("ext", "dedup"),
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dup (|A∩B| / min set size >= 0.6):
+    catches small-doc-embedded-in-large-doc duplication that symmetric
+    Jaccard's union denominator hides. Same capped hashed-shingle
+    inverted index as dedup_ngram_jaccard."""
+    return dedup.ngram_containment_pairs(_docs(spark, sf_dir))
+
+
+@register(
+    "bloom_semijoin_customers",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*) AS n_customers,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS sum_acctbal
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY 1
+    """,
+    tags=("ext", "sketch"),
+)
+def q_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers-with-orders per market segment, computed through an
+    EXPLICIT Bloom runtime filter: the orders key set collapses to a
+    ~4 KiB one-row bloom map (map-side-combined bit_or aggregate),
+    broadcasts, and prunes the customer scan BEFORE the exact semi-join
+    — so at 100 TB only might-match rows reach the join shuffle. The
+    bloom has no false negatives, hence the result equals the plain
+    EXISTS oracle exactly; false positives are removed by the semi-join
+    confirm."""
+    cust = tables.load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    orders = tables.load_table(spark, sf_dir, "orders").select("o_custkey")
+    bloom = sketches.bloom_build(orders, "o_custkey")
+    cand = sketches.bloom_prefilter(cust, "c_custkey", bloom)
+    hit = cand.join(
+        orders.withColumnRenamed("o_custkey", "c_custkey"),
+        "c_custkey",
+        "left_semi",
+    )
+    return hit.groupBy("c_mktsegment").agg(
+        F.count("*").cast("long").alias("n_customers"),
+        F.sum(F.col("c_acctbal").cast("decimal(28,6)"))
+        .cast("double")
+        .alias("sum_acctbal"),
+    )
+
+
+@register(
+    "quantile_sketch_value",
+    oracle=sketches.hist_quantiles_sql("events", "value"),
+    tags=("ext", "sketch"),
+)
+def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram quantile sketch over event values: 4096 fixed-width
+    bins (bounded, additively-mergeable per-task state — the one-pass
+    alternative to a full sort), linear interpolation in the rank bin.
+    The estimate's arithmetic is replayed identically by the oracle, so
+    the check is bit-exact even though the sketch itself approximates
+    the true quantile to one bin width."""
+    ev = tables.load_table(spark, sf_dir, "events")
+    return sketches.hist_quantiles(ev, "value")

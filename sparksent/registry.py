@@ -93,16 +93,16 @@ _PRIORITY: tuple[str, ...] = (
     "sample_weighted_tickets",
     "split_train_valid_test",
     "anomaly_robust_events",
+    "dedup_ngram_containment",
+    "bloom_semijoin_customers",
+    "quantile_sketch_value",
     # -- driver-checked only in r01, code touched since (e59d445) --
-    # (q6/q14/q16 displaced to fit the six new never-checked queries
-    #  above: simplest shapes, r01-green and green in the full local
-    #  driver-sim since)
+    # (q6/q14/q16/q17/q18/q19 displaced to fit the nine new
+    #  never-checked queries above: simplest shapes, r01-green and
+    #  green in the full local driver-sim since)
     "tpch_q5_regional",
     "tpch_q7_nation_trade",
     "tpch_q10_returns",
-    "tpch_q17_small_quantity",
-    "tpch_q18_large_orders",
-    "tpch_q19_disjunctive",
     "semi_late_orders",
     "anti_customers_no_orders",
     "outer_order_count_distribution",

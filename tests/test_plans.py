@@ -319,3 +319,24 @@ def test_anomaly_broadcast_stats(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bloom_semijoin_prefilter_shape(spark):
+    # the bloom builds via a map-side-combined bit_or aggregate, probes
+    # as a scan-side filter under a broadcast, and the exact confirm is
+    # a semi join — never a nested loop over the full customer table
+    plan = plan_of(spark, "bloom_semijoin_customers")
+    assert "bit_or" in plan
+    assert "LeftSemi" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row bloom crossJoin IS the broadcast
+    assert "CartesianProduct" not in plan
+
+
+def test_quantile_sketch_bounded_state(spark):
+    # the only per-row work is the bin projection; the rank join sees
+    # <= 4096 bin rows x 5 quantile rows — raw events never reach a
+    # join or a global sort
+    plan = plan_of(spark, "quantile_sketch_value")
+    assert "TakeOrdered" not in plan  # not a sort-based quantile
+    assert "partial_count" in plan  # bin counts combine map-side
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan

@@ -110,3 +110,55 @@ def test_jsonl_and_csv_roundtrip(spark, tmp_path):
     cback = spark.read.schema(schema).option("header", True).csv(cpath)
     assert cback.count() == ev.count()
     assert cback.exceptAll(ev).count() == 0 and ev.exceptAll(cback).count() == 0
+
+
+def test_parquet_aggregate_pushdown(spark, tmp_path):
+    # MIN/MAX/COUNT over parquet can resolve entirely from footer
+    # statistics — at 100 TB that's the difference between reading
+    # metadata and scanning the table. Session-settable conf; the plan
+    # advertises what was pushed.
+    p = f"{tmp_path}/ev"
+    tables.load_table(spark, SF_DIR, "events").select(
+        "event_id", "value"
+    ).write.parquet(p)
+    # pushdown lives in the v2 parquet source (v1, the default, plans a
+    # normal scan + aggregate); both confs are session-settable
+    v1_prev = spark.conf.get("spark.sql.sources.useV1SourceList")
+    spark.conf.set("spark.sql.sources.useV1SourceList", "")
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    try:
+        df = spark.read.parquet(p).agg(
+            F.count("*").alias("n"),
+            F.min("event_id").alias("lo"),
+            F.max("event_id").alias("hi"),
+        )
+        plan = _formatted(df)
+        assert "PushedAggregation: [COUNT(*), MIN(event_id), MAX(event_id)]" in plan
+        row = df.collect()[0]
+        # footer stats agree with a full scan
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", "false")
+        truth = spark.read.parquet(p).agg(
+            F.count("*"), F.min("event_id"), F.max("event_id")
+        ).collect()[0]
+        assert tuple(row) == tuple(truth)
+    finally:
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", "false")
+        spark.conf.set("spark.sql.sources.useV1SourceList", v1_prev)
+
+
+def test_schema_evolution_merge(spark, tmp_path):
+    # a corpus written over time gains columns; mergeSchema reads old
+    # and new files as one table with NULLs where the column predates
+    p = f"{tmp_path}/docs"
+    d = tables.load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    d.where(F.col("doc_id") % 2 == 0).write.parquet(f"{p}/batch=a")
+    d.where(F.col("doc_id") % 2 == 1).withColumn(
+        "quality", F.length("text").cast("double")
+    ).write.parquet(f"{p}/batch=b")
+    merged = spark.read.option("mergeSchema", "true").parquet(p)
+    assert "quality" in merged.columns
+    n_total = d.count()
+    assert merged.count() == n_total
+    assert merged.where(F.col("quality").isNull()).count() == d.where(
+        F.col("doc_id") % 2 == 0
+    ).count()

@@ -218,6 +218,11 @@ def main() -> None:
         "cosine_neardup_planes8": cosine_scale,
         "sample_stratified_events": qs["sample_stratified_events"],
         "event_session_ids": qs["event_session_ids"],
+        # round-3 additions: the two new df-cap text shapes and the
+        # bounded-state quantile sketch
+        "boilerplate_removal": qs["boilerplate_removal"],
+        "dedup_ngram_containment": qs["dedup_ngram_containment"],
+        "quantile_sketch_value": qs["quantile_sketch_value"],
     }
     results = {}
     group_of = {}
