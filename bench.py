@@ -115,6 +115,8 @@ HEADLINE = [
     "dedup_ngram_containment",
     "bloom_semijoin_customers",
     "quantile_sketch_value",
+    "hll_merge_rollup",
+    "user_behavior_features",
     "hll_distinct_users",
     "sample_stratified_events",
     "embedding_centroids",
@@ -127,6 +129,7 @@ HEADLINE = [
 CAPABILITY = [
     "grouped_mode_event_type",  # deliberate applyInPandas escape-hatch proof
     "doc_sentiment_mllib",  # in-query LBFGS training (maxIter=16)
+    "bpe_merges",  # driver-side merge loop over the collected vocab
 ]
 
 

@@ -1,0 +1,100 @@
+"""Byte-pair-encoding merge learning — tokenizer training as a corpus
+operator.
+
+The industrial shape (and the one that scales to 100 TB): BPE training
+never iterates over the corpus — it iterates over the WORD VOCABULARY
+with counts. The distributed part is the vocabulary count (one
+map-side-combined aggregate over every token occurrence); the merge
+loop then runs on the collected vocab table, whose size is bounded by
+|distinct words| (a few million for web scale — driver-sized) no matter
+how many petabytes produced it. This module keeps that split explicit:
+
+- :func:`word_vocab` — the distributed aggregate (Spark plan).
+- :func:`learn_merges` — the deterministic driver-side loop over the
+  collected vocab (pure Python, exact integer counts, total-order tie
+  break), returning the merge table as a DataFrame.
+
+Determinism: pair counts are exact integers from the aggregate; ties
+break on (count DESC, left ASC, right ASC), so the merge sequence is a
+pure function of the corpus. Verified in pytest by recomputing the loop
+from an independent DuckDB word count (tests/test_properties.py); the
+driver records a rows-only check — the merge LOOP is the canonical
+"iterative algorithm" case the oracle contract exempts from SQL
+expression.
+
+Reference: traubad/FlinkSentimentAnalysis tokenizes on whitespace only
+(SentimentAnalysis.scala:241-265); this is the extension to learned
+subword vocabularies.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..tables import rebalance
+
+N_MERGES = 16
+END_MARK = "</w>"  # end-of-word symbol, per the original BPE formulation
+
+
+def word_vocab(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, n) over every whitespace token occurrence — the ONLY
+    corpus-sized stage of BPE training; map-side combine makes the
+    shuffle carry one row per distinct word per partition."""
+    return (
+        rebalance(df)
+        .select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def learn_merges_py(vocab: list[tuple[str, int]], n_merges: int = N_MERGES):
+    """The exact merge loop on a (word, count) vocabulary. Pure Python
+    by design (see module docstring); deterministic total order."""
+    symbols = {w: tuple(list(w) + [END_MARK]) for w, _ in vocab}
+    counts = dict(vocab)
+    merges: list[tuple[int, str, str, int]] = []
+    for step in range(n_merges):
+        pair_counts: dict[tuple[str, str], int] = {}
+        for w, syms in symbols.items():
+            c = counts[w]
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pair_counts[p] = pair_counts.get(p, 0) + c
+        if not pair_counts:
+            break
+        best = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (left, right), cnt = best
+        merges.append((step, left, right, cnt))
+        joined = left + right
+        new_symbols = {}
+        for w, syms in symbols.items():
+            out = []
+            i = 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == left and syms[i + 1] == right:
+                    out.append(joined)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_symbols[w] = tuple(out)
+        symbols = new_symbols
+    return merges
+
+
+def learn_merges(df: DataFrame, text_col: str = "text", n_merges: int = N_MERGES) -> DataFrame:
+    """Distributed vocab count -> driver merge loop -> merge table
+    (step, left, right, pair_count). The collect is bounded by distinct
+    words, not corpus size — document-scale data never reaches the
+    driver."""
+    vocab = [(r["word"], r["n"]) for r in word_vocab(df, text_col).collect()]
+    vocab.sort()  # collect order is partition-dependent; the loop is not
+    merges = learn_merges_py(vocab, n_merges)
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        merges, "step int, left string, right string, pair_count bigint"
+    )

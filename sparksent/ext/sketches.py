@@ -531,3 +531,114 @@ def hist_quantiles_sql(
               + ((hi - lo) / {b}) * (r - (cum - c)) / c AS est
     FROM cum JOIN ranked ON cum >= r AND cum - c < r
     """
+
+
+def hll_merge_rollup(
+    df: DataFrame, group_col: str, sub_col: F.Column, value_col: str
+) -> DataFrame:
+    """The property that makes sketches OLAP-cube material: HLL
+    registers MERGE losslessly (register-wise max is associative), so a
+    coarse rollup computed from pre-aggregated fine-grained sketches is
+    bit-identical to one computed from raw data. Here: per-(group, day)
+    register tables max-merge up to per-group and the estimate is
+    emitted beside an independently computed direct per-group estimate
+    — ``merge_exact`` proves equality. At 100 TB this is the difference
+    between re-scanning the corpus per rollup level and reusing
+    day-partition sketch tables (256 rows per partition per group)."""
+    h = h60(F.col(value_col).cast("string"))
+    base = df.select(
+        F.col(group_col).alias("grp"),
+        sub_col.alias("sub"),
+        (h % HLL_M).alias("bucket"),
+        _rho(F.shiftright(h, HLL_P)).alias("rho"),
+    )
+    fine = base.groupBy("grp", "sub", "bucket").agg(F.max("rho").alias("mj"))
+    merged = fine.groupBy("grp", "bucket").agg(F.max("mj").alias("mj"))
+    direct = base.groupBy("grp", "bucket").agg(F.max("rho").alias("mj"))
+
+    def estimate(regs: DataFrame, tag: str) -> DataFrame:
+        shift = f"shiftleft(cast(1 as bigint), cast({HLL_REST_BITS + 1} - mj as int))"
+        per = regs.groupBy("grp").agg(
+            F.count("*").alias("n_present"),
+            F.sum(F.expr(shift)).alias("sum_present"),
+        )
+        scaled = F.col("sum_present") + (
+            F.lit(HLL_M) - F.col("n_present")
+        ) * F.lit(1 << (HLL_REST_BITS + 1))
+        return per.select(
+            "grp",
+            scaled.alias(f"sum_scaled_{tag}"),
+            (F.lit(HLL_NUMER) / scaled).alias(f"est_{tag}"),
+        )
+
+    m = estimate(merged, "merged")
+    d = estimate(direct, "direct")
+    return (
+        m.join(d, "grp")
+        .select(
+            F.col("grp").alias(group_col),
+            "sum_scaled_merged",
+            "est_merged",
+            "est_direct",
+            (F.col("sum_scaled_merged") == F.col("sum_scaled_direct")).alias(
+                "merge_exact"
+            ),
+        )
+    )
+
+
+def hll_merge_rollup_sql(
+    table: str, group_col: str, sub_sql: str, value_col: str
+) -> str:
+    h = h60_sql(f"{value_col}::VARCHAR")
+    rb = HLL_REST_BITS
+    return f"""
+    WITH base AS (
+      SELECT grp, sub,
+             h % {HLL_M} AS bucket,
+             CASE WHEN (h >> {HLL_P}) > 0
+                  THEN {rb + 1} - length(bin(h >> {HLL_P}))
+                  ELSE {rb + 1} END AS rho
+      FROM (SELECT {group_col} AS grp, {sub_sql} AS sub, {h} AS h
+            FROM {table})),
+    fine AS (SELECT grp, sub, bucket, max(rho) AS mj
+             FROM base GROUP BY 1, 2, 3),
+    merged AS (SELECT grp, bucket, max(mj) AS mj FROM fine GROUP BY 1, 2),
+    direct AS (SELECT grp, bucket, max(rho) AS mj FROM base GROUP BY 1, 2),
+    est_m AS (
+      SELECT grp,
+             sum(1::BIGINT << ({rb + 1} - mj))::BIGINT
+               + ({HLL_M} - count(*)) * (1::BIGINT << {rb + 1}) AS sum_scaled
+      FROM merged GROUP BY 1),
+    est_d AS (
+      SELECT grp,
+             sum(1::BIGINT << ({rb + 1} - mj))::BIGINT
+               + ({HLL_M} - count(*)) * (1::BIGINT << {rb + 1}) AS sum_scaled
+      FROM direct GROUP BY 1)
+    SELECT m.grp AS {group_col},
+           m.sum_scaled AS sum_scaled_merged,
+           {HLL_NUMER!r} / m.sum_scaled AS est_merged,
+           {HLL_NUMER!r} / d.sum_scaled AS est_direct,
+           m.sum_scaled = d.sum_scaled AS merge_exact
+    FROM est_m m JOIN est_d d USING (grp)
+    """
+
+
+def hll_finalize(regs: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Registers -> estimate (the read-time half of a stored-sketch
+    layout; pairs with ``streaming_hll_registers`` and any register
+    table produced by ``hll_distinct``'s first aggregate). Input needs
+    columns ``mj`` plus the grouping columns."""
+    shift = f"shiftleft(cast(1 as bigint), cast({HLL_REST_BITS + 1} - mj as int))"
+    per = regs.groupBy(*group_cols).agg(
+        F.count("*").alias("n_present"),
+        F.sum(F.expr(shift)).alias("sum_present"),
+    )
+    scaled = F.col("sum_present") + (
+        F.lit(HLL_M) - F.col("n_present")
+    ) * F.lit(1 << (HLL_REST_BITS + 1))
+    return per.select(
+        *group_cols,
+        scaled.alias("sum_scaled"),
+        (F.lit(HLL_NUMER) / scaled).alias("est_hll"),
+    )

@@ -754,3 +754,38 @@ def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     the true quantile to one bin width."""
     ev = tables.load_table(spark, sf_dir, "events")
     return sketches.hist_quantiles(ev, "value")
+
+
+@register(
+    "hll_merge_rollup",
+    oracle=sketches.hll_merge_rollup_sql(
+        "events", "event_type", "epoch_us(ts) // 86400000000", "user_id"
+    ),
+    tags=("ext", "sketch"),
+)
+def q_hll_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch mergeability made demonstrable: per-(event_type, day) HLL
+    register tables max-merge up to per-type, and the merged estimate
+    is emitted beside an independent direct estimate with a
+    merge_exact == true proof column. The OLAP-rollup property that
+    lets 100 TB pipelines keep day-level sketch partitions (256 rows
+    each) instead of re-scanning raw data per rollup level."""
+    ev = tables.load_table(spark, sf_dir, "events")
+    # `div` = exact BIGINT integer division, matching DuckDB's `//`
+    # (float division + cast could round across the day boundary)
+    day = F.expr("unix_micros(ts) div 86400000000")
+    return sketches.hll_merge_rollup(ev, "event_type", day, "user_id")
+
+
+@register("bpe_merges", oracle=None, tags=("ext", "tokenizer"))
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training: distributed word-vocabulary count (the
+    only corpus-sized stage), then the canonical deterministic merge
+    loop over the driver-sized vocab table; returns the 16-step merge
+    table (step, left, right, pair_count). Iterative algorithm — the
+    oracle contract's documented rows-only case; the loop is verified
+    exactly in pytest against an independent DuckDB recomputation
+    (tests/test_properties.py::test_bpe_merges_match_reference_loop)."""
+    from .ext import bpe
+
+    return bpe.learn_merges(_docs(spark, sf_dir))

@@ -792,3 +792,87 @@ def q_anomaly_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_total"),
         )
     )
+
+
+@register(
+    "user_behavior_features",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, event_type, epoch_us(ts) AS us,
+             epoch_us(ts) - lag(epoch_us(ts))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events),
+    base AS (
+      SELECT user_id,
+             count(*) AS n_events,
+             count(DISTINCT event_type) AS n_types,
+             max(us) - min(us) AS span_us,
+             coalesce(max(gap_us), 0)::BIGINT AS max_gap_us,
+             CASE WHEN count(*) > 1
+                  THEN (max(us) - min(us)) / (count(*) - 1)
+                  ELSE 0.0 END AS mean_gap_us
+      FROM g GROUP BY 1),
+    top AS (
+      SELECT user_id, event_type AS top_type, cnt AS top_type_n FROM (
+        SELECT user_id, event_type, count(*) AS cnt,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY count(*) DESC, event_type ASC) AS rn
+        FROM events GROUP BY 1, 2) WHERE rn = 1)
+    SELECT user_id, n_events, n_types, span_us, max_gap_us, mean_gap_us,
+           top_type, top_type_n
+    FROM base JOIN top USING (user_id)
+    """,
+    tags=("relational", "features"),
+)
+def q_user_behavior_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user behavioral feature vector — the feature-engineering
+    workload of a training pipeline: event count, type diversity,
+    activity span, max inter-event gap (lag window), mean gap (exact
+    integer-ratio division), and the deterministic modal event type
+    (count DESC, type ASC tie break).
+
+    Scale: every stage is keyed by user_id — the lag window, the
+    (user, type) count, the modal argmax window, and the final join all
+    reuse one hash-partitioning; epoch-microsecond BIGINT arithmetic is
+    integer-exact on both engines, and mean_gap divides two exact
+    integers (identical IEEE result)."""
+    ev = tables.load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    um = F.unix_micros(F.col("ts"))
+    g = ev.select(
+        "user_id",
+        "event_type",
+        um.alias("us"),
+        (um - F.lag(um).over(w)).alias("gap_us"),
+    )
+    base = g.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("event_type").alias("n_types"),
+        (F.max("us") - F.min("us")).alias("span_us"),
+        F.coalesce(F.max("gap_us"), F.lit(0)).alias("max_gap_us"),
+        F.when(
+            F.count("*") > 1,
+            (F.max("us") - F.min("us")) / (F.count("*") - 1),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("mean_gap_us"),
+    )
+    top = (
+        ev.groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy(
+                    F.col("cnt").desc(), F.col("event_type").asc()
+                )
+            ),
+        )
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("top_type"),
+            F.col("cnt").alias("top_type_n"),
+        )
+    )
+    return base.join(top, "user_id")

@@ -96,17 +96,17 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_ngram_containment",
     "bloom_semijoin_customers",
     "quantile_sketch_value",
+    "hll_merge_rollup",
+    "user_behavior_features",
+    "bpe_merges",  # rows-only (iterative; pytest holds its exact check)
     # -- driver-checked only in r01, code touched since (e59d445) --
-    # (q6/q14/q16/q17/q18/q19 displaced to fit the nine new
-    #  never-checked queries above: simplest shapes, r01-green and
-    #  green in the full local driver-sim since)
+    # (q6/q14/q16/q17/q18/q19 + semi/anti/setop displaced to fit the
+    #  twelve new never-checked queries above: simplest shapes,
+    #  r01-green and green in the full local driver-sim since)
     "tpch_q5_regional",
     "tpch_q7_nation_trade",
     "tpch_q10_returns",
-    "semi_late_orders",
-    "anti_customers_no_orders",
     "outer_order_count_distribution",
-    "setop_user_cohorts",
     # -- representative green sample of every remaining family (r02) --
     "fullouter_user_activity",
     "dedup_minhash_lsh",

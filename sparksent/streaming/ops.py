@@ -146,3 +146,35 @@ def streaming_interval_join(
         & (r[right_ts] <= l[left_ts])
     )
     return l.join(r, cond).drop(r[on])
+
+
+def streaming_hll_registers(
+    df: DataFrame,
+    keys: Sequence[str],
+    size_s: int,
+    value_col: str,
+    ts_col: str = "ts",
+    watermark: str = "10 seconds",
+) -> DataFrame:
+    """Streaming HLL: the stream maintains the SKETCH REGISTERS as its
+    only state — a watermarked (window, keys, bucket) -> max(rho)
+    aggregation, i.e. exactly the sketch-merge operation, bounded at
+    256 rows per (window, key) and expired by the watermark. Estimates
+    are finalized from stored registers at read time
+    (``sketches.hll_finalize``) — the production layout, since register
+    tables also merge across windows/streams losslessly. Equivalence to
+    the batch register computation is exact (integer state, associative
+    merge): tests/test_streaming_equivalence.py."""
+    from ..ext.hashing import h60
+    from ..ext.sketches import HLL_M, HLL_P, _rho
+
+    h = h60(F.col(value_col).cast("string"))
+    return (
+        df.withColumn("bucket", h % HLL_M)
+        .withColumn("rho", _rho(F.shiftright(h, HLL_P)))
+        .withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), f"{size_s} seconds").alias("w"), *keys, "bucket")
+        .agg(F.max("rho").alias("mj"))
+        .withColumn("window_start_s", F.unix_timestamp(F.col("w.start")))
+        .drop("w")
+    )

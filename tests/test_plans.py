@@ -340,3 +340,27 @@ def test_quantile_sketch_bounded_state(spark):
     assert "TakeOrdered" not in plan  # not a sort-based quantile
     assert "partial_count" in plan  # bin counts combine map-side
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_user_behavior_features_single_key_partitioning(spark):
+    # every stage keys on user_id; the window, both aggregates, and the
+    # final join must not introduce a cartesian or nested loop, and the
+    # fact scan reads only the needed columns
+    plan = plan_of(spark, "user_behavior_features")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and sorted(c.split(":")[0] for c in m.group(1).split(",")) == [
+        "event_id",
+        "event_type",
+        "ts",
+        "user_id",
+    ]
+
+
+def test_hll_merge_rollup_bounded_state(spark):
+    # both register pipelines are partial+final max-aggregates; nothing
+    # row-sized survives past the (grp, sub, bucket) aggregate
+    plan = plan_of(spark, "hll_merge_rollup")
+    assert "partial_max" in plan
+    assert "CartesianProduct" not in plan

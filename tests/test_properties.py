@@ -342,3 +342,33 @@ def test_ann_topk_recall_ladder(spark):
     ivf = len(pairset("similarity_topk_ivf") & brute) / len(brute)
     assert multi >= lsh  # probe budget buys recall
     assert lsh >= 0.05 and multi >= 0.30 and ivf >= 0.20, (lsh, multi, ivf)
+
+
+def test_bpe_merges_match_reference_loop(spark, ducks):
+    """bpe_merges is registered rows-only (iterative algorithm); this
+    is its oracle: recompute the merge sequence from an INDEPENDENT
+    DuckDB word count through the same pure-Python loop and require the
+    16 rows to match exactly."""
+    from sparksent.ext import bpe
+    from sparksent.registry import REGISTRY, _ensure_loaded
+
+    from conftest import SF_DIR
+
+    _ensure_loaded()
+    got = [
+        (r["step"], r["left"], r["right"], r["pair_count"])
+        for r in REGISTRY["bpe_merges"].fn(spark, SF_DIR).collect()
+    ]
+    vocab = ducks.execute(
+        "SELECT word, count(*) AS n FROM ("
+        "SELECT unnest(string_split(text, ' ')) AS word FROM documents) "
+        "WHERE word <> '' GROUP BY 1 ORDER BY 1"
+    ).fetchall()
+    want = bpe.learn_merges_py([(w, n) for w, n in vocab])
+    assert got == want
+    assert len(got) == bpe.N_MERGES
+    # merge counts are non-increasing only within equal vocab states is
+    # NOT guaranteed (a merge can create a more frequent pair), but
+    # every count must be positive and every step index consecutive
+    assert [s for s, *_ in got] == list(range(bpe.N_MERGES))
+    assert all(c > 0 for *_, c in got)

@@ -162,3 +162,19 @@ def test_schema_evolution_merge(spark, tmp_path):
     assert merged.where(F.col("quality").isNull()).count() == d.where(
         F.col("doc_id") % 2 == 0
     ).count()
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    # ORC is the other columnar format Spark ships natively; a corpus
+    # engine should read/write it loss-free (schema + values), with
+    # predicate pushdown available on read
+    p = f"{tmp_path}/docs_orc"
+    d = tables.load_table(spark, SF_DIR, "documents")
+    d.write.orc(p)
+    back = spark.read.orc(p)
+    assert back.schema == d.schema
+    assert back.count() == d.count()
+    assert back.exceptAll(d).count() == 0
+    filtered = back.where(F.col("doc_id") < 100)
+    plan = _formatted(filtered)
+    assert "PushedFilters" in plan and "LessThan(doc_id,100)" in plan

@@ -563,3 +563,42 @@ def test_streaming_neardup_vs_batch(spark, tmp_path):
         if (r.id_a % 2) != (r.id_b % 2)
     }
     assert got == cross
+
+
+def test_streaming_hll_registers_equivalence(spark, replay_dir):
+    """Streaming sketch state: the stream's only stateful operator is
+    the (window, key, bucket) -> max(rho) register aggregate; finalized
+    estimates from the streamed registers must equal the batch windowed
+    HLL exactly (integer registers, associative merge)."""
+    from sparksent.ext.hashing import h60
+    from sparksent.ext.sketches import HLL_M, HLL_P, _rho, hll_finalize
+    from sparksent.streaming.ops import streaming_hll_registers
+
+    _add_sentinels(spark, replay_dir)
+    stream = file_replay_source(spark, replay_dir)
+    regs = streaming_hll_registers(stream, ["event_type"], 100, "user_id")
+    q = _run_to_memory(regs, "hll_regs", "append")
+    streamed = (
+        spark.table("hll_regs")
+        .where(F.col("event_type") != "__sentinel__")
+    )
+    got = hll_finalize(streamed, ["window_start_s", "event_type"])
+
+    ev = load_table(spark, SF_DIR_SMALL, "events")
+    h = h60(F.col("user_id").cast("string"))
+    batch_regs = (
+        ev.withColumn("bucket", h % HLL_M)
+        .withColumn("rho", _rho(F.shiftright(h, HLL_P)))
+        .groupBy(
+            F.window(F.col("ts"), "100 seconds").alias("w"), "event_type", "bucket"
+        )
+        .agg(F.max("rho").alias("mj"))
+        .withColumn("window_start_s", F.unix_timestamp(F.col("w.start")))
+        .drop("w")
+    )
+    want = hll_finalize(batch_regs, ["window_start_s", "event_type"])
+
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    assert got.count() > 0
+    q.stop()
