@@ -86,12 +86,34 @@ def learn_merges_py(vocab: list[tuple[str, int]], n_merges: int = N_MERGES):
     return merges
 
 
-def learn_merges(df: DataFrame, text_col: str = "text", n_merges: int = N_MERGES) -> DataFrame:
+def learn_merges(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = N_MERGES,
+    min_count: int = 1,
+    max_vocab: int | None = None,
+) -> DataFrame:
     """Distributed vocab count -> driver merge loop -> merge table
     (step, left, right, pair_count). The collect is bounded by distinct
     words, not corpus size — document-scale data never reaches the
-    driver."""
-    vocab = [(r["word"], r["n"]) for r in word_vocab(df, text_col).collect()]
+    driver.
+
+    At web scale "distinct words" is itself heavy-tailed (typos, URLs,
+    hashes) and can exceed driver memory, so the collect is capped: rows
+    below ``min_count`` are dropped in the aggregate (a HAVING, pushed
+    into the same shuffle), and ``max_vocab`` keeps only the top-K words
+    by (n DESC, word ASC) via a distributed sort-limit.  Both default to
+    "off" (min_count=1, max_vocab=None) so fixture-scale results — and
+    the exact pytest oracle — are unchanged; production callers set e.g.
+    min_count=2, max_vocab=5_000_000 for a hard driver-bytes bound.
+    Frequency truncation is the standard practical BPE compromise: words
+    seen once cannot dominate any merge decision at corpus scale."""
+    vdf = word_vocab(df, text_col)
+    if min_count > 1:
+        vdf = vdf.where(F.col("n") >= min_count)
+    if max_vocab is not None:
+        vdf = vdf.orderBy(F.col("n").desc(), F.col("word")).limit(max_vocab)
+    vocab = [(r["word"], r["n"]) for r in vdf.collect()]
     vocab.sort()  # collect order is partition-dependent; the loop is not
     merges = learn_merges_py(vocab, n_merges)
     spark = df.sparkSession

@@ -122,10 +122,10 @@ def seq_packing_sql(
     SELECT {id_col}, shard, n_tokens,
            (COALESCE(sum(n_tokens) OVER (PARTITION BY shard ORDER BY {id_col}
                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-            // {ctx_len}) AS seq_id,
+            // {ctx_len})::BIGINT AS seq_id,
            (COALESCE(sum(n_tokens) OVER (PARTITION BY shard ORDER BY {id_col}
                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-            % {ctx_len}) AS "offset"
+            % {ctx_len})::BIGINT AS "offset"
     FROM t
     """
 
@@ -260,7 +260,7 @@ def repetition_stats_sql(
       FROM g GROUP BY 1, 2
     )
     SELECT id AS {id_col},
-           sum(cnt) AS n_grams,
+           sum(cnt)::BIGINT AS n_grams,
            max(cnt) / sum(cnt)::DOUBLE AS top_gram_frac,
            (sum(cnt) - count(*)) / sum(cnt)::DOUBLE AS dup_gram_frac,
            (any_value(n_words) - any_value(n_dw)) / any_value(n_words)::DOUBLE
@@ -328,7 +328,8 @@ def rare_word_stats_sql(
     dfreq AS (SELECT word, count(*) AS wdf FROM words GROUP BY 1)
     SELECT id AS {id_col},
            count(*) AS n_distinct_words,
-           sum(CASE WHEN wdf <= {max_df} THEN 1 ELSE 0 END) AS n_rare_words,
+           sum(CASE WHEN wdf <= {max_df} THEN 1 ELSE 0 END)::BIGINT
+             AS n_rare_words,
            sum(CASE WHEN wdf <= {max_df} THEN 1 ELSE 0 END)
              / count(*)::DOUBLE AS rare_frac
     FROM words JOIN dfreq USING (word)

@@ -581,6 +581,23 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_decode_pixels",
+    oracle=multimodal.decode_images_sql(),
+    tags=("ext", "multimodal"),
+)
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END pixel decode, no stub: encode each document id as a
+    REAL 24-bit BMP (even ids: bottom-up rows, BGR, 4-byte padding) or
+    binary PPM (odd ids: ASCII header with comments), decode the bytes
+    back through decode_media's pure-Python parsers, and reduce to
+    exact-integer channel sums.  The oracle recomputes the sums from the
+    deterministic pixel law by grid expansion — a decoder that mishandles
+    padding, row order, or channel order cannot match.  Compressed
+    formats (png/jpeg) remain the documented NotImplementedError."""
+    return multimodal.decode_images(_docs(spark, sf_dir))
+
+
+@register(
     "pii_redaction",
     oracle=textclean.pii_redaction_sql(),
     tags=("ext", "textclean"),

@@ -755,9 +755,9 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT floor(datediff('day', o_orderdate, l_shipdate) / 30.0)::BIGINT
              AS delay_band,
            sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
+                    THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
            sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 0 ELSE 1 END) AS low_line_count
+                    THEN 0 ELSE 1 END)::BIGINT AS low_line_count
     FROM orders JOIN lineitem ON l_orderkey = o_orderkey
     WHERE l_shipdate >= TIMESTAMP '1997-01-01'
       AND l_shipdate < TIMESTAMP '1998-01-01'

@@ -55,64 +55,63 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # block, so the registry surface itself is unchanged — only the iteration
 # order of queries()/oracle_sql() moves.
 _PRIORITY: tuple[str, ...] = (
-    # -- never driver-checked as of CORRECTNESS_r02 (VERDICT r2 item #1) --
-    "tpch_q2_min_cost_supplier",
-    "tpch_q4_priority_check",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "tpch_q11_important_stock",
-    "tpch_q12_late_shipments",
-    "tpch_q15_top_supplier",
-    "tpch_q20_excess_suppliers",
-    "tpch_q21_waiting_supplier",
-    "tpch_q22_global_sales_opportunity",
+    # Round-4 window (VERDICT r3 items #1/#2/#5).  Slots 1-21: the 21
+    # queries that have NEVER had a green driver row — 17 killed by the
+    # r03 events-loader break (tables.py fixed this round) and 4 killed
+    # by oracle-side type casts (::BIGINT added this round).
     "rollup_event_value",
     "cube_event_value",
-    "topn_orders_per_priority",
-    "rangejoin_price_bands",
     "session_agg_30m",
     "event_session_ids",
     "event_gap_stats",
     "asof_purchase_last_view",
     "skew_distinct_users",
-    "percentile_order_value",
     "pivot_event_counts",
     "decile_user_value",
     "hist_event_value",
-    # -- new this round: first driver check pending --
-    "graph_triangle_counts",
-    "seq_packing_512",
-    "decontaminate_5gram",
-    "repetition_stats",
-    "rare_word_stats",
-    "multimodal_resize_plan",
-    "multimodal_frame_sample",
-    "pii_redaction",
-    "boilerplate_removal",
-    "lang_id_confusion",
     "sample_weighted_tickets",
     "split_train_valid_test",
     "anomaly_robust_events",
-    "dedup_ngram_containment",
-    "bloom_semijoin_customers",
     "quantile_sketch_value",
     "hll_merge_rollup",
     "user_behavior_features",
-    "bpe_merges",  # rows-only (iterative; pytest holds its exact check)
-    # -- driver-checked only in r01, code touched since (e59d445) --
-    # (q6/q14/q16/q17/q18/q19 + semi/anti/setop displaced to fit the
-    #  twelve new never-checked queries above: simplest shapes,
-    #  r01-green and green in the full local driver-sim since)
-    "tpch_q5_regional",
-    "tpch_q7_nation_trade",
-    "tpch_q10_returns",
-    "outer_order_count_distribution",
-    # -- representative green sample of every remaining family (r02) --
     "fullouter_user_activity",
-    "dedup_minhash_lsh",
-    # changed this round (materialization / table count), re-verify:
-    "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
+    "tpch_q12_late_shipments",
+    "seq_packing_512",
+    "repetition_stats",
+    "rare_word_stats",
+    # Slots 22-45: every events-dependent query whose last green driver
+    # row predates the fixture's ts-type change (r01/r02) AND the loader
+    # rewrite — the reference core (parse_lines .. toxic_*) plus the
+    # events-path samplers/sketches.  Verified events-dependent by plan
+    # inputFiles() probe this round.
+    "parse_lines",
+    "window_concat_1s",
+    "window_concat_100s",
+    "topic_count_10s",
+    "trending_10s",
+    "channel_mood_sliding_90_60",
+    "user_mood_cumulative",
+    "toxic_user_cw10",
+    "toxic_topic_cw25",
+    "toxic_channel_cw50",
+    "user_mood_nlp_cumulative",
+    "entity_opinion_30s",
+    "category_opinion_cumulative",
+    "toxic_user_nlp_cw10",
+    "json_field_stats",
+    "setop_user_cohorts",
+    "toxic_user_literal_cw10",
+    "toxic_channel_literal_cw50",
+    "toxic_topic_literal_cw25",
+    "hll_distinct_users",
+    "sample_bernoulli_events",
+    "sample_stratified_events",
+    "cmsketch_heavy_hitters",
+    "grouped_mode_event_type",
+    # Slots 46-50: new round-4 queries (first driver check pending).
+    # Names appended here as they are registered this round.
+    "multimodal_decode_pixels",
 )
 
 

@@ -46,7 +46,16 @@ def rebalance(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     the narrow projected input once, before the expensive stage.
     """
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    # Estimate the scan's split count from file metadata only — converting
+    # to .rdd to ask getNumPartitions() would build a deserialized-RDD plan
+    # on the driver for every call. One file may still split into several
+    # partitions (maxPartitionBytes), so this can repartition when it need
+    # not; that moves only the narrow input once and is the safe direction.
+    try:
+        n_splits = len(df.inputFiles())
+    except Exception:
+        n_splits = 0
+    if n_splits >= target:
         return df
     return df.repartition(target)
 
@@ -54,14 +63,40 @@ def rebalance(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # The events fixture stores ts as parquet TIMESTAMP(NANOS), which
-        # Spark 4 refuses to read as a timestamp. Read it as raw int64
-        # nanoseconds (legacy conf, runtime-settable) and convert with
-        # exact integer division — `ts div 1000` truncates ns -> us the
-        # same way DuckDB does, so ordering ties agree with the oracle.
+        # The events fixture's physical `ts` type has varied across driver
+        # generations: parquet TIMESTAMP(NANOS) (which Spark 4 only reads
+        # via the nanosAsLong legacy conf, as raw int64 ns) and
+        # TIMESTAMP_MICROS isAdjustedToUTC=0 (which Spark reads as
+        # TIMESTAMP_NTZ). Branch on the *read* schema so either works:
+        #   - LongType      -> exact integer ns->us truncation, matching
+        #                      DuckDB's truncation so ordering ties agree.
+        #   - timestamp_ntz -> TIMESTAMP whose instant IS the wall clock
+        #                      (downstream unix_micros()/session_window()
+        #                      require TIMESTAMP, not NTZ).  A plain
+        #                      cast("timestamp") would interpret the wall
+        #                      time in the DRIVER's session TZ — off by the
+        #                      UTC offset under a non-UTC session — so the
+        #                      epoch is computed with pure NTZ wall-clock
+        #                      arithmetic (timestampdiff between two NTZ
+        #                      values), timezone-proof by construction and
+        #                      identical to DuckDB's epoch_us(ts).
+        # Keep the conf set: harmless on MICROS files, needed on NANOS.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = df.schema["ts"].dataType.typeName()
+        if ts_type == "long":
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if ts_type != "timestamp":
+            df = df.withColumn(
+                "ts",
+                F.timestamp_micros(
+                    F.expr(
+                        "timestampdiff(MICROSECOND, "
+                        "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+                    )
+                ),
+            )
+        return df
     return spark.read.parquet(path)
 
 
