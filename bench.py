@@ -122,6 +122,12 @@ HEADLINE = [
     "embedding_centroids",
     "embedding_quantize_error",
     "text_bigram_lift",
+    # round-4 additions
+    "multimodal_decode_pixels",
+    "dedup_tf_cosine",
+    "funnel_view_click_purchase",
+    "retention_cohorts",
+    "event_transition_matrix",
 ]
 
 # Timed and reported, but excluded from the headline sum: cost dominated

@@ -590,3 +590,120 @@ def dedup_keep_set_sql(
     FROM {table}
     WHERE {id_col} NOT IN (SELECT DISTINCT id_b FROM mh_pairs)
     """
+
+
+# ---------------------------------------------------------------------------
+# sparse TF-vector cosine (bag-of-words similarity join)
+# ---------------------------------------------------------------------------
+
+
+def tf_cosine_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.6,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Sparse cosine similarity join over raw term-frequency vectors —
+    the bag-of-words complement to shingle Jaccard (which is set-based
+    and order-sensitive): catches shuffled/reordered near-duplicates
+    whose word MULTISETS agree even when no 3-gram survives.
+
+    Plan shape is the inverted-index self-join: tf rows (one per
+    (doc, distinct term), terms as 60-bit hashes so the shuffle carries
+    8-byte keys), pair dot products only where a term is shared —
+    documents with disjoint vocabulary never meet.  ``max_df`` drops
+    stop-words above the document-frequency cap BEFORE the join (the
+    same broadcast anti-join escalation as :func:`ngram_jaccard_pairs`,
+    and the same argument: a term in every document creates a D^2 join
+    partition while contributing ~zero cosine signal).
+
+    Exactness: tf counts, squared norms, and dot products are exact
+    BIGINT sums; the final cosine is one double expression,
+    ``dot / sqrt(double(n2_a) * double(n2_b))`` — multiply, IEEE-754
+    correctly-rounded sqrt, divide — identical bit pattern in Spark and
+    DuckDB, so the threshold filter cannot flake at the boundary."""
+    tok = (
+        rebalance(df)
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(F.split(F.col(text_col), " ")).alias("w"),
+        )
+        .where(F.col("w") != "")
+        .select("id", h60("w").alias("term"))
+    )
+    tf = tok.groupBy("id", "term").agg(F.count("*").alias("tf"))
+    if max_df is not None:
+        hot = (
+            tf.groupBy("term")
+            .agg(F.count("*").alias("df_cnt"))
+            .filter(F.col("df_cnt") > max_df)
+            .select("term")
+        )
+        tf = tf.join(F.broadcast(hot), "term", "left_anti")
+    # three consumers (norms + both join sides): materialize once
+    tf = tf.localCheckpoint()
+    norms = tf.groupBy("id").agg(
+        F.sum(F.col("tf") * F.col("tf")).alias("n2")
+    )
+    left = tf.select(F.col("id").alias("id_a"), "term", F.col("tf").alias("tf_a"))
+    right = tf.select(F.col("id").alias("id_b"), "term", F.col("tf").alias("tf_b"))
+    dots = (
+        left.join(right, "term")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("tf_a") * F.col("tf_b")).alias("dot"))
+    )
+    return (
+        dots.join(norms.withColumnsRenamed({"id": "id_a", "n2": "n2_a"}), "id_a")
+        .join(norms.withColumnsRenamed({"id": "id_b", "n2": "n2_b"}), "id_b")
+        .withColumn(
+            "cosine",
+            F.col("dot")
+            / F.sqrt(F.col("n2_a").cast("double") * F.col("n2_b").cast("double")),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "dot", "cosine")
+    )
+
+
+def tf_cosine_pairs_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text: str = "text",
+    threshold: float = 0.6,
+    max_df: int | None = None,
+) -> str:
+    cap = (
+        f"""
+    tf AS (
+      SELECT * FROM tf0 WHERE term NOT IN (
+        SELECT term FROM tf0 GROUP BY term HAVING count(*) > {max_df}
+      )
+    ),"""
+        if max_df is not None
+        else "\n    tf AS (SELECT * FROM tf0),"
+    )
+    return f"""
+    WITH tok AS (
+      SELECT {id_col} AS id, unnest(string_split({text}, ' ')) AS w
+      FROM {table}
+    ),
+    tf0 AS (
+      SELECT id, {h60_sql('w')} AS term, count(*)::BIGINT AS tf
+      FROM tok WHERE w != '' GROUP BY 1, 2
+    ),{cap}
+    norms AS (SELECT id, sum(tf * tf)::BIGINT AS n2 FROM tf GROUP BY 1),
+    dots AS (
+      SELECT a.id AS id_a, b.id AS id_b, sum(a.tf * b.tf)::BIGINT AS dot
+      FROM tf a JOIN tf b USING (term)
+      WHERE a.id < b.id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, dot,
+           dot / sqrt(na.n2::DOUBLE * nb.n2::DOUBLE) AS cosine
+    FROM dots
+    JOIN norms na ON na.id = id_a
+    JOIN norms nb ON nb.id = id_b
+    WHERE dot / sqrt(na.n2::DOUBLE * nb.n2::DOUBLE) >= {threshold}
+    """

@@ -718,6 +718,22 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_tf_cosine",
+    oracle=dedup.tf_cosine_pairs_sql(threshold=0.6, max_df=50),
+    tags=("ext", "dedup"),
+)
+def q_dedup_tf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-of-words cosine similarity join (>= 0.6) over exact term-
+    frequency vectors — the multiset complement to shingle Jaccard:
+    word-reordered near-duplicates keep their tf vector even when every
+    3-gram changes. Inverted-index self-join on 60-bit term hashes with
+    the df>50 stop-word cap anti-joined out before the pair stage;
+    norms/dots exact BIGINT, one IEEE-identical double cosine at the
+    end."""
+    return dedup.tf_cosine_pairs(_docs(spark, sf_dir), threshold=0.6, max_df=50)
+
+
+@register(
     "bloom_semijoin_customers",
     oracle="""
     SELECT c_mktsegment,

@@ -876,3 +876,181 @@ def q_user_behavior_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return base.join(top, "user_id")
+
+
+# ---------------------------------------------------------------------------
+# funnel / cohort retention / transition matrix (event analytics)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "funnel_view_click_purchase",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+    ),
+    v AS (SELECT user_id, min(us) AS v_us FROM e
+          WHERE event_type = 'view' GROUP BY 1),
+    c AS (SELECT e.user_id, min(us) AS c_us, any_value(v_us) AS v_us
+          FROM e JOIN v USING (user_id)
+          WHERE event_type = 'click' AND us > v_us GROUP BY 1),
+    p AS (SELECT e.user_id, min(us) AS p_us, any_value(c_us) AS c_us
+          FROM e JOIN c USING (user_id)
+          WHERE event_type = 'purchase' AND us > c_us GROUP BY 1)
+    SELECT (SELECT count(*) FROM v)::BIGINT AS users_view,
+           (SELECT count(*) FROM c)::BIGINT AS users_click,
+           (SELECT count(*) FROM p)::BIGINT AS users_purchase,
+           (SELECT coalesce(sum(c_us - v_us), 0) FROM c)::BIGINT
+             AS sum_view_to_click_us,
+           (SELECT coalesce(sum(p_us - c_us), 0) FROM p)::BIGINT
+             AS sum_click_to_purchase_us
+    """,
+    tags=("relational", "funnel"),
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered three-stage conversion funnel (view -> click ->
+    purchase): a user advances a stage only with an event STRICTLY
+    after their previous stage's first event.  The sequential
+    dependency runs as three conditional-min aggregates, every one
+    keyed on user_id — same shuffle key throughout, so at 100 TB this
+    is three co-partitioned narrow aggs and two user-keyed joins, no
+    ordered collect per user and no window over the whole history.
+    Epoch-microsecond arithmetic keeps stage-lag sums exact BIGINTs."""
+    e = tables.load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("v_us"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("us") > F.col("v_us"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("c_us"), F.first("v_us").alias("v_us"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("us") > F.col("c_us"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("p_us"), F.first("c_us").alias("c_us"))
+    )
+    counts = (
+        v.agg(F.count("*").alias("users_view"))
+        .crossJoin(
+            c.agg(
+                F.count("*").alias("users_click"),
+                F.coalesce(F.sum(F.col("c_us") - F.col("v_us")), F.lit(0)).alias(
+                    "sum_view_to_click_us"
+                ),
+            )
+        )
+        .crossJoin(
+            p.agg(
+                F.count("*").alias("users_purchase"),
+                F.coalesce(F.sum(F.col("p_us") - F.col("c_us")), F.lit(0)).alias(
+                    "sum_click_to_purchase_us"
+                ),
+            )
+        )
+    )
+    return counts.select(
+        "users_view",
+        "users_click",
+        "users_purchase",
+        "sum_view_to_click_us",
+        "sum_click_to_purchase_us",
+    )
+
+
+@register(
+    "retention_cohorts",
+    oracle="""
+    WITH d AS (
+      SELECT DISTINCT user_id, (epoch_us(ts) // 86400000000)::BIGINT AS day
+      FROM events
+    ),
+    f AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY 1)
+    SELECT cohort_day, day - cohort_day AS day_offset,
+           count(*)::BIGINT AS n_users
+    FROM d JOIN f USING (user_id)
+    GROUP BY 1, 2
+    """,
+    tags=("relational", "cohort"),
+)
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-activity day,
+    counted on each later day they return.  (user, day) pairs are
+    distinct-ed FIRST (one shuffle on the pair — collapses the raw
+    event volume to at most users x days rows), the per-user cohort day
+    is a second agg on the same user key, and the final count is over
+    the already-distinct pairs so no countDistinct is needed anywhere.
+    Day arithmetic is integer floor-division on epoch microseconds."""
+    d = (
+        tables.load_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            # integer floor-division (`div`), NOT `/`+cast: double
+            # division can land epsilon below an exact day boundary and
+            # truncate to the previous day
+            F.expr("unix_micros(ts) div 86400000000").alias("day"),
+        )
+        .distinct()
+    )
+    f = d.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        d.join(f, "user_id")
+        .groupBy("cohort_day", (F.col("day") - F.col("cohort_day")).alias("day_offset"))
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+@register(
+    "event_transition_matrix",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    t AS (
+      SELECT prev_type, event_type AS next_type, count(*)::BIGINT AS n
+      FROM o WHERE prev_type IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT prev_type, next_type, n,
+           n / (sum(n) OVER (PARTITION BY prev_type))::DOUBLE AS frac
+    FROM t
+    """,
+    tags=("relational", "window", "markov"),
+)
+def q_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-type transition matrix (Markov counts): per
+    user, consecutive event pairs ordered by (ts, event_id), counted
+    into a |types|^2 matrix with per-source-row fractions.  One lag
+    window per user partition (the only real shuffle), then a tiny
+    grouped count; the fraction normalization runs over the ~25-row
+    matrix, not the events.  Tie-break on event_id makes the sequence —
+    and therefore the counts — deterministic under equal timestamps."""
+    ev = tables.load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("next_type"),
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count("*").alias("n"))
+    )
+    wt = Window.partitionBy("prev_type")
+    return t.select(
+        "prev_type",
+        "next_type",
+        "n",
+        (F.col("n") / F.sum("n").over(wt)).alias("frac"),
+    )

@@ -112,6 +112,10 @@ _PRIORITY: tuple[str, ...] = (
     # Slots 46-50: new round-4 queries (first driver check pending).
     # Names appended here as they are registered this round.
     "multimodal_decode_pixels",
+    "dedup_tf_cosine",
+    "funnel_view_click_purchase",
+    "retention_cohorts",
+    "event_transition_matrix",
 )
 
 

@@ -77,3 +77,73 @@ def test_synthesizer_roundtrip():
         assert fmt == ("png", "jpeg", "gif")[mid % 3]
         assert (w, h) == (mid % 640 + 1, mid % 480 + 1)
         assert depth == 8
+
+
+# ---------------------------------------------------------------------------
+# real pixel decode (BMP / PPM)
+# ---------------------------------------------------------------------------
+
+import numpy as np
+import pytest
+
+from sparksent.ext.multimodal import (
+    _synth_pixels,
+    decode_bmp,
+    decode_media,
+    decode_ppm,
+    synth_bmp_payload,
+    synth_ppm_payload,
+)
+
+
+@pytest.mark.parametrize("mid", [0, 1, 2, 3, 4, 5, 15, 16, 47, 191, 9999])
+def test_pixel_decode_roundtrip_both_formats(mid):
+    """Every width mod 4 (BMP row padding) and both formats decode back
+    to the synthesized pixel array bit-for-bit."""
+    ref = _synth_pixels(mid)
+    assert (decode_media(synth_bmp_payload(mid), "image/bmp") == ref).all()
+    assert (
+        decode_media(synth_ppm_payload(mid), "image/x-portable-pixmap") == ref
+    ).all()
+
+
+def test_bmp_decode_undoes_row_and_channel_order():
+    """A hand-built 2x2 BMP with distinct corner pixels pins the
+    bottom-up row flip and BGR->RGB swap independently of the synth."""
+    # logical RGB image: [[red, green], [blue, white]]
+    img = np.array(
+        [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [255, 255, 255]]],
+        dtype=np.uint8,
+    )
+    h, w = 2, 2
+    stride = (w * 3 + 3) & ~3  # 8
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = img[::-1, :, ::-1].reshape(h, w * 3)
+    raster = rows.tobytes()
+    payload = (
+        b"BM" + (54 + len(raster)).to_bytes(4, "little") + bytes(4)
+        + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little") + len(raster).to_bytes(4, "little")
+        + bytes(16)
+        + raster
+    )
+    assert (decode_bmp(payload) == img).all()
+
+
+def test_ppm_comment_and_whitespace_handling():
+    img = _synth_pixels(7)
+    h, w, _ = img.shape
+    payload = (
+        b"P6 # inline\n# a comment line\n " + f"{w}".encode()
+        + b"\n# another\n" + f"{h}".encode() + b"  255\n" + img.tobytes()
+    )
+    assert (decode_ppm(payload) == img).all()
+
+
+def test_decode_media_rejects_compressed_formats():
+    with pytest.raises(NotImplementedError):
+        decode_media(synth_image_payload(3, b"x"), "image/png")

@@ -223,6 +223,11 @@ def main() -> None:
         "boilerplate_removal": qs["boilerplate_removal"],
         "dedup_ngram_containment": qs["dedup_ngram_containment"],
         "quantile_sketch_value": qs["quantile_sketch_value"],
+        # round-4 additions: the tf-vector inverted-index join and the
+        # two event-analytics shapes whose shuffle is user-keyed
+        "dedup_tf_cosine": qs["dedup_tf_cosine"],
+        "retention_cohorts": qs["retention_cohorts"],
+        "event_transition_matrix": qs["event_transition_matrix"],
     }
     results = {}
     group_of = {}
