@@ -128,6 +128,7 @@ HEADLINE = [
     "funnel_view_click_purchase",
     "retention_cohorts",
     "event_transition_matrix",
+    "chunk_documents_128_96",
 ]
 
 # Timed and reported, but excluded from the headline sum: cost dominated

@@ -27,7 +27,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..tables import rebalance
-from .hashing import overlapping_gram_re, shingles, shingles_sql
+from .hashing import h60, h60_sql, overlapping_gram_re, shingles, shingles_sql
 
 CTX_LEN = 512
 N_SHARDS = 64
@@ -334,4 +334,95 @@ def rare_word_stats_sql(
              / count(*)::DOUBLE AS rare_frac
     FROM words JOIN dfreq USING (word)
     GROUP BY 1
+    """
+
+
+# ---------------------------------------------------------------------------
+# overlapping chunking (RAG / context-window splitting)
+# ---------------------------------------------------------------------------
+
+CHUNK_LEN = 128
+CHUNK_STRIDE = 96  # 32-word overlap between consecutive chunks
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_len: int = CHUNK_LEN,
+    stride: int = CHUNK_STRIDE,
+) -> DataFrame:
+    """Split every document into overlapping fixed-width word windows —
+    the retrieval/context-window chunking step (chunk i covers words
+    [i*stride, i*stride + chunk_len)), with a 60-bit content hash per
+    chunk so downstream dedup/indexing never re-ships the text.
+
+    Scale shape: pure per-row expansion (sequence + explode) — no
+    shuffle at all; the expansion factor is ~n_words/stride and the
+    output carries (ids, offsets, an 8-byte hash), not the chunk text.
+    At 100 TB this is a scan-side map stage that feeds a partitioned
+    write or an index build."""
+    ws = (
+        rebalance(df)
+        .select(
+            F.col(id_col),
+            F.split(F.col(text_col), " ").alias("ws"),
+        )
+        .withColumn("n", F.size("ws"))
+    )
+    return (
+        ws.select(
+            F.col(id_col),
+            "ws",
+            "n",
+            F.explode(
+                F.expr(f"sequence(0, greatest(0, n - 1), {stride})")
+            ).alias("start"),
+        )
+        .select(
+            F.col(id_col),
+            F.expr(f"start div {stride}").cast("int").alias("chunk_id"),
+            F.col("start").cast("long").alias("start_word"),
+            F.least(F.lit(chunk_len), F.col("n") - F.col("start"))
+            .cast("int")
+            .alias("n_words"),
+            h60(
+                F.array_join(
+                    F.expr(
+                        f"slice(ws, start + 1, least({chunk_len}, n - start))"
+                    ),
+                    " ",
+                )
+            ).alias("chunk_h"),
+        )
+    )
+
+
+def chunk_documents_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text: str = "text",
+    chunk_len: int = CHUNK_LEN,
+    stride: int = CHUNK_STRIDE,
+) -> str:
+    """Oracle: same windows via generate_series + 1-based inclusive
+    list slicing (ws[s+1 : s+len] ≡ Spark slice(ws, s+1, len))."""
+    return f"""
+    WITH w AS (
+      SELECT {id_col}, string_split({text}, ' ') AS ws,
+             len(string_split({text}, ' ')) AS n
+      FROM {table}
+    ),
+    s AS (
+      SELECT {id_col}, ws, n,
+             unnest(generate_series(0, greatest(0, n - 1), {stride})) AS start
+      FROM w
+    )
+    SELECT {id_col},
+           (start // {stride})::INT AS chunk_id,
+           start::BIGINT AS start_word,
+           least({chunk_len}, n - start)::INT AS n_words,
+           {h60_sql(f"array_to_string(ws[start + 1 : start + least({chunk_len}, n - start)], ' ')")}
+             AS chunk_h
+    FROM s
     """

@@ -513,6 +513,20 @@ def q_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "chunk_documents_128_96",
+    oracle=curation.chunk_documents_sql(),
+    tags=("ext", "curation"),
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping context-window chunking (128-word chunks, stride 96
+    = 32-word overlap) for retrieval/training splits: shuffle-free
+    per-row sequence+explode expansion emitting (chunk_id, start_word,
+    n_words, 60-bit content hash) — ids and hashes cross the wire, the
+    chunk text never does."""
+    return curation.chunk_documents(_docs(spark, sf_dir))
+
+
+@register(
     "decontaminate_5gram",
     oracle=curation.decontaminate_sql(),
     tags=("ext", "curation"),
@@ -719,18 +733,20 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_tf_cosine",
-    oracle=dedup.tf_cosine_pairs_sql(threshold=0.6, max_df=50),
+    oracle=dedup.tf_cosine_pairs_sql(threshold=0.6),
     tags=("ext", "dedup"),
 )
 def q_dedup_tf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bag-of-words cosine similarity join (>= 0.6) over exact term-
     frequency vectors — the multiset complement to shingle Jaccard:
     word-reordered near-duplicates keep their tf vector even when every
-    3-gram changes. Inverted-index self-join on 60-bit term hashes with
-    the df>50 stop-word cap anti-joined out before the pair stage;
-    norms/dots exact BIGINT, one IEEE-identical double cosine at the
-    end."""
-    return dedup.tf_cosine_pairs(_docs(spark, sf_dir), threshold=0.6, max_df=50)
+    3-gram changes. Inverted-index self-join on 60-bit term hashes; the
+    stop-word cap is RELATIVE with an absolute ceiling (df > min(5% of
+    corpus, 500) anti-joined out before the pair stage — a fixed
+    absolute cap collapses to empty at 10x corpus, a purely relative
+    one stops capping at web scale; see tf_cosine_pairs). Norms/dots
+    exact BIGINT, one IEEE-identical double cosine at the end."""
+    return dedup.tf_cosine_pairs(_docs(spark, sf_dir), threshold=0.6)
 
 
 @register(

@@ -197,3 +197,65 @@ def streaming_cumulative_per_record(
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def _make_transition_fn(type_col: str, key_col: str, order_cols: Sequence[str]):
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (last,) = state.get if state.exists else (None,)
+        for pdf in pdfs:
+            pdf = pdf.sort_values(list(order_cols))
+            types = pdf[type_col].tolist()
+            prevs = [last] + types[:-1]
+            if types:
+                last = types[-1]
+            mask = [p is not None for p in prevs]
+            if not any(mask):
+                continue
+            cols = {
+                key_col: pdf[key_col].to_numpy()[mask],
+                "prev_type": [p for p, m in zip(prevs, mask) if m],
+                "next_type": [t for t, m in zip(types, mask) if m],
+            }
+            for c in order_cols:
+                cols[c] = pdf[c].to_numpy()[mask]
+            yield pd.DataFrame(cols)
+        state.update((last,))
+
+    return fn
+
+
+TRANSITION_STATE_SCHEMA = T.StructType([T.StructField("last_type", T.StringType())])
+
+
+def streaming_transitions_per_record(
+    df: DataFrame,
+    type_col: str = "event_type",
+    key_col: str = "user_id",
+    order_cols: Sequence[str] = ("ts", "event_id"),
+) -> DataFrame:
+    """Streaming form of the batch lag window behind
+    ``event_transition_matrix``: one output row per record (after each
+    key's first) carrying (prev_type, next_type), with ONE string of
+    state per key — the classic per-key last-value carry that Structured
+    Streaming's built-in aggregations cannot express.  Rows within a
+    micro-batch process in ``order_cols`` order and the carried value
+    crosses batch boundaries, so the emitted pair multiset equals the
+    batch window's exactly; downstream streaming aggregation over
+    (prev_type, next_type) yields the live transition matrix."""
+    out_schema = T.StructType(
+        [
+            _field(df, key_col),
+            T.StructField("prev_type", T.StringType()),
+            T.StructField("next_type", T.StringType()),
+        ]
+        + [_field(df, c) for c in order_cols]
+    )
+    return df.groupBy(key_col).applyInPandasWithState(
+        _make_transition_fn(type_col, key_col, order_cols),
+        out_schema,
+        TRANSITION_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -364,3 +364,61 @@ def test_hll_merge_rollup_bounded_state(spark):
     plan = plan_of(spark, "hll_merge_rollup")
     assert "partial_max" in plan
     assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# round-4 queries
+# ---------------------------------------------------------------------------
+
+
+def test_tf_cosine_no_cartesian_and_capped_index(spark):
+    plan = plan_of(spark, "dedup_tf_cosine")
+    # inverted-index equi-join only — an all-pairs form would show a
+    # cartesian / nested-loop; the one nested-loop-free exception is the
+    # broadcast one-row df-cap frame (cross join of a 1-row aggregate)
+    assert "CartesianProduct" not in plan
+    # (the df-cap anti-join happens before the localCheckpoint barrier,
+    # so it is not visible in this plan; the pair stage must remain an
+    # equi-join with broadcast norm sides at fixture scale)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_retention_single_user_shuffle_then_grid(spark):
+    plan = plan_of(spark, "retention_cohorts")
+    # (user, day) distinct -> per-user min -> final grid count: at most
+    # three data shuffles, no window, no countDistinct expansion
+    assert count_data_shuffles(plan) <= 3
+    assert "Window" not in plan
+    assert "distinct" not in plan.lower() or "count(distinct" not in plan.lower()
+    # events scan reads only the two needed columns
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and len(m.group(1).split(",")) <= 2
+
+
+def test_transition_matrix_one_user_window(spark):
+    plan = plan_of(spark, "event_transition_matrix")
+    # exactly one per-user sort window over the events; the fraction
+    # normalization window runs on the tiny matrix after aggregation
+    assert count_data_shuffles(plan) <= 3
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and len(m.group(1).split(",")) <= 4
+
+
+def test_chunk_documents_shuffle_free_expansion(spark):
+    plan = plan_of(spark, "chunk_documents_128_96")
+    # pure scan -> generate(explode) -> project; the only exchange is
+    # the narrow-fixture rebalance round-robin
+    assert "Generate" in plan
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert count_data_shuffles(plan) <= 1
+
+
+def test_funnel_conditional_aggs_all_user_keyed(spark):
+    plan = plan_of(spark, "funnel_view_click_purchase")
+    # stage filters push to the scans; the only nested-loop joins are
+    # the final one-row total cross joins
+    assert "EqualTo(event_type,view)" in plan
+    assert "EqualTo(event_type,click)" in plan
+    assert "EqualTo(event_type,purchase)" in plan
+    assert "CartesianProduct" not in plan

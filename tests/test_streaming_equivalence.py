@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from sparksent import windows
@@ -602,3 +603,41 @@ def test_streaming_hll_registers_equivalence(spark, replay_dir):
     assert want.exceptAll(got).count() == 0
     assert got.count() > 0
     q.stop()
+
+
+def test_transitions_per_record_equivalence(spark, tmp_path):
+    """Streaming per-key last-type carry emits exactly the batch lag
+    window's (prev, next) pairs — same multiset, and therefore the same
+    transition matrix — across micro-batch boundaries."""
+    from sparksent.streaming.count_window import streaming_transitions_per_record
+
+    replay = str(tmp_path / "trans_replay")
+    ev = load_table(spark, SF_DIR_SMALL, "events")
+    write_replay_chunks(ev, replay, N_CHUNKS)
+
+    stream = file_replay_source(spark, replay).select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    out = streaming_transitions_per_record(stream)
+    _run_to_memory(out, "t_trans", "append")
+    got = (
+        spark.table("t_trans").toPandas()
+        .sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+    )
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    want = (
+        ev.select(
+            "user_id",
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.col("event_type").alias("next_type"),
+            "ts",
+            "event_id",
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .toPandas()
+        .sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    for c in ("event_id", "prev_type", "next_type"):
+        assert (got[c].to_numpy() == want[c].to_numpy()).all()

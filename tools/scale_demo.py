@@ -173,7 +173,10 @@ def stage_metrics(port: int, app_id: str, group_of_job: dict[str, str]) -> dict:
                 )
                 med, mx = q["executorRunTime"]
                 agg["max_task_ms"] = max(agg["max_task_ms"], int(mx))
-                if med > 0 and mx / max(med, 1.0) > worst[0]:
+                # skew is only meaningful on stages doing material work:
+                # a 5 ms-median stage with one 100 ms straggler is
+                # scheduler noise, not data skew
+                if med > 0 and mx >= 200 and mx / max(med, 1.0) > worst[0]:
                     worst = (mx / med, sid)
             except Exception:
                 pass
