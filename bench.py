@@ -129,6 +129,8 @@ HEADLINE = [
     "retention_cohorts",
     "event_transition_matrix",
     "chunk_documents_128_96",
+    "multimodal_decode_audio",
+    "column_stats_events",
 ]
 
 # Timed and reported, but excluded from the headline sum: cost dominated

@@ -612,6 +612,22 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_decode_audio",
+    oracle=multimodal.decode_audio_sql(),
+    tags=("ext", "multimodal"),
+)
+def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END audio decode, no stub: encode each document id as a
+    REAL RIFF/WAVE PCM16 file (correct chunk sizes, fmt block), decode
+    the bytes back through decode_wav's chunk walker, and reduce to
+    exact-integer clip features (sample sum, energy, zero crossings,
+    peak).  The oracle recomputes the features from the deterministic
+    sample law by grid expansion — a decoder that misreads chunk
+    boundaries, endianness, or sample width cannot match."""
+    return multimodal.decode_audio(_docs(spark, sf_dir))
+
+
+@register(
     "pii_redaction",
     oracle=textclean.pii_redaction_sql(),
     tags=("ext", "textclean"),

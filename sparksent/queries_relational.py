@@ -1054,3 +1054,69 @@ def q_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (F.col("n") / F.sum("n").over(wt)).alias("frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# column statistics (ANALYZE-style, the CBO input surface)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "column_stats_events",
+    oracle="""
+    SELECT 'event_id' AS col_name, count(*)::BIGINT AS n,
+           (count(*) - count(event_id))::BIGINT AS n_nulls,
+           count(DISTINCT event_id)::BIGINT AS n_distinct,
+           min(event_id)::DOUBLE AS min_v, max(event_id)::DOUBLE AS max_v
+    FROM events
+    UNION ALL
+    SELECT 'user_id', count(*)::BIGINT,
+           (count(*) - count(user_id))::BIGINT,
+           count(DISTINCT user_id)::BIGINT,
+           min(user_id)::DOUBLE, max(user_id)::DOUBLE
+    FROM events
+    UNION ALL
+    SELECT 'value', count(*)::BIGINT,
+           (count(*) - count("value"))::BIGINT,
+           count(DISTINCT "value")::BIGINT,
+           min("value"), max("value")
+    FROM events
+    """,
+    tags=("relational", "stats"),
+)
+def q_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE TABLE-style per-column statistics (row count, null
+    count, exact NDV, min/max) for the numeric events columns — the
+    input every cost-based optimizer and partition planner needs.  ONE
+    pass over the table: the three exact countDistincts compile into a
+    single expand + two-phase aggregate (Spark's standard
+    multi-distinct plan — scan once, expand 3x in the agg input, never
+    3 scans), and the 1-row wide result unpivots to (column, stats)
+    rows with a stack projection.  At 100 TB swap exact NDV for HLL
+    (hll_distinct_users shows the sketch registered here) — the plan
+    shape is otherwise identical."""
+    ev = tables.load_table(spark, sf_dir, "events")
+    wide = ev.agg(
+        F.count("*").alias("n"),
+        *[
+            e
+            for c in ("event_id", "user_id", "value")
+            for e in (
+                (F.count("*") - F.count(c)).alias(f"nulls_{c}"),
+                F.countDistinct(c).alias(f"nd_{c}"),
+                F.min(F.col(c).cast("double")).alias(f"min_{c}"),
+                F.max(F.col(c).cast("double")).alias(f"max_{c}"),
+            )
+        ],
+    )
+    return wide.select(
+        F.expr(
+            "stack(3, "
+            + ", ".join(
+                f"'{c}', nulls_{c}, nd_{c}, min_{c}, max_{c}"
+                for c in ("event_id", "user_id", "value")
+            )
+            + ") AS (col_name, n_nulls, n_distinct, min_v, max_v)"
+        ),
+        "n",
+    ).select("col_name", "n", "n_nulls", "n_distinct", "min_v", "max_v")

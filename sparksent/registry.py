@@ -116,6 +116,12 @@ _PRIORITY: tuple[str, ...] = (
     "funnel_view_click_purchase",
     "retention_cohorts",
     "event_transition_matrix",
+    # Slots 51+ fall outside this round's 50-name driver window; they
+    # lead the round-5 window (locally oracle-verified this round via
+    # pytest + the full driver-sim in .claude/skills/verify).
+    "chunk_documents_128_96",
+    "multimodal_decode_audio",
+    "column_stats_events",
 )
 
 

@@ -147,3 +147,44 @@ def test_ppm_comment_and_whitespace_handling():
 def test_decode_media_rejects_compressed_formats():
     with pytest.raises(NotImplementedError):
         decode_media(synth_image_payload(3, b"x"), "image/png")
+
+
+# ---------------------------------------------------------------------------
+# real audio decode (WAV)
+# ---------------------------------------------------------------------------
+
+from sparksent.ext.multimodal import (
+    _synth_samples,
+    decode_wav,
+    synth_wav_payload,
+)
+
+
+@pytest.mark.parametrize("mid", [0, 1, 7, 100, 799, 800, 12345])
+def test_wav_roundtrip(mid):
+    assert (decode_wav(synth_wav_payload(mid)) == _synth_samples(mid)).all()
+
+
+def test_wav_skips_unknown_chunks_word_aligned():
+    """A LIST chunk with an ODD declared size before the data chunk
+    exercises the RIFF word-alignment rule."""
+    samples = _synth_samples(5)
+    data = samples.tobytes()
+    fmt = (
+        b"fmt " + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+        + (8000).to_bytes(4, "little") + (16000).to_bytes(4, "little")
+        + (2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+    )
+    junk = b"LIST" + (3).to_bytes(4, "little") + b"abc\x00"  # 3 + pad byte
+    body = b"WAVE" + fmt + junk + b"data" + len(data).to_bytes(4, "little") + data
+    payload = b"RIFF" + len(body).to_bytes(4, "little") + body
+    assert (decode_wav(payload) == samples).all()
+
+
+def test_wav_rejects_non_pcm():
+    bad = bytearray(synth_wav_payload(3))
+    # fmt codec field lives right after "WAVE" + "fmt " + size (12+8)
+    bad[20:22] = (85).to_bytes(2, "little")  # MP3 codec id
+    with pytest.raises(NotImplementedError):
+        decode_wav(bytes(bad))
