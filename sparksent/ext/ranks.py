@@ -1,0 +1,85 @@
+"""Distributed global ranking — total-order analytics without the
+single-reducer window.
+
+``Window.orderBy(...)`` with no partition key sorts the whole input on
+ONE reducer: fine for post-aggregate frames up to ~1e8 rows, a wall at
+corpus scale. This module computes exact 1-based global row numbers the
+way distributed sorts do:
+
+1. ``repartitionByRange`` on the order key — Spark's RangePartitioner
+   assigns ascending key ranges to ascending partition ids;
+2. a per-partition ``row_number`` (each partition sorts locally);
+3. per-partition counts — a #partitions-row frame — cumulated into
+   start offsets and broadcast back;
+4. ``global_rank = partition_offset + local_row_number``.
+
+Every stage is partition-parallel; the only single-threaded work is the
+cumulative sum over the tiny per-partition count frame. The order key
+must be a TOTAL order (append a unique tiebreaker column) — otherwise
+equal keys straddling a partition boundary would make ranks depend on
+placement.
+
+``ntile_col`` reproduces SQL NTILE(k) arithmetic from (rank, n): the
+first ``n mod k`` buckets take ``ceil(n/k)`` rows, the rest take
+``floor(n/k)`` — integer-exact, so results match the window-function
+form bit-for-bit (pinned against ``F.ntile`` by the decile query's
+oracle and tests/test_skew.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def with_global_ranks(
+    df: DataFrame,
+    order_cols: list[str],
+    rank_col: str = "rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Add exact 1-based global row numbers over a total order, with no
+    global sort on a single reducer (see module docstring)."""
+    spark = df.sparkSession
+    n_part = num_partitions or spark.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(n_part, *[F.col(c) for c in order_cols])
+    with_pid = ranged.withColumn("_pid", F.spark_partition_id())
+    # tiny frame: one row per partition; the cumulative window over it is
+    # the only non-parallel step
+    counts = with_pid.groupBy("_pid").agg(F.count("*").alias("_cnt"))
+    w_cum = (
+        Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "_pid", F.coalesce(F.sum("_cnt").over(w_cum), F.lit(0)).alias("_off")
+    )
+    w_local = Window.partitionBy("_pid").orderBy(*[F.col(c) for c in order_cols])
+    return (
+        with_pid.withColumn("_rn", F.row_number().over(w_local))
+        .join(F.broadcast(offsets), "_pid")
+        .withColumn(rank_col, (F.col("_off") + F.col("_rn")).cast("long"))
+        .drop("_pid", "_rn", "_off")
+    )
+
+
+def _idiv(a: Column, b: Column) -> Column:
+    """Exact integer floor-division for non-negative longs: subtracting
+    the remainder first makes the double division mathematically exact
+    (the quotient is an integer < 2^53), so the cast cannot land an
+    epsilon below a boundary the way ``(a / b).cast`` can."""
+    return ((a - (a % b)) / b).cast("long")
+
+
+def ntile_col(rank: Column, n: Column, k: int) -> Column:
+    """SQL NTILE(k) from a 1-based global rank and the total row count:
+    the first ``n % k`` buckets hold ``n div k + 1`` rows, the rest
+    ``n div k`` — pure integer arithmetic (no doubles near boundaries)."""
+    kl = F.lit(k).cast("long")
+    q = _idiv(n, kl)
+    rem = (n % kl).cast("long")
+    thresh = rem * (q + 1)
+    return (
+        F.when(rank <= thresh, _idiv(rank - 1, q + 1) + 1)
+        .otherwise(rem + _idiv(rank - thresh - 1, F.greatest(q, F.lit(1))) + 1)
+        .cast("int")
+    )

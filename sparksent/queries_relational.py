@@ -633,18 +633,26 @@ def q_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """User-value decile segmentation: per-user decimal totals (one
-    partial-agg shuffle over the fact table), then ntile(10) over the
-    aggregated totals with a (total, user_id) total order so tie
-    placement is deterministic. The unpartitioned ntile window sorts
-    only the POST-AGGREGATE rows (one per user) on a single reducer —
-    fine to ~1e8 users; beyond that, production swaps ntile for decile
-    boundaries from exact/approx percentiles broadcast back (the
-    percentile_order_value query shows that primitive)."""
+    partial-agg shuffle over the fact table), then NTILE(10) over the
+    (total, user_id) total order — computed WITHOUT the single-reducer
+    global window (round 4, closing the last documented single-reducer
+    stage): range-partition on the order key, per-partition row_number,
+    broadcast cumulative partition offsets, and integer-exact NTILE
+    arithmetic from (global rank, n) — ext/ranks.py. Bit-identical to
+    F.ntile over the same order (pinned in tests/test_skew.py and by
+    this query's unchanged ntile-based oracle), but every stage is
+    partition-parallel at any user count."""
+    from .ext.ranks import ntile_col, with_global_ranks
+
     ev = tables.load_table(spark, sf_dir, "events")
     totals = ev.groupBy("user_id").agg(F.sum(_dec28("value")).alias("total"))
-    w = Window.orderBy("total", "user_id")
+    ranked = with_global_ranks(totals, ["total", "user_id"])
+    n = totals.agg(F.count("*").cast("long").alias("n_users_total"))
     return (
-        totals.withColumn("decile", F.ntile(10).over(w))
+        ranked.crossJoin(F.broadcast(n))
+        .withColumn(
+            "decile", ntile_col(F.col("rank"), F.col("n_users_total"), 10)
+        )
         .groupBy("decile")
         .agg(
             F.count("*").alias("n_users"),

@@ -63,3 +63,38 @@ def test_pair_intersection_strategies_identical(spark):
     b = b.sort_values(["id_a", "id_b"]).reset_index(drop=True)
     assert len(a) == len(b)
     assert (a.to_numpy() == b.to_numpy()).all()
+
+
+def test_global_ranks_match_single_reducer_window(spark):
+    """Distributed global row numbers (range partition + offset) equal
+    the single-reducer Window.orderBy row_number, and the integer NTILE
+    arithmetic equals F.ntile, for several k including k > n rows."""
+    from pyspark.sql import Window
+
+    from sparksent.ext.ranks import ntile_col, with_global_ranks
+
+    ev = tables.load_table(spark, SF_DIR_SMALL, "events")
+    totals = ev.groupBy("user_id").agg(
+        F.sum(F.col("value").cast("decimal(28,6)")).alias("total")
+    )
+    w = Window.orderBy("total", "user_id")
+    want = totals.select(
+        "user_id", F.row_number().over(w).alias("rank")
+    ).toPandas().set_index("user_id")["rank"]
+    got_df = with_global_ranks(totals, ["total", "user_id"], num_partitions=7)
+    got = got_df.select("user_id", "rank").toPandas().set_index("user_id")["rank"]
+    assert (got.sort_index() == want.sort_index()).all()
+
+    n_rows = len(want)
+    for k in (3, 10, n_rows + 5):
+        want_t = totals.select(
+            "user_id", F.ntile(k).over(w).alias("t")
+        ).toPandas().set_index("user_id")["t"]
+        got_t = (
+            got_df.withColumn(
+                "t", ntile_col(F.col("rank"), F.lit(n_rows).cast("long"), k)
+            )
+            .select("user_id", "t")
+            .toPandas().set_index("user_id")["t"]
+        )
+        assert (got_t.sort_index() == want_t.sort_index()).all(), f"k={k}"
