@@ -755,7 +755,7 @@ def q_fullouter_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT e.event_type, quantile_cont(abs(e.value - m.med), 0.5) AS mad
       FROM events e JOIN med m ON e.event_type = m.event_type GROUP BY 1)
     SELECT e.event_type, any_value(m.med) AS med, any_value(d.mad) AS mad,
-      sum(CASE WHEN abs(e.value - m.med) > 3 * d.mad THEN 1 ELSE 0 END)
+      sum(CASE WHEN abs(e.value - m.med) > 3 * d.mad THEN 1 ELSE 0 END)::BIGINT
         AS n_outliers,
       count(*) AS n_total
     FROM events e

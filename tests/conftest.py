@@ -58,12 +58,40 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
+def _dtype_family(dt) -> str:
+    if pd.api.types.is_bool_dtype(dt):
+        return "bool"
+    if pd.api.types.is_integer_dtype(dt):
+        return "int"
+    if pd.api.types.is_float_dtype(dt):
+        return "float"
+    return "other"  # strings, Decimal/HUGEINT objects, structs...
+
+
 def assert_oracle_match(spark_df, con, sql: str, exact: bool = True) -> None:
     """Mirror the driver's t2 gate: same row count, same column-name set,
     order-insensitive value equality (exact by default — our queries are
-    engineered for bit-exact float agreement via decimal accumulation)."""
-    a = _normalize(spark_df.toPandas())
-    b = _normalize(con.execute(sql).fetchdf())
+    engineered for bit-exact float agreement via decimal accumulation).
+
+    RAW dtype families must also agree BEFORE normalization: the driver
+    hashes un-coerced values, so a DuckDB HUGEINT (``sum(CASE...)``
+    un-cast) or DOUBLE (``//``, window sums) against a Spark BIGINT
+    hash-mismatches there even when every value is numerically equal.
+    Round 3 lost four queries to exactly this — our normalization hid
+    it. The registry convention (registry.py module docstring) is to
+    cast oracle aggregates ``::BIGINT`` to match Spark's type."""
+    ap = spark_df.toPandas()
+    bp = con.execute(sql).fetchdf()
+    for c in sorted(set(ap.columns) & set(bp.columns)):
+        fa, fb = _dtype_family(ap[c].dtype), _dtype_family(bp[c].dtype)
+        assert fa == fb, (
+            f"dtype-family mismatch in column {c!r}: spark={ap[c].dtype} "
+            f"({fa}) vs oracle={bp[c].dtype} ({fb}) — the driver's value "
+            f"hash will differ even if values are equal; cast the oracle "
+            f"expression (::BIGINT/::DOUBLE) to match the Spark type"
+        )
+    a = _normalize(ap)
+    b = _normalize(bp)
     assert sorted(a.columns) == sorted(b.columns), (
         f"schema mismatch: spark={sorted(a.columns)} oracle={sorted(b.columns)}"
     )
