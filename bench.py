@@ -131,6 +131,7 @@ HEADLINE = [
     "chunk_documents_128_96",
     "multimodal_decode_audio",
     "column_stats_events",
+    "weekly_value_wow",
 ]
 
 # Timed and reported, but excluded from the headline sum: cost dominated

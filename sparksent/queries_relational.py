@@ -1128,3 +1128,62 @@ def q_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "n",
     ).select("col_name", "n", "n_nulls", "n_distinct", "min_v", "max_v")
+
+
+# ---------------------------------------------------------------------------
+# week-over-week time series
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "weekly_value_wow",
+    oracle="""
+    WITH w AS (
+      SELECT event_type,
+             (epoch_us(ts) // 604800000000)::BIGINT AS week,
+             sum(value::DECIMAL(28,6)) AS s,
+             count(*)::BIGINT AS n_events
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, week, s::DOUBLE AS sum_value, n_events,
+           coalesce(lag(s) OVER (PARTITION BY event_type ORDER BY week),
+                    0)::DOUBLE AS prev_value,
+           CASE WHEN lag(s) OVER (PARTITION BY event_type ORDER BY week)
+                     IS NULL THEN -1.0
+                ELSE s::DOUBLE
+                     / (lag(s) OVER (PARTITION BY event_type ORDER BY week))::DOUBLE
+           END AS wow_ratio
+    FROM w
+    """,
+    tags=("relational", "window", "timeseries"),
+)
+def q_weekly_wow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week reporting series: per-type weekly DECIMAL sums
+    (one partial-agg shuffle, integer epoch-week bucketing with exact
+    `div`), then lag deltas/ratios over the tiny (types x weeks)
+    aggregate — the window never touches raw events.  First week of a
+    type reports ratio -1 (NULL-free sentinel per registry convention);
+    the ratio divides the two DOUBLE casts, the same IEEE op both
+    engines."""
+    ev = tables.load_table(spark, sf_dir, "events")
+    weekly = (
+        ev.select(
+            "event_type",
+            F.expr("unix_micros(ts) div 604800000000").alias("week"),
+            _dec28("value").alias("v"),
+        )
+        .groupBy("event_type", "week")
+        .agg(F.sum("v").alias("s"), F.count("*").alias("n_events"))
+    )
+    w = Window.partitionBy("event_type").orderBy("week")
+    prev = F.lag("s").over(w)
+    return weekly.select(
+        "event_type",
+        "week",
+        F.col("s").cast("double").alias("sum_value"),
+        "n_events",
+        F.coalesce(prev, F.lit(0)).cast("double").alias("prev_value"),
+        F.when(prev.isNull(), F.lit(-1.0))
+        .otherwise(F.col("s").cast("double") / prev.cast("double"))
+        .alias("wow_ratio"),
+    )

@@ -122,6 +122,7 @@ _PRIORITY: tuple[str, ...] = (
     "chunk_documents_128_96",
     "multimodal_decode_audio",
     "column_stats_events",
+    "weekly_value_wow",
 )
 
 
