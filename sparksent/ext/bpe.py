@@ -51,6 +51,51 @@ def word_vocab(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def word_vocab_capped(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 1,
+    max_vocab: int | None = None,
+) -> DataFrame:
+    """:func:`word_vocab` with the production driver-bytes caps applied
+    in-plan: ``min_count`` is a HAVING pushed into the same shuffle,
+    ``max_vocab`` a distributed sort-limit under the total order
+    (n DESC, word ASC) — deterministic because word is unique after the
+    group-by.  This is the exact frame :func:`learn_merges` collects, so
+    the driver can hash-check the only corpus-sized stage of BPE
+    training (the merge loop stays the documented rows-only case)."""
+    vdf = word_vocab(df, text_col)
+    if min_count > 1:
+        vdf = vdf.where(F.col("n") >= min_count)
+    if max_vocab is not None:
+        vdf = vdf.orderBy(F.col("n").desc(), F.col("word")).limit(max_vocab)
+    return vdf
+
+
+def word_vocab_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    min_count: int = 1,
+    max_vocab: int | None = None,
+) -> str:
+    """DuckDB oracle for :func:`word_vocab_capped`: the same whitespace
+    split (single-space delimiter, empties dropped — Spark ``split`` and
+    DuckDB ``string_split`` agree on consecutive-delimiter behavior),
+    the same HAVING cap, the same total-order LIMIT."""
+    having = f"HAVING count(*) >= {min_count}" if min_count > 1 else ""
+    limit = (
+        f"ORDER BY n DESC, word LIMIT {max_vocab}" if max_vocab is not None else ""
+    )
+    return f"""
+    SELECT word, count(*)::BIGINT AS n
+    FROM (SELECT unnest(string_split({text_col}, ' ')) AS word FROM {table}) t
+    WHERE word <> ''
+    GROUP BY word
+    {having}
+    {limit}
+    """
+
+
 def learn_merges_py(vocab: list[tuple[str, int]], n_merges: int = N_MERGES):
     """The exact merge loop on a (word, count) vocabulary. Pure Python
     by design (see module docstring); deterministic total order."""
@@ -108,11 +153,7 @@ def learn_merges(
     min_count=2, max_vocab=5_000_000 for a hard driver-bytes bound.
     Frequency truncation is the standard practical BPE compromise: words
     seen once cannot dominate any merge decision at corpus scale."""
-    vdf = word_vocab(df, text_col)
-    if min_count > 1:
-        vdf = vdf.where(F.col("n") >= min_count)
-    if max_vocab is not None:
-        vdf = vdf.orderBy(F.col("n").desc(), F.col("word")).limit(max_vocab)
+    vdf = word_vocab_capped(df, text_col, min_count, max_vocab)
     vocab = [(r["word"], r["n"]) for r in vdf.collect()]
     vocab.sort()  # collect order is partition-dependent; the loop is not
     merges = learn_merges_py(vocab, n_merges)

@@ -5,15 +5,17 @@ metadata structs; decode / feature-extraction runs as Arrow-batched
 ``mapInPandas`` so each Python worker sees column batches, never rows.
 
 Decode status (no media libraries in this container):
-- REAL, end-to-end: 24-bit BMP and binary-PPM pixel decode
-  (:func:`decode_bmp`/:func:`decode_ppm`), RIFF/WAVE PCM16 audio decode
+- REAL, end-to-end: 24-bit BMP, binary-PPM and 8-bit truecolor(+alpha)
+  PNG pixel decode (:func:`decode_bmp`/:func:`decode_ppm`/
+  :func:`decode_png` — the PNG path inflates IDAT with stdlib zlib and
+  reconstructs all five scanline filters), RIFF/WAVE PCM16 audio decode
   (:func:`decode_wav`), and PNG/JPEG/GIF header decode
   (:func:`parse_image_header`) — all pure Python/numpy over real bytes.
-- STUBBED with a documented contract: compressed-format pixel decode
-  (png/jpeg/gif entropy coding — ``decode_media`` raises
-  NotImplementedError for those mimes) and video container parsing
-  (``frame_sample`` uses a deterministic stand-in fingerprint);
-  ``fake_decode_features`` keeps the byte-feature pipeline testable.
+- STUBBED with a documented contract: JPEG/GIF pixel decode (DCT/LZW
+  entropy coding — ``decode_media`` raises NotImplementedError for those
+  mimes) and video container parsing (``frame_sample`` uses a
+  deterministic stand-in fingerprint); ``fake_decode_features`` keeps
+  the byte-feature pipeline testable.
 
 At 100 TB: media tables are partitioned by (modality, date); the decode
 stage is the classic CPU-bound mapInPandas — scale by partition count,
@@ -66,22 +68,32 @@ def decode_media(payload: bytes, mime: str):
     - ``image/bmp``  — 24-bit BI_RGB Windows bitmaps (:func:`decode_bmp`:
       bottom-up row order, BGR channel order, 4-byte row padding).
     - ``image/x-portable-pixmap`` — binary PPM ``P6`` (:func:`decode_ppm`).
+    - ``image/png`` — 8-bit truecolor / truecolor+alpha PNG
+      (:func:`decode_png`: chunk walk, stdlib-zlib inflate, all five
+      scanline filters reconstructed).
+    - ``image/gif`` — non-interlaced GIF87a/89a (:func:`decode_gif`:
+      pure-Python LZW with clear codes / KwKwK / variable code width,
+      color-table lookup).
 
-    Compressed formats (PNG/JPEG/GIF) still raise NotImplementedError:
-    their entropy decode needs zlib-at-scanline/DCT machinery that an
-    image library would provide; HEADER decoding for them is fully real
-    (:func:`parse_image_header`).  Swap this dispatch to a PIL-backed one
-    to go live on compressed inputs; every caller already handles the
+    JPEG still raises NotImplementedError: its DCT entropy decode needs
+    machinery an image library would provide; HEADER decoding for it is
+    fully real (:func:`parse_image_header`).  Swap this dispatch to a
+    PIL-backed one to go live on JPEG; every caller already handles the
     ndarray contract."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:2] == b"P6":
         return decode_ppm(payload)
+    if payload[:8] == PNG_SIG:
+        return decode_png(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif(payload)
     raise NotImplementedError(
-        "compressed-format pixel decode (png/jpeg/gif) requires an image "
-        "library not present in this container; BMP and PPM decode fully "
-        "(decode_bmp/decode_ppm), parse_image_header decodes real headers, "
-        "and fake_decode_features is the deterministic byte-feature path"
+        "jpeg pixel decode (DCT entropy coding) requires an image library "
+        "not present in this container; BMP, PPM, PNG and GIF decode fully "
+        "(decode_bmp/decode_ppm/decode_png/decode_gif), parse_image_header "
+        "decodes real headers, and fake_decode_features is the "
+        "deterministic byte-feature path"
     )
 
 
@@ -544,6 +556,494 @@ def decode_images_sql(table: str = "documents") -> str:
     WITH dims AS (
       SELECT doc_id AS media_id,
              CASE doc_id % 2 WHEN 0 THEN 'bmp' ELSE 'ppm' END AS format,
+             (doc_id % {PIX_W_MOD} + 1)::INT AS width,
+             (doc_id % {PIX_H_MOD} + 1)::INT AS height
+      FROM {table}
+    ),
+    px AS (
+      SELECT d.*, gx.x, gy.y,
+             (media_id + 3 * gx.x + 7 * gy.y) % 256 AS r
+      FROM dims d,
+           LATERAL (SELECT unnest(generate_series(0, d.width - 1)) AS x) gx,
+           LATERAL (SELECT unnest(generate_series(0, d.height - 1)) AS y) gy
+    )
+    SELECT media_id, format, width, height,
+           count(*)::BIGINT AS n_pixels,
+           sum(r)::BIGINT AS sum_r,
+           sum((r + 11) % 256)::BIGINT AS sum_g,
+           sum((r + 22) % 256)::BIGINT AS sum_b,
+           sum((1 + x + 2 * y) * r)::BIGINT AS wsum_r
+    FROM px
+    GROUP BY 1, 2, 3, 4
+    """
+
+
+# ---------------------------------------------------------------------------
+# real PNG pixel decode end-to-end (stdlib zlib — no image library needed)
+# ---------------------------------------------------------------------------
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """The Paeth predictor (PNG spec §9, filter type 4): pick whichever
+    of left/up/up-left is closest to a+b-c, ties in that order."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(payload: bytes):
+    """Decode an 8-bit truecolor (color type 2) or truecolor+alpha
+    (color type 6) non-interlaced PNG to (H, W, 3) uint8 RGB — pure
+    Python + stdlib ``zlib``, no image library.
+
+    Real format work, end to end: chunk walk (length/type/data/crc,
+    IDAT segments concatenated in order as the spec requires), IHDR
+    validation, one zlib inflate, then per-scanline reconstruction of
+    all five filter types (None/Sub/Up/Average/Paeth) against the
+    previous RECONSTRUCTED row.  Alpha is decoded then dropped (the
+    ndarray contract is RGB).  Palette/grayscale/16-bit/interlaced
+    variants raise NotImplementedError with the unmet field named."""
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = 8, None, bytearray()
+    while pos + 8 <= len(payload):
+        size = int.from_bytes(payload[pos : pos + 4], "big")
+        ctype = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + size]
+        if ctype == b"IHDR":
+            ihdr = body
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + size  # length + type + data + crc
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT chunk")
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    bit_depth, color_type, interlace = ihdr[8], ihdr[9], ihdr[12]
+    if bit_depth != 8 or color_type not in (2, 6) or interlace != 0:
+        raise NotImplementedError(
+            f"only 8-bit truecolor(+alpha) non-interlaced PNG supported "
+            f"(depth={bit_depth}, color_type={color_type}, "
+            f"interlace={interlace})"
+        )
+    bpp = 3 if color_type == 2 else 4
+    stride = w * bpp
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("IDAT length does not match dimensions")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = bytearray(stride)
+    for row in range(h):
+        off = row * (stride + 1)
+        ft = raw[off]
+        line = bytearray(raw[off + 1 : off + 1 + stride])
+        if ft == 1:  # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(stride):
+                left = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(stride):
+                left = line[i - bpp] if i >= bpp else 0
+                upleft = prev[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + _paeth(left, prev[i], upleft)) & 0xFF
+        elif ft != 0:
+            raise ValueError(f"unknown filter type {ft}")
+        out[row] = np.frombuffer(bytes(line), dtype=np.uint8)
+        prev = line
+    return out.reshape(h, w, bpp)[:, :, :3].copy()
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    import zlib
+
+    return (
+        len(body).to_bytes(4, "big")
+        + ctype
+        + body
+        + (zlib.crc32(ctype + body) & 0xFFFFFFFF).to_bytes(4, "big")
+    )
+
+
+def synth_png_payload(media_id: int) -> bytes:
+    """A REAL PNG file for the pixel law — correct CRCs, zlib-deflated
+    raster, RGB (even ids) or RGBA with a synthetic alpha plane (odd
+    ids, alpha = (base+33)%256 — dropped by the decoder), and the
+    scanline filter VARIED per row as ``(media_id + row) % 5`` so every
+    filter type (None/Sub/Up/Average/Paeth) is exercised and a decoder
+    that skips reconstruction cannot match."""
+    import zlib
+
+    import numpy as np
+
+    img = _synth_pixels(media_id).astype(np.int16)
+    h, w, _ = img.shape
+    if media_id % 2:  # RGBA: alpha follows the same arithmetic law
+        x = np.arange(w, dtype=np.int64)[None, :]
+        y = np.arange(h, dtype=np.int64)[:, None]
+        alpha = ((media_id + 3 * x + 7 * y + 33) % 256).astype(np.int16)
+        img = np.concatenate([img, alpha[:, :, None]], axis=-1)
+    color_type = 6 if media_id % 2 else 2
+    bpp = img.shape[2]
+    rows = img.reshape(h, w * bpp)
+    raster = bytearray()
+    prev = np.zeros(w * bpp, dtype=np.int16)
+    for row in range(h):
+        cur = rows[row]
+        left = np.concatenate([np.zeros(bpp, dtype=np.int16), cur[:-bpp]])
+        upleft = np.concatenate([np.zeros(bpp, dtype=np.int16), prev[:-bpp]])
+        ft = (media_id + row) % 5
+        if ft == 0:
+            filt = cur
+        elif ft == 1:
+            filt = cur - left
+        elif ft == 2:
+            filt = cur - prev
+        elif ft == 3:
+            filt = cur - ((left + prev) >> 1)
+        else:  # Paeth, vectorized
+            p = left + prev - upleft
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
+            )
+            filt = cur - pred
+        raster.append(ft)
+        raster += (filt % 256).astype(np.uint8).tobytes()
+        prev = cur
+    ihdr = (
+        w.to_bytes(4, "big")
+        + h.to_bytes(4, "big")
+        + bytes([8, color_type, 0, 0, 0])
+    )
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raster)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas stage: synthesize a real PNG FILE (RGB even ids, RGBA
+    odd ids, filter type rotating per scanline), decode it back through
+    :func:`decode_media` — chunk walk, zlib inflate, full filter
+    reconstruction — and reduce to the same exact-integer channel
+    statistics as the BMP/PPM path (the pixel law is shared, so the
+    oracle is the same grid expansion)."""
+    import numpy as np
+
+    for pdf in batches:
+        rows = []
+        for mid in pdf["media_id"]:
+            mid = int(mid)
+            fmt = "png_rgba" if mid % 2 else "png_rgb"
+            img = decode_media(synth_png_payload(mid), "image/png").astype(np.int64)
+            h, w, _ = img.shape
+            wgt = 1 + np.arange(w, dtype=np.int64)[None, :] \
+                + 2 * np.arange(h, dtype=np.int64)[:, None]
+            rows.append(
+                (
+                    mid, fmt, w, h, w * h,
+                    int(img[:, :, 0].sum()),
+                    int(img[:, :, 1].sum()),
+                    int(img[:, :, 2].sum()),
+                    int((wgt * img[:, :, 0]).sum()),
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "media_id", "format", "width", "height", "n_pixels",
+                "sum_r", "sum_g", "sum_b", "wsum_r",
+            ],
+        )
+
+
+def decode_pngs(docs: DataFrame) -> DataFrame:
+    """documents -> real PNG encode -> real PNG decode -> stats, one
+    Arrow-batched mapInPandas (payload bytes never leave the worker).
+    Closes the compressed-format decode gap: after this only JPEG/GIF
+    entropy decode and video containers remain stubbed."""
+    narrow = rebalance(docs.select(F.col("doc_id").alias("media_id")))
+    return narrow.mapInPandas(decode_png_stats, PIXEL_STAT_SCHEMA)
+
+
+def decode_pngs_sql(table: str = "documents") -> str:
+    """Oracle: identical pixel law to :func:`decode_images_sql`; only the
+    format tag differs (and alpha never appears — the decoder drops it,
+    which the RGB-only sums verify)."""
+    return f"""
+    WITH dims AS (
+      SELECT doc_id AS media_id,
+             CASE doc_id % 2 WHEN 0 THEN 'png_rgb' ELSE 'png_rgba' END AS format,
+             (doc_id % {PIX_W_MOD} + 1)::INT AS width,
+             (doc_id % {PIX_H_MOD} + 1)::INT AS height
+      FROM {table}
+    ),
+    px AS (
+      SELECT d.*, gx.x, gy.y,
+             (media_id + 3 * gx.x + 7 * gy.y) % 256 AS r
+      FROM dims d,
+           LATERAL (SELECT unnest(generate_series(0, d.width - 1)) AS x) gx,
+           LATERAL (SELECT unnest(generate_series(0, d.height - 1)) AS y) gy
+    )
+    SELECT media_id, format, width, height,
+           count(*)::BIGINT AS n_pixels,
+           sum(r)::BIGINT AS sum_r,
+           sum((r + 11) % 256)::BIGINT AS sum_g,
+           sum((r + 22) % 256)::BIGINT AS sum_b,
+           sum((1 + x + 2 * y) * r)::BIGINT AS wsum_r
+    FROM px
+    GROUP BY 1, 2, 3, 4
+    """
+
+
+# ---------------------------------------------------------------------------
+# real GIF pixel decode end-to-end (LZW in pure Python — no image library)
+# ---------------------------------------------------------------------------
+
+
+def _lzw_encode(indices, min_code_size: int) -> bytes:
+    """GIF-flavor LZW compress of a palette-index sequence: variable
+    code width (min+1 .. 12 bits, LSB-first bit packing), dictionary
+    grown one entry per emitted code, CLEAR emitted on dictionary
+    overflow at 4096 — the full algorithm, not the fixed-width
+    'uncompressed GIF' shortcut."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out_bits: list[tuple[int, int]] = []  # (code, width)
+    width = min_code_size + 1
+    table = {(i,): i for i in range(clear)}
+    next_code = eoi + 1
+    out_bits.append((clear, width))
+    buf: tuple[int, ...] = ()
+    for idx in indices:
+        cand = buf + (int(idx),)
+        if cand in table:
+            buf = cand
+            continue
+        out_bits.append((table[buf], width))
+        table[cand] = next_code
+        next_code += 1
+        if next_code > (1 << width) and width < 12:
+            width += 1
+        if next_code >= 4096:
+            out_bits.append((clear, width))
+            table = {(i,): i for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code_size + 1
+        buf = (int(idx),)
+    if buf:
+        out_bits.append((table[buf], width))
+    out_bits.append((eoi, width))
+    acc = n = 0
+    data = bytearray()
+    for code, w in out_bits:
+        acc |= code << n
+        n += w
+        while n >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            n -= 8
+    if n:
+        data.append(acc & 0xFF)
+    return bytes(data)
+
+
+def _lzw_decode(data: bytes, min_code_size: int) -> list[int]:
+    """GIF LZW decompress: LSB-first bit unpacking, dictionary rebuilt
+    on CLEAR, the KwKwK special case (code == next_code), code width
+    growing at each dictionary power-of-two boundary up to 12 bits."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    width = min_code_size + 1
+    table: list[list[int]] = [[i] for i in range(clear)] + [[], []]
+    acc = n = pos = 0
+    prev: list[int] | None = None
+    out: list[int] = []
+    while True:
+        while n < width:
+            if pos >= len(data):
+                raise ValueError("LZW stream truncated before EOI")
+            acc |= data[pos] << n
+            pos += 1
+            n += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        n -= width
+        if code == clear:
+            table = [[i] for i in range(clear)] + [[], []]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            return out
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + [prev[0]]  # KwKwK
+        else:
+            raise ValueError(f"bad LZW code {code}")
+        out.extend(entry)
+        if prev is not None:
+            table.append(prev + [entry[0]])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+
+
+def synth_gif_payload(media_id: int) -> bytes:
+    """A REAL GIF89a file for the pixel law.  The palette IS the law:
+    index i maps to (i, (i+11)%256, (i+22)%256), so the pixel index
+    grid is base(x,y) = (id + 3x + 7y) % 256 and a correct LZW decode +
+    palette lookup reproduces the shared synthetic image exactly.
+    Raster is genuinely LZW-compressed (:func:`_lzw_encode`) and split
+    into <=255-byte sub-blocks as the spec requires."""
+    import numpy as np
+
+    img = _synth_pixels(media_id)
+    h, w, _ = img.shape
+    base = img[:, :, 0].astype(np.uint8)  # red channel == palette index
+    palette = bytearray()
+    for i in range(256):
+        palette += bytes([i, (i + 11) % 256, (i + 22) % 256])
+    # logical screen descriptor: GCT present, 8 bits/color, 256 entries
+    lsd = w.to_bytes(2, "little") + h.to_bytes(2, "little") + bytes([0xF7, 0, 0])
+    imgdesc = (
+        b"\x2c" + bytes(4)  # left=0, top=0
+        + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+        + bytes([0])  # no local color table, not interlaced
+    )
+    lzw = _lzw_encode(base.reshape(-1).tolist(), 8)
+    blocks = bytearray([8])  # LZW minimum code size
+    for off in range(0, len(lzw), 255):
+        chunk = lzw[off : off + 255]
+        blocks += bytes([len(chunk)]) + chunk
+    blocks += b"\x00"  # block terminator
+    return b"GIF89a" + lsd + bytes(palette) + imgdesc + bytes(blocks) + b"\x3b"
+
+
+def decode_gif(payload: bytes):
+    """Decode a non-interlaced GIF87a/89a first frame to (H, W, 3) uint8
+    RGB — pure Python LZW (:func:`_lzw_decode`), real block structure:
+    logical screen descriptor, global/local color tables, extension
+    blocks skipped by their declared sub-block lengths, image
+    descriptor, sub-block reassembly.  Interlaced images raise
+    NotImplementedError (the one GIF feature not reconstructed)."""
+    import numpy as np
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    pos = 6
+    packed = payload[pos + 4]
+    pos += 7  # logical screen descriptor
+    gct = None
+    if packed & 0x80:
+        size = 2 << (packed & 0x07)
+        gct = payload[pos : pos + 3 * size]
+        pos += 3 * size
+    while pos < len(payload):
+        b0 = payload[pos]
+        if b0 == 0x21:  # extension: label then sub-blocks
+            pos += 2
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b0 == 0x2C:  # image descriptor
+            w = int.from_bytes(payload[pos + 5 : pos + 7], "little")
+            h = int.from_bytes(payload[pos + 7 : pos + 9], "little")
+            ipacked = payload[pos + 9]
+            pos += 10
+            if ipacked & 0x40:
+                raise NotImplementedError("interlaced GIF not supported")
+            ct = gct
+            if ipacked & 0x80:
+                size = 2 << (ipacked & 0x07)
+                ct = payload[pos : pos + 3 * size]
+                pos += 3 * size
+            if ct is None:
+                raise ValueError("GIF image has no color table")
+            min_code = payload[pos]
+            pos += 1
+            data = bytearray()
+            while payload[pos] != 0:
+                ln = payload[pos]
+                data += payload[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            indices = _lzw_decode(bytes(data), min_code)
+            if len(indices) != w * h:
+                raise ValueError("LZW output does not match dimensions")
+            pal = np.frombuffer(ct, dtype=np.uint8).reshape(-1, 3)
+            return pal[np.asarray(indices, dtype=np.int64)].reshape(h, w, 3).copy()
+        elif b0 == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{b0:02x}")
+    raise ValueError("no image descriptor in GIF")
+
+
+def decode_gif_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas stage: synthesize a real LZW-compressed GIF per id,
+    decode it back through :func:`decode_media`, and reduce to the same
+    exact-integer channel statistics as the BMP/PPM/PNG paths."""
+    import numpy as np
+
+    for pdf in batches:
+        rows = []
+        for mid in pdf["media_id"]:
+            mid = int(mid)
+            img = decode_media(synth_gif_payload(mid), "image/gif").astype(np.int64)
+            h, w, _ = img.shape
+            wgt = 1 + np.arange(w, dtype=np.int64)[None, :] \
+                + 2 * np.arange(h, dtype=np.int64)[:, None]
+            rows.append(
+                (
+                    mid, "gif", w, h, w * h,
+                    int(img[:, :, 0].sum()),
+                    int(img[:, :, 1].sum()),
+                    int(img[:, :, 2].sum()),
+                    int((wgt * img[:, :, 0]).sum()),
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "media_id", "format", "width", "height", "n_pixels",
+                "sum_r", "sum_g", "sum_b", "wsum_r",
+            ],
+        )
+
+
+def decode_gifs(docs: DataFrame) -> DataFrame:
+    """documents -> real GIF encode (true LZW) -> real decode -> stats,
+    one Arrow-batched mapInPandas.  With PNG and GIF real, the only
+    remaining pixel stub is JPEG's DCT entropy decode (plus video
+    containers)."""
+    narrow = rebalance(docs.select(F.col("doc_id").alias("media_id")))
+    return narrow.mapInPandas(decode_gif_stats, PIXEL_STAT_SCHEMA)
+
+
+def decode_gifs_sql(table: str = "documents") -> str:
+    """Oracle: the shared pixel-law grid expansion, format tag 'gif'."""
+    return f"""
+    WITH dims AS (
+      SELECT doc_id AS media_id, 'gif' AS format,
              (doc_id % {PIX_W_MOD} + 1)::INT AS width,
              (doc_id % {PIX_H_MOD} + 1)::INT AS height
       FROM {table}

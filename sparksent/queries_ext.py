@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from . import tables
 from .ext import (
+    bpe,
     curation,
     dedup,
     grouped,
@@ -77,13 +78,17 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_embedding_cosine",
-    oracle=similarity.cosine_neardup_pairs_sql(),
+    oracle=similarity.cosine_neardup_pairs_auto_sql(),
     tags=("ext", "dedup"),
 )
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs: cosine >= 0.4, candidates restricted to
     multi-probe LSH buckets (hash equi-join on bucket — no all-pairs
-    cross join; oracle mirrors the same bucket restriction)."""
+    cross join; oracle mirrors the same bucket restriction).  The plane
+    count self-scales with the corpus row count (num_planes_for —
+    ~log2(N/32), floor 4), so the bucket-load scale rule is applied by
+    code, not by the caller; the oracle's count-gated branches select
+    the same count."""
     return similarity.cosine_neardup_pairs(_emb(spark, sf_dir))
 
 
@@ -108,13 +113,14 @@ def q_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "similarity_topk_lsh",
-    oracle=similarity.lsh_topk_sql(k=TOPK, n_queries=N_QUERIES),
+    oracle=similarity.lsh_topk_auto_sql(k=TOPK, n_queries=N_QUERIES),
     tags=("ext", "similarity"),
 )
 def q_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-5: cosine ranking restricted to the query's random-
     hyperplane LSH bucket (the scale path — bucket equi-join instead of
-    cross join)."""
+    cross join).  Plane count self-scales from the corpus row count
+    (num_planes_for), mirrored by the oracle's count-gated branches."""
     emb = _emb(spark, sf_dir)
     return similarity.lsh_topk(emb, emb.filter(F.col("vec_id") < N_QUERIES), k=TOPK)
 
@@ -606,9 +612,45 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     back through decode_media's pure-Python parsers, and reduce to
     exact-integer channel sums.  The oracle recomputes the sums from the
     deterministic pixel law by grid expansion — a decoder that mishandles
-    padding, row order, or channel order cannot match.  Compressed
-    formats (png/jpeg) remain the documented NotImplementedError."""
+    padding, row order, or channel order cannot match.  JPEG/GIF remain
+    the documented NotImplementedError; PNG decodes for real (see
+    multimodal_decode_png)."""
     return multimodal.decode_images(_docs(spark, sf_dir))
+
+
+@register(
+    "multimodal_decode_png",
+    oracle=multimodal.decode_pngs_sql(),
+    tags=("ext", "multimodal"),
+)
+def q_multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END compressed-format pixel decode, no stub: encode each
+    document id as a REAL PNG (correct CRCs, zlib-deflated raster; RGB
+    for even ids, RGBA for odd — alpha dropped on decode; scanline
+    filter rotating (id+row)%5 so all five PNG filters are
+    reconstructed), decode the bytes back through decode_png's chunk
+    walk + stdlib-zlib inflate + per-scanline unfilter, and reduce to
+    exact-integer channel sums.  Same pixel-law grid-expansion oracle as
+    multimodal_decode_pixels — a decoder that skips filter
+    reconstruction, misorders channels, or leaks alpha cannot match."""
+    return multimodal.decode_pngs(_docs(spark, sf_dir))
+
+
+@register(
+    "multimodal_decode_gif",
+    oracle=multimodal.decode_gifs_sql(),
+    tags=("ext", "multimodal"),
+)
+def q_multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END GIF pixel decode, no stub: encode each document id as
+    a REAL GIF89a (256-entry color table encoding the pixel law, raster
+    genuinely LZW-compressed with dictionary growth, sub-block
+    framing), decode the bytes back through decode_gif's pure-Python
+    LZW (clear codes, KwKwK, variable code width) + palette lookup, and
+    reduce to exact-integer channel sums under the shared grid-expansion
+    oracle.  With BMP/PPM/PNG/GIF all real, the only remaining pixel
+    stub is JPEG's DCT entropy decode."""
+    return multimodal.decode_gifs(_docs(spark, sf_dir))
 
 
 @register(
@@ -840,6 +882,22 @@ def q_hll_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (float division + cast could round across the day boundary)
     day = F.expr("unix_micros(ts) div 86400000000")
     return sketches.hll_merge_rollup(ev, "event_type", day, "user_id")
+
+
+@register(
+    "bpe_word_vocab",
+    oracle=bpe.word_vocab_sql(min_count=2, max_vocab=1000),
+    tags=("ext", "tokenizer"),
+)
+def q_bpe_word_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distributed stage of BPE training as a driver-checkable
+    query: (word, n) over every whitespace token with the production
+    caps exercised — min_count=2 as an in-shuffle HAVING, max_vocab=1000
+    as a distributed sort-limit under the total order (n DESC, word).
+    This is exactly the frame bpe_merges collects before its (documented
+    rows-only) driver-side merge loop, so the driver now hash-checks the
+    only corpus-sized part of the one registry entry it couldn't judge."""
+    return bpe.word_vocab_capped(_docs(spark, sf_dir), min_count=2, max_vocab=1000)
 
 
 @register("bpe_merges", oracle=None, tags=("ext", "tokenizer"))

@@ -144,9 +144,114 @@ def test_ppm_comment_and_whitespace_handling():
     assert (decode_ppm(payload) == img).all()
 
 
-def test_decode_media_rejects_compressed_formats():
+def test_decode_media_rejects_entropy_coded_formats():
+    # JPEG (id%3==1) stays NotImplementedError — the one remaining pixel
+    # stub.  Header-only PNG/GIF (from the header-synth fixture, no
+    # raster data) now reach the REAL decoders and fail as truncated
+    # files (ValueError), not as stubs.
     with pytest.raises(NotImplementedError):
+        decode_media(synth_image_payload(1, b"x"), "image/jpeg")
+    with pytest.raises(ValueError):
         decode_media(synth_image_payload(3, b"x"), "image/png")
+    with pytest.raises(ValueError):
+        decode_media(synth_image_payload(2, b"x"), "image/gif")
+
+
+# ---------------------------------------------------------------------------
+# real PNG pixel decode (stdlib zlib)
+# ---------------------------------------------------------------------------
+
+from sparksent.ext.multimodal import decode_png, synth_png_payload
+
+
+@pytest.mark.parametrize("mid", list(range(10)) + [15, 16, 47, 191, 9999])
+def test_png_roundtrip_all_filters_both_color_types(mid):
+    """ids 0..9 rotate the scanline filter through all five types on
+    both RGB (even) and RGBA (odd, alpha dropped) payloads; larger ids
+    cover every width/height residue class."""
+    assert (decode_media(synth_png_payload(mid), "image/png")
+            == _synth_pixels(mid)).all()
+
+
+def test_png_payload_is_spec_valid():
+    """The synthesized file is a real PNG: signature, IHDR dims readable
+    by the independent header parser, CRCs correct per chunk."""
+    import zlib
+
+    payload = synth_png_payload(21)
+    fmt, w, h, depth = parse_image_header(payload)
+    assert (fmt, w, h, depth) == ("png", 21 % 16 + 1, 21 % 12 + 1, 8)
+    pos = 8
+    while pos + 8 <= len(payload):
+        size = int.from_bytes(payload[pos : pos + 4], "big")
+        ctype = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + size]
+        crc = int.from_bytes(payload[pos + 8 + size : pos + 12 + size], "big")
+        assert crc == (zlib.crc32(ctype + body) & 0xFFFFFFFF), ctype
+        pos += 12 + size
+        if ctype == b"IEND":
+            break
+
+
+def test_gif_roundtrip():
+    from sparksent.ext.multimodal import synth_gif_payload
+
+    for mid in list(range(12)) + [191, 9999]:
+        assert (decode_media(synth_gif_payload(mid), "image/gif")
+                == _synth_pixels(mid)).all()
+
+
+def test_lzw_codec_full_algorithm():
+    """Byte-level LZW round trips through dictionary growth (code width
+    9->12), the 4096-entry reset, and the KwKwK self-reference case."""
+    import numpy as np
+
+    from sparksent.ext.multimodal import _lzw_decode, _lzw_encode
+
+    long_stream = [int(x) for x in (np.arange(6000) * 37 + np.arange(6000) ** 2 // 7) % 256]
+    enc = _lzw_encode(long_stream, 8)
+    assert len(enc) < len(long_stream)  # it actually compresses
+    assert _lzw_decode(enc, 8) == long_stream
+    kwk = [1, 1, 1, 1, 2, 2, 1, 1]  # forces code == next_code at decode
+    assert _lzw_decode(_lzw_encode(kwk, 2), 2) == kwk
+
+
+def test_gif_decode_skips_extension_blocks():
+    """A graphic-control extension spliced before the image descriptor
+    (the 89a-common layout) must be skipped by declared sub-block
+    lengths."""
+    from sparksent.ext.multimodal import synth_gif_payload
+
+    payload = synth_gif_payload(9)
+    # insert after header + LSD + 768-byte GCT
+    cut = 6 + 7 + 768
+    gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    spliced = payload[:cut] + gce + payload[cut:]
+    assert (decode_media(spliced, "image/gif") == _synth_pixels(9)).all()
+
+
+def test_gif_rejects_interlaced():
+    from sparksent.ext.multimodal import decode_gif, synth_gif_payload
+
+    payload = bytearray(synth_gif_payload(5))
+    idesc = 6 + 7 + 768  # image descriptor offset
+    assert payload[idesc] == 0x2C
+    payload[idesc + 9] |= 0x40  # set interlace flag
+    with pytest.raises(NotImplementedError):
+        decode_gif(bytes(payload))
+
+
+def test_png_decode_rejects_unsupported_variants():
+    payload = bytearray(synth_png_payload(4))
+    # IHDR body starts at 8 (sig) + 8 (len+type); color_type is byte 9
+    ihdr_body = 16
+    payload[ihdr_body + 9] = 3  # palette
+    with pytest.raises(NotImplementedError):
+        decode_png(bytes(payload))
+    payload = bytearray(synth_png_payload(4))
+    payload[ihdr_body + 8] = 16  # 16-bit depth
+    with pytest.raises(NotImplementedError):
+        decode_png(bytes(payload))
 
 
 # ---------------------------------------------------------------------------
