@@ -132,6 +132,10 @@ HEADLINE = [
     "multimodal_decode_audio",
     "column_stats_events",
     "weekly_value_wow",
+    # round-5 additions
+    "multimodal_decode_png",
+    "multimodal_decode_gif",
+    "bpe_word_vocab",
 ]
 
 # Timed and reported, but excluded from the headline sum: cost dominated
@@ -183,6 +187,33 @@ def main() -> None:
                 "queries": timings,
                 "capability_tier": CAPABILITY,
                 "sf": float(sf),
+            }
+        )
+    )
+    # Compact suite verdict LAST: the driver records only a 2000-char
+    # stdout tail, which truncates the big per-query JSON from the left
+    # — this line guarantees the totals survive in every BENCH artifact.
+    # Self-describing (metric/value/unit/sf) so a last-line JSON parse
+    # still yields a valid bench record.
+    vs = None
+    try:
+        with open(os.path.join(os.path.dirname(__file__), "BASELINE_BENCH.json")) as f:
+            base = json.load(f)
+        if float(base.get("sf", -1)) == float(sf):
+            pinned = {n: t for n, t in base["queries"].items() if n in HEADLINE}
+            ours = sum(timings[n] for n in pinned)
+            vs = round(ours / sum(pinned.values()), 3) if pinned else None
+    except (OSError, ValueError, KeyError, ZeroDivisionError):
+        pass
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": round(headline_total, 3),
+                "unit": "sec",
+                "sf": float(sf),
+                "n_queries": len(HEADLINE),
+                "vs_baseline_common_queries": vs,
             }
         )
     )
