@@ -458,6 +458,13 @@ def _pair_intersections(sh: DataFrame, bounded: bool) -> DataFrame:
                 )
             ).alias("p")
         ).select("p.id_a", "p.id_b")
+        # The join form's id_a < id_b filter silently drops self-pairs; a
+        # duplicate id within one posting list (caller passing a
+        # non-distinct index, or an h60 collision of two shingles in one
+        # doc) would make the sorted-array expansion emit id_a == id_b
+        # and diverge from the join strategy.  Match the invariant
+        # explicitly — the filter is map-side and free.
+        pairs = pairs.filter(F.col("id_a") < F.col("id_b"))
         return pairs.groupBy("id_a", "id_b").agg(F.count("*").alias("inter"))
     left = sh.select(F.col("id").alias("id_a"), "shingle")
     right = sh.select(F.col("id").alias("id_b"), "shingle")

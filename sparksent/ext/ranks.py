@@ -43,6 +43,15 @@ def with_global_ranks(
     spark = df.sparkSession
     n_part = num_partitions or spark.sparkContext.defaultParallelism
     ranged = df.repartitionByRange(n_part, *[F.col(c) for c in order_cols])
+    # Two subplans consume `ranged` (the offsets agg and the row_number
+    # branch); correctness requires both to observe the SAME sampled
+    # range boundaries and partition assignment.  ReusedExchange happens
+    # to guarantee that today, but nothing pins it — a recomputation
+    # under a nondeterministic upstream could desynchronize offsets from
+    # actual partition sizes and silently corrupt ranks.  Materialize
+    # the partitioning once (same multi-consumer convention as the dedup
+    # modules' persist of candidate indexes).
+    ranged = ranged.localCheckpoint(eager=True)
     with_pid = ranged.withColumn("_pid", F.spark_partition_id())
     # tiny frame: one row per partition; the cumulative window over it is
     # the only non-parallel step

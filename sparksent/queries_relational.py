@@ -1149,7 +1149,9 @@ def q_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            coalesce(lag(s) OVER (PARTITION BY event_type ORDER BY week),
                     0)::DOUBLE AS prev_value,
            CASE WHEN lag(s) OVER (PARTITION BY event_type ORDER BY week)
-                     IS NULL THEN -1.0
+                     IS NULL
+                  OR lag(s) OVER (PARTITION BY event_type ORDER BY week) = 0
+                THEN -1.0
                 ELSE s::DOUBLE
                      / (lag(s) OVER (PARTITION BY event_type ORDER BY week))::DOUBLE
            END AS wow_ratio
@@ -1162,9 +1164,12 @@ def q_weekly_wow(spark: SparkSession, sf_dir: str) -> DataFrame:
     (one partial-agg shuffle, integer epoch-week bucketing with exact
     `div`), then lag deltas/ratios over the tiny (types x weeks)
     aggregate — the window never touches raw events.  First week of a
-    type reports ratio -1 (NULL-free sentinel per registry convention);
-    the ratio divides the two DOUBLE casts, the same IEEE op both
-    engines."""
+    type — and any week whose predecessor summed to exactly 0 — reports
+    ratio -1 (NULL-free sentinel per registry convention; the zero guard
+    matters because Spark emits Infinity for DOUBLE/0 while DuckDB
+    returns NULL, a latent hash mismatch if a fixture ever produces a
+    zero-sum week); otherwise the ratio divides the two DOUBLE casts,
+    the same IEEE op both engines."""
     ev = tables.load_table(spark, sf_dir, "events")
     weekly = (
         ev.select(
@@ -1183,7 +1188,7 @@ def q_weekly_wow(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s").cast("double").alias("sum_value"),
         "n_events",
         F.coalesce(prev, F.lit(0)).cast("double").alias("prev_value"),
-        F.when(prev.isNull(), F.lit(-1.0))
+        F.when(prev.isNull() | (prev == 0), F.lit(-1.0))
         .otherwise(F.col("s").cast("double") / prev.cast("double"))
         .alias("wow_ratio"),
     )

@@ -7,9 +7,13 @@ arrives, then reset. Flink gives this via count-trigger window state; in
 Spark it is ``applyInPandasWithState`` with per-key state
 (bucket_index, running_count, running_sum):
 
-- rows of each micro-batch group are processed in ``order_cols`` order
-  (sorted per batch; cross-batch order = arrival order, same contract as
-  the batch form's order_cols);
+- rows of each micro-batch group are processed in ``order_cols`` order:
+  the group's Arrow chunks are CONCATENATED before the sort (a large
+  group can span multiple chunks within one micro-batch, and per-chunk
+  sorting would process cross-chunk rows in arrival order); cross-batch
+  order = arrival order, same contract as the batch form's order_cols.
+  The concat holds one key's one-batch rows in memory — exactly what a
+  global per-group sort requires, and bounded by the micro-batch size;
 - whenever running_count reaches N the operator emits one output row and
   resets — so emission is per completed window, exactly the reference's
   semantics (not per trigger);
@@ -80,8 +84,9 @@ def _make_fn(n: int, value_col: str, key_col: str, order_cols: Sequence[str],
         else:
             bucket, cnt, acc = state.get if state.exists else (0, 0, 0.0)
         out: list[tuple] = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(list(order_cols))
+        chunks = [c for c in pdfs if len(c)]
+        if chunks:
+            pdf = pd.concat(chunks).sort_values(list(order_cols))
             for v in pdf[value_col].to_numpy():
                 if cumulative:
                     cum += float(v)
@@ -156,8 +161,9 @@ def _make_cumsum_fn(value_col: str, key_col: str, order_cols: Sequence[str]):
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         (acc,) = state.get if state.exists else (0.0,)
-        for pdf in pdfs:
-            pdf = pdf.sort_values(list(order_cols))
+        chunks = [c for c in pdfs if len(c)]
+        if chunks:
+            pdf = pd.concat(chunks).sort_values(list(order_cols))
             vals = pdf[value_col].to_numpy()
             out = vals.cumsum() + acc
             acc = float(out[-1]) if len(out) else acc
@@ -204,23 +210,23 @@ def _make_transition_fn(type_col: str, key_col: str, order_cols: Sequence[str]):
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         (last,) = state.get if state.exists else (None,)
-        for pdf in pdfs:
-            pdf = pdf.sort_values(list(order_cols))
+        chunks = [c for c in pdfs if len(c)]
+        if chunks:
+            pdf = pd.concat(chunks).sort_values(list(order_cols))
             types = pdf[type_col].tolist()
             prevs = [last] + types[:-1]
             if types:
                 last = types[-1]
             mask = [p is not None for p in prevs]
-            if not any(mask):
-                continue
-            cols = {
-                key_col: pdf[key_col].to_numpy()[mask],
-                "prev_type": [p for p, m in zip(prevs, mask) if m],
-                "next_type": [t for t, m in zip(types, mask) if m],
-            }
-            for c in order_cols:
-                cols[c] = pdf[c].to_numpy()[mask]
-            yield pd.DataFrame(cols)
+            if any(mask):
+                cols = {
+                    key_col: pdf[key_col].to_numpy()[mask],
+                    "prev_type": [p for p, m in zip(prevs, mask) if m],
+                    "next_type": [t for t, m in zip(types, mask) if m],
+                }
+                for c in order_cols:
+                    cols[c] = pdf[c].to_numpy()[mask]
+                yield pd.DataFrame(cols)
         state.update((last,))
 
     return fn

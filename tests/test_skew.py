@@ -65,6 +65,27 @@ def test_pair_intersection_strategies_identical(spark):
     assert (a.to_numpy() == b.to_numpy()).all()
 
 
+def test_pair_intersection_bounded_drops_self_pairs(spark):
+    """A duplicate id within one posting list (h60 collision of two
+    shingles in one doc, or a caller passing a non-distinct index) must
+    not emit an id_a == id_b self-pair from the bounded expansion — the
+    join form's id_a < id_b filter drops it, and the two strategies must
+    stay identical."""
+    from sparksent.ext.dedup import _pair_intersections
+
+    sh = spark.createDataFrame(
+        # doc 1 holds shingle 100 TWICE (the collision case); doc 2 once
+        [(1, 100), (1, 100), (2, 100), (1, 200), (2, 200)],
+        "id long, shingle long",
+    )
+    a = _pair_intersections(sh, bounded=True).toPandas()
+    b = _pair_intersections(sh, bounded=False).toPandas()
+    assert (a["id_a"] < a["id_b"]).all()
+    a = a.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    b = b.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    assert (a.to_numpy() == b.to_numpy()).all()
+
+
 def test_global_ranks_match_single_reducer_window(spark):
     """Distributed global row numbers (range partition + offset) equal
     the single-reducer Window.orderBy row_number, and the integer NTILE

@@ -641,3 +641,43 @@ def test_transitions_per_record_equivalence(spark, tmp_path):
     assert len(got) == len(want)
     for c in ("event_id", "prev_type", "next_type"):
         assert (got[c].to_numpy() == want[c].to_numpy()).all()
+
+
+def test_transitions_per_record_matches_oracle_sf001(spark, ducks, tmp_path):
+    """Streaming transitions against an INDEPENDENT DuckDB lag-window
+    recomputation at sf0.01 — the oracle-grade gate (rows + schema +
+    exact values), not just batch-Spark equivalence.  This operator
+    carries per-key state across micro-batches (the highest-risk
+    streaming op of round 4), so it gets the same direct-oracle
+    treatment as the session agg and literal toxicity streams."""
+    from sparksent.streaming.count_window import streaming_transitions_per_record
+
+    from conftest import SF_DIR, assert_oracle_match
+
+    replay = str(tmp_path / "trans_oracle_replay")
+    ev = load_table(spark, SF_DIR, "events")
+    write_replay_chunks(ev, replay, N_CHUNKS)
+
+    stream = file_replay_source(spark, replay).select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    out = streaming_transitions_per_record(stream)
+    _run_to_memory(out, "t_trans_oracle", "append")
+    got = spark.table("t_trans_oracle").select(
+        "user_id", "prev_type", "next_type", "event_id"
+    )
+    assert_oracle_match(
+        got,
+        ducks,
+        """
+        SELECT user_id, prev_type, next_type, event_id
+        FROM (
+          SELECT user_id,
+                 lag(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS prev_type,
+                 event_type AS next_type, event_id
+          FROM events
+        )
+        WHERE prev_type IS NOT NULL
+        """,
+    )
