@@ -28,7 +28,49 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import DoubleType
 
 NUM_PLANES = 4
+PLANE_TARGET_LOAD = 32  # expected rows per LSH bucket the plane count aims at
+PLANE_AUTO_MAX = 8  # largest plane count the pre-generated oracle branches cover
 _LCG_A, _LCG_C, _LCG_M = 1103515245, 12345, 2_147_483_647
+
+
+def num_planes_for(
+    n_rows: int,
+    target_load: int = PLANE_TARGET_LOAD,
+    floor: int = NUM_PLANES,
+    cap: int = 24,
+) -> int:
+    """Plane count for a corpus of ``n_rows``: the bucket count is
+    2^planes, so planes must grow ~log2(N / target_load) or the bucket
+    equi-join degrades back toward all-pairs one bucket at a time.  This
+    makes that growth rule CODE instead of docstring prose: callers that
+    pass ``num_planes=None`` get ``max(floor, ceil(log2(N/target_load)))``
+    — deterministic from the row count, so the DuckDB oracle selects the
+    same value from its own count(*) (the count-gated branches in
+    ``*_auto_sql``).  At the sf0.01 fixture (500 vectors) this yields the
+    historical default of 4; at 1e9 rows it yields 25 -> capped to 24
+    (16M buckets, ~60 rows/bucket at load 32)."""
+    import math
+
+    if n_rows <= 0:
+        return floor
+    return min(cap, max(floor, math.ceil(math.log2(n_rows / target_load))))
+
+
+def _plane_count_windows(
+    floor: int = NUM_PLANES,
+    max_p: int = PLANE_AUTO_MAX,
+    target_load: int = PLANE_TARGET_LOAD,
+):
+    """(p, lo_exclusive, hi_inclusive) count windows under which
+    ``num_planes_for`` returns p — the SQL mirror's branch gates.  The
+    last window is open-ended only up to target_load * 2^max_p; the
+    auto-oracle raises beyond that (fixtures are orders of magnitude
+    smaller)."""
+    out = []
+    for p in range(floor, max_p + 1):
+        lo = 0 if p == floor else target_load * (1 << (p - 1))
+        out.append((p, lo, target_load * (1 << p)))
+    return out
 
 
 def _plane(j: int, dim: int = 64) -> list[int]:
@@ -211,21 +253,27 @@ def lsh_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    num_planes: int | None = None,
 ) -> DataFrame:
     """ANN top-k: exact cosine ranking restricted to the query's LSH
     bucket. The bucket equi-join replaces the cross join — at scale the
     corpus is partitioned (or bucketed at rest) on ``bucket`` and only
-    matching partitions are read."""
+    matching partitions are read.  ``num_planes=None`` self-scales the
+    bucket count from the corpus row count (:func:`num_planes_for`),
+    keeping per-bucket load ~constant as N grows; the oracle mirrors it
+    with count-gated branches (``lsh_topk_auto_sql``)."""
+    if num_planes is None:
+        num_planes = num_planes_for(corpus.count())
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
-        lsh_bucket(vec_col).alias("bucket"),
+        lsh_bucket(vec_col, num_planes=num_planes).alias("bucket"),
         norm(F.col(vec_col)).alias("nc"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
-        lsh_bucket(vec_col).alias("bucket"),
+        lsh_bucket(vec_col, num_planes=num_planes).alias("bucket"),
         norm(F.col(vec_col)).alias("nq"),
     )
     scored = (
@@ -251,10 +299,12 @@ def lsh_topk_sql(
     n_queries: int = 10,
     id_col: str = "vec_id",
     vec: str = "embedding",
+    num_planes: int = NUM_PLANES,
 ) -> str:
     return f"""
     WITH b AS (
-      SELECT {id_col}, {vec} AS v, {lsh_bucket_sql(vec)} AS bucket FROM {table}
+      SELECT {id_col}, {vec} AS v,
+             {lsh_bucket_sql(vec, num_planes=num_planes)} AS bucket FROM {table}
     ),
     q AS (SELECT {id_col} AS query_id, v AS qv, bucket FROM b
           WHERE {id_col} < {n_queries}),
@@ -271,6 +321,45 @@ def lsh_topk_sql(
     """
 
 
+def _count_gated_union(table: str, branch_sql) -> str:
+    """UNION ALL of per-plane-count branches, each gated on the corpus
+    count window under which ``num_planes_for`` picks that count — the
+    static-SQL mirror of the Python helper's runtime decision.  Exactly
+    one branch's gate holds for any given fixture; the others parse but
+    return nothing.  A final guard branch errors if the corpus outgrows
+    the pre-generated range (target_load * 2^PLANE_AUTO_MAX rows)."""
+    branches = [
+        f"""SELECT * FROM (
+        {branch_sql(p)}
+        ) b{p} WHERE (SELECT count(*) FROM {table}) > {lo}
+           AND (SELECT count(*) FROM {table}) <= {hi}"""
+        for p, lo, hi in _plane_count_windows()
+    ]
+    max_n = PLANE_TARGET_LOAD * (1 << PLANE_AUTO_MAX)
+    branches.append(
+        f"""SELECT * FROM (
+        {branch_sql(NUM_PLANES)}
+        ) boverflow WHERE (SELECT count(*) FROM {table}) > {max_n}
+           AND error('corpus exceeds pre-generated plane-count branches')"""
+    )
+    return " UNION ALL ".join(branches)
+
+
+def lsh_topk_auto_sql(
+    table: str = "embeddings",
+    k: int = 5,
+    n_queries: int = 10,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+) -> str:
+    """Oracle for ``lsh_topk(num_planes=None)``: count-gated branches,
+    one per plane count the corpus size could select."""
+    return _count_gated_union(
+        table,
+        lambda p: lsh_topk_sql(table, k, n_queries, id_col, vec, num_planes=p),
+    )
+
+
 # ---------------------------------------------------------------------------
 # embedding near-dup pairs (threshold form)
 # ---------------------------------------------------------------------------
@@ -284,7 +373,7 @@ def cosine_neardup_pairs(
     threshold: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    num_planes: int = NUM_PLANES,
+    num_planes: int | None = None,
     n_tables: int = N_TABLES,
 ) -> DataFrame:
     """Embedding near-dup pairs with cosine >= threshold, candidates via
@@ -307,13 +396,17 @@ def cosine_neardup_pairs(
     cost, and ``num_planes`` MUST grow with the corpus
     (~log2(N / target_bucket_load)): the bucket count is 2^num_planes,
     so a fixed plane count at growing N degrades the equi-join back
-    toward all-pairs one bucket at a time. The registered sf-fixture
-    query keeps the oracle-mirrored defaults; the scale demo
-    (tools/scale_demo.py) runs num_planes=8. The exact all-pairs form
-    survives as
-    ``cosine_neardup_pairs_exact``, and the measured recall floor is
-    pinned in tests/test_properties.py.
+    toward all-pairs one bucket at a time. That growth rule is now
+    self-applying: ``num_planes=None`` (the default, used by the
+    registered query) resolves via :func:`num_planes_for` from the
+    corpus row count — one metadata-only parquet count() before the
+    plan builds, mirrored by the oracle's count-gated branches
+    (``cosine_neardup_pairs_auto_sql``).  The exact all-pairs form
+    survives as ``cosine_neardup_pairs_exact``, and the measured recall
+    floor is pinned in tests/test_properties.py.
     """
+    if num_planes is None:
+        num_planes = num_planes_for(corpus.count())
     # Norms materialize per SIDE, before the join: the join is a
     # projection-collapse barrier, so each vector's norm evaluates once
     # per row instead of once per candidate pair — the per-pair cost
@@ -405,6 +498,21 @@ def cosine_neardup_pairs_sql(
     WHERE p.id_a < c.id
       AND {sim} >= {threshold}
     """
+
+
+def cosine_neardup_pairs_auto_sql(
+    table: str = "embeddings", threshold: float = 0.4,
+    id_col: str = "vec_id", vec: str = "embedding",
+    n_tables: int = N_TABLES,
+) -> str:
+    """Oracle for ``cosine_neardup_pairs(num_planes=None)``: count-gated
+    branches, one per plane count the corpus size could select."""
+    return _count_gated_union(
+        table,
+        lambda p: cosine_neardup_pairs_sql(
+            table, threshold, id_col, vec, num_planes=p, n_tables=n_tables
+        ),
+    )
 
 
 def cosine_neardup_pairs_exact(

@@ -274,6 +274,29 @@ def test_cosine_lsh_recall_floor(spark):
     assert recall >= 0.70, f"recall {recall:.3f} below the pinned floor"
 
 
+def test_num_planes_for_matches_oracle_windows():
+    """The Python helper and the SQL branch gates must agree exactly at
+    every count-window boundary, or the engines silently run different
+    bucket codes."""
+    from sparksent.ext.similarity import (
+        NUM_PLANES,
+        _plane_count_windows,
+        num_planes_for,
+    )
+
+    for p, lo, hi in _plane_count_windows():
+        assert num_planes_for(lo + 1) == p
+        assert num_planes_for(hi) == p
+        if lo > 0:
+            assert num_planes_for(lo) == p - 1
+    assert num_planes_for(0) == NUM_PLANES
+    assert num_planes_for(1) == NUM_PLANES
+    assert num_planes_for(500) == NUM_PLANES  # sf0.01 fixture unchanged
+    assert num_planes_for(2000) == 6  # sf0.1 bench corpus
+    assert num_planes_for(40_000) == 11  # scale_demo x20 corpus
+    assert num_planes_for(10**9) == 24  # capped
+
+
 def test_curation_invariants(spark):
     """Structural invariants of the round-3 curation operators over the
     sf0.01 corpus — properties any input must satisfy, complementing

@@ -22,9 +22,9 @@ fixture row, so distributions match the fixtures the oracles run on):
 
 Queries: the five shapes whose 100 TB behavior the design claims hinge
 on — MinHash-LSH pairs, n-gram Jaccard with the stop-shingle cap,
-embedding cosine near-dup (num_planes raised to 8: bucket count must
-track corpus size, see similarity.cosine_neardup_pairs), stratified
-sampling, and sessionization.
+embedding cosine near-dup (at the registered num_planes=None default:
+the bucket count self-scales with corpus size via
+similarity.num_planes_for), stratified sampling, and sessionization.
 
 Usage: python tools/scale_demo.py [--base /tmp/sparksent-scale]
 Prints the metrics report as JSON; SCALE.md in the repo root is the
@@ -44,10 +44,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 REPLICAS = 20
 SRC = "/root/testdata/sf0.1"
-SCALE_PLANES = 8  # 2^8 buckets: ~160 vectors/bucket at the x20 corpus
+# Plane count is NOT overridden here: cosine_neardup_pairs(num_planes=None)
+# self-scales via similarity.num_planes_for(N) — at the x20 corpus
+# (40k vectors, target load 32) that resolves to ceil(log2(1250)) = 11,
+# i.e. 2048 buckets (~20 vectors/bucket).  The demo runs the registered
+# default so the scale rule itself is what gets measured.
 # Fixture similarity regime (the embeddings table has no pairs above
 # ~0.6, so a 0.9 "production" threshold would demo an empty result);
-# recall at 0.4 with an 8-plane code is probe-budget-limited — the
+# recall at 0.4 with an 11-plane code is probe-budget-limited — the
 # demo measures the join/scan SHAPE, the recall trade is pinned at
 # the oracle-checked settings in tests/test_properties.py.
 SCALE_COSINE_THRESHOLD = 0.4
@@ -211,14 +215,13 @@ def main() -> None:
 
     def cosine_scale(spark_, sf_dir):
         emb = load_table(spark_, sf_dir, "embeddings")
-        return cosine_neardup_pairs(
-            emb, threshold=SCALE_COSINE_THRESHOLD, num_planes=SCALE_PLANES
-        )
+        # registered default: num_planes=None -> num_planes_for(count)
+        return cosine_neardup_pairs(emb, threshold=SCALE_COSINE_THRESHOLD)
 
     targets = {
         "dedup_minhash_lsh": qs["dedup_minhash_lsh"],
         "dedup_ngram_jaccard": qs["dedup_ngram_jaccard"],
-        "cosine_neardup_planes8": cosine_scale,
+        "cosine_neardup_auto_planes": cosine_scale,
         "sample_stratified_events": qs["sample_stratified_events"],
         "event_session_ids": qs["event_session_ids"],
         # round-3 additions: the two new df-cap text shapes and the
