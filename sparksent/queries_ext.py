@@ -654,6 +654,24 @@ def q_multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_video_index",
+    oracle=multimodal.video_index_sql(),
+    tags=("ext", "multimodal"),
+)
+def q_multimodal_video_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END video container demux, no stub at the container
+    layer: encode each document id as a REAL RIFF/AVI file (avih main
+    header, strl stream list, movi LIST of word-aligned 00dc frame
+    chunks, idx1 index), walk it back through parse_avi_index — chunk
+    scan, header parse, movi sub-walk, and idx1 entries cross-validated
+    against the walked offsets/sizes — and emit one row per frame
+    (offset, size, checksum, keyframe flag).  The oracle restates the
+    frame law with a window-sum for offsets and a grid expansion for
+    checksums.  The frame payload CODEC remains the documented stub."""
+    return multimodal.video_index(_docs(spark, sf_dir))
+
+
+@register(
     "multimodal_decode_audio",
     oracle=multimodal.decode_audio_sql(),
     tags=("ext", "multimodal"),

@@ -64,11 +64,12 @@ _PRIORITY: tuple[str, ...] = (
     "multimodal_decode_audio",
     "column_stats_events",
     "weekly_value_wow",
-    # Slots 5-7: new round-5 registrations (first driver check pending).
+    # Slots 5-8: new round-5 registrations (first driver check pending).
     "multimodal_decode_png",
     "multimodal_decode_gif",
+    "multimodal_video_index",
     "bpe_word_vocab",
-    # Slots 8-15: latest green driver row is r01 (8 names).
+    # Slots 9-16: latest green driver row is r01 (8 names).
     "tpch_q6_forecast",
     "tpch_q14_promo",
     "tpch_q16_supplier_cnt",
@@ -77,7 +78,7 @@ _PRIORITY: tuple[str, ...] = (
     "tpch_q19_disjunctive",
     "semi_late_orders",
     "anti_customers_no_orders",
-    # Slots 16-39: latest green driver row is r02 (24 names).
+    # Slots 17-40: latest green driver row is r02 (24 names).
     "doc_sentiment",
     "doc_entities",
     "doc_categories",
@@ -102,7 +103,7 @@ _PRIORITY: tuple[str, ...] = (
     "corpus_curation_pipeline",
     "tpch_q1_pricing",
     "tpch_q3_shipping",
-    # Slots 40-50: oldest of the 28 r03-stale names (the rest spill to
+    # Slots 41-50: oldest of the 28 r03-stale names (the rest spill to
     # round 6's window; all are green under this round's local
     # driver-sim).  Dedup/similarity shapes first — they changed most
     # recently (r3 skew work) and are the heaviest plans.
@@ -116,8 +117,8 @@ _PRIORITY: tuple[str, ...] = (
     "multimodal_frame_sample",
     "pii_redaction",
     "boilerplate_removal",
-    "lang_id_confusion",
     # Slots 51+: remaining r03-stale names, next in line for round 6.
+    "lang_id_confusion",
     "bloom_semijoin_customers",
     "tpch_q2_min_cost_supplier",
     "tpch_q4_priority_check",

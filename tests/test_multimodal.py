@@ -255,6 +255,45 @@ def test_png_decode_rejects_unsupported_variants():
 
 
 # ---------------------------------------------------------------------------
+# real video container demux (AVI)
+# ---------------------------------------------------------------------------
+
+from sparksent.ext.multimodal import parse_avi_index, synth_avi_payload
+
+
+@pytest.mark.parametrize("mid", [0, 1, 2, 23, 24, 191, 9999])
+def test_avi_demux_roundtrip(mid):
+    """Container walk recovers the frame law exactly: counts, per-frame
+    sizes/checksums, keyframe flags, and offsets consistent with
+    word-aligned chunk layout."""
+    meta, frames = parse_avi_index(synth_avi_payload(mid))
+    n = mid % 24 + 2
+    assert meta["n_frames"] == n
+    assert (meta["width"], meta["height"]) == (mid % 16 + 1, mid % 12 + 1)
+    off = 4
+    for i, fr in enumerate(frames):
+        size = (mid * 13 + i * 7) % 50 + 4
+        assert fr["size"] == size
+        assert fr["offset"] == off
+        assert fr["checksum"] == sum((mid + i + j) % 256 for j in range(size)) % 997
+        assert fr["is_key"] == (i % 4 == 0)
+        off += 8 + size + (size & 1)
+
+
+def test_avi_idx1_mismatch_detected():
+    """A corrupted idx1 offset must fail the cross-validation — the
+    demuxer validates the index against the walked chunks rather than
+    trusting either side."""
+    payload = bytearray(synth_avi_payload(7))
+    i = payload.rindex(b"idx1")
+    # first entry's offset field (idx1 header 8 bytes, entry offset at +8)
+    entry_off = i + 8 + 8
+    payload[entry_off : entry_off + 4] = (9999).to_bytes(4, "little")
+    with pytest.raises(ValueError):
+        parse_avi_index(bytes(payload))
+
+
+# ---------------------------------------------------------------------------
 # real audio decode (WAV)
 # ---------------------------------------------------------------------------
 
