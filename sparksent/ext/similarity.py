@@ -321,26 +321,27 @@ def lsh_topk_sql(
     """
 
 
-def _count_gated_union(table: str, branch_sql) -> str:
-    """UNION ALL of per-plane-count branches, each gated on the corpus
-    count window under which ``num_planes_for`` picks that count — the
-    static-SQL mirror of the Python helper's runtime decision.  Exactly
-    one branch's gate holds for any given fixture; the others parse but
-    return nothing.  A final guard branch errors if the corpus outgrows
-    the pre-generated range (target_load * 2^PLANE_AUTO_MAX rows)."""
+def _count_gated_union(table: str, branch_sql, windows=None) -> str:
+    """UNION ALL of per-parameter branches, each gated on the corpus
+    count window under which the Python sizing helper picks that value —
+    the static-SQL mirror of a runtime decision that is deterministic
+    from the row count.  Exactly one branch's gate holds for any given
+    fixture; the others parse but return nothing.  A final guard branch
+    errors if the corpus outgrows the pre-generated range."""
+    windows = windows if windows is not None else _plane_count_windows()
     branches = [
         f"""SELECT * FROM (
         {branch_sql(p)}
         ) b{p} WHERE (SELECT count(*) FROM {table}) > {lo}
            AND (SELECT count(*) FROM {table}) <= {hi}"""
-        for p, lo, hi in _plane_count_windows()
+        for p, lo, hi in windows
     ]
-    max_n = PLANE_TARGET_LOAD * (1 << PLANE_AUTO_MAX)
+    max_n = windows[-1][2]
     branches.append(
         f"""SELECT * FROM (
-        {branch_sql(NUM_PLANES)}
+        {branch_sql(windows[0][0])}
         ) boverflow WHERE (SELECT count(*) FROM {table}) > {max_n}
-           AND error('corpus exceeds pre-generated plane-count branches')"""
+           AND error('corpus exceeds pre-generated sizing branches')"""
     )
     return " UNION ALL ".join(branches)
 
@@ -541,9 +542,51 @@ def cosine_neardup_pairs_exact(
 N_CENTROIDS = 8
 CENTROID_ID_LO = 100  # centroids = corpus vectors [100, 100+K): fixed,
 NPROBE = 2            # deterministic, disjoint from the query id range
+CENTROID_TARGET_CELL = 256  # expected vectors per IVF cell the count aims at
+CENTROID_AUTO_MAX = 12  # largest centroid count the oracle branches cover
 
 
-def _ivf_cells(corpus: DataFrame, id_col: str, vec_col: str):
+def n_centroids_for(
+    n_rows: int,
+    target_cell: int = CENTROID_TARGET_CELL,
+    floor: int = N_CENTROIDS,
+    cap: int = 65536,
+) -> int:
+    """IVF cell count for a corpus of ``n_rows``: nlist ~
+    sqrt(N / target_cell) — the classic IVF sizing rule (probe cost is
+    nprobe * N/nlist per query, assignment cost N * nlist; the square
+    root balances them).  Same contract as :func:`num_planes_for`: the
+    rule is code, deterministic from the row count, and the oracle's
+    count-gated branches (``ivf_topk_auto_sql``) select the same value.
+    Every driver fixture resolves to the floor (8 cells up to 16,384
+    vectors), so fixture results are unchanged; at 1e9 rows the rule
+    gives ~1,977 cells (~500k vectors/cell at target 256... capped only
+    at an extreme 65,536)."""
+    import math
+
+    if n_rows <= 0:
+        return floor
+    return min(cap, max(floor, math.ceil(math.sqrt(n_rows / target_cell))))
+
+
+def _centroid_count_windows(
+    floor: int = N_CENTROIDS,
+    max_k: int = CENTROID_AUTO_MAX,
+    target_cell: int = CENTROID_TARGET_CELL,
+):
+    """(K, lo_exclusive, hi_inclusive) count windows under which
+    ``n_centroids_for`` returns K."""
+    out = []
+    for k in range(floor, max_k + 1):
+        lo = 0 if k == floor else target_cell * (k - 1) ** 2
+        out.append((k, lo, target_cell * k * k))
+    return out
+
+
+def _ivf_cells(
+    corpus: DataFrame, id_col: str, vec_col: str,
+    n_centroids: int = N_CENTROIDS,
+):
     """(centroids, assignment): every corpus vector assigned to its
     max-cosine centroid (ties -> lowest centroid id). The centroid set
     is K fixed corpus vectors — a deterministic stand-in for k-means
@@ -551,7 +594,7 @@ def _ivf_cells(corpus: DataFrame, id_col: str, vec_col: str):
     learned centroids changes no query code)."""
     cents = corpus.filter(
         (F.col(id_col) >= CENTROID_ID_LO)
-        & (F.col(id_col) < CENTROID_ID_LO + N_CENTROIDS)
+        & (F.col(id_col) < CENTROID_ID_LO + n_centroids)
     ).select(
         F.col(id_col).alias("cent_id"),
         F.col(vec_col).alias("cvec"),
@@ -581,6 +624,7 @@ def ivf_topk(
     nprobe: int = NPROBE,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_centroids: int | None = None,
 ) -> DataFrame:
     """IVF ANN top-k: corpus vectors live in their nearest-centroid cell
     (crank = 1); each query probes its ``nprobe`` nearest cells and
@@ -589,8 +633,13 @@ def ivf_topk(
     Scale shape: assignment is one broadcast pass (N x K dot products,
     embarrassingly parallel); at rest the corpus is partitioned by
     ``cell`` so a query reads nprobe/K of the data. Recall grows with
-    nprobe at linear cost — the standard IVF trade."""
-    cents, assign = _ivf_cells(corpus, id_col, vec_col)
+    nprobe at linear cost — the standard IVF trade.  ``n_centroids=None``
+    (the registered default) self-scales the cell count ~sqrt(N)
+    (:func:`n_centroids_for`), mirrored by the oracle's count-gated
+    branches."""
+    if n_centroids is None:
+        n_centroids = n_centroids_for(corpus.count())
+    cents, assign = _ivf_cells(corpus, id_col, vec_col, n_centroids)
     cells = assign.filter(F.col("crank") == 1).select(
         F.col("vid").alias("neighbor_id"),
         F.col("vv").alias("cv"),
@@ -635,12 +684,13 @@ def ivf_topk_sql(
     nprobe: int = NPROBE,
     id_col: str = "vec_id",
     vec: str = "embedding",
+    n_centroids: int = N_CENTROIDS,
 ) -> str:
     return f"""
     WITH cents AS (
       SELECT {id_col} AS cent_id, {vec} AS cvec FROM {table}
       WHERE {id_col} >= {CENTROID_ID_LO}
-        AND {id_col} < {CENTROID_ID_LO + N_CENTROIDS}
+        AND {id_col} < {CENTROID_ID_LO + n_centroids}
     ),
     assign AS (
       SELECT v.{id_col} AS vid, v.{vec} AS vv, c.cent_id,
@@ -666,23 +716,48 @@ def ivf_topk_sql(
     """
 
 
+def ivf_topk_auto_sql(
+    table: str = "embeddings",
+    k: int = 5,
+    n_queries: int = 10,
+    nprobe: int = NPROBE,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+) -> str:
+    """Oracle for ``ivf_topk(n_centroids=None)``: count-gated branches,
+    one per centroid count the corpus size could select (every fixture
+    resolves to the floor of 8)."""
+    return _count_gated_union(
+        table,
+        lambda kc: ivf_topk_sql(
+            table, k, n_queries, nprobe, id_col, vec, n_centroids=kc
+        ),
+        windows=_centroid_count_windows(),
+    )
+
+
 def lsh_topk_multiprobe(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    num_planes: int | None = None,
 ) -> DataFrame:
     """Multi-probe ANN: each query searches its own LSH bucket PLUS the
-    NUM_PLANES buckets at hamming distance 1 (one flipped hyperplane
-    bit) — the standard recall escalation at ~(1+NUM_PLANES)x candidate
+    num_planes buckets at hamming distance 1 (one flipped hyperplane
+    bit) — the standard recall escalation at ~(1+num_planes)x candidate
     cost, still reading only probed buckets (never the full corpus).
     Corpus vectors live in exactly one bucket, so probing distinct
-    buckets yields no duplicate pairs."""
+    buckets yields no duplicate pairs.  ``num_planes=None`` self-scales
+    from the corpus row count (:func:`num_planes_for`), mirrored by the
+    oracle's count-gated branches (``lsh_topk_multiprobe_auto_sql``)."""
+    if num_planes is None:
+        num_planes = num_planes_for(corpus.count())
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
-        lsh_bucket(vec_col).alias("bucket"),
+        lsh_bucket(vec_col, num_planes=num_planes).alias("bucket"),
         norm(F.col(vec_col)).alias("nc"),
     )
     probes = queries.select(
@@ -691,10 +766,11 @@ def lsh_topk_multiprobe(
         norm(F.col(vec_col)).alias("nq"),
         F.explode(
             F.array(
-                lsh_bucket(vec_col),
+                lsh_bucket(vec_col, num_planes=num_planes),
                 *[
-                    lsh_bucket(vec_col).bitwiseXOR(F.lit(1 << j))
-                    for j in range(NUM_PLANES)
+                    lsh_bucket(vec_col, num_planes=num_planes)
+                    .bitwiseXOR(F.lit(1 << j))
+                    for j in range(num_planes)
                 ],
             )
         ).alias("bucket"),
@@ -720,11 +796,14 @@ def lsh_topk_multiprobe_sql(
     n_queries: int = 10,
     id_col: str = "vec_id",
     vec: str = "embedding",
+    num_planes: int = NUM_PLANES,
 ) -> str:
-    flips = ", ".join(f"xor(bucket, {1 << j})" for j in range(NUM_PLANES))
+    flips = ", ".join(f"xor(bucket, {1 << j})" for j in range(num_planes))
     return f"""
     WITH b AS (
-      SELECT {id_col}, {vec} AS v, {lsh_bucket_sql(vec)}::BIGINT AS bucket FROM {table}
+      SELECT {id_col}, {vec} AS v,
+             {lsh_bucket_sql(vec, num_planes=num_planes)}::BIGINT AS bucket
+      FROM {table}
     ),
     probes AS (
       SELECT {id_col} AS query_id, v AS qv,
@@ -742,3 +821,20 @@ def lsh_topk_multiprobe_sql(
           FROM scored)
     WHERE rank <= {k}
     """
+
+
+def lsh_topk_multiprobe_auto_sql(
+    table: str = "embeddings",
+    k: int = 5,
+    n_queries: int = 10,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+) -> str:
+    """Oracle for ``lsh_topk_multiprobe(num_planes=None)``: count-gated
+    branches over the shared plane-count windows."""
+    return _count_gated_union(
+        table,
+        lambda p: lsh_topk_multiprobe_sql(
+            table, k, n_queries, id_col, vec, num_planes=p
+        ),
+    )

@@ -127,14 +127,16 @@ def q_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "similarity_topk_ivf",
-    oracle=similarity.ivf_topk_sql(k=TOPK, n_queries=N_QUERIES),
+    oracle=similarity.ivf_topk_auto_sql(k=TOPK, n_queries=N_QUERIES),
     tags=("ext", "similarity"),
 )
 def q_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN top-5: each query probes its 2 nearest of 8 centroid
-    cells and ranks exact cosine within them — the partition-pruning
-    scale path (corpus partitioned by cell at rest reads nprobe/K of
-    the data per query)."""
+    """IVF ANN top-5: each query probes its 2 nearest centroid cells
+    and ranks exact cosine within them — the partition-pruning scale
+    path (corpus partitioned by cell at rest reads nprobe/K of the data
+    per query).  Cell count self-scales ~sqrt(N) (n_centroids_for;
+    every fixture resolves to the floor of 8), mirrored by the oracle's
+    count-gated branches."""
     emb = _emb(spark, sf_dir)
     return similarity.ivf_topk(emb, emb.filter(F.col("vec_id") < N_QUERIES), k=TOPK)
 
@@ -243,13 +245,15 @@ def q_dedup_keep_set(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "similarity_topk_multiprobe",
-    oracle=similarity.lsh_topk_multiprobe_sql(k=TOPK, n_queries=N_QUERIES),
+    oracle=similarity.lsh_topk_multiprobe_auto_sql(k=TOPK, n_queries=N_QUERIES),
     tags=("ext", "similarity"),
 )
 def q_topk_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-probe LSH ANN top-5: the query's bucket plus its 4
+    """Multi-probe LSH ANN top-5: the query's bucket plus its
     hamming-1 neighbors — recall between single-bucket LSH and brute
-    force at (1+NUM_PLANES)x candidate cost, still bucket-pruned."""
+    force at (1+num_planes)x candidate cost, still bucket-pruned.
+    Plane count self-scales from the corpus row count
+    (num_planes_for), mirrored by count-gated oracle branches."""
     emb = _emb(spark, sf_dir)
     return similarity.lsh_topk_multiprobe(
         emb, emb.filter(F.col("vec_id") < N_QUERIES), k=TOPK

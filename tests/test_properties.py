@@ -297,6 +297,27 @@ def test_num_planes_for_matches_oracle_windows():
     assert num_planes_for(10**9) == 24  # capped
 
 
+def test_n_centroids_for_matches_oracle_windows():
+    """Same contract for the IVF cell-count rule: Python helper and SQL
+    branch gates agree at every boundary; every fixture size resolves to
+    the floor (unchanged results)."""
+    from sparksent.ext.similarity import (
+        N_CENTROIDS,
+        _centroid_count_windows,
+        n_centroids_for,
+    )
+
+    for kc, lo, hi in _centroid_count_windows():
+        assert n_centroids_for(lo + 1) == kc
+        assert n_centroids_for(hi) == kc
+        if lo > 0:
+            assert n_centroids_for(lo) == kc - 1
+    assert n_centroids_for(500) == N_CENTROIDS  # sf0.01
+    assert n_centroids_for(2000) == N_CENTROIDS  # sf0.1
+    assert n_centroids_for(40_000) == 13  # x20 corpus (13 cells)
+    assert n_centroids_for(10**9) == 1977  # ~sqrt(N/256)
+
+
 def test_curation_invariants(spark):
     """Structural invariants of the round-3 curation operators over the
     sf0.01 corpus — properties any input must satisfy, complementing
