@@ -501,26 +501,23 @@ PIXEL_STAT_SCHEMA = (
 )
 
 
-def decode_pixel_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas stage: synthesize a real BMP (even ids) or PPM (odd
-    ids) FILE, then decode it back through :func:`decode_media` —
-    exercising the full byte path (headers, padding, bottom-up rows, BGR
-    order, ASCII header scan) — and reduce each image to exact-integer
-    channel statistics the oracle recomputes from the pixel law.
-    ``wsum_r`` weights red by (1 + x + 2y), so a decoder that flipped
-    rows, columns, or channels cannot hash-match."""
+def _channel_stats_batches(batches: Iterator[pd.DataFrame], synth_for):
+    """Shared reducer behind every pixel-decode query: ``synth_for(mid)``
+    returns (payload bytes, mime, format tag); the payload round-trips
+    through :func:`decode_media`'s real decoders and reduces to the
+    exact-integer channel statistics of PIXEL_STAT_SCHEMA.  ``wsum_r``
+    weights red by (1 + x + 2y), so a decoder that flipped rows,
+    columns, or channels cannot hash-match.  One implementation keeps
+    the BMP/PPM, PNG and GIF query outputs structurally identical —
+    their oracles differ only in the format tag
+    (:func:`_pixel_law_sql`)."""
     import numpy as np
 
     for pdf in batches:
         rows = []
         for mid in pdf["media_id"]:
             mid = int(mid)
-            if mid % 2 == 0:
-                payload, fmt, mime = synth_bmp_payload(mid), "bmp", "image/bmp"
-            else:
-                payload, fmt, mime = (
-                    synth_ppm_payload(mid), "ppm", "image/x-portable-pixmap"
-                )
+            payload, mime, fmt = synth_for(mid)
             img = decode_media(payload, mime).astype(np.int64)
             h, w, _ = img.shape
             wgt = 1 + np.arange(w, dtype=np.int64)[None, :] \
@@ -543,22 +540,14 @@ def decode_pixel_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
         )
 
 
-def decode_images(docs: DataFrame) -> DataFrame:
-    """documents -> real BMP/PPM encode -> real pixel decode -> stats,
-    one Arrow-batched mapInPandas (payload bytes never leave the
-    worker).  This is the working end-to-end decode path the compressed
-    formats stub points at."""
-    narrow = rebalance(docs.select(F.col("doc_id").alias("media_id")))
-    return narrow.mapInPandas(decode_pixel_stats, PIXEL_STAT_SCHEMA)
-
-
-def decode_images_sql(table: str = "documents") -> str:
-    """Oracle: per-image channel sums restated from the pixel law by
-    expanding (x, y) grids with generate_series — no byte parsing."""
+def _pixel_law_sql(table: str, format_expr: str) -> str:
+    """Shared grid-expansion oracle for every pixel-decode query: the
+    pixel law restated over a generate_series (x, y) grid; callers
+    supply only the SQL expression for the format tag."""
     return f"""
     WITH dims AS (
       SELECT doc_id AS media_id,
-             CASE doc_id % 2 WHEN 0 THEN 'bmp' ELSE 'ppm' END AS format,
+             {format_expr} AS format,
              (doc_id % {PIX_W_MOD} + 1)::INT AS width,
              (doc_id % {PIX_H_MOD} + 1)::INT AS height
       FROM {table}
@@ -579,6 +568,38 @@ def decode_images_sql(table: str = "documents") -> str:
     FROM px
     GROUP BY 1, 2, 3, 4
     """
+
+
+def _synth_bmp_or_ppm(mid: int):
+    if mid % 2 == 0:
+        return synth_bmp_payload(mid), "image/bmp", "bmp"
+    return synth_ppm_payload(mid), "image/x-portable-pixmap", "ppm"
+
+
+def decode_pixel_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas stage: synthesize a real BMP (even ids) or PPM (odd
+    ids) FILE, then decode it back through :func:`decode_media` —
+    exercising the full byte path (headers, padding, bottom-up rows, BGR
+    order, ASCII header scan) — and reduce via the shared channel-stats
+    law (:func:`_channel_stats_batches`)."""
+    yield from _channel_stats_batches(batches, _synth_bmp_or_ppm)
+
+
+def decode_images(docs: DataFrame) -> DataFrame:
+    """documents -> real BMP/PPM encode -> real pixel decode -> stats,
+    one Arrow-batched mapInPandas (payload bytes never leave the
+    worker).  This is the working end-to-end decode path the compressed
+    formats stub points at."""
+    narrow = rebalance(docs.select(F.col("doc_id").alias("media_id")))
+    return narrow.mapInPandas(decode_pixel_stats, PIXEL_STAT_SCHEMA)
+
+
+def decode_images_sql(table: str = "documents") -> str:
+    """Oracle: per-image channel sums restated from the pixel law by
+    expanding (x, y) grids with generate_series — no byte parsing."""
+    return _pixel_law_sql(
+        table, "CASE doc_id % 2 WHEN 0 THEN 'bmp' ELSE 'ppm' END"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -742,40 +763,20 @@ def synth_png_payload(media_id: int) -> bytes:
     )
 
 
+def _synth_png(mid: int):
+    return (
+        synth_png_payload(mid),
+        "image/png",
+        "png_rgba" if mid % 2 else "png_rgb",
+    )
+
+
 def decode_png_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas stage: synthesize a real PNG FILE (RGB even ids, RGBA
     odd ids, filter type rotating per scanline), decode it back through
     :func:`decode_media` — chunk walk, zlib inflate, full filter
-    reconstruction — and reduce to the same exact-integer channel
-    statistics as the BMP/PPM path (the pixel law is shared, so the
-    oracle is the same grid expansion)."""
-    import numpy as np
-
-    for pdf in batches:
-        rows = []
-        for mid in pdf["media_id"]:
-            mid = int(mid)
-            fmt = "png_rgba" if mid % 2 else "png_rgb"
-            img = decode_media(synth_png_payload(mid), "image/png").astype(np.int64)
-            h, w, _ = img.shape
-            wgt = 1 + np.arange(w, dtype=np.int64)[None, :] \
-                + 2 * np.arange(h, dtype=np.int64)[:, None]
-            rows.append(
-                (
-                    mid, fmt, w, h, w * h,
-                    int(img[:, :, 0].sum()),
-                    int(img[:, :, 1].sum()),
-                    int(img[:, :, 2].sum()),
-                    int((wgt * img[:, :, 0]).sum()),
-                )
-            )
-        yield pd.DataFrame(
-            rows,
-            columns=[
-                "media_id", "format", "width", "height", "n_pixels",
-                "sum_r", "sum_g", "sum_b", "wsum_r",
-            ],
-        )
+    reconstruction — and reduce via the shared channel-stats law."""
+    yield from _channel_stats_batches(batches, _synth_png)
 
 
 def decode_pngs(docs: DataFrame) -> DataFrame:
@@ -791,30 +792,9 @@ def decode_pngs_sql(table: str = "documents") -> str:
     """Oracle: identical pixel law to :func:`decode_images_sql`; only the
     format tag differs (and alpha never appears — the decoder drops it,
     which the RGB-only sums verify)."""
-    return f"""
-    WITH dims AS (
-      SELECT doc_id AS media_id,
-             CASE doc_id % 2 WHEN 0 THEN 'png_rgb' ELSE 'png_rgba' END AS format,
-             (doc_id % {PIX_W_MOD} + 1)::INT AS width,
-             (doc_id % {PIX_H_MOD} + 1)::INT AS height
-      FROM {table}
-    ),
-    px AS (
-      SELECT d.*, gx.x, gy.y,
-             (media_id + 3 * gx.x + 7 * gy.y) % 256 AS r
-      FROM dims d,
-           LATERAL (SELECT unnest(generate_series(0, d.width - 1)) AS x) gx,
-           LATERAL (SELECT unnest(generate_series(0, d.height - 1)) AS y) gy
+    return _pixel_law_sql(
+        table, "CASE doc_id % 2 WHEN 0 THEN 'png_rgb' ELSE 'png_rgba' END"
     )
-    SELECT media_id, format, width, height,
-           count(*)::BIGINT AS n_pixels,
-           sum(r)::BIGINT AS sum_r,
-           sum((r + 11) % 256)::BIGINT AS sum_g,
-           sum((r + 22) % 256)::BIGINT AS sum_b,
-           sum((1 + x + 2 * y) * r)::BIGINT AS wsum_r
-    FROM px
-    GROUP BY 1, 2, 3, 4
-    """
 
 
 # ---------------------------------------------------------------------------
@@ -1003,34 +983,11 @@ def decode_gif(payload: bytes):
 
 def decode_gif_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas stage: synthesize a real LZW-compressed GIF per id,
-    decode it back through :func:`decode_media`, and reduce to the same
-    exact-integer channel statistics as the BMP/PPM/PNG paths."""
-    import numpy as np
-
-    for pdf in batches:
-        rows = []
-        for mid in pdf["media_id"]:
-            mid = int(mid)
-            img = decode_media(synth_gif_payload(mid), "image/gif").astype(np.int64)
-            h, w, _ = img.shape
-            wgt = 1 + np.arange(w, dtype=np.int64)[None, :] \
-                + 2 * np.arange(h, dtype=np.int64)[:, None]
-            rows.append(
-                (
-                    mid, "gif", w, h, w * h,
-                    int(img[:, :, 0].sum()),
-                    int(img[:, :, 1].sum()),
-                    int(img[:, :, 2].sum()),
-                    int((wgt * img[:, :, 0]).sum()),
-                )
-            )
-        yield pd.DataFrame(
-            rows,
-            columns=[
-                "media_id", "format", "width", "height", "n_pixels",
-                "sum_r", "sum_g", "sum_b", "wsum_r",
-            ],
-        )
+    decode it back through :func:`decode_media`, and reduce via the
+    shared channel-stats law."""
+    yield from _channel_stats_batches(
+        batches, lambda mid: (synth_gif_payload(mid), "image/gif", "gif")
+    )
 
 
 def decode_gifs(docs: DataFrame) -> DataFrame:
@@ -1044,29 +1001,7 @@ def decode_gifs(docs: DataFrame) -> DataFrame:
 
 def decode_gifs_sql(table: str = "documents") -> str:
     """Oracle: the shared pixel-law grid expansion, format tag 'gif'."""
-    return f"""
-    WITH dims AS (
-      SELECT doc_id AS media_id, 'gif' AS format,
-             (doc_id % {PIX_W_MOD} + 1)::INT AS width,
-             (doc_id % {PIX_H_MOD} + 1)::INT AS height
-      FROM {table}
-    ),
-    px AS (
-      SELECT d.*, gx.x, gy.y,
-             (media_id + 3 * gx.x + 7 * gy.y) % 256 AS r
-      FROM dims d,
-           LATERAL (SELECT unnest(generate_series(0, d.width - 1)) AS x) gx,
-           LATERAL (SELECT unnest(generate_series(0, d.height - 1)) AS y) gy
-    )
-    SELECT media_id, format, width, height,
-           count(*)::BIGINT AS n_pixels,
-           sum(r)::BIGINT AS sum_r,
-           sum((r + 11) % 256)::BIGINT AS sum_g,
-           sum((r + 22) % 256)::BIGINT AS sum_b,
-           sum((1 + x + 2 * y) * r)::BIGINT AS wsum_r
-    FROM px
-    GROUP BY 1, 2, 3, 4
-    """
+    return _pixel_law_sql(table, "'gif'")
 
 
 def frame_sample_sql(table: str = "documents", k: int = 8) -> str:
@@ -1211,6 +1146,10 @@ def parse_avi_index(payload: bytes):
                             "offset": mpos,
                             "size": fsize,
                             "checksum": sum(data) % 997,
+                            # unknown without an idx1 (legal per spec —
+                            # AVIF_HASINDEX is optional); overwritten by
+                            # the idx1 cross-check below when present
+                            "is_key": None,
                         }
                     )
                 mpos += 8 + fsize + (fsize & 1)
@@ -1293,7 +1232,7 @@ def video_index_sql(table: str = "documents") -> str:
       FROM {table}
     ),
     fr AS (
-      SELECT media_id, n_frames, width, height, g.i AS frame_no,
+      SELECT media_id, n_frames, width, height, g.i::INT AS frame_no,
              ((media_id * 13 + g.i * 7) % 50 + 4)::INT AS size
       FROM clips,
            LATERAL (SELECT unnest(generate_series(0, n_frames - 1)) AS i) g

@@ -760,16 +760,26 @@ def lsh_topk_multiprobe(
         lsh_bucket(vec_col, num_planes=num_planes).alias("bucket"),
         norm(F.col(vec_col)).alias("nc"),
     )
+    # Bucket computed ONCE per query row, then probe variants derive by
+    # XOR-ing the column — not by re-evaluating the num_planes-fold
+    # bucket expression per probe slot, which would cost O(num_planes^2)
+    # interpreted dot-folds per row and grows quadratically now that the
+    # plane count self-scales with the corpus (same shape as
+    # cosine_neardup_pairs and the SQL mirror's xor(bucket, ...)).
     probes = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
         norm(F.col(vec_col)).alias("nq"),
+        lsh_bucket(vec_col, num_planes=num_planes).alias("own"),
+    ).select(
+        "query_id",
+        "qv",
+        "nq",
         F.explode(
             F.array(
-                lsh_bucket(vec_col, num_planes=num_planes),
+                F.col("own"),
                 *[
-                    lsh_bucket(vec_col, num_planes=num_planes)
-                    .bitwiseXOR(F.lit(1 << j))
+                    F.col("own").bitwiseXOR(F.lit(1 << j))
                     for j in range(num_planes)
                 ],
             )

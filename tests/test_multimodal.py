@@ -280,6 +280,22 @@ def test_avi_demux_roundtrip(mid):
         off += 8 + size + (size & 1)
 
 
+def test_avi_without_idx1_parses_with_unknown_keyflags():
+    """AVIF_HASINDEX is optional per spec: stripping the idx1 chunk must
+    still demux (offsets/sizes/checksums from the movi walk) with
+    is_key unknown (None), not raise."""
+    payload = synth_avi_payload(7)
+    i = payload.rindex(b"idx1")
+    stripped = payload[: i - 0]
+    # idx1 is the last chunk before EOF; drop it and patch the RIFF size
+    stripped = bytearray(payload[:i])
+    stripped[4:8] = (len(stripped) - 8).to_bytes(4, "little")
+    meta, frames = parse_avi_index(bytes(stripped))
+    assert meta["n_frames"] == 7 % 24 + 2 == len(frames)
+    assert all(fr["is_key"] is None for fr in frames)
+    assert all(fr["size"] == (7 * 13 + i * 7) % 50 + 4 for i, fr in enumerate(frames))
+
+
 def test_avi_idx1_mismatch_detected():
     """A corrupted idx1 offset must fail the cross-validation — the
     demuxer validates the index against the walked chunks rather than
