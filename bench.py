@@ -135,6 +135,7 @@ HEADLINE = [
     # round-5 additions
     "multimodal_decode_png",
     "multimodal_decode_gif",
+    "multimodal_decode_jpeg",
     "multimodal_video_index",
     "bpe_word_vocab",
 ]

@@ -6,18 +6,18 @@ metadata structs; decode / feature-extraction runs as Arrow-batched
 
 Decode status (no media libraries in this container):
 - REAL, end-to-end: 24-bit BMP, binary-PPM, 8-bit truecolor(+alpha)
-  PNG and non-interlaced GIF pixel decode (:func:`decode_bmp`/
-  :func:`decode_ppm`/:func:`decode_png`/:func:`decode_gif` — PNG
-  inflates IDAT with stdlib zlib and reconstructs all five scanline
-  filters; GIF runs a pure-Python LZW), RIFF/WAVE PCM16 audio decode
-  (:func:`decode_wav`), RIFF/AVI video container demux with idx1
-  cross-validation (:func:`parse_avi_index`), and PNG/JPEG/GIF header
-  decode (:func:`parse_image_header`) — all pure Python/numpy over
-  real bytes.
-- STUBBED with a documented contract: JPEG pixel decode (DCT entropy
-  coding — ``decode_media`` raises NotImplementedError) and video
-  frame CODEC decode (the container layer is real; ``frame_sample``
-  keeps a deterministic stand-in fingerprint for the frame payload);
+  PNG, non-interlaced GIF, and baseline-sequential JPEG pixel decode
+  (:func:`decode_bmp`/:func:`decode_ppm`/:func:`decode_png`/
+  :func:`decode_gif`/:func:`decode_jpeg` — PNG inflates IDAT with
+  stdlib zlib and reconstructs all five scanline filters; GIF runs a
+  pure-Python LZW; JPEG runs full huffman entropy decode + IDCT),
+  RIFF/WAVE PCM16 audio decode (:func:`decode_wav`), RIFF/AVI video
+  container demux with idx1 cross-validation (:func:`parse_avi_index`),
+  and PNG/JPEG/GIF header decode (:func:`parse_image_header`) — all
+  pure Python/numpy over real bytes.
+- STUBBED with a documented contract: video frame CODEC decode only
+  (the container layer is real; ``frame_sample`` keeps a deterministic
+  stand-in fingerprint for the frame payload);
   ``fake_decode_features`` keeps the byte-feature pipeline testable.
 
 At 100 TB: media tables are partitioned by (modality, date); the decode
@@ -77,12 +77,13 @@ def decode_media(payload: bytes, mime: str):
     - ``image/gif`` — non-interlaced GIF87a/89a (:func:`decode_gif`:
       pure-Python LZW with clear codes / KwKwK / variable code width,
       color-table lookup).
+    - ``image/jpeg`` — baseline-sequential grayscale JPEG
+      (:func:`decode_jpeg`: full huffman entropy decode, DC prediction,
+      dequant, IDCT).
 
-    JPEG still raises NotImplementedError: its DCT entropy decode needs
-    machinery an image library would provide; HEADER decoding for it is
-    fully real (:func:`parse_image_header`).  Swap this dispatch to a
-    PIL-backed one to go live on JPEG; every caller already handles the
-    ndarray contract."""
+    Unsupported VARIANTS inside each format (progressive JPEG,
+    interlaced GIF, palette PNG, ...) raise NotImplementedError naming
+    the unmet feature; unrecognized payloads raise ValueError."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:2] == b"P6":
@@ -91,12 +92,13 @@ def decode_media(payload: bytes, mime: str):
         return decode_png(payload)
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return decode_gif(payload)
-    raise NotImplementedError(
-        "jpeg pixel decode (DCT entropy coding) requires an image library "
-        "not present in this container; BMP, PPM, PNG and GIF decode fully "
-        "(decode_bmp/decode_ppm/decode_png/decode_gif), parse_image_header "
-        "decodes real headers, and fake_decode_features is the "
-        "deterministic byte-feature path"
+    if payload[:2] == b"\xff\xd8":
+        return decode_jpeg(payload)
+    raise ValueError(
+        "unrecognized image payload (BMP, PPM, PNG, GIF and baseline JPEG "
+        "all decode for real: decode_bmp/decode_ppm/decode_png/decode_gif/"
+        "decode_jpeg); within each decoder, unsupported format VARIANTS "
+        "raise NotImplementedError naming the unmet feature"
     )
 
 
@@ -1014,6 +1016,383 @@ def frame_sample_sql(table: str = "documents", k: int = 8) -> str:
            (sample_idx * n) // {k} AS frame_no,
            (media_id * 31 + (sample_idx * n) // {k}) % 997 AS frame_fp
     FROM v JOIN idx ON sample_idx < least({k}, n)
+    """
+
+
+# ---------------------------------------------------------------------------
+# real JPEG baseline decode end-to-end (huffman + IDCT in pure Python)
+# ---------------------------------------------------------------------------
+
+# JPEG is lossy, so an exact oracle needs inputs whose decode is exact:
+# 8x8-BLOCK-CONSTANT grayscale images with a flat (all-ones) quant
+# table.  A constant block's forward DCT is DC-only (S00 = 8*(v-128),
+# an integer), survives quantization exactly, and the inverse DCT of a
+# DC-only block is exactly the constant back — so the full baseline
+# machinery (standard huffman tables, DC prediction, byte stuffing,
+# zigzag, dequant, IDCT, level shift) round-trips bit-exactly while the
+# oracle restates pixels from the block law:
+#   v(x, y) = (media_id * 3 + 7 * (x//8) + 13 * (y//8)) % 256
+# The decoder itself is COMPLETE baseline-sequential JPEG (nonzero AC
+# coefficients, run-lengths, ZRL and EOB all decode — exercised by a
+# frequency-domain round-trip test); only progressive scans and restart
+# markers raise.
+
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# Standard huffman tables (JPEG spec Annex K — public): (bits[1..16], values)
+_DC_LUM_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_LUM_VALS = list(range(12))
+_AC_LUM_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_AC_LUM_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _huff_codes(bits, vals):
+    """Canonical huffman code assignment (spec section C.2): symbols in
+    `vals`, `bits[L-1]` of them at length L, codes counting upward."""
+    codes = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, length: int):
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc, self.n = 0, 0
+
+    def flush(self):
+        while self.n:  # pad with 1-bits per spec
+            self.put(1, 1)
+        return bytes(self.out)
+
+
+class _BitReader:
+    """Entropy-segment bit reader with FF00 unstuffing; a bare FF
+    followed by a marker ends the stream."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("entropy stream exhausted")
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                nxt = self.data[self.pos] if self.pos < len(self.data) else None
+                if nxt == 0x00:
+                    self.pos += 1  # stuffed FF
+                else:
+                    raise ValueError("marker inside entropy stream")
+            self.acc, self.n = b, 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _extend(v: int, t: int) -> int:
+    """DC/AC amplitude decode (spec F.2.2.1): t-bit value to signed."""
+    if t == 0:
+        return 0
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def _category(v: int) -> int:
+    """Bit category of a signed amplitude (spec F.1.2.1.2)."""
+    a, t = abs(v), 0
+    while a:
+        a >>= 1
+        t += 1
+    return t
+
+
+def _encode_block(w: _BitWriter, coefs, pred_dc: int, dc_codes, ac_codes) -> int:
+    """Huffman-encode one 64-coef block (natural order) against the
+    given tables; returns the new DC predictor.  Full baseline AC
+    encoding (run lengths, ZRL, EOB) — the synth path only feeds it
+    DC-only blocks, the tests feed it dense ones."""
+    dc = coefs[0]
+    diff = dc - pred_dc
+    t = _category(diff)
+    code, length = dc_codes[t]
+    w.put(code, length)
+    if t:
+        w.put(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    run = 0
+    zz = [coefs[_ZIGZAG[k]] for k in range(64)]
+    last_nz = max((k for k in range(1, 64) if zz[k]), default=0)
+    for k in range(1, last_nz + 1):
+        v = zz[k]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_codes[0xF0]  # ZRL
+            w.put(code, length)
+            run -= 16
+        t = _category(v)
+        code, length = ac_codes[(run << 4) | t]
+        w.put(code, length)
+        w.put(v if v >= 0 else v + (1 << t) - 1, t)
+        run = 0
+    if last_nz < 63:
+        code, length = ac_codes[0x00]  # EOB
+        w.put(code, length)
+    return dc
+
+
+def synth_jpeg_payload(media_id: int) -> bytes:
+    """A REAL baseline JFIF file for the block law: flat quant table,
+    standard Annex-K huffman tables, grayscale SOF0, one interleaved
+    scan of huffman-coded DC-predicted blocks with byte stuffing."""
+    w = media_id % PIX_W_MOD + 1
+    h = media_id % PIX_H_MOD + 1
+    bw, bh = (w + 7) // 8, (h + 7) // 8
+    dc_codes = _huff_codes(_DC_LUM_BITS, _DC_LUM_VALS)
+    ac_codes = _huff_codes(_AC_LUM_BITS, _AC_LUM_VALS)
+    bwr = _BitWriter()
+    pred = 0
+    for by in range(bh):
+        for bx in range(bw):
+            v = (media_id * 3 + 7 * bx + 13 * by) % 256
+            coefs = [0] * 64
+            coefs[0] = 8 * (v - 128)  # DC of a constant block, quant 1
+            pred = _encode_block(bwr, coefs, pred, dc_codes, ac_codes)
+    scan = bwr.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    dqt = seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    sof = seg(
+        0xC0,
+        bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+        + bytes([1, 1, 0x11, 0]),
+    )
+    dht = seg(0xC4, bytes([0x00]) + bytes(_DC_LUM_BITS) + bytes(_DC_LUM_VALS)) \
+        + seg(0xC4, bytes([0x10]) + bytes(_AC_LUM_BITS) + bytes(_AC_LUM_VALS))
+    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    return b"\xff\xd8" + dqt + sof + dht + sos + scan + b"\xff\xd9"
+
+
+def _idct2d(coefs):
+    """Float64 separable 2-D inverse DCT-II (spec A.3.3) of one 8x8
+    block in natural order; exact for DC-only blocks."""
+    import numpy as np
+
+    c = np.asarray(coefs, dtype=np.float64).reshape(8, 8)
+    n = np.arange(8)
+    basis = np.cos((2 * n[:, None] + 1) * n[None, :] * np.pi / 16)  # [x, u]
+    scale = np.full(8, 0.5)
+    scale[0] = 1 / np.sqrt(2) * 0.5
+    b = basis * scale[None, :]
+    return b @ c.T @ b.T  # s(y, x) ... symmetric basis: rows y, cols x
+
+
+def decode_jpeg(payload: bytes):
+    """Decode a baseline-sequential single-scan JPEG to (H, W, 3) uint8
+    RGB (grayscale replicated across channels) — pure Python/numpy, no
+    image library: marker walk, DQT/DHT/SOF0/SOS parse, canonical
+    huffman reconstruction, entropy decode with FF00 unstuffing, DC
+    prediction, AC run-lengths (ZRL/EOB), dezigzag, dequant, float IDCT
+    with round/clamp, block assembly, crop to SOF dims.  Progressive
+    scans (SOF2), restart intervals, and multi-component images raise
+    NotImplementedError with the unmet feature named."""
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    qt: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    dims = None
+    comp_q = None
+    scan_start = None
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("bad marker alignment")
+        marker = payload[pos + 1]
+        if marker == 0xD9:
+            break
+        seg_len = int.from_bytes(payload[pos + 2 : pos + 4], "big")
+        body = payload[pos + 4 : pos + 2 + seg_len]
+        if marker == 0xDB:
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 15
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables")
+                qt[tq] = list(body[i + 1 : i + 65])
+                i += 65
+        elif marker == 0xC4:
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 15
+                bits = list(body[i + 1 : i + 17])
+                nvals = sum(bits)
+                vals = list(body[i + 17 : i + 17 + nvals])
+                codes = _huff_codes(bits, vals)
+                # invert to (code, length) -> symbol for decoding
+                huff[(tc, th)] = {(c, l): s for s, (c, l) in codes.items()}
+                i += 17 + nvals
+        elif marker == 0xC0:
+            h = int.from_bytes(body[1:3], "big")
+            w = int.from_bytes(body[3:5], "big")
+            ncomp = body[5]
+            if ncomp != 1:
+                raise NotImplementedError("only single-component (grayscale)")
+            if body[7] != 0x11:
+                raise NotImplementedError("subsampled components")
+            dims = (h, w)
+            comp_q = body[8]
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError("only baseline sequential (SOF0)")
+        elif marker == 0xDD:
+            raise NotImplementedError("restart intervals")
+        elif marker == 0xDA:
+            dc_t = body[2] >> 4
+            ac_t = body[2] & 15
+            scan_start = pos + 2 + seg_len
+            break
+        pos += 2 + seg_len
+    if dims is None or scan_start is None:
+        raise ValueError("missing SOF0/SOS")
+    h, w = dims
+    dc_table = huff[(0, dc_t)]
+    ac_table = huff[(1, ac_t)]
+    q = qt[comp_q]
+    end = payload.rindex(b"\xff\xd9")
+    r = _BitReader(payload[scan_start:end])
+
+    def read_symbol(table) -> int:
+        code, length = 0, 0
+        while length <= 16:
+            code = (code << 1) | r.bit()
+            length += 1
+            if (code, length) in table:
+                return table[(code, length)]
+        raise ValueError("invalid huffman code")
+
+    bw, bh = (w + 7) // 8, (h + 7) // 8
+    out = np.zeros((bh * 8, bw * 8), dtype=np.uint8)
+    pred = 0
+    for by in range(bh):
+        for bx in range(bw):
+            coefs = [0] * 64
+            t = read_symbol(dc_table)
+            pred += _extend(r.bits(t), t)
+            coefs[0] = pred * q[0]
+            k = 1
+            while k < 64:
+                rs = read_symbol(ac_table)
+                if rs == 0x00:  # EOB
+                    break
+                if rs == 0xF0:  # ZRL
+                    k += 16
+                    continue
+                k += rs >> 4
+                if k > 63:
+                    raise ValueError("AC run past block end")
+                t = rs & 15
+                coefs[_ZIGZAG[k]] = _extend(r.bits(t), t) * q[_ZIGZAG[k]]
+                k += 1
+            block = np.clip(np.round(_idct2d(coefs) + 128), 0, 255)
+            out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block.astype(np.uint8)
+    gray = out[:h, :w]
+    return np.repeat(gray[:, :, None], 3, axis=2).copy()
+
+
+def decode_jpeg_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas stage: synthesize a real baseline JPEG per id and
+    decode it back through :func:`decode_media` (full huffman entropy
+    decode), reducing via the shared channel-stats law (grayscale: the
+    three channel sums coincide)."""
+    yield from _channel_stats_batches(
+        batches, lambda mid: (synth_jpeg_payload(mid), "image/jpeg", "jpeg")
+    )
+
+
+def decode_jpegs(docs: DataFrame) -> DataFrame:
+    """documents -> real JPEG encode -> real baseline decode -> stats,
+    one Arrow-batched mapInPandas.  With this, every classic image
+    format decodes for real; the remaining multimodal stub is video
+    frame CODEC decode only."""
+    narrow = rebalance(docs.select(F.col("doc_id").alias("media_id")))
+    return narrow.mapInPandas(decode_jpeg_stats, PIXEL_STAT_SCHEMA)
+
+
+def decode_jpegs_sql(table: str = "documents") -> str:
+    """Oracle: the BLOCK law restated (block-constant grayscale, so
+    r = g = b = v(x//8, y//8)) over the same grid expansion."""
+    return f"""
+    WITH dims AS (
+      SELECT doc_id AS media_id, 'jpeg' AS format,
+             (doc_id % {PIX_W_MOD} + 1)::INT AS width,
+             (doc_id % {PIX_H_MOD} + 1)::INT AS height
+      FROM {table}
+    ),
+    px AS (
+      SELECT d.*, gx.x, gy.y,
+             (media_id * 3 + 7 * (gx.x // 8) + 13 * (gy.y // 8)) % 256 AS v
+      FROM dims d,
+           LATERAL (SELECT unnest(generate_series(0, d.width - 1)) AS x) gx,
+           LATERAL (SELECT unnest(generate_series(0, d.height - 1)) AS y) gy
+    )
+    SELECT media_id, format, width, height,
+           count(*)::BIGINT AS n_pixels,
+           sum(v)::BIGINT AS sum_r,
+           sum(v)::BIGINT AS sum_g,
+           sum(v)::BIGINT AS sum_b,
+           sum((1 + x + 2 * y) * v)::BIGINT AS wsum_r
+    FROM px
+    GROUP BY 1, 2, 3, 4
     """
 
 

@@ -658,6 +658,27 @@ def q_multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_decode_jpeg",
+    oracle=multimodal.decode_jpegs_sql(),
+    tags=("ext", "multimodal"),
+)
+def q_multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END baseline JPEG decode, no stub: encode each document
+    id as a REAL JFIF file (standard Annex-K huffman tables, flat quant
+    table, huffman-coded DC-predicted blocks with byte stuffing) and
+    decode it back through decode_jpeg — marker walk, canonical huffman
+    reconstruction, entropy decode, dequant, IDCT.  The synthesized
+    images are 8x8-block-constant, the one input family a LOSSY format
+    round-trips bit-exactly (a constant block's DCT is DC-only and
+    survives flat quantization), so the oracle can restate pixels from
+    the block law.  The decoder handles the full baseline AC surface
+    (run-lengths, ZRL, EOB — pinned by a frequency-domain test); with
+    this, every classic image format decodes for real and the remaining
+    multimodal stub is video frame codec decode only."""
+    return multimodal.decode_jpegs(_docs(spark, sf_dir))
+
+
+@register(
     "multimodal_video_index",
     oracle=multimodal.video_index_sql(),
     tags=("ext", "multimodal"),
