@@ -136,6 +136,7 @@ HEADLINE = [
     "multimodal_decode_png",
     "multimodal_decode_gif",
     "multimodal_decode_jpeg",
+    "multimodal_decode_video",
     "multimodal_video_index",
     "bpe_word_vocab",
 ]

@@ -679,6 +679,24 @@ def q_multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_decode_video",
+    oracle=multimodal.decode_videos_sql(),
+    tags=("ext", "multimodal"),
+)
+def q_multimodal_decode_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END video decode, no stub for this codec: encode each
+    document id as a REAL MJPEG-in-AVI clip (every movi 00dc chunk a
+    complete baseline JFIF frame — MJPEG's defining property), then run
+    the full pipeline back: RIFF/AVI demux with idx1 cross-validation,
+    per-frame baseline JPEG entropy decode (huffman, DC prediction,
+    dequant, IDCT), and exact-integer per-frame statistics.  The oracle
+    restates the per-frame block law by (frame, x, y) grid expansion.
+    Inter-frame codecs (H.26x) remain out of scope by format; within
+    MJPEG nothing is stubbed."""
+    return multimodal.decode_videos(_docs(spark, sf_dir))
+
+
+@register(
     "multimodal_video_index",
     oracle=multimodal.video_index_sql(),
     tags=("ext", "multimodal"),

@@ -64,13 +64,14 @@ _PRIORITY: tuple[str, ...] = (
     "multimodal_decode_audio",
     "column_stats_events",
     "weekly_value_wow",
-    # Slots 5-9: new round-5 registrations (first driver check pending).
+    # Slots 5-10: new round-5 registrations (first driver check pending).
     "multimodal_decode_png",
     "multimodal_decode_gif",
     "multimodal_decode_jpeg",
+    "multimodal_decode_video",
     "multimodal_video_index",
     "bpe_word_vocab",
-    # Slots 10-17: latest green driver row is r01 (8 names).
+    # Slots 11-18: latest green driver row is r01 (8 names).
     "tpch_q6_forecast",
     "tpch_q14_promo",
     "tpch_q16_supplier_cnt",
@@ -79,7 +80,7 @@ _PRIORITY: tuple[str, ...] = (
     "tpch_q19_disjunctive",
     "semi_late_orders",
     "anti_customers_no_orders",
-    # Slots 18-41: latest green driver row is r02 (24 names).
+    # Slots 19-42: latest green driver row is r02 (24 names).
     "doc_sentiment",
     "doc_entities",
     "doc_categories",
@@ -104,7 +105,7 @@ _PRIORITY: tuple[str, ...] = (
     "corpus_curation_pipeline",
     "tpch_q1_pricing",
     "tpch_q3_shipping",
-    # Slots 42-50: oldest of the 28 r03-stale names (the rest spill to
+    # Slots 43-50: oldest of the 28 r03-stale names (the rest spill to
     # round 6's window; all are green under this round's local
     # driver-sim).  Dedup/similarity shapes first — they changed most
     # recently (r3 skew work) and are the heaviest plans.
@@ -116,8 +117,8 @@ _PRIORITY: tuple[str, ...] = (
     "decontaminate_5gram",
     "multimodal_resize_plan",
     "multimodal_frame_sample",
-    "pii_redaction",
     # Slots 51+: remaining r03-stale names, next in line for round 6.
+    "pii_redaction",
     "boilerplate_removal",
     "lang_id_confusion",
     "bloom_semijoin_customers",
