@@ -544,10 +544,18 @@ def _channel_stats_batches(batches: Iterator[pd.DataFrame], synth_for):
         )
 
 
-def _pixel_law_sql(table: str, format_expr: str) -> str:
-    """Shared grid-expansion oracle for every pixel-decode query: the
-    pixel law restated over a generate_series (x, y) grid; callers
-    supply only the SQL expression for the format tag."""
+def _pixel_law_sql(
+    table: str,
+    format_expr: str,
+    r_expr: str = "(media_id + 3 * gx.x + 7 * gy.y) % 256",
+    g_expr: str = "(r + 11) % 256",
+    b_expr: str = "(r + 22) % 256",
+) -> str:
+    """Shared grid-expansion oracle for every pixel-decode query: a
+    value law restated over a generate_series (x, y) grid; callers
+    supply the format tag and (optionally) the per-channel laws.
+    Defaults are the BMP/PPM/PNG/GIF pixel law; the JPEG query passes
+    its 8x8-block law with all three channels equal (grayscale)."""
     return f"""
     WITH dims AS (
       SELECT doc_id AS media_id,
@@ -558,7 +566,7 @@ def _pixel_law_sql(table: str, format_expr: str) -> str:
     ),
     px AS (
       SELECT d.*, gx.x, gy.y,
-             (media_id + 3 * gx.x + 7 * gy.y) % 256 AS r
+             {r_expr} AS r
       FROM dims d,
            LATERAL (SELECT unnest(generate_series(0, d.width - 1)) AS x) gx,
            LATERAL (SELECT unnest(generate_series(0, d.height - 1)) AS y) gy
@@ -566,8 +574,8 @@ def _pixel_law_sql(table: str, format_expr: str) -> str:
     SELECT media_id, format, width, height,
            count(*)::BIGINT AS n_pixels,
            sum(r)::BIGINT AS sum_r,
-           sum((r + 11) % 256)::BIGINT AS sum_g,
-           sum((r + 22) % 256)::BIGINT AS sum_b,
+           sum({g_expr})::BIGINT AS sum_g,
+           sum({b_expr})::BIGINT AS sum_b,
            sum((1 + x + 2 * y) * r)::BIGINT AS wsum_r
     FROM px
     GROUP BY 1, 2, 3, 4
@@ -786,8 +794,8 @@ def decode_png_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 def decode_pngs(docs: DataFrame) -> DataFrame:
     """documents -> real PNG encode -> real PNG decode -> stats, one
     Arrow-batched mapInPandas (payload bytes never leave the worker).
-    Closes the compressed-format decode gap: after this only JPEG/GIF
-    entropy decode and video containers remain stubbed."""
+    (Historically the first compressed-format decoder; GIF, JPEG and
+    MJPEG video followed — no decode stub remains.)"""
     narrow = rebalance(docs.select(F.col("doc_id").alias("media_id")))
     return narrow.mapInPandas(decode_png_stats, PIXEL_STAT_SCHEMA)
 
@@ -996,9 +1004,8 @@ def decode_gif_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 def decode_gifs(docs: DataFrame) -> DataFrame:
     """documents -> real GIF encode (true LZW) -> real decode -> stats,
-    one Arrow-batched mapInPandas.  With PNG and GIF real, the only
-    remaining pixel stub is JPEG's DCT entropy decode (plus video
-    containers)."""
+    one Arrow-batched mapInPandas.  Like PNG/JPEG, fully real — no
+    pixel stub remains in any image format."""
     narrow = rebalance(docs.select(F.col("doc_id").alias("media_id")))
     return narrow.mapInPandas(decode_gif_stats, PIXEL_STAT_SCHEMA)
 
@@ -1232,18 +1239,37 @@ def synth_jpeg_payload(media_id: int) -> bytes:
     )
 
 
+_IDCT_BASIS = None
+
+
+def _idct_basis():
+    """Precomputed scaled cosine basis b[x, u] = C(u)/2 *
+    cos((2x+1)u*pi/16) — a constant, built once per process (this sits
+    on the per-block hot path of the decode queries)."""
+    global _IDCT_BASIS
+    if _IDCT_BASIS is None:
+        import numpy as np
+
+        n = np.arange(8)
+        basis = np.cos((2 * n[:, None] + 1) * n[None, :] * np.pi / 16)
+        scale = np.full(8, 0.5)
+        scale[0] = 0.5 / np.sqrt(2)
+        _IDCT_BASIS = basis * scale[None, :]
+    return _IDCT_BASIS
+
+
 def _idct2d(coefs):
     """Float64 separable 2-D inverse DCT-II (spec A.3.3) of one 8x8
-    block in natural order; exact for DC-only blocks."""
+    block given in NATURAL order with row index = vertical frequency v:
+    s(y, x) = sum_v sum_u b[y, v] * S[v, u] * b[x, u]  =  b @ S @ b.T.
+    Exact for DC-only blocks; orientation pinned against an independent
+    quadruple-loop reference in tests (a transposed form passes
+    DC-only fixtures silently — it did, once)."""
     import numpy as np
 
     c = np.asarray(coefs, dtype=np.float64).reshape(8, 8)
-    n = np.arange(8)
-    basis = np.cos((2 * n[:, None] + 1) * n[None, :] * np.pi / 16)  # [x, u]
-    scale = np.full(8, 0.5)
-    scale[0] = 1 / np.sqrt(2) * 0.5
-    b = basis * scale[None, :]
-    return b @ c.T @ b.T  # s(y, x) ... symmetric basis: rows y, cols x
+    b = _idct_basis()
+    return b @ c @ b.T
 
 
 def decode_jpeg(payload: bytes):
@@ -1316,6 +1342,10 @@ def decode_jpeg(payload: bytes):
     if dims is None or scan_start is None:
         raise ValueError("missing SOF0/SOS")
     h, w = dims
+    if (0, dc_t) not in huff or (1, ac_t) not in huff:
+        raise ValueError(f"SOS references undefined huffman table {dc_t}/{ac_t}")
+    if comp_q not in qt:
+        raise ValueError(f"SOF references undefined quant table {comp_q}")
     dc_table = huff[(0, dc_t)]
     ac_table = huff[(1, ac_t)]
     q = qt[comp_q]
@@ -1352,7 +1382,10 @@ def decode_jpeg(payload: bytes):
                 if k > 63:
                     raise ValueError("AC run past block end")
                 t = rs & 15
-                coefs[_ZIGZAG[k]] = _extend(r.bits(t), t) * q[_ZIGZAG[k]]
+                # DQT stores entries in ZIGZAG order (T.81 B.4.4.1): the
+                # coefficient at zigzag index k dequantizes by q[k], and
+                # lands at natural position _ZIGZAG[k].
+                coefs[_ZIGZAG[k]] = _extend(r.bits(t), t) * q[k]
                 k += 1
             block = np.clip(np.round(_idct2d(coefs) + 128), 0, 255)
             out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block.astype(np.uint8)
@@ -1372,39 +1405,23 @@ def decode_jpeg_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
 
 def decode_jpegs(docs: DataFrame) -> DataFrame:
     """documents -> real JPEG encode -> real baseline decode -> stats,
-    one Arrow-batched mapInPandas.  With this, every classic image
-    format decodes for real; the remaining multimodal stub is video
-    frame CODEC decode only."""
+    one Arrow-batched mapInPandas.  Every classic image format decodes
+    for real, and MJPEG video decodes end-to-end on top of this decoder
+    (decode_video_frames)."""
     narrow = rebalance(docs.select(F.col("doc_id").alias("media_id")))
     return narrow.mapInPandas(decode_jpeg_stats, PIXEL_STAT_SCHEMA)
 
 
 def decode_jpegs_sql(table: str = "documents") -> str:
     """Oracle: the BLOCK law restated (block-constant grayscale, so
-    r = g = b = v(x//8, y//8)) over the same grid expansion."""
-    return f"""
-    WITH dims AS (
-      SELECT doc_id AS media_id, 'jpeg' AS format,
-             (doc_id % {PIX_W_MOD} + 1)::INT AS width,
-             (doc_id % {PIX_H_MOD} + 1)::INT AS height
-      FROM {table}
-    ),
-    px AS (
-      SELECT d.*, gx.x, gy.y,
-             (media_id * 3 + 7 * (gx.x // 8) + 13 * (gy.y // 8)) % 256 AS v
-      FROM dims d,
-           LATERAL (SELECT unnest(generate_series(0, d.width - 1)) AS x) gx,
-           LATERAL (SELECT unnest(generate_series(0, d.height - 1)) AS y) gy
+    r = g = b = v(x//8, y//8)) through the shared grid template."""
+    return _pixel_law_sql(
+        table,
+        "'jpeg'",
+        r_expr="(media_id * 3 + 7 * (gx.x // 8) + 13 * (gy.y // 8)) % 256",
+        g_expr="r",
+        b_expr="r",
     )
-    SELECT media_id, format, width, height,
-           count(*)::BIGINT AS n_pixels,
-           sum(v)::BIGINT AS sum_r,
-           sum(v)::BIGINT AS sum_g,
-           sum(v)::BIGINT AS sum_b,
-           sum((1 + x + 2 * y) * v)::BIGINT AS wsum_r
-    FROM px
-    GROUP BY 1, 2, 3, 4
-    """
 
 
 # ---------------------------------------------------------------------------
@@ -1528,11 +1545,21 @@ def synth_mjpeg_payload(media_id: int) -> bytes:
 
 def decode_video_frames(payload: bytes):
     """END-TO-END video decode: demux the AVI container
-    (:func:`parse_avi_index`, idx1 cross-validated) and decode every
-    frame payload through the image dispatch — for MJPEG each frame is
-    a complete baseline JPEG, so the full entropy-decode pipeline runs
-    per frame.  Returns (meta, list of (H, W, 3) uint8 frames)."""
+    (:func:`parse_avi_index`, idx1 cross-validated), gate on the
+    stream's declared codec handler, and decode every frame payload —
+    for MJPEG each frame is a complete baseline JPEG, so the full
+    entropy-decode pipeline runs per frame.  Returns (meta, list of
+    (H, W, 3) uint8 frames).  Non-MJPEG handlers raise
+    NotImplementedError NAMING the codec rather than sniffing frame
+    bytes — a raw frame that happens to start with a recognized image
+    magic must not be silently mis-decoded."""
     meta, frames = parse_avi_index(payload, keep_data=True)
+    handler = meta.get("handler", b"\x00\x00\x00\x00")
+    if handler not in (b"MJPG", b"mjpg"):
+        raise NotImplementedError(
+            f"video codec {handler!r} not supported (MJPG decodes "
+            "end-to-end; inter-frame codecs are out of scope by format)"
+        )
     return meta, [decode_media(fr["data"], "image/jpeg") for fr in frames]
 
 
@@ -1543,9 +1570,10 @@ def parse_avi_index(payload: bytes, keep_data: bool = False):
     (offset relative to the movi start, size, additive checksum), and
     'idx1' cross-validation — each index entry must agree with the
     walked chunk's offset and size, exactly what a seeking demuxer
-    relies on.  Returns (meta dict, list of frame dicts).  The frame
-    PAYLOAD decode (codec) is the remaining documented stub; the
-    container layer here is complete."""
+    relies on.  Returns (meta dict, list of frame dicts; with
+    ``keep_data`` each frame dict carries its raw payload).  Frame
+    payloads decode end-to-end for MJPEG via decode_video_frames;
+    other codecs raise there, named."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
         raise ValueError("not a RIFF/AVI payload")
     pos = 12
@@ -1567,6 +1595,12 @@ def parse_avi_index(payload: bytes, keep_data: bool = False):
                 "width": int.from_bytes(a[32:36], "little"),
                 "height": int.from_bytes(a[36:40], "little"),
             }
+            # stream codec: strh's fccHandler (strh body bytes 4:8) —
+            # callers gate frame decode on this, so surface it
+            sh = body.find(b"strh")
+            meta["handler"] = (
+                bytes(body[sh + 12 : sh + 16]) if sh >= 0 else b"\x00\x00\x00\x00"
+            )
         elif cid == b"LIST" and body[:4] == b"movi":
             mpos = 4
             while mpos + 8 <= len(body):

@@ -616,9 +616,8 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     back through decode_media's pure-Python parsers, and reduce to
     exact-integer channel sums.  The oracle recomputes the sums from the
     deterministic pixel law by grid expansion — a decoder that mishandles
-    padding, row order, or channel order cannot match.  JPEG/GIF remain
-    the documented NotImplementedError; PNG decodes for real (see
-    multimodal_decode_png)."""
+    padding, row order, or channel order cannot match.  PNG, GIF and
+    baseline JPEG decode for real too (their own registered queries)."""
     return multimodal.decode_images(_docs(spark, sf_dir))
 
 
@@ -652,8 +651,8 @@ def q_multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     framing), decode the bytes back through decode_gif's pure-Python
     LZW (clear codes, KwKwK, variable code width) + palette lookup, and
     reduce to exact-integer channel sums under the shared grid-expansion
-    oracle.  With BMP/PPM/PNG/GIF all real, the only remaining pixel
-    stub is JPEG's DCT entropy decode."""
+    oracle.  Like every other image format here, fully real — no pixel
+    stub remains."""
     return multimodal.decode_gifs(_docs(spark, sf_dir))
 
 
@@ -710,7 +709,9 @@ def q_multimodal_video_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the walked offsets/sizes — and emit one row per frame
     (offset, size, checksum, keyframe flag).  The oracle restates the
     frame law with a window-sum for offsets and a grid expansion for
-    checksums.  The frame payload CODEC remains the documented stub."""
+    checksums.  Frame payloads decode end-to-end for MJPEG clips
+    (multimodal_decode_video); this query is the pure container-layer
+    surface."""
     return multimodal.video_index(_docs(spark, sf_dir))
 
 

@@ -275,15 +275,102 @@ def test_jpeg_block_law_roundtrip(mid):
     assert (got == np.repeat(want[:, :, None], 3, axis=2)).all()
 
 
+def _ref_idct(coefs):
+    """INDEPENDENT reference IDCT (spec A.3.3 quadruple loop, natural
+    order with row index = vertical frequency v) — deliberately not the
+    decoder's matrix form, so an orientation or scale bug in _idct2d
+    cannot cancel out of the comparison."""
+    import math
+
+    out = np.zeros((8, 8))
+    for y in range(8):
+        for x in range(8):
+            acc = 0.0
+            for v in range(8):
+                for u in range(8):
+                    cu = 1 / math.sqrt(2) if u == 0 else 1.0
+                    cv = 1 / math.sqrt(2) if v == 0 else 1.0
+                    acc += (
+                        cu * cv * coefs[v * 8 + u]
+                        * math.cos((2 * x + 1) * u * math.pi / 16)
+                        * math.cos((2 * y + 1) * v * math.pi / 16)
+                    )
+            out[y, x] = acc / 4
+    return out
+
+
+def test_idct_matches_independent_reference():
+    """The decoder's matrix IDCT equals the spec quadruple-loop on
+    asymmetric blocks — pins orientation (a transposed form passed the
+    DC-only fixtures silently until this test existed)."""
+    from sparksent.ext.multimodal import _idct2d
+
+    rng = np.random.RandomState(3)
+    for _ in range(5):
+        coefs = [int(v) for v in rng.randint(-200, 200, 64)]
+        assert np.allclose(_idct2d(coefs), _ref_idct(coefs), atol=1e-9)
+    # explicit orientation probe: S(v=1, u=0) is a VERTICAL gradient
+    coefs = [0] * 64
+    coefs[8] = 60  # natural index v*8+u = 8 -> v=1, u=0
+    img = _idct2d(coefs)
+    assert np.allclose(img, img[:, :1])  # constant along x
+    assert not np.allclose(img, img[:1, :])  # varying along y
+
+
+def test_jpeg_dequant_uses_zigzag_ordered_table():
+    """DQT entries are stored in ZIGZAG order (T.81 B.4.4.1): a
+    non-flat table must scale the coefficient at zigzag index k by
+    q[k], not by q[natural(k)]."""
+    from sparksent.ext.multimodal import (
+        _AC_LUM_BITS, _AC_LUM_VALS, _DC_LUM_BITS, _DC_LUM_VALS,
+        _BitWriter, _encode_block, _huff_codes, _idct2d, _ZIGZAG,
+        decode_jpeg,
+    )
+
+    # quantized coefficient 1 at zigzag index 2 (natural 8 = v=1,u=0);
+    # quant table has 50 at zigzag index 2 and 1 elsewhere
+    qtable = [1] * 64
+    qtable[2] = 50
+    coefs = [0] * 64
+    coefs[_ZIGZAG[2]] = 1
+    bwr = _BitWriter()
+    _encode_block(
+        bwr, coefs, 0,
+        _huff_codes(_DC_LUM_BITS, _DC_LUM_VALS),
+        _huff_codes(_AC_LUM_BITS, _AC_LUM_VALS),
+    )
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    payload = (
+        b"\xff\xd8"
+        + seg(0xDB, bytes([0x00]) + bytes(qtable))
+        + seg(0xC0, bytes([8]) + (8).to_bytes(2, "big") + (8).to_bytes(2, "big")
+              + bytes([1, 1, 0x11, 0]))
+        + seg(0xC4, bytes([0x00]) + bytes(_DC_LUM_BITS) + bytes(_DC_LUM_VALS))
+        + seg(0xC4, bytes([0x10]) + bytes(_AC_LUM_BITS) + bytes(_AC_LUM_VALS))
+        + seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        + bwr.flush() + b"\xff\xd9"
+    )
+    got = decode_jpeg(payload)[:, :, 0]
+    dequant = [0] * 64
+    dequant[_ZIGZAG[2]] = 1 * 50
+    want = np.clip(np.round(_ref_idct(dequant) + 128), 0, 255).astype(np.uint8)
+    assert (got == want).all()
+    assert got.std() > 1  # the gradient is actually visible, not flat
+
+
 def test_jpeg_ac_entropy_path():
     """Nonzero AC coefficients, long zero runs (ZRL), and EOB all
     survive the huffman layer: hand-encode dense blocks, decode the
-    file, and compare against the same dequant+IDCT applied directly to
-    the source coefficients — any entropy-layer corruption (wrong run
-    length, wrong category bits, missed stuffing) breaks equality."""
+    file, and compare against the INDEPENDENT reference dequant+IDCT
+    applied directly to the source coefficients — any entropy-layer or
+    transform corruption (wrong run length, wrong category bits, missed
+    stuffing, flipped orientation) breaks equality."""
     from sparksent.ext.multimodal import (
         _AC_LUM_BITS, _AC_LUM_VALS, _DC_LUM_BITS, _DC_LUM_VALS,
-        _BitWriter, _encode_block, _huff_codes, _idct2d,
+        _BitWriter, _encode_block, _huff_codes,
     )
 
     h = w = 16  # 2x2 blocks
@@ -321,7 +408,7 @@ def test_jpeg_ac_entropy_path():
     want = np.zeros((16, 16), dtype=np.uint8)
     for i, coefs in enumerate(blocks):
         by, bx = divmod(i, 2)
-        block = np.clip(np.round(_idct2d(coefs) + 128), 0, 255).astype(np.uint8)
+        block = np.clip(np.round(_ref_idct(coefs) + 128), 0, 255).astype(np.uint8)
         want[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
     assert (got == want).all()
 
@@ -405,6 +492,16 @@ def test_mjpeg_video_end_to_end():
             want = ((mid * 3 + 17 * f + 7 * (x // 8) + 13 * (y // 8)) % 256)
             assert img.shape == (h, w, 3)
             assert (img[:, :, 0] == want.astype(np.uint8)).all()
+
+
+def test_video_decode_gates_on_codec_handler():
+    """decode_video_frames must gate on the stream's declared handler,
+    not sniff frame bytes — the raw-byte AVI clips raise a codec error
+    NAMING the handler instead of mis-decoding or KeyError-ing."""
+    from sparksent.ext.multimodal import decode_video_frames, synth_avi_payload
+
+    with pytest.raises(NotImplementedError, match="codec"):
+        decode_video_frames(synth_avi_payload(5))
 
 
 def test_mjpeg_frames_are_standalone_jpegs():
