@@ -36,3 +36,19 @@ def test_registry_full_surface_loads():
     assert len(qs) >= 58
     # every oracle belongs to a registered query
     assert set(osql) <= set(qs)
+
+
+def test_bench_names_are_registered():
+    """bench.py's HEADLINE/CAPABILITY lists are plain strings, so a typo
+    (or a renamed query) would crash the driver's BENCH run at timing
+    time — the one artifact pytest otherwise never exercises.  Pin:
+    every benched name resolves in the registry, and every registered
+    query is either benched or deliberately absent from both tiers."""
+    import bench
+    from sparksent.registry import queries
+
+    qs = queries()
+    benched = set(bench.HEADLINE) | set(bench.CAPABILITY)
+    missing = benched - set(qs)
+    assert not missing, f"bench names not in registry: {sorted(missing)}"
+    assert len(bench.HEADLINE) == len(set(bench.HEADLINE))  # no dupes
