@@ -681,3 +681,32 @@ def test_transitions_per_record_matches_oracle_sf001(spark, ducks, tmp_path):
         WHERE prev_type IS NOT NULL
         """,
     )
+
+
+def test_multimodal_decode_streams_unmodified(spark, tmp_path):
+    """The decode operators are stateless Arrow maps, so the SAME
+    functions run under Structured Streaming with no changes: replay
+    the documents fixture as a file stream, run the full MJPEG video
+    decode (container demux + per-frame baseline JPEG) per micro-batch,
+    and assert the union of streamed outputs equals the batch answer —
+    the stream≡batch story extended to the multimodal surface."""
+    from sparksent.ext import multimodal
+    from sparksent.streaming.sources import append_flat_file
+
+    docs = load_table(spark, SF_DIR_SMALL, "documents").select("doc_id", "text")
+    replay = str(tmp_path / "docs_replay")
+    # write_replay_chunks splits on event_id; documents chunk by doc_id
+    for i in range(3):
+        append_flat_file(
+            docs.filter(F.col("doc_id") % 3 == i), replay, f"chunk_{i}.parquet"
+        )
+    stream = (
+        spark.readStream.schema("doc_id long, text string").parquet(replay)
+    )
+    out = multimodal.decode_videos(stream)
+    _run_to_memory(out, "t_video_stream", "append")
+    got = spark.table("t_video_stream")
+    want = multimodal.decode_videos(docs)
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
