@@ -422,3 +422,40 @@ def test_funnel_conditional_aggs_all_user_keyed(spark):
     assert "EqualTo(event_type,click)" in plan
     assert "EqualTo(event_type,purchase)" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_decode_queries_single_map_stage(spark):
+    """Every decode query is exactly: pruned scan -> one round-robin
+    rebalance exchange -> one Arrow mapInPandas. No aggregation, no
+    join, no second shuffle — the embarrassingly-parallel shape whose
+    only scale lever is partition count."""
+    for name in (
+        "multimodal_decode_pixels",
+        "multimodal_decode_audio",
+        "multimodal_decode_png",
+        "multimodal_decode_gif",
+        "multimodal_decode_jpeg",
+        "multimodal_decode_video",
+        "multimodal_video_index",
+    ):
+        plan = plan_of(spark, name)
+        assert count_data_shuffles(plan) == 1, name  # the rebalance only
+        assert plan.count("MapInPandas") >= 1, name
+        assert "SortMergeJoin" not in plan and "HashAggregate" not in plan, name
+        # projection pruning: the scan ships only the id (decode
+        # synthesizes payloads from the id; text never crosses Arrow)
+        m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+        assert m and m.group(1).split(",") == ["doc_id:bigint"], name
+
+
+def test_bpe_word_vocab_distributed_topk(spark):
+    """The BPE vocab query must keep its three scale properties: a
+    map-side partial count before the one aggregation exchange, the
+    min_count filter AFTER the final aggregate (an in-plan HAVING, not
+    a second job), and TakeOrderedAndProject for the cap — the
+    distributed partial top-K, never a global Sort."""
+    plan = plan_of(spark, "bpe_word_vocab")
+    assert "partial_count" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert re.search(r"\(\d+\) Sort\b", plan) is None
+    assert count_data_shuffles(plan) <= 2  # rebalance + agg exchange
