@@ -1,0 +1,338 @@
+"""Record linkage, corpus LM scoring, and query-time ranking — three
+training-data-pipeline surfaces the curation stack needs beyond dedup:
+
+- blocked fuzzy matching (edit-distance entity resolution),
+- n-gram LM quality scoring (the CCNet-style "how corpus-typical is
+  this document" filter signal),
+- BM25 top-k retrieval (query-time ranking over the corpus, the IR
+  complement to `top_distinctive_terms`' corpus-side tf-idf).
+
+All three follow the repo's exactness conventions: integer counts until
+the final ratio, no libm transcendentals (rational idf instead of
+``ln``), float sums accumulated in DECIMAL(28,6), every computed column
+aliased identically in the Spark and DuckDB forms.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..tables import rebalance
+
+# ---------------------------------------------------------------------------
+# blocked fuzzy matching (entity resolution)
+# ---------------------------------------------------------------------------
+
+FUZZY_MAX_DIST = 3
+FUZZY_LEN_BAND = 2
+
+
+def fuzzy_name_pairs(
+    df: DataFrame,
+    name_col: str = "p_name",
+    max_dist: int = FUZZY_MAX_DIST,
+    len_band: int = FUZZY_LEN_BAND,
+) -> DataFrame:
+    """Edit-distance record linkage over a name column, dictionary-first.
+
+    Shape (the 100-TB design, in order):
+
+    1. **Collapse to the value domain**: ``GROUP BY name`` first, so the
+       pair stage sees distinct values (64 at this fixture) instead of
+       rows (2 000 here; billions at scale). Row multiplicity survives
+       as ``n_a``/``n_b`` so match cardinality is recoverable.
+    2. **Blocking keys bound the join**: candidates must share the
+       first character AND sit within ``len_band`` of each other in
+       length — an equi-join on the block key plus a residual length
+       predicate, never an all-pairs cross join. At scale the block key
+       widens (more prefix chars, q-gram keys, multi-pass OR-blocking
+       for prefix-edit recall); the plan shape is unchanged.
+    3. **Band-limited DP**: Spark's 3-arg ``levenshtein(l, r, t)``
+       abandons a pair once distance exceeds ``t`` (O(t·len) instead of
+       O(len²)) and returns -1, which the filter drops. The oracle's
+       plain ``levenshtein() <= t`` is semantically identical on the
+       survivors.
+
+    ``name_a < name_b`` canonicalizes pair order (no mirror dupes, no
+    self-pairs).
+    """
+    # One corpus scan + aggregate, reused by both join sides —
+    # localCheckpoint (repo multi-consumer convention, dedup modules)
+    # or the self-join would scan and aggregate the raw rows twice.
+    names = (
+        rebalance(df)
+        .groupBy(F.col(name_col).alias("name"))
+        .agg(F.count("*").alias("n_rows"))
+        .localCheckpoint()
+    )
+    a = names.select(
+        F.col("name").alias("name_a"),
+        F.col("n_rows").alias("n_a"),
+        F.substring("name", 1, 1).alias("blk"),
+        F.length("name").alias("len_a"),
+    )
+    b = names.select(
+        F.col("name").alias("name_b"),
+        F.col("n_rows").alias("n_b"),
+        F.substring("name", 1, 1).alias("blk"),
+        F.length("name").alias("len_b"),
+    )
+    return (
+        a.join(b, "blk")
+        .filter(
+            (F.abs(F.col("len_a") - F.col("len_b")) <= len_band)
+            & (F.col("name_a") < F.col("name_b"))
+        )
+        .withColumn("dist", F.levenshtein("name_a", "name_b", max_dist))
+        .filter(F.col("dist") >= 0)
+        .select("name_a", "name_b", "dist", "n_a", "n_b")
+    )
+
+
+def fuzzy_name_pairs_sql(
+    table: str = "part",
+    name: str = "p_name",
+    max_dist: int = FUZZY_MAX_DIST,
+    len_band: int = FUZZY_LEN_BAND,
+) -> str:
+    return f"""
+    WITH names AS (
+      SELECT {name} AS name, count(*) AS n_rows FROM {table} GROUP BY 1
+    )
+    SELECT a.name AS name_a, b.name AS name_b,
+           levenshtein(a.name, b.name) AS dist,
+           a.n_rows AS n_a, b.n_rows AS n_b
+    FROM names a JOIN names b
+      ON substr(a.name, 1, 1) = substr(b.name, 1, 1)
+     AND abs(length(a.name) - length(b.name)) <= {len_band}
+     AND a.name < b.name
+     AND levenshtein(a.name, b.name) <= {max_dist}
+    """
+
+
+# ---------------------------------------------------------------------------
+# corpus-LM document scoring
+# ---------------------------------------------------------------------------
+
+
+def _word_bigrams(text_col: str):
+    """Per-row word-bigram array (empty when <2 tokens) — the same gram
+    construction as `textstats.bigram_lift`, kept expression-identical
+    so the two operators share plan shape."""
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    return F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(
+                " ", F.try_element_at(toks, i), F.try_element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def lm_bigram_score(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """CCNet-style corpus-typicality score: how frequent are this
+    document's word bigrams in the corpus overall? Low average bigram
+    frequency flags boilerplate/garbled outliers the perplexity filter
+    of CCNet-like pipelines would drop. Frequency is used directly
+    instead of a log-prob sum so the score stays a ratio of exact
+    integers (no ``ln`` — libm ulp drift; see `bigram_lift`).
+
+    Plan: one explode -> (doc, bigram) tf aggregate; corpus counts are
+    a second aggregate OVER the tf frame (no second scan of the raw
+    text); one vocab-keyed join (AQE picks broadcast when the vocab is
+    small); one per-doc aggregate; documents with <2 tokens re-enter
+    via a left join with the -1.0 sentinel (NULL-free convention).
+    All counts BIGINT-exact; the single division is IEEE-deterministic.
+    """
+    base = rebalance(df)
+    # (doc, bigram) tf is consumed twice (corpus counts + the per-doc
+    # join); localCheckpoint materializes the explode+aggregate once —
+    # at scale this frame is the natural pipeline checkpoint (vocab-keyed,
+    # far smaller than the exploded token stream that builds it).
+    doc_bg = (
+        base.select(F.col(id_col).alias("id"), F.explode(_word_bigrams(text_col)).alias("bigram"))
+        .groupBy("id", "bigram")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint()
+    )
+    bg = doc_bg.groupBy("bigram").agg(F.sum("tf").alias("c_ab"))
+    per_doc = (
+        doc_bg.join(bg, "bigram")
+        .groupBy("id")
+        .agg(
+            F.sum("tf").alias("n_bigrams"),
+            F.sum(F.col("tf") * F.col("c_ab")).alias("sum_freq"),
+        )
+    )
+    return (
+        base.select(F.col(id_col).alias("id"))
+        .join(per_doc, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.coalesce("sum_freq", F.lit(0)).alias("sum_freq"),
+            F.when(
+                F.col("n_bigrams").isNull(), F.lit(-1.0)
+            )
+            .otherwise(F.col("sum_freq") / F.col("n_bigrams"))
+            .alias("avg_bigram_freq"),
+        )
+    )
+
+
+def lm_bigram_score_sql(
+    table: str = "documents", id_col: str = "doc_id", text: str = "text"
+) -> str:
+    toks = f"string_split({text}, ' ')"
+    return f"""
+    WITH grams AS (
+      SELECT {id_col} AS id,
+             unnest(CASE WHEN len({toks}) >= 2 THEN
+               [array_to_string({toks}[i:i+1], ' ')
+                FOR i IN generate_series(1, len({toks}) - 1)]
+             ELSE [] END) AS bigram
+      FROM {table}
+    ),
+    doc_bg AS (SELECT id, bigram, count(*) AS tf FROM grams GROUP BY 1, 2),
+    bg AS (SELECT bigram, sum(tf)::BIGINT AS c_ab FROM doc_bg GROUP BY 1),
+    per_doc AS (
+      SELECT id, sum(tf)::BIGINT AS n_bigrams,
+             sum(tf * c_ab)::BIGINT AS sum_freq
+      FROM doc_bg JOIN bg USING (bigram)
+      GROUP BY 1
+    )
+    SELECT d.{id_col},
+           coalesce(p.n_bigrams, 0) AS n_bigrams,
+           coalesce(p.sum_freq, 0) AS sum_freq,
+           CASE WHEN p.n_bigrams IS NULL THEN -1.0
+                ELSE p.sum_freq::DOUBLE / p.n_bigrams END AS avg_bigram_freq
+    FROM {table} d LEFT JOIN per_doc p ON p.id = d.{id_col}
+    """
+
+
+# ---------------------------------------------------------------------------
+# BM25 top-k retrieval
+# ---------------------------------------------------------------------------
+
+BM25_QUERY_TERMS = ("spark", "query", "stream")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 20
+
+
+def bm25_topk(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    terms: tuple[str, ...] = BM25_QUERY_TERMS,
+    k: int = BM25_TOPK,
+) -> DataFrame:
+    """Query-time BM25 ranking: top-k documents for a fixed term set.
+
+    Rational-idf variant: ``idf = (N - df + 0.5) / (df + 0.5)`` — the
+    Robertson idf WITHOUT the log wrap, keeping the same df ordering
+    while avoiding libm (`bigram_lift` precedent). Per-term scores are
+    IEEE-deterministic (identical expression tree over exact-integer
+    tf/df/dl and one shared avgdl division); the per-document sum
+    accumulates in DECIMAL(28,6) so shuffle order can't move the hash.
+
+    Plan: tokens are filtered to the query terms BEFORE the exploded
+    aggregate, so only query-term occurrences ever enter a shuffle —
+    at 100 TB this is the difference between an inverted-index probe
+    and building the full index. df (|terms| rows) and the N/avgdl
+    scalar broadcast back; final top-k is TakeOrdered, not a global
+    sort.
+    """
+    base = rebalance(df)
+    toks = F.split(F.col(text_col), " ")
+    docs = base.select(F.col(id_col).alias("id"), F.size(toks).alias("dl"))
+    # tf is tiny (≤ |docs|·|terms| rows) and feeds both df and the score
+    # join — localCheckpoint so the explode over the corpus runs once.
+    tf = (
+        base.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.filter(toks, lambda t: t.isin(*terms))).alias("term"),
+        )
+        .groupBy("id", "term")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint()
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    totals = docs.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl") / F.count("*")).alias("avgdl"),
+    )
+    term_score = (F.col("idf") * (F.col("tf") * (1.0 + BM25_K1))) / (
+        F.col("tf")
+        + BM25_K1 * ((1.0 - BM25_B) + ((BM25_B * F.col("dl")) / F.col("avgdl")))
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(docs, "id")
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "idf",
+            ((F.col("n_docs") - F.col("df")) + 0.5) / (F.col("df") + 0.5),
+        )
+        .groupBy("id")
+        .agg(
+            F.sum(term_score.cast("decimal(28,6)")).cast("double").alias("score"),
+            F.count("*").alias("n_terms_hit"),
+        )
+    )
+    return (
+        scored.orderBy(F.col("score").desc(), "id")
+        .limit(k)
+        .select(F.col("id").alias(id_col), "score", "n_terms_hit")
+    )
+
+
+def bm25_topk_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text: str = "text",
+    terms: tuple[str, ...] = BM25_QUERY_TERMS,
+    k: int = BM25_TOPK,
+) -> str:
+    toks = f"string_split({text}, ' ')"
+    term_set = ", ".join(f"'{t}'" for t in terms)
+    # DuckDB parses bare float literals as DECIMAL, which would make
+    # sub-expressions exact-decimal where Spark computes IEEE doubles
+    # (e.g. decimal (1.0+1.2)=2.2 vs double 2.2000000000000002) — every
+    # constant is therefore pinned ::DOUBLE so both engines evaluate the
+    # identical double expression tree.
+    k1, b = f"{BM25_K1}::DOUBLE", f"{BM25_B}::DOUBLE"
+    half = "0.5::DOUBLE"
+    return f"""
+    WITH docs AS (
+      SELECT {id_col} AS id, len({toks}) AS dl FROM {table}
+    ),
+    tf AS (
+      SELECT id, term, count(*) AS tf
+      FROM (SELECT {id_col} AS id,
+                   unnest(list_filter({toks}, t -> t IN ({term_set}))) AS term
+            FROM {table})
+      GROUP BY 1, 2
+    ),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    tot AS (SELECT count(*) AS n_docs, sum(dl)::DOUBLE / count(*) AS avgdl FROM docs)
+    SELECT id AS {id_col},
+           sum((
+             (((n_docs - df) + {half}) / (df + {half}))
+             * (tf * (1.0::DOUBLE + {k1}))
+             / (tf + {k1} * ((1.0::DOUBLE - {b}) + (({b} * dl) / avgdl)))
+           )::DECIMAL(28,6))::DOUBLE AS score,
+           count(*) AS n_terms_hit
+    FROM tf
+    JOIN dfreq USING (term)
+    JOIN docs USING (id)
+    CROSS JOIN tot
+    GROUP BY id
+    ORDER BY score DESC, id
+    LIMIT {k}
+    """

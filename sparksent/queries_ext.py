@@ -14,6 +14,7 @@ from .ext import (
     dedup,
     grouped,
     jsonops,
+    matching,
     multimodal,
     similarity,
     sketches,
@@ -974,3 +975,53 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ext import bpe
 
     return bpe.learn_merges(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# record linkage / LM scoring / retrieval (round 5)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "fuzzy_name_pairs",
+    oracle=matching.fuzzy_name_pairs_sql(),
+    tags=("ext", "matching"),
+)
+def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance record linkage over part names, dictionary-first:
+    collapse rows to distinct name values (64 vs 2 000 here; the 100-TB
+    lever), block on (first char, length band) so the pair stage is an
+    equi-join — never all-pairs — then band-limited Levenshtein
+    (Spark's 3-arg early-abandon form) keeps pairs within distance 3.
+    Row multiplicity survives as n_a/n_b."""
+    p = tables.load_table(spark, sf_dir, "part").select("p_name")
+    return matching.fuzzy_name_pairs(p)
+
+
+@register(
+    "lm_bigram_score",
+    oracle=matching.lm_bigram_score_sql(),
+    tags=("ext", "text"),
+)
+def q_lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus-typicality score per document: the average
+    corpus frequency of the document's word bigrams (rational form of
+    the LM perplexity filter — exact integer counts, one deterministic
+    division, no libm). <2-token docs re-enter via left join with the
+    -1.0 sentinel."""
+    return matching.lm_bigram_score(_docs(spark, sf_dir))
+
+
+@register(
+    "bm25_topk",
+    oracle=matching.bm25_topk_sql(),
+    tags=("ext", "text"),
+)
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 retrieval for a fixed query-term set with rational
+    (log-free) Robertson idf. Query terms are filtered BEFORE the
+    exploded aggregate so only their occurrences shuffle (inverted-index
+    probe shape, not index build); df and N/avgdl broadcast back; final
+    top-k is TakeOrdered. Per-doc score sums accumulate in
+    DECIMAL(28,6) so shuffle order can't move the hash."""
+    return matching.bm25_topk(_docs(spark, sf_dir))

@@ -71,7 +71,12 @@ _PRIORITY: tuple[str, ...] = (
     "multimodal_decode_video",
     "multimodal_video_index",
     "bpe_word_vocab",
-    # Slots 11-18: latest green driver row is r01 (8 names).
+    # Slots 11-13: late round-5 registrations (first driver check
+    # pending) — displace the last 3 r03-stale names to round 6.
+    "fuzzy_name_pairs",
+    "lm_bigram_score",
+    "bm25_topk",
+    # Slots 14-21: latest green driver row is r01 (8 names).
     "tpch_q6_forecast",
     "tpch_q14_promo",
     "tpch_q16_supplier_cnt",
@@ -80,7 +85,7 @@ _PRIORITY: tuple[str, ...] = (
     "tpch_q19_disjunctive",
     "semi_late_orders",
     "anti_customers_no_orders",
-    # Slots 19-42: latest green driver row is r02 (24 names).
+    # Slots 22-45: latest green driver row is r02 (24 names).
     "doc_sentiment",
     "doc_entities",
     "doc_categories",
@@ -105,7 +110,7 @@ _PRIORITY: tuple[str, ...] = (
     "corpus_curation_pipeline",
     "tpch_q1_pricing",
     "tpch_q3_shipping",
-    # Slots 43-50: oldest of the 28 r03-stale names (the rest spill to
+    # Slots 46-50: oldest of the 28 r03-stale names (the rest spill to
     # round 6's window; all are green under this round's local
     # driver-sim).  Dedup/similarity shapes first — they changed most
     # recently (r3 skew work) and are the heaviest plans.
@@ -114,10 +119,10 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_ngram_containment",
     "dedup_embedding_cosine",
     "graph_triangle_counts",
+    # Slots 51+: remaining r03-stale names, next in line for round 6.
     "decontaminate_5gram",
     "multimodal_resize_plan",
     "multimodal_frame_sample",
-    # Slots 51+: remaining r03-stale names, next in line for round 6.
     "pii_redaction",
     "boilerplate_removal",
     "lang_id_confusion",

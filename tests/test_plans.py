@@ -459,3 +459,40 @@ def test_bpe_word_vocab_distributed_topk(spark):
     assert "TakeOrderedAndProject" in plan
     assert re.search(r"\(\d+\) Sort\b", plan) is None
     assert count_data_shuffles(plan) <= 2  # rebalance + agg exchange
+
+
+def test_fuzzy_name_pairs_dictionary_first(spark):
+    """Fuzzy matching must stay dictionary-first and blocked: the name
+    dictionary materializes ONCE (localCheckpoint scan, no second
+    corpus aggregate), the pair stage is an equi-join on the block key
+    (hash join, never a cartesian/nested-loop), and no global sort."""
+    plan = plan_of(spark, "fuzzy_name_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Scan ExistingRDD") >= 1  # the checkpointed dictionary
+    assert plan.count("Scan parquet") == 0  # raw rows never re-scanned
+    assert re.search(r"\(\d+\) Sort\b", plan) is None
+
+
+def test_lm_bigram_score_single_explode(spark):
+    """The (doc, bigram) tf frame feeds both the corpus counts and the
+    per-doc join — it must materialize once (localCheckpoint), so the
+    corpus text is exploded exactly once; the docs-side re-scan reads
+    only doc_id."""
+    plan = plan_of(spark, "lm_bigram_score")
+    assert plan.count("Generate") == 0  # explode happened pre-checkpoint
+    assert "CartesianProduct" not in plan
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert schemas and all(s == "doc_id:bigint" for s in schemas)
+
+
+def test_bm25_probe_shape(spark):
+    """BM25 must look like an inverted-index probe, not an index build:
+    the exploded tf frame is checkpointed (one explode), df and the
+    totals broadcast, and the final top-k is TakeOrderedAndProject —
+    never a global Sort."""
+    plan = plan_of(spark, "bm25_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert re.search(r"\(\d+\) Sort\b", plan) is None
+    assert plan.count("Generate") == 0  # the one explode is pre-checkpoint
+    assert plan.count("BroadcastExchange") >= 2  # dfreq + totals
