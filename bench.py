@@ -139,6 +139,9 @@ HEADLINE = [
     "multimodal_decode_video",
     "multimodal_video_index",
     "bpe_word_vocab",
+    "fuzzy_name_pairs",
+    "lm_bigram_score",
+    "bm25_topk",
 ]
 
 # Timed and reported, but excluded from the headline sum: cost dominated
