@@ -142,6 +142,7 @@ HEADLINE = [
     "fuzzy_name_pairs",
     "lm_bigram_score",
     "bm25_topk",
+    "ewma_user_value",
 ]
 
 # Timed and reported, but excluded from the headline sum: cost dominated

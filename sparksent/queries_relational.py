@@ -1192,3 +1192,64 @@ def q_weekly_wow(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("s").cast("double") / prev.cast("double"))
         .alias("wow_ratio"),
     )
+
+
+@register(
+    "ewma_user_value",
+    oracle="""
+    WITH lagged AS (
+      SELECT event_id, user_id, epoch_us(ts) AS ts_us, value,
+             lag(value, 1) OVER w AS l1,
+             lag(value, 2) OVER w AS l2,
+             lag(value, 3) OVER w AS l3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_id, user_id, ts_us, value,
+           (value * 8
+            + coalesce(l1, 0.0::DOUBLE) * 4
+            + coalesce(l2, 0.0::DOUBLE) * 2
+            + coalesce(l3, 0.0::DOUBLE) * 1)
+           / (8
+              + CASE WHEN l1 IS NULL THEN 0 ELSE 4 END
+              + CASE WHEN l2 IS NULL THEN 0 ELSE 2 END
+              + CASE WHEN l3 IS NULL THEN 0 ELSE 1 END) AS ewma4
+    FROM lagged
+    """,
+    tags=("relational", "window", "timeseries"),
+)
+def q_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event exponential smoothing over each user's value series:
+    a bounded EWMA with halving weights (8/4/2/1) over the last four
+    events, the streamable row-window form of the classic recursive
+    EWMA (a 4-term truncation keeps it a pure lag expression — no
+    iterative state, so ONE user-keyed shuffle serves all three lags).
+    Head-of-series rows renormalize over the weights actually present
+    instead of back-filling. Bit-exact across engines by construction:
+    the weights are powers of two (exact double products), the sums
+    associate in one fixed written order, and the one division is
+    IEEE-deterministic."""
+    ev = tables.load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    l1 = F.lag("value", 1).over(w)
+    l2 = F.lag("value", 2).over(w)
+    l3 = F.lag("value", 3).over(w)
+    num = (
+        F.col("value") * 8
+        + F.coalesce(l1, F.lit(0.0)) * 4
+        + F.coalesce(l2, F.lit(0.0)) * 2
+        + F.coalesce(l3, F.lit(0.0)) * 1
+    )
+    den = (
+        F.lit(8)
+        + F.when(l1.isNull(), F.lit(0)).otherwise(F.lit(4))
+        + F.when(l2.isNull(), F.lit(0)).otherwise(F.lit(2))
+        + F.when(l3.isNull(), F.lit(0)).otherwise(F.lit(1))
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "value",
+        (num / den).alias("ewma4"),
+    )

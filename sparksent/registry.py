@@ -71,12 +71,13 @@ _PRIORITY: tuple[str, ...] = (
     "multimodal_decode_video",
     "multimodal_video_index",
     "bpe_word_vocab",
-    # Slots 11-13: late round-5 registrations (first driver check
-    # pending) — displace the last 3 r03-stale names to round 6.
+    # Slots 11-14: late round-5 registrations (first driver check
+    # pending) — displace the last 4 r03-stale names to round 6.
     "fuzzy_name_pairs",
     "lm_bigram_score",
     "bm25_topk",
-    # Slots 14-21: latest green driver row is r01 (8 names).
+    "ewma_user_value",
+    # Slots 15-22: latest green driver row is r01 (8 names).
     "tpch_q6_forecast",
     "tpch_q14_promo",
     "tpch_q16_supplier_cnt",
@@ -85,7 +86,7 @@ _PRIORITY: tuple[str, ...] = (
     "tpch_q19_disjunctive",
     "semi_late_orders",
     "anti_customers_no_orders",
-    # Slots 22-45: latest green driver row is r02 (24 names).
+    # Slots 23-46: latest green driver row is r02 (24 names).
     "doc_sentiment",
     "doc_entities",
     "doc_categories",
@@ -110,7 +111,7 @@ _PRIORITY: tuple[str, ...] = (
     "corpus_curation_pipeline",
     "tpch_q1_pricing",
     "tpch_q3_shipping",
-    # Slots 46-50: oldest of the 28 r03-stale names (the rest spill to
+    # Slots 47-50: oldest of the 28 r03-stale names (the rest spill to
     # round 6's window; all are green under this round's local
     # driver-sim).  Dedup/similarity shapes first — they changed most
     # recently (r3 skew work) and are the heaviest plans.
@@ -118,8 +119,8 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_ngram_jaccard",
     "dedup_ngram_containment",
     "dedup_embedding_cosine",
-    "graph_triangle_counts",
     # Slots 51+: remaining r03-stale names, next in line for round 6.
+    "graph_triangle_counts",
     "decontaminate_5gram",
     "multimodal_resize_plan",
     "multimodal_frame_sample",

@@ -496,3 +496,12 @@ def test_bm25_probe_shape(spark):
     assert re.search(r"\(\d+\) Sort\b", plan) is None
     assert plan.count("Generate") == 0  # the one explode is pre-checkpoint
     assert plan.count("BroadcastExchange") >= 2  # dfreq + totals
+
+
+def test_ewma_single_user_shuffle(spark):
+    """All three lags of the bounded EWMA share one user-keyed window:
+    exactly ONE data shuffle and one partition-local sort, never a
+    global sort or a second exchange."""
+    plan = plan_of(spark, "ewma_user_value")
+    assert count_data_shuffles(plan) == 1
+    assert plan.count("Window") >= 1
