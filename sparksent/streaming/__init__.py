@@ -24,6 +24,7 @@ from .neardup import (  # noqa: F401
 from .count_window import (  # noqa: F401
     streaming_count_window,
     streaming_cumulative_per_record,
+    streaming_ewma_per_record,
 )
 from .ops import (  # noqa: F401
     streaming_cumulative_sum,

@@ -265,3 +265,80 @@ def streaming_transitions_per_record(
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def _make_ewma_fn(value_col: str, key_col: str, order_cols: Sequence[str]):
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        l1, l2, l3, seen = state.get if state.exists else (0.0, 0.0, 0.0, 0)
+        chunks = [c for c in pdfs if len(c)]
+        if chunks:
+            pdf = pd.concat(chunks).sort_values(list(order_cols))
+            vals = pdf[value_col].to_numpy()
+            out: list[float] = []
+            for raw in vals:
+                v = float(raw)
+                # Same association order as the batch expression
+                # (value*8 + coalesce(l1,0)*4 + coalesce(l2,0)*2 +
+                # coalesce(l3,0)*1): absent lags are exact 0.0 terms, so
+                # the unconditional adds reproduce the batch doubles
+                # bit-for-bit; only the denominator gates on presence.
+                num = ((v * 8 + l1 * 4) + l2 * 2) + l3 * 1
+                den = (
+                    8
+                    + (4 if seen >= 1 else 0)
+                    + (2 if seen >= 2 else 0)
+                    + (1 if seen >= 3 else 0)
+                )
+                out.append(num / den)
+                l3, l2, l1 = l2, l1, v
+                seen += 1
+            cols = {key_col: pdf[key_col].to_numpy(), "value": vals, "ewma4": out}
+            for c in order_cols:
+                cols[c] = pdf[c].to_numpy()
+            yield pd.DataFrame(cols)
+        state.update((l1, l2, l3, seen))
+
+    return fn
+
+
+EWMA_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("l1", T.DoubleType()),
+        T.StructField("l2", T.DoubleType()),
+        T.StructField("l3", T.DoubleType()),
+        T.StructField("seen", T.LongType()),
+    ]
+)
+
+
+def streaming_ewma_per_record(
+    df: DataFrame,
+    value_col: str = "value",
+    key_col: str = "user_id",
+    order_cols: Sequence[str] = ("ts", "event_id"),
+) -> DataFrame:
+    """Streaming form of the batch ``ewma_user_value`` lag window: one
+    output row per record carrying the bounded 8/4/2/1 EWMA over the
+    key's last four values, with three doubles + a counter of state per
+    key crossing micro-batch boundaries.  Rows within a micro-batch
+    process in ``order_cols`` order and the arithmetic reproduces the
+    batch expression's association order exactly, so the emitted values
+    equal the batch window's bit-for-bit (equivalence + direct DuckDB
+    oracle tests in tests/test_streaming_equivalence.py)."""
+    out_schema = T.StructType(
+        [
+            _field(df, key_col),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("ewma4", T.DoubleType()),
+        ]
+        + [_field(df, c) for c in order_cols]
+    )
+    return df.groupBy(key_col).applyInPandasWithState(
+        _make_ewma_fn(value_col, key_col, order_cols),
+        out_schema,
+        EWMA_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

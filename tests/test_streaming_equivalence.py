@@ -710,3 +710,80 @@ def test_multimodal_decode_streams_unmodified(spark, tmp_path):
     assert got.count() == want.count() > 0
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_ewma_per_record_equivalence(spark, tmp_path):
+    """Streaming bounded EWMA (three doubles + counter of per-key state
+    crossing micro-batches) emits the batch lag-window expression's
+    values BIT-FOR-BIT: same association order, absent lags as exact
+    0.0 terms, presence-gated denominator."""
+    from sparksent.streaming.count_window import streaming_ewma_per_record
+
+    replay = str(tmp_path / "ewma_replay")
+    ev = load_table(spark, SF_DIR_SMALL, "events")
+    write_replay_chunks(ev, replay, N_CHUNKS)
+
+    stream = file_replay_source(spark, replay).select(
+        "user_id", "value", "ts", "event_id"
+    )
+    out = streaming_ewma_per_record(stream)
+    _run_to_memory(out, "t_ewma", "append")
+    got = (
+        spark.table("t_ewma").toPandas()
+        .sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+    )
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    l1 = F.lag("value", 1).over(w)
+    l2 = F.lag("value", 2).over(w)
+    l3 = F.lag("value", 3).over(w)
+    num = (
+        F.col("value") * 8
+        + F.coalesce(l1, F.lit(0.0)) * 4
+        + F.coalesce(l2, F.lit(0.0)) * 2
+        + F.coalesce(l3, F.lit(0.0)) * 1
+    )
+    den = (
+        F.lit(8)
+        + F.when(l1.isNull(), F.lit(0)).otherwise(F.lit(4))
+        + F.when(l2.isNull(), F.lit(0)).otherwise(F.lit(2))
+        + F.when(l3.isNull(), F.lit(0)).otherwise(F.lit(1))
+    )
+    want = (
+        ev.select("user_id", "value", (num / den).alias("ewma4"), "ts", "event_id")
+        .toPandas()
+        .sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+    )
+    assert len(got) == len(want) > 0
+    assert (got["event_id"].to_numpy() == want["event_id"].to_numpy()).all()
+    # bit-exact, not approx: the arithmetic contract is the test
+    assert (got["ewma4"].to_numpy() == want["ewma4"].to_numpy()).all()
+
+
+def test_ewma_per_record_matches_oracle_sf001(spark, ducks, tmp_path):
+    """Streaming EWMA against the registered query's INDEPENDENT DuckDB
+    oracle at sf0.01 — the oracle-grade gate for the newest carry-state
+    operator, same treatment as streaming transitions."""
+    from sparksent.registry import REGISTRY, _ensure_loaded
+    from sparksent.streaming.count_window import streaming_ewma_per_record
+
+    from conftest import SF_DIR, assert_oracle_match
+
+    _ensure_loaded()
+    replay = str(tmp_path / "ewma_oracle_replay")
+    ev = load_table(spark, SF_DIR, "events")
+    write_replay_chunks(ev, replay, N_CHUNKS)
+
+    stream = file_replay_source(spark, replay).select(
+        "user_id", "value", "ts", "event_id"
+    )
+    out = streaming_ewma_per_record(stream)
+    _run_to_memory(out, "t_ewma_oracle", "append")
+    got = spark.table("t_ewma_oracle").select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "value",
+        "ewma4",
+    )
+    assert_oracle_match(got, ducks, REGISTRY["ewma_user_value"].oracle)
