@@ -143,6 +143,8 @@ HEADLINE = [
     "lm_bigram_score",
     "bm25_topk",
     "ewma_user_value",
+    "attribution_first_touch",
+    "winsorize_event_value",
 ]
 
 # Timed and reported, but excluded from the headline sum: cost dominated

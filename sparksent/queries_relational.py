@@ -1253,3 +1253,166 @@ def q_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         (num / den).alias("ewma4"),
     )
+
+
+@register(
+    "attribution_first_touch",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS side
+      FROM events WHERE event_type IN ('view', 'purchase')
+    ),
+    j AS (
+      SELECT *,
+             coalesce(sum(is_p) OVER (PARTITION BY user_id
+                                      ORDER BY ts, side, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                               AND 1 PRECEDING), 0)::BIGINT
+               AS journey
+      FROM u
+    ),
+    f AS (
+      SELECT *,
+             first_value(CASE WHEN is_p = 0 THEN event_id END IGNORE NULLS)
+               OVER w AS first_view_id,
+             first_value(CASE WHEN is_p = 0 THEN ts END IGNORE NULLS)
+               OVER w AS first_view_ts
+      FROM j
+      WINDOW w AS (PARTITION BY user_id, journey ORDER BY ts, side, event_id
+                   ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT event_id AS purchase_id, user_id, journey,
+           coalesce(first_view_id, -1) AS first_view_id,
+           coalesce(epoch_us(ts) - epoch_us(first_view_ts), -1) AS gap_us
+    FROM f WHERE is_p = 1
+    """,
+    tags=("relational", "window", "attribution"),
+)
+def q_attribution_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution — the complement of the as-of (last
+    touch) join: each purchase credits the FIRST view of its journey,
+    where a journey is everything since the user's previous purchase.
+    Journey ids come from a running count of strictly-prior purchases;
+    the first view is a running IGNORE NULLS first_value within
+    (user, journey). Same-timestamp ties order views before purchases
+    (side 0 < 1), matching the as-of query's "view at the same ts
+    counts" convention, then break on event_id.
+
+    Scale: both windows are user-key-rooted — one user_id shuffle, then
+    a (user_id, journey) refinement of it; no join against the fact
+    table at all (the union+window plan, like the as-of join). Missing
+    first touch reports the -1 sentinel (NULL-free convention)."""
+    ev = tables.load_table(spark, sf_dir, "events")
+    u = ev.filter(F.col("event_type").isin("view", "purchase")).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "purchase", F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("is_p"),
+        F.when(F.col("event_type") == "purchase", F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("side"),
+    )
+    w_j = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    j = u.withColumn(
+        "journey",
+        F.coalesce(F.sum("is_p").over(w_j), F.lit(0)).cast("long"),
+    )
+    w_f = (
+        Window.partitionBy("user_id", "journey")
+        .orderBy("ts", "side", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    f = j.withColumn(
+        "first_view_id",
+        F.first(
+            F.when(F.col("is_p") == 0, F.col("event_id")), ignorenulls=True
+        ).over(w_f),
+    ).withColumn(
+        "first_view_ts",
+        F.first(
+            F.when(F.col("is_p") == 0, F.col("ts")), ignorenulls=True
+        ).over(w_f),
+    )
+    return f.filter(F.col("is_p") == 1).select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        "journey",
+        F.coalesce("first_view_id", F.lit(-1)).alias("first_view_id"),
+        F.coalesce(
+            F.unix_micros("ts") - F.unix_micros("first_view_ts"), F.lit(-1)
+        ).alias("gap_us"),
+    )
+
+
+@register(
+    "winsorize_event_value",
+    oracle="""
+    WITH b AS (SELECT event_type,
+                      quantile_cont(value, 0.05::DOUBLE) AS lo,
+                      quantile_cont(value, 0.95::DOUBLE) AS hi
+               FROM events GROUP BY 1)
+    SELECT e.event_type,
+           any_value(b.lo) AS lo,
+           any_value(b.hi) AS hi,
+           count(*) AS n,
+           sum(CASE WHEN e.value < b.lo THEN 1 ELSE 0 END)::BIGINT AS n_clip_low,
+           sum(CASE WHEN e.value > b.hi THEN 1 ELSE 0 END)::BIGINT AS n_clip_high,
+           sum((CASE WHEN e.value < b.lo THEN b.lo
+                     WHEN e.value > b.hi THEN b.hi
+                     ELSE e.value END)::DECIMAL(28,6))::DOUBLE AS sum_winsorized,
+           sum(e.value::DECIMAL(28,6))::DOUBLE AS sum_raw
+    FROM events e JOIN b USING (event_type)
+    GROUP BY 1
+    """,
+    tags=("relational", "analytics"),
+)
+def q_winsorize_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized robust statistics per event_type: clip values at the
+    type's own P5/P95 (the standard heavy-tail tamer for training-data
+    feature columns) and report clip counts plus raw vs winsorized
+    sums. Spark ``percentile`` matches DuckDB ``quantile_cont``
+    bit-for-bit (anomaly_robust_events precedent); the clip itself is
+    pure comparisons, and both sums accumulate in DECIMAL(28,6).
+
+    Scale: one tiny per-type quantile aggregate (5 rows) broadcast back
+    onto the fact scan, then one map-side-combined aggregate — no
+    fact-sized shuffle anywhere."""
+    ev = tables.load_table(spark, sf_dir, "events").select("event_type", "value")
+    bounds = ev.groupBy("event_type").agg(
+        F.percentile("value", 0.05).alias("lo"),
+        F.percentile("value", 0.95).alias("hi"),
+    )
+    return (
+        ev.join(F.broadcast(bounds), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.any_value("lo").alias("lo"),
+            F.any_value("hi").alias("hi"),
+            F.count("*").alias("n"),
+            F.sum(
+                F.when(F.col("value") < F.col("lo"), F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_clip_low"),
+            F.sum(
+                F.when(F.col("value") > F.col("hi"), F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_clip_high"),
+            F.sum(
+                F.when(F.col("value") < F.col("lo"), F.col("lo"))
+                .when(F.col("value") > F.col("hi"), F.col("hi"))
+                .otherwise(F.col("value"))
+                .cast("decimal(28,6)")
+            )
+            .cast("double")
+            .alias("sum_winsorized"),
+            F.sum(F.col("value").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("sum_raw"),
+        )
+    )

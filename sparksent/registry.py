@@ -71,13 +71,15 @@ _PRIORITY: tuple[str, ...] = (
     "multimodal_decode_video",
     "multimodal_video_index",
     "bpe_word_vocab",
-    # Slots 11-14: late round-5 registrations (first driver check
+    # Slots 11-16: late round-5 registrations (first driver check
     # pending) — displace the last 4 r03-stale names to round 6.
     "fuzzy_name_pairs",
     "lm_bigram_score",
     "bm25_topk",
     "ewma_user_value",
-    # Slots 15-22: latest green driver row is r01 (8 names).
+    "attribution_first_touch",
+    "winsorize_event_value",
+    # Slots 17-24: latest green driver row is r01 (8 names).
     "tpch_q6_forecast",
     "tpch_q14_promo",
     "tpch_q16_supplier_cnt",
@@ -86,7 +88,7 @@ _PRIORITY: tuple[str, ...] = (
     "tpch_q19_disjunctive",
     "semi_late_orders",
     "anti_customers_no_orders",
-    # Slots 23-46: latest green driver row is r02 (24 names).
+    # Slots 25-48: latest green driver row is r02 (24 names).
     "doc_sentiment",
     "doc_entities",
     "doc_categories",
@@ -111,15 +113,15 @@ _PRIORITY: tuple[str, ...] = (
     "corpus_curation_pipeline",
     "tpch_q1_pricing",
     "tpch_q3_shipping",
-    # Slots 47-50: oldest of the 28 r03-stale names (the rest spill to
+    # Slots 49-50: oldest of the 28 r03-stale names (the rest spill to
     # round 6's window; all are green under this round's local
     # driver-sim).  Dedup/similarity shapes first — they changed most
     # recently (r3 skew work) and are the heaviest plans.
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
+    # Slots 51+: remaining r03-stale names, next in line for round 6.
     "dedup_ngram_containment",
     "dedup_embedding_cosine",
-    # Slots 51+: remaining r03-stale names, next in line for round 6.
     "graph_triangle_counts",
     "decontaminate_5gram",
     "multimodal_resize_plan",

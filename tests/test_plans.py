@@ -505,3 +505,23 @@ def test_ewma_single_user_shuffle(spark):
     plan = plan_of(spark, "ewma_user_value")
     assert count_data_shuffles(plan) == 1
     assert plan.count("Window") >= 1
+
+
+def test_attribution_first_touch_single_shuffle(spark):
+    """First-touch attribution is the union+window plan: ONE user_id
+    shuffle serves both the journey window and the (user_id, journey)
+    first-value window (the second is a co-partitioned refinement —
+    sort only, no exchange), and there is no join node at all."""
+    plan = plan_of(spark, "attribution_first_touch")
+    assert count_data_shuffles(plan) == 1
+    assert "Join" not in plan
+
+
+def test_winsorize_broadcast_bounds(spark):
+    """Winsorization broadcasts the tiny per-type quantile frame back
+    onto the fact scan: both aggregates map-side combine, the bounds
+    join is a BroadcastHashJoin, and no fact-sized shuffle exists."""
+    plan = plan_of(spark, "winsorize_event_value")
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "SortMergeJoin" not in plan
+    assert "partial_count" in plan or "partial_sum" in plan
