@@ -142,6 +142,13 @@ def lm_bigram_score(
     small); one per-doc aggregate; documents with <2 tokens re-enter
     via a left join with the -1.0 sentinel (NULL-free convention).
     All counts BIGINT-exact; the single division is IEEE-deterministic.
+
+    100-TB note: when the bigram vocabulary outgrows broadcast, swap
+    the string join key for ``hashing.h60(bigram)`` (the dedup modules'
+    convention — the oracle mirrors collisions identically via
+    ``h60_sql``) to cut checkpoint and join-shuffle bytes; kept as
+    strings here because at fixture scale the md5 cost exceeds the
+    shuffle saving.
     """
     base = rebalance(df)
     # (doc, bigram) tf is consumed twice (corpus counts + the per-doc

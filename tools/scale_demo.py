@@ -234,6 +234,13 @@ def main() -> None:
         "dedup_tf_cosine": qs["dedup_tf_cosine"],
         "retention_cohorts": qs["retention_cohorts"],
         "event_transition_matrix": qs["event_transition_matrix"],
+        # round-5 additions: the corpus-explode + vocab-join LM score
+        # (the round's heaviest new shape), first-touch attribution
+        # (union+window, user-keyed), and the BM25 probe (must stay
+        # query-term-sized regardless of corpus size)
+        "lm_bigram_score": qs["lm_bigram_score"],
+        "attribution_first_touch": qs["attribution_first_touch"],
+        "bm25_topk": qs["bm25_topk"],
     }
     results = {}
     group_of = {}
