@@ -60,8 +60,26 @@ def overlapping_gram_re(w: int) -> str:
     every word start, via a zero-width lookbehind+lookahead (group 1
     captures the gram without consuming it, so matches overlap). RE2
     (DuckDB) has no lookaround — the oracles keep the equivalent list
-    comprehension; semantics are identical."""
+    comprehension over ``string_split(text, ' ')``.
+
+    Contract: regex and comprehension agree only on SINGLE-SPACE-
+    separated text (tabs/newlines/double spaces tokenize differently —
+    the regex needs exactly one literal space between words, the split
+    emits empty tokens).  Every fixture corpus satisfies this, and
+    ``tests/test_00_fixtures.py`` pins it as a drift canary so a
+    regenerated fixture with irregular whitespace fails loudly at round
+    start instead of as a driver hash mismatch."""
     return r"(?<=^|\s)(?=(\S+(?: \S+){%d}))" % (w - 1)
+
+
+def word_grams(text: Column | str, w: int = 2) -> Column:
+    """Overlapping word w-gram array (empty when <w tokens; no
+    whole-text fallback — callers that need one wrap it themselves,
+    see ``shingles``/``curation.word_ngrams``). ONE codegen'd regex
+    pass; the interpreted sequence/try_element_at chain measures ~13x
+    slower on the fixture corpus."""
+    t = F.col(text) if isinstance(text, str) else text
+    return F.regexp_extract_all(t, F.lit(overlapping_gram_re(w)), 1)
 
 
 def shingles(text: Column | str, w: int = 3) -> Column:

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from ..tables import rebalance
-from .hashing import overlapping_gram_re
+from .hashing import word_grams
 
 # ---------------------------------------------------------------------------
 # blocked fuzzy matching (entity resolution)
@@ -116,14 +116,10 @@ def fuzzy_name_pairs_sql(
 # ---------------------------------------------------------------------------
 
 
-def _word_bigrams(text_col: str):
-    """Per-row word-bigram array (empty when <2 tokens): ONE codegen'd
-    lookahead-regex pass (ext/hashing.py:overlapping_gram_re) — the
-    interpreted sequence/try_element_at HOF chain measures ~13x slower
-    on the fixture corpus (same finding as the dedup shingle path)."""
-    return F.regexp_extract_all(
-        F.col(text_col), F.lit(overlapping_gram_re(2)), 1
-    )
+# Per-row word-bigram construction: the shared codegen'd regex pass
+# (ext/hashing.py:word_grams; single-space contract pinned by the
+# fixture canary — see overlapping_gram_re).
+_word_bigrams = word_grams
 
 
 def lm_bigram_score(
@@ -251,7 +247,12 @@ def bm25_topk(
     """
     base = rebalance(df)
     toks = F.split(F.col(text_col), " ")
-    docs = base.select(F.col(id_col).alias("id"), F.size(toks).alias("dl"))
+    # (id, dl) feeds both the N/avgdl totals and the score join —
+    # localCheckpoint so the corpus text is scanned+split once for it,
+    # not once per consumer (same multi-consumer convention as tf).
+    docs = base.select(
+        F.col(id_col).alias("id"), F.size(toks).alias("dl")
+    ).localCheckpoint()
     # tf is tiny (≤ |docs|·|terms| rows) and feeds both df and the score
     # join — localCheckpoint so the explode over the corpus runs once.
     tf = (

@@ -10,7 +10,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..tables import rebalance
-from .hashing import MERSENNE31 as P, h28, h28_sql, overlapping_gram_re
+from .hashing import MERSENNE31 as P, h28, h28_sql, word_grams
 
 STOPWORDS = ("the", "a")
 BPE_ISH_PATTERN = "[a-z]+|[0-9]+"  # identical RE2/Java semantics
@@ -153,12 +153,9 @@ def bigram_lift(
     TakeOrdered (no single-reducer full sort).
     """
     toks = F.split(F.col(text_col), " ")
-    # ONE codegen'd lookahead-regex pass for the overlapping bigrams
-    # (empty when <2 tokens) — the interpreted sequence/try_element_at
-    # HOF chain measures ~13x slower (same finding as the shingle path).
-    grams = F.regexp_extract_all(
-        F.col(text_col), F.lit(overlapping_gram_re(2)), 1
-    )
+    # shared codegen'd regex bigram pass (ext/hashing.py:word_grams;
+    # single-space fixture contract pinned by the canary there)
+    grams = word_grams(text_col, 2)
     base = rebalance(df)
     bg = (
         base.select(F.explode(grams).alias("bigram"))

@@ -1260,14 +1260,13 @@ def q_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH u AS (
       SELECT user_id, ts, event_id,
-             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p,
-             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS side
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p
       FROM events WHERE event_type IN ('view', 'purchase')
     ),
     j AS (
       SELECT *,
              coalesce(sum(is_p) OVER (PARTITION BY user_id
-                                      ORDER BY ts, side, event_id
+                                      ORDER BY ts, is_p, event_id
                                       ROWS BETWEEN UNBOUNDED PRECEDING
                                                AND 1 PRECEDING), 0)::BIGINT
                AS journey
@@ -1280,7 +1279,7 @@ def q_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
              first_value(CASE WHEN is_p = 0 THEN ts END IGNORE NULLS)
                OVER w AS first_view_ts
       FROM j
-      WINDOW w AS (PARTITION BY user_id, journey ORDER BY ts, side, event_id
+      WINDOW w AS (PARTITION BY user_id, journey ORDER BY ts, is_p, event_id
                    ROWS UNBOUNDED PRECEDING)
     )
     SELECT event_id AS purchase_id, user_id, journey,
@@ -1297,7 +1296,7 @@ def q_attribution_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     Journey ids come from a running count of strictly-prior purchases;
     the first view is a running IGNORE NULLS first_value within
     (user, journey). Same-timestamp ties order views before purchases
-    (side 0 < 1), matching the as-of query's "view at the same ts
+    (is_p 0 < 1), matching the as-of query's "view at the same ts
     counts" convention, then break on event_id.
 
     Scale: both windows are user-key-rooted — one user_id shuffle, then
@@ -1309,16 +1308,14 @@ def q_attribution_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "ts",
         "event_id",
+        # is_p doubles as the same-ts tie-break (views 0 < purchases 1)
         F.when(F.col("event_type") == "purchase", F.lit(1))
         .otherwise(F.lit(0))
         .alias("is_p"),
-        F.when(F.col("event_type") == "purchase", F.lit(1))
-        .otherwise(F.lit(0))
-        .alias("side"),
     )
     w_j = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "side", "event_id")
+        .orderBy("ts", "is_p", "event_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     j = u.withColumn(
@@ -1327,7 +1324,7 @@ def q_attribution_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w_f = (
         Window.partitionBy("user_id", "journey")
-        .orderBy("ts", "side", "event_id")
+        .orderBy("ts", "is_p", "event_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     f = j.withColumn(

@@ -72,7 +72,7 @@ _PRIORITY: tuple[str, ...] = (
     "multimodal_video_index",
     "bpe_word_vocab",
     # Slots 11-16: late round-5 registrations (first driver check
-    # pending) — displace the last 4 r03-stale names to round 6.
+    # pending) — displace the last 6 r03-stale names to round 6.
     "fuzzy_name_pairs",
     "lm_bigram_score",
     "bm25_topk",

@@ -165,3 +165,29 @@ def test_load_table_and_entry_smoke(spark):
     spec.loader.exec_module(mod)
     out = mod.entry(spark)
     assert out.count() >= 0
+
+
+@pytest.mark.parametrize("sf_dir", [SF_DIR_SMALL, SF_DIR, "/root/testdata/sf0.1"])
+def test_documents_text_is_single_spaced(sf_dir):
+    """The gram-construction contract (ext/hashing.py:overlapping_gram_re):
+    Spark builds overlapping word grams with a lookahead regex that needs
+    exactly ONE literal space between words, while the DuckDB oracles use
+    ``string_split(text, ' ')`` — the two agree only on single-space-
+    separated text with no tabs/newlines/leading/trailing/double spaces.
+    Every shingle, n-gram, bigram-lift, LM-score, and repetition query
+    rests on this, so a regenerated documents fixture with irregular
+    whitespace must fail HERE (named, in <1 s) rather than as a driver
+    hash mismatch across a dozen queries."""
+    con = duckdb.connect()
+    n_bad = con.execute(
+        f"""
+        SELECT count(*) FROM read_parquet('{sf_dir}/documents.parquet')
+        WHERE regexp_matches(text, '\t|\n|\r|  ')
+           OR text LIKE ' %' OR text LIKE '% '
+        """
+    ).fetchone()[0]
+    assert n_bad == 0, (
+        f"{n_bad} documents in {sf_dir} have irregular whitespace - the "
+        "regex/string_split gram equivalence no longer holds; see "
+        "overlapping_gram_re's contract note"
+    )
