@@ -145,6 +145,8 @@ HEADLINE = [
     "ewma_user_value",
     "attribution_first_touch",
     "winsorize_event_value",
+    "unpivot_user_metrics",
+    "rolling_60s_user_stats",
 ]
 
 # Timed and reported, but excluded from the headline sum: cost dominated

@@ -1413,3 +1413,89 @@ def q_winsorize_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_raw"),
         )
     )
+
+
+@register(
+    "unpivot_user_metrics",
+    oracle="""
+    WITH w AS (
+      SELECT user_id,
+             sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT
+               AS n_view,
+             sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT
+               AS n_click,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT
+               AS n_purchase
+      FROM events GROUP BY 1
+    )
+    SELECT user_id, metric, n FROM (
+      SELECT user_id, 'n_view' AS metric, n_view AS n FROM w
+      UNION ALL
+      SELECT user_id, 'n_click', n_click FROM w
+      UNION ALL
+      SELECT user_id, 'n_purchase', n_purchase FROM w
+    )
+    """,
+    tags=("relational", "reshape"),
+)
+def q_unpivot_user_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long reshape (melt/UNPIVOT — the inverse of
+    pivot_event_counts): one conditional-count aggregate builds the
+    wide per-user metric columns, then ``DataFrame.unpivot`` emits one
+    (user_id, metric, n) row per metric. The oracle states the same
+    reshape as the portable UNION ALL form. Unpivot is a zero-shuffle
+    row-local expansion — the only exchange is the aggregate's."""
+    ev = tables.load_table(spark, sf_dir, "events")
+    wide = ev.groupBy("user_id").agg(
+        *[
+            F.sum(
+                F.when(F.col("event_type") == t, F.lit(1)).otherwise(F.lit(0))
+            ).alias(f"n_{t}")
+            for t in ("view", "click", "purchase")
+        ]
+    )
+    return wide.unpivot(
+        ids=["user_id"],
+        values=["n_view", "n_click", "n_purchase"],
+        variableColumnName="metric",
+        valueColumnName="n",
+    )
+
+
+@register(
+    "rolling_60s_user_stats",
+    oracle="""
+    SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+           count(*) OVER w AS n_60s,
+           sum(value::DECIMAL(28,6)) OVER w::DOUBLE AS sum_60s
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 60000000 PRECEDING AND CURRENT ROW)
+    """,
+    tags=("relational", "window", "timeseries"),
+)
+def q_rolling_60s_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-based window frame (RANGE, not ROWS): per event, the count
+    and DECIMAL-exact sum of the user's events in the trailing 60
+    seconds — the rolling-rate primitive behind throttling/burst
+    detection. RANGE frames bound by the ORDER BY *value* (epoch
+    microseconds), so same-timestamp peers are always in-frame together
+    and the result is deterministic under any tie order — no tie-break
+    column needed, unlike ROWS frames. One user-keyed shuffle."""
+    ev = tables.load_table(spark, sf_dir, "events")
+    um = F.unix_micros(F.col("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(um)
+        .rangeBetween(-60_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        um.alias("ts_us"),
+        F.count("*").over(w).alias("n_60s"),
+        F.sum(F.col("value").cast("decimal(28,6)"))
+        .over(w)
+        .cast("double")
+        .alias("sum_60s"),
+    )

@@ -71,15 +71,17 @@ _PRIORITY: tuple[str, ...] = (
     "multimodal_decode_video",
     "multimodal_video_index",
     "bpe_word_vocab",
-    # Slots 11-16: late round-5 registrations (first driver check
-    # pending) — displace the last 6 r03-stale names to round 6.
+    # Slots 11-18: late round-5 registrations (first driver check
+    # pending) — displace the last 8 r03-stale names to round 6.
     "fuzzy_name_pairs",
     "lm_bigram_score",
     "bm25_topk",
     "ewma_user_value",
     "attribution_first_touch",
     "winsorize_event_value",
-    # Slots 17-24: latest green driver row is r01 (8 names).
+    "unpivot_user_metrics",
+    "rolling_60s_user_stats",
+    # Slots 19-26: latest green driver row is r01 (8 names).
     "tpch_q6_forecast",
     "tpch_q14_promo",
     "tpch_q16_supplier_cnt",
@@ -88,7 +90,7 @@ _PRIORITY: tuple[str, ...] = (
     "tpch_q19_disjunctive",
     "semi_late_orders",
     "anti_customers_no_orders",
-    # Slots 25-48: latest green driver row is r02 (24 names).
+    # Slots 27-50: latest green driver row is r02 (24 names).
     "doc_sentiment",
     "doc_entities",
     "doc_categories",
@@ -113,13 +115,11 @@ _PRIORITY: tuple[str, ...] = (
     "corpus_curation_pipeline",
     "tpch_q1_pricing",
     "tpch_q3_shipping",
-    # Slots 49-50: oldest of the 28 r03-stale names (the rest spill to
-    # round 6's window; all are green under this round's local
-    # driver-sim).  Dedup/similarity shapes first — they changed most
-    # recently (r3 skew work) and are the heaviest plans.
+    # Slots 51+: remaining r03-stale names, next in line for round 6
+    # (the 50-slot window is now exactly filled by never-checked and
+    # r01/r02-stale names; dedup/similarity lead the spill queue).
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
-    # Slots 51+: remaining r03-stale names, next in line for round 6.
     "dedup_ngram_containment",
     "dedup_embedding_cosine",
     "graph_triangle_counts",

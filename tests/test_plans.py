@@ -525,3 +525,25 @@ def test_winsorize_broadcast_bounds(spark):
     assert plan.count("BroadcastHashJoin") >= 1
     assert "SortMergeJoin" not in plan
     assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_unpivot_expand_no_join(spark):
+    """The wide-to-long reshape must stay a row-local Expand after ONE
+    aggregate exchange — never a self-join or union of re-scans."""
+    plan = plan_of(spark, "unpivot_user_metrics")
+    assert count_data_shuffles(plan) == 1
+    assert "Expand" in plan
+    assert "Join" not in plan
+    # one scan node (each node appears twice in formatted output:
+    # tree line + detail block)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+
+
+def test_rolling_range_frame_single_shuffle(spark):
+    """The 60s RANGE-frame stats run as one user-keyed window: a single
+    exchange, a Window node, and no self-join (the naive range-join
+    formulation would be O(events x events-in-60s))."""
+    plan = plan_of(spark, "rolling_60s_user_stats")
+    assert count_data_shuffles(plan) == 1
+    assert "Window" in plan
+    assert "Join" not in plan
