@@ -25,6 +25,7 @@ from .count_window import (  # noqa: F401
     streaming_count_window,
     streaming_cumulative_per_record,
     streaming_ewma_per_record,
+    streaming_rolling_window_stats,
 )
 from .ops import (  # noqa: F401
     streaming_cumulative_sum,

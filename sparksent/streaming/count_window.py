@@ -342,3 +342,116 @@ def streaming_ewma_per_record(
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def _make_rolling_fn(
+    window_us: int, value_col: str, ts_us_col: str, key_col: str,
+    order_cols: Sequence[str],
+):
+    from decimal import ROUND_HALF_UP, Decimal
+    from itertools import groupby
+
+    Q = Decimal("0.000001")
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            ts_buf, val_buf = state.get
+            ts_buf, val_buf = list(ts_buf), list(val_buf)
+        else:
+            ts_buf, val_buf = [], []
+        chunks = [c for c in pdfs if len(c)]
+        if chunks:
+            pdf = pd.concat(chunks).sort_values(list(order_cols))
+            rows = list(
+                zip(pdf[ts_us_col].to_numpy().tolist(),
+                    pdf[value_col].to_numpy().tolist())
+            )
+            n_out: list[int] = []
+            s_out: list[float] = []
+            # Same-ts rows are RANGE-frame peers: append the whole peer
+            # group before emitting, so every peer reports the identical
+            # frame — matching the batch RANGE ... CURRENT ROW bound
+            # (which closes at the LAST peer). Peers split across
+            # micro-batches are the documented streaming gap: an earlier
+            # batch cannot see later same-ts arrivals.
+            for ts, grp in groupby(rows, key=lambda r: r[0]):
+                peers = list(grp)
+                for _, v in peers:
+                    ts_buf.append(ts)
+                    val_buf.append(float(v))
+                lo = ts - window_us
+                while ts_buf and ts_buf[0] < lo:
+                    ts_buf.pop(0)
+                    val_buf.pop(0)
+                n = len(ts_buf)
+                # the batch form sums DECIMAL(28,6) then casts to
+                # double: Decimal(float) is the exact binary value, so
+                # quantize(HALF_UP) reproduces Spark's double->decimal
+                # cast and the exact decimal sum -> float matches the
+                # decimal->double cast bit-for-bit
+                s = float(
+                    sum(
+                        (Decimal(v).quantize(Q, ROUND_HALF_UP) for v in val_buf),
+                        Decimal(0),
+                    )
+                )
+                n_out.extend([n] * len(peers))
+                s_out.extend([s] * len(peers))
+            cols = {
+                key_col: pdf[key_col].to_numpy(),
+                ts_us_col: pdf[ts_us_col].to_numpy(),
+                "n_60s": n_out,
+                "sum_60s": s_out,
+            }
+            for c in order_cols:
+                if c not in cols:
+                    cols[c] = pdf[c].to_numpy()
+            yield pd.DataFrame(cols)
+        state.update((ts_buf, val_buf))
+
+    return fn
+
+
+ROLLING_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("ts_buf", T.ArrayType(T.LongType())),
+        T.StructField("val_buf", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def streaming_rolling_window_stats(
+    df: DataFrame,
+    window_us: int = 60_000_000,
+    value_col: str = "value",
+    ts_us_col: str = "ts_us",
+    key_col: str = "user_id",
+    order_cols: Sequence[str] = ("ts_us", "event_id"),
+) -> DataFrame:
+    """Streaming form of the batch ``rolling_60s_user_stats`` RANGE
+    frame: one output row per record carrying the trailing-window count
+    and DECIMAL-exact sum, with a per-key (timestamps, values) buffer
+    of only the rows still inside the window as state — O(events in
+    window) per key, the streaming dual of the value-bounded frame.
+    Same-ts peers within a micro-batch report the identical frame (the
+    batch RANGE bound closes at the last peer); peers split across
+    micro-batches are the documented stream-vs-batch gap, vacuous on
+    fixtures where (key, ts) is unique."""
+    out_schema = T.StructType(
+        [
+            _field(df, key_col),
+            _field(df, ts_us_col),
+            T.StructField("n_60s", T.LongType()),
+            T.StructField("sum_60s", T.DoubleType()),
+        ]
+        + [_field(df, c) for c in order_cols if c not in (key_col, ts_us_col)]
+    )
+    return df.groupBy(key_col).applyInPandasWithState(
+        _make_rolling_fn(window_us, value_col, ts_us_col, key_col, order_cols),
+        out_schema,
+        ROLLING_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -787,3 +787,38 @@ def test_ewma_per_record_matches_oracle_sf001(spark, ducks, tmp_path):
         "ewma4",
     )
     assert_oracle_match(got, ducks, REGISTRY["ewma_user_value"].oracle)
+
+
+def test_rolling_window_per_record_matches_oracle_sf001(spark, ducks, tmp_path):
+    """Streaming trailing-60s window stats (per-key sliding buffer of
+    in-window rows as state) against the registered RANGE-frame query's
+    INDEPENDENT DuckDB oracle at sf0.01 — rows, schema, and bit-exact
+    values including the decimal-accumulated sum. Valid as a per-record
+    stream because (user_id, ts) is unique in the fixture (asserted),
+    so the batch frame's same-ts-peer closure is vacuous across
+    micro-batch boundaries."""
+    from sparksent.registry import REGISTRY, _ensure_loaded
+    from sparksent.streaming.count_window import streaming_rolling_window_stats
+
+    from conftest import SF_DIR, assert_oracle_match
+
+    _ensure_loaded()
+    replay = str(tmp_path / "rolling_replay")
+    ev = load_table(spark, SF_DIR, "events")
+    assert (
+        ev.groupBy("user_id", "ts").count().filter(F.col("count") > 1).count() == 0
+    ), "fixture grew duplicate (user, ts) pairs - cross-batch peer gap applies"
+    write_replay_chunks(ev, replay, N_CHUNKS)
+
+    stream = file_replay_source(spark, replay).select(
+        "user_id",
+        "value",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+    )
+    out = streaming_rolling_window_stats(stream)
+    _run_to_memory(out, "t_rolling_oracle", "append")
+    got = spark.table("t_rolling_oracle").select(
+        "event_id", "user_id", "ts_us", "n_60s", "sum_60s"
+    )
+    assert_oracle_match(got, ducks, REGISTRY["rolling_60s_user_stats"].oracle)
