@@ -348,6 +348,7 @@ def _make_rolling_fn(
     window_us: int, value_col: str, ts_us_col: str, key_col: str,
     order_cols: Sequence[str],
 ):
+    from collections import deque
     from decimal import ROUND_HALF_UP, Decimal
     from itertools import groupby
 
@@ -357,10 +358,18 @@ def _make_rolling_fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         if state.exists:
-            ts_buf, val_buf = state.get
-            ts_buf, val_buf = list(ts_buf), list(val_buf)
+            raw_ts, raw_val = state.get
+            ts_buf, val_buf = deque(raw_ts), deque(raw_val)
         else:
-            ts_buf, val_buf = [], []
+            ts_buf, val_buf = deque(), deque()
+        # running window sum kept in exact decimals: add on append,
+        # subtract on evict — decimals have no accumulation drift, so
+        # this equals a fresh sum over the buffer (and therefore the
+        # batch DECIMAL(28,6) window sum) bit-for-bit, at O(1) per row
+        # instead of O(window) per peer group
+        acc = sum(
+            (Decimal(v).quantize(Q, ROUND_HALF_UP) for v in val_buf), Decimal(0)
+        )
         chunks = [c for c in pdfs if len(c)]
         if chunks:
             pdf = pd.concat(chunks).sort_values(list(order_cols))
@@ -380,23 +389,18 @@ def _make_rolling_fn(
                 peers = list(grp)
                 for _, v in peers:
                     ts_buf.append(ts)
+                    d = Decimal(float(v)).quantize(Q, ROUND_HALF_UP)
                     val_buf.append(float(v))
+                    acc += d
                 lo = ts - window_us
                 while ts_buf and ts_buf[0] < lo:
-                    ts_buf.pop(0)
-                    val_buf.pop(0)
+                    ts_buf.popleft()
+                    acc -= Decimal(val_buf.popleft()).quantize(Q, ROUND_HALF_UP)
                 n = len(ts_buf)
-                # the batch form sums DECIMAL(28,6) then casts to
-                # double: Decimal(float) is the exact binary value, so
-                # quantize(HALF_UP) reproduces Spark's double->decimal
-                # cast and the exact decimal sum -> float matches the
-                # decimal->double cast bit-for-bit
-                s = float(
-                    sum(
-                        (Decimal(v).quantize(Q, ROUND_HALF_UP) for v in val_buf),
-                        Decimal(0),
-                    )
-                )
+                # Spark's double->DECIMAL(28,6) cast is exact-binary +
+                # HALF_UP (what quantize reproduces); the final
+                # decimal->double cast is the float() here
+                s = float(acc)
                 n_out.extend([n] * len(peers))
                 s_out.extend([s] * len(peers))
             cols = {
@@ -409,7 +413,7 @@ def _make_rolling_fn(
                 if c not in cols:
                     cols[c] = pdf[c].to_numpy()
             yield pd.DataFrame(cols)
-        state.update((ts_buf, val_buf))
+        state.update((list(ts_buf), list(val_buf)))
 
     return fn
 
