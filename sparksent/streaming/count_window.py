@@ -348,28 +348,37 @@ def _make_rolling_fn(
     window_us: int, value_col: str, ts_us_col: str, key_col: str,
     order_cols: Sequence[str],
 ):
+    import math
     from collections import deque
     from decimal import ROUND_HALF_UP, Decimal
     from itertools import groupby
 
     Q = Decimal("0.000001")
 
+    def to_micros(v: float) -> int | None:
+        """value -> integer micro-units, matching both engines' double->
+        DECIMAL(28,6) cast: Spark (BigDecimal.valueOf) and DuckDB round
+        the SHORTEST decimal repr — ``Decimal(repr(v))`` — not the exact
+        binary expansion (``Decimal(v)`` would round 0.1234565 the other
+        way at the 7th digit). NaN (how a null double arrives in the
+        pandas block) maps to None: excluded from the sum, counted in n,
+        exactly like the batch sum/count(*) pair."""
+        if math.isnan(v):
+            return None
+        return int(Decimal(repr(v)).quantize(Q, ROUND_HALF_UP).scaleb(6))
+
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         if state.exists:
-            raw_ts, raw_val = state.get
-            ts_buf, val_buf = deque(raw_ts), deque(raw_val)
+            raw_ts, raw_micro, acc_micro, nn = state.get
+            ts_buf, micro_buf = deque(raw_ts), deque(raw_micro)
         else:
-            ts_buf, val_buf = deque(), deque()
-        # running window sum kept in exact decimals: add on append,
-        # subtract on evict — decimals have no accumulation drift, so
-        # this equals a fresh sum over the buffer (and therefore the
-        # batch DECIMAL(28,6) window sum) bit-for-bit, at O(1) per row
-        # instead of O(window) per peer group
-        acc = sum(
-            (Decimal(v).quantize(Q, ROUND_HALF_UP) for v in val_buf), Decimal(0)
-        )
+            ts_buf, micro_buf = deque(), deque()
+            acc_micro, nn = 0, 0
+        # acc_micro / nn persist as scalars in state (no O(window)
+        # re-quantization at restore); null rows ride the buffer as
+        # None elements (ArrayType contains nulls).
         chunks = [c for c in pdfs if len(c)]
         if chunks:
             pdf = pd.concat(chunks).sort_values(list(order_cols))
@@ -378,42 +387,50 @@ def _make_rolling_fn(
                     pdf[value_col].to_numpy().tolist())
             )
             n_out: list[int] = []
-            s_out: list[float] = []
+            s_out: list[float | None] = []
             # Same-ts rows are RANGE-frame peers: append the whole peer
             # group before emitting, so every peer reports the identical
             # frame — matching the batch RANGE ... CURRENT ROW bound
-            # (which closes at the LAST peer). Peers split across
-            # micro-batches are the documented streaming gap: an earlier
-            # batch cannot see later same-ts arrivals.
+            # (which closes at the LAST peer). Stream-vs-batch contract:
+            # per-key arrival order must be non-decreasing in ts across
+            # micro-batches (event-time-ordered replay / watermark-
+            # sorted input) — a LATE row would otherwise see in-buffer
+            # rows from its event-time future, which the batch frame
+            # excludes; same-ts peers split across batches are the
+            # remaining gap. Both are vacuous on the fixtures (ts
+            # monotone in the replay order, (key, ts) unique).
             for ts, grp in groupby(rows, key=lambda r: r[0]):
                 peers = list(grp)
                 for _, v in peers:
+                    m = to_micros(float(v))
                     ts_buf.append(ts)
-                    d = Decimal(float(v)).quantize(Q, ROUND_HALF_UP)
-                    val_buf.append(float(v))
-                    acc += d
+                    micro_buf.append(m)  # None for null rows
+                    if m is not None:
+                        acc_micro += m
+                        nn += 1
                 lo = ts - window_us
                 while ts_buf and ts_buf[0] < lo:
                     ts_buf.popleft()
-                    acc -= Decimal(val_buf.popleft()).quantize(Q, ROUND_HALF_UP)
+                    old = micro_buf.popleft()
+                    if old is not None:
+                        acc_micro -= old
+                        nn -= 1
                 n = len(ts_buf)
-                # Spark's double->DECIMAL(28,6) cast is exact-binary +
-                # HALF_UP (what quantize reproduces); the final
-                # decimal->double cast is the float() here
-                s = float(acc)
                 n_out.extend([n] * len(peers))
+                # all-null window -> NULL sum, like the batch SUM
+                s = None if nn == 0 else float(Decimal(acc_micro).scaleb(-6))
                 s_out.extend([s] * len(peers))
             cols = {
                 key_col: pdf[key_col].to_numpy(),
                 ts_us_col: pdf[ts_us_col].to_numpy(),
                 "n_60s": n_out,
-                "sum_60s": s_out,
+                "sum_60s": pd.array(s_out, dtype="float64"),
             }
             for c in order_cols:
                 if c not in cols:
                     cols[c] = pdf[c].to_numpy()
             yield pd.DataFrame(cols)
-        state.update((list(ts_buf), list(val_buf)))
+        state.update((list(ts_buf), list(micro_buf), acc_micro, nn))
 
     return fn
 
@@ -421,7 +438,9 @@ def _make_rolling_fn(
 ROLLING_STATE_SCHEMA = T.StructType(
     [
         T.StructField("ts_buf", T.ArrayType(T.LongType())),
-        T.StructField("val_buf", T.ArrayType(T.DoubleType())),
+        T.StructField("micro_buf", T.ArrayType(T.LongType())),
+        T.StructField("acc_micro", T.LongType()),
+        T.StructField("nn", T.LongType()),
     ]
 )
 
@@ -436,13 +455,24 @@ def streaming_rolling_window_stats(
 ) -> DataFrame:
     """Streaming form of the batch ``rolling_60s_user_stats`` RANGE
     frame: one output row per record carrying the trailing-window count
-    and DECIMAL-exact sum, with a per-key (timestamps, values) buffer
-    of only the rows still inside the window as state — O(events in
-    window) per key, the streaming dual of the value-bounded frame.
-    Same-ts peers within a micro-batch report the identical frame (the
-    batch RANGE bound closes at the last peer); peers split across
-    micro-batches are the documented stream-vs-batch gap, vacuous on
-    fixtures where (key, ts) is unique."""
+    and sum, with a per-key buffer of only the in-window rows as state
+    — O(events in window) per key, the streaming dual of the
+    value-bounded frame.  The sum matches the batch DECIMAL(28,6) form
+    bit-for-bit because values quantize ONCE from their shortest
+    decimal repr (``Decimal(repr(v))`` — the same rounding as Spark's
+    BigDecimal.valueOf cast and DuckDB's ``::DECIMAL``; the exact-binary
+    expansion would round 7th-digit cases differently) into integer
+    micro-units, and integer arithmetic has no drift.  Null values are
+    excluded from the sum but counted in n (an all-null window sums to
+    NULL), matching the batch sum/count(*) pair.
+
+    Contract: per-key arrival order must be non-decreasing in event
+    time across micro-batches (event-time-ordered replay or watermark-
+    sorted input) — a late row would otherwise see in-buffer rows from
+    its event-time future, which the batch frame excludes; same-ts
+    peers split across batches are the remaining gap. Both conditions
+    are vacuous on the fixtures (ts monotone in replay order, (key, ts)
+    unique — asserted in the equivalence test)."""
     out_schema = T.StructType(
         [
             _field(df, key_col),

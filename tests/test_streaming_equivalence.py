@@ -822,3 +822,68 @@ def test_rolling_window_per_record_matches_oracle_sf001(spark, ducks, tmp_path):
         "event_id", "user_id", "ts_us", "n_60s", "sum_60s"
     )
     assert_oracle_match(got, ducks, REGISTRY["rolling_60s_user_stats"].oracle)
+
+
+def test_rolling_micros_cast_matches_engines(spark, ducks):
+    """The review-found cast trap, pinned: double->DECIMAL(28,6) in
+    BOTH engines rounds the SHORTEST decimal repr (0.1234565 ->
+    0.123457), while Python's exact-binary Decimal(v) would round the
+    7th-digit cases the other way (0.123456). The streaming operator's
+    to_micros must agree with the engines on exactly these values."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    tricky = [0.1234565, 0.1234575, 2.6894585, -0.1234565, 1.0000005, 0.1]
+
+    def to_micros(v):  # mirror of the operator's conversion
+        return int(Decimal(repr(v)).quantize(Decimal("0.000001"), ROUND_HALF_UP).scaleb(6))
+
+    duck = [
+        int(r[0])
+        for r in ducks.execute(
+            "SELECT (v::DECIMAL(28,6) * 1000000)::BIGINT FROM (SELECT unnest(?::DOUBLE[]) v)",
+            [tricky],
+        ).fetchall()
+    ]
+    spark_rows = (
+        spark.createDataFrame([(v,) for v in tricky], "v double")
+        .selectExpr("CAST(CAST(v AS DECIMAL(28,6)) * 1000000 AS BIGINT)")
+        .collect()
+    )
+    ours = [to_micros(v) for v in tricky]
+    assert ours == duck == [r[0] for r in spark_rows]
+
+
+def test_rolling_window_null_values(spark, tmp_path):
+    """Null values stream through the rolling window like the batch
+    sum/count(*) pair: counted in n_60s, excluded from sum_60s, and an
+    all-null window reports a NULL sum (not 0.0)."""
+    from sparksent.streaming.count_window import streaming_rolling_window_stats
+    from sparksent.streaming.sources import append_flat_file
+
+    rows = [
+        (1, 1_000_000, None, 1),
+        (1, 2_000_000, None, 2),      # window all-null -> NULL sum
+        (1, 3_000_000, 2.5, 3),
+        (1, 100_000_000, 4.0, 4),     # prior rows evicted (incl. nulls)
+        (2, 1_000_000, 1.25, 5),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts_us long, value double, event_id long"
+    )
+    replay = str(tmp_path / "null_replay")
+    append_flat_file(df, replay, "chunk0.parquet")
+    stream = (
+        spark.readStream.schema("user_id long, ts_us long, value double, event_id long")
+        .parquet(replay)
+    )
+    out = streaming_rolling_window_stats(stream)
+    _run_to_memory(out, "t_rolling_nulls", "append")
+    got = {
+        r["event_id"]: (r["n_60s"], r["sum_60s"])
+        for r in spark.table("t_rolling_nulls").collect()
+    }
+    assert got[1] == (1, None)
+    assert got[2] == (2, None)
+    assert got[3] == (3, 2.5)
+    assert got[4] == (1, 4.0)
+    assert got[5] == (1, 1.25)
