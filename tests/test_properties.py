@@ -416,3 +416,66 @@ def test_bpe_merges_match_reference_loop(spark, ducks):
     # every count must be positive and every step index consecutive
     assert [s for s, *_ in got] == list(range(bpe.N_MERGES))
     assert all(c > 0 for *_, c in got)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=0x7E),
+            min_size=0,
+            max_size=20,
+        ),
+        min_size=2,
+        max_size=24,
+    )
+)
+def test_levenshtein_cross_engine_agreement(spark, strings):
+    """fuzzy_name_pairs rests on Spark's levenshtein == DuckDB's
+    levenshtein (both standard unit-cost edit distance). Pin the
+    function-semantics assumption on arbitrary printable-ASCII pairs,
+    including empties and strings with quotes/backslashes."""
+    import duckdb
+
+    pairs = [(strings[i], strings[i + 1]) for i in range(len(strings) - 1)]
+    got = [
+        r[0]
+        for r in spark.createDataFrame(pairs, "a string, b string")
+        .select(F.levenshtein("a", "b"))
+        .collect()
+    ]
+    con = duckdb.connect()
+    want = [
+        con.execute("SELECT levenshtein(?, ?)", [a, b]).fetchone()[0]
+        for a, b in pairs
+    ]
+    assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.floats(
+            min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    st.sampled_from([0.05, 0.25, 0.5, 0.75, 0.95]),
+)
+def test_percentile_cross_engine_agreement(spark, values, q):
+    """winsorize_event_value and the robust-analytics queries rest on
+    Spark ``percentile`` == DuckDB ``quantile_cont`` BIT-FOR-BIT (both
+    linear interpolation at (n-1)*q). Pin it on arbitrary doubles at
+    the quantiles the registered queries use."""
+    import duckdb
+
+    got = (
+        spark.createDataFrame([(v,) for v in values], "v double")
+        .agg(F.percentile("v", q))
+        .collect()[0][0]
+    )
+    want = duckdb.connect().execute(
+        "SELECT quantile_cont(v, ?) FROM (SELECT unnest(?::DOUBLE[]) v)", [q, values]
+    ).fetchone()[0]
+    assert got == want
