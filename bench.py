@@ -147,6 +147,12 @@ HEADLINE = [
     "winsorize_event_value",
     "unpivot_user_metrics",
     "rolling_60s_user_stats",
+    # round-5 second wave
+    "kmeans_embeddings_2iter",
+    "pagerank_word_graph",
+    "mix_langs_temperature",
+    "scd2_user_event_type",
+    "trend_slope_per_user",
 ]
 
 # Timed and reported, but excluded from the headline sum: cost dominated

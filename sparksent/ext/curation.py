@@ -426,3 +426,121 @@ def chunk_documents_sql(
              AS chunk_h
     FROM s
     """
+
+
+# ---------------------------------------------------------------------------
+# temperature-weighted domain mixing
+# ---------------------------------------------------------------------------
+
+MIX_SCALE = 1_000_000  # 6 fractional digits for the sqrt(count) weights
+MIX_BUDGET = 200  # total sampled docs across domains
+
+
+def temperature_mix(
+    df: DataFrame,
+    domain_col: str = "lang",
+    id_col: str = "doc_id",
+    budget: int = MIX_BUDGET,
+) -> DataFrame:
+    """Temperature-weighted domain mixing (alpha = 0.5): the standard
+    pretraining re-balancer that samples domain d proportionally to
+    n_d^alpha instead of n_d, up-weighting small domains (multilingual
+    sampling a la XLM-R / mT5). One row per domain: its corpus count,
+    integer target quota, and the deterministically sampled membership
+    (count + id-sum checksum).
+
+    alpha is fixed at 0.5 because sqrt is the one power IEEE 754
+    requires correctly rounded — ``pow(x, alpha)`` for general alpha
+    is libm-dependent and NOT bit-portable across engines. Weights are
+    floor-scaled to BIGINT (exact ordered-free sum); quotas are
+    positive-integer floordiv (Spark ``div`` == DuckDB ``//``); the
+    per-domain draw is the md5-lottery convention (rank by
+    h60('mix:'||id), deterministic, no RNG).
+
+    Scale: counts/quotas are one map-side-combined aggregate plus
+    domain-count-sized broadcasts; the draw is a per-domain
+    row_number — at 100 TB with quotas in the millions, swap the
+    window for ext/ranks.with_global_ranks per domain (range
+    partition + offsets) exactly as decile_user_value does; the quota
+    law and lottery key are unchanged."""
+    counts = df.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    scaled = counts.select(
+        "domain",
+        "n_docs",
+        F.floor(F.sqrt(F.col("n_docs").cast("double")) * F.lit(float(MIX_SCALE)))
+        .cast("long")
+        .alias("s"),
+    )
+    tot = scaled.agg(F.sum("s").cast("long").alias("st"))
+    targets = scaled.crossJoin(F.broadcast(tot)).select(
+        "domain",
+        "n_docs",
+        F.expr(f"CAST(({budget} * s) div st AS BIGINT)").alias("target_n"),
+    )
+    w = Window.partitionBy("r_domain").orderBy("key", "rid")
+    ranked = df.select(
+        F.col(domain_col).alias("r_domain"),
+        F.col(id_col).alias("rid"),
+        h60(F.concat(F.lit("mix:"), F.col(id_col).cast("string"))).alias("key"),
+    ).withColumn("rk", F.row_number().over(w))
+    # The big-side join must broadcast the quota frame, and a broadcast
+    # build side cannot be outer-preserved — so: INNER broadcast join
+    # for the draw, then re-attach zero-quota domains with a tiny
+    # domain-count-sized left join (broadcasting the non-preserved
+    # aggregate side, which is legal).
+    sampled = (
+        ranked.join(
+            F.broadcast(targets.select("domain", "target_n")),
+            (F.col("r_domain") == F.col("domain")) & (F.col("rk") <= F.col("target_n")),
+            "inner",
+        )
+        .groupBy("domain")
+        .agg(
+            F.count("rid").cast("long").alias("n_sampled"),
+            F.sum("rid").cast("long").alias("sampled_id_sum"),
+        )
+    )
+    return targets.join(F.broadcast(sampled), "domain", "left").select(
+        "domain",
+        "n_docs",
+        "target_n",
+        F.coalesce("n_sampled", F.lit(0)).cast("long").alias("n_sampled"),
+        F.coalesce("sampled_id_sum", F.lit(0)).cast("long").alias("sampled_id_sum"),
+    )
+
+
+def temperature_mix_sql(
+    table: str = "documents",
+    domain_col: str = "lang",
+    id_col: str = "doc_id",
+    budget: int = MIX_BUDGET,
+) -> str:
+    key = h60_sql(f"'mix:'||{id_col}")
+    return f"""
+    WITH counts AS (
+      SELECT {domain_col} AS domain, count(*)::BIGINT AS n_docs
+      FROM {table} GROUP BY 1
+    ), scaled AS (
+      SELECT domain, n_docs,
+             floor(sqrt(n_docs::DOUBLE) * {float(MIX_SCALE)!r})::BIGINT AS s
+      FROM counts
+    ), tot AS (
+      SELECT sum(s)::BIGINT AS st FROM scaled
+    ), targets AS (
+      SELECT domain, n_docs, (({budget} * s) // st)::BIGINT AS target_n
+      FROM scaled CROSS JOIN tot
+    ), ranked AS (
+      SELECT {domain_col} AS r_domain, {id_col} AS rid,
+             row_number() OVER (PARTITION BY {domain_col}
+                                ORDER BY {key}, {id_col}) AS rk
+      FROM {table}
+    )
+    SELECT t.domain, t.n_docs, t.target_n,
+           count(r.rid)::BIGINT AS n_sampled,
+           coalesce(sum(r.rid), 0)::BIGINT AS sampled_id_sum
+    FROM targets t
+    LEFT JOIN ranked r ON r.r_domain = t.domain AND r.rk <= t.target_n
+    GROUP BY 1, 2, 3
+    """

@@ -13,6 +13,7 @@ from .ext import (
     curation,
     dedup,
     grouped,
+    iterative,
     jsonops,
     matching,
     multimodal,
@@ -1025,3 +1026,51 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-k is TakeOrdered. Per-doc score sums accumulate in
     DECIMAL(28,6) so shuffle order can't move the hash."""
     return matching.bm25_topk(_docs(spark, sf_dir))
+
+
+@register(
+    "kmeans_embeddings_2iter",
+    oracle=iterative.kmeans_cluster_stats_sql(),
+    tags=("ext", "ml", "iterative"),
+)
+def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd k-means (k=8, 2 rounds, seeds = vec_id < 8) over the
+    embedding table, bit-exact through every iteration via scaled-
+    integer distances and floor-division centroid updates
+    (ext/iterative.py). Per round: a broadcast centroid join feeds the
+    distance argmin and one map-side-combined (cluster, pos) aggregate
+    re-broadcasts as the next centroid frame — MLlib's broadcast-loop
+    topology with no driver-side vector state at all."""
+    return iterative.kmeans_cluster_stats(_emb(spark, sf_dir))
+
+
+@register(
+    "pagerank_word_graph",
+    oracle=iterative.word_pagerank_sql(),
+    tags=("ext", "graph", "iterative"),
+)
+def q_pagerank_word_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 rounds, damping 0.85) over the word co-occurrence
+    graph: edge build is a doc_id-co-partitioned self-join of distinct
+    (doc, token) pairs; ranks iterate in fixed-point integer mass so
+    both engines agree bit-for-bit after every round. Rank/out-weight
+    sides broadcast at vocabulary scale; contribution sums partial-
+    aggregate on dst before the shuffle."""
+    return iterative.word_pagerank(_docs(spark, sf_dir))
+
+
+@register(
+    "mix_langs_temperature",
+    oracle=curation.temperature_mix_sql(),
+    tags=("ext", "curation", "sampling"),
+)
+def q_mix_langs_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted language mixing (alpha = 0.5, budget 200):
+    per-language sqrt-count quotas (floor-scaled BIGINT weights +
+    integer floordiv) and a deterministic md5-lottery draw per
+    language, reported as per-domain quota + sampled-membership
+    checksum. The multilingual rebalancer (XLM-R/mT5 style) as an
+    oracle-exact query."""
+    return curation.temperature_mix(
+        tables.load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    )

@@ -1499,3 +1499,170 @@ def q_rolling_60s_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_60s"),
     )
+
+
+@register(
+    "scd2_user_event_type",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type, epoch_us(ts) AS us, event_id,
+             CASE WHEN lag(event_type) OVER w IS NOT DISTINCT FROM event_type
+                  THEN 0 ELSE 1 END AS chg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ), isl AS (
+      SELECT user_id, event_type, us,
+             sum(chg) OVER (PARTITION BY user_id ORDER BY us, event_id
+                            ROWS UNBOUNDED PRECEDING)::BIGINT AS island
+      FROM seq
+    ), grp AS (
+      SELECT user_id, island, min(event_type) AS event_type,
+             min(us)::BIGINT AS valid_from_us, count(*)::BIGINT AS n_events
+      FROM isl GROUP BY 1, 2
+    )
+    SELECT user_id, island, event_type, valid_from_us,
+           coalesce(lead(valid_from_us)
+                    OVER (PARTITION BY user_id ORDER BY island), -1)::BIGINT
+             AS valid_to_us,
+           n_events
+    FROM grp
+    """,
+    tags=("relational", "window", "scd"),
+)
+def q_scd2_user_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history build (gaps-and-islands): collapse each user's
+    event stream into validity intervals over runs of the same
+    event_type — the slowly-changing-dimension snapshot a warehouse
+    derives from a change stream. chg marks type changes (null-safe so
+    the first row opens island 1), a running sum numbers islands, and
+    valid_to is the next island's valid_from (-1 sentinel = current).
+
+    Plan: lag + running sum share one (user_id)-partitioned sort; the
+    island aggregate and the lead window also key on user_id, so the
+    exchange is reused — one shuffle end-to-end, and island counts are
+    << event counts so the post-aggregate windows are cheap. Ordering
+    ties broken by event_id on both sides (deterministic)."""
+    ev = tables.load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us"), "event_id"
+    )
+    w_ord = Window.partitionBy("user_id").orderBy("us", "event_id")
+    chg = F.when(
+        F.lag("event_type").over(w_ord).eqNullSafe(F.col("event_type")), F.lit(0)
+    ).otherwise(F.lit(1))
+    isl = ev.withColumn("chg", chg).withColumn(
+        "island",
+        F.sum("chg")
+        .over(w_ord.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long"),
+    )
+    grp = isl.groupBy("user_id", "island").agg(
+        F.min("event_type").alias("event_type"),
+        F.min("us").cast("long").alias("valid_from_us"),
+        F.count("*").cast("long").alias("n_events"),
+    )
+    w_isl = Window.partitionBy("user_id").orderBy("island")
+    return grp.select(
+        "user_id",
+        "island",
+        "event_type",
+        "valid_from_us",
+        F.coalesce(F.lead("valid_from_us").over(w_isl), F.lit(-1))
+        .cast("long")
+        .alias("valid_to_us"),
+        "n_events",
+    )
+
+
+@register(
+    "trend_slope_per_user",
+    oracle="""
+    WITH base AS (
+      SELECT user_id,
+             (epoch_us(ts) - min(epoch_us(ts)) OVER (PARTITION BY user_id))
+               // 1000000 AS x,
+             floor(value::DOUBLE * 1000.0)::BIGINT AS y
+      FROM events
+    ), sums AS (
+      SELECT user_id, count(*)::BIGINT AS n,
+             sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+             sum(x * x)::BIGINT AS sxx, sum(x * y)::BIGINT AS sxy,
+             sum(y * y)::BIGINT AS syy
+      FROM base GROUP BY 1 HAVING count(*) >= 2
+    )
+    SELECT user_id, n,
+           ((n::HUGEINT * sxy - sx::HUGEINT * sy)::DOUBLE
+            / (n::HUGEINT * sxx - sx::HUGEINT * sx)::DOUBLE) AS slope_mu,
+           CASE WHEN (n::HUGEINT * syy - sy::HUGEINT * sy) = 0 THEN -1.0
+                ELSE ((n::HUGEINT * sxy - sx::HUGEINT * sy)::DOUBLE
+                      * (n::HUGEINT * sxy - sx::HUGEINT * sy)::DOUBLE)
+                     / ((n::HUGEINT * sxx - sx::HUGEINT * sx)::DOUBLE
+                        * (n::HUGEINT * syy - sy::HUGEINT * sy)::DOUBLE)
+           END AS r2
+    FROM sums
+    WHERE (n::HUGEINT * sxx - sx::HUGEINT * sx) > 0
+    """,
+    tags=("relational", "timeseries", "ml"),
+)
+def q_trend_slope_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user OLS trend of value over time, closed form — the
+    drift-detection / feature-engineering primitive (is this user's
+    spend rising?). x = seconds since the user's first event, y =
+    milli-scaled value; slope_mu is in y-milli-units per second and
+    r2 the fit quality (-1 sentinel when y is constant).
+
+    Exactness: the five moment sums are BIGINT (order-insensitive);
+    num/den cross terms are computed in DECIMAL(38,0) (Spark) /
+    HUGEINT (DuckDB) — exact integers — and only the final division
+    happens in DOUBLE, on identical operands, so the floats agree
+    bit-for-bit. Degenerate users (single event / single second) are
+    filtered by den > 0 rather than a sentinel because a slope
+    sentinel could collide with a legitimate value.
+
+    Plan: the min-over-user window and the moment aggregate share the
+    user_id partitioning — one shuffle; everything after the HAVING is
+    per-user scalar arithmetic on a 150-row frame."""
+    ev = tables.load_table(spark, sf_dir, "events")
+    w_u = Window.partitionBy("user_id")
+    base = ev.select(
+        "user_id",
+        F.expr(
+            "CAST((unix_micros(ts) - min(unix_micros(ts)) OVER "
+            "(PARTITION BY user_id)) div 1000000 AS BIGINT)"
+        ).alias("x"),
+        F.floor(F.col("value").cast("double") * F.lit(1000.0))
+        .cast("long")
+        .alias("y"),
+    )
+    sums = (
+        base.groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("x").cast("long").alias("sx"),
+            F.sum("y").cast("long").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+            F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+            F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        )
+        .filter(F.col("n") >= 2)
+    )
+    d = lambda c: F.col(c).cast("decimal(18,0)")  # noqa: E731
+    num = (d("n") * d("sxy") - d("sx") * d("sy")).cast("double")
+    den = (d("n") * d("sxx") - d("sx") * d("sx")).cast("double")
+    deny = (d("n") * d("syy") - d("sy") * d("sy")).cast("double")
+    return (
+        sums.withColumn("num_d", num)
+        .withColumn("den_d", den)
+        .withColumn("deny_d", deny)
+        .filter(F.col("den_d") > 0)
+        .select(
+            "user_id",
+            "n",
+            (F.col("num_d") / F.col("den_d")).alias("slope_mu"),
+            F.when(F.col("deny_d") == 0, F.lit(-1.0))
+            .otherwise(
+                (F.col("num_d") * F.col("num_d"))
+                / (F.col("den_d") * F.col("deny_d"))
+            )
+            .alias("r2"),
+        )
+    )

@@ -81,7 +81,14 @@ _PRIORITY: tuple[str, ...] = (
     "winsorize_event_value",
     "unpivot_user_metrics",
     "rolling_60s_user_stats",
-    # Slots 19-26: latest green driver row is r01 (8 names).
+    # Slots 19-23: second-wave round-5 registrations (first driver
+    # check pending) — displace 5 more r02-stale names to round 6.
+    "kmeans_embeddings_2iter",
+    "pagerank_word_graph",
+    "mix_langs_temperature",
+    "scd2_user_event_type",
+    "trend_slope_per_user",
+    # Slots 24-31: latest green driver row is r01 (8 names).
     "tpch_q6_forecast",
     "tpch_q14_promo",
     "tpch_q16_supplier_cnt",
@@ -90,7 +97,7 @@ _PRIORITY: tuple[str, ...] = (
     "tpch_q19_disjunctive",
     "semi_late_orders",
     "anti_customers_no_orders",
-    # Slots 27-50: latest green driver row is r02 (24 names).
+    # Slots 32-50: latest green driver row is r02 (oldest 19 of 24).
     "doc_sentiment",
     "doc_entities",
     "doc_categories",
@@ -110,14 +117,15 @@ _PRIORITY: tuple[str, ...] = (
     "text_bigram_lift",
     "multimodal_features",
     "multimodal_image_headers",
+    # Slots 51+: spill queue for round 6, oldest-green-first — the 5
+    # r02-stale names displaced by the second-wave registrations, then
+    # the r03-stale names (the 50-slot window is exactly filled by
+    # never-checked and r01/r02-stale names).
     "embedding_centroids",
     "embedding_quantize_error",
     "corpus_curation_pipeline",
     "tpch_q1_pricing",
     "tpch_q3_shipping",
-    # Slots 51+: remaining r03-stale names, next in line for round 6
-    # (the 50-slot window is now exactly filled by never-checked and
-    # r01/r02-stale names; dedup/similarity lead the spill queue).
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_ngram_containment",

@@ -547,3 +547,60 @@ def test_rolling_range_frame_single_shuffle(spark):
     assert count_data_shuffles(plan) == 1
     assert "Window" in plan
     assert "Join" not in plan
+
+
+def test_scd2_single_user_shuffle(spark):
+    """The SCD2 island build must reuse ONE user_id exchange across the
+    lag window, the running-sum window, the island aggregate, and the
+    lead window — islands are co-partitioned refinements, never a
+    second data shuffle, and there is no join node."""
+    plan = plan_of(spark, "scd2_user_event_type")
+    assert count_data_shuffles(plan) == 1
+    assert "Join" not in plan
+    assert len(re.findall(r"\(\d+\) Window", plan)) >= 2
+
+
+def test_trend_slope_single_shuffle(spark):
+    """Per-user OLS: the min-over-user window and the moment aggregate
+    share one user_id exchange; the closed-form arithmetic after the
+    HAVING is scalar projection — no join, no second shuffle."""
+    plan = plan_of(spark, "trend_slope_per_user")
+    assert count_data_shuffles(plan) == 1
+    assert "Join" not in plan
+    assert "partial_sum" in plan
+
+
+def test_kmeans_final_stage_shape(spark):
+    """The k-means output plan (final assignment + stats): the k x dims
+    centroid frame broadcast-joins into the exploded vectors, the
+    per-(id, cluster) distances and the stats both map-side combine,
+    and no join is ever sort-merge (a sort-merge here would mean the
+    vector side shuffled against a k-row frame)."""
+    plan = plan_of(spark, "kmeans_embeddings_2iter")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "partial_sum" in plan
+    # the argmin aggregates (id, j) -> (id) refine the same hash keys;
+    # the whole final stage needs only a handful of exchanges
+    assert count_data_shuffles(plan) <= 4
+
+
+def test_pagerank_no_sortmerge_joins(spark):
+    """Every per-iteration join in PageRank broadcasts the vocabulary-
+    bounded side (ranks / out-weights / contributions) onto the edge
+    list — a sort-merge join would mean an accidental edge-sized
+    shuffle pair per iteration. The only nested-loop joins are the
+    1-row node-count cross joins."""
+    plan = plan_of(spark, "pagerank_word_graph")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "partial_sum" in plan
+
+
+def test_mix_langs_broadcast_quotas(spark):
+    """Temperature mixing: the quota frame broadcasts into the ranked
+    draw (inner), zero-quota domains re-attach via the tiny aggregate
+    left join — the document-sized side never sort-merge joins."""
+    plan = plan_of(spark, "mix_langs_temperature")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2

@@ -479,3 +479,165 @@ def test_percentile_cross_engine_agreement(spark, values, q):
         "SELECT quantile_cont(v, ?) FROM (SELECT unnest(?::DOUBLE[]) v)", [q, values]
     ).fetchone()[0]
     assert got == want
+
+
+def test_kmeans_invariants(spark):
+    """Every vector is assigned (cluster sizes sum to N), clusters come
+    from the seed ids, and two Lloyd rounds strictly improve on the
+    seed-only assignment's inertia on this data."""
+    from sparksent.ext.iterative import kmeans_cluster_stats
+    from sparksent.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    n_total = emb.count()
+    refined = kmeans_cluster_stats(emb, k=8, iters=2).collect()
+    seed_only = kmeans_cluster_stats(emb, k=8, iters=0).collect()
+    assert sum(r["n"] for r in refined) == n_total
+    assert {r["cluster"] for r in refined} <= set(range(8))
+    assert sum(r["inertia"] for r in refined) < sum(r["inertia"] for r in seed_only)
+
+
+def test_pagerank_mass_conservation_bounds(spark):
+    """Fixed-point PageRank: every node keeps at least the teleport
+    floor, and total mass never exceeds PR_TOTAL (floordiv truncation
+    only ever leaks mass, it cannot mint it). An independent float
+    PageRank on the collected edge list agrees within truncation
+    error (each round truncates < 1 unit per edge + per node)."""
+    from sparksent.ext.iterative import PR_TOTAL, word_pagerank
+    from sparksent.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    rows = word_pagerank(docs, iters=3).collect()
+    n = len(rows)
+    teleport_floor = (15 * PR_TOTAL) // (100 * n)
+    assert all(r["pr"] >= teleport_floor for r in rows)
+    assert sum(r["pr"] for r in rows) <= PR_TOTAL
+
+    # independent reference: float power iteration on the same graph
+    toks = (
+        docs.select(
+            "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+        .collect()
+    )
+    by_doc: dict[int, set[str]] = {}
+    for r in toks:
+        by_doc.setdefault(r["doc_id"], set()).add(r["tok"])
+    w: dict[tuple[str, str], int] = {}
+    for ts in by_doc.values():
+        for a in ts:
+            for b in ts:
+                if a != b:
+                    w[(a, b)] = w.get((a, b), 0) + 1
+    nodes = sorted({r["tok"] for r in toks})
+    out = {u: sum(v for (a, _), v in w.items() if a == u) for u in nodes}
+    pr = {u: PR_TOTAL / len(nodes) for u in nodes}
+    for _ in range(3):
+        contrib = {u: 0.0 for u in nodes}
+        for (a, b), wt in w.items():
+            contrib[b] += pr[a] * wt / out[a]
+        pr = {
+            u: 0.15 * PR_TOTAL / len(nodes) + 0.85 * contrib[u] for u in nodes
+        }
+    got = {r["tok"]: r["pr"] for r in rows}
+    # truncation: <= 1 unit per incoming edge per round, compounding
+    # over 3 rounds — generous absolute envelope
+    slack = 3 * (len(w) + len(nodes)) + 10
+    for u in nodes:
+        assert abs(got[u] - pr[u]) <= slack, (u, got[u], pr[u])
+
+
+def test_scd2_islands_partition_the_stream(spark):
+    """SCD2 invariants on the fixture: island event counts sum to the
+    user's event count, intervals chain (valid_to == next valid_from,
+    -1 only on the last island), and consecutive islands always change
+    event_type (a non-change may never open an island)."""
+    from sparksent.registry import queries
+
+    rows = queries()["scd2_user_event_type"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    from sparksent.tables import load_table
+
+    ev_counts = {
+        r["user_id"]: r["n"]
+        for r in load_table(spark, "/root/testdata/sf0.001", "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert set(by_user) == set(ev_counts)
+    for uid, islands in by_user.items():
+        islands.sort(key=lambda r: r["island"])
+        assert [r["island"] for r in islands] == list(range(1, len(islands) + 1))
+        assert sum(r["n_events"] for r in islands) == ev_counts[uid]
+        for a, b in zip(islands, islands[1:]):
+            assert a["valid_to_us"] == b["valid_from_us"]
+            assert a["event_type"] != b["event_type"]
+        assert islands[-1]["valid_to_us"] == -1
+
+
+def test_trend_slope_matches_numpy(spark):
+    """The closed-form integer OLS agrees with numpy.polyfit on the
+    scaled series (float reference, so approximate comparison)."""
+    import numpy as np
+
+    from sparksent.registry import queries
+    from sparksent.tables import load_table
+
+    got = {
+        r["user_id"]: r
+        for r in queries()["trend_slope_per_user"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    ev = (
+        load_table(spark, "/root/testdata/sf0.001", "events")
+        .select("user_id", F.unix_micros("ts").alias("us"), "value")
+        .collect()
+    )
+    series: dict[int, list] = {}
+    for r in ev:
+        series.setdefault(r["user_id"], []).append((r["us"], r["value"]))
+    checked = 0
+    for uid, pts in sorted(series.items())[:10]:
+        m0 = min(u for u, _ in pts)
+        x = np.array([(u - m0) // 1_000_000 for u, _ in pts], dtype=float)
+        y = np.array([math.floor(v * 1000.0) for _, v in pts], dtype=float)
+        if len(pts) < 2 or np.all(x == x[0]):
+            assert uid not in got
+            continue
+        ref = np.polyfit(x, y, 1)[0]
+        assert got[uid]["slope_mu"] == pytest_approx(ref)
+        checked += 1
+    assert checked > 0
+
+
+def pytest_approx(v):
+    import pytest
+
+    return pytest.approx(v, rel=1e-6, abs=1e-9)
+
+
+def test_temperature_mix_quota_law(spark):
+    """Quotas follow the sqrt law (integer floordiv of scaled weights),
+    never exceed the budget in total, and the draw fills every quota
+    that fits in its domain."""
+    from sparksent.ext.curation import MIX_BUDGET, MIX_SCALE
+    from sparksent.registry import queries
+
+    rows = queries()["mix_langs_temperature"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    s = {r["domain"]: math.floor(math.sqrt(r["n_docs"]) * MIX_SCALE) for r in rows}
+    st_total = sum(s.values())
+    for r in rows:
+        assert r["target_n"] == (MIX_BUDGET * s[r["domain"]]) // st_total
+        assert r["n_sampled"] == min(r["target_n"], r["n_docs"])
+    assert sum(r["target_n"] for r in rows) <= MIX_BUDGET
