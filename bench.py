@@ -153,6 +153,8 @@ HEADLINE = [
     "mix_langs_temperature",
     "scd2_user_event_type",
     "trend_slope_per_user",
+    "acf_daily_value_lag7",
+    "dedup_prefix_filter",
 ]
 
 # Timed and reported, but excluded from the headline sum: cost dominated

@@ -1074,3 +1074,19 @@ def q_mix_langs_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.temperature_mix(
         tables.load_table(spark, sf_dir, "documents").select("doc_id", "lang")
     )
+
+
+@register(
+    "dedup_prefix_filter",
+    oracle=dedup.ngram_jaccard_pairs_sql(max_df=None),
+    tags=("ext", "dedup"),
+)
+def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT uncapped Jaccard >= 0.5 pairs via AllPairs/PPJoin prefix
+    filtering: only each document's rarest n - ceil(n/2) + 1 shingles
+    (global df order) enter the self-join, losslessly — the oracle is
+    the NAIVE full self-join, so a too-short prefix cannot hide. The
+    frequency order neutralizes hot shingles without the df cap's
+    approximation (compare dedup_ngram_jaccard, whose capped universe
+    changes the answer)."""
+    return dedup.prefix_filter_pairs(_docs(spark, sf_dir))

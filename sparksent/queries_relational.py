@@ -1666,3 +1666,102 @@ def q_trend_slope_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("r2"),
         )
     )
+
+
+@register(
+    "acf_daily_value_lag7",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, (epoch_us(ts) // 86400000000)::BIGINT AS day,
+             sum(floor(value::DOUBLE * 1000.0)::BIGINT)::BIGINT AS s
+      FROM events GROUP BY 1, 2
+    ), lags AS (SELECT unnest(generate_series(1, 7))::BIGINT AS k),
+    pairs AS (
+      SELECT a.event_type, l.k, a.s AS x, b.s AS y
+      FROM daily a CROSS JOIN lags l
+      JOIN daily b ON b.event_type = a.event_type AND b.day = a.day + l.k
+    ), m AS (
+      SELECT event_type, k, count(*)::BIGINT AS n_pairs,
+             sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+             sum(x * y)::BIGINT AS sxy,
+             sum(x * x)::BIGINT AS sxx, sum(y * y)::BIGINT AS syy
+      FROM pairs GROUP BY 1, 2
+    )
+    SELECT event_type, k AS lag, n_pairs,
+      CASE WHEN (n_pairs::HUGEINT * sxx - sx::HUGEINT * sx) = 0
+             OR (n_pairs::HUGEINT * syy - sy::HUGEINT * sy) = 0 THEN -2.0
+           ELSE (n_pairs::HUGEINT * sxy - sx::HUGEINT * sy)::DOUBLE
+                / sqrt((n_pairs::HUGEINT * sxx - sx::HUGEINT * sx)::DOUBLE
+                       * (n_pairs::HUGEINT * syy - sy::HUGEINT * sy)::DOUBLE)
+      END AS acf
+    FROM m
+    """,
+    tags=("relational", "timeseries"),
+)
+def q_acf_daily_value_lag7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of each event type's daily value series at lags
+    1..7 — the seasonality probe (a weekly cycle shows as a lag-7
+    peak). Pearson r over day-aligned pairs (day, day+k), so missing
+    days pair nothing instead of silently shifting the series the way
+    a row-ordered lead() would.
+
+    Exactness: daily sums are floor-scaled BIGINTs; the five pair
+    moments are integer sums; cross terms go DECIMAL(38,0)/HUGEINT and
+    only the final r (with its IEEE-correctly-rounded sqrt) is DOUBLE
+    on identical operands. Degenerate variances report -2.0 (r is in
+    [-1, 1], so the sentinel cannot collide).
+
+    Plan: ONE events-sized aggregate (map-side combined) produces the
+    types x days frame; everything after — the lag explode, the
+    day-aligned self-join, the moment aggregate — runs on that tiny
+    frame. At 100 TB the daily aggregate is still the only
+    data-sized stage."""
+    ev = tables.load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "event_type",
+            F.expr("CAST(unix_micros(ts) div 86400000000 AS BIGINT)").alias("day"),
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("value").cast("double") * F.lit(1000.0)).cast("long")
+            )
+            .cast("long")
+            .alias("s")
+        )
+        # both self-join sides read this types x days frame; pin ONE
+        # materialization so the second side never re-scans events
+        .localCheckpoint()
+    )
+    lags = F.explode(F.array(*[F.lit(i).cast("long") for i in range(1, 8)])).alias("k")
+    a = daily.select("event_type", "day", F.col("s").alias("x"), lags)
+    b = daily.select(
+        F.col("event_type").alias("b_type"),
+        F.col("day").alias("b_day"),
+        F.col("s").alias("y"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("b_type") == F.col("event_type"))
+        & (F.col("b_day") == F.col("day") + F.col("k")),
+    )
+    m = pairs.groupBy("event_type", "k").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    d = lambda c: F.col(c).cast("decimal(18,0)")  # noqa: E731
+    num = (d("n_pairs") * d("sxy") - d("sx") * d("sy")).cast("double")
+    den_x = (d("n_pairs") * d("sxx") - d("sx") * d("sx")).cast("double")
+    den_y = (d("n_pairs") * d("syy") - d("sy") * d("sy")).cast("double")
+    return m.select(
+        "event_type",
+        F.col("k").alias("lag"),
+        "n_pairs",
+        F.when((den_x == 0) | (den_y == 0), F.lit(-2.0))
+        .otherwise(num / F.sqrt(den_x * den_y))
+        .alias("acf"),
+    )

@@ -88,7 +88,9 @@ _PRIORITY: tuple[str, ...] = (
     "mix_langs_temperature",
     "scd2_user_event_type",
     "trend_slope_per_user",
-    # Slots 24-31: latest green driver row is r01 (8 names).
+    "acf_daily_value_lag7",
+    "dedup_prefix_filter",
+    # Slots 26-33: latest green driver row is r01 (8 names).
     "tpch_q6_forecast",
     "tpch_q14_promo",
     "tpch_q16_supplier_cnt",
@@ -97,7 +99,7 @@ _PRIORITY: tuple[str, ...] = (
     "tpch_q19_disjunctive",
     "semi_late_orders",
     "anti_customers_no_orders",
-    # Slots 32-50: latest green driver row is r02 (oldest 19 of 24).
+    # Slots 34-50: latest green driver row is r02 (oldest 17 of 24).
     "doc_sentiment",
     "doc_entities",
     "doc_categories",
@@ -115,12 +117,12 @@ _PRIORITY: tuple[str, ...] = (
     "text_distinctive_terms",
     "text_normalize",
     "text_bigram_lift",
-    "multimodal_features",
-    "multimodal_image_headers",
-    # Slots 51+: spill queue for round 6, oldest-green-first — the 5
+    # Slots 51+: spill queue for round 6, oldest-green-first — the 7
     # r02-stale names displaced by the second-wave registrations, then
     # the r03-stale names (the 50-slot window is exactly filled by
     # never-checked and r01/r02-stale names).
+    "multimodal_features",
+    "multimodal_image_headers",
     "embedding_centroids",
     "embedding_quantize_error",
     "corpus_curation_pipeline",

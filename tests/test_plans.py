@@ -604,3 +604,25 @@ def test_mix_langs_broadcast_quotas(spark):
     plan = plan_of(spark, "mix_langs_temperature")
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_acf_single_events_aggregate(spark):
+    """ACF's only data-sized stage is the (type, day) daily aggregate,
+    materialized ONCE (localCheckpoint) — the returned plan joins two
+    reads of that tiny frame and must never re-scan events (zero
+    parquet scans downstream, one moment-aggregate exchange)."""
+    plan = plan_of(spark, "acf_daily_value_lag7")
+    assert "partial_sum" in plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 0
+    assert count_data_shuffles(plan) <= 2
+
+
+def test_prefix_filter_no_cartesian_and_checkpointed_index(spark):
+    """Prefix filtering: the candidate join and the verify joins are
+    all hash equi-joins on shingle/id (no cartesian, no broadcast of a
+    corpus-sized side), and the shingle index materializes once
+    (localCheckpoint) — the returned plan never re-scans documents."""
+    plan = plan_of(spark, "dedup_prefix_filter")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 0

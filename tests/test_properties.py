@@ -641,3 +641,31 @@ def test_temperature_mix_quota_law(spark):
         assert r["target_n"] == (MIX_BUDGET * s[r["domain"]]) // st_total
         assert r["n_sampled"] == min(r["target_n"], r["n_docs"])
     assert sum(r["target_n"] for r in rows) <= MIX_BUDGET
+
+
+def test_prefix_filter_equals_uncapped_join(spark):
+    """PPJoin correctness on real data: prefix filtering must return
+    EXACTLY the uncapped inverted-index join's Jaccard pairs — a
+    too-short prefix (the classic off-by-one in n - ceil(t*n) + 1)
+    silently drops pairs and fails here."""
+    from sparksent.ext.dedup import ngram_jaccard_pairs, prefix_filter_pairs
+    from sparksent.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    a = (
+        prefix_filter_pairs(docs)
+        .toPandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    b = (
+        ngram_jaccard_pairs(docs, max_df=None)
+        .toPandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    assert len(a) == len(b) > 0
+    for c in b.columns:
+        assert (a[c].to_numpy() == b[c].to_numpy()).all(), c

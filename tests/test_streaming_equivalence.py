@@ -887,3 +887,66 @@ def test_rolling_window_null_values(spark, tmp_path):
     assert got[3] == (3, 2.5)
     assert got[4] == (1, 4.0)
     assert got[5] == (1, 1.25)
+
+
+def test_scd2_per_record_equivalence(spark, tmp_path):
+    """Streaming SCD2 emits exactly the batch islands that are CLOSED
+    (valid_to_us != -1): same rows, same interval bounds, same counts,
+    across micro-batch boundaries (an island spanning several batches
+    must accumulate n_events before closing)."""
+    from sparksent.registry import queries
+    from sparksent.streaming.count_window import streaming_scd2_per_record
+
+    replay = str(tmp_path / "scd2_replay")
+    ev = load_table(spark, SF_DIR_SMALL, "events")
+    write_replay_chunks(ev, replay, N_CHUNKS)
+
+    stream = file_replay_source(spark, replay).select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    out = streaming_scd2_per_record(stream)
+    _run_to_memory(out, "t_scd2", "append")
+    got = (
+        spark.table("t_scd2")
+        .toPandas()
+        .sort_values(["user_id", "island"])
+        .reset_index(drop=True)
+    )
+
+    want = (
+        queries()["scd2_user_event_type"](spark, SF_DIR_SMALL)
+        .filter(F.col("valid_to_us") != -1)
+        .toPandas()
+        .sort_values(["user_id", "island"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) > 0
+    for c in want.columns:
+        assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+
+
+def test_scd2_per_record_matches_oracle_sf001(spark, ducks, tmp_path):
+    """Streaming SCD2 against an INDEPENDENT DuckDB islands
+    recomputation at sf0.01 (rows + schema + exact values) — the
+    oracle-grade gate for the new carry-state operator, same treatment
+    as transitions/EWMA/rolling."""
+    from sparksent.registry import REGISTRY
+    from sparksent.streaming.count_window import streaming_scd2_per_record
+
+    from conftest import SF_DIR, assert_oracle_match
+
+    replay = str(tmp_path / "scd2_oracle_replay")
+    ev = load_table(spark, SF_DIR, "events")
+    write_replay_chunks(ev, replay, N_CHUNKS)
+
+    stream = file_replay_source(spark, replay).select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    out = streaming_scd2_per_record(stream)
+    _run_to_memory(out, "t_scd2_oracle", "append")
+    closed_oracle = (
+        "SELECT * FROM ("
+        + REGISTRY["scd2_user_event_type"].oracle
+        + ") WHERE valid_to_us <> -1"
+    )
+    assert_oracle_match(spark.table("t_scd2_oracle"), ducks, closed_oracle)

@@ -241,6 +241,18 @@ def main() -> None:
         "lm_bigram_score": qs["lm_bigram_score"],
         "attribution_first_touch": qs["attribution_first_touch"],
         "bm25_topk": qs["bm25_topk"],
+        # round-5 second wave: the two iterative algorithms (k-means
+        # broadcast loop over 20x vectors; pagerank whose x20 corpus
+        # has a 20x vocabulary — replica prefixes make co-occurrence
+        # components disjoint, so edges scale linearly like a real
+        # corpus) and the two new single-user-shuffle event analytics
+        "kmeans_embeddings_2iter": qs["kmeans_embeddings_2iter"],
+        "pagerank_word_graph": qs["pagerank_word_graph"],
+        "scd2_user_event_type": qs["scd2_user_event_type"],
+        "trend_slope_per_user": qs["trend_slope_per_user"],
+        # lossless PPJoin prefix filtering vs the capped approximate
+        # index (dedup_ngram_jaccard) on the same corpus
+        "dedup_prefix_filter": qs["dedup_prefix_filter"],
     }
     results = {}
     group_of = {}
