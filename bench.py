@@ -155,6 +155,12 @@ HEADLINE = [
     "trend_slope_per_user",
     "acf_daily_value_lag7",
     "dedup_prefix_filter",
+    # round-5 fourth wave
+    "basket_pair_lift",
+    "bfs_hops_copurchase",
+    "snapshot_diff_users",
+    "negative_sample_user_items",
+    "grouping_sets_event_stats",
 ]
 
 # Timed and reported, but excluded from the headline sum: cost dominated

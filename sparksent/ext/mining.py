@@ -1,0 +1,418 @@
+"""Pattern-mining and CDC operators: market-basket association rules,
+multi-source BFS reachability, snapshot diffing, and negative sampling.
+
+No reference counterpart (traubad/FlinkSentimentAnalysis has neither a
+transactions table nor graphs, SURVEY.md §2.3); these extend the
+training-data-pipeline surface — co-occurrence statistics for retrieval
+/ recommendation corpora, hop-bounded reachability for graph curation,
+CDC diffs for incremental dataset refresh, and negative sampling for
+contrastive training pairs.
+
+Exactness follows registry conventions: all counts/ratios stay in
+BIGINT (lift is reported in ppm via positive-integer floordiv — Spark
+``div`` == DuckDB ``//``), sums accumulate in DECIMAL(28,6) and cast to
+DOUBLE once, missing sides coalesce to sentinels, and the one sampling
+primitive is the shared md5 lottery (ext/hashing.py), never an RNG.
+
+100-TB shapes:
+- basket pairs: the a-priori prune (items below min-support cannot
+  form a frequent pair) runs BEFORE the pair self-join, so the
+  quadratic step only sees frequent items; the self-join is
+  co-partitioned on the basket key (pairs never cross baskets) and the
+  pair aggregate partial-combines map-side.  Hot baskets are bounded
+  by the per-order line count (TPC-H ≤ 7 per SF rule; a retail-scale
+  variant would cap basket width the same way the dedup family caps
+  shingle df).
+- BFS: frontier expansion is one co-partitioned join per hop with the
+  level set anti-joined out — O(diameter) rounds, each
+  localCheckpoint-pinned so the lazy plan stays flat (the
+  graph.py/iterative.py convention); the driver never sees a node.
+- snapshot diff: two filtered aggregates (each with its time predicate
+  pushed to the scan — the partition-pruning analog of reading two
+  table versions) and ONE co-partitioned full outer join on the key.
+- negative sampling: the candidate grid is built by broadcasting the
+  item vocabulary (bounded here; at web-scale item counts the same
+  shape buckets the vocabulary and samples candidates per bucket
+  before the anti-join), the observed-pairs anti-join is
+  co-partitioned on the entity key, and the per-entity lottery rank
+  is a window over at most |vocabulary| rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .hashing import h60, h60_sql
+
+LIFT_PPM = 1_000_000
+
+
+# ---------------------------------------------------------------------------
+# market-basket pair mining (a-priori pruned co-occurrence + lift)
+# ---------------------------------------------------------------------------
+
+
+def basket_pair_lift(
+    lineitem: DataFrame,
+    min_support: int = 2,
+    basket_col: str = "l_orderkey",
+    item_col: str = "l_partkey",
+) -> DataFrame:
+    """Frequent item pairs over baskets with integer-exact lift:
+    (item_a < item_b) pairs co-occurring in >= ``min_support`` baskets,
+    reported with both marginals and
+    ``lift_ppm = (pair_n * n_baskets * 1e6) div (n_a * n_b)``.
+
+    The a-priori prune is lossless: support(a,b) <= min(support(a),
+    support(b)), so items below min_support are dropped before the
+    pair join ever forms — the frequent-pair answer is unchanged while
+    the quadratic step shrinks to the frequent-item sub-basket.
+    """
+    items = (
+        lineitem.select(
+            F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
+        )
+        .distinct()
+        .localCheckpoint()  # consumed by freq, n_baskets, and both pair sides
+    )
+    freq = items.groupBy("item").agg(F.count("*").cast("long").alias("n_item"))
+    frequent = freq.filter(F.col("n_item") >= min_support)
+    pruned = items.join(
+        F.broadcast(frequent.select("item")), "item", "left_semi"
+    )
+    a = pruned.alias("a")
+    b = pruned.alias("b")
+    pairs = (
+        a.join(b, "basket")
+        .filter(F.col("a.item") < F.col("b.item"))
+        .groupBy(F.col("a.item").alias("item_a"), F.col("b.item").alias("item_b"))
+        .agg(F.count("*").cast("long").alias("pair_n"))
+        .filter(F.col("pair_n") >= min_support)
+    )
+    n_baskets = items.select("basket").distinct().agg(
+        F.count("*").cast("long").alias("n_baskets")
+    )
+    fa = frequent.select(F.col("item").alias("item_a"), F.col("n_item").alias("n_a"))
+    fb = frequent.select(F.col("item").alias("item_b"), F.col("n_item").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(fa), "item_a")
+        .join(F.broadcast(fb), "item_b")
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "item_a",
+            "item_b",
+            "pair_n",
+            "n_a",
+            "n_b",
+            F.expr(
+                f"CAST((pair_n * n_baskets * {LIFT_PPM}) div (n_a * n_b) AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+    )
+
+
+def basket_pair_lift_sql(
+    table: str = "lineitem",
+    min_support: int = 2,
+    basket_col: str = "l_orderkey",
+    item_col: str = "l_partkey",
+) -> str:
+    return f"""
+    WITH items AS (
+      SELECT DISTINCT {basket_col} AS basket, {item_col} AS item FROM {table}),
+    freq AS (
+      SELECT item, count(*)::BIGINT AS n_item FROM items GROUP BY 1
+      HAVING count(*) >= {min_support}),
+    pruned AS (
+      SELECT i.basket, i.item FROM items i JOIN freq USING (item)),
+    pairs AS (
+      SELECT a.item AS item_a, b.item AS item_b, count(*)::BIGINT AS pair_n
+      FROM pruned a JOIN pruned b ON a.basket = b.basket AND a.item < b.item
+      GROUP BY 1, 2
+      HAVING count(*) >= {min_support}),
+    nb AS (SELECT count(DISTINCT basket)::BIGINT AS n_baskets FROM items)
+    SELECT p.item_a, p.item_b, p.pair_n, fa.n_item AS n_a, fb.n_item AS n_b,
+           ((p.pair_n * nb.n_baskets * {LIFT_PPM}) // (fa.n_item * fb.n_item))::BIGINT
+             AS lift_ppm
+    FROM pairs p
+    JOIN freq fa ON fa.item = p.item_a
+    JOIN freq fb ON fb.item = p.item_b
+    CROSS JOIN nb
+    """
+
+
+# ---------------------------------------------------------------------------
+# multi-source BFS (hop levels over the co-purchase graph)
+# ---------------------------------------------------------------------------
+
+
+def copurchase_bfs_hops(
+    lineitem: DataFrame,
+    n_seeds: int = 3,
+    max_hops: int = 3,
+    basket_col: str = "l_orderkey",
+    item_col: str = "l_partkey",
+) -> DataFrame:
+    """Multi-source BFS hop levels over the item co-purchase graph
+    (items adjacent iff they share a basket), seeded at the ``n_seeds``
+    highest-support items (ties by item id).  One row per node:
+    (part, hops), hops in 0..max_hops or -1 if unreached.
+
+    Each round joins only the NEW frontier against the edge list and
+    anti-joins the already-levelled set, so work per round is
+    proportional to the frontier's out-edges — the textbook O(diameter)
+    distributed BFS.  The first-discovery hop is the minimum distance
+    by BFS invariant, which is what the oracle's min-over-all-walks
+    recursive CTE computes.
+    """
+    items = (
+        lineitem.select(
+            F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
+        )
+        .distinct()
+        .localCheckpoint()  # consumed by edges, nodes, and seeds
+    )
+    a = items.alias("a")
+    b = items.alias("b")
+    edges = (
+        a.join(b, "basket")
+        .filter(F.col("a.item") != F.col("b.item"))
+        .select(F.col("a.item").alias("src"), F.col("b.item").alias("dst"))
+        .distinct()
+        .localCheckpoint()  # consumed once per hop round
+    )
+    nodes = items.select("item").distinct()
+    seeds = (
+        items.groupBy("item")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "item")
+        .limit(n_seeds)
+        .select("item")
+    )
+    levels = seeds.withColumn("hop", F.lit(0).cast("long")).localCheckpoint()
+    frontier = levels.select("item")
+    for i in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(edges, frontier.item == edges.src)
+            .select(F.col("dst").alias("item"))
+            .distinct()
+            .join(levels.select("item"), "item", "left_anti")
+            .withColumn("hop", F.lit(i).cast("long"))
+            .localCheckpoint()
+        )
+        levels = levels.union(nxt).localCheckpoint()
+        frontier = nxt.select("item")
+    return nodes.join(levels, "item", "left").select(
+        F.col("item").alias("part"),
+        F.coalesce(F.col("hop"), F.lit(-1)).cast("long").alias("hops"),
+    )
+
+
+def copurchase_bfs_hops_sql(
+    table: str = "lineitem",
+    n_seeds: int = 3,
+    max_hops: int = 3,
+    basket_col: str = "l_orderkey",
+    item_col: str = "l_partkey",
+) -> str:
+    """Oracle: recursive-CTE walk enumeration bounded at ``max_hops``;
+    min(hop) per node is the BFS distance (every walk length >= the
+    shortest is enumerated, UNION dedupes (node, hop) pairs so the
+    recursion terminates on cycles)."""
+    return f"""
+    WITH RECURSIVE
+    items AS (
+      SELECT DISTINCT {basket_col} AS basket, {item_col} AS item FROM {table}),
+    edges AS (
+      SELECT DISTINCT a.item AS src, b.item AS dst
+      FROM items a JOIN items b ON a.basket = b.basket AND a.item <> b.item),
+    seeds AS (
+      SELECT item FROM (SELECT item, count(*) AS n FROM items GROUP BY 1)
+      ORDER BY n DESC, item LIMIT {n_seeds}),
+    reach(item, hop) AS (
+      SELECT item, 0::BIGINT FROM seeds
+      UNION
+      SELECT e.dst, r.hop + 1 FROM reach r
+      JOIN edges e ON e.src = r.item
+      WHERE r.hop < {max_hops}),
+    lv AS (SELECT item, min(hop) AS hops FROM reach GROUP BY 1)
+    SELECT n.item AS part, coalesce(lv.hops, -1)::BIGINT AS hops
+    FROM (SELECT DISTINCT item FROM items) n
+    LEFT JOIN lv ON lv.item = n.item
+    """
+
+
+# ---------------------------------------------------------------------------
+# CDC snapshot diff (windowed per-key state, full-outer classify)
+# ---------------------------------------------------------------------------
+
+
+def snapshot_diff(
+    events: DataFrame,
+    cut_a: str,
+    cut_b: str,
+    window_days: int = 1,
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Change-data-capture diff between two per-key activity snapshots:
+    state = (n_events, exact sum of value) over the ``window_days``-day
+    window starting at each cut.  One row per key present in either
+    snapshot, classified ``added`` (new side only) / ``removed`` (old
+    side only) / ``changed`` / ``unchanged``; absent sides report the
+    -1 / -1.0 sentinels.
+
+    The equality test compares DECIMAL-accumulated sums cast to DOUBLE
+    — bit-exact on both engines, so 'unchanged' is well-defined.  The
+    window bounds are pure epoch-microsecond comparisons (the loader's
+    ts carries the wall clock as its instant): a timestamp-literal
+    compare would shift with the session timezone.
+    """
+    from datetime import datetime, timezone
+
+    def snap(cut: str) -> DataFrame:
+        lo_us = int(
+            datetime.strptime(cut, "%Y-%m-%d")
+            .replace(tzinfo=timezone.utc)
+            .timestamp()
+            * 1_000_000
+        )
+        hi_us = lo_us + window_days * 86_400_000_000
+        return (
+            events.filter(
+                (F.unix_micros("ts") >= F.lit(lo_us))
+                & (F.unix_micros("ts") < F.lit(hi_us))
+            )
+            .groupBy(key_col)
+            .agg(
+                F.count("*").cast("long").alias("n"),
+                F.sum(F.col("value").cast("decimal(28,6)"))
+                .cast("double")
+                .alias("s"),
+            )
+        )
+
+    old = snap(cut_a).select(
+        F.col(key_col), F.col("n").alias("old_n"), F.col("s").alias("old_sum")
+    )
+    new = snap(cut_b).select(
+        F.col(key_col), F.col("n").alias("new_n"), F.col("s").alias("new_sum")
+    )
+    j = old.join(new, key_col, "full_outer")
+    return j.select(
+        F.col(key_col),
+        F.when(F.col("old_n").isNull(), F.lit("added"))
+        .when(F.col("new_n").isNull(), F.lit("removed"))
+        .when(
+            (F.col("old_n") == F.col("new_n"))
+            & (F.col("old_sum") == F.col("new_sum")),
+            F.lit("unchanged"),
+        )
+        .otherwise(F.lit("changed"))
+        .alias("change_type"),
+        F.coalesce("old_n", F.lit(-1)).cast("long").alias("old_n"),
+        F.coalesce("old_sum", F.lit(-1.0)).alias("old_sum"),
+        F.coalesce("new_n", F.lit(-1)).cast("long").alias("new_n"),
+        F.coalesce("new_sum", F.lit(-1.0)).alias("new_sum"),
+    )
+
+
+def snapshot_diff_sql(
+    cut_a: str,
+    cut_b: str,
+    window_days: int = 1,
+    table: str = "events",
+    key_col: str = "user_id",
+) -> str:
+    def snap(cut: str) -> str:
+        return f"""
+          SELECT {key_col}, count(*)::BIGINT AS n,
+                 sum(value::DECIMAL(28,6))::DOUBLE AS s
+          FROM {table}
+          WHERE ts >= TIMESTAMP '{cut}'
+            AND ts < TIMESTAMP '{cut}' + INTERVAL {window_days} DAY
+          GROUP BY 1"""
+
+    return f"""
+    WITH old AS ({snap(cut_a)}), new AS ({snap(cut_b)})
+    SELECT coalesce(old.{key_col}, new.{key_col}) AS {key_col},
+           CASE WHEN old.n IS NULL THEN 'added'
+                WHEN new.n IS NULL THEN 'removed'
+                WHEN old.n = new.n AND old.s = new.s THEN 'unchanged'
+                ELSE 'changed' END AS change_type,
+           coalesce(old.n, -1)::BIGINT AS old_n,
+           coalesce(old.s, -1.0)::DOUBLE AS old_sum,
+           coalesce(new.n, -1)::BIGINT AS new_n,
+           coalesce(new.s, -1.0)::DOUBLE AS new_sum
+    FROM old FULL OUTER JOIN new ON old.{key_col} = new.{key_col}
+    """
+
+
+# ---------------------------------------------------------------------------
+# negative sampling (anti-join grid + md5 lottery)
+# ---------------------------------------------------------------------------
+
+
+def negative_sample(
+    events: DataFrame,
+    k: int = 3,
+    key_col: str = "user_id",
+    salt: str = "negsamp",
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training pairs:
+    for each entity, ``k`` items (here: ``props.k`` values) the entity
+    was NEVER observed with, drawn by the shared md5 lottery — the
+    smallest-hash negatives win, ties broken by item.  Output
+    (user_id, item, rk) with rk in 1..k.
+
+    Determinism makes the sample reproducible across engines AND
+    across re-runs on re-partitioned data — the property an RNG-based
+    sampler loses the moment the partitioning changes.
+    """
+    parsed = events.select(
+        F.col(key_col),
+        F.get_json_object(F.col("props"), "$.k").cast("int").alias("item"),
+    )
+    entities = parsed.select(key_col).distinct()
+    vocab = parsed.select("item").distinct()
+    observed = parsed.distinct()
+    grid = entities.crossJoin(F.broadcast(vocab))
+    negs = grid.join(observed, [key_col, "item"], "left_anti")
+    lot = h60(
+        F.concat(
+            F.lit(f"{salt}:"),
+            F.col(key_col).cast("string"),
+            F.lit(":"),
+            F.col("item").cast("string"),
+        )
+    )
+    w = Window.partitionBy(key_col).orderBy(lot.asc(), F.col("item").asc())
+    return (
+        negs.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select(key_col, F.col("item").cast("long").alias("item"), "rk")
+    )
+
+
+def negative_sample_sql(
+    k: int = 3, table: str = "events", key_col: str = "user_id", salt: str = "negsamp"
+) -> str:
+    h = h60_sql(f"'{salt}:'||{key_col}::VARCHAR||':'||item::VARCHAR")
+    return f"""
+    WITH parsed AS (
+      SELECT {key_col}, json_extract(props, '$.k')::INT AS item FROM {table}),
+    entities AS (SELECT DISTINCT {key_col} FROM parsed),
+    vocab AS (SELECT DISTINCT item FROM parsed),
+    observed AS (SELECT DISTINCT {key_col}, item FROM parsed),
+    negs AS (
+      SELECT e.{key_col}, v.item
+      FROM entities e CROSS JOIN vocab v
+      WHERE NOT EXISTS (SELECT 1 FROM observed o
+                        WHERE o.{key_col} = e.{key_col} AND o.item = v.item))
+    SELECT {key_col}, item::BIGINT AS item, rk FROM (
+      SELECT {key_col}, item,
+             row_number() OVER (PARTITION BY {key_col}
+                                ORDER BY {h}, item)::BIGINT AS rk
+      FROM negs)
+    WHERE rk <= {k}
+    """

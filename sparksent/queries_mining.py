@@ -1,0 +1,127 @@
+"""Registrations for the pattern-mining / CDC family (ext/mining.py)
+plus the GROUPING SETS aggregation surface.
+
+The reference has no transactions, graphs, or multi-granularity
+aggregation (SURVEY.md §2.3); this module rounds out the analytics
+engine with the shapes a recommendation / curation pipeline runs over
+a fact store: association rules, reachability, snapshot diffs,
+negative sampling, and arbitrary grouping-set rollups.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import tables
+from .ext import mining
+from .registry import register
+
+
+@register(
+    "basket_pair_lift",
+    oracle=mining.basket_pair_lift_sql(),
+    tags=("mining", "association"),
+)
+def q_basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent co-purchased part pairs with integer-exact lift (ppm):
+    the a-priori prune (losslessly dropping items below min-support)
+    runs BEFORE the basket-co-partitioned pair self-join, marginals
+    and the basket total broadcast back onto the pair aggregate, and
+    lift is a positive-integer floordiv so both engines agree
+    bit-for-bit."""
+    li = tables.load_table(spark, sf_dir, "lineitem")
+    return mining.basket_pair_lift(li)
+
+
+@register(
+    "bfs_hops_copurchase",
+    oracle=mining.copurchase_bfs_hops_sql(),
+    tags=("mining", "graph", "iterative"),
+)
+def q_bfs_hops_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS over the part co-purchase graph: hop level
+    (0..3, or -1 unreached) of every part from the 3 highest-support
+    seed parts. O(diameter) frontier-join rounds, each anti-joined
+    against the levelled set and localCheckpoint-pinned; the oracle is
+    an independent recursive-CTE walk enumeration whose min(hop) is
+    the same BFS distance — an iterative graph algorithm under the
+    full hash gate."""
+    li = tables.load_table(spark, sf_dir, "lineitem")
+    return mining.copurchase_bfs_hops(li)
+
+
+@register(
+    "snapshot_diff_users",
+    oracle=mining.snapshot_diff_sql("2024-01-05", "2024-01-20"),
+    tags=("mining", "cdc"),
+)
+def q_snapshot_diff_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style diff of per-user activity state between the Jan 5 and
+    Jan 20 day-window snapshots: added / removed / changed / unchanged
+    per user, with the absent side at the -1 sentinels. Two
+    scan-pruned aggregates (the partition-pruning analog of reading
+    two table versions) and one co-partitioned full outer join."""
+    ev = tables.load_table(spark, sf_dir, "events")
+    return mining.snapshot_diff(ev, "2024-01-05", "2024-01-20")
+
+
+@register(
+    "negative_sample_user_items",
+    oracle=mining.negative_sample_sql(),
+    tags=("mining", "sampling"),
+)
+def q_negative_sample_user_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive pairs: per user,
+    the 3 md5-lottery-smallest ``props.k`` values the user never
+    produced. Vocabulary broadcast into the candidate grid, observed
+    pairs anti-joined out co-partitioned on user_id, per-user rank over
+    at most |vocabulary| rows — reproducible across engines and across
+    re-partitioned re-runs, which an RNG sampler is not."""
+    ev = tables.load_table(spark, sf_dir, "events")
+    return mining.negative_sample(ev)
+
+
+@register(
+    "grouping_sets_event_stats",
+    oracle="""
+    SELECT coalesce(event_type, 'ALL') AS event_type,
+           coalesce(dow, -1)::BIGINT AS dow,
+           count(*)::BIGINT AS n,
+           sum(value::DECIMAL(28,6))::DOUBLE AS sum_value
+    FROM (SELECT event_type,
+                 (floor(epoch(ts))::BIGINT // 86400 + 4) % 7 AS dow,
+                 value
+          FROM events)
+    GROUP BY GROUPING SETS ((event_type, dow), (event_type), (dow), ())
+    """,
+    tags=("mining", "aggregation"),
+)
+def q_grouping_sets_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS — the multi-granularity shape rollup and
+    cube cannot express (here: by (type, weekday), by type, by weekday,
+    and grand total in ONE pass). Spark plans this as a single Expand +
+    aggregate, so the fact table is scanned once for all four
+    granularities; NULL group markers coalesce to the 'ALL' / -1
+    sentinels on both engines. Weekday is epoch-day arithmetic
+    ((epoch_day + 4) % 7, Monday=4), not a locale-dependent dayofweek."""
+    ev = tables.load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        F.expr("CAST((unix_timestamp(ts) div 86400 + 4) % 7 AS BIGINT)").alias("dow"),
+        "value",
+    )
+    gs = base.groupingSets(
+        [["event_type", "dow"], ["event_type"], ["dow"], []],
+        "event_type",
+        "dow",
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("sum_value"),
+    )
+    return gs.select(
+        F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+        F.coalesce("dow", F.lit(-1)).cast("long").alias("dow"),
+        "n",
+        "sum_value",
+    )

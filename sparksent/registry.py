@@ -90,7 +90,14 @@ _PRIORITY: tuple[str, ...] = (
     "trend_slope_per_user",
     "acf_daily_value_lag7",
     "dedup_prefix_filter",
-    # Slots 26-33: latest green driver row is r01 (8 names).
+    # Slots 26-30: third-wave round-5 registrations (first driver check
+    # pending) — displace 5 more r02-stale names to round 6.
+    "basket_pair_lift",
+    "bfs_hops_copurchase",
+    "snapshot_diff_users",
+    "negative_sample_user_items",
+    "grouping_sets_event_stats",
+    # Slots 31-38: latest green driver row is r01 (8 names).
     "tpch_q6_forecast",
     "tpch_q14_promo",
     "tpch_q16_supplier_cnt",
@@ -99,7 +106,7 @@ _PRIORITY: tuple[str, ...] = (
     "tpch_q19_disjunctive",
     "semi_late_orders",
     "anti_customers_no_orders",
-    # Slots 34-50: latest green driver row is r02 (oldest 17 of 24).
+    # Slots 39-50: latest green driver row is r02 (oldest 12 of 24).
     "doc_sentiment",
     "doc_entities",
     "doc_categories",
@@ -112,15 +119,15 @@ _PRIORITY: tuple[str, ...] = (
     "similarity_topk_lsh",
     "similarity_topk_ivf",
     "similarity_topk_multiprobe",
+    # Slots 51+: spill queue for round 6, oldest-green-first — the 12
+    # r02-stale names displaced by the second/third-wave registrations,
+    # then the r03-stale names (the 50-slot window is exactly filled by
+    # never-checked and r01/r02-stale names).
     "text_stats",
     "text_fingerprint",
     "text_distinctive_terms",
     "text_normalize",
     "text_bigram_lift",
-    # Slots 51+: spill queue for round 6, oldest-green-first — the 7
-    # r02-stale names displaced by the second-wave registrations, then
-    # the r03-stale names (the 50-slot window is exactly filled by
-    # never-checked and r01/r02-stale names).
     "multimodal_features",
     "multimodal_image_headers",
     "embedding_centroids",
@@ -193,4 +200,5 @@ def _ensure_loaded() -> None:
     from . import queries_ext  # noqa: F401
     from . import queries_tpch  # noqa: F401
     from . import queries_relational  # noqa: F401
+    from . import queries_mining  # noqa: F401
     _LOADED = True

@@ -626,3 +626,69 @@ def test_prefix_filter_no_cartesian_and_checkpointed_index(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 0
+
+
+def test_basket_pairs_apriori_broadcast_and_copartition(spark):
+    """Market-basket pairs: the a-priori frequent-item prune reaches
+    the pair join as a broadcast semi-join (the distinct item-support
+    frame is vocabulary-sized), the pair self-join is a hash equi-join
+    on the basket key (never a cartesian), the pair aggregate partial-
+    combines map-side, and the distinct (basket, item) set materializes
+    once (localCheckpoint — zero parquet re-scans downstream). The one
+    BroadcastNestedLoopJoin is the single-row basket-total attach."""
+    plan = plan_of(spark, "basket_pair_lift")
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan
+    assert "BroadcastHashJoin" in plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 0
+
+
+def test_bfs_frontier_rounds_checkpointed(spark):
+    """BFS: every frontier round is localCheckpoint-pinned, so the
+    returned plan is only the final nodes-to-levels left join over
+    materialized RDDs — zero parquet scans, no cartesian, O(1) plan
+    depth regardless of hop count (the O(diameter) work happened at
+    build time, one co-partitioned join per hop)."""
+    plan = plan_of(spark, "bfs_hops_copurchase")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 0
+
+
+def test_snapshot_diff_pruned_scans_one_join(spark):
+    """CDC diff: each snapshot filters its scan before aggregating (in
+    production the window predicate prunes partitions of the two table
+    versions; here the events loader's ts normalization keeps it a
+    post-scan filter — two scans, each immediately filtered), both
+    per-key states partial-aggregate map-side, and the diff is ONE
+    full-outer equi-join on the key."""
+    plan = plan_of(spark, "snapshot_diff_users")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2
+    assert len(re.findall(r"\(\d+\) Filter", plan)) >= 2
+    assert "partial_count" in plan
+    assert "FullOuter" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_negative_sample_broadcast_grid_anti_join(spark):
+    """Negative sampling: the item vocabulary broadcasts into the
+    candidate grid (a vocabulary-sized nested-loop expand, the ONLY
+    BNLJ), observed pairs anti-join out on the (entity, item) hash, and
+    the per-entity lottery is one window — bounded by |vocabulary| rows
+    per entity."""
+    plan = plan_of(spark, "negative_sample_user_items")
+    assert "LeftAnti" in plan
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) == 1
+    # rank-limit pushes into the shuffle (WindowGroupLimit): per-entity
+    # top-k never materializes the full grid into the window sort
+    assert "WindowGroupLimit" in plan
+
+
+def test_grouping_sets_single_expand_scan(spark):
+    """GROUPING SETS: all four granularities come from ONE parquet scan
+    through a single Expand + partial/final aggregate — never one scan
+    per grouping set."""
+    plan = plan_of(spark, "grouping_sets_event_stats")
+    assert "Expand" in plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "partial_count" in plan
