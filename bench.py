@@ -161,6 +161,9 @@ HEADLINE = [
     "snapshot_diff_users",
     "negative_sample_user_items",
     "grouping_sets_event_stats",
+    "label_propagation_communities",
+    "corr_matrix_event_types",
+    "hard_negatives_topk",
 ]
 
 # Timed and reported, but excluded from the headline sum: cost dominated

@@ -416,3 +416,117 @@ def negative_sample_sql(
       FROM negs)
     WHERE rk <= {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# label propagation (deterministic, fixed rounds)
+# ---------------------------------------------------------------------------
+
+
+def label_propagation(
+    lineitem: DataFrame,
+    rounds: int = 2,
+    basket_col: str = "l_orderkey",
+    item_col: str = "l_partkey",
+) -> DataFrame:
+    """Community detection by deterministic label propagation over the
+    weighted co-purchase graph (edge weight = number of shared
+    baskets): labels start as the node id; each round every node
+    adopts the label with the greatest incoming weight among its
+    neighbors' current labels (ties to the smallest label; isolated
+    nodes keep their own).  Fixed ``rounds`` synchronous rounds, so
+    both engines run the identical update — an iterative community
+    algorithm under the full hash gate, like PageRank/k-means
+    (ext/iterative.py).
+
+    Scale: the label frame is node-sized and joins the edge list
+    co-partitioned on src (broadcast at this vocabulary); the vote
+    aggregate partial-combines on (dst, label) map-side; every round
+    is localCheckpoint-pinned so the plan depth stays O(1).
+    """
+    items = (
+        lineitem.select(
+            F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
+        )
+        .distinct()
+        .localCheckpoint()  # consumed by edges and nodes
+    )
+    a = items.alias("a")
+    b = items.alias("b")
+    edges = (
+        a.join(b, "basket")
+        .filter(F.col("a.item") != F.col("b.item"))
+        .groupBy(F.col("a.item").alias("src"), F.col("b.item").alias("dst"))
+        .agg(F.count("*").cast("long").alias("w"))
+        .localCheckpoint()  # consumed once per round
+    )
+    nodes = items.select("item").distinct().localCheckpoint()
+    labels = nodes.select("item", F.col("item").alias("lbl"))
+    for _ in range(rounds):
+        votes = (
+            edges.join(
+                labels.select(F.col("item").alias("src"), "lbl"), "src"
+            )
+            .groupBy(F.col("dst").alias("item"), "lbl")
+            .agg(F.sum("w").cast("long").alias("ws"))
+        )
+        best = (
+            votes.groupBy("item")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("ws")).alias("nws"), F.col("lbl").alias("l")
+                    )
+                ).alias("b")
+            )
+            .select("item", F.col("b.l").alias("new_lbl"))
+        )
+        labels = (
+            labels.join(best, "item", "left")
+            .select(
+                "item", F.coalesce("new_lbl", "lbl").alias("lbl")
+            )
+            .localCheckpoint()
+        )
+    return labels.select(
+        F.col("item").alias("part"), F.col("lbl").cast("long").alias("label")
+    )
+
+
+def label_propagation_sql(
+    table: str = "lineitem",
+    rounds: int = 2,
+    basket_col: str = "l_orderkey",
+    item_col: str = "l_partkey",
+) -> str:
+    parts = [
+        f"""items AS (
+          SELECT DISTINCT {basket_col} AS basket, {item_col} AS item FROM {table})""",
+        """edges AS (
+          SELECT a.item AS src, b.item AS dst, count(*)::BIGINT AS w
+          FROM items a JOIN items b ON a.basket = b.basket AND a.item <> b.item
+          GROUP BY 1, 2)""",
+        "nodes AS (SELECT DISTINCT item FROM items)",
+        "l0 AS (SELECT item, item AS lbl FROM nodes)",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""b{r} AS (
+              SELECT item, lbl FROM (
+                SELECT e.dst AS item, l.lbl, sum(e.w) AS ws,
+                       row_number() OVER (PARTITION BY e.dst
+                                          ORDER BY sum(e.w) DESC, l.lbl) AS rn
+                FROM edges e JOIN l{r - 1} l ON l.item = e.src
+                GROUP BY e.dst, l.lbl)
+              WHERE rn = 1)"""
+        )
+        parts.append(
+            f"""l{r} AS (
+              SELECT n.item, coalesce(b.lbl, p.lbl) AS lbl
+              FROM nodes n
+              LEFT JOIN b{r} b ON b.item = n.item
+              JOIN l{r - 1} p ON p.item = n.item)"""
+        )
+    joined = ",\n".join(parts)
+    return f"""WITH {joined}
+    SELECT item AS part, lbl::BIGINT AS label FROM l{rounds}"""

@@ -848,3 +848,89 @@ def lsh_topk_multiprobe_auto_sql(
             table, k, n_queries, id_col, vec, num_planes=p
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# hard-negative mining (metric-learning training pairs)
+# ---------------------------------------------------------------------------
+
+
+def hard_negatives_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive / metric learning: per
+    query (anchor), the k most-similar corpus vectors with a DIFFERENT
+    label — the negatives a triplet/InfoNCE loss learns most from.
+    Exact cosine baseline (ties by neighbor id); the label-mismatch
+    predicate filters BEFORE the rank so the k slots are all negatives.
+
+    Scale: candidate generation is pluggable — this exact form scans
+    the corpus once with the anchor set broadcast (the
+    brute_force_topk shape); at corpus scale swap the candidate join
+    for the registered LSH/IVF bucket paths (lsh_topk / ivf_topk) and
+    keep the same label filter + rank tail, trading recall for the
+    bucket-pruned scan exactly as the similarity_topk ladder pins.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("q_label"),
+        F.col(vec_col).alias("qv"),
+        norm(F.col(vec_col)).alias("nq"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("n_label"),
+        F.col(vec_col).alias("cv"),
+        norm(F.col(vec_col)).alias("nc"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("n_label") != F.col("q_label"))
+        .withColumn(
+            "sim", dot_arrow(F.col("qv"), F.col("cv")) / (F.col("nq") * F.col("nc"))
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("n_label").cast("long").alias("neg_label"),
+            "rank",
+            F.round("sim", 6).alias("sim_r"),
+        )
+    )
+
+
+def hard_negatives_topk_sql(
+    table: str = "embeddings",
+    k: int = 5,
+    n_queries: int = 10,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+    label_col: str = "label",
+) -> str:
+    return f"""
+    WITH q AS (SELECT {id_col} AS query_id, {label_col} AS q_label, {vec} AS qv
+               FROM {table} WHERE {id_col} < {n_queries}),
+    scored AS (
+      SELECT q.query_id, c.{id_col} AS neighbor_id,
+             c.{label_col}::BIGINT AS neg_label,
+             {cosine_sql('qv', f'c.{vec}')} AS sim
+      FROM {table} c, q WHERE c.{label_col} <> q.q_label
+    )
+    SELECT query_id, neighbor_id, neg_label, rank, round(sim, 6) AS sim_r
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY sim DESC, neighbor_id) AS rank
+          FROM scored)
+    WHERE rank <= {k}
+    """

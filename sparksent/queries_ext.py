@@ -1090,3 +1090,22 @@ def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     approximation (compare dedup_ngram_jaccard, whose capped universe
     changes the answer)."""
     return dedup.prefix_filter_pairs(_docs(spark, sf_dir))
+
+
+@register(
+    "hard_negatives_topk",
+    oracle=similarity.hard_negatives_topk_sql(k=TOPK, n_queries=N_QUERIES),
+    tags=("ext", "similarity", "ml"),
+)
+def q_hard_negatives_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for metric learning: per anchor (the
+    10-query set), the 5 most-cosine-similar vectors with a DIFFERENT
+    label — label mismatch filtered before the rank so every slot is a
+    negative. Exact baseline on the brute_force_topk shape (anchors
+    broadcast, one corpus scan, Arrow pair-dot); at corpus scale the
+    candidate join swaps for the registered LSH/IVF bucket paths with
+    the same filter + rank tail."""
+    emb = _emb(spark, sf_dir)
+    return similarity.hard_negatives_topk(
+        emb, emb.filter(F.col("vec_id") < N_QUERIES), k=TOPK
+    )

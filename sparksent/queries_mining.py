@@ -104,7 +104,8 @@ def q_grouping_sets_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate, so the fact table is scanned once for all four
     granularities; NULL group markers coalesce to the 'ALL' / -1
     sentinels on both engines. Weekday is epoch-day arithmetic
-    ((epoch_day + 4) % 7, Monday=4), not a locale-dependent dayofweek."""
+    ((epoch_day + 4) % 7; epoch day 0 was a Thursday, so Thursday=4),
+    not a locale-dependent dayofweek."""
     ev = tables.load_table(spark, sf_dir, "events")
     base = ev.select(
         "event_type",
@@ -125,3 +126,21 @@ def q_grouping_sets_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "sum_value",
     )
+
+
+@register(
+    "label_propagation_communities",
+    oracle=mining.label_propagation_sql(),
+    tags=("mining", "graph", "iterative"),
+)
+def q_label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection: 2 synchronous rounds of deterministic label
+    propagation over the weighted co-purchase graph (greatest incoming
+    label weight wins, ties to the smallest label, isolated nodes keep
+    their own). Node-sized label frame joins the edge list
+    co-partitioned per round, vote aggregate partial-combines on
+    (dst, label), every round localCheckpoint-pinned — the third
+    iterative graph algorithm under the full hash gate (with PageRank
+    and BFS)."""
+    li = tables.load_table(spark, sf_dir, "lineitem")
+    return mining.label_propagation(li)

@@ -1765,3 +1765,97 @@ def q_acf_daily_value_lag7(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(num / F.sqrt(den_x * den_y))
         .alias("acf"),
     )
+
+
+@register(
+    "corr_matrix_event_types",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, (epoch_us(ts) // 86400000000)::BIGINT AS day,
+             sum(floor(value::DOUBLE * 1000.0)::BIGINT)::BIGINT AS s
+      FROM events GROUP BY 1, 2
+    ), m AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             count(*)::BIGINT AS n_days,
+             sum(a.s)::BIGINT AS sx, sum(b.s)::BIGINT AS sy,
+             sum(a.s * b.s)::BIGINT AS sxy,
+             sum(a.s * a.s)::BIGINT AS sxx, sum(b.s * b.s)::BIGINT AS syy
+      FROM daily a JOIN daily b
+        ON b.day = a.day AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT type_a, type_b, n_days,
+      CASE WHEN (n_days::HUGEINT * sxx - sx::HUGEINT * sx) = 0
+             OR (n_days::HUGEINT * syy - sy::HUGEINT * sy) = 0 THEN -2.0
+           ELSE (n_days::HUGEINT * sxy - sx::HUGEINT * sy)::DOUBLE
+                / sqrt((n_days::HUGEINT * sxx - sx::HUGEINT * sx)::DOUBLE
+                       * (n_days::HUGEINT * syy - sy::HUGEINT * sy)::DOUBLE)
+      END AS corr
+    FROM m
+    """,
+    tags=("relational", "timeseries", "ml"),
+)
+def q_corr_matrix_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation matrix between event types over their
+    day-aligned daily value series (upper triangle, type_a < type_b) —
+    the feature-correlation probe (do error days track purchase
+    days?). Only days where BOTH types occur pair up, so a missing day
+    drops the pair instead of silently misaligning the series.
+
+    Exactness: the acf_daily_value_lag7 recipe — daily sums are
+    floor-scaled BIGINTs, pair moments integer, cross terms
+    DECIMAL(38,0)/HUGEINT, and only the final r (IEEE-correctly-rounded
+    sqrt) is DOUBLE on identical operands. Degenerate variances report
+    -2.0 (r is in [-1, 1], no collision).
+
+    Plan: ONE events-sized aggregate (map-side combined,
+    localCheckpoint-pinned) feeds a tiny types x days self-join; at
+    100 TB the daily aggregate stays the only data-sized stage and the
+    moment frame is |types|^2 rows."""
+    ev = tables.load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "event_type",
+            F.expr("CAST(unix_micros(ts) div 86400000000 AS BIGINT)").alias("day"),
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("value").cast("double") * F.lit(1000.0)).cast("long")
+            )
+            .cast("long")
+            .alias("s")
+        )
+        .localCheckpoint()  # both self-join sides read this frame once
+    )
+    a = daily.select(
+        F.col("event_type").alias("type_a"), "day", F.col("s").alias("x")
+    )
+    b = daily.select(
+        F.col("event_type").alias("type_b"),
+        F.col("day").alias("b_day"),
+        F.col("s").alias("y"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("b_day") == F.col("day")) & (F.col("type_a") < F.col("type_b")),
+    )
+    m = pairs.groupBy("type_a", "type_b").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    d = lambda c: F.col(c).cast("decimal(18,0)")  # noqa: E731
+    num = (d("n_days") * d("sxy") - d("sx") * d("sy")).cast("double")
+    den_x = (d("n_days") * d("sxx") - d("sx") * d("sx")).cast("double")
+    den_y = (d("n_days") * d("syy") - d("sy") * d("sy")).cast("double")
+    return m.select(
+        "type_a",
+        "type_b",
+        "n_days",
+        F.when((den_x == 0) | (den_y == 0), F.lit(-2.0))
+        .otherwise(num / F.sqrt(den_x * den_y))
+        .alias("corr"),
+    )

@@ -692,3 +692,40 @@ def test_grouping_sets_single_expand_scan(spark):
     assert "Expand" in plan
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
     assert "partial_count" in plan
+
+
+def test_label_propagation_rounds_checkpointed(spark):
+    """Label propagation: every synchronous round is localCheckpoint-
+    pinned, so the returned plan is a projection over the final
+    materialized label frame — zero parquet scans, zero residual
+    exchanges, O(1) plan depth regardless of round count (per-round
+    work was one co-partitioned vote join + map-side-combined vote
+    aggregate at build time)."""
+    plan = plan_of(spark, "label_propagation_communities")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 0
+    assert count_data_shuffles(plan) == 0
+    assert "CartesianProduct" not in plan
+
+
+def test_corr_matrix_single_daily_aggregate(spark):
+    """Correlation matrix: like ACF, the only data-sized stage is the
+    (type, day) daily aggregate, materialized once (localCheckpoint) —
+    the returned plan self-joins that tiny frame and never re-scans
+    events (zero parquet scans, one moment-aggregate exchange)."""
+    plan = plan_of(spark, "corr_matrix_event_types")
+    assert "partial_sum" in plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 0
+    assert count_data_shuffles(plan) <= 2
+
+
+def test_hard_negatives_broadcast_anchor_arrow_dot(spark):
+    """Hard-negative mining keeps the brute-topk shape: the anchor set
+    broadcasts into a single corpus scan (the one BNLJ), the pair dot
+    is the Arrow-batched pandas UDF, and the per-anchor rank-limit
+    pushes into the shuffle (WindowGroupLimit) so only candidate rows
+    near the top-k ever sort."""
+    plan = plan_of(spark, "hard_negatives_topk")
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) == 1
+    assert "ArrowEvalPython" in plan
+    assert "WindowGroupLimit" in plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2
