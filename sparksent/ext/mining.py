@@ -49,6 +49,69 @@ LIFT_PPM = 1_000_000
 
 
 # ---------------------------------------------------------------------------
+# shared graph builders (one definition per engine, every consumer in
+# this module reads these — a tweak like basket-width capping lands in
+# exactly two places, never silently diverging from the oracles)
+# ---------------------------------------------------------------------------
+
+
+def _basket_items(
+    lineitem: DataFrame, basket_col: str, item_col: str
+) -> DataFrame:
+    """Distinct (basket, item) pairs, localCheckpoint-pinned — every
+    caller consumes this frame more than once (edge build + nodes +
+    marginals), so one materialization replaces repeated scans."""
+    return (
+        lineitem.select(
+            F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+
+
+def _copurchase_edges(items: DataFrame, weighted: bool) -> DataFrame:
+    """Directed co-purchase edges from the pinned items frame: one
+    (src, dst) per co-basket item pair — weighted with the shared-
+    basket count, or distinct pairs.  Co-partitioned self-join on the
+    basket key (pairs never cross baskets), localCheckpoint-pinned for
+    the callers' per-round reuse."""
+    a = items.alias("a")
+    b = items.alias("b")
+    joined = (
+        a.join(b, "basket")
+        .filter(F.col("a.item") != F.col("b.item"))
+    )
+    if weighted:
+        edges = joined.groupBy(
+            F.col("a.item").alias("src"), F.col("b.item").alias("dst")
+        ).agg(F.count("*").cast("long").alias("w"))
+    else:
+        edges = joined.select(
+            F.col("a.item").alias("src"), F.col("b.item").alias("dst")
+        ).distinct()
+    return edges.localCheckpoint()
+
+
+def _items_cte(table: str, basket_col: str, item_col: str) -> str:
+    return (
+        f"items AS (SELECT DISTINCT {basket_col} AS basket, "
+        f"{item_col} AS item FROM {table})"
+    )
+
+
+def _edges_cte(weighted: bool) -> str:
+    if weighted:
+        return """edges AS (
+          SELECT a.item AS src, b.item AS dst, count(*)::BIGINT AS w
+          FROM items a JOIN items b ON a.basket = b.basket AND a.item <> b.item
+          GROUP BY 1, 2)"""
+    return """edges AS (
+          SELECT DISTINCT a.item AS src, b.item AS dst
+          FROM items a JOIN items b ON a.basket = b.basket AND a.item <> b.item)"""
+
+
+# ---------------------------------------------------------------------------
 # market-basket pair mining (a-priori pruned co-occurrence + lift)
 # ---------------------------------------------------------------------------
 
@@ -69,13 +132,7 @@ def basket_pair_lift(
     pair join ever forms — the frequent-pair answer is unchanged while
     the quadratic step shrinks to the frequent-item sub-basket.
     """
-    items = (
-        lineitem.select(
-            F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
-        )
-        .distinct()
-        .localCheckpoint()  # consumed by freq, n_baskets, and both pair sides
-    )
+    items = _basket_items(lineitem, basket_col, item_col)
     freq = items.groupBy("item").agg(F.count("*").cast("long").alias("n_item"))
     frequent = freq.filter(F.col("n_item") >= min_support)
     pruned = items.join(
@@ -105,8 +162,14 @@ def basket_pair_lift(
             "pair_n",
             "n_a",
             "n_b",
+            # the numerator can exceed BIGINT at real basket counts
+            # (pair_n * n_baskets * 1e6); DECIMAL(38,0) / HUGEINT keep
+            # the floordiv exact on both engines to ~1e38
             F.expr(
-                f"CAST((pair_n * n_baskets * {LIFT_PPM}) div (n_a * n_b) AS BIGINT)"
+                f"CAST((CAST(pair_n AS DECIMAL(38,0))"
+                f" * CAST(n_baskets AS DECIMAL(38,0)) * {LIFT_PPM})"
+                f" div (CAST(n_a AS DECIMAL(38,0)) * CAST(n_b AS DECIMAL(38,0)))"
+                f" AS BIGINT)"
             ).alias("lift_ppm"),
         )
     )
@@ -119,8 +182,7 @@ def basket_pair_lift_sql(
     item_col: str = "l_partkey",
 ) -> str:
     return f"""
-    WITH items AS (
-      SELECT DISTINCT {basket_col} AS basket, {item_col} AS item FROM {table}),
+    WITH {_items_cte(table, basket_col, item_col)},
     freq AS (
       SELECT item, count(*)::BIGINT AS n_item FROM items GROUP BY 1
       HAVING count(*) >= {min_support}),
@@ -133,7 +195,8 @@ def basket_pair_lift_sql(
       HAVING count(*) >= {min_support}),
     nb AS (SELECT count(DISTINCT basket)::BIGINT AS n_baskets FROM items)
     SELECT p.item_a, p.item_b, p.pair_n, fa.n_item AS n_a, fb.n_item AS n_b,
-           ((p.pair_n * nb.n_baskets * {LIFT_PPM}) // (fa.n_item * fb.n_item))::BIGINT
+           ((p.pair_n::HUGEINT * nb.n_baskets * {LIFT_PPM})
+            // (fa.n_item::HUGEINT * fb.n_item))::BIGINT
              AS lift_ppm
     FROM pairs p
     JOIN freq fa ON fa.item = p.item_a
@@ -166,22 +229,8 @@ def copurchase_bfs_hops(
     by BFS invariant, which is what the oracle's min-over-all-walks
     recursive CTE computes.
     """
-    items = (
-        lineitem.select(
-            F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
-        )
-        .distinct()
-        .localCheckpoint()  # consumed by edges, nodes, and seeds
-    )
-    a = items.alias("a")
-    b = items.alias("b")
-    edges = (
-        a.join(b, "basket")
-        .filter(F.col("a.item") != F.col("b.item"))
-        .select(F.col("a.item").alias("src"), F.col("b.item").alias("dst"))
-        .distinct()
-        .localCheckpoint()  # consumed once per hop round
-    )
+    items = _basket_items(lineitem, basket_col, item_col)
+    edges = _copurchase_edges(items, weighted=False)
     nodes = items.select("item").distinct()
     seeds = (
         items.groupBy("item")
@@ -222,11 +271,8 @@ def copurchase_bfs_hops_sql(
     recursion terminates on cycles)."""
     return f"""
     WITH RECURSIVE
-    items AS (
-      SELECT DISTINCT {basket_col} AS basket, {item_col} AS item FROM {table}),
-    edges AS (
-      SELECT DISTINCT a.item AS src, b.item AS dst
-      FROM items a JOIN items b ON a.basket = b.basket AND a.item <> b.item),
+    {_items_cte(table, basket_col, item_col)},
+    {_edges_cte(weighted=False)},
     seeds AS (
       SELECT item FROM (SELECT item, count(*) AS n FROM items GROUP BY 1)
       ORDER BY n DESC, item LIMIT {n_seeds}),
@@ -368,10 +414,21 @@ def negative_sample(
     Determinism makes the sample reproducible across engines AND
     across re-runs on re-partitioned data — the property an RNG-based
     sampler loses the moment the partitioning changes.
+
+    Rows whose props lack a numeric ``k`` are dropped BEFORE the grid:
+    a NULL item would survive the anti-join on both engines but sort
+    at opposite ends of the lottery window (Spark NULLS FIRST vs
+    DuckDB NULLS LAST), silently diverging the sample.  The parsed
+    projection is localCheckpoint-pinned — entities, vocabulary, and
+    observed pairs all read it, so one scan+parse replaces three.
     """
-    parsed = events.select(
-        F.col(key_col),
-        F.get_json_object(F.col("props"), "$.k").cast("int").alias("item"),
+    parsed = (
+        events.select(
+            F.col(key_col),
+            F.get_json_object(F.col("props"), "$.k").cast("int").alias("item"),
+        )
+        .filter(F.col("item").isNotNull())
+        .localCheckpoint()
     )
     entities = parsed.select(key_col).distinct()
     vocab = parsed.select("item").distinct()
@@ -400,7 +457,8 @@ def negative_sample_sql(
     h = h60_sql(f"'{salt}:'||{key_col}::VARCHAR||':'||item::VARCHAR")
     return f"""
     WITH parsed AS (
-      SELECT {key_col}, json_extract(props, '$.k')::INT AS item FROM {table}),
+      SELECT {key_col}, json_extract(props, '$.k')::INT AS item FROM {table}
+      WHERE json_extract(props, '$.k') IS NOT NULL),
     entities AS (SELECT DISTINCT {key_col} FROM parsed),
     vocab AS (SELECT DISTINCT item FROM parsed),
     observed AS (SELECT DISTINCT {key_col}, item FROM parsed),
@@ -444,22 +502,8 @@ def label_propagation(
     aggregate partial-combines on (dst, label) map-side; every round
     is localCheckpoint-pinned so the plan depth stays O(1).
     """
-    items = (
-        lineitem.select(
-            F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
-        )
-        .distinct()
-        .localCheckpoint()  # consumed by edges and nodes
-    )
-    a = items.alias("a")
-    b = items.alias("b")
-    edges = (
-        a.join(b, "basket")
-        .filter(F.col("a.item") != F.col("b.item"))
-        .groupBy(F.col("a.item").alias("src"), F.col("b.item").alias("dst"))
-        .agg(F.count("*").cast("long").alias("w"))
-        .localCheckpoint()  # consumed once per round
-    )
+    items = _basket_items(lineitem, basket_col, item_col)
+    edges = _copurchase_edges(items, weighted=True)
     nodes = items.select("item").distinct().localCheckpoint()
     labels = nodes.select("item", F.col("item").alias("lbl"))
     for _ in range(rounds):
@@ -500,12 +544,8 @@ def label_propagation_sql(
     item_col: str = "l_partkey",
 ) -> str:
     parts = [
-        f"""items AS (
-          SELECT DISTINCT {basket_col} AS basket, {item_col} AS item FROM {table})""",
-        """edges AS (
-          SELECT a.item AS src, b.item AS dst, count(*)::BIGINT AS w
-          FROM items a JOIN items b ON a.basket = b.basket AND a.item <> b.item
-          GROUP BY 1, 2)""",
+        _items_cte(table, basket_col, item_col),
+        _edges_cte(weighted=True),
         "nodes AS (SELECT DISTINCT item FROM items)",
         "l0 AS (SELECT item, item AS lbl FROM nodes)",
     ]

@@ -1645,7 +1645,7 @@ def q_trend_slope_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n") >= 2)
     )
-    d = lambda c: F.col(c).cast("decimal(18,0)")  # noqa: E731
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
     num = (d("n") * d("sxy") - d("sx") * d("sy")).cast("double")
     den = (d("n") * d("sxx") - d("sx") * d("sx")).cast("double")
     deny = (d("n") * d("syy") - d("sy") * d("sy")).cast("double")
@@ -1753,7 +1753,7 @@ def q_acf_daily_value_lag7(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
         F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
     )
-    d = lambda c: F.col(c).cast("decimal(18,0)")  # noqa: E731
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
     num = (d("n_pairs") * d("sxy") - d("sx") * d("sy")).cast("double")
     den_x = (d("n_pairs") * d("sxx") - d("sx") * d("sx")).cast("double")
     den_y = (d("n_pairs") * d("syy") - d("sy") * d("sy")).cast("double")
@@ -1847,7 +1847,7 @@ def q_corr_matrix_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
         F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
     )
-    d = lambda c: F.col(c).cast("decimal(18,0)")  # noqa: E731
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
     num = (d("n_days") * d("sxy") - d("sx") * d("sy")).cast("double")
     den_x = (d("n_days") * d("sxx") - d("sx") * d("sx")).cast("double")
     den_y = (d("n_days") * d("syy") - d("sy") * d("sy")).cast("double")

@@ -679,6 +679,9 @@ def test_negative_sample_broadcast_grid_anti_join(spark):
     plan = plan_of(spark, "negative_sample_user_items")
     assert "LeftAnti" in plan
     assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) == 1
+    # parsed projection pinned once: entities/vocab/observed must not
+    # each re-scan and re-parse events
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 0
     # rank-limit pushes into the shuffle (WindowGroupLimit): per-entity
     # top-k never materializes the full grid into the window sort
     assert "WindowGroupLimit" in plan
