@@ -164,6 +164,12 @@ HEADLINE = [
     "label_propagation_communities",
     "corr_matrix_event_types",
     "hard_negatives_topk",
+    "skyline_parts",
+    "drift_binned_ks_value",
+    "zorder_file_stats",
+    "event_ngram_next",
+    "referential_audit",
+    "inverted_index_postings",
 ]
 
 # Timed and reported, but excluded from the headline sum: cost dominated

@@ -4,7 +4,7 @@ multimodal) with DuckDB oracles — the LLM-data-pipeline surface
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import tables
@@ -1108,4 +1108,59 @@ def q_hard_negatives_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     return similarity.hard_negatives_topk(
         emb, emb.filter(F.col("vec_id") < N_QUERIES), k=TOPK
+    )
+
+
+@register(
+    "inverted_index_postings",
+    oracle="""
+    WITH terms AS (
+      SELECT DISTINCT term, doc_id FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+      WHERE term <> ''
+    ), ranked AS (
+      SELECT term, doc_id,
+             count(*) OVER (PARTITION BY term)::BIGINT AS df,
+             row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rk
+      FROM terms
+    )
+    SELECT term, df,
+           string_agg(doc_id, ',' ORDER BY doc_id) AS postings_head
+    FROM ranked WHERE rk <= 20 GROUP BY 1, 2
+    """,
+    tags=("ext", "text", "index"),
+)
+def q_inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build (the IR index-construction shape bm25_topk
+    probes against): one row per term with its document frequency and
+    the first 20 doc ids as a comma string — the postings-list head a
+    sharded index would store per term. The per-term cap applies via
+    a rank BEFORE any list materializes, so no unbounded postings list
+    ever exists in memory; df rides the same term partitioning as the
+    rank (one shuffle total).  Lists never cross the driver."""
+    docs = _docs(spark, sf_dir)
+    terms = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.col("text"), " ")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    w_term = Window.partitionBy("term")
+    w_rank = Window.partitionBy("term").orderBy("doc_id")
+    ranked = terms.select(
+        "term",
+        "doc_id",
+        F.count("*").over(w_term).cast("long").alias("df"),
+        F.row_number().over(w_rank).alias("rk"),
+    ).filter(F.col("rk") <= 20)
+    return ranked.groupBy("term", "df").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list("doc_id")),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("postings_head")
     )

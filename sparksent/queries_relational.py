@@ -1584,9 +1584,10 @@ def q_scd2_user_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     ), sums AS (
       SELECT user_id, count(*)::BIGINT AS n,
-             sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
-             sum(x * x)::BIGINT AS sxx, sum(x * y)::BIGINT AS sxy,
-             sum(y * y)::BIGINT AS syy
+             sum(x::HUGEINT)::HUGEINT AS sx, sum(y::HUGEINT)::HUGEINT AS sy,
+             sum(x::HUGEINT * x)::HUGEINT AS sxx,
+             sum(x::HUGEINT * y)::HUGEINT AS sxy,
+             sum(y::HUGEINT * y)::HUGEINT AS syy
       FROM base GROUP BY 1 HAVING count(*) >= 2
     )
     SELECT user_id, n,
@@ -1633,15 +1634,20 @@ def q_trend_slope_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("y"),
     )
+    # moments accumulate in DECIMAL(38,0) (HUGEINT in the oracle): the
+    # per-row products and their sums exceed BIGINT well before the
+    # cross terms do (x*y ~ 1e18 per DAY at 20x fixture density)
+    xd = F.col("x").cast("decimal(38,0)")
+    yd = F.col("y").cast("decimal(38,0)")
     sums = (
         base.groupBy("user_id")
         .agg(
             F.count("*").cast("long").alias("n"),
-            F.sum("x").cast("long").alias("sx"),
-            F.sum("y").cast("long").alias("sy"),
-            F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
-            F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
-            F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+            F.sum(xd).cast("decimal(38,0)").alias("sx"),
+            F.sum(yd).cast("decimal(38,0)").alias("sy"),
+            F.sum(xd * F.col("x")).cast("decimal(38,0)").alias("sxx"),
+            F.sum(xd * F.col("y")).cast("decimal(38,0)").alias("sxy"),
+            F.sum(yd * F.col("y")).cast("decimal(38,0)").alias("syy"),
         )
         .filter(F.col("n") >= 2)
     )
@@ -1682,9 +1688,10 @@ def q_trend_slope_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN daily b ON b.event_type = a.event_type AND b.day = a.day + l.k
     ), m AS (
       SELECT event_type, k, count(*)::BIGINT AS n_pairs,
-             sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
-             sum(x * y)::BIGINT AS sxy,
-             sum(x * x)::BIGINT AS sxx, sum(y * y)::BIGINT AS syy
+             sum(x::HUGEINT)::HUGEINT AS sx, sum(y::HUGEINT)::HUGEINT AS sy,
+             sum(x::HUGEINT * y)::HUGEINT AS sxy,
+             sum(x::HUGEINT * x)::HUGEINT AS sxx,
+             sum(y::HUGEINT * y)::HUGEINT AS syy
       FROM pairs GROUP BY 1, 2
     )
     SELECT event_type, k AS lag, n_pairs,
@@ -1745,13 +1752,17 @@ def q_acf_daily_value_lag7(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("b_type") == F.col("event_type"))
         & (F.col("b_day") == F.col("day") + F.col("k")),
     )
+    # DECIMAL(38,0) moments (HUGEINT oracle): x*y overflows BIGINT once
+    # daily sums pass ~3e9 (hit at 20x fixture density in scale_demo)
+    xd = F.col("x").cast("decimal(38,0)")
+    yd = F.col("y").cast("decimal(38,0)")
     m = pairs.groupBy("event_type", "k").agg(
         F.count("*").cast("long").alias("n_pairs"),
-        F.sum("x").cast("long").alias("sx"),
-        F.sum("y").cast("long").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(xd).cast("decimal(38,0)").alias("sx"),
+        F.sum(yd).cast("decimal(38,0)").alias("sy"),
+        F.sum(xd * F.col("y")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(xd * F.col("x")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(yd * F.col("y")).cast("decimal(38,0)").alias("syy"),
     )
     d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
     num = (d("n_pairs") * d("sxy") - d("sx") * d("sy")).cast("double")
@@ -1777,9 +1788,10 @@ def q_acf_daily_value_lag7(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), m AS (
       SELECT a.event_type AS type_a, b.event_type AS type_b,
              count(*)::BIGINT AS n_days,
-             sum(a.s)::BIGINT AS sx, sum(b.s)::BIGINT AS sy,
-             sum(a.s * b.s)::BIGINT AS sxy,
-             sum(a.s * a.s)::BIGINT AS sxx, sum(b.s * b.s)::BIGINT AS syy
+             sum(a.s::HUGEINT)::HUGEINT AS sx, sum(b.s::HUGEINT)::HUGEINT AS sy,
+             sum(a.s::HUGEINT * b.s)::HUGEINT AS sxy,
+             sum(a.s::HUGEINT * a.s)::HUGEINT AS sxx,
+             sum(b.s::HUGEINT * b.s)::HUGEINT AS syy
       FROM daily a JOIN daily b
         ON b.day = a.day AND a.event_type < b.event_type
       GROUP BY 1, 2
@@ -1839,13 +1851,17 @@ def q_corr_matrix_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         b,
         (F.col("b_day") == F.col("day")) & (F.col("type_a") < F.col("type_b")),
     )
+    # DECIMAL(38,0) moments (HUGEINT oracle) — same overflow guard as
+    # acf_daily_value_lag7; the 20x scale demo is what exposed it
+    xd = F.col("x").cast("decimal(38,0)")
+    yd = F.col("y").cast("decimal(38,0)")
     m = pairs.groupBy("type_a", "type_b").agg(
         F.count("*").cast("long").alias("n_days"),
-        F.sum("x").cast("long").alias("sx"),
-        F.sum("y").cast("long").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(xd).cast("decimal(38,0)").alias("sx"),
+        F.sum(yd).cast("decimal(38,0)").alias("sy"),
+        F.sum(xd * F.col("y")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(xd * F.col("x")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(yd * F.col("y")).cast("decimal(38,0)").alias("syy"),
     )
     d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
     num = (d("n_days") * d("sxy") - d("sx") * d("sy")).cast("double")
@@ -1859,3 +1875,357 @@ def q_corr_matrix_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(num / F.sqrt(den_x * den_y))
         .alias("corr"),
     )
+
+
+@register(
+    "skyline_parts",
+    oracle="""
+    SELECT p.p_partkey, p.p_retailprice AS price, p.p_size::BIGINT AS size
+    FROM part p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part q
+      WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+        AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+    """,
+    tags=("relational", "preference"),
+)
+def q_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto frontier) of parts: minimize retail price,
+    maximize size — no other part is at-least-as-good on both and
+    strictly better on one. The oracle is the naive NOT EXISTS
+    dominance test; the Spark plan is the sort-based skyline that
+    avoids the quadratic self-join entirely: one map-side-combined
+    max-size-per-price aggregate, a running max over the tiny
+    distinct-price frame (a price survives iff its best size beats
+    every strictly-cheaper price's best), and a broadcast join back to
+    recover the part rows. At a data-sized key domain the running max
+    swaps onto ext/ranks range-partition ranking; equal (price, size)
+    ties all survive, exactly as dominance defines."""
+    part = tables.load_table(spark, sf_dir, "part")
+    per_price = part.groupBy(F.col("p_retailprice").alias("price")).agg(
+        F.max("p_size").cast("long").alias("best_size")
+    )
+    w = Window.orderBy("price").rowsBetween(Window.unboundedPreceding, -1)
+    sky_prices = (
+        per_price.withColumn("prev_best", F.max("best_size").over(w))
+        .filter(
+            F.col("prev_best").isNull()
+            | (F.col("best_size") > F.col("prev_best"))
+        )
+        .select("price", "best_size")
+    )
+    return part.join(
+        F.broadcast(sky_prices),
+        (F.col("p_retailprice") == F.col("price"))
+        & (F.col("p_size") == F.col("best_size")),
+    ).select("p_partkey", "price", F.col("p_size").cast("long").alias("size"))
+
+
+@register(
+    "drift_binned_ks_value",
+    oracle="""
+    WITH binned AS (
+      SELECT event_type,
+             least(greatest(floor(value::DOUBLE / 25.0)::BIGINT, 0), 19) AS bin,
+             CASE WHEN epoch_us(ts) <  1705276800000000 THEN 1 ELSE 0 END AS in_a,
+             CASE WHEN epoch_us(ts) >= 1705276800000000 THEN 1 ELSE 0 END AS in_b
+      FROM events
+      WHERE epoch_us(ts) >= 1704067200000000 AND epoch_us(ts) < 1706745600000000
+    ), per_bin AS (
+      SELECT event_type, bin, sum(in_a)::BIGINT AS a, sum(in_b)::BIGINT AS b
+      FROM binned GROUP BY 1, 2
+    ), cum AS (
+      SELECT event_type, bin,
+             sum(a) OVER (PARTITION BY event_type ORDER BY bin
+                          ROWS UNBOUNDED PRECEDING) AS ca,
+             sum(b) OVER (PARTITION BY event_type ORDER BY bin
+                          ROWS UNBOUNDED PRECEDING) AS cb,
+             sum(a) OVER (PARTITION BY event_type) AS na,
+             sum(b) OVER (PARTITION BY event_type) AS nb
+      FROM per_bin
+    )
+    SELECT event_type, max(na)::BIGINT AS n_a, max(nb)::BIGINT AS n_b,
+           max(abs(CASE WHEN na = 0 THEN 0 ELSE (ca * 1000000) // na END
+                   - CASE WHEN nb = 0 THEN 0 ELSE (cb * 1000000) // nb END)
+              )::BIGINT AS ks_ppm
+    FROM cum GROUP BY 1
+    """,
+    tags=("relational", "drift", "ml"),
+)
+def q_drift_binned_ks_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift detection per event type: a binned
+    Kolmogorov-Smirnov statistic between the first and second half of
+    January (20 fixed 25-unit value bins; KS = max gap between the two
+    binned CDFs, reported in ppm). The ML-monitoring primitive (did
+    the value distribution shift between training and serving
+    windows?) in pure integer arithmetic — cumulative counts and a
+    ppm floordiv — so both engines agree bit-for-bit with no libm.
+
+    Plan: ONE scan with both window memberships as conditional
+    partial-aggregated sums; everything after (the CDF windows, the
+    max) runs on the types x bins frame. Missing bins cannot move the
+    max: the CDF pair at an absent bin equals the previous present
+    bin's. At 100 TB the per-(type, bin) aggregate is still the only
+    data-sized stage."""
+    cut_lo, cut_mid, cut_hi = (
+        1704067200000000,  # 2024-01-01
+        1705276800000000,  # 2024-01-15
+        1706745600000000,  # 2024-02-01
+    )
+    ev = tables.load_table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    binned = ev.filter((us >= cut_lo) & (us < cut_hi)).select(
+        "event_type",
+        F.least(
+            F.greatest(F.floor(F.col("value").cast("double") / 25.0), F.lit(0)),
+            F.lit(19),
+        )
+        .cast("long")
+        .alias("bin"),
+        F.when(us < cut_mid, 1).otherwise(0).alias("in_a"),
+        F.when(us >= cut_mid, 1).otherwise(0).alias("in_b"),
+    )
+    per_bin = binned.groupBy("event_type", "bin").agg(
+        F.sum("in_a").cast("long").alias("a"),
+        F.sum("in_b").cast("long").alias("b"),
+    )
+    w_cdf = (
+        Window.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_tot = Window.partitionBy("event_type")
+    cum = per_bin.select(
+        "event_type",
+        F.sum("a").over(w_cdf).alias("ca"),
+        F.sum("b").over(w_cdf).alias("cb"),
+        F.sum("a").over(w_tot).alias("na"),
+        F.sum("b").over(w_tot).alias("nb"),
+    )
+    ppm_a = F.when(F.col("na") == 0, F.lit(0)).otherwise(
+        F.expr("(ca * 1000000) div na")
+    )
+    ppm_b = F.when(F.col("nb") == 0, F.lit(0)).otherwise(
+        F.expr("(cb * 1000000) div nb")
+    )
+    return cum.withColumn("gap", F.abs(ppm_a - ppm_b)).groupBy("event_type").agg(
+        F.max("na").cast("long").alias("n_a"),
+        F.max("nb").cast("long").alias("n_b"),
+        F.max("gap").cast("long").alias("ks_ppm"),
+    )
+
+
+def _morton16(u: str, d: str, shl) -> str:
+    """Interleave two 16-bit values (Morton / Z-order) with the
+    classic 4-step spread masks; ``shl(expr, n)`` renders the engine's
+    left shift so the same construction serves Spark SQL
+    (``shiftleft``) and DuckDB (``<<``)."""
+
+    def spread(x: str) -> str:
+        e = x
+        for sh, mask in ((8, 16711935), (4, 252645135), (2, 858993459), (1, 1431655765)):
+            e = f"(({e} | {shl(e, sh)}) & {mask})"
+        return e
+
+    return f"({spread(u)} | {shl(spread(d), 1)})"
+
+
+_Z_SPARK = _morton16(
+    "(user_id & 65535)",
+    "(CAST(unix_micros(ts) div 86400000000 AS BIGINT) & 65535)",
+    lambda e, n: f"shiftleft({e}, {n})",
+)
+_Z_DUCK = _morton16(
+    "(user_id & 65535)",
+    "((epoch_us(ts) // 86400000000) & 65535)",
+    lambda e, n: f"({e} << {n})",
+)
+
+
+@register(
+    "zorder_file_stats",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT event_id, user_id,
+             ((epoch_us(ts) // 86400000000))::BIGINT AS day,
+             {_Z_DUCK}::BIGINT AS zkey
+      FROM events
+    ), ranked AS (
+      SELECT *, row_number() OVER (ORDER BY zkey, event_id) AS rk FROM keyed
+    )
+    SELECT ((rk - 1) // 1000)::BIGINT AS file_id, count(*)::BIGINT AS n_rows,
+           min(user_id) AS min_user, max(user_id) AS max_user,
+           min(day) AS min_day, max(day) AS max_day
+    FROM ranked GROUP BY 1
+    """,
+    tags=("relational", "storage", "layout"),
+)
+def q_zorder_file_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order data-layout advisor: assign events to 1000-row target
+    files in Morton-interleaved (user_id, day) order and report each
+    file's key envelope (min/max user and day) — the min/max stats a
+    format like Parquet keeps per file, i.e. exactly what data
+    skipping prunes on. Narrow envelopes on BOTH dimensions are the
+    point of z-ordering; a time-ordered layout would give each file
+    the full user range.
+
+    The interleave is pure integer mask arithmetic (identical in both
+    engines); file assignment is a global row_number over (zkey,
+    event_id) computed by ext/ranks range-partition ranking — the
+    distributed sort a real table rewrite would run, never a
+    single-reducer window."""
+    from .ext.ranks import with_global_ranks
+
+    ev = tables.load_table(spark, sf_dir, "events")
+    keyed = ev.select(
+        "event_id",
+        "user_id",
+        F.expr("CAST(unix_micros(ts) div 86400000000 AS BIGINT)").alias("day"),
+        F.expr(f"CAST({_Z_SPARK} AS BIGINT)").alias("zkey"),
+    )
+    ranked = with_global_ranks(keyed, ["zkey", "event_id"], "rk")
+    return (
+        ranked.withColumn("file_id", F.expr("CAST((rk - 1) div 1000 AS BIGINT)"))
+        .groupBy("file_id")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.min("user_id").alias("min_user"),
+            F.max("user_id").alias("max_user"),
+            F.min("day").alias("min_day"),
+            F.max("day").alias("max_day"),
+        )
+    )
+
+
+@register(
+    "event_ngram_next",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type, 3) OVER w AS t3,
+             lag(event_type, 2) OVER w AS t2,
+             lag(event_type, 1) OVER w AS t1
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), ctx AS (
+      SELECT t3 || '>' || t2 || '>' || t1 AS context, event_type AS next_type
+      FROM seq WHERE t3 IS NOT NULL
+    ), n AS (
+      SELECT context, next_type, count(*)::BIGINT AS n FROM ctx GROUP BY 1, 2
+    )
+    SELECT context, next_type, n,
+           ((n * 1000000) // sum(n) OVER (PARTITION BY context))::BIGINT AS p_ppm
+    FROM n
+    """,
+    tags=("relational", "sequence", "ml"),
+)
+def q_event_ngram_next(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-event prediction table — the (context, next) training-pair
+    generator for sequence models, over per-user event streams: every
+    length-3 type context with its successor, counted, with the
+    conditional probability in ppm (integer floordiv, bit-exact).
+
+    Plan: ONE user-keyed window (three lags share one sort/shuffle),
+    then a map-side-combined count over the |types|^4-bounded
+    (context, next) space; the per-context normalization window runs
+    on that tiny aggregate. At 100 TB the lag window is the only
+    data-sized stage and rides a single user_id exchange."""
+    ev = tables.load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lag("event_type", 3).over(w).alias("t3"),
+        F.lag("event_type", 2).over(w).alias("t2"),
+        F.lag("event_type", 1).over(w).alias("t1"),
+    ).filter(F.col("t3").isNotNull())
+    n = (
+        seq.select(
+            F.concat_ws(">", "t3", "t2", "t1").alias("context"),
+            F.col("event_type").alias("next_type"),
+        )
+        .groupBy("context", "next_type")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    w_ctx = Window.partitionBy("context")
+    return n.select(
+        "context",
+        "next_type",
+        "n",
+        F.expr("CAST((n * 1000000) div (sum(n) OVER (PARTITION BY context)) AS BIGINT)").alias(
+            "p_ppm"
+        ),
+    )
+
+
+@register(
+    "referential_audit",
+    oracle="""
+    SELECT 'orphan_lineitem' AS check_name, count(*)::BIGINT AS n_violations
+    FROM lineitem l WHERE NOT EXISTS (
+      SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'childless_order', count(*)::BIGINT
+    FROM orders o WHERE NOT EXISTS (
+      SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+    UNION ALL
+    SELECT 'dup_event_id', count(*)::BIGINT FROM (
+      SELECT event_id FROM events GROUP BY 1 HAVING count(*) > 1)
+    UNION ALL
+    SELECT 'null_or_negative_value', count(*)::BIGINT
+    FROM events WHERE value IS NULL OR value < 0
+    UNION ALL
+    SELECT 'order_before_1992', count(*)::BIGINT
+    FROM orders WHERE o_orderdate < TIMESTAMP '1992-01-01'
+    """,
+    tags=("relational", "quality"),
+)
+def q_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit suite — the checks a 100-TB ingest pipeline
+    gates on, as ONE query returning (check_name, n_violations):
+    orphaned fact rows (anti join on the order key), childless parents
+    (reverse anti join), duplicate primary keys, null/negative
+    measures, and out-of-range dates. Each check is an aggregate with
+    its predicate pushed to the scan; the anti joins are key-pruned
+    co-partitioned joins; the union is of five single-row frames."""
+    li = tables.load_table(spark, sf_dir, "lineitem")
+    o = tables.load_table(spark, sf_dir, "orders")
+    ev = tables.load_table(spark, sf_dir, "events")
+
+    def one(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count("*").cast("long").alias("n_violations")).select(
+            F.lit(name).alias("check_name"), "n_violations"
+        )
+
+    orphan = one(
+        "orphan_lineitem",
+        li.select("l_orderkey").join(
+            o.select("o_orderkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+            "left_anti",
+        ),
+    )
+    childless = one(
+        "childless_order",
+        o.select("o_orderkey").join(
+            li.select("l_orderkey"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+            "left_anti",
+        ),
+    )
+    dups = one(
+        "dup_event_id",
+        ev.groupBy("event_id")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") > 1),
+    )
+    badval = one(
+        "null_or_negative_value",
+        ev.filter(F.col("value").isNull() | (F.col("value") < 0)),
+    )
+    # o_orderdate is TIMESTAMP_NTZ: NTZ-to-NTZ literal comparison is
+    # timezone-proof (the semi_late_orders convention)
+    old = one(
+        "order_before_1992",
+        o.filter(F.col("o_orderdate") < F.lit("1992-01-01").cast("timestamp_ntz")),
+    )
+    return orphan.union(childless).union(dups).union(badval).union(old)

@@ -90,8 +90,9 @@ _PRIORITY: tuple[str, ...] = (
     "trend_slope_per_user",
     "acf_daily_value_lag7",
     "dedup_prefix_filter",
-    # Slots 26-33: fourth-wave round-5 registrations (first driver
-    # check pending) — displace 8 more r02-stale names to round 6.
+    # Slots 26-39: fourth-through-seventh-wave round-5 registrations
+    # (first driver check pending) — displace 14 more r02-stale names
+    # to round 6.
     "basket_pair_lift",
     "bfs_hops_copurchase",
     "snapshot_diff_users",
@@ -100,7 +101,13 @@ _PRIORITY: tuple[str, ...] = (
     "label_propagation_communities",
     "corr_matrix_event_types",
     "hard_negatives_topk",
-    # Slots 34-41: latest green driver row is r01 (8 names).
+    "skyline_parts",
+    "drift_binned_ks_value",
+    "zorder_file_stats",
+    "event_ngram_next",
+    "referential_audit",
+    "inverted_index_postings",
+    # Slots 40-47: latest green driver row is r01 (8 names).
     "tpch_q6_forecast",
     "tpch_q14_promo",
     "tpch_q16_supplier_cnt",
@@ -109,20 +116,20 @@ _PRIORITY: tuple[str, ...] = (
     "tpch_q19_disjunctive",
     "semi_late_orders",
     "anti_customers_no_orders",
-    # Slots 42-50: latest green driver row is r02 (oldest 9 of 24).
+    # Slots 48-50: latest green driver row is r02 (oldest 3 of 24).
     "doc_sentiment",
     "doc_entities",
     "doc_categories",
+    # Slots 51+: spill queue for round 6, oldest-green-first — the 21
+    # r02-stale names displaced by the second-through-seventh-wave
+    # registrations, then the r03-stale names (the 50-slot window is
+    # exactly filled by never-checked and r01/r02-stale names).
     "doc_sentiment_mllib",
     "dedup_exact",
     "dedup_simhash",
     "dedup_keep_set",
     "dedup_components",
     "similarity_topk_brute",
-    # Slots 51+: spill queue for round 6, oldest-green-first — the 15
-    # r02-stale names displaced by the second/third/fourth-wave
-    # registrations, then the r03-stale names (the 50-slot window is
-    # exactly filled by never-checked and r01/r02-stale names).
     "similarity_topk_lsh",
     "similarity_topk_ivf",
     "similarity_topk_multiprobe",

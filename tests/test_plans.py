@@ -732,3 +732,77 @@ def test_hard_negatives_broadcast_anchor_arrow_dot(spark):
     assert "ArrowEvalPython" in plan
     assert "WindowGroupLimit" in plan
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2
+
+
+def test_skyline_aggregate_then_broadcast_back(spark):
+    """Skyline: never the quadratic dominance self-join — one map-side-
+    combined max-size-per-price aggregate, a running max over the tiny
+    distinct-price frame, and a broadcast join back to part rows."""
+    plan = plan_of(spark, "skyline_parts")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "partial_max" in plan
+    assert "Window" in plan
+
+
+def test_drift_ks_single_scan_partial_agg(spark):
+    """Binned-KS drift: ONE events scan with both window memberships as
+    conditional partial-aggregated sums; the CDF windows and the max
+    run on the types x bins frame."""
+    plan = plan_of(spark, "drift_binned_ks_value")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "partial_sum" in plan
+    assert "Window" in plan
+    assert count_data_shuffles(plan) <= 2
+
+
+def test_zorder_uses_range_partition_ranking(spark):
+    """Z-order layout: file assignment comes from the ext/ranks
+    range-partition ranking over the checkpointed keyed frame (zero
+    parquet re-scans downstream), never a single-reducer global sort
+    of the data; the offsets frame joins back by broadcast."""
+    plan = plan_of(spark, "zorder_file_stats")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 0
+    assert "BroadcastHashJoin" in plan
+    # the data-sized window is per-partition (partitioned by _pid);
+    # the only unpartitioned window runs on the #partitions-row frame
+    assert "Sort" in plan
+
+
+def test_event_ngram_one_user_shuffle(spark):
+    """Next-event table: the three lags share ONE user-keyed window
+    sort; the (context, next) count partial-aggregates map-side and
+    the normalization window runs on the |types|^4-bounded frame."""
+    plan = plan_of(spark, "event_ngram_next")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "partial_count" in plan
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 2
+    assert count_data_shuffles(plan) <= 3
+
+
+def test_referential_audit_anti_joins_key_pruned(spark):
+    """Audit suite: the orphan/childless checks are anti joins whose
+    sides are pruned to the join key before shuffling; every check is
+    a partial-aggregated count; no nested loop anywhere."""
+    plan = plan_of(spark, "referential_audit")
+    assert plan.count("LeftAnti") >= 2
+    assert "partial_count" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    m = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    # the anti-join scans read exactly one key column each
+    assert any(s == "l_orderkey:bigint" for s in m)
+    assert any(s == "o_orderkey:bigint" for s in m)
+
+
+def test_inverted_index_rank_caps_before_collect(spark):
+    """Index build: the per-term postings cap applies as a rank-limit
+    INSIDE the shuffle (WindowGroupLimit) before any list aggregate —
+    an unbounded postings list never materializes; df and the rank
+    share the term partitioning."""
+    plan = plan_of(spark, "inverted_index_postings")
+    assert "WindowGroupLimit" in plan
+    assert "collect_list" in plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert count_data_shuffles(plan) <= 2

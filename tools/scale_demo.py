@@ -132,6 +132,24 @@ def generate(spark, base: str) -> None:
         out = out.unionByName(p)
     out.repartition(64).write.mode("overwrite").parquet(f"{base}/events.parquet")
 
+    # lineitem: new order-key range per replica, SAME part catalog —
+    # the realistic retail growth direction (basket count x20 over a
+    # fixed-ish catalog): item supports and pair supports scale x20
+    # while the co-purchase pair universe stays catalog-bounded, which
+    # is exactly the regime the a-priori prune / BFS / label
+    # propagation claims must hold in.
+    li = spark.read.parquet(f"{SRC}/lineitem.parquet")
+    n_orders = 100_000_000
+    parts = []
+    for k in range(REPLICAS):
+        parts.append(
+            li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(k * n_orders))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.repartition(64).write.mode("overwrite").parquet(f"{base}/lineitem.parquet")
+
 
 def rest(app_port: int, path: str):
     with urllib.request.urlopen(f"http://localhost:{app_port}/api/v1/{path}") as r:
@@ -253,6 +271,14 @@ def main() -> None:
         # lossless PPJoin prefix filtering vs the capped approximate
         # index (dedup_ngram_jaccard) on the same corpus
         "dedup_prefix_filter": qs["dedup_prefix_filter"],
+        # round-5 fourth/fifth wave: the co-purchase graph family on a
+        # x20-baskets / fixed-catalog lineitem (supports scale, pair
+        # universe stays catalog-bounded) and the correlation matrix
+        # whose only data-sized stage is the daily aggregate
+        "basket_pair_lift": qs["basket_pair_lift"],
+        "bfs_hops_copurchase": qs["bfs_hops_copurchase"],
+        "label_propagation_communities": qs["label_propagation_communities"],
+        "corr_matrix_event_types": qs["corr_matrix_event_types"],
     }
     results = {}
     group_of = {}
