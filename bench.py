@@ -170,6 +170,8 @@ HEADLINE = [
     "event_ngram_next",
     "referential_audit",
     "inverted_index_postings",
+    "dedup_cluster_canonical",
+    "pq_codes_embeddings",
 ]
 
 # Timed and reported, but excluded from the headline sum: cost dominated

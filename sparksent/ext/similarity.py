@@ -934,3 +934,103 @@ def hard_negatives_topk_sql(
           FROM scored)
     WHERE rank <= {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# product quantization (embedding compression for 100-TB vector storage)
+# ---------------------------------------------------------------------------
+
+PQ_SCALE = 1_000_000
+
+
+def pq_codes(
+    emb: DataFrame,
+    n_sub: int = 8,
+    sub_dim: int = 8,
+    n_cent: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization encoding: split each vector into ``n_sub``
+    subvectors of ``sub_dim`` dims, assign each to its nearest of
+    ``n_cent`` per-subspace centroids (the vectors with id < n_cent,
+    the k-means seeding convention of ext/iterative.py), and pack the
+    assignments into one BIGINT code (4 bits per subspace at the
+    defaults) plus the integer reconstruction error.
+
+    This is the storage layer IVF-PQ indexes compress with: a 64-dim
+    float vector (256 bytes) becomes a 4-byte code, and distance scans
+    read codebook lookup tables instead of raw floats.  All arithmetic
+    is scaled-integer (floor(x * 1e6)): distances, argmins (ties to
+    the smaller centroid id), and the packed code are bit-exact in
+    both engines.
+
+    Scale: the (vec, pos) explode joins the n_cent x dims codebook by
+    broadcast; per-(vec, subspace, centroid) squared diffs partial-
+    aggregate map-side; the argmin is a min over (d, cent) structs and
+    the final pack one aggregate per vector — the constant-codegen
+    shape of ext/iterative's k-means assignment, run once.
+    """
+    xs = emb.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(x.cast("double") * F.lit(float(PQ_SCALE))).cast("long"),
+        ).alias("v"),
+    )
+    ex = xs.select("id", F.posexplode("v").alias("pos", "x"))
+    cents = xs.filter(F.col("id") < n_cent).select(
+        F.col("id").alias("cent"), F.posexplode("v").alias("pos", "c")
+    )
+    per = (
+        ex.join(F.broadcast(cents), "pos")
+        .groupBy(
+            "id",
+            F.expr(f"CAST(pos div {sub_dim} AS BIGINT)").alias("sub"),
+            "cent",
+        )
+        .agg(F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))).alias("d"))
+    )
+    best = per.groupBy("id", "sub").agg(
+        F.min(F.struct(F.col("d").alias("d"), F.col("cent").alias("cent"))).alias("b")
+    )
+    bits = max(1, (n_cent - 1).bit_length())
+    return best.groupBy("id").agg(
+        F.sum(F.expr(f"shiftleft(b.cent, CAST({bits} * sub AS INT))"))
+        .cast("long")
+        .alias("pq_code"),
+        F.sum("b.d").cast("long").alias("recon_err"),
+    ).select(F.col("id").alias(id_col), "pq_code", "recon_err")
+
+
+def pq_codes_sql(
+    table: str = "embeddings",
+    n_sub: int = 8,
+    sub_dim: int = 8,
+    n_cent: int = 16,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+) -> str:
+    bits = max(1, (n_cent - 1).bit_length())
+    return f"""
+    WITH xs AS (
+      SELECT {id_col}::BIGINT AS id,
+             list_transform({vec}, x -> floor(x::DOUBLE * {float(PQ_SCALE)!r})::BIGINT) AS v
+      FROM {table}),
+    ex AS (SELECT id, generate_subscripts(v, 1) - 1 AS pos, unnest(v) AS x FROM xs),
+    cents AS (SELECT id AS cent, generate_subscripts(v, 1) - 1 AS pos, unnest(v) AS c
+              FROM xs WHERE id < {n_cent}),
+    per AS (
+      SELECT e.id, (e.pos // {sub_dim})::BIGINT AS sub, c.cent,
+             sum((e.x - c.c) * (e.x - c.c))::BIGINT AS d
+      FROM ex e JOIN cents c ON c.pos = e.pos
+      GROUP BY 1, 2, 3),
+    best AS (
+      SELECT id, sub, cent, d FROM (
+        SELECT *, row_number() OVER (PARTITION BY id, sub ORDER BY d, cent) AS rn
+        FROM per)
+      WHERE rn = 1)
+    SELECT id AS {id_col}, sum(cent << ({bits} * sub)::INT)::BIGINT AS pq_code,
+           sum(d)::BIGINT AS recon_err
+    FROM best GROUP BY 1
+    """

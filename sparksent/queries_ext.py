@@ -1164,3 +1164,75 @@ def q_inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",",
         ).alias("postings_head")
     )
+
+
+@register(
+    "dedup_cluster_canonical",
+    oracle=f"""
+    WITH RECURSIVE mh_pairs AS ({{pairs}}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM mh_pairs
+      UNION
+      SELECT id_b, id_a FROM mh_pairs
+    ),
+    reach(id, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id
+    ),
+    comp AS (SELECT id AS doc_id, min(label) AS component FROM reach GROUP BY id),
+    j AS (SELECT c.component, d.doc_id, d.n_chars
+          FROM comp c JOIN documents d ON d.doc_id = c.doc_id)
+    SELECT component, doc_id AS canonical_doc_id, n_members, max_chars FROM (
+      SELECT component, doc_id,
+             count(*) OVER (PARTITION BY component)::BIGINT AS n_members,
+             max(n_chars) OVER (PARTITION BY component)::BIGINT AS max_chars,
+             row_number() OVER (PARTITION BY component
+                                ORDER BY n_chars DESC, doc_id) AS rn
+      FROM j)
+    WHERE rn = 1
+    """.replace("{pairs}", dedup.minhash_lsh_pairs_sql()),
+    tags=("ext", "dedup", "iterative"),
+)
+def q_dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-member selection per near-duplicate cluster — the
+    "which copy do we keep" policy real curation uses (longest text
+    wins, ties to the smallest id), where dedup_keep_set's keep-first
+    policy keeps the minimum id regardless of quality. Components from
+    the MinHash-LSH pair graph (graph.py min-label propagation); the
+    canonical pick is ONE map-side-combined aggregate over (component,
+    quality, id) min-structs, never a per-cluster sort."""
+    from .graph import connected_components
+
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(docs).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    comp = connected_components(docs.select("doc_id"), pairs, id_col="doc_id").select(
+        F.col("id").alias("doc_id"), F.col("label").alias("component")
+    )
+    chars = tables.load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    j = comp.join(chars, "doc_id")
+    return j.groupBy("component").agg(
+        F.min(
+            F.struct((-F.col("n_chars")).alias("neg"), F.col("doc_id").alias("d"))
+        )["d"].alias("canonical_doc_id"),
+        F.count("*").cast("long").alias("n_members"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+    ).select("component", "canonical_doc_id", "n_members", "max_chars")
+
+
+@register(
+    "pq_codes_embeddings",
+    oracle=similarity.pq_codes_sql(),
+    tags=("ext", "similarity", "storage"),
+)
+def q_pq_codes_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding of the embedding table: 8
+    subspaces x 16 centroids -> one packed 32-bit code plus the exact
+    integer reconstruction error per vector. The compression layer an
+    IVF-PQ vector index stores at 100-TB embedding scale (256-byte
+    float vectors become 4-byte codes); codebook broadcast, distance
+    partials map-side combined, scaled-integer argmin bit-exact in
+    both engines (ext/similarity.pq_codes)."""
+    return similarity.pq_codes(_emb(spark, sf_dir))

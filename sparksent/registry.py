@@ -90,8 +90,8 @@ _PRIORITY: tuple[str, ...] = (
     "trend_slope_per_user",
     "acf_daily_value_lag7",
     "dedup_prefix_filter",
-    # Slots 26-39: fourth-through-seventh-wave round-5 registrations
-    # (first driver check pending) — displace 14 more r02-stale names
+    # Slots 26-41: fourth-through-eighth-wave round-5 registrations
+    # (first driver check pending) — displace 16 more r02-stale names
     # to round 6.
     "basket_pair_lift",
     "bfs_hops_copurchase",
@@ -107,7 +107,9 @@ _PRIORITY: tuple[str, ...] = (
     "event_ngram_next",
     "referential_audit",
     "inverted_index_postings",
-    # Slots 40-47: latest green driver row is r01 (8 names).
+    "dedup_cluster_canonical",
+    "pq_codes_embeddings",
+    # Slots 42-49: latest green driver row is r01 (8 names).
     "tpch_q6_forecast",
     "tpch_q14_promo",
     "tpch_q16_supplier_cnt",
@@ -116,14 +118,15 @@ _PRIORITY: tuple[str, ...] = (
     "tpch_q19_disjunctive",
     "semi_late_orders",
     "anti_customers_no_orders",
-    # Slots 48-50: latest green driver row is r02 (oldest 3 of 24).
+    # Slot 50: latest green driver row is r02 (oldest 1 of 24).
     "doc_sentiment",
+    # Slots 51+: spill queue for round 6, oldest-green-first — the 23
+    # r02-stale names displaced by the second-through-eighth-wave
+    # registrations, then the r03-stale names (the 50-slot window is
+    # exactly filled by never-checked and r01-stale names plus one
+    # r02-stale name).
     "doc_entities",
     "doc_categories",
-    # Slots 51+: spill queue for round 6, oldest-green-first — the 21
-    # r02-stale names displaced by the second-through-seventh-wave
-    # registrations, then the r03-stale names (the 50-slot window is
-    # exactly filled by never-checked and r01/r02-stale names).
     "doc_sentiment_mllib",
     "dedup_exact",
     "dedup_simhash",

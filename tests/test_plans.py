@@ -806,3 +806,24 @@ def test_inverted_index_rank_caps_before_collect(spark):
     assert "collect_list" in plan
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
     assert count_data_shuffles(plan) <= 2
+
+
+def test_cluster_canonical_aggregate_pick(spark):
+    """Canonical selection: the per-cluster pick is ONE map-side-
+    combined min-struct aggregate over the components join — no
+    per-cluster sort window, no cartesian."""
+    plan = plan_of(spark, "dedup_cluster_canonical")
+    assert "partial_min" in plan or "partial_count" in plan
+    assert "CartesianProduct" not in plan
+    assert re.search(r"\(\d+\) Window", plan) is None
+
+
+def test_pq_codes_broadcast_codebook(spark):
+    """PQ encoding: the n_cent x dims codebook joins by broadcast into
+    the (vec, pos) explode, distance partials combine map-side, and
+    the argmin/pack are aggregates — never a per-subspace sort."""
+    plan = plan_of(spark, "pq_codes_embeddings")
+    assert "BroadcastHashJoin" in plan
+    assert "partial_sum" in plan
+    assert "CartesianProduct" not in plan
+    assert re.search(r"\(\d+\) Window", plan) is None
