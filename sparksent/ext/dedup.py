@@ -868,3 +868,24 @@ def prefix_filter_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "inter", "jaccard")
     )
+
+
+def components_cte_sql() -> str:
+    """Shared recursive-CTE block for connected components over the
+    MinHash-LSH pair graph — the single SQL definition both
+    ``dedup_components`` and ``dedup_cluster_canonical`` oracles embed
+    (``WITH RECURSIVE {components_cte_sql()} ...``), so a change to the
+    pair graph or traversal can never make the two cluster oracles
+    silently disagree.  Exposes ``comp(doc_id, component)``."""
+    return f"""mh_pairs AS ({minhash_lsh_pairs_sql()}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM mh_pairs
+      UNION
+      SELECT id_b, id_a FROM mh_pairs
+    ),
+    reach(id, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id
+    ),
+    comp AS (SELECT id AS doc_id, min(label) AS component FROM reach GROUP BY id)"""

@@ -945,14 +945,13 @@ PQ_SCALE = 1_000_000
 
 def pq_codes(
     emb: DataFrame,
-    n_sub: int = 8,
     sub_dim: int = 8,
     n_cent: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Product-quantization encoding: split each vector into ``n_sub``
-    subvectors of ``sub_dim`` dims, assign each to its nearest of
+    """Product-quantization encoding: split each vector into
+    dim/``sub_dim`` subvectors (8 for the 64-dim fixture), assign each to its nearest of
     ``n_cent`` per-subspace centroids (the vectors with id < n_cent,
     the k-means seeding convention of ext/iterative.py), and pack the
     assignments into one BIGINT code (4 bits per subspace at the
@@ -1005,7 +1004,6 @@ def pq_codes(
 
 def pq_codes_sql(
     table: str = "embeddings",
-    n_sub: int = 8,
     sub_dim: int = 8,
     n_cent: int = 16,
     id_col: str = "vec_id",

@@ -277,18 +277,8 @@ def q_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_components",
     oracle=f"""
-    WITH RECURSIVE mh_pairs AS ({dedup.minhash_lsh_pairs_sql()}),
-    edges AS (
-      SELECT id_a AS src, id_b AS dst FROM mh_pairs
-      UNION
-      SELECT id_b, id_a FROM mh_pairs
-    ),
-    reach(id, label) AS (
-      SELECT doc_id, doc_id FROM documents
-      UNION
-      SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id
-    )
-    SELECT id AS doc_id, min(label) AS component FROM reach GROUP BY id
+    WITH RECURSIVE {dedup.components_cte_sql()}
+    SELECT doc_id, component FROM comp
     """,
     tags=("ext", "dedup", "iterative"),
 )
@@ -1169,18 +1159,7 @@ def q_inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_cluster_canonical",
     oracle=f"""
-    WITH RECURSIVE mh_pairs AS ({{pairs}}),
-    edges AS (
-      SELECT id_a AS src, id_b AS dst FROM mh_pairs
-      UNION
-      SELECT id_b, id_a FROM mh_pairs
-    ),
-    reach(id, label) AS (
-      SELECT doc_id, doc_id FROM documents
-      UNION
-      SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id
-    ),
-    comp AS (SELECT id AS doc_id, min(label) AS component FROM reach GROUP BY id),
+    WITH RECURSIVE {dedup.components_cte_sql()},
     j AS (SELECT c.component, d.doc_id, d.n_chars
           FROM comp c JOIN documents d ON d.doc_id = c.doc_id)
     SELECT component, doc_id AS canonical_doc_id, n_members, max_chars FROM (
@@ -1191,7 +1170,7 @@ def q_inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 ORDER BY n_chars DESC, doc_id) AS rn
       FROM j)
     WHERE rn = 1
-    """.replace("{pairs}", dedup.minhash_lsh_pairs_sql()),
+    """,
     tags=("ext", "dedup", "iterative"),
 )
 def q_dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:

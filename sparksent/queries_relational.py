@@ -2015,42 +2015,59 @@ def q_drift_binned_ks_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _morton16(u: str, d: str, shl) -> str:
-    """Interleave two 16-bit values (Morton / Z-order) with the
-    classic 4-step spread masks; ``shl(expr, n)`` renders the engine's
-    left shift so the same construction serves Spark SQL
-    (``shiftleft``) and DuckDB (``<<``)."""
-
-    def spread(x: str) -> str:
-        e = x
-        for sh, mask in ((8, 16711935), (4, 252645135), (2, 858993459), (1, 1431655765)):
-            e = f"(({e} | {shl(e, sh)}) & {mask})"
-        return e
-
-    return f"({spread(u)} | {shl(spread(d), 1)})"
+# Morton / Z-order interleave of two 16-bit values via the classic
+# 4-step spread masks.  Each step is materialized as its OWN projection
+# level (a named column per step, not textual substitution), so every
+# step's input is evaluated once — a purely textual expansion would
+# embed 16 copies of each operand in the final expression and lean on
+# common-subexpression elimination to avoid recomputing them.
+_SPREAD_STEPS = ((8, 16711935), (4, 252645135), (2, 858993459), (1, 1431655765))
 
 
-_Z_SPARK = _morton16(
-    "(user_id & 65535)",
-    "(CAST(unix_micros(ts) div 86400000000 AS BIGINT) & 65535)",
-    lambda e, n: f"shiftleft({e}, {n})",
-)
-_Z_DUCK = _morton16(
-    "(user_id & 65535)",
-    "((epoch_us(ts) // 86400000000) & 65535)",
-    lambda e, n: f"({e} << {n})",
-)
+def _zorder_keyed_cte() -> str:
+    """DuckDB: nested selects, one per spread step, exposing
+    ``keyed(event_id, user_id, day, zkey)``."""
+    q = """SELECT event_id, user_id,
+             ((epoch_us(ts) // 86400000000))::BIGINT AS day,
+             (user_id & 65535) AS u,
+             ((epoch_us(ts) // 86400000000) & 65535) AS d
+      FROM events"""
+    for sh, mask in _SPREAD_STEPS:
+        q = f"""SELECT event_id, user_id, day,
+               ((u | (u << {sh})) & {mask}) AS u,
+               ((d | (d << {sh})) & {mask}) AS d
+        FROM ({q})"""
+    return f"""keyed AS (
+      SELECT event_id, user_id, day, (u | (d << 1))::BIGINT AS zkey
+      FROM ({q}))"""
+
+
+def _zorder_keyed(ev: DataFrame) -> DataFrame:
+    """Spark: one withColumn pair per spread step — same stepwise
+    shape as the oracle's nested selects."""
+    keyed = ev.select(
+        "event_id",
+        "user_id",
+        F.expr("CAST(unix_micros(ts) div 86400000000 AS BIGINT)").alias("day"),
+        F.expr("user_id & 65535").alias("u"),
+        F.expr("CAST(unix_micros(ts) div 86400000000 AS BIGINT) & 65535").alias("d"),
+    )
+    for sh, mask in _SPREAD_STEPS:
+        keyed = keyed.withColumn(
+            "u", F.expr(f"(u | shiftleft(u, {sh})) & {mask}")
+        ).withColumn("d", F.expr(f"(d | shiftleft(d, {sh})) & {mask}"))
+    return keyed.select(
+        "event_id",
+        "user_id",
+        "day",
+        F.expr("CAST(u | shiftleft(d, 1) AS BIGINT)").alias("zkey"),
+    )
 
 
 @register(
     "zorder_file_stats",
     oracle=f"""
-    WITH keyed AS (
-      SELECT event_id, user_id,
-             ((epoch_us(ts) // 86400000000))::BIGINT AS day,
-             {_Z_DUCK}::BIGINT AS zkey
-      FROM events
-    ), ranked AS (
+    WITH {_zorder_keyed_cte()}, ranked AS (
       SELECT *, row_number() OVER (ORDER BY zkey, event_id) AS rk FROM keyed
     )
     SELECT ((rk - 1) // 1000)::BIGINT AS file_id, count(*)::BIGINT AS n_rows,
@@ -2077,12 +2094,7 @@ def q_zorder_file_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ext.ranks import with_global_ranks
 
     ev = tables.load_table(spark, sf_dir, "events")
-    keyed = ev.select(
-        "event_id",
-        "user_id",
-        F.expr("CAST(unix_micros(ts) div 86400000000 AS BIGINT)").alias("day"),
-        F.expr(f"CAST({_Z_SPARK} AS BIGINT)").alias("zkey"),
-    )
+    keyed = _zorder_keyed(ev)
     ranked = with_global_ranks(keyed, ["zkey", "event_id"], "rk")
     return (
         ranked.withColumn("file_id", F.expr("CAST((rk - 1) div 1000 AS BIGINT)"))

@@ -85,70 +85,67 @@ def generate(spark, base: str) -> None:
 
     os.makedirs(base, exist_ok=True)
 
+    def replicate(df, offsets, transform=None):
+        """REPLICAS copies with id columns offset per replica; optional
+        per-replica transform(df, k) for k > 0 (the linearity trick:
+        disjoint content per replica so true answers scale linearly)."""
+        parts = []
+        for k in range(REPLICAS):
+            d = df
+            for col, off in offsets.items():
+                d = d.withColumn(col, F.col(col) + F.lit(k * off))
+            if transform is not None and k:
+                d = transform(d, k)
+            parts.append(d)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def write(df, name):
+        df.repartition(64).write.mode("overwrite").parquet(f"{base}/{name}.parquet")
+
     docs = spark.read.parquet(f"{SRC}/documents.parquet")
-    parts = []
-    n_docs = docs.count()
-    for k in range(REPLICAS):
-        d = docs.withColumn("doc_id", F.col("doc_id") + F.lit(k * n_docs))
-        if k:
-            d = d.withColumn("text", F.regexp_replace("text", r"(\S+)", f"r{k}_$1"))
-        parts.append(d)
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    out.repartition(64).write.mode("overwrite").parquet(f"{base}/documents.parquet")
+    write(
+        replicate(
+            docs,
+            {"doc_id": docs.count()},
+            lambda d, k: d.withColumn(
+                "text", F.regexp_replace("text", r"(\S+)", f"r{k}_$1")
+            ),
+        ),
+        "documents",
+    )
 
     emb = spark.read.parquet(f"{SRC}/embeddings.parquet")
-    n_emb = emb.count()
-    parts = []
-    for k in range(REPLICAS):
-        e = emb.withColumn("vec_id", F.col("vec_id") + F.lit(k * n_emb))
-        if k:
-            signs = F.array(*[F.lit(float(s)) for s in _plane(10_000 + k)])
-            e = e.withColumn(
-                "embedding",
-                F.zip_with("embedding", signs, lambda x, s: (x * s).cast("float")),
-            )
-        parts.append(e)
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    out.repartition(64).write.mode("overwrite").parquet(f"{base}/embeddings.parquet")
+
+    def decorrelate(e, k):
+        signs = F.array(*[F.lit(float(s)) for s in _plane(10_000 + k)])
+        return e.withColumn(
+            "embedding",
+            F.zip_with("embedding", signs, lambda x, s: (x * s).cast("float")),
+        )
+
+    write(replicate(emb, {"vec_id": emb.count()}, decorrelate), "embeddings")
 
     # events: keep ts in the fixture's raw int64-nanos layout so
     # sparksent.tables.load_table reads the derived dir identically
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = spark.read.parquet(f"{SRC}/events.parquet")
-    n_ev = ev.count()
-    n_users = 10_000_000
-    parts = []
-    for k in range(REPLICAS):
-        parts.append(
-            ev.withColumn("event_id", F.col("event_id") + F.lit(k * n_ev))
-            .withColumn("user_id", F.col("user_id") + F.lit(k * n_users))
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    out.repartition(64).write.mode("overwrite").parquet(f"{base}/events.parquet")
+    write(
+        replicate(ev, {"event_id": ev.count(), "user_id": 10_000_000}), "events"
+    )
 
     # lineitem: new order-key range per replica, SAME part catalog —
     # the realistic retail growth direction (basket count x20 over a
     # fixed-ish catalog): item supports and pair supports scale x20
     # while the co-purchase pair universe stays catalog-bounded, which
     # is exactly the regime the a-priori prune / BFS / label
-    # propagation claims must hold in.
+    # propagation claims must hold in.  (The replicated order keys
+    # reference no orders row — fine for the graph family, which never
+    # joins orders; replicate orders the same way if one ever does.)
     li = spark.read.parquet(f"{SRC}/lineitem.parquet")
-    n_orders = 100_000_000
-    parts = []
-    for k in range(REPLICAS):
-        parts.append(
-            li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(k * n_orders))
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    out.repartition(64).write.mode("overwrite").parquet(f"{base}/lineitem.parquet")
+    write(replicate(li, {"l_orderkey": 100_000_000}), "lineitem")
 
 
 def rest(app_port: int, path: str):
