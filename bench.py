@@ -172,6 +172,8 @@ HEADLINE = [
     "inverted_index_postings",
     "dedup_cluster_canonical",
     "pq_codes_embeddings",
+    "twap_user_value",
+    "rank_normalize_value",
 ]
 
 # Timed and reported, but excluded from the headline sum: cost dominated

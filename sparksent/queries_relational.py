@@ -2241,3 +2241,101 @@ def q_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.filter(F.col("o_orderdate") < F.lit("1992-01-01").cast("timestamp_ntz")),
     )
     return orphan.union(childless).union(dups).union(badval).union(old)
+
+
+@register(
+    "twap_user_value",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, floor(value::DOUBLE * 1000.0)::BIGINT AS vm,
+             epoch_us(ts) AS us,
+             lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS next_us
+      FROM events
+    ), w AS (
+      SELECT user_id, vm, (next_us - us)::BIGINT AS dur
+      FROM seq WHERE next_us IS NOT NULL
+    )
+    SELECT user_id, count(*)::BIGINT AS n_intervals,
+           sum(dur)::BIGINT AS total_us,
+           (sum(vm::HUGEINT * dur)::DOUBLE / sum(dur::HUGEINT)::DOUBLE) AS twap_milli
+    FROM w GROUP BY 1 HAVING sum(dur) > 0
+    """,
+    tags=("relational", "timeseries"),
+)
+def q_twap_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user (TWAP) — each observation
+    weighted by how long it was the user's current value, the standard
+    correction when sampling is irregular (a mean over raw rows
+    overweights bursts). Weights are exact integer microsecond
+    durations from ONE user-keyed lead window; the weighted sum
+    accumulates in DECIMAL(38,0)/HUGEINT and only the final division
+    is DOUBLE on identical operands. Zero-duration-only users drop via
+    HAVING (a TWAP sentinel could collide with a real value)."""
+    ev = tables.load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        F.floor(F.col("value").cast("double") * F.lit(1000.0))
+        .cast("long")
+        .alias("vm"),
+        F.unix_micros("ts").alias("us"),
+        F.lead(F.unix_micros("ts")).over(w).alias("next_us"),
+    ).filter(F.col("next_us").isNotNull())
+    dur = (F.col("next_us") - F.col("us")).cast("long")
+    agg = seq.select("user_id", "vm", dur.alias("dur")).groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_intervals"),
+        F.sum("dur").cast("long").alias("total_us"),
+        F.sum(F.col("vm").cast("decimal(38,0)") * F.col("dur"))
+        .cast("decimal(38,0)")
+        .alias("num"),
+        F.sum(F.col("dur").cast("decimal(38,0)")).cast("decimal(38,0)").alias("den"),
+    )
+    return agg.filter(F.col("total_us") > 0).select(
+        "user_id",
+        "n_intervals",
+        "total_us",
+        (F.col("num").cast("double") / F.col("den").cast("double")).alias(
+            "twap_milli"
+        ),
+    )
+
+
+@register(
+    "rank_normalize_value",
+    oracle="""
+    WITH ranked AS (
+      SELECT event_id, value,
+             row_number() OVER (ORDER BY value, event_id) AS rank,
+             count(*) OVER () AS n
+      FROM events
+    )
+    SELECT event_id, value, rank::BIGINT AS rank,
+           CASE WHEN n = 1 THEN 0
+                ELSE ((rank - 1) * 1000000) // (n - 1) END::BIGINT AS q_ppm
+    FROM ranked
+    """,
+    tags=("relational", "ml", "normalize"),
+)
+def q_rank_normalize_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank normalization (quantile transform) of the value column —
+    the feature-preprocessing map to a uniform [0, 1e6] ppm scale that
+    is robust to outliers where min-max scaling is not. The global
+    rank comes from ext/ranks range-partition ranking over (value,
+    event_id) — the distributed sort, never a single-reducer window —
+    and the normalizer is an integer floordiv against the broadcast
+    row count."""
+    from .ext.ranks import with_global_ranks
+
+    ev = tables.load_table(spark, sf_dir, "events").select("event_id", "value")
+    ranked = with_global_ranks(ev, ["value", "event_id"], "rank")
+    n = ranked.agg(F.count("*").cast("long").alias("n"))
+    return ranked.crossJoin(F.broadcast(n)).select(
+        "event_id",
+        "value",
+        F.col("rank").cast("long").alias("rank"),
+        F.when(F.col("n") == 1, F.lit(0))
+        .otherwise(F.expr("((rank - 1) * 1000000) div (n - 1)"))
+        .cast("long")
+        .alias("q_ppm"),
+    )

@@ -90,9 +90,9 @@ _PRIORITY: tuple[str, ...] = (
     "trend_slope_per_user",
     "acf_daily_value_lag7",
     "dedup_prefix_filter",
-    # Slots 26-41: fourth-through-eighth-wave round-5 registrations
-    # (first driver check pending) — displace 16 more r02-stale names
-    # to round 6.
+    # Slots 26-43: fourth-through-ninth-wave round-5 registrations
+    # (first driver check pending) — displace every remaining r02-stale
+    # name plus one r01-stale name to round 6.
     "basket_pair_lift",
     "bfs_hops_copurchase",
     "snapshot_diff_users",
@@ -109,7 +109,10 @@ _PRIORITY: tuple[str, ...] = (
     "inverted_index_postings",
     "dedup_cluster_canonical",
     "pq_codes_embeddings",
-    # Slots 42-49: latest green driver row is r01 (8 names).
+    "twap_user_value",
+    "rank_normalize_value",
+    # Slots 44-50: latest green driver row is r01 (oldest 7 of 8;
+    # anti_customers_no_orders spills to round 6).
     "tpch_q6_forecast",
     "tpch_q14_promo",
     "tpch_q16_supplier_cnt",
@@ -117,14 +120,12 @@ _PRIORITY: tuple[str, ...] = (
     "tpch_q18_large_orders",
     "tpch_q19_disjunctive",
     "semi_late_orders",
+    # Slots 51+: spill queue for round 6, oldest-green-first — the one
+    # displaced r01-stale name, then all 24 r02-stale names, then the
+    # r03-stale names (the 50-slot window is now exactly 43
+    # never-checked + 7 r01-stale).
     "anti_customers_no_orders",
-    # Slot 50: latest green driver row is r02 (oldest 1 of 24).
     "doc_sentiment",
-    # Slots 51+: spill queue for round 6, oldest-green-first — the 23
-    # r02-stale names displaced by the second-through-eighth-wave
-    # registrations, then the r03-stale names (the 50-slot window is
-    # exactly filled by never-checked and r01-stale names plus one
-    # r02-stale name).
     "doc_entities",
     "doc_categories",
     "doc_sentiment_mllib",

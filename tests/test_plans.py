@@ -827,3 +827,22 @@ def test_pq_codes_broadcast_codebook(spark):
     assert "partial_sum" in plan
     assert "CartesianProduct" not in plan
     assert re.search(r"\(\d+\) Window", plan) is None
+
+
+def test_twap_single_user_shuffle(spark):
+    """TWAP: the lead window and the weighted aggregate share ONE
+    user-keyed exchange; weights never leave the partition."""
+    plan = plan_of(spark, "twap_user_value")
+    assert "Window" in plan
+    assert "partial_sum" in plan
+    assert count_data_shuffles(plan) == 1
+
+
+def test_rank_normalize_range_partition(spark):
+    """Rank normalization rides ext/ranks: range-partitioned local
+    ranks + broadcast offsets over the checkpointed frame (zero
+    parquet re-scans downstream) — never a single-reducer global
+    sort of events; the row count attaches by broadcast."""
+    plan = plan_of(spark, "rank_normalize_value")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 0
+    assert "BroadcastHashJoin" in plan
