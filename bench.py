@@ -174,6 +174,8 @@ HEADLINE = [
     "pq_codes_embeddings",
     "twap_user_value",
     "rank_normalize_value",
+    "attribution_linear",
+    "ab_test_value_by_variant",
 ]
 
 # Timed and reported, but excluded from the headline sum: cost dominated

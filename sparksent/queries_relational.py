@@ -2339,3 +2339,182 @@ def q_rank_normalize_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("q_ppm"),
     )
+
+
+@register(
+    "attribution_linear",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p
+      FROM events WHERE event_type IN ('view', 'purchase')
+    ),
+    j AS (
+      SELECT *,
+             coalesce(sum(is_p) OVER (PARTITION BY user_id
+                                      ORDER BY ts, is_p, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                               AND 1 PRECEDING), 0)::BIGINT
+               AS journey
+      FROM u
+    ),
+    v AS (
+      SELECT user_id, journey, event_id AS view_id,
+             row_number() OVER (PARTITION BY user_id, journey
+                                ORDER BY ts, event_id) AS vrk,
+             count(*) OVER (PARTITION BY user_id, journey)::BIGINT AS n_views
+      FROM j WHERE is_p = 0
+    ),
+    p AS (
+      SELECT user_id, journey, event_id AS purchase_id
+      FROM j WHERE is_p = 1
+    )
+    SELECT p.purchase_id, v.view_id,
+           (1000000 // v.n_views
+            + CASE WHEN v.vrk = 1 THEN 1000000 % v.n_views ELSE 0 END)::BIGINT
+             AS credit_ppm
+    FROM p JOIN v ON v.user_id = p.user_id AND v.journey = p.journey
+    """,
+    tags=("relational", "window", "attribution"),
+)
+def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear (equal-credit) multi-touch attribution — the complement
+    of first-touch and last-touch (as-of): each purchase's 1,000,000
+    ppm of credit splits equally across ALL views of its journey, the
+    floordiv remainder going to the earliest view so every purchase's
+    credits sum to exactly 1e6 (integer-exact on both engines).
+    Journeys and tie-breaks follow attribution_first_touch's
+    convention (running count of strictly-prior purchases; views
+    order before same-timestamp purchases).
+
+    Scale: the journey window, the per-journey view rank/count, and
+    the purchase-to-views join are all user-key-rooted — one user_id
+    shuffle plus a (user, journey) refinement; no fact-table join."""
+    ev = tables.load_table(spark, sf_dir, "events")
+    u = ev.filter(F.col("event_type").isin("view", "purchase")).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "purchase", F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("is_p"),
+    )
+    w_j = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_p", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    j = u.withColumn(
+        "journey", F.coalesce(F.sum("is_p").over(w_j), F.lit(0)).cast("long")
+    )
+    w_v = Window.partitionBy("user_id", "journey").orderBy("ts", "event_id")
+    w_n = Window.partitionBy("user_id", "journey")
+    v = (
+        j.filter(F.col("is_p") == 0)
+        .select(
+            "user_id",
+            "journey",
+            F.col("event_id").alias("view_id"),
+            F.row_number().over(w_v).alias("vrk"),
+            F.count("*").over(w_n).cast("long").alias("n_views"),
+        )
+    )
+    p = j.filter(F.col("is_p") == 1).select(
+        "user_id", "journey", F.col("event_id").alias("purchase_id")
+    )
+    return p.join(v, ["user_id", "journey"]).select(
+        "purchase_id",
+        "view_id",
+        (
+            F.expr("CAST(1000000 div n_views AS BIGINT)")
+            + F.when(F.col("vrk") == 1, F.expr("1000000 % n_views")).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("credit_ppm"),
+    )
+
+
+@register(
+    "ab_test_value_by_variant",
+    oracle="""
+    WITH v AS (
+      SELECT floor(value::DOUBLE * 1000.0)::BIGINT AS y,
+             ('0x'||substr(md5('ab:'||user_id::VARCHAR),1,15))::UBIGINT::BIGINT % 2
+               AS variant
+      FROM events
+    ), m AS (
+      SELECT count(*) FILTER (variant = 0)::BIGINT AS n0,
+             count(*) FILTER (variant = 1)::BIGINT AS n1,
+             sum(y::HUGEINT) FILTER (variant = 0)::HUGEINT AS s0,
+             sum(y::HUGEINT) FILTER (variant = 1)::HUGEINT AS s1,
+             sum(y::HUGEINT * y) FILTER (variant = 0)::HUGEINT AS q0,
+             sum(y::HUGEINT * y) FILTER (variant = 1)::HUGEINT AS q1
+      FROM v
+    )
+    SELECT n0 AS n_control, n1 AS n_treatment,
+           s0::DOUBLE / n0 AS mean_control_milli,
+           s1::DOUBLE / n1 AS mean_treatment_milli,
+           (s1::DOUBLE / n1 - s0::DOUBLE / n0)
+             / sqrt((n0::HUGEINT * q0 - s0 * s0)::DOUBLE
+                      / (n0::DOUBLE * n0 * (n0 - 1))
+                    + (n1::HUGEINT * q1 - s1 * s1)::DOUBLE
+                      / (n1::DOUBLE * n1 * (n1 - 1))) AS t_stat
+    FROM m
+    """,
+    tags=("relational", "experiment", "ml"),
+)
+def q_ab_test_value_by_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: users hash deterministically into
+    control/treatment (the md5 lottery — reproducible assignment, the
+    same property the samplers rely on) and the value metric gets a
+    Welch t statistic from exact integer moments: milli-scaled sums
+    and squared sums per variant accumulate in HUGEINT/DECIMAL(38,0),
+    and the mean/variance/t arithmetic is IEEE double on identical
+    operands — bit-exact with no libm beyond the correctly-rounded
+    sqrt.
+
+    Plan: ONE scan, variant computed scan-side, a single conditional
+    aggregate to one row — no join, no shuffle beyond the final
+    single-partition combine of six partials."""
+    from .ext.hashing import h60
+
+    ev = tables.load_table(spark, sf_dir, "events")
+    v = ev.select(
+        F.floor(F.col("value").cast("double") * F.lit(1000.0))
+        .cast("long")
+        .alias("y"),
+        (h60(F.concat(F.lit("ab:"), F.col("user_id").cast("string"))) % 2).alias(
+            "variant"
+        ),
+    )
+    yd = F.col("y").cast("decimal(38,0)")
+    is0 = F.col("variant") == 0
+    is1 = F.col("variant") == 1
+    m = v.agg(
+        F.count(F.when(is0, 1)).cast("long").alias("n0"),
+        F.count(F.when(is1, 1)).cast("long").alias("n1"),
+        F.sum(F.when(is0, yd)).cast("decimal(38,0)").alias("s0"),
+        F.sum(F.when(is1, yd)).cast("decimal(38,0)").alias("s1"),
+        F.sum(F.when(is0, yd * F.col("y"))).cast("decimal(38,0)").alias("q0"),
+        F.sum(F.when(is1, yd * F.col("y"))).cast("decimal(38,0)").alias("q1"),
+    )
+    n0d = F.col("n0").cast("double")
+    n1d = F.col("n1").cast("double")
+    mean0 = F.col("s0").cast("double") / n0d
+    mean1 = F.col("s1").cast("double") / n1d
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    var0 = (d("n0") * F.col("q0") - F.col("s0") * F.col("s0")).cast("double") / (
+        n0d * n0d * (n0d - 1)
+    )
+    var1 = (d("n1") * F.col("q1") - F.col("s1") * F.col("s1")).cast("double") / (
+        n1d * n1d * (n1d - 1)
+    )
+    return m.select(
+        F.col("n0").alias("n_control"),
+        F.col("n1").alias("n_treatment"),
+        mean0.alias("mean_control_milli"),
+        mean1.alias("mean_treatment_milli"),
+        ((mean1 - mean0) / F.sqrt(var0 + var1)).alias("t_stat"),
+    )

@@ -90,9 +90,9 @@ _PRIORITY: tuple[str, ...] = (
     "trend_slope_per_user",
     "acf_daily_value_lag7",
     "dedup_prefix_filter",
-    # Slots 26-43: fourth-through-ninth-wave round-5 registrations
+    # Slots 26-45: fourth-through-tenth-wave round-5 registrations
     # (first driver check pending) — displace every remaining r02-stale
-    # name plus one r01-stale name to round 6.
+    # name plus three r01-stale names to round 6.
     "basket_pair_lift",
     "bfs_hops_copurchase",
     "snapshot_diff_users",
@@ -111,19 +111,21 @@ _PRIORITY: tuple[str, ...] = (
     "pq_codes_embeddings",
     "twap_user_value",
     "rank_normalize_value",
-    # Slots 44-50: latest green driver row is r01 (oldest 7 of 8;
-    # anti_customers_no_orders spills to round 6).
+    "attribution_linear",
+    "ab_test_value_by_variant",
+    # Slots 46-50: latest green driver row is r01 (oldest 5 of 8;
+    # three r01 names spill to round 6).
     "tpch_q6_forecast",
     "tpch_q14_promo",
     "tpch_q16_supplier_cnt",
     "tpch_q17_small_quantity",
     "tpch_q18_large_orders",
+    # Slots 51+: spill queue for round 6, oldest-green-first — the
+    # three displaced r01-stale names, then all 24 r02-stale names,
+    # then the r03-stale names (the 50-slot window is now exactly 45
+    # never-checked + 5 r01-stale).
     "tpch_q19_disjunctive",
     "semi_late_orders",
-    # Slots 51+: spill queue for round 6, oldest-green-first — the one
-    # displaced r01-stale name, then all 24 r02-stale names, then the
-    # r03-stale names (the 50-slot window is now exactly 43
-    # never-checked + 7 r01-stale).
     "anti_customers_no_orders",
     "doc_sentiment",
     "doc_entities",

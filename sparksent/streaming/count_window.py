@@ -586,3 +586,73 @@ def streaming_scd2_per_record(
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def _make_ngram_fn(type_col: str, key_col: str, order_cols: Sequence[str]):
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        t3, t2, t1 = state.get if state.exists else (None, None, None)
+        chunks = [c for c in pdfs if len(c)]
+        if chunks:
+            pdf = pd.concat(chunks).sort_values(list(order_cols))
+            types = pdf[type_col].tolist()
+            ctxs: list[str | None] = []
+            for t in types:
+                ctxs.append(f"{t3}>{t2}>{t1}" if t3 is not None else None)
+                t3, t2, t1 = t2, t1, t
+            mask = [c is not None for c in ctxs]
+            if any(mask):
+                cols = {
+                    key_col: pdf[key_col].to_numpy()[mask],
+                    "context": [c for c, m in zip(ctxs, mask) if m],
+                    "next_type": [t for t, m in zip(types, mask) if m],
+                }
+                for c in order_cols:
+                    cols[c] = pdf[c].to_numpy()[mask]
+                yield pd.DataFrame(cols)
+        state.update((t3, t2, t1))
+
+    return fn
+
+
+NGRAM_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("t3", T.StringType()),
+        T.StructField("t2", T.StringType()),
+        T.StructField("t1", T.StringType()),
+    ]
+)
+
+
+def streaming_ngram_next_per_record(
+    df: DataFrame,
+    type_col: str = "event_type",
+    key_col: str = "user_id",
+    order_cols: Sequence[str] = ("ts", "event_id"),
+) -> DataFrame:
+    """Streaming form of the batch ``event_ngram_next`` sequence stage:
+    one output row per record once a key has 3 predecessors, carrying
+    (context = 't3>t2>t1', next_type) — the live training-pair
+    generator for next-event models, with THREE strings of state per
+    key (the length-3 context window). Rows within a micro-batch
+    process in ``order_cols`` order with the group's Arrow chunks
+    concatenated before the sort, and the context crosses batch
+    boundaries, so the emitted pair multiset equals the batch lag
+    window's exactly; a downstream streaming count over (context,
+    next_type) is the live conditional table."""
+    out_schema = T.StructType(
+        [
+            _field(df, key_col),
+            T.StructField("context", T.StringType()),
+            T.StructField("next_type", T.StringType()),
+        ]
+        + [_field(df, c) for c in order_cols]
+    )
+    return df.groupBy(key_col).applyInPandasWithState(
+        _make_ngram_fn(type_col, key_col, order_cols),
+        out_schema,
+        NGRAM_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -846,3 +846,24 @@ def test_rank_normalize_range_partition(spark):
     plan = plan_of(spark, "rank_normalize_value")
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 0
     assert "BroadcastHashJoin" in plan
+
+
+def test_attribution_linear_user_rooted_no_fact_join(spark):
+    """Linear attribution: journey window, per-journey rank/count, and
+    the purchase-to-views join all share the user_id-rooted
+    partitioning — the only join is the tiny co-keyed (user, journey)
+    one, never a fact-table join or nested loop."""
+    plan = plan_of(spark, "attribution_linear")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) <= 2
+    assert "Window" in plan
+
+
+def test_ab_test_single_conditional_aggregate(spark):
+    """A/B readout: one scan, variant computed scan-side, a single
+    partial/final conditional aggregate to one row — no join node."""
+    plan = plan_of(spark, "ab_test_value_by_variant")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "Join" not in plan
+    assert "partial_count" in plan or "partial_sum" in plan

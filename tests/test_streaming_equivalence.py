@@ -950,3 +950,44 @@ def test_scd2_per_record_matches_oracle_sf001(spark, ducks, tmp_path):
         + ") WHERE valid_to_us <> -1"
     )
     assert_oracle_match(spark.table("t_scd2_oracle"), ducks, closed_oracle)
+
+
+def test_ngram_next_per_record_matches_oracle_sf001(spark, ducks, tmp_path):
+    """Streaming length-3-context pair generator against an INDEPENDENT
+    DuckDB triple-lag recomputation at sf0.01 (rows + schema + exact
+    values) — the per-key 3-string context carries across micro-batch
+    boundaries, so this is the same direct-oracle treatment the other
+    carry-state operators get."""
+    from sparksent.streaming.count_window import streaming_ngram_next_per_record
+
+    from conftest import SF_DIR, assert_oracle_match
+
+    replay = str(tmp_path / "ngram_oracle_replay")
+    ev = load_table(spark, SF_DIR, "events")
+    write_replay_chunks(ev, replay, N_CHUNKS)
+
+    stream = file_replay_source(spark, replay).select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    out = streaming_ngram_next_per_record(stream)
+    _run_to_memory(out, "t_ngram_oracle", "append")
+    got = spark.table("t_ngram_oracle").select(
+        "user_id", "context", "next_type", "event_id"
+    )
+    assert_oracle_match(
+        got,
+        ducks,
+        """
+        SELECT user_id, t3 || '>' || t2 || '>' || t1 AS context,
+               event_type AS next_type, event_id
+        FROM (
+          SELECT user_id, event_type, event_id,
+                 lag(event_type, 3) OVER w AS t3,
+                 lag(event_type, 2) OVER w AS t2,
+                 lag(event_type, 1) OVER w AS t1
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        WHERE t3 IS NOT NULL
+        """,
+    )
