@@ -176,6 +176,8 @@ HEADLINE = [
     "rank_normalize_value",
     "attribution_linear",
     "ab_test_value_by_variant",
+    "basket_triple_support",
+    "session_path_topk",
 ]
 
 # Timed and reported, but excluded from the headline sum: cost dominated

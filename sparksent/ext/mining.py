@@ -570,3 +570,96 @@ def label_propagation_sql(
     joined = ",\n".join(parts)
     return f"""WITH {joined}
     SELECT item AS part, lbl::BIGINT AS label FROM l{rounds}"""
+
+
+# ---------------------------------------------------------------------------
+# a-priori level 3 (frequent triples)
+# ---------------------------------------------------------------------------
+
+
+def basket_triple_support(
+    lineitem: DataFrame,
+    min_support: int = 2,
+    basket_col: str = "l_orderkey",
+    item_col: str = "l_partkey",
+) -> DataFrame:
+    """Frequent item TRIPLES — the full a-priori recursion one level
+    past the pair miner: a triple can only be frequent if all three of
+    its sub-pairs are, so the basket-co-partitioned three-way join is
+    filtered by broadcast semi-joins against the frequent-PAIR set
+    before anything counts.  Both prunes (level-1 items, level-2
+    pairs) are lossless, so the oracle is the naive unpruned triple
+    join with the same HAVING.
+    """
+    items = _basket_items(lineitem, basket_col, item_col)
+    freq = (
+        items.groupBy("item")
+        .agg(F.count("*").alias("n_item"))
+        .filter(F.col("n_item") >= min_support)
+    )
+    pruned = items.join(F.broadcast(freq.select("item")), "item", "left_semi")
+    a, b = pruned.alias("a"), pruned.alias("b")
+    pairs2 = (
+        a.join(b, "basket")
+        .filter(F.col("a.item") < F.col("b.item"))
+        .groupBy(F.col("a.item").alias("pa"), F.col("b.item").alias("pb"))
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= min_support)
+        .select("pa", "pb")
+        .localCheckpoint()  # semi-joined three times below
+    )
+    ab = (
+        a.join(b, "basket")
+        .filter(F.col("a.item") < F.col("b.item"))
+        .select("basket", F.col("a.item").alias("ia"), F.col("b.item").alias("ib"))
+        .join(
+            F.broadcast(pairs2),
+            (F.col("ia") == F.col("pa")) & (F.col("ib") == F.col("pb")),
+            "left_semi",
+        )
+    )
+    c = pruned.alias("c")
+    triples = (
+        ab.join(c, "basket")
+        .filter(F.col("c.item") > F.col("ib"))
+        .select("basket", "ia", "ib", F.col("c.item").alias("ic"))
+        .join(
+            F.broadcast(pairs2),
+            (F.col("ib") == F.col("pa")) & (F.col("ic") == F.col("pb")),
+            "left_semi",
+        )
+        .join(
+            F.broadcast(pairs2),
+            (F.col("ia") == F.col("pa")) & (F.col("ic") == F.col("pb")),
+            "left_semi",
+        )
+    )
+    return (
+        triples.groupBy(
+            F.col("ia").alias("item_a"),
+            F.col("ib").alias("item_b"),
+            F.col("ic").alias("item_c"),
+        )
+        .agg(F.count("*").cast("long").alias("triple_n"))
+        .filter(F.col("triple_n") >= min_support)
+    )
+
+
+def basket_triple_support_sql(
+    table: str = "lineitem",
+    min_support: int = 2,
+    basket_col: str = "l_orderkey",
+    item_col: str = "l_partkey",
+) -> str:
+    """Oracle: the naive three-way join — the level prunes are
+    lossless, so pruned and naive answers must match exactly."""
+    return f"""
+    WITH {_items_cte(table, basket_col, item_col)}
+    SELECT a.item AS item_a, b.item AS item_b, c.item AS item_c,
+           count(*)::BIGINT AS triple_n
+    FROM items a
+    JOIN items b ON a.basket = b.basket AND a.item < b.item
+    JOIN items c ON c.basket = a.basket AND b.item < c.item
+    GROUP BY 1, 2, 3
+    HAVING count(*) >= {min_support}
+    """

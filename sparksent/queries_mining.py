@@ -10,7 +10,7 @@ negative sampling, and arbitrary grouping-set rollups.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import tables
@@ -144,3 +144,105 @@ def q_label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFra
     and BFS)."""
     li = tables.load_table(spark, sf_dir, "lineitem")
     return mining.label_propagation(li)
+
+
+@register(
+    "basket_triple_support",
+    oracle=mining.basket_triple_support_sql(),
+    tags=("mining", "association"),
+)
+def q_basket_triple_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent co-purchased part triples — a-priori one level deeper
+    than basket_pair_lift: the three-way basket-co-partitioned join is
+    pre-filtered by broadcast semi-joins against the frequent-pair set
+    (every sub-pair of a frequent triple must be frequent — lossless),
+    so candidate volume shrinks to pair-supported triples before any
+    counting. Oracle = the naive unpruned triple join."""
+    li = tables.load_table(spark, sf_dir, "lineitem")
+    return mining.basket_triple_support(li)
+
+
+@register(
+    "session_path_topk",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)
+                       >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+    ), s AS (
+      SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o
+    ), capped AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id, sid
+                                     ORDER BY ts, event_id) AS rk
+        FROM s)
+      WHERE rk <= 5
+    ), paths AS (
+      SELECT user_id, sid,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+      FROM capped GROUP BY 1, 2
+    )
+    SELECT path, count(*)::BIGINT AS n_sessions
+    FROM paths GROUP BY 1
+    ORDER BY n_sessions DESC, path LIMIT 20
+    """,
+    tags=("mining", "sequence", "session"),
+)
+def q_session_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 session paths (the product-analytics "what do sessions
+    look like" query): 30-minute-gap sessions, each session's first 5
+    event types joined into a path string, counted, top-20 by
+    frequency. The per-session cap is a rank filter BEFORE the
+    collect (WindowGroupLimit — an unbounded path never materializes),
+    the sessionization/rank windows share the user_id-rooted
+    partitioning, and the final top-k is TakeOrdered under the total
+    (n DESC, path) order."""
+    ev = tables.load_table(spark, sf_dir, "events")
+    w_u = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w_u)
+            >= 30 * 60 * 1_000_000,
+            1,
+        )
+        .otherwise(0)
+        .alias("brk"),
+    )
+    s = o.withColumn(
+        "sid",
+        F.sum("brk").over(w_u.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    w_s = Window.partitionBy("user_id", "sid").orderBy("ts", "event_id")
+    capped = s.withColumn("rk", F.row_number().over(w_s)).filter(F.col("rk") <= 5)
+    paths = capped.groupBy("user_id", "sid").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.unix_micros("ts").alias("us"),
+                            F.col("event_id").alias("eid"),
+                            F.col("event_type").alias("t"),
+                        )
+                    )
+                ),
+                lambda x: x["t"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").cast("long").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(20)
+    )

@@ -90,9 +90,9 @@ _PRIORITY: tuple[str, ...] = (
     "trend_slope_per_user",
     "acf_daily_value_lag7",
     "dedup_prefix_filter",
-    # Slots 26-45: fourth-through-tenth-wave round-5 registrations
+    # Slots 26-47: fourth-through-eleventh-wave round-5 registrations
     # (first driver check pending) — displace every remaining r02-stale
-    # name plus three r01-stale names to round 6.
+    # name plus five r01-stale names to round 6.
     "basket_pair_lift",
     "bfs_hops_copurchase",
     "snapshot_diff_users",
@@ -113,17 +113,19 @@ _PRIORITY: tuple[str, ...] = (
     "rank_normalize_value",
     "attribution_linear",
     "ab_test_value_by_variant",
-    # Slots 46-50: latest green driver row is r01 (oldest 5 of 8;
-    # three r01 names spill to round 6).
+    "basket_triple_support",
+    "session_path_topk",
+    # Slots 48-50: latest green driver row is r01 (oldest 3 of 8;
+    # five r01 names spill to round 6).
     "tpch_q6_forecast",
     "tpch_q14_promo",
     "tpch_q16_supplier_cnt",
+    # Slots 51+: spill queue for round 6, oldest-green-first — the
+    # five displaced r01-stale names, then all 24 r02-stale names,
+    # then the r03-stale names (the 50-slot window is now exactly 47
+    # never-checked + 3 r01-stale).
     "tpch_q17_small_quantity",
     "tpch_q18_large_orders",
-    # Slots 51+: spill queue for round 6, oldest-green-first — the
-    # three displaced r01-stale names, then all 24 r02-stale names,
-    # then the r03-stale names (the 50-slot window is now exactly 45
-    # never-checked + 5 r01-stale).
     "tpch_q19_disjunctive",
     "semi_late_orders",
     "anti_customers_no_orders",

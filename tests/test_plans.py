@@ -867,3 +867,25 @@ def test_ab_test_single_conditional_aggregate(spark):
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
     assert "Join" not in plan
     assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_basket_triples_pair_semijoins_broadcast(spark):
+    """A-priori triples: the frequent-pair set semi-joins by broadcast
+    into the candidate stream (three LeftSemi BroadcastHashJoins) and
+    the three-way join stays basket-co-partitioned — no cartesian."""
+    plan = plan_of(spark, "basket_triple_support")
+    assert plan.count("LeftSemi") >= 3
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 0
+
+
+def test_session_paths_cap_before_collect(spark):
+    """Session paths: the 5-event cap is a rank filter INSIDE the
+    shuffle (WindowGroupLimit) before the path collect, all windows
+    share the user-rooted partitioning, and the top-20 is
+    TakeOrdered."""
+    plan = plan_of(spark, "session_path_topk")
+    assert "WindowGroupLimit" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "collect_list" in plan

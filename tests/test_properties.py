@@ -669,3 +669,128 @@ def test_prefix_filter_equals_uncapped_join(spark):
     assert len(a) == len(b) > 0
     for c in b.columns:
         assert (a[c].to_numpy() == b[c].to_numpy()).all(), c
+
+
+def test_attribution_linear_credits_sum_to_unit(spark):
+    """Every purchase with at least one journey view receives exactly
+    1,000,000 ppm of total credit — the floordiv remainder policy can
+    never gain or lose a ppm."""
+    from sparksent.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    from conftest import SF_DIR
+
+    df = REGISTRY["attribution_linear"].fn(spark, SF_DIR)
+    totals = df.groupBy("purchase_id").agg(F.sum("credit_ppm").alias("t"))
+    bad = totals.filter(F.col("t") != 1_000_000).count()
+    assert bad == 0
+    assert totals.count() > 0  # the fixture does produce attributed purchases
+
+
+def test_basket_apriori_prune_is_lossless(spark):
+    """The frequent-pair answer with the a-priori item prune equals the
+    answer computed with NO item prune (min_support applied only at the
+    pair stage) — support(pair) <= min(support(items)) guarantees it."""
+    from sparksent.ext import mining
+    from sparksent import tables
+    from conftest import SF_DIR_SMALL
+
+    li = tables.load_table(spark, SF_DIR_SMALL, "lineitem")
+    pruned = {
+        tuple(r)
+        for r in mining.basket_pair_lift(li, min_support=2)
+        .select("item_a", "item_b", "pair_n")
+        .collect()
+    }
+    items = li.select(
+        F.col("l_orderkey").alias("basket"), F.col("l_partkey").alias("item")
+    ).distinct()
+    a, b = items.alias("a"), items.alias("b")
+    naive = {
+        tuple(r)
+        for r in a.join(b, "basket")
+        .filter(F.col("a.item") < F.col("b.item"))
+        .groupBy(F.col("a.item").alias("item_a"), F.col("b.item").alias("item_b"))
+        .agg(F.count("*").alias("pair_n"))
+        .filter(F.col("pair_n") >= 2)
+        .collect()
+    }
+    assert pruned == naive
+
+
+def test_bfs_hops_are_shortest_distances(spark):
+    """BFS hop levels: seeds are 0; every non-seed reached node has a
+    neighbor exactly one hop closer (the shortest-path certificate);
+    -1 nodes have no levelled neighbor within range."""
+    from sparksent.ext import mining
+    from sparksent import tables
+    from conftest import SF_DIR_SMALL
+
+    li = tables.load_table(spark, SF_DIR_SMALL, "lineitem")
+    hops = mining.copurchase_bfs_hops(li, max_hops=3)
+    items = li.select(
+        F.col("l_orderkey").alias("basket"), F.col("l_partkey").alias("item")
+    ).distinct()
+    a, b = items.alias("a"), items.alias("b")
+    edges = (
+        a.join(b, "basket")
+        .filter(F.col("a.item") != F.col("b.item"))
+        .select(F.col("a.item").alias("src"), F.col("b.item").alias("dst"))
+        .distinct()
+    )
+    h = {r["part"]: r["hops"] for r in hops.collect()}
+    adj = edges.collect()
+    best_nbr: dict[int, int] = {}
+    for e in adj:
+        hs = h[e["src"]]
+        if hs >= 0:
+            cur = best_nbr.get(e["dst"], 1 << 30)
+            best_nbr[e["dst"]] = min(cur, hs)
+    for node, hop in h.items():
+        if hop == 0:
+            continue
+        nb = best_nbr.get(node)
+        if hop > 0:
+            assert nb is not None and nb == hop - 1, (node, hop, nb)
+        else:  # unreached: no neighbor with hop < max_hops
+            assert nb is None or nb >= 3, (node, nb)
+
+
+def test_pq_codes_bounds_and_reconstruction(spark):
+    """PQ invariants: every packed code fits 8x4 bits, reconstruction
+    error is nonnegative, and a codebook seed vector (vec_id < 16)
+    encodes itself in every subspace with zero error."""
+    from sparksent.ext import similarity
+    from sparksent import tables
+    from conftest import SF_DIR_SMALL
+
+    emb = tables.load_table(spark, SF_DIR_SMALL, "embeddings")
+    codes = similarity.pq_codes(emb)
+    rows = codes.collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["pq_code"] < (1 << 32)
+        assert r["recon_err"] >= 0
+    by_id = {r["vec_id"]: r for r in rows}
+    for vid in range(16):
+        if vid in by_id:
+            assert by_id[vid]["recon_err"] == 0
+            # seed encodes as (vid, vid, ..., vid) in all 8 subspaces
+            expect = sum(vid << (4 * s) for s in range(8))
+            assert by_id[vid]["pq_code"] == expect
+
+
+def test_drift_ks_within_ppm_range(spark):
+    """Binned-KS is a probability-scale statistic: 0 <= ks_ppm <= 1e6
+    for every type, and both window counts are positive on the
+    fixture."""
+    from sparksent.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    from conftest import SF_DIR
+
+    rows = REGISTRY["drift_binned_ks_value"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["ks_ppm"] <= 1_000_000
+        assert r["n_a"] > 0 and r["n_b"] > 0
