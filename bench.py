@@ -178,6 +178,7 @@ HEADLINE = [
     "ab_test_value_by_variant",
     "basket_triple_support",
     "session_path_topk",
+    "entity_resolution_parts",
 ]
 
 # Timed and reported, but excluded from the headline sum: cost dominated

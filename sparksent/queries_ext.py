@@ -1215,3 +1215,83 @@ def q_pq_codes_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     partials map-side combined, scaled-integer argmin bit-exact in
     both engines (ext/similarity.pq_codes)."""
     return similarity.pq_codes(_emb(spark, sf_dir))
+
+
+@register(
+    "entity_resolution_parts",
+    oracle=f"""
+    WITH RECURSIVE names AS (
+      SELECT p_name AS name, count(*) AS n_rows FROM part GROUP BY 1
+    ),
+    pairs AS (
+      SELECT a.name AS name_a, b.name AS name_b
+      FROM names a JOIN names b
+        ON substr(a.name, 1, 1) = substr(b.name, 1, 1)
+       AND abs(length(a.name) - length(b.name)) <= {matching.FUZZY_LEN_BAND}
+       AND a.name < b.name
+       AND levenshtein(a.name, b.name) <= {matching.FUZZY_MAX_DIST}
+    ),
+    edges AS (
+      SELECT name_a AS src, name_b AS dst FROM pairs
+      UNION
+      SELECT name_b, name_a FROM pairs
+    ),
+    reach(name, label) AS (
+      SELECT name, name FROM names
+      UNION
+      SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.name
+    ),
+    comp AS (SELECT name, min(label) AS cluster FROM reach GROUP BY 1),
+    j AS (SELECT c.cluster, n.name, n.n_rows
+          FROM comp c JOIN names n ON n.name = c.name)
+    SELECT cluster, name AS canonical_name, n_names, n_rows_total FROM (
+      SELECT cluster, name,
+             count(*) OVER (PARTITION BY cluster)::BIGINT AS n_names,
+             sum(n_rows) OVER (PARTITION BY cluster)::BIGINT AS n_rows_total,
+             row_number() OVER (PARTITION BY cluster
+                                ORDER BY n_rows DESC, name) AS rn
+      FROM j)
+    WHERE rn = 1
+    """,
+    tags=("ext", "matching", "iterative"),
+)
+def q_entity_resolution_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution — the composed pipeline the
+    building blocks exist for: blocked band-limited Levenshtein pairs
+    over the distinct part-name value domain (fuzzy_name_pairs' shape),
+    transitive closure via min-label connected components (variant
+    spellings chain), and a canonical representative per cluster (most
+    source rows wins, ties to the lexicographically-first name). One
+    row per resolved entity: (cluster, canonical_name, n_names,
+    n_rows_total).
+
+    Scale: every stage works on the VALUE domain (64 names vs 2000
+    rows here; billions -> millions at 100 TB), so the quadratic and
+    iterative stages never see row multiplicity — it re-enters only as
+    the n_rows weights."""
+    from .graph import connected_components
+
+    names = (
+        tables.load_table(spark, sf_dir, "part")
+        .groupBy(F.col("p_name").alias("name"))
+        .agg(F.count("*").cast("long").alias("n_rows"))
+        .localCheckpoint()  # consumed by pairs (x2), vertices, and the join back
+    )
+    pairs = matching.fuzzy_name_pairs(
+        tables.load_table(spark, sf_dir, "part").select("p_name")
+    ).select(F.col("name_a").alias("src"), F.col("name_b").alias("dst"))
+    comp = connected_components(
+        names.select(F.col("name")), pairs, id_col="name"
+    ).select(F.col("id").alias("name"), F.col("label").alias("cluster"))
+    j = comp.join(names, "name")
+    return (
+        j.groupBy("cluster")
+        .agg(
+            F.min(
+                F.struct((-F.col("n_rows")).alias("neg"), F.col("name").alias("nm"))
+            )["nm"].alias("canonical_name"),
+            F.count("*").cast("long").alias("n_names"),
+            F.sum("n_rows").cast("long").alias("n_rows_total"),
+        )
+        .select("cluster", "canonical_name", "n_names", "n_rows_total")
+    )

@@ -90,9 +90,9 @@ _PRIORITY: tuple[str, ...] = (
     "trend_slope_per_user",
     "acf_daily_value_lag7",
     "dedup_prefix_filter",
-    # Slots 26-47: fourth-through-eleventh-wave round-5 registrations
+    # Slots 26-48: fourth-through-twelfth-wave round-5 registrations
     # (first driver check pending) — displace every remaining r02-stale
-    # name plus five r01-stale names to round 6.
+    # name plus six r01-stale names to round 6.
     "basket_pair_lift",
     "bfs_hops_copurchase",
     "snapshot_diff_users",
@@ -115,15 +115,16 @@ _PRIORITY: tuple[str, ...] = (
     "ab_test_value_by_variant",
     "basket_triple_support",
     "session_path_topk",
-    # Slots 48-50: latest green driver row is r01 (oldest 3 of 8;
-    # five r01 names spill to round 6).
+    "entity_resolution_parts",
+    # Slots 49-50: latest green driver row is r01 (oldest 2 of 8;
+    # six r01 names spill to round 6).
     "tpch_q6_forecast",
     "tpch_q14_promo",
-    "tpch_q16_supplier_cnt",
     # Slots 51+: spill queue for round 6, oldest-green-first — the
-    # five displaced r01-stale names, then all 24 r02-stale names,
-    # then the r03-stale names (the 50-slot window is now exactly 47
-    # never-checked + 3 r01-stale).
+    # six displaced r01-stale names, then all 24 r02-stale names,
+    # then the r03-stale names (the 50-slot window is now exactly 48
+    # never-checked + 2 r01-stale).
+    "tpch_q16_supplier_cnt",
     "tpch_q17_small_quantity",
     "tpch_q18_large_orders",
     "tpch_q19_disjunctive",

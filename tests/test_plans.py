@@ -889,3 +889,14 @@ def test_session_paths_cap_before_collect(spark):
     assert "WindowGroupLimit" in plan
     assert "TakeOrderedAndProject" in plan
     assert "collect_list" in plan
+
+
+def test_entity_resolution_value_domain(spark):
+    """Entity resolution: the levenshtein pair join is an equi-join on
+    the block key over the distinct-name value domain (no cartesian,
+    no nested loop), and the canonical pick is one min-struct
+    aggregate over the checkpointed components join."""
+    plan = plan_of(spark, "entity_resolution_parts")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_min" in plan or "partial_sum" in plan
