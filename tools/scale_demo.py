@@ -276,6 +276,13 @@ def main() -> None:
         "bfs_hops_copurchase": qs["bfs_hops_copurchase"],
         "label_propagation_communities": qs["label_propagation_communities"],
         "corr_matrix_event_types": qs["corr_matrix_event_types"],
+        # a-priori level 3 at x20 basket density: the frequent-pair
+        # semi-join prune is what keeps the three-way join candidate
+        # volume bounded as supports grow
+        "basket_triple_support": qs["basket_triple_support"],
+        # per-session capped path collect: WindowGroupLimit must keep
+        # shuffle rows ~5x sessions regardless of session length
+        "session_path_topk": qs["session_path_topk"],
     }
     results = {}
     group_of = {}
