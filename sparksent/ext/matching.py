@@ -33,6 +33,7 @@ def fuzzy_name_pairs(
     name_col: str = "p_name",
     max_dist: int = FUZZY_MAX_DIST,
     len_band: int = FUZZY_LEN_BAND,
+    names: DataFrame | None = None,
 ) -> DataFrame:
     """Edit-distance record linkage over a name column, dictionary-first.
 
@@ -55,17 +56,22 @@ def fuzzy_name_pairs(
        survivors.
 
     ``name_a < name_b`` canonicalizes pair order (no mirror dupes, no
-    self-pairs).
+    self-pairs).  A caller that already holds the pinned (name, n_rows)
+    value-domain frame passes it via ``names`` so the corpus scan +
+    aggregate — the only data-sized stage — runs exactly once (the
+    entity-resolution pipeline shares it with its join-back).
     """
-    # One corpus scan + aggregate, reused by both join sides —
-    # localCheckpoint (repo multi-consumer convention, dedup modules)
-    # or the self-join would scan and aggregate the raw rows twice.
-    names = (
-        rebalance(df)
-        .groupBy(F.col(name_col).alias("name"))
-        .agg(F.count("*").alias("n_rows"))
-        .localCheckpoint()
-    )
+    if names is None:
+        # One corpus scan + aggregate, reused by both join sides —
+        # localCheckpoint (repo multi-consumer convention, dedup
+        # modules) or the self-join would scan and aggregate the raw
+        # rows twice.
+        names = (
+            rebalance(df)
+            .groupBy(F.col(name_col).alias("name"))
+            .agg(F.count("*").alias("n_rows"))
+            .localCheckpoint()
+        )
     a = names.select(
         F.col("name").alias("name_a"),
         F.col("n_rows").alias("n_a"),

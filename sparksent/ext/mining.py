@@ -599,24 +599,27 @@ def basket_triple_support(
     )
     pruned = items.join(F.broadcast(freq.select("item")), "item", "left_semi")
     a, b = pruned.alias("a"), pruned.alias("b")
-    pairs2 = (
+    # ONE materialization of the quadratic basket pair join feeds both
+    # the pair-support aggregate and the candidate stream (the module's
+    # one-materialization convention — re-deriving it would run the
+    # dominant stage twice)
+    cand = (
         a.join(b, "basket")
         .filter(F.col("a.item") < F.col("b.item"))
-        .groupBy(F.col("a.item").alias("pa"), F.col("b.item").alias("pb"))
+        .select("basket", F.col("a.item").alias("ia"), F.col("b.item").alias("ib"))
+        .localCheckpoint()
+    )
+    pairs2 = (
+        cand.groupBy(F.col("ia").alias("pa"), F.col("ib").alias("pb"))
         .agg(F.count("*").alias("n"))
         .filter(F.col("n") >= min_support)
         .select("pa", "pb")
         .localCheckpoint()  # semi-joined three times below
     )
-    ab = (
-        a.join(b, "basket")
-        .filter(F.col("a.item") < F.col("b.item"))
-        .select("basket", F.col("a.item").alias("ia"), F.col("b.item").alias("ib"))
-        .join(
-            F.broadcast(pairs2),
-            (F.col("ia") == F.col("pa")) & (F.col("ib") == F.col("pb")),
-            "left_semi",
-        )
+    ab = cand.join(
+        F.broadcast(pairs2),
+        (F.col("ia") == F.col("pa")) & (F.col("ib") == F.col("pb")),
+        "left_semi",
     )
     c = pruned.alias("c")
     triples = (

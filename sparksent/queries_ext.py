@@ -1275,10 +1275,11 @@ def q_entity_resolution_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         tables.load_table(spark, sf_dir, "part")
         .groupBy(F.col("p_name").alias("name"))
         .agg(F.count("*").cast("long").alias("n_rows"))
-        .localCheckpoint()  # consumed by pairs (x2), vertices, and the join back
+        .localCheckpoint()  # ONE part scan+aggregate: feeds the pair
+        # stage (both join sides), the vertex set, and the join back
     )
     pairs = matching.fuzzy_name_pairs(
-        tables.load_table(spark, sf_dir, "part").select("p_name")
+        tables.load_table(spark, sf_dir, "part").select("p_name"), names=names
     ).select(F.col("name_a").alias("src"), F.col("name_b").alias("dst"))
     comp = connected_components(
         names.select(F.col("name")), pairs, id_col="name"

@@ -2308,7 +2308,7 @@ def q_twap_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_id, value,
              row_number() OVER (ORDER BY value, event_id) AS rank,
              count(*) OVER () AS n
-      FROM events
+      FROM events WHERE value IS NOT NULL
     )
     SELECT event_id, value, rank::BIGINT AS rank,
            CASE WHEN n = 1 THEN 0
@@ -2327,7 +2327,14 @@ def q_rank_normalize_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     row count."""
     from .ext.ranks import with_global_ranks
 
-    ev = tables.load_table(spark, sf_dir, "events").select("event_id", "value")
+    # NULL measures are excluded explicitly on BOTH sides: Spark ranks
+    # NULLs first ascending, DuckDB last — an unpinned NULL would shift
+    # every rank by one between engines
+    ev = (
+        tables.load_table(spark, sf_dir, "events")
+        .select("event_id", "value")
+        .filter(F.col("value").isNotNull())
+    )
     ranked = with_global_ranks(ev, ["value", "event_id"], "rank")
     n = ranked.agg(F.count("*").cast("long").alias("n"))
     return ranked.crossJoin(F.broadcast(n)).select(
