@@ -179,6 +179,8 @@ HEADLINE = [
     "basket_triple_support",
     "session_path_topk",
     "entity_resolution_parts",
+    "churn_training_set",
+    "item_similarity_jaccard",
 ]
 
 # Timed and reported, but excluded from the headline sum: cost dominated

@@ -246,3 +246,137 @@ def q_session_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_sessions"), "path")
         .limit(20)
     )
+
+
+@register(
+    "churn_training_set",
+    oracle="""
+    WITH feat AS (
+      SELECT user_id,
+             count(*)::BIGINT AS n_events,
+             sum(value::DECIMAL(28,6))::DOUBLE AS sum_value,
+             count(DISTINCT (epoch_us(ts) // 86400000000))::BIGINT AS days_active,
+             max(epoch_us(ts))::BIGINT AS last_us
+      FROM events
+      WHERE epoch_us(ts) >= 1704067200000000   -- 2024-01-01
+        AND epoch_us(ts) <  1705795200000000   -- 2024-01-21
+      GROUP BY 1
+    ), lab AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE epoch_us(ts) >= 1705795200000000
+        AND epoch_us(ts) <  1706745600000000   -- 2024-02-01
+    )
+    SELECT f.user_id, f.n_events, f.sum_value, f.days_active,
+           (1705795200000000 - f.last_us)::BIGINT AS recency_us,
+           CASE WHEN lab.user_id IS NULL THEN 1 ELSE 0 END::BIGINT AS churned
+    FROM feat f LEFT JOIN lab ON lab.user_id = f.user_id
+    """,
+    tags=("mining", "ml", "labels"),
+)
+def q_churn_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supervised training-set assembly — the label-generation shape
+    every churn/retention model pipeline runs: features from the
+    observation window (Jan 1-21: event count, exact spend, active
+    days, recency at the cutoff) joined to a label from the strictly
+    LATER outcome window (churned = no events Jan 21-Feb 1). The
+    temporal split is the leakage guard: features can never see
+    outcome-window rows because the windows are disjoint epoch ranges
+    pushed to two scans, and the label attach is one co-partitioned
+    left join on the entity key."""
+    ev = tables.load_table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    t0, t1, t2 = 1704067200000000, 1705795200000000, 1706745600000000
+    feat = (
+        ev.filter((us >= t0) & (us < t1))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("sum_value"),
+            F.countDistinct(F.expr("CAST(unix_micros(ts) div 86400000000 AS BIGINT)"))
+            .cast("long")
+            .alias("days_active"),
+            F.max(F.unix_micros("ts")).cast("long").alias("last_us"),
+        )
+    )
+    lab = ev.filter((us >= t1) & (us < t2)).select("user_id").distinct()
+    return feat.join(
+        lab.withColumn("seen", F.lit(1)), "user_id", "left"
+    ).select(
+        "user_id",
+        "n_events",
+        "sum_value",
+        "days_active",
+        (F.lit(t1) - F.col("last_us")).cast("long").alias("recency_us"),
+        F.when(F.col("seen").isNull(), 1).otherwise(0).cast("long").alias("churned"),
+    )
+
+
+@register(
+    "item_similarity_jaccard",
+    oracle="""
+    WITH ui AS (
+      SELECT DISTINCT user_id, json_extract(props, '$.k')::INT AS item
+      FROM events WHERE json_extract(props, '$.k') IS NOT NULL
+    ), sizes AS (
+      SELECT item, count(*)::BIGINT AS sz FROM ui GROUP BY 1
+    ), inter AS (
+      SELECT a.item AS item_a, b.item AS item_b, count(*)::BIGINT AS i
+      FROM ui a JOIN ui b ON a.user_id = b.user_id AND a.item < b.item
+      GROUP BY 1, 2
+    )
+    SELECT item_a, item_b, i AS n_common,
+           ((i * 1000000) // (sa.sz + sb.sz - i))::BIGINT AS jaccard_ppm
+    FROM inter
+    JOIN sizes sa ON sa.item = item_a
+    JOIN sizes sb ON sb.item = item_b
+    WHERE (i * 1000000) // (sa.sz + sb.sz - i) >= 400000
+    """,
+    tags=("mining", "similarity", "cf"),
+)
+def q_item_similarity_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item Jaccard similarity over interacting-user sets — the
+    "users who took X also took Y" primitive, and the reason
+    item-based collaborative filtering is the scalable default: the
+    pair stage is co-partitioned on user_id and bounded by
+    sum_u |basket_u|^2, which a per-user basket-width cap controls
+    (the analog of the dedup family's shingle-df cap — prolific users,
+    not popular items, are the hot keys). Exact
+    |U(a) ∩ U(b)| / |U(a) ∪ U(b)| in integer ppm, thresholded at 0.4;
+    item popularity sizes broadcast back onto the pair aggregate.
+    (The user-user transpose was measured to degenerate on dense item
+    spaces — every item hot — which is exactly why this orientation is
+    the registered one.)"""
+    ev = tables.load_table(spark, sf_dir, "events")
+    ui = (
+        ev.select(
+            "user_id",
+            F.get_json_object(F.col("props"), "$.k").cast("int").alias("item"),
+        )
+        .filter(F.col("item").isNotNull())
+        .distinct()
+        .localCheckpoint()  # consumed by sizes and both pair sides
+    )
+    sizes = ui.groupBy("item").agg(F.count("*").cast("long").alias("sz"))
+    a, b = ui.alias("a"), ui.alias("b")
+    inter = (
+        a.join(b, "user_id")
+        .filter(F.col("a.item") < F.col("b.item"))
+        .groupBy(F.col("a.item").alias("item_a"), F.col("b.item").alias("item_b"))
+        .agg(F.count("*").cast("long").alias("i"))
+    )
+    sa = sizes.select(F.col("item").alias("item_a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("item").alias("item_b"), F.col("sz").alias("szb"))
+    j = (
+        inter.join(F.broadcast(sa), "item_a")
+        .join(F.broadcast(sb), "item_b")
+        .withColumn(
+            "jaccard_ppm",
+            F.expr("CAST((i * 1000000) div (sza + szb - i) AS BIGINT)"),
+        )
+        .filter(F.col("jaccard_ppm") >= 400000)
+    )
+    return j.select(
+        "item_a", "item_b", F.col("i").alias("n_common"), "jaccard_ppm"
+    )

@@ -90,9 +90,9 @@ _PRIORITY: tuple[str, ...] = (
     "trend_slope_per_user",
     "acf_daily_value_lag7",
     "dedup_prefix_filter",
-    # Slots 26-48: fourth-through-twelfth-wave round-5 registrations
-    # (first driver check pending) — displace every remaining r02-stale
-    # name plus six r01-stale names to round 6.
+    # Slots 26-50: fourth-through-thirteenth-wave round-5 registrations
+    # (first driver check pending) — the window is now entirely
+    # never-checked names; every stale name spills to round 6.
     "basket_pair_lift",
     "bfs_hops_copurchase",
     "snapshot_diff_users",
@@ -116,14 +116,15 @@ _PRIORITY: tuple[str, ...] = (
     "basket_triple_support",
     "session_path_topk",
     "entity_resolution_parts",
-    # Slots 49-50: latest green driver row is r01 (oldest 2 of 8;
-    # six r01 names spill to round 6).
+    "churn_training_set",
+    "item_similarity_jaccard",
+    # All 50 slots now hold never-checked round-4/5 registrations;
+    # every stale name spills to round 6.
+    # Slots 51+: spill queue for round 6, oldest-green-first — all 8
+    # r01-stale names, then all 24 r02-stale names, then the r03-stale
+    # names.
     "tpch_q6_forecast",
     "tpch_q14_promo",
-    # Slots 51+: spill queue for round 6, oldest-green-first — the
-    # six displaced r01-stale names, then all 24 r02-stale names,
-    # then the r03-stale names (the 50-slot window is now exactly 48
-    # never-checked + 2 r01-stale).
     "tpch_q16_supplier_cnt",
     "tpch_q17_small_quantity",
     "tpch_q18_large_orders",

@@ -900,3 +900,26 @@ def test_entity_resolution_value_domain(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "partial_min" in plan or "partial_sum" in plan
+
+
+def test_churn_training_set_disjoint_windows(spark):
+    """Training-set assembly: features and labels come from disjoint
+    epoch windows (two filtered scans — the leakage guard is
+    structural) joined once on the entity key; the feature aggregate
+    partial-combines."""
+    plan = plan_of(spark, "churn_training_set")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_item_similarity_user_keyed_pairs(spark):
+    """Item-item Jaccard: the pair stage is the user-co-partitioned
+    self-join over the pinned distinct (user, item) frame — bounded by
+    per-user basket width, never an all-items cross join; popularity
+    sizes broadcast back."""
+    plan = plan_of(spark, "item_similarity_jaccard")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 0
