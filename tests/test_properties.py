@@ -794,3 +794,94 @@ def test_drift_ks_within_ppm_range(spark):
     for r in rows:
         assert 0 <= r["ks_ppm"] <= 1_000_000
         assert r["n_a"] > 0 and r["n_b"] > 0
+
+
+def test_grouping_sets_equals_union_of_aggregates(spark):
+    """The one-pass GROUPING SETS result must equal four independent
+    aggregates unioned — Expand can neither duplicate nor drop a
+    granularity."""
+    from sparksent.registry import REGISTRY, _ensure_loaded
+    from sparksent import tables
+
+    _ensure_loaded()
+    from conftest import SF_DIR_SMALL
+
+    got = {
+        tuple(r)
+        for r in REGISTRY["grouping_sets_event_stats"].fn(spark, SF_DIR_SMALL).collect()
+    }
+    ev = tables.load_table(spark, SF_DIR_SMALL, "events")
+    base = ev.select(
+        "event_type",
+        F.expr("CAST((unix_timestamp(ts) div 86400 + 4) % 7 AS BIGINT)").alias("dow"),
+        F.col("value").cast("decimal(28,6)").alias("v"),
+    )
+    def agg(df, et, dw):
+        out = df.agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("v").cast("double").alias("s"),
+        )
+        return [(et(r), dw(r), r["n"], r["s"]) for r in out.collect()]
+    rows = []
+    rows += [
+        (r["event_type"], r["dow"], r["n"], r["s"])
+        for r in base.groupBy("event_type", "dow")
+        .agg(F.count("*").cast("long").alias("n"), F.sum("v").cast("double").alias("s"))
+        .collect()
+    ]
+    rows += [
+        (r["event_type"], -1, r["n"], r["s"])
+        for r in base.groupBy("event_type")
+        .agg(F.count("*").cast("long").alias("n"), F.sum("v").cast("double").alias("s"))
+        .collect()
+    ]
+    rows += [
+        ("ALL", r["dow"], r["n"], r["s"])
+        for r in base.groupBy("dow")
+        .agg(F.count("*").cast("long").alias("n"), F.sum("v").cast("double").alias("s"))
+        .collect()
+    ]
+    rows += agg(base, lambda r: "ALL", lambda r: -1)
+    assert got == set(rows)
+
+
+def test_zorder_files_are_contiguous_rank_ranges(spark):
+    """Layout invariant: file sizes are exactly 1000 rows (except the
+    tail) and file ids are dense from 0 — the range-partition ranking
+    cannot skip or overlap file boundaries."""
+    from sparksent.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    from conftest import SF_DIR_SMALL
+
+    rows = sorted(
+        REGISTRY["zorder_file_stats"].fn(spark, SF_DIR_SMALL).collect(),
+        key=lambda r: r["file_id"],
+    )
+    assert [r["file_id"] for r in rows] == list(range(len(rows)))
+    assert all(r["n_rows"] == 1000 for r in rows[:-1])
+    assert 0 < rows[-1]["n_rows"] <= 1000
+    assert sum(r["n_rows"] for r in rows) == 1000  # sf0.001 events rows
+
+
+def test_snapshot_diff_partitions_union_of_users(spark):
+    """CDC diff law: every user active in either window appears exactly
+    once, 'added' rows have the old sentinels, 'removed' rows the new
+    sentinels, and 'changed'/'unchanged' rows have both sides real."""
+    from sparksent.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    from conftest import SF_DIR
+
+    rows = REGISTRY["snapshot_diff_users"].fn(spark, SF_DIR).collect()
+    seen = [r["user_id"] for r in rows]
+    assert len(seen) == len(set(seen))
+    for r in rows:
+        if r["change_type"] == "added":
+            assert r["old_n"] == -1 and r["new_n"] >= 1
+        elif r["change_type"] == "removed":
+            assert r["new_n"] == -1 and r["old_n"] >= 1
+        else:
+            assert r["old_n"] >= 1 and r["new_n"] >= 1
+            same = r["old_n"] == r["new_n"] and r["old_sum"] == r["new_sum"]
+            assert same == (r["change_type"] == "unchanged")

@@ -283,6 +283,9 @@ def main() -> None:
         # per-session capped path collect: WindowGroupLimit must keep
         # shuffle rows ~5x sessions regardless of session length
         "session_path_topk": qs["session_path_topk"],
+        # item-item CF at x20 users: the pair stage must stay bounded
+        # by sum-of-basket-width^2, co-partitioned on user
+        "item_similarity_jaccard": qs["item_similarity_jaccard"],
     }
     results = {}
     group_of = {}
