@@ -93,6 +93,30 @@ def _copurchase_edges(items: DataFrame, weighted: bool) -> DataFrame:
     return edges.localCheckpoint()
 
 
+def user_item_frame(events: DataFrame, key_col: str = "user_id") -> DataFrame:
+    """Distinct (user, props.$.k) interactions with NULL items dropped,
+    localCheckpoint-pinned — the single definition of the user-item
+    frame shared by negative sampling and the CF similarity query (a
+    null-handling or cast change lands once, never drifting between
+    consumers)."""
+    return (
+        events.select(
+            F.col(key_col),
+            F.get_json_object(F.col("props"), "$.k").cast("int").alias("item"),
+        )
+        .filter(F.col("item").isNotNull())
+        .distinct()
+        .localCheckpoint()
+    )
+
+
+def user_item_cte(table: str = "events", key_col: str = "user_id") -> str:
+    """DuckDB mirror of ``user_item_frame`` exposing ``ui(user_id, item)``."""
+    return f"""ui AS (
+      SELECT DISTINCT {key_col}, json_extract(props, '$.k')::INT AS item
+      FROM {table} WHERE json_extract(props, '$.k') IS NOT NULL)"""
+
+
 def _items_cte(table: str, basket_col: str, item_col: str) -> str:
     return (
         f"items AS (SELECT DISTINCT {basket_col} AS basket, "
@@ -422,17 +446,9 @@ def negative_sample(
     projection is localCheckpoint-pinned — entities, vocabulary, and
     observed pairs all read it, so one scan+parse replaces three.
     """
-    parsed = (
-        events.select(
-            F.col(key_col),
-            F.get_json_object(F.col("props"), "$.k").cast("int").alias("item"),
-        )
-        .filter(F.col("item").isNotNull())
-        .localCheckpoint()
-    )
-    entities = parsed.select(key_col).distinct()
-    vocab = parsed.select("item").distinct()
-    observed = parsed.distinct()
+    observed = user_item_frame(events, key_col)
+    entities = observed.select(key_col).distinct()
+    vocab = observed.select("item").distinct()
     grid = entities.crossJoin(F.broadcast(vocab))
     negs = grid.join(observed, [key_col, "item"], "left_anti")
     lot = h60(
@@ -456,12 +472,10 @@ def negative_sample_sql(
 ) -> str:
     h = h60_sql(f"'{salt}:'||{key_col}::VARCHAR||':'||item::VARCHAR")
     return f"""
-    WITH parsed AS (
-      SELECT {key_col}, json_extract(props, '$.k')::INT AS item FROM {table}
-      WHERE json_extract(props, '$.k') IS NOT NULL),
-    entities AS (SELECT DISTINCT {key_col} FROM parsed),
-    vocab AS (SELECT DISTINCT item FROM parsed),
-    observed AS (SELECT DISTINCT {key_col}, item FROM parsed),
+    WITH {user_item_cte(table, key_col)},
+    entities AS (SELECT DISTINCT {key_col} FROM ui),
+    vocab AS (SELECT DISTINCT item FROM ui),
+    observed AS (SELECT {key_col}, item FROM ui),
     negs AS (
       SELECT e.{key_col}, v.item
       FROM entities e CROSS JOIN vocab v

@@ -816,52 +816,43 @@ def test_grouping_sets_equals_union_of_aggregates(spark):
         F.expr("CAST((unix_timestamp(ts) div 86400 + 4) % 7 AS BIGINT)").alias("dow"),
         F.col("value").cast("decimal(28,6)").alias("v"),
     )
-    def agg(df, et, dw):
-        out = df.agg(
+    def rollup(group_cols, et_of, dw_of):
+        out = base.groupBy(*group_cols).agg(
             F.count("*").cast("long").alias("n"),
             F.sum("v").cast("double").alias("s"),
         )
-        return [(et(r), dw(r), r["n"], r["s"]) for r in out.collect()]
-    rows = []
-    rows += [
-        (r["event_type"], r["dow"], r["n"], r["s"])
-        for r in base.groupBy("event_type", "dow")
-        .agg(F.count("*").cast("long").alias("n"), F.sum("v").cast("double").alias("s"))
-        .collect()
-    ]
-    rows += [
-        (r["event_type"], -1, r["n"], r["s"])
-        for r in base.groupBy("event_type")
-        .agg(F.count("*").cast("long").alias("n"), F.sum("v").cast("double").alias("s"))
-        .collect()
-    ]
-    rows += [
-        ("ALL", r["dow"], r["n"], r["s"])
-        for r in base.groupBy("dow")
-        .agg(F.count("*").cast("long").alias("n"), F.sum("v").cast("double").alias("s"))
-        .collect()
-    ]
-    rows += agg(base, lambda r: "ALL", lambda r: -1)
+        return [(et_of(r), dw_of(r), r["n"], r["s"]) for r in out.collect()]
+
+    rows = (
+        rollup(["event_type", "dow"], lambda r: r["event_type"], lambda r: r["dow"])
+        + rollup(["event_type"], lambda r: r["event_type"], lambda r: -1)
+        + rollup(["dow"], lambda r: "ALL", lambda r: r["dow"])
+        + rollup([], lambda r: "ALL", lambda r: -1)
+    )
     assert got == set(rows)
 
 
 def test_zorder_files_are_contiguous_rank_ranges(spark):
     """Layout invariant: file sizes are exactly 1000 rows (except the
     tail) and file ids are dense from 0 — the range-partition ranking
-    cannot skip or overlap file boundaries."""
+    cannot skip or overlap file boundaries.  Runs at sf0.01 (10
+    files), where a rank gap or overlap across range partitions would
+    actually move a boundary; sf0.001's single file exercises
+    nothing."""
     from sparksent.registry import REGISTRY, _ensure_loaded
 
     _ensure_loaded()
-    from conftest import SF_DIR_SMALL
+    from conftest import SF_DIR
 
     rows = sorted(
-        REGISTRY["zorder_file_stats"].fn(spark, SF_DIR_SMALL).collect(),
+        REGISTRY["zorder_file_stats"].fn(spark, SF_DIR).collect(),
         key=lambda r: r["file_id"],
     )
+    assert len(rows) >= 10  # multiple boundaries exist to violate
     assert [r["file_id"] for r in rows] == list(range(len(rows)))
     assert all(r["n_rows"] == 1000 for r in rows[:-1])
     assert 0 < rows[-1]["n_rows"] <= 1000
-    assert sum(r["n_rows"] for r in rows) == 1000  # sf0.001 events rows
+    assert sum(r["n_rows"] for r in rows) == 10000  # sf0.01 events rows
 
 
 def test_snapshot_diff_partitions_union_of_users(spark):
@@ -873,9 +864,28 @@ def test_snapshot_diff_partitions_union_of_users(spark):
     _ensure_loaded()
     from conftest import SF_DIR
 
+    from sparksent import tables
+
     rows = REGISTRY["snapshot_diff_users"].fn(spark, SF_DIR).collect()
     seen = [r["user_id"] for r in rows]
     assert len(seen) == len(set(seen))
+    # the "every active user appears" half: recompute the window union
+    # independently from events
+    ev = tables.load_table(spark, SF_DIR, "events")
+    us = F.unix_micros("ts")
+    day = 86_400_000_000
+    a0 = 1704412800000000  # 2024-01-05
+    b0 = 1705708800000000  # 2024-01-20
+    expected = {
+        r["user_id"]
+        for r in ev.filter(
+            ((us >= a0) & (us < a0 + day)) | ((us >= b0) & (us < b0 + day))
+        )
+        .select("user_id")
+        .distinct()
+        .collect()
+    }
+    assert set(seen) == expected
     for r in rows:
         if r["change_type"] == "added":
             assert r["old_n"] == -1 and r["new_n"] >= 1
