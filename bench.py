@@ -181,6 +181,8 @@ HEADLINE = [
     "entity_resolution_parts",
     "churn_training_set",
     "item_similarity_jaccard",
+    "dedup_exact_normalized",
+    "supplier_lead_time",
 ]
 
 # Timed and reported, but excluded from the headline sum: cost dominated

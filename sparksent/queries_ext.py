@@ -1296,3 +1296,96 @@ def q_entity_resolution_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("cluster", "canonical_name", "n_names", "n_rows_total")
     )
+
+
+@register(
+    "dedup_exact_normalized",
+    oracle="""
+    WITH n AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(regexp_replace(lower(text),
+                      '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS h
+      FROM documents
+    ), g AS (
+      SELECT h, min(doc_id) AS keep_id, count(*)::BIGINT AS n_copies
+      FROM n GROUP BY 1
+    )
+    SELECT keep_id, n_copies, h AS content_hash
+    FROM g WHERE n_copies >= 1
+    """,
+    tags=("ext", "dedup", "curation"),
+)
+def q_dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup AFTER C4-style normalization — the standard first
+    pass of every curation pipeline (dedup_exact's raw-byte hash
+    misses case/punctuation/whitespace variants of the same content;
+    this catches them while staying one map-side-combined hash
+    aggregate). Keep-first policy (min doc id per normalized-content
+    hash), copy count per group retained for the dedup report. The
+    normalization is the shared text_normalize expression — pure
+    codegen, so at 100 TB this is STILL just one scan + one combine,
+    the cheapest dedup money can buy."""
+    from .ext.textstats import normalize_text
+
+    docs = _docs(spark, sf_dir)
+    n = normalize_text(docs).select(
+        "doc_id", F.md5(F.col("norm_text")).alias("h")
+    )
+    return (
+        n.groupBy("h")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count("*").cast("long").alias("n_copies"),
+        )
+        .select("keep_id", "n_copies", F.col("h").alias("content_hash"))
+    )
+
+
+@register(
+    "supplier_lead_time",
+    oracle="""
+    SELECT l.l_suppkey AS suppkey, count(*)::BIGINT AS n_shipments,
+           (sum((epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate))
+                // 86400000000)::DOUBLE / count(*)) AS avg_lead_days,
+           max((epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate))
+               // 86400000000)::BIGINT AS max_lead_days,
+           sum(CASE WHEN (epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate))
+                         // 86400000000 > 90
+                    THEN 1 ELSE 0 END)::BIGINT AS n_late_90d
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY 1
+    """,
+    tags=("ext", "relational", "ops"),
+)
+def q_supplier_lead_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supply-chain lead-time analytics: per supplier, shipment count,
+    average order-to-ship lead in whole days (exact integer day sums,
+    one final double division), worst case, and the count beyond 90
+    days — the operational complement of the Q4-shaped late-order
+    EXISTS. Both date columns are TIMESTAMP_NTZ, so the difference is
+    taken with NTZ-native timestampdiff — pure wall-clock arithmetic,
+    timezone-proof (a cast to TIMESTAMP would shift each side by the
+    session offset and a DST boundary inside the lead window would
+    corrupt the day count). Orders join key-pruned; aggregate
+    partial-combines on the supplier key."""
+    li = tables.load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = tables.load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    lead_days = F.expr(
+        "CAST(timestampdiff(MICROSECOND, o_orderdate, l_shipdate)"
+        " div 86400000000 AS BIGINT)"
+    )
+    j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("l_suppkey").alias("suppkey"), lead_days.alias("lead_days")
+    )
+    return j.groupBy("suppkey").agg(
+        F.count("*").cast("long").alias("n_shipments"),
+        (F.sum("lead_days").cast("double") / F.count("*")).alias("avg_lead_days"),
+        F.max("lead_days").cast("long").alias("max_lead_days"),
+        F.sum(F.when(F.col("lead_days") > 90, 1).otherwise(0))
+        .cast("long")
+        .alias("n_late_90d"),
+    )

@@ -120,9 +120,12 @@ _PRIORITY: tuple[str, ...] = (
     "item_similarity_jaccard",
     # All 50 slots now hold never-checked round-4/5 registrations;
     # every stale name spills to round 6.
-    # Slots 51+: spill queue for round 6, oldest-green-first — all 8
-    # r01-stale names, then all 24 r02-stale names, then the r03-stale
-    # names.
+    # Slots 51+: round-6 queue — first the wave-14 registrations that
+    # arrived after the window filled (never-checked, so they lead),
+    # then stale names oldest-green-first: all 8 r01, all 24 r02, then
+    # r03.
+    "dedup_exact_normalized",
+    "supplier_lead_time",
     "tpch_q6_forecast",
     "tpch_q14_promo",
     "tpch_q16_supplier_cnt",

@@ -923,3 +923,24 @@ def test_item_similarity_user_keyed_pairs(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 0
+
+
+def test_dedup_normalized_single_combine(spark):
+    """Normalized exact dedup: the normalization is scan-side codegen
+    and the whole query is one map-side-combined hash aggregate —
+    exactly dedup_exact's shape with the normalize expression fused
+    into the scan projection."""
+    plan = plan_of(spark, "dedup_exact_normalized")
+    assert "partial_min" in plan or "partial_count" in plan
+    assert count_data_shuffles(plan) == 1
+    assert "Join" not in plan
+
+
+def test_supplier_lead_time_key_pruned_join(spark):
+    """Lead-time analytics: the orders side is pruned to (key, date)
+    before the join and the supplier aggregate partial-combines."""
+    plan = plan_of(spark, "supplier_lead_time")
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "CartesianProduct" not in plan
+    m = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert any(s.startswith("o_orderkey:bigint,o_orderdate") for s in m)
