@@ -183,6 +183,7 @@ HEADLINE = [
     "item_similarity_jaccard",
     "dedup_exact_normalized",
     "supplier_lead_time",
+    "survival_km_error",
 ]
 
 # Timed and reported, but excluded from the headline sum: cost dominated

@@ -2525,3 +2525,115 @@ def q_ab_test_value_by_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         mean1.alias("mean_treatment_milli"),
         ((mean1 - mean0) / F.sqrt(var0 + var1)).alias("t_stat"),
     )
+
+
+@register(
+    "survival_km_error",
+    oracle="""
+    WITH RECURSIVE perr AS (
+      SELECT user_id,
+             min(epoch_us(ts) // 86400000000) AS birth,
+             min(CASE WHEN event_type = 'error'
+                      THEN epoch_us(ts) // 86400000000 END) AS death,
+             max(epoch_us(ts) // 86400000000) AS last
+      FROM events GROUP BY 1
+    ), subj AS (
+      SELECT user_id,
+             (coalesce(death, last) - birth)::BIGINT AS dur,
+             CASE WHEN death IS NULL THEN 0 ELSE 1 END AS is_death
+      FROM perr
+    ), tot AS (SELECT count(*)::BIGINT AS n FROM subj),
+    exits AS (
+      SELECT dur, sum(is_death)::BIGINT AS d, count(*)::BIGINT AS x
+      FROM subj GROUP BY 1
+    ), risk AS (
+      SELECT dur, d,
+             ((SELECT n FROM tot)
+              - coalesce(sum(x) OVER (ORDER BY dur
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                               AND 1 PRECEDING), 0))::BIGINT
+               AS n_at_risk
+      FROM exits
+    ), steps AS (
+      SELECT row_number() OVER (ORDER BY dur) AS idx, dur, n_at_risk, d
+      FROM risk WHERE d > 0
+    ),
+    km(idx, day, n, d, s) AS (
+      SELECT idx, dur, n_at_risk, d,
+             (1000000 * (n_at_risk - d)) // n_at_risk
+      FROM steps WHERE idx = 1
+      UNION ALL
+      SELECT s.idx, s.dur, s.n_at_risk, s.d,
+             (km.s * (s.n_at_risk - s.d)) // s.n_at_risk
+      FROM km JOIN steps s ON s.idx = km.idx + 1
+    )
+    SELECT day, n AS n_at_risk, d AS n_deaths, s AS s_ppm FROM km
+    """,
+    tags=("relational", "survival", "ml"),
+)
+def q_survival_km_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival analysis — time from each user's first
+    event to their first 'error' (users with no error are right-
+    censored at their last event). One row per event day: subjects at
+    risk, deaths, and the KM survival estimate in ppm.
+
+    Exactness through a PRODUCT recurrence: S_k = S_{k-1} * (n_k -
+    d_k) div n_k in integer ppm — the float product would accumulate
+    engine-divergent rounding, the integer floordiv recurrence cannot.
+    Spark folds the day table with ``aggregate`` over a struct-array
+    accumulator (the day table is |distinct event days| rows); the
+    oracle runs the identical recurrence as a recursive CTE.
+
+    Plan: the ONLY data-sized stage is the per-user min/max aggregate
+    (map-side combined on user_id); the risk window, the step rank,
+    and the fold all run on the <=|days| frame."""
+    ev = tables.load_table(spark, sf_dir, "events")
+    day = F.expr("CAST(unix_micros(ts) div 86400000000 AS BIGINT)")
+    perr = ev.groupBy("user_id").agg(
+        F.min(day).alias("birth"),
+        F.min(F.when(F.col("event_type") == "error", day)).alias("death"),
+        F.max(day).alias("last"),
+    )
+    subj = perr.select(
+        (F.coalesce("death", "last") - F.col("birth")).cast("long").alias("dur"),
+        F.when(F.col("death").isNull(), 0).otherwise(1).alias("is_death"),
+    ).localCheckpoint()  # consumed by the total AND the exits aggregate
+    tot = subj.agg(F.count("*").cast("long").alias("n_total"))
+    exits = subj.groupBy("dur").agg(
+        F.sum("is_death").cast("long").alias("d"),
+        F.count("*").cast("long").alias("x"),
+    )
+    w_prior = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)
+    risk = (
+        exits.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "n_at_risk",
+            (
+                F.col("n_total")
+                - F.coalesce(F.sum("x").over(w_prior), F.lit(0))
+            ).cast("long"),
+        )
+        .filter(F.col("d") > 0)
+        .select("dur", "n_at_risk", "d")
+    )
+    folded = risk.agg(
+        F.expr(
+            """
+            aggregate(
+              array_sort(collect_list(struct(dur, n_at_risk, d))),
+              CAST(array() AS ARRAY<STRUCT<day: BIGINT, n: BIGINT,
+                                           d: BIGINT, s: BIGINT>>),
+              (acc, x) -> array_append(acc, named_struct(
+                'day', x.dur, 'n', x.n_at_risk, 'd', x.d,
+                's', (CASE WHEN size(acc) = 0 THEN CAST(1000000 AS BIGINT)
+                           ELSE element_at(acc, -1).s END
+                      * (x.n_at_risk - x.d)) div x.n_at_risk)))
+            """
+        ).alias("km")
+    )
+    return folded.select(F.explode("km").alias("r")).select(
+        F.col("r.day").alias("day"),
+        F.col("r.n").alias("n_at_risk"),
+        F.col("r.d").alias("n_deaths"),
+        F.col("r.s").alias("s_ppm"),
+    )

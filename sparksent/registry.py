@@ -126,6 +126,7 @@ _PRIORITY: tuple[str, ...] = (
     # r03.
     "dedup_exact_normalized",
     "supplier_lead_time",
+    "survival_km_error",
     "tpch_q6_forecast",
     "tpch_q14_promo",
     "tpch_q16_supplier_cnt",

@@ -944,3 +944,16 @@ def test_supplier_lead_time_key_pruned_join(spark):
     assert "CartesianProduct" not in plan
     m = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
     assert any(s.startswith("o_orderkey:bigint,o_orderdate") for s in m)
+
+
+def test_survival_km_single_user_aggregate(spark):
+    """Kaplan-Meier: the per-user min/max aggregate is the only
+    data-sized stage (one parquet scan, map-side combined); the risk
+    window, step filter, and product fold run on the <=|days| frame."""
+    plan = plan_of(spark, "survival_km_error")
+    # the per-user frame is localCheckpoint-pinned: the subject-total
+    # and the exits aggregate share ONE materialization, so the
+    # returned plan re-scans nothing
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 0
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan or "partial_sum" in plan

@@ -895,3 +895,26 @@ def test_snapshot_diff_partitions_union_of_users(spark):
             assert r["old_n"] >= 1 and r["new_n"] >= 1
             same = r["old_n"] == r["new_n"] and r["old_sum"] == r["new_sum"]
             assert same == (r["change_type"] == "unchanged")
+
+
+def test_survival_curve_is_monotone_probability(spark):
+    """KM law: the survival estimate starts <= 1e6, never increases,
+    stays nonnegative, and n_at_risk strictly decreases across event
+    days."""
+    from sparksent.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    from conftest import SF_DIR
+
+    rows = sorted(
+        REGISTRY["survival_km_error"].fn(spark, SF_DIR).collect(),
+        key=lambda r: r["day"],
+    )
+    assert rows
+    prev_s, prev_n = 1_000_000, None
+    for r in rows:
+        assert 0 <= r["s_ppm"] <= prev_s
+        assert r["n_deaths"] >= 1
+        if prev_n is not None:
+            assert r["n_at_risk"] < prev_n
+        prev_s, prev_n = r["s_ppm"], r["n_at_risk"]
