@@ -184,6 +184,7 @@ HEADLINE = [
     "dedup_exact_normalized",
     "supplier_lead_time",
     "survival_km_error",
+    "backtest_seasonal_naive",
 ]
 
 # Timed and reported, but excluded from the headline sum: cost dominated

@@ -2637,3 +2637,78 @@ def q_survival_km_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r.d").alias("n_deaths"),
         F.col("r.s").alias("s_ppm"),
     )
+
+
+@register(
+    "backtest_seasonal_naive",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, (epoch_us(ts) // 86400000000)::BIGINT AS day,
+             sum(floor(value::DOUBLE * 1000.0)::BIGINT)::BIGINT AS s
+      FROM events GROUP BY 1, 2
+    ), scored AS (
+      SELECT a.event_type, a.s AS actual, b.s AS forecast
+      FROM daily a JOIN daily b
+        ON b.event_type = a.event_type AND b.day = a.day - 7
+    )
+    SELECT event_type, count(*)::BIGINT AS n_scored,
+           (sum(abs(actual - forecast)::HUGEINT)::DOUBLE / count(*))
+             AS mae_milli,
+           (sum(abs(actual - forecast)::HUGEINT) * 1000000
+            // sum(abs(actual)::HUGEINT))::BIGINT AS wape_ppm
+    FROM scored GROUP BY 1
+    """,
+    tags=("relational", "timeseries", "forecast"),
+)
+def q_backtest_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast backtesting: score the seasonal-naive model (predict
+    each day's value with the same weekday last week) per event type —
+    MAE in exact milli-units and WAPE in integer ppm, the two metrics
+    every demand-forecast evaluation starts from. A day pairs with
+    day-7 by VALUE (day-aligned join), so gaps score nothing instead
+    of shifting the series.
+
+    Plan: the acf recipe — ONE map-side-combined daily aggregate
+    (localCheckpoint-pinned), then the self-join and metric arithmetic
+    on the types x days frame; errors accumulate in HUGEINT/
+    DECIMAL(38,0) and only the final MAE division is DOUBLE on
+    identical operands."""
+    ev = tables.load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "event_type",
+            F.expr("CAST(unix_micros(ts) div 86400000000 AS BIGINT)").alias("day"),
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("value").cast("double") * F.lit(1000.0)).cast("long")
+            )
+            .cast("long")
+            .alias("s")
+        )
+        .localCheckpoint()  # both self-join sides read this frame
+    )
+    a = daily.select("event_type", "day", F.col("s").alias("actual"))
+    b = daily.select(
+        F.col("event_type").alias("b_type"),
+        F.col("day").alias("b_day"),
+        F.col("s").alias("forecast"),
+    )
+    scored = a.join(
+        b,
+        (F.col("b_type") == F.col("event_type"))
+        & (F.col("b_day") == F.col("day") - 7),
+    )
+    err = F.abs(F.col("actual") - F.col("forecast")).cast("decimal(38,0)")
+    act = F.abs(F.col("actual")).cast("decimal(38,0)")
+    m = scored.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_scored"),
+        F.sum(err).cast("decimal(38,0)").alias("sae"),
+        F.sum(act).cast("decimal(38,0)").alias("sact"),
+    )
+    return m.select(
+        "event_type",
+        "n_scored",
+        (F.col("sae").cast("double") / F.col("n_scored")).alias("mae_milli"),
+        F.expr("CAST((sae * 1000000) div sact AS BIGINT)").alias("wape_ppm"),
+    )

@@ -127,6 +127,7 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_exact_normalized",
     "supplier_lead_time",
     "survival_km_error",
+    "backtest_seasonal_naive",
     "tpch_q6_forecast",
     "tpch_q14_promo",
     "tpch_q16_supplier_cnt",

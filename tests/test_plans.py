@@ -957,3 +957,13 @@ def test_survival_km_single_user_aggregate(spark):
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 0
     assert "CartesianProduct" not in plan
     assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_backtest_single_daily_aggregate(spark):
+    """Seasonal-naive backtest: the pinned daily aggregate is the only
+    data-sized stage — the returned plan self-joins the tiny frame and
+    never re-scans events."""
+    plan = plan_of(spark, "backtest_seasonal_naive")
+    assert "partial_sum" in plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 0
+    assert count_data_shuffles(plan) <= 2
