@@ -991,3 +991,73 @@ def test_ngram_next_per_record_matches_oracle_sf001(spark, ducks, tmp_path):
         WHERE t3 IS NOT NULL
         """,
     )
+
+
+def test_ngram_state_survives_checkpoint_restart(spark, tmp_path):
+    """Recovery contract for the newest carry-state operator: kill the
+    query mid-stream and restart from the same checkpoint with new
+    files present — the restored per-key (t3, t2, t1) context must
+    continue exactly where it stopped, so the union of both runs'
+    output equals the single-pass batch answer."""
+    import os
+
+    from sparksent.streaming.count_window import streaming_ngram_next_per_record
+
+    replay = str(tmp_path / "ngram_restart_replay")
+    held = str(tmp_path / "held")
+    os.makedirs(held, exist_ok=True)
+    ev = load_table(spark, SF_DIR_SMALL, "events")
+    paths = write_replay_chunks(ev, replay, N_CHUNKS)
+    # hold back the last two micro-batches for the post-restart run
+    for p in paths[3:]:
+        os.rename(p, os.path.join(held, os.path.basename(p)))
+
+    out_dir = str(tmp_path / "ngram_out")
+    ckpt = str(tmp_path / "ngram_ckpt")
+
+    def run_once():
+        stream = file_replay_source(spark, replay).select(
+            "user_id", "event_type", "ts", "event_id"
+        )
+        q = (
+            streaming_ngram_next_per_record(stream)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()  # first 3 chunks, then the query terminates (availableNow)
+    for p in paths[3:]:
+        os.rename(os.path.join(held, os.path.basename(p)), p)
+    run_once()  # restart from the checkpoint; state must restore
+
+    got = {
+        tuple(r)
+        for r in spark.read.parquet(out_dir)
+        .select("user_id", "context", "next_type", "event_id")
+        .collect()
+    }
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    batch = (
+        ev.select(
+            "user_id",
+            "event_type",
+            "event_id",
+            F.lag("event_type", 3).over(w).alias("t3"),
+            F.lag("event_type", 2).over(w).alias("t2"),
+            F.lag("event_type", 1).over(w).alias("t1"),
+        )
+        .filter(F.col("t3").isNotNull())
+        .select(
+            "user_id",
+            F.concat_ws(">", "t3", "t2", "t1").alias("context"),
+            F.col("event_type").alias("next_type"),
+            "event_id",
+        )
+    )
+    want = {tuple(r) for r in batch.collect()}
+    assert got == want
