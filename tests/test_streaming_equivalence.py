@@ -1061,3 +1061,130 @@ def test_ngram_state_survives_checkpoint_restart(spark, tmp_path):
     )
     want = {tuple(r) for r in batch.collect()}
     assert got == want
+
+
+def _restart_to_parquet(spark, tmp_path, tag, build_stream):
+    """Shared two-phase runner for checkpoint-recovery tests: process
+    the first 3 replay chunks, terminate, reveal the last 2 chunks, and
+    restart from the SAME checkpoint into the same parquet sink —
+    whatever per-key state the operator carries must restore exactly.
+    Returns (combined output, the full batch events frame)."""
+    import os
+
+    replay = str(tmp_path / f"{tag}_replay")
+    held = str(tmp_path / f"{tag}_held")
+    os.makedirs(held, exist_ok=True)
+    ev = load_table(spark, SF_DIR_SMALL, "events")
+    paths = write_replay_chunks(ev, replay, N_CHUNKS)
+    for p in paths[3:]:
+        os.rename(p, os.path.join(held, os.path.basename(p)))
+    out_dir = str(tmp_path / f"{tag}_out")
+    ckpt = str(tmp_path / f"{tag}_ckpt")
+
+    def run():
+        q = (
+            build_stream(file_replay_source(spark, replay))
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    for p in paths[3:]:
+        os.rename(os.path.join(held, os.path.basename(p)), p)
+    run()
+    return spark.read.parquet(out_dir), ev
+
+
+def test_transitions_state_survives_checkpoint_restart(spark, tmp_path):
+    """The per-key last-type carry restores across a restart: combined
+    output equals the batch lag window exactly."""
+    from sparksent.streaming.count_window import streaming_transitions_per_record
+
+    got_df, ev = _restart_to_parquet(
+        spark,
+        tmp_path,
+        "trans_rs",
+        lambda s: streaming_transitions_per_record(
+            s.select("user_id", "event_type", "ts", "event_id")
+        ),
+    )
+    got = {
+        tuple(r)
+        for r in got_df.select("user_id", "prev_type", "next_type", "event_id").collect()
+    }
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    want = {
+        tuple(r)
+        for r in ev.select(
+            "user_id",
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.col("event_type").alias("next_type"),
+            "event_id",
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .collect()
+    }
+    assert got == want
+
+
+def test_cumulative_state_survives_checkpoint_restart(spark, tmp_path):
+    """The per-key running total restores across a restart: every
+    post-restart emission continues from the pre-restart accumulator."""
+    from sparksent.streaming.count_window import streaming_cumulative_per_record
+
+    got_df, ev = _restart_to_parquet(
+        spark,
+        tmp_path,
+        "cum_rs",
+        lambda s: streaming_cumulative_per_record(
+            s.select(F.col("user_id").cast("string").alias("key"), "value", "ts", "event_id")
+        ),
+    )
+    got = (
+        got_df.toPandas().sort_values(["key", "ts", "event_id"]).reset_index(drop=True)
+    )
+    batch = windows.cumulative_agg(
+        ev.select(F.col("user_id").cast("string").alias("key"), "value", "ts", "event_id"),
+        ["key"],
+        "value",
+        out_col="cum",
+    )
+    want = (
+        batch.select("key", F.col("cum").alias("value"), "ts", "event_id")
+        .toPandas()
+        .sort_values(["key", "ts", "event_id"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    assert (got["event_id"].to_numpy() == want["event_id"].to_numpy()).all()
+    assert np.allclose(got["value"].to_numpy(), want["value"].to_numpy(), rtol=1e-9)
+
+
+def test_scd2_state_survives_checkpoint_restart(spark, tmp_path):
+    """The four-scalar SCD2 state machine restores across a restart:
+    an island OPEN at the kill point must keep accumulating n_events
+    and close with the correct interval after recovery."""
+    from sparksent.registry import queries
+    from sparksent.streaming.count_window import streaming_scd2_per_record
+
+    got_df, _ = _restart_to_parquet(
+        spark,
+        tmp_path,
+        "scd2_rs",
+        lambda s: streaming_scd2_per_record(
+            s.select("user_id", "event_type", "ts", "event_id")
+        ),
+    )
+    got = {tuple(r) for r in got_df.collect()}
+    want = {
+        tuple(r)
+        for r in queries()["scd2_user_event_type"](spark, SF_DIR_SMALL)
+        .filter(F.col("valid_to_us") != -1)
+        .collect()
+    }
+    assert got == want and len(got) > 0
