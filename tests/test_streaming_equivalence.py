@@ -1188,3 +1188,76 @@ def test_scd2_state_survives_checkpoint_restart(spark, tmp_path):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_ewma_state_survives_checkpoint_restart(spark, tmp_path):
+    """The three-lag EWMA carry restores across a restart bit-for-bit
+    (the arithmetic contract, not approximate equality)."""
+    from sparksent.streaming.count_window import streaming_ewma_per_record
+
+    got_df, ev = _restart_to_parquet(
+        spark,
+        tmp_path,
+        "ewma_rs",
+        lambda s: streaming_ewma_per_record(
+            s.select("user_id", "value", "ts", "event_id")
+        ),
+    )
+    got = (
+        got_df.toPandas().sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    l1, l2, l3 = (F.lag("value", i).over(w) for i in (1, 2, 3))
+    num = (
+        F.col("value") * 8
+        + F.coalesce(l1, F.lit(0.0)) * 4
+        + F.coalesce(l2, F.lit(0.0)) * 2
+        + F.coalesce(l3, F.lit(0.0)) * 1
+    )
+    den = (
+        F.lit(8)
+        + F.when(l1.isNull(), F.lit(0)).otherwise(F.lit(4))
+        + F.when(l2.isNull(), F.lit(0)).otherwise(F.lit(2))
+        + F.when(l3.isNull(), F.lit(0)).otherwise(F.lit(1))
+    )
+    want = (
+        ev.select("user_id", "value", (num / den).alias("ewma4"), "ts", "event_id")
+        .toPandas()
+        .sort_values(["user_id", "ts", "event_id"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) > 0
+    assert (got["event_id"].to_numpy() == want["event_id"].to_numpy()).all()
+    assert (got["ewma4"].to_numpy() == want["ewma4"].to_numpy()).all()
+
+
+def test_rolling_buffer_survives_checkpoint_restart(spark, tmp_path):
+    """The trailing-60s BUFFER — the most complex restorable state
+    (a list of in-window rows, not scalars) — must come back exactly:
+    a window straddling the kill point re-admits its pre-restart rows
+    after recovery, so the combined output equals the batch RANGE
+    frame bit-for-bit including the decimal sums."""
+    from sparksent.registry import REGISTRY, _ensure_loaded
+    from sparksent.streaming.count_window import streaming_rolling_window_stats
+
+    _ensure_loaded()
+    got_df, ev = _restart_to_parquet(
+        spark,
+        tmp_path,
+        "roll_rs",
+        lambda s: streaming_rolling_window_stats(
+            s.select("user_id", "value", F.unix_micros("ts").alias("ts_us"), "event_id")
+        ),
+    )
+    got = {
+        tuple(r)
+        for r in got_df.select("event_id", "user_id", "ts_us", "n_60s", "sum_60s").collect()
+    }
+    want = {
+        tuple(r)
+        for r in REGISTRY["rolling_60s_user_stats"]
+        .fn(spark, SF_DIR_SMALL)
+        .select("event_id", "user_id", "ts_us", "n_60s", "sum_60s")
+        .collect()
+    }
+    assert got == want and len(got) > 0
