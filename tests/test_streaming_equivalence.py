@@ -1261,3 +1261,78 @@ def test_rolling_buffer_survives_checkpoint_restart(spark, tmp_path):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_count_window_state_survives_checkpoint_restart(spark, tmp_path):
+    """The (bucket, count, accumulator) count-window state restores
+    across a restart: a bucket partially filled at the kill point must
+    complete with its pre-restart rows counted, so combined emissions
+    equal the batch form's complete buckets."""
+    got_df, ev = _restart_to_parquet(
+        spark,
+        tmp_path,
+        "cw_rs",
+        lambda s: streaming_count_window(
+            s.select(
+                F.col("user_id").cast("string").alias("key"), "value", "ts", "event_id"
+            ),
+            10,
+            value_col="value",
+        ),
+    )
+    got = (
+        got_df.toPandas().sort_values(["key", "bucket"]).reset_index(drop=True)
+    )
+    batch_keyed = ev.select(
+        F.col("user_id").cast("string").alias("key"), "value", "ts", "event_id"
+    )
+    want = (
+        windows.count_window_agg(
+            batch_keyed,
+            ["key"],
+            10,
+            [windows.exact_sum("value").alias("value"), F.count("*").alias("n")],
+        )
+        .filter(F.col("n") == 10)
+        .toPandas()
+        .sort_values(["key", "bucket"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) > 0
+    assert (got["key"].to_numpy() == want["key"].to_numpy()).all()
+    assert (got["bucket"].to_numpy() == want["bucket"].to_numpy()).all()
+    assert np.allclose(got["value"].to_numpy(), want["value"].to_numpy(), rtol=1e-9)
+
+
+def test_toxicity_state_survives_checkpoint_restart(spark, tmp_path):
+    """The fused (cumulative, bucket, count, window-acc) toxicity state
+    restores across a restart: the running per-key total must carry
+    through the kill so post-restart windows sum the CONTINUED
+    cumulative series, matching the single-run batch form."""
+    from sparksent.streaming.count_window import streaming_toxicity_literal
+
+    got_df, ev = _restart_to_parquet(
+        spark,
+        tmp_path,
+        "tox_rs",
+        lambda s: streaming_toxicity_literal(
+            s.select(
+                F.col("user_id").cast("string").alias("key"), "value", "ts", "event_id"
+            ),
+            10,
+            7800.0,
+        ),
+    )
+    # single-run reference: the existing equivalence target — replay the
+    # same rows WITHOUT a restart through the same operator
+    replay2 = str(tmp_path / "tox_rs_ref")
+    write_replay_chunks(ev, replay2, N_CHUNKS)
+    ref_stream = file_replay_source(spark, replay2).select(
+        F.col("user_id").cast("string").alias("key"), "value", "ts", "event_id"
+    )
+    _run_to_memory(
+        streaming_toxicity_literal(ref_stream, 10, 7800.0), "t_tox_ref_rs", "append"
+    )
+    got = {tuple(r) for r in got_df.collect()}
+    want = {tuple(r) for r in spark.table("t_tox_ref_rs").collect()}
+    assert got == want and len(got) > 0
