@@ -1300,18 +1300,16 @@ def q_entity_resolution_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_exact_normalized",
-    oracle="""
-    WITH n AS (
-      SELECT doc_id,
-             md5(trim(regexp_replace(regexp_replace(lower(text),
-                      '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS h
-      FROM documents
-    ), g AS (
-      SELECT h, min(doc_id) AS keep_id, count(*)::BIGINT AS n_copies
-      FROM n GROUP BY 1
-    )
-    SELECT keep_id, n_copies, h AS content_hash
-    FROM g WHERE n_copies >= 1
+    # composes the SHARED builders: the normalization SQL comes from
+    # textstats.normalize_text_sql and the dedup aggregate from
+    # dedup.exact_dedup_sql over it — a change to either shared piece
+    # lands in this oracle automatically instead of drifting
+    oracle=f"""
+    SELECT canonical_id AS keep_id, n_docs::BIGINT AS n_copies,
+           fingerprint AS content_hash
+    FROM ({dedup.exact_dedup_sql(
+        table=f"({textstats.normalize_text_sql()})", text="norm_text"
+    )})
     """,
     tags=("ext", "dedup", "curation"),
 )
@@ -1328,16 +1326,11 @@ def q_dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ext.textstats import normalize_text
 
     docs = _docs(spark, sf_dir)
-    n = normalize_text(docs).select(
-        "doc_id", F.md5(F.col("norm_text")).alias("h")
-    )
-    return (
-        n.groupBy("h")
-        .agg(
-            F.min("doc_id").alias("keep_id"),
-            F.count("*").cast("long").alias("n_copies"),
-        )
-        .select("keep_id", "n_copies", F.col("h").alias("content_hash"))
+    groups = dedup.exact_dedup(normalize_text(docs), text_col="norm_text")
+    return groups.select(
+        F.col("canonical_id").alias("keep_id"),
+        F.col("n_docs").cast("long").alias("n_copies"),
+        F.col("fingerprint").alias("content_hash"),
     )
 
 

@@ -2654,8 +2654,9 @@ def q_survival_km_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type, count(*)::BIGINT AS n_scored,
            (sum(abs(actual - forecast)::HUGEINT)::DOUBLE / count(*))
              AS mae_milli,
-           (sum(abs(actual - forecast)::HUGEINT) * 1000000
-            // sum(abs(actual)::HUGEINT))::BIGINT AS wape_ppm
+           CASE WHEN sum(abs(actual)::HUGEINT) = 0 THEN -1
+                ELSE (sum(abs(actual - forecast)::HUGEINT) * 1000000
+                      // sum(abs(actual)::HUGEINT)) END::BIGINT AS wape_ppm
     FROM scored GROUP BY 1
     """,
     tags=("relational", "timeseries", "forecast"),
@@ -2706,9 +2707,15 @@ def q_backtest_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(err).cast("decimal(38,0)").alias("sae"),
         F.sum(act).cast("decimal(38,0)").alias("sact"),
     )
+    # a group whose actuals all floor to zero must report the -1
+    # sentinel, not crash: ANSI Spark throws DIVIDE_BY_ZERO where
+    # DuckDB's // returns NULL — the crash-vs-NULL divergence class
     return m.select(
         "event_type",
         "n_scored",
         (F.col("sae").cast("double") / F.col("n_scored")).alias("mae_milli"),
-        F.expr("CAST((sae * 1000000) div sact AS BIGINT)").alias("wape_ppm"),
+        F.when(F.col("sact") == 0, F.lit(-1))
+        .otherwise(F.expr("(sae * 1000000) div sact"))
+        .cast("long")
+        .alias("wape_ppm"),
     )

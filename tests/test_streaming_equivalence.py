@@ -999,48 +999,22 @@ def test_ngram_state_survives_checkpoint_restart(spark, tmp_path):
     files present — the restored per-key (t3, t2, t1) context must
     continue exactly where it stopped, so the union of both runs'
     output equals the single-pass batch answer."""
-    import os
-
     from sparksent.streaming.count_window import streaming_ngram_next_per_record
 
-    replay = str(tmp_path / "ngram_restart_replay")
-    held = str(tmp_path / "held")
-    os.makedirs(held, exist_ok=True)
-    ev = load_table(spark, SF_DIR_SMALL, "events")
-    paths = write_replay_chunks(ev, replay, N_CHUNKS)
-    # hold back the last two micro-batches for the post-restart run
-    for p in paths[3:]:
-        os.rename(p, os.path.join(held, os.path.basename(p)))
-
-    out_dir = str(tmp_path / "ngram_out")
-    ckpt = str(tmp_path / "ngram_ckpt")
-
-    def run_once():
-        stream = file_replay_source(spark, replay).select(
-            "user_id", "event_type", "ts", "event_id"
-        )
-        q = (
-            streaming_ngram_next_per_record(stream)
-            .writeStream.outputMode("append")
-            .format("parquet")
-            .option("path", out_dir)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(120)
-
-    run_once()  # first 3 chunks, then the query terminates (availableNow)
-    for p in paths[3:]:
-        os.rename(os.path.join(held, os.path.basename(p)), p)
-    run_once()  # restart from the checkpoint; state must restore
-
-    got = {
+    got_df, ev = _restart_to_parquet(
+        spark,
+        tmp_path,
+        "ngram_rs",
+        lambda s: streaming_ngram_next_per_record(
+            s.select("user_id", "event_type", "ts", "event_id")
+        ),
+    )
+    # MULTISET compare (sorted lists): a set would hide duplicate
+    # re-emission after restart — the primary recovery failure mode
+    got = sorted(
         tuple(r)
-        for r in spark.read.parquet(out_dir)
-        .select("user_id", "context", "next_type", "event_id")
-        .collect()
-    }
+        for r in got_df.select("user_id", "context", "next_type", "event_id").collect()
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     batch = (
         ev.select(
@@ -1059,7 +1033,7 @@ def test_ngram_state_survives_checkpoint_restart(spark, tmp_path):
             "event_id",
         )
     )
-    want = {tuple(r) for r in batch.collect()}
+    want = sorted(tuple(r) for r in batch.collect())
     assert got == want
 
 
@@ -1113,12 +1087,12 @@ def test_transitions_state_survives_checkpoint_restart(spark, tmp_path):
             s.select("user_id", "event_type", "ts", "event_id")
         ),
     )
-    got = {
+    got = sorted(
         tuple(r)
         for r in got_df.select("user_id", "prev_type", "next_type", "event_id").collect()
-    }
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    want = {
+    want = sorted(
         tuple(r)
         for r in ev.select(
             "user_id",
@@ -1128,8 +1102,8 @@ def test_transitions_state_survives_checkpoint_restart(spark, tmp_path):
         )
         .filter(F.col("prev_type").isNotNull())
         .collect()
-    }
-    assert got == want
+    )
+    assert got == want  # multiset equality: duplicate re-emission fails
 
 
 def test_cumulative_state_survives_checkpoint_restart(spark, tmp_path):
@@ -1180,14 +1154,14 @@ def test_scd2_state_survives_checkpoint_restart(spark, tmp_path):
             s.select("user_id", "event_type", "ts", "event_id")
         ),
     )
-    got = {tuple(r) for r in got_df.collect()}
-    want = {
+    got = sorted(tuple(r) for r in got_df.collect())
+    want = sorted(
         tuple(r)
         for r in queries()["scd2_user_event_type"](spark, SF_DIR_SMALL)
         .filter(F.col("valid_to_us") != -1)
         .collect()
-    }
-    assert got == want and len(got) > 0
+    )
+    assert got == want and len(got) > 0  # multiset: dup re-emission fails
 
 
 def test_ewma_state_survives_checkpoint_restart(spark, tmp_path):
@@ -1249,18 +1223,18 @@ def test_rolling_buffer_survives_checkpoint_restart(spark, tmp_path):
             s.select("user_id", "value", F.unix_micros("ts").alias("ts_us"), "event_id")
         ),
     )
-    got = {
+    got = sorted(
         tuple(r)
         for r in got_df.select("event_id", "user_id", "ts_us", "n_60s", "sum_60s").collect()
-    }
-    want = {
+    )
+    want = sorted(
         tuple(r)
         for r in REGISTRY["rolling_60s_user_stats"]
         .fn(spark, SF_DIR_SMALL)
         .select("event_id", "user_id", "ts_us", "n_60s", "sum_60s")
         .collect()
-    }
-    assert got == want and len(got) > 0
+    )
+    assert got == want and len(got) > 0  # multiset: dup re-emission fails
 
 
 def test_count_window_state_survives_checkpoint_restart(spark, tmp_path):
@@ -1333,6 +1307,6 @@ def test_toxicity_state_survives_checkpoint_restart(spark, tmp_path):
     _run_to_memory(
         streaming_toxicity_literal(ref_stream, 10, 7800.0), "t_tox_ref_rs", "append"
     )
-    got = {tuple(r) for r in got_df.collect()}
-    want = {tuple(r) for r in spark.table("t_tox_ref_rs").collect()}
-    assert got == want and len(got) > 0
+    got = sorted(tuple(r) for r in got_df.collect())
+    want = sorted(tuple(r) for r in spark.table("t_tox_ref_rs").collect())
+    assert got == want and len(got) > 0  # multiset: dup re-emission fails
