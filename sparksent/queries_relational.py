@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from . import tables
 from .joins import asof_join
+from .oracles import spark_percentile_select
 from .registry import register
 
 
@@ -435,22 +436,26 @@ def q_skew_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "percentile_order_value",
-    oracle="""
-    SELECT o_orderpriority,
-           quantile_cont(o_totalprice, 0.5) AS p50,
-           quantile_cont(o_totalprice, 0.9) AS p90,
-           count(*) AS n
-    FROM orders GROUP BY 1
+    oracle=f"""
+    WITH p AS ({spark_percentile_select(
+        "orders", "o_orderpriority", "o_totalprice",
+        {"p50": 0.5, "p90": 0.9})})
+    SELECT c.o_orderpriority, p.p50, p.p90, c.n
+    FROM (SELECT o_orderpriority, count(*) AS n FROM orders GROUP BY 1) c
+    JOIN p USING (o_orderpriority)
     """,
     tags=("relational", "agg", "percentile"),
 )
 def q_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated percentiles of order value per priority —
-    Spark's percentile() matches DuckDB's quantile_cont bit-for-bit
-    (same linear-interpolation definition). Exact percentiles are a
-    holistic aggregate (per-group sort); at 100 TB the drop-in
-    alternative is approx_percentile (t-digest sketch, mergeable
-    map-side) at bounded error — the query shape is identical."""
+    """Exact interpolated percentiles of order value per priority.
+    The oracle spells out Spark percentile()'s interpolation
+    (sparksent/oracles.py) instead of DuckDB quantile_cont, whose
+    missing equal-keys shortcut diverges by 1 ULP when the two
+    interpolation endpoints hold equal values (the round-5 Hypothesis
+    find). Exact percentiles are a holistic aggregate (per-group
+    sort); at 100 TB the drop-in alternative is approx_percentile
+    (t-digest sketch, mergeable map-side) at bounded error — the query
+    shape is identical."""
     o = tables.load_table(spark, sf_dir, "orders")
     return o.groupBy("o_orderpriority").agg(
         F.percentile("o_totalprice", 0.5).alias("p50"),
@@ -748,12 +753,13 @@ def q_fullouter_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "anomaly_robust_events",
-    oracle="""
-    WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
-                 FROM events GROUP BY 1),
-    mad AS (
-      SELECT e.event_type, quantile_cont(abs(e.value - m.med), 0.5) AS mad
-      FROM events e JOIN med m ON e.event_type = m.event_type GROUP BY 1)
+    oracle=f"""
+    WITH med AS ({spark_percentile_select(
+        "events", "event_type", "value", {"med": 0.5})}),
+    mad AS ({spark_percentile_select(
+        "(SELECT e.event_type, abs(e.value - m.med) AS dev"
+        " FROM events e JOIN med m ON e.event_type = m.event_type)",
+        "event_type", "dev", {"mad": 0.5})})
     SELECT e.event_type, any_value(m.med) AS med, any_value(d.mad) AS mad,
       sum(CASE WHEN abs(e.value - m.med) > 3 * d.mad THEN 1 ELSE 0 END)::BIGINT
         AS n_outliers,
@@ -768,9 +774,11 @@ def q_fullouter_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_anomaly_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust (median/MAD) outlier flagging per event_type: a value is
     anomalous when |v - median| > 3*MAD — the standard heavy-tail-safe
-    z-score. Spark ``percentile`` matches DuckDB ``quantile_cont``
-    bit-for-bit, and the flag uses only sub/mul/abs (exact IEEE), so the
-    whole surface hash-matches.
+    z-score. The oracle mirrors Spark ``percentile``'s exact
+    interpolation incl. the equal-keys shortcut (sparksent/oracles.py;
+    ``quantile_cont`` diverges by 1 ULP on tied endpoints), and the
+    flag uses only sub/mul/abs (exact IEEE), so the whole surface
+    hash-matches.
 
     Scale: two tiny grouped aggregates (one row per event_type) each
     broadcast back onto the fact scan — the fact table is read twice...
@@ -1351,11 +1359,9 @@ def q_attribution_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "winsorize_event_value",
-    oracle="""
-    WITH b AS (SELECT event_type,
-                      quantile_cont(value, 0.05::DOUBLE) AS lo,
-                      quantile_cont(value, 0.95::DOUBLE) AS hi
-               FROM events GROUP BY 1)
+    oracle=f"""
+    WITH b AS ({spark_percentile_select(
+        "events", "event_type", "value", {"lo": 0.05, "hi": 0.95})})
     SELECT e.event_type,
            any_value(b.lo) AS lo,
            any_value(b.hi) AS hi,
@@ -1375,9 +1381,11 @@ def q_winsorize_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winsorized robust statistics per event_type: clip values at the
     type's own P5/P95 (the standard heavy-tail tamer for training-data
     feature columns) and report clip counts plus raw vs winsorized
-    sums. Spark ``percentile`` matches DuckDB ``quantile_cont``
-    bit-for-bit (anomaly_robust_events precedent); the clip itself is
-    pure comparisons, and both sums accumulate in DECIMAL(28,6).
+    sums. The oracle mirrors Spark ``percentile``'s exact interpolation
+    (sparksent/oracles.py — ``quantile_cont`` lacks the equal-keys
+    shortcut and can differ by 1 ULP on tied endpoints); the clip
+    itself is pure comparisons, and both sums accumulate in
+    DECIMAL(28,6).
 
     Scale: one tiny per-type quantile aggregate (5 rows) broadcast back
     onto the fact scan, then one map-side-combined aggregate — no

@@ -465,20 +465,53 @@ def test_levenshtein_cross_engine_agreement(spark, strings):
 )
 def test_percentile_cross_engine_agreement(spark, values, q):
     """winsorize_event_value and the robust-analytics queries rest on
-    Spark ``percentile`` == DuckDB ``quantile_cont`` BIT-FOR-BIT (both
-    linear interpolation at (n-1)*q). Pin it on arbitrary doubles at
-    the quantiles the registered queries use."""
+    the pinned percentile oracle (sparksent/oracles.py) matching Spark
+    ``percentile`` BIT-FOR-BIT — raw ``quantile_cont`` does NOT (it
+    lacks Spark's equal-keys shortcut; round-5 Hypothesis find, pinned
+    below). Verify on arbitrary doubles at the quantiles the
+    registered queries use."""
     import duckdb
+
+    from sparksent.oracles import spark_percentile_select
 
     got = (
         spark.createDataFrame([(v,) for v in values], "v double")
         .agg(F.percentile("v", q))
         .collect()[0][0]
     )
-    want = duckdb.connect().execute(
-        "SELECT quantile_cont(v, ?) FROM (SELECT unnest(?::DOUBLE[]) v)", [q, values]
-    ).fetchone()[0]
+    sql = spark_percentile_select(
+        "(SELECT 1 AS g, unnest(?::DOUBLE[]) AS v)", "g", "v", {"p": q}
+    )
+    want = duckdb.connect().execute(sql, [values]).fetchone()[1]
     assert got == want
+
+
+def test_percentile_equal_keys_shortcut_regression(spark):
+    """The exact round-5 falsifying example: tied interpolation
+    endpoints, where quantile_cont is 1 ULP off Spark. The pinned
+    oracle must agree and raw quantile_cont must still disagree (if
+    DuckDB ever fixes its side, the pin can be simplified)."""
+    import duckdb
+
+    from sparksent.oracles import spark_percentile_select
+
+    values = [0.0, 0.0, 0.0, 999999.8749999999, 999999.8749999999]
+    got = (
+        spark.createDataFrame([(v,) for v in values], "v double")
+        .agg(F.percentile("v", 0.95))
+        .collect()[0][0]
+    )
+    sql = spark_percentile_select(
+        "(SELECT 1 AS g, unnest(?::DOUBLE[]) AS v)", "g", "v", {"p": 0.95}
+    )
+    con = duckdb.connect()
+    want = con.execute(sql, [values]).fetchone()[1]
+    raw = con.execute(
+        "SELECT quantile_cont(v, 0.95) FROM (SELECT unnest(?::DOUBLE[]) v)",
+        [values],
+    ).fetchone()[0]
+    assert got == want == 999999.8749999999
+    assert raw != got  # documents why the pinned oracle exists
 
 
 def test_kmeans_invariants(spark):
