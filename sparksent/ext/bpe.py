@@ -17,10 +17,12 @@ how many petabytes produced it. This module keeps that split explicit:
 Determinism: pair counts are exact integers from the aggregate; ties
 break on (count DESC, left ASC, right ASC), so the merge sequence is a
 pure function of the corpus. Verified in pytest by recomputing the loop
-from an independent DuckDB word count (tests/test_properties.py); the
-driver records a rows-only check — the merge LOOP is the canonical
-"iterative algorithm" case the oracle contract exempts from SQL
-expression.
+from an independent DuckDB word count (tests/test_properties.py), and
+since round 6 the loop itself is SQL-expressible after all: the driver
+hash-checks it against :func:`merges_sql`, a recursive CTE whose level
+k applies merge k to every word row (argmax pair via an aggregate
+subquery over the working table, greedy leftmost rewrite via a
+``list_reduce`` fold).
 
 Reference: traubad/FlinkSentimentAnalysis tokenizes on whitespace only
 (SentimentAnalysis.scala:241-265); this is the extension to learned
@@ -93,6 +95,69 @@ def word_vocab_sql(
     GROUP BY word
     {having}
     {limit}
+    """
+
+
+def merges_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    n_merges: int = N_MERGES,
+) -> str:
+    """DuckDB oracle for :func:`learn_merges`: the FULL merge loop as a
+    recursive CTE, closing the registry's last rows-only exemption.
+
+    Level k of the recursion holds one row per vocabulary word carrying
+    its current symbol list plus the merge that produced the level.
+    The recursive term references the working table twice — once for
+    the rows, once inside the argmax-pair aggregate (both legal in
+    DuckDB) — and the greedy leftmost non-overlapping rewrite is a
+    ``list_reduce`` fold: append the next symbol, or collapse it into
+    the accumulator's tail when (tail, next) is the chosen pair.  The
+    fold is equivalent to the scan in :func:`learn_merges_py` because a
+    collapsed symbol is strictly longer than the pair's left element,
+    so it can never re-match as ``left`` within the same step.  Ties
+    break on (count DESC, left, right): DuckDB's binary UTF-8 ORDER BY
+    equals Python's code-point tuple order.
+    """
+    return f"""
+    WITH RECURSIVE vocab AS (
+      SELECT word, count(*)::BIGINT AS n
+      FROM (SELECT unnest(string_split({text_col}, ' ')) AS word FROM {table}) t
+      WHERE word <> ''
+      GROUP BY word
+    ),
+    st AS (
+      SELECT 0 AS lvl, word,
+             list_append(string_split(word, ''), '{END_MARK}') AS syms, n,
+             NULL::VARCHAR AS m_left, NULL::VARCHAR AS m_right,
+             NULL::BIGINT AS m_cnt
+      FROM vocab
+      UNION ALL
+      SELECT s.lvl + 1, s.word,
+             list_reduce(
+               list_transform(s.syms, x -> [x]),
+               (acc, x) -> CASE WHEN acc[-1] = b.l AND x[1] = b.r
+                                THEN acc[1:len(acc) - 1] || [b.l || b.r]
+                                ELSE acc || x END) AS syms,
+             s.n, b.l, b.r, b.c
+      FROM st s
+      CROSS JOIN (
+        SELECT l, r, sum(c)::BIGINT AS c
+        FROM (
+          SELECT (u.p).l AS l, (u.p).r AS r, (u.p).c AS c
+          FROM st t2, unnest(list_transform(
+            range(1, len(t2.syms)),
+            i -> {{'l': t2.syms[i], 'r': t2.syms[i + 1], 'c': t2.n}})) AS u(p)
+        )
+        GROUP BY l, r
+        ORDER BY c DESC, l, r
+        LIMIT 1
+      ) b
+      WHERE s.lvl < {n_merges}
+    )
+    SELECT DISTINCT (lvl - 1)::INT AS step, m_left AS "left",
+                    m_right AS "right", m_cnt AS pair_count
+    FROM st WHERE m_left IS NOT NULL
     """
 
 

@@ -954,15 +954,17 @@ def q_bpe_word_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe.word_vocab_capped(_docs(spark, sf_dir), min_count=2, max_vocab=1000)
 
 
-@register("bpe_merges", oracle=None, tags=("ext", "tokenizer"))
+@register("bpe_merges", oracle=bpe.merges_sql(), tags=("ext", "tokenizer"))
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer training: distributed word-vocabulary count (the
     only corpus-sized stage), then the canonical deterministic merge
     loop over the driver-sized vocab table; returns the 16-step merge
-    table (step, left, right, pair_count). Iterative algorithm — the
-    oracle contract's documented rows-only case; the loop is verified
-    exactly in pytest against an independent DuckDB recomputation
-    (tests/test_properties.py::test_bpe_merges_match_reference_loop)."""
+    table (step, left, right, pair_count). Formerly the registry's one
+    rows-only exemption — now fully oracle-paired: the merge loop is a
+    DuckDB recursive CTE (bpe.merges_sql) whose per-level argmax +
+    list_reduce rewrite reproduces the loop exactly (fuzz-pinned in
+    tests/test_properties.py alongside the original independent-loop
+    recomputation)."""
     from .ext import bpe
 
     return bpe.learn_merges(_docs(spark, sf_dir))

@@ -65,12 +65,13 @@ _PRIORITY: tuple[str, ...] = (
     "supplier_lead_time",
     "survival_km_error",
     "backtest_seasonal_naive",
-    # Slots 5-7: oracles REWRITTEN this round (pinned Spark-exact
-    # percentile interpolation, sparksent/oracles.py) — the old green
-    # rows attest the old quantile_cont oracle, so re-verify first.
+    # Slots 5-8: oracles NEW or REWRITTEN this round (pinned Spark-exact
+    # percentile interpolation, sparksent/oracles.py; bpe_merges got its
+    # first real oracle — the recursive-CTE merge loop) — verify first.
     "percentile_order_value",
     "winsorize_event_value",
     "anomaly_robust_events",
+    "bpe_merges",
     # Slots 8-15: latest green driver row is r01.
     "tpch_q6_forecast",
     "tpch_q14_promo",
@@ -106,8 +107,8 @@ _PRIORITY: tuple[str, ...] = (
     "corpus_curation_pipeline",
     "tpch_q1_pricing",
     "tpch_q3_shipping",
-    # Slots 40-50: oldest r03-green names; the window ends at
-    # lang_id_confusion.
+    # Slots 41-50: oldest r03-green names; the window ends at
+    # boilerplate_removal (lang_id_confusion leads the round-7 queue).
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_ngram_containment",
@@ -138,7 +139,6 @@ _PRIORITY: tuple[str, ...] = (
     "outer_order_count_distribution",
     "topn_orders_per_priority",
     "rangejoin_price_bands",
-    "bpe_merges",
     "parse_lines",
     "window_concat_1s",
     "window_concat_100s",

@@ -389,10 +389,10 @@ def test_ann_topk_recall_ladder(spark):
 
 
 def test_bpe_merges_match_reference_loop(spark, ducks):
-    """bpe_merges is registered rows-only (iterative algorithm); this
-    is its oracle: recompute the merge sequence from an INDEPENDENT
-    DuckDB word count through the same pure-Python loop and require the
-    16 rows to match exactly."""
+    """Recompute the merge sequence from an INDEPENDENT DuckDB word
+    count through the pure-Python loop and require the 16 rows to match
+    exactly (this predates — and now complements — the registered
+    recursive-CTE oracle)."""
     from sparksent.ext import bpe
     from sparksent.registry import REGISTRY, _ensure_loaded
 
@@ -416,6 +416,40 @@ def test_bpe_merges_match_reference_loop(spark, ducks):
     # every count must be positive and every step index consecutive
     assert [s for s, *_ in got] == list(range(bpe.N_MERGES))
     assert all(c > 0 for *_, c in got)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.text(alphabet="ab", min_size=1, max_size=8),
+            st.integers(min_value=1, max_value=5),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_bpe_recursive_cte_oracle_matches_loop(pairs):
+    """The registered bpe_merges oracle (recursive CTE,
+    bpe.merges_sql) must reproduce learn_merges_py exactly on
+    adversarial vocabularies — a two-letter alphabet maximizes tie
+    breaks and 'aaaa'-style cascades where the greedy leftmost
+    non-overlap rewrite (the list_reduce fold) could diverge."""
+    import duckdb
+
+    from sparksent.ext import bpe
+
+    counts: dict[str, int] = {}
+    for w, c in pairs:
+        counts[w] = counts.get(w, 0) + c
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs(text VARCHAR)")
+    con.executemany(
+        "INSERT INTO docs VALUES (?)", [((w + " ") * c,) for w, c in counts.items()]
+    )
+    got = sorted(con.execute(bpe.merges_sql(table="docs")).fetchall())
+    want = [tuple(m) for m in bpe.learn_merges_py(sorted(counts.items()))]
+    assert got == want
 
 
 @settings(max_examples=5, deadline=None)
