@@ -111,10 +111,17 @@ def user_item_frame(events: DataFrame, key_col: str = "user_id") -> DataFrame:
 
 
 def user_item_cte(table: str = "events", key_col: str = "user_id") -> str:
-    """DuckDB mirror of ``user_item_frame`` exposing ``ui(user_id, item)``."""
+    """DuckDB mirror of ``user_item_frame`` exposing ``ui(user_id, item)``.
+
+    TRY_CAST, not ``::INT``: Spark's get_json_object + int cast yields
+    NULL on a non-numeric ``k`` (the row is dropped by the filter)
+    while a plain DuckDB cast would throw — TRY_CAST makes both engines
+    drop unparseable values identically."""
     return f"""ui AS (
-      SELECT DISTINCT {key_col}, json_extract(props, '$.k')::INT AS item
-      FROM {table} WHERE json_extract(props, '$.k') IS NOT NULL)"""
+      SELECT DISTINCT {key_col},
+             TRY_CAST(json_extract_string(props, '$.k') AS INT) AS item
+      FROM {table}
+      WHERE TRY_CAST(json_extract_string(props, '$.k') AS INT) IS NOT NULL)"""
 
 
 def _items_cte(table: str, basket_col: str, item_col: str) -> str:

@@ -85,8 +85,9 @@ def q_negative_sample_user_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "grouping_sets_event_stats",
     oracle="""
-    SELECT coalesce(event_type, 'ALL') AS event_type,
-           coalesce(dow, -1)::BIGINT AS dow,
+    SELECT CASE WHEN grouping(event_type) = 1 THEN 'ALL'
+                ELSE event_type END AS event_type,
+           (CASE WHEN grouping(dow) = 1 THEN -1 ELSE dow END)::BIGINT AS dow,
            count(*)::BIGINT AS n,
            sum(value::DECIMAL(28,6))::DOUBLE AS sum_value
     FROM (SELECT event_type,
@@ -102,10 +103,12 @@ def q_grouping_sets_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     cube cannot express (here: by (type, weekday), by type, by weekday,
     and grand total in ONE pass). Spark plans this as a single Expand +
     aggregate, so the fact table is scanned once for all four
-    granularities; NULL group markers coalesce to the 'ALL' / -1
-    sentinels on both engines. Weekday is epoch-day arithmetic
-    ((epoch_day + 4) % 7; epoch day 0 was a Thursday, so Thursday=4),
-    not a locale-dependent dayofweek."""
+    granularities; the 'ALL' / -1 sentinels derive from GROUPING()
+    bits on both engines — never from coalescing the group column, so
+    a genuine 'ALL' value (or a NULL source value) stays
+    distinguishable from the rollup marker. Weekday is epoch-day
+    arithmetic ((epoch_day + 4) % 7; epoch day 0 was a Thursday, so
+    Thursday=4), not a locale-dependent dayofweek."""
     ev = tables.load_table(spark, sf_dir, "events")
     base = ev.select(
         "event_type",
@@ -117,12 +120,19 @@ def q_grouping_sets_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "dow",
     ).agg(
+        F.grouping("event_type").alias("g_type"),
+        F.grouping("dow").alias("g_dow"),
         F.count("*").cast("long").alias("n"),
         F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("sum_value"),
     )
     return gs.select(
-        F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
-        F.coalesce("dow", F.lit(-1)).cast("long").alias("dow"),
+        F.when(F.col("g_type") == 1, F.lit("ALL"))
+        .otherwise(F.col("event_type"))
+        .alias("event_type"),
+        F.when(F.col("g_dow") == 1, F.lit(-1))
+        .otherwise(F.col("dow"))
+        .cast("long")
+        .alias("dow"),
         "n",
         "sum_value",
     )

@@ -1939,6 +1939,7 @@ def q_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN epoch_us(ts) >= 1705276800000000 THEN 1 ELSE 0 END AS in_b
       FROM events
       WHERE epoch_us(ts) >= 1704067200000000 AND epoch_us(ts) < 1706745600000000
+        AND value IS NOT NULL
     ), per_bin AS (
       SELECT event_type, bin, sum(in_a)::BIGINT AS a, sum(in_b)::BIGINT AS b
       FROM binned GROUP BY 1, 2
@@ -1982,7 +1983,13 @@ def q_drift_binned_ks_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ev = tables.load_table(spark, sf_dir, "events")
     us = F.unix_micros("ts")
-    binned = ev.filter((us >= cut_lo) & (us < cut_hi)).select(
+    # NULL measures excluded explicitly on both sides (the
+    # rank_normalize_value convention): Spark's greatest/least skip
+    # NULLs (binning a NULL row to 0) while DuckDB's NULL handling for
+    # greatest/least has differed across versions.
+    binned = ev.filter(
+        (us >= cut_lo) & (us < cut_hi) & F.col("value").isNotNull()
+    ).select(
         "event_type",
         F.least(
             F.greatest(F.floor(F.col("value").cast("double") / 25.0), F.lit(0)),
@@ -2129,7 +2136,8 @@ def q_zorder_file_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), ctx AS (
       SELECT t3 || '>' || t2 || '>' || t1 AS context, event_type AS next_type
-      FROM seq WHERE t3 IS NOT NULL
+      FROM seq WHERE t3 IS NOT NULL AND t2 IS NOT NULL AND t1 IS NOT NULL
+                AND event_type IS NOT NULL
     ), n AS (
       SELECT context, next_type, count(*)::BIGINT AS n FROM ctx GROUP BY 1, 2
     )
@@ -2157,7 +2165,16 @@ def q_event_ngram_next(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("event_type", 3).over(w).alias("t3"),
         F.lag("event_type", 2).over(w).alias("t2"),
         F.lag("event_type", 1).over(w).alias("t1"),
-    ).filter(F.col("t3").isNotNull())
+    ).filter(
+        # all four legs non-null, not just t3: with NULL event_type
+        # values Spark's concat_ws would silently skip the NULL leg
+        # (malformed 2-part context) while the oracle's || propagates
+        # NULL — guarding both sides keeps the engines aligned
+        F.col("t3").isNotNull()
+        & F.col("t2").isNotNull()
+        & F.col("t1").isNotNull()
+        & F.col("event_type").isNotNull()
+    )
     n = (
         seq.select(
             F.concat_ws(">", "t3", "t2", "t1").alias("context"),

@@ -599,9 +599,18 @@ def _make_ngram_fn(type_col: str, key_col: str, order_cols: Sequence[str]):
             types = pdf[type_col].tolist()
             ctxs: list[str | None] = []
             for t in types:
-                ctxs.append(f"{t3}>{t2}>{t1}" if t3 is not None else None)
+                # all three legs must be present (a None leg would
+                # render the string 'None'), mirroring the batch
+                # query's four-way non-null guard
+                ctxs.append(
+                    f"{t3}>{t2}>{t1}"
+                    if t3 is not None and t2 is not None and t1 is not None
+                    else None
+                )
                 t3, t2, t1 = t2, t1, t
-            mask = [c is not None for c in ctxs]
+            mask = [
+                c is not None and t is not None for c, t in zip(ctxs, types)
+            ]
             if any(mask):
                 cols = {
                     key_col: pdf[key_col].to_numpy()[mask],
