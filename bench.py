@@ -185,6 +185,30 @@ HEADLINE = [
     "supplier_lead_time",
     "survival_km_error",
     "backtest_seasonal_naive",
+    # round-6 additions: the 19 registry names that previously had no
+    # bench pin (a regression there was invisible to the BENCH gate) —
+    # the headline tier now covers the registry minus the 3
+    # capability-tier queries.
+    "parse_lines",
+    "window_concat_100s",
+    "toxic_topic_cw25",
+    "toxic_topic_literal_cw25",
+    "toxic_channel_cw50",
+    "toxic_channel_literal_cw50",
+    "category_opinion_cumulative",
+    "entity_opinion_30s",
+    "doc_categories",
+    "anti_customers_no_orders",
+    "setop_user_cohorts",
+    "sample_bernoulli_events",
+    "text_distinctive_terms",
+    "tpch_q7_nation_trade",
+    "tpch_q14_promo",
+    "tpch_q16_supplier_cnt",
+    "dedup_components",
+    "dedup_keep_set",
+    "corpus_curation_pipeline",
+    "doc_sentiment_frozen_margin",
 ]
 
 # Timed and reported, but excluded from the headline sum: cost dominated

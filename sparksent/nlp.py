@@ -284,3 +284,93 @@ def mllib_sentiment(df: DataFrame, id_col: str = "doc_id", text_col: str = "text
         "prediction",
         vector_to_array("probability").getItem(1).alias("p_positive"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Frozen-model sentiment inference (the hash-checkable margin surface)
+# ---------------------------------------------------------------------------
+#
+# Why the LIVE-trained model's p_positive cannot be hash-checked
+# cross-engine (measured, round 6):
+#  1. The LBFGS gradient is a ``treeAggregate`` whose double-summation
+#     order depends on the partition layout, so the learned
+#     coefficients differ between driver session configs — measured
+#     max |Δcoef| ≈ 4.5e-10 (repartition(4) vs repartition(13),
+#     identical data).  Quantizing in-query cannot fix it: ~2 of 4096
+#     coefficients would land within jitter of any 1e-6 boundary.
+#  2. Even with fixed weights, p = sigmoid(margin) needs exp(), and
+#     JVM Math.exp is not bit-identical to DuckDB's libm exp.
+# The frozen path removes both: weights are a committed integer table
+# (ext/frozen_sentiment.py — the freeze tool documents the training
+# run), and the emitted statistic is the raw BIGINT margin, of which
+# sigmoid is a strictly monotone function — same information, exact
+# arithmetic.
+
+
+def frozen_sentiment_margin(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Batch inference of the frozen sentiment LR: per-document margin
+    in integer micro-units via a broadcast join of the committed
+    token->weight table — the realistic 100-TB scoring shape (model
+    trains once, then scores petabytes with zero shuffles beyond the
+    per-doc sum, which is map-side combinable on doc_id)."""
+    from .ext.frozen_sentiment import INTERCEPT_E6, WEIGHTS_E6
+
+    spark = df.sparkSession
+    wdf = spark.createDataFrame(
+        sorted(WEIGHTS_E6.items()), "tok string, w_e6 long"
+    )
+    toks = (
+        df.select(id_col, F.explode(F.split(F.lower(text_col), " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    summed = (
+        toks.join(F.broadcast(wdf), "tok")
+        .groupBy(id_col)
+        .agg(F.sum("w_e6").alias("s"))
+    )
+    return (
+        df.select(id_col)
+        .join(summed, id_col, "left")
+        .select(
+            id_col,
+            (F.coalesce("s", F.lit(0)) + F.lit(INTERCEPT_E6))
+            .cast("long")
+            .alias("margin_e6"),
+        )
+        .withColumn("prediction", (F.col("margin_e6") > 0).cast("double"))
+    )
+
+
+def frozen_sentiment_margin_sql(
+    table: str = "documents", id_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    """DuckDB mirror of :func:`frozen_sentiment_margin`: the same
+    committed weights inlined as a VALUES join table, the same
+    whitespace tokenization, the same exact BIGINT margin sum."""
+    from .ext.frozen_sentiment import INTERCEPT_E6, WEIGHTS_E6
+
+    values = ",\n      ".join(
+        f"({tok!r}, {w})" for tok, w in sorted(WEIGHTS_E6.items())
+    )
+    return f"""
+    WITH w(tok, w_e6) AS (VALUES
+      {values}
+    ),
+    toks AS (
+      SELECT {id_col}, unnest(string_split(lower({text_col}), ' ')) AS tok
+      FROM {table}
+    ),
+    s AS (
+      SELECT t.{id_col}, sum(w.w_e6)::BIGINT AS s
+      FROM toks t JOIN w ON t.tok = w.tok
+      WHERE t.tok <> ''
+      GROUP BY 1
+    )
+    SELECT d.{id_col},
+           (coalesce(s.s, 0) + ({INTERCEPT_E6}))::BIGINT AS margin_e6,
+           CASE WHEN coalesce(s.s, 0) + ({INTERCEPT_E6}) > 0
+                THEN 1.0 ELSE 0.0 END AS prediction
+    FROM {table} d LEFT JOIN s USING ({id_col})
+    """

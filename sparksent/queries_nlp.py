@@ -385,6 +385,29 @@ def q_doc_sentiment_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     .mllib_sentiment). Inference broadcasts the coefficient vector —
     per-row, shuffle-free. The oracle asserts the model reproduces the
     lexicon labeling exactly (it separates the training set with wide
-    margins); p_positive is model-internal and pytest-only."""
+    margins); live-trained p_positive is measurably impossible to
+    hash-check cross-engine (LBFGS treeAggregate summation order +
+    Math.exp vs libm exp — see the note above nlp.frozen_sentiment_margin),
+    so the margin surface is covered by doc_sentiment_frozen_margin
+    instead."""
     docs = tables.load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return nlp.mllib_sentiment(docs).drop("p_positive")
+
+
+@register(
+    "doc_sentiment_frozen_margin",
+    oracle=nlp.frozen_sentiment_margin_sql(),
+    tags=("nlp", "mllib", "inference"),
+)
+def q_doc_sentiment_frozen_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frozen-model sentiment scoring: the committed integer weight
+    table (ext/frozen_sentiment.py, trained once by
+    tools/freeze_sentiment_model.py) broadcast-joined onto the token
+    stream, per-doc margin summed in exact BIGINT micro-units —
+    sigmoid is strictly monotone in the margin, so this is the
+    hash-checkable form of p_positive that the live-training query
+    cannot provide (measured impossibility documented in nlp.py).
+    Scale: broadcast join + one map-side-combinable doc_id sum; the
+    only data-sized stage is the token explode."""
+    docs = tables.load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return nlp.frozen_sentiment_margin(docs)

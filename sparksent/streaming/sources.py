@@ -23,8 +23,15 @@ from pyspark.sql import types as T
 
 def socket_lines(spark: SparkSession, host: str = "localhost", port: int = 9001) -> DataFrame:
     """The reference's ingest (SA.scala:36-41): newline text from TCP.
-    Adds ingest processing time as ``ts`` + a monotonic id surrogate —
-    the reference's implicit processing-time/arrival-order made explicit."""
+    Adds ingest processing time as ``ts`` + an id surrogate — the
+    reference's implicit processing-time/arrival-order made explicit.
+
+    The surrogate is a content+arrival-time hash, not
+    ``monotonically_increasing_id()``: Spark rejects that expression on
+    streaming DataFrames at analysis time (caught by the round-6 socket
+    smoke test — a strictly monotonic pre-shuffle id is not expressible
+    in Structured Streaming). Downstream uses of ``event_id`` on this
+    surface are tie-breaks, where a stable hash serves."""
     lines = (
         spark.readStream.format("socket")
         .option("host", host)
@@ -33,7 +40,7 @@ def socket_lines(spark: SparkSession, host: str = "localhost", port: int = 9001)
         .withColumnRenamed("value", "line")
     )
     return lines.withColumn("ts", F.current_timestamp()).withColumn(
-        "event_id", F.monotonically_increasing_id()
+        "event_id", F.xxhash64("line", "ts")
     )
 
 
