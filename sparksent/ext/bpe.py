@@ -120,7 +120,19 @@ def merges_sql(
     equals Python's code-point tuple order.
     """
     return f"""
-    WITH RECURSIVE vocab AS (
+    WITH RECURSIVE {_recursion_ctes(table, text_col, n_merges)}
+    SELECT DISTINCT (lvl - 1)::INT AS step, m_left AS "left",
+                    m_right AS "right", m_cnt AS pair_count
+    FROM st WHERE m_left IS NOT NULL
+    """
+
+
+def _recursion_ctes(table: str, text_col: str, n_merges: int) -> str:
+    """The shared ``vocab``/``st`` CTE text of the BPE merge recursion
+    (used by both :func:`merges_sql` and :func:`encode_sql` — the same
+    recursion yields the merge table from the per-level markers AND the
+    encoded vocabulary from the deepest level's symbol lists)."""
+    return f"""vocab AS (
       SELECT word, count(*)::BIGINT AS n
       FROM (SELECT unnest(string_split({text_col}, ' ')) AS word FROM {table}) t
       WHERE word <> ''
@@ -154,10 +166,117 @@ def merges_sql(
         LIMIT 1
       ) b
       WHERE s.lvl < {n_merges}
+    )"""
+
+
+def _apply_merge_fold(arr, left: str, right: str):
+    """One merge applied to a symbol array as a JVM-side ``aggregate``
+    fold — the exact Spark analog of the oracle's ``list_reduce`` and
+    of the scan in :func:`learn_merges_py` (equivalence argument in
+    :func:`merges_sql`): append the next symbol, or collapse it into
+    the accumulator tail when (tail, next) is this merge's pair."""
+    joined = left + right
+    return F.aggregate(
+        arr,
+        F.expr("CAST(array() AS array<string>)"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (x == F.lit(right)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(joined))
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
     )
-    SELECT DISTINCT (lvl - 1)::INT AS step, m_left AS "left",
-                    m_right AS "right", m_cnt AS pair_count
-    FROM st WHERE m_left IS NOT NULL
+
+
+def encode_token_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_merges: int = N_MERGES,
+) -> DataFrame:
+    """Tokenizer APPLY — encode every document under the learned merge
+    table and report real BPE token counts: (doc_id, n_words,
+    n_tokens), where n_tokens counts post-merge subword symbols
+    (including the </w> markers, merged or not).
+
+    The 100-TB shape: encoding folds run over the DISTINCT WORD domain
+    only (dictionary-first, the fuzzy_name_pairs lever — billions of
+    occurrences, millions of distinct words), as 16 chained JVM-side
+    ``aggregate`` folds compiled from the collected merge table
+    (bounded, driver-sized — the same collect :func:`learn_merges`
+    already does); the per-word subword counts then broadcast-join
+    back onto the occurrence stream and one map-side-combinable
+    doc_id sum finishes. No Python touches row data anywhere."""
+    merges = [
+        (r["left"], r["right"])
+        for r in learn_merges(df, text_col, n_merges).collect()
+    ]
+    words = (
+        df.select(id_col, F.explode(F.split(F.col(text_col), " ")).alias("word"))
+        .where(F.col("word") != "")
+    )
+    syms = F.concat(F.split(F.col("word"), ""), F.array(F.lit(END_MARK)))
+    for left, right in merges:
+        syms = _apply_merge_fold(syms, left, right)
+    enc = (
+        words.select("word")
+        .distinct()
+        .select("word", F.size(syms).cast("long").alias("n_subwords"))
+    )
+    per_doc = (
+        words.join(F.broadcast(enc), "word")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("n_subwords").cast("long").alias("n_tokens"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_words", F.lit(0)).cast("long").alias("n_words"),
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+        )
+    )
+
+
+def encode_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_merges: int = N_MERGES,
+) -> str:
+    """DuckDB oracle for :func:`encode_token_counts`: the merge
+    recursion of :func:`merges_sql` ALREADY carries every vocabulary
+    word's rewritten symbol list at each level — every word advances
+    together each level (the recursive term cross-joins all rows with
+    the one chosen pair), so the deepest level holds the fully encoded
+    vocabulary and ``len(syms)`` is the per-word token count."""
+    return f"""
+    WITH RECURSIVE {_recursion_ctes(table, text_col, n_merges)},
+    final AS (
+      SELECT word, len(syms)::BIGINT AS n_subwords
+      FROM st WHERE lvl = (SELECT max(lvl) FROM st)
+    ),
+    doctoks AS (
+      SELECT {id_col}, unnest(string_split({text_col}, ' ')) AS word
+      FROM {table}
+    ),
+    per_doc AS (
+      SELECT t.{id_col}, count(*)::BIGINT AS n_words,
+             sum(f.n_subwords)::BIGINT AS n_tokens
+      FROM doctoks t JOIN final f USING (word)
+      WHERE t.word <> ''
+      GROUP BY 1
+    )
+    SELECT d.{id_col},
+           coalesce(p.n_words, 0)::BIGINT AS n_words,
+           coalesce(p.n_tokens, 0)::BIGINT AS n_tokens
+    FROM {table} d LEFT JOIN per_doc p USING ({id_col})
     """
 
 

@@ -970,6 +970,28 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe.learn_merges(_docs(spark, sf_dir))
 
 
+@register(
+    "bpe_encode_documents",
+    oracle=bpe.encode_sql(),
+    tags=("ext", "tokenizer"),
+)
+def q_bpe_encode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLY — the counterpart of bpe_merges that completes
+    the BPE family: encode every document under the learned merge
+    table and report REAL subword token counts (doc_id, n_words,
+    n_tokens) — the statistic every token-budgeted corpus pipeline
+    needs (seq_packing/chunking currently count whitespace words).
+    The encoding folds run over the DISTINCT WORD domain only
+    (dictionary-first), as 16 chained JVM-side ``aggregate`` folds —
+    no Python touches row data; per-word counts broadcast-join back
+    onto the occurrence stream. The oracle reuses the merge
+    recursion's deepest level, whose symbol lists ARE the encoded
+    vocabulary (ext/bpe.py::encode_sql)."""
+    from .ext import bpe
+
+    return bpe.encode_token_counts(_docs(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # record linkage / LM scoring / retrieval (round 5)
 # ---------------------------------------------------------------------------

@@ -147,6 +147,35 @@ def generate(spark, base: str) -> None:
     li = spark.read.parquet(f"{SRC}/lineitem.parquet")
     write(replicate(li, {"l_orderkey": 100_000_000}), "lineitem")
 
+    # part: one distinct prefix LETTER per replica — prepending the
+    # same string to both names of a pair preserves their Levenshtein
+    # distance (within-replica cluster structure repeats exactly),
+    # while the (first char, length band) blocking key becomes the
+    # replica letter, so cross-replica names are never even compared:
+    # true entity count scales linearly. Blocks widen from per-letter
+    # to per-replica name domains — a fair extra stress on the
+    # band-limited pair stage, still value-domain-sized. Replica 0 is
+    # prefixed BEFORE replicate() (which only transforms k>0): an
+    # unprefixed replica 0 would share first-char blocks with the
+    # lettered replicas (original names starting b..t sit one edit
+    # from their prefixed twins) and cross-merge clusters — measured:
+    # 330 instead of the clean 20x18=360.
+    letters = "abcdefghijklmnopqrst"
+    pt = spark.read.parquet(f"{SRC}/part.parquet").withColumn(
+        "p_name", F.concat(F.lit(letters[0] + "_"), F.col("p_name"))
+    )
+    write(
+        replicate(
+            pt,
+            {"p_partkey": pt.count()},
+            lambda d, k: d.withColumn(
+                "p_name",
+                F.regexp_replace("p_name", "^a_", letters[k] + "_"),
+            ),
+        ),
+        "part",
+    )
+
 
 def rest(app_port: int, path: str):
     with urllib.request.urlopen(f"http://localhost:{app_port}/api/v1/{path}") as r:
@@ -286,6 +315,12 @@ def main() -> None:
         # item-item CF at x20 users: the pair stage must stay bounded
         # by sum-of-basket-width^2, co-partitioned on user
         "item_similarity_jaccard": qs["item_similarity_jaccard"],
+        # round-6 addition: end-to-end entity resolution at x20 name
+        # domains (per-replica prefix letters keep within-replica edit
+        # structure and block cross-replica pairs entirely) — the
+        # blocked pair stage + iterative min-label closure must stay
+        # value-domain-sized as row multiplicity grows
+        "entity_resolution_parts": qs["entity_resolution_parts"],
     }
     results = {}
     group_of = {}
