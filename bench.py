@@ -209,6 +209,7 @@ HEADLINE = [
     "dedup_keep_set",
     "corpus_curation_pipeline",
     "doc_sentiment_frozen_margin",
+    "bpe_encode_documents",
 ]
 
 # Timed and reported, but excluded from the headline sum: cost dominated

@@ -66,6 +66,7 @@ _PRIORITY: tuple[str, ...] = (
     "survival_km_error",
     "backtest_seasonal_naive",
     "doc_sentiment_frozen_margin",  # registered round 6
+    "bpe_encode_documents",  # registered round 6
     # Slots 5-8: oracles NEW or REWRITTEN this round (pinned Spark-exact
     # percentile interpolation, sparksent/oracles.py; bpe_merges got its
     # first real oracle — the recursive-CTE merge loop) — verify first.

@@ -452,6 +452,54 @@ def test_bpe_recursive_cte_oracle_matches_loop(pairs):
     assert got == want
 
 
+def test_bpe_encode_fold_matches_reference_scan(spark):
+    """bpe_encode_documents' JVM aggregate-fold must equal the
+    reference Python merge scan on adversarial words ('aaaa' cascades,
+    overlapping pair sites) — the same equivalence the oracle's
+    list_reduce relies on, proven on the Spark side."""
+    from sparksent.ext import bpe
+
+    docs = [
+        (0, "aaaa aa a aaa"),
+        (1, "abab ab ba bab"),
+        (2, ""),
+        (3, "aaaa aaaa abab"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_tokens"])
+        for r in bpe.encode_token_counts(df).collect()
+    }
+
+    # reference: python loop end-to-end
+    counts: dict[str, int] = {}
+    for _, t in docs:
+        for w in t.split(" "):
+            if w:
+                counts[w] = counts.get(w, 0) + 1
+    merges = bpe.learn_merges_py(sorted(counts.items()))
+
+    def encode(word: str) -> int:
+        syms = list(word) + [bpe.END_MARK]
+        for _, left, right, _ in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == left and syms[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return len(syms)
+
+    want = {}
+    for d, t in docs:
+        ws = [w for w in t.split(" ") if w]
+        want[d] = (len(ws), sum(encode(w) for w in ws))
+    assert got == want
+
+
 @settings(max_examples=5, deadline=None)
 @given(
     st.lists(
