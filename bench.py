@@ -210,6 +210,7 @@ HEADLINE = [
     "corpus_curation_pipeline",
     "doc_sentiment_frozen_margin",
     "bpe_encode_documents",
+    "semdedup_embeddings",
 ]
 
 # Timed and reported, but excluded from the headline sum: cost dominated

@@ -76,6 +76,49 @@ def _assign(xs: DataFrame, cents: DataFrame) -> DataFrame:
     return best.select("id", F.col("b.j").alias("cl"), F.col("b.d").alias("d"))
 
 
+def _kmeans_fit(
+    df: DataFrame, k: int, iters: int, id_col: str, vec_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """The shared Lloyd loop: ``iters`` (assign -> update) rounds from
+    the seed vectors with ``id < k``, returning (final assignment
+    (id, cl, d), final centroid frame (j, pos, c)).  Used by both
+    :func:`kmeans_cluster_stats` and :func:`kmeans_assignments`."""
+    xs = df.select(
+        F.col(id_col).cast("long").alias("id"), _scaled_vec(vec_col).alias("v")
+    ).localCheckpoint()  # scanned 2x per round; pin one materialization
+    cents = xs.filter(F.col("id") < k).select(
+        F.col("id").alias("j"), F.posexplode("v").alias("pos", "c")
+    )
+    for _ in range(iters):
+        assigned = _assign(xs, cents)
+        cents = (
+            xs.join(assigned.select("id", "cl"), "id")
+            .select("cl", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cl", "pos")
+            .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+            .select(
+                F.col("cl").alias("j"),
+                "pos",
+                F.floor(F.col("s").cast("double") / F.col("n")).cast("long").alias("c"),
+            )
+            .localCheckpoint()
+        )
+    return _assign(xs, cents), cents
+
+
+def kmeans_assignments(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector final cluster assignment (id, cl, d) after ``iters``
+    Lloyd rounds — the building block SemDeDup composes on."""
+    final, _ = _kmeans_fit(df, k, iters, id_col, vec_col)
+    return final
+
+
 def kmeans_cluster_stats(
     df: DataFrame,
     k: int = 8,
@@ -99,27 +142,7 @@ def kmeans_cluster_stats(
     ``floor(sum / n)`` where ``sum / n`` is IEEE double division of
     exact integers < 2^53 — identical in both engines.
     """
-    xs = df.select(
-        F.col(id_col).cast("long").alias("id"), _scaled_vec(vec_col).alias("v")
-    ).localCheckpoint()  # scanned 2x per round; pin one materialization
-    cents = xs.filter(F.col("id") < k).select(
-        F.col("id").alias("j"), F.posexplode("v").alias("pos", "c")
-    )
-    for _ in range(iters):
-        assigned = _assign(xs, cents)
-        cents = (
-            xs.join(assigned.select("id", "cl"), "id")
-            .select("cl", F.posexplode("v").alias("pos", "x"))
-            .groupBy("cl", "pos")
-            .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
-            .select(
-                F.col("cl").alias("j"),
-                "pos",
-                F.floor(F.col("s").cast("double") / F.col("n")).cast("long").alias("c"),
-            )
-            .localCheckpoint()
-        )
-    final = _assign(xs, cents)
+    final, cents = _kmeans_fit(df, k, iters, id_col, vec_col)
     stats = final.groupBy("cl").agg(
         F.count("*").cast("long").alias("n"), F.sum("d").cast("long").alias("inertia")
     )
@@ -129,16 +152,18 @@ def kmeans_cluster_stats(
     ).select(F.col("cl").alias("cluster"), "n", "inertia", "centroid_checksum")
 
 
-def kmeans_cluster_stats_sql(
+def kmeans_ctes_sql(
     table: str = "embeddings",
     k: int = 8,
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> str:
-    """The same pipeline as one query: assignment CTEs a1..a{iters+1}
+    """The shared Lloyd-loop CTE text: assignment CTEs a1..a{iters+1}
     against centroid CTEs c0 (seeds) .. c{iters}; argmin via QUALIFY
-    row_number ordered by (d, j) — the same (distance, id) tie-break."""
+    row_number ordered by (d, j) — the same (distance, id) tie-break.
+    The final assignment is ``a{iters+1}(id, v, cl, d)``; used by both
+    :func:`kmeans_cluster_stats_sql` and the SemDeDup oracle."""
     parts = [
         f"""xs AS (
           SELECT {id_col}::BIGINT AS id,
@@ -166,8 +191,19 @@ def kmeans_cluster_stats_sql(
                     GROUP BY cl, pos)
                   GROUP BY cl)"""
             )
-    joined = ",\n".join(parts)
-    return f"""WITH {joined}
+    return ",\n".join(parts)
+
+
+def kmeans_cluster_stats_sql(
+    table: str = "embeddings",
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB oracle for :func:`kmeans_cluster_stats`, composed from
+    the shared Lloyd CTEs."""
+    return f"""WITH {kmeans_ctes_sql(table, k, iters, id_col, vec_col)}
     SELECT a.cl AS cluster, count(*)::BIGINT AS n, sum(a.d)::BIGINT AS inertia,
            ck.centroid_checksum
     FROM a{iters + 1} a

@@ -1032,3 +1032,97 @@ def pq_codes_sql(
            sum(d)::BIGINT AS recon_err
     FROM best GROUP BY 1
     """
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: cluster-then-dedup (the semantic-dedup pipeline at scale)
+# ---------------------------------------------------------------------------
+
+
+def semdedup_keep_flags(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means the embedding space, then
+    drop near-duplicates WITHIN each cluster only — the clustering
+    bounds the quadratic pair stage to sum-of-cluster-size², which is
+    the whole trick that makes semantic dedup feasible at corpus scale
+    (k grows with N to hold the per-cluster quadratic ~constant; here k
+    is the oracle-checked kmeans default). One row per vector:
+    (vec_id, cluster, keep) with keep=0 iff a lower-id vector in the
+    same cluster has cosine >= threshold (the pair-witness keep rule
+    dedup_keep_set uses — deterministic, engine-exact doubles).
+
+    Plan shape: the Lloyd rounds are the kmeans broadcast loop; the
+    pair stage is a cluster-co-partitioned self-join (never all-pairs
+    across clusters) with per-side norms materialized before the join;
+    the drop set distincts to at most N rows and left-joins back."""
+    from .iterative import kmeans_assignments
+
+    assign = kmeans_assignments(df, k, iters, id_col=id_col, vec_col=vec_col)
+    side = (
+        df.select(F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("v"))
+        .join(assign.select("id", "cl"), "id")
+        .select("id", "cl", "v", norm(F.col("v")).alias("nrm"))
+        .localCheckpoint()  # feeds both sides of the pair join + the output
+    )
+    a = side.select(
+        F.col("id").alias("ia"), "cl", F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    b = side.select(
+        F.col("id").alias("ib"), "cl", F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
+    dropped = (
+        a.join(b, "cl")
+        .where(F.col("ia") < F.col("ib"))
+        .where(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+               >= F.lit(threshold))
+        .select(F.col("ib").alias("id"))
+        .distinct()
+        .withColumn("is_dropped", F.lit(1))
+    )
+    return (
+        side.join(dropped, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("cl").cast("long").alias("cluster"),
+            F.when(F.col("is_dropped").isNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("keep"),
+        )
+    )
+
+
+def semdedup_sql(
+    table: str = "embeddings",
+    k: int = 8,
+    iters: int = 2,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB mirror of :func:`semdedup_keep_flags`, composed from the
+    shared Lloyd CTEs (`iterative.kmeans_ctes_sql`) and the same
+    left-to-right double cosine."""
+    from .iterative import kmeans_ctes_sql
+
+    return f"""
+    WITH {kmeans_ctes_sql(table, k, iters, id_col, vec_col)},
+    side AS (
+      SELECT a.id, a.cl, e.{vec_col} AS v
+      FROM a{iters + 1} a JOIN {table} e ON e.{id_col} = a.id
+    ),
+    dropped AS (
+      SELECT DISTINCT y.id
+      FROM side x JOIN side y ON x.cl = y.cl AND x.id < y.id
+      WHERE {cosine_sql('x.v', 'y.v')} >= {threshold!r}
+    )
+    SELECT s.id::BIGINT AS {id_col}, s.cl::BIGINT AS cluster,
+           (CASE WHEN d.id IS NULL THEN 1 ELSE 0 END)::INT AS keep
+    FROM side s LEFT JOIN dropped d ON d.id = s.id
+    """

@@ -1059,6 +1059,24 @@ def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "semdedup_embeddings",
+    oracle=similarity.semdedup_sql(),
+    tags=("ext", "dedup", "ml", "iterative"),
+)
+def q_semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (cluster-then-dedup): k-means the embedding space with
+    the oracle-exact Lloyd loop, then drop within-cluster near-dups at
+    cosine >= 0.4, keeping the lowest id per witness pair. One row per
+    vector (vec_id, cluster, keep). The clustering is what bounds the
+    quadratic: the pair stage is cluster-co-partitioned — at 100 TB, k
+    grows with N to hold per-cluster load constant (the same knob as
+    num_planes_for), and clusters shard the pair join perfectly. The
+    oracle shares the Lloyd CTEs with kmeans_embeddings_2iter and the
+    left-to-right double cosine with the similarity family."""
+    return similarity.semdedup_keep_flags(_emb(spark, sf_dir))
+
+
+@register(
     "pagerank_word_graph",
     oracle=iterative.word_pagerank_sql(),
     tags=("ext", "graph", "iterative"),

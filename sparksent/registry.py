@@ -67,14 +67,15 @@ _PRIORITY: tuple[str, ...] = (
     "backtest_seasonal_naive",
     "doc_sentiment_frozen_margin",  # registered round 6
     "bpe_encode_documents",  # registered round 6
-    # Slots 5-8: oracles NEW or REWRITTEN this round (pinned Spark-exact
+    "semdedup_embeddings",  # registered round 6
+    # Slots 7-10: oracles NEW or REWRITTEN this round (pinned Spark-exact
     # percentile interpolation, sparksent/oracles.py; bpe_merges got its
     # first real oracle — the recursive-CTE merge loop) — verify first.
     "percentile_order_value",
     "winsorize_event_value",
     "anomaly_robust_events",
     "bpe_merges",
-    # Slots 8-15: latest green driver row is r01.
+    # Latest green driver row is r01.
     "tpch_q6_forecast",
     "tpch_q14_promo",
     "tpch_q16_supplier_cnt",
@@ -83,8 +84,8 @@ _PRIORITY: tuple[str, ...] = (
     "tpch_q19_disjunctive",
     "semi_late_orders",
     "anti_customers_no_orders",
-    # Slots 16-39: latest green driver row is r02 (pre-TIMESTAMP_NTZ
-    # fixture-drift evidence).
+    # Latest green driver row is r02 (pre-TIMESTAMP_NTZ fixture-drift
+    # evidence).
     "doc_sentiment",
     "doc_entities",
     "doc_categories",
@@ -109,8 +110,9 @@ _PRIORITY: tuple[str, ...] = (
     "corpus_curation_pipeline",
     "tpch_q1_pricing",
     "tpch_q3_shipping",
-    # Slots 41-50: oldest r03-green names; the window ends at
-    # boilerplate_removal (lang_id_confusion leads the round-7 queue).
+    # Oldest r03-green names; with the two round-6 registrations in
+    # slots 5-6 the 50-slot window ends at multimodal_frame_sample
+    # (pii_redaction leads the round-7 queue).
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_ngram_containment",
