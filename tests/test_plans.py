@@ -967,3 +967,33 @@ def test_backtest_single_daily_aggregate(spark):
     assert "partial_sum" in plan
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 0
     assert count_data_shuffles(plan) <= 2
+
+
+def test_frozen_margin_broadcast_and_combine(spark):
+    """doc_sentiment_frozen_margin: the weight table joins broadcast
+    (never shuffled against the token stream) and the per-doc sum is
+    partial+final."""
+    plan = plan_of(spark, "doc_sentiment_frozen_margin")
+    assert "BroadcastHashJoin" in plan
+    assert "partial_sum" in plan
+
+
+def test_bpe_encode_distinct_domain_and_broadcast(spark):
+    """bpe_encode_documents: the 16 chained folds run after a
+    HashAggregate (the distinct-word collapse), their output joins
+    back by broadcast, and no Python evaluator appears anywhere (the
+    folds are JVM aggregate expressions)."""
+    plan = plan_of(spark, "bpe_encode_documents")
+    assert "BroadcastHashJoin" in plan
+    assert "aggregate" in plan  # the fold expression survives into the plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
+
+
+def test_semdedup_pair_join_cluster_keyed(spark):
+    """semdedup_embeddings: the within-cluster pair stage is an
+    equi-join on cl (SortMergeJoin or ShuffledHashJoin keyed on the
+    cluster — NEVER a nested-loop/cartesian pair stage)."""
+    plan = plan_of(spark, "semdedup_embeddings")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
