@@ -26,6 +26,7 @@ from .count_window import (  # noqa: F401
     streaming_cumulative_per_record,
     streaming_ewma_per_record,
     streaming_rolling_window_stats,
+    streaming_space_saving,
 )
 from .ops import (  # noqa: F401
     streaming_cumulative_sum,

@@ -665,3 +665,117 @@ def streaming_ngram_next_per_record(
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# space-saving heavy hitters (bounded-eviction counter map as state)
+# ---------------------------------------------------------------------------
+
+
+def _make_space_saving_fn(
+    item_col: str, key_col: str, capacity: int, order_cols: Sequence[str]
+):
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            items, counts, errs, n_seen = state.get
+            tracked: dict[int, list[int]] = {
+                i: [c, e] for i, c, e in zip(items, counts, errs)
+            }
+        else:
+            tracked, n_seen = {}, 0
+        chunks = [c for c in pdfs if len(c)]
+        if chunks:
+            pdf = pd.concat(chunks).sort_values(list(order_cols))
+            for it in pdf[item_col].tolist():
+                it = int(it)
+                n_seen += 1
+                if it in tracked:
+                    tracked[it][0] += 1
+                elif len(tracked) < capacity:
+                    tracked[it] = [1, 0]
+                else:
+                    # evict the min-count entry, ties to the smallest
+                    # item id (a total order — deterministic across
+                    # runs and restarts)
+                    victim = min(tracked, key=lambda x: (tracked[x][0], x))
+                    floor_c = tracked[victim][0]
+                    del tracked[victim]
+                    tracked[it] = [floor_c + 1, floor_c]
+            rows = sorted(tracked.items())
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]] * len(rows),
+                    "item": [i for i, _ in rows],
+                    "count_est": [c for _, (c, _) in rows],
+                    "err": [e for _, (_, e) in rows],
+                    "n_seen": [n_seen] * len(rows),
+                }
+            )
+        items = sorted(tracked)
+        state.update(
+            (
+                items,
+                [tracked[i][0] for i in items],
+                [tracked[i][1] for i in items],
+                n_seen,
+            )
+        )
+
+    return fn
+
+
+SPACE_SAVING_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("items", T.ArrayType(T.LongType())),
+        T.StructField("counts", T.ArrayType(T.LongType())),
+        T.StructField("errs", T.ArrayType(T.LongType())),
+        T.StructField("n_seen", T.LongType()),
+    ]
+)
+
+
+def streaming_space_saving(
+    df: DataFrame,
+    item_col: str = "user_id",
+    key_col: str = "event_type",
+    capacity: int = 8,
+    order_cols: Sequence[str] = ("ts", "event_id"),
+) -> DataFrame:
+    """Space-saving heavy hitters per key (Metwally et al. 2005): at
+    most ``capacity`` (item, count, err) counters of state per key; an
+    untracked arrival evicts the minimum counter and inherits its
+    count as the overestimation error. Emits the full tracked table
+    per micro-batch (update-granularity snapshots; the final snapshot
+    per key is the rows with max ``n_seen``).
+
+    Guarantees (the classic ones, pinned in the equivalence tests):
+    true(i) <= count_est(i), count_est(i) - err(i) <= true(i), and any
+    item with true count > n_seen/capacity is guaranteed tracked.
+    When ``capacity`` >= distinct items per key the summary IS the
+    exact count table (all errs 0) — the regime the batch-equivalence
+    test checks bit-for-bit. Records process in ``order_cols`` order
+    within a batch and the counter map crosses batch boundaries, so
+    the summary is a pure function of the record sequence (eviction
+    ties break on smallest item id — restart-deterministic).
+
+    Scale: state is O(capacity) per key — the bounded-memory top-k
+    the unbounded streaming groupBy count cannot give; keys shard the
+    state store exactly like every other keyed stateful op here."""
+    out_schema = T.StructType(
+        [
+            _field(df, key_col),
+            T.StructField("item", T.LongType()),
+            T.StructField("count_est", T.LongType()),
+            T.StructField("err", T.LongType()),
+            T.StructField("n_seen", T.LongType()),
+        ]
+    )
+    return df.groupBy(key_col).applyInPandasWithState(
+        _make_space_saving_fn(item_col, key_col, capacity, order_cols),
+        out_schema,
+        SPACE_SAVING_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

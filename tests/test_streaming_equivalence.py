@@ -1310,3 +1310,143 @@ def test_toxicity_state_survives_checkpoint_restart(spark, tmp_path):
     got = sorted(tuple(r) for r in got_df.collect())
     want = sorted(tuple(r) for r in spark.table("t_tox_ref_rs").collect())
     assert got == want and len(got) > 0  # multiset: dup re-emission fails
+
+
+def test_space_saving_exact_regime_equals_batch_counts(spark, tmp_path):
+    """With capacity >= distinct items per key, the space-saving
+    summary IS the exact (key, item) count table: all errors 0 and
+    counts bit-equal to the batch groupBy."""
+    from sparksent.streaming.count_window import streaming_space_saving
+
+    replay = str(tmp_path / "ss_exact_replay")
+    ev = load_table(spark, SF_DIR_SMALL, "events")
+    write_replay_chunks(ev, replay, N_CHUNKS)
+
+    stream = file_replay_source(spark, replay).select(
+        "event_type", "user_id", "ts", "event_id"
+    )
+    out = streaming_space_saving(stream, capacity=100_000)
+    _run_to_memory(out, "t_ss_exact", "update")
+    snap = spark.table("t_ss_exact").toPandas()
+    last = snap.groupby("event_type")["n_seen"].transform("max")
+    final = snap[snap["n_seen"] == last]
+
+    want = {
+        (r["event_type"], r["user_id"]): r["n"]
+        for r in ev.groupBy("event_type", "user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert (final["err"] == 0).all()
+    got = {
+        (r.event_type, r.item): r.count_est for r in final.itertuples()
+    }
+    assert got == {(k, i): n for (k, i), n in want.items()}
+    # n_seen per key equals that key's total row count
+    totals = final.groupby("event_type")["n_seen"].max().to_dict()
+    key_totals = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    assert totals == key_totals
+
+
+def test_space_saving_tight_capacity_invariants(spark, tmp_path):
+    """capacity=8 over thousands of distinct users: the classic
+    space-saving guarantees must hold per key — at most capacity
+    counters, true <= count_est, count_est - err <= true, and every
+    item with true count > n_seen/capacity is tracked."""
+    from sparksent.streaming.count_window import streaming_space_saving
+
+    replay = str(tmp_path / "ss_tight_replay")
+    ev = load_table(spark, SF_DIR_SMALL, "events")
+    write_replay_chunks(ev, replay, N_CHUNKS)
+
+    cap = 8
+    stream = file_replay_source(spark, replay).select(
+        "event_type", "user_id", "ts", "event_id"
+    )
+    out = streaming_space_saving(stream, capacity=cap)
+    _run_to_memory(out, "t_ss_tight", "update")
+    snap = spark.table("t_ss_tight").toPandas()
+    last = snap.groupby("event_type")["n_seen"].transform("max")
+    final = snap[snap["n_seen"] == last]
+
+    true = {
+        (r["event_type"], r["user_id"]): r["n"]
+        for r in ev.groupBy("event_type", "user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    per_key = final.groupby("event_type")
+    assert (per_key.size() <= cap).all()
+    for r in final.itertuples():
+        t = true.get((r.event_type, r.item), 0)
+        assert t <= r.count_est, (r, t)
+        assert r.count_est - r.err <= t, (r, t)
+    # guaranteed-heavy-hitter property
+    n_seen = final.groupby("event_type")["n_seen"].max().to_dict()
+    tracked = set(zip(final["event_type"], final["item"]))
+    for (k, i), t in true.items():
+        if t > n_seen[k] / cap:
+            assert (k, i) in tracked, (k, i, t, n_seen[k])
+
+
+def test_space_saving_state_survives_checkpoint_restart(spark, tmp_path):
+    """Recovery contract for the counter-map operator: kill after 3
+    chunks, reveal the rest, restart from the same checkpoint — the
+    restored (items, counts, errs, n_seen) must CONTINUE (a reset
+    would leave the final snapshot covering only the late chunks). In
+    the exact-capacity regime the final snapshot must equal the batch
+    count table bit-for-bit. Update-mode output goes through a
+    foreachBatch parquet append (the plain parquet sink is
+    append-only)."""
+    import os
+
+    from sparksent.streaming.count_window import streaming_space_saving
+
+    replay = str(tmp_path / "ss_rs_replay")
+    held = str(tmp_path / "ss_rs_held")
+    os.makedirs(held, exist_ok=True)
+    ev = load_table(spark, SF_DIR_SMALL, "events")
+    paths = write_replay_chunks(ev, replay, N_CHUNKS)
+    for p in paths[3:]:
+        os.rename(p, os.path.join(held, os.path.basename(p)))
+    out_dir = str(tmp_path / "ss_rs_out")
+    ckpt = str(tmp_path / "ss_rs_ckpt")
+
+    def run():
+        q = (
+            streaming_space_saving(
+                file_replay_source(spark, replay).select(
+                    "event_type", "user_id", "ts", "event_id"
+                ),
+                capacity=100_000,
+            )
+            .writeStream.outputMode("update")
+            .foreachBatch(
+                lambda b, _i: b.write.mode("append").parquet(out_dir)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    for p in paths[3:]:
+        os.rename(os.path.join(held, os.path.basename(p)), p)
+    run()
+
+    snap = spark.read.parquet(out_dir).toPandas()
+    last = snap.groupby("event_type")["n_seen"].transform("max")
+    final = snap[snap["n_seen"] == last]
+    want = {
+        (r["event_type"], r["user_id"]): r["n"]
+        for r in ev.groupBy("event_type", "user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    got = {(r.event_type, r.item): r.count_est for r in final.itertuples()}
+    assert got == want
+    assert (final["err"] == 0).all()
