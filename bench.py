@@ -211,6 +211,7 @@ HEADLINE = [
     "doc_sentiment_frozen_margin",
     "bpe_encode_documents",
     "semdedup_embeddings",
+    "sample_token_budget",
 ]
 
 # Timed and reported, but excluded from the headline sum: cost dominated

@@ -544,3 +544,88 @@ def temperature_mix_sql(
     LEFT JOIN ranked r ON r.r_domain = t.domain AND r.rk <= t.target_n
     GROUP BY 1, 2, 3
     """
+
+
+# ---------------------------------------------------------------------------
+# token-budget sampling (the pretraining-mix assembly endpoint)
+# ---------------------------------------------------------------------------
+
+TOKEN_BUDGET = 5_000  # per-language token budget at fixture scale
+
+
+def sample_token_budget(
+    docs: DataFrame,
+    budget: int = TOKEN_BUDGET,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Greedy first-fit token-budget sampling per group: order each
+    group's documents by a deterministic md5 lottery and take documents
+    while the EXCLUSIVE prior token sum is under the budget — how every
+    pretraining data mix converts per-domain token targets into a
+    concrete document set (the budget's last document may overshoot;
+    first-fit in lottery order is the standard, reproducible cut).
+
+    One group-keyed shuffle (the running-sum window); token counts are
+    whitespace word counts (the repo's token primitive — swap in
+    bpe_encode_documents' n_tokens for learned-subword budgets), all
+    BIGINT arithmetic, so membership is identical on both engines."""
+    from pyspark.sql import Window
+
+    from .hashing import h60
+
+    t = docs.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.size(
+            F.filter(F.split(F.col(text_col), " "), lambda x: x != F.lit(""))
+        )
+        .cast("long")
+        .alias("n_tokens"),
+        h60(F.concat(F.lit("tokbudget:"), F.col(id_col).cast("string"))).alias(
+            "lottery"
+        ),
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy("lottery", id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        t.withColumn(
+            "prior_tokens", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+        )
+        .filter(F.col("prior_tokens") < F.lit(budget))
+        .select(id_col, group_col, "n_tokens", "prior_tokens")
+    )
+
+
+def sample_token_budget_sql(
+    table: str = "documents",
+    budget: int = TOKEN_BUDGET,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    from .hashing import h60_sql
+
+    lot = h60_sql(f"'tokbudget:'||{id_col}::VARCHAR")
+    return f"""
+    WITH t AS (
+      SELECT {id_col}, {group_col},
+             len(list_filter(string_split({text_col}, ' '), x -> x <> ''))::BIGINT
+               AS n_tokens,
+             {lot} AS lottery
+      FROM {table}
+    ),
+    r AS (
+      SELECT *, coalesce(sum(n_tokens) OVER (
+               PARTITION BY {group_col} ORDER BY lottery, {id_col}
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+             AS prior_tokens
+      FROM t
+    )
+    SELECT {id_col}, {group_col}, n_tokens, prior_tokens
+    FROM r WHERE prior_tokens < {budget}
+    """

@@ -1109,6 +1109,25 @@ def q_mix_langs_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sample_token_budget",
+    oracle=curation.sample_token_budget_sql(),
+    tags=("ext", "curation", "sampling"),
+)
+def q_sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sampling (5 000 tokens per language): greedy
+    first-fit in deterministic md5-lottery order — the step that turns
+    a pretraining mix's per-domain token targets into a concrete,
+    reproducible document set. One lang-keyed running-sum window over
+    BIGINT whitespace token counts; emits the selected docs with their
+    exclusive prior sums so the cut is auditable."""
+    return curation.sample_token_budget(
+        tables.load_table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "text"
+        )
+    )
+
+
+@register(
     "dedup_prefix_filter",
     oracle=dedup.ngram_jaccard_pairs_sql(max_df=None),
     tags=("ext", "dedup"),

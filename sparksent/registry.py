@@ -68,6 +68,7 @@ _PRIORITY: tuple[str, ...] = (
     "doc_sentiment_frozen_margin",  # registered round 6
     "bpe_encode_documents",  # registered round 6
     "semdedup_embeddings",  # registered round 6
+    "sample_token_budget",  # registered round 6
     # Slots 7-10: oracles NEW or REWRITTEN this round (pinned Spark-exact
     # percentile interpolation, sparksent/oracles.py; bpe_merges got its
     # first real oracle — the recursive-CTE merge loop) — verify first.
