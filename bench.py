@@ -212,6 +212,7 @@ HEADLINE = [
     "bpe_encode_documents",
     "semdedup_embeddings",
     "sample_token_budget",
+    "dedup_cdc_chunks",
 ]
 
 # Timed and reported, but excluded from the headline sum: cost dominated

@@ -889,3 +889,218 @@ def components_cte_sql() -> str:
       SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id
     ),
     comp AS (SELECT id AS doc_id, min(label) AS component FROM reach GROUP BY id)"""
+
+
+# ---------------------------------------------------------------------------
+# content-defined chunking (CDC) — shift-robust duplicate detection
+# ---------------------------------------------------------------------------
+
+CDC_W = 8  # rolling-hash window (chars)
+CDC_B = 31  # polynomial base
+CDC_M = 1_048_576  # hash modulus (2^20)
+CDC_D = 64  # boundary divisor: P(boundary) = 1/64 -> ~64-char chunks
+CDC_MIN = 32  # minimum chunk length (skip boundaries closer than this)
+
+
+def _cdc_hash_terms(codes, i):
+    """H(i) = sum_{j=0..W-1} code[i-j] * B^j (mod M) — the window is
+    FIXED, so the polynomial unrolls to eight explicit terms instead of
+    a fold (stays in whole-stage codegen)."""
+    term = None
+    for j in range(CDC_W):
+        t = F.element_at(codes, i - F.lit(j)).cast("long") * F.lit(CDC_B**j)
+        term = t if term is None else term + t
+    return term % F.lit(CDC_M)
+
+
+def cdc_chunk_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Content-defined chunking duplicate statistics per document.
+
+    Fixed-window rolling hash over the char stream; positions where
+    H % CDC_D == 0 are chunk boundaries (subject to a CDC_MIN spacing
+    fold — a boundary within CDC_MIN of the last accepted one is
+    skipped, the standard pathological-tiny-chunk guard). Because
+    boundaries depend only on LOCAL content, an insertion shifts all
+    downstream chunk OFFSETS but not their contents — so chunk-hash
+    dedup catches insertion-shifted duplication that fixed-stride
+    windows (chunk_documents_128_96) structurally miss; this is the
+    rsync/LBFS/restic primitive as a corpus operator.
+
+    Per doc: (n_chunks, n_dup_chunks, dup_chars) where a chunk is dup
+    iff its md5 occurs in ≥2 documents (distinct-doc df, so in-doc
+    repetition alone is not duplication). Everything until the df join
+    is per-row JVM array math (no shuffle); the df aggregate and the
+    join back are chunk-hash-keyed — shuffle scales with chunk count,
+    not corpus bytes^2. ASCII contract on the char codes (the fixture
+    corpus; both engines' ascii() agree on code points regardless).
+
+    The pipeline is staged behind localCheckpoint barriers because
+    Catalyst's CollapseProject INLINES aliased expressions into every
+    consumer: with four nested array stages (codes -> candidates ->
+    accepted-fold -> chunk extraction) each referencing its
+    predecessor several times, a single collapsed projection
+    re-derives the char-code array inside EVERY element_at — an
+    O(n²)-per-row expression tree that took minutes where the staged
+    form takes milliseconds. The barriers pin codes and bounds as
+    stored columns, so each stage is O(n) per row."""
+    n = F.length(F.col(text_col))
+    staged = df.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("t"),
+        n.alias("n"),
+        F.transform(F.split(F.col(text_col), ""), lambda c: F.ascii(c)).alias(
+            "codes"
+        ),
+    ).localCheckpoint()
+    codes = F.col("codes")
+    cands = F.filter(
+        F.when(
+            F.col("n") >= CDC_W,
+            F.sequence(F.lit(CDC_W), F.greatest(F.col("n"), F.lit(CDC_W))),
+        ).otherwise(F.expr("CAST(array() AS array<int>)")),
+        lambda i: _cdc_hash_terms(codes, i) % F.lit(CDC_D) == 0,
+    )
+    # min-spacing fold: accept a candidate only >= CDC_MIN past the
+    # last accepted boundary (position 0 seeds the fold)
+    accepted = F.aggregate(
+        cands,
+        F.expr("array(0)"),
+        lambda acc, p: F.when(
+            p - F.element_at(acc, -1) >= CDC_MIN, F.concat(acc, F.array(p))
+        ).otherwise(acc),
+    )
+    with_bounds = staged.select(
+        "id", "t", "n", accepted.alias("accepted")
+    ).select(
+        "id",
+        "t",
+        # close the final chunk at n (unless a boundary already sits there)
+        F.when(
+            F.element_at(F.col("accepted"), -1) < F.col("n"),
+            F.concat(F.col("accepted"), F.array(F.col("n"))),
+        )
+        .otherwise(F.col("accepted"))
+        .alias("bounds"),
+    ).localCheckpoint()
+    bounds = F.col("bounds")
+    chunked = with_bounds.select(
+        F.col("id"),
+        F.filter(
+            F.transform(
+                F.sequence(F.lit(1), F.size(bounds) - 1),
+                lambda k: F.struct(
+                    F.md5(
+                        F.col("t").substr(
+                            F.element_at(bounds, k) + 1,
+                            F.element_at(bounds, k + 1) - F.element_at(bounds, k),
+                        )
+                    ).alias("h"),
+                    (
+                        F.element_at(bounds, k + 1) - F.element_at(bounds, k)
+                    ).alias("ln"),
+                ),
+            ),
+            lambda s: s["ln"] > 0,
+        ).alias("chunks"),
+    )
+    ch = chunked.select("id", F.explode("chunks").alias("c")).select(
+        "id", F.col("c.h").alias("h"), F.col("c.ln").alias("ln")
+    )
+    dup = (
+        ch.select("id", "h")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count("*").alias("docs"))
+        .filter(F.col("docs") >= 2)
+        .select("h", F.lit(1).alias("is_dup"))
+    )
+    per_doc = (
+        ch.join(dup, "h", "left")
+        .groupBy("id")
+        .agg(
+            F.count("*").cast("long").alias("n_chunks"),
+            F.sum(F.coalesce("is_dup", F.lit(0))).cast("long").alias("n_dup_chunks"),
+            F.sum(
+                F.when(F.col("is_dup").isNotNull(), F.col("ln")).otherwise(0)
+            )
+            .cast("long")
+            .alias("dup_chars"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(per_doc, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_chunks", F.lit(0)).cast("long").alias("n_chunks"),
+            F.coalesce("n_dup_chunks", F.lit(0)).cast("long").alias("n_dup_chunks"),
+            F.coalesce("dup_chars", F.lit(0)).cast("long").alias("dup_chars"),
+        )
+    )
+
+
+def cdc_chunk_stats_sql(
+    table: str = "documents", id_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    """DuckDB mirror of :func:`cdc_chunk_stats`: same unrolled
+    polynomial, same min-spacing fold (list_reduce with the
+    single-element-list trick seeding at position 0)."""
+    terms = " + ".join(
+        f"ascii(codes[i - {j}])::BIGINT * {CDC_B**j}" for j in range(CDC_W)
+    )
+    return f"""
+    WITH base AS (
+      SELECT {id_col} AS id, {text_col} AS t,
+             string_split({text_col}, '') AS codes,
+             length({text_col}) AS n
+      FROM {table}
+    ),
+    cand AS (
+      SELECT id, t, n,
+             list_filter(
+               CASE WHEN n >= {CDC_W} THEN range({CDC_W}, n + 1) ELSE [] END,
+               i -> (({terms}) % {CDC_M}) % {CDC_D} = 0) AS cands
+      FROM base
+    ),
+    acc AS (
+      SELECT id, t, n,
+             list_reduce(
+               list_prepend([0::BIGINT], list_transform(cands, p -> [p])),
+               (a, x) -> CASE WHEN x[1] - a[-1] >= {CDC_MIN}
+                              THEN a || x ELSE a END) AS accepted
+      FROM cand
+    ),
+    bnd AS (
+      SELECT id, t,
+             CASE WHEN accepted[-1] < n THEN accepted || [n::BIGINT]
+                  ELSE accepted END AS bounds
+      FROM acc
+    ),
+    ch AS (
+      SELECT id, md5(substr(t, (bounds[k] + 1)::INT,
+                            (bounds[k + 1] - bounds[k])::INT)) AS h,
+             (bounds[k + 1] - bounds[k])::BIGINT AS ln
+      FROM bnd, unnest(range(1, len(bounds))) AS u(k)
+      WHERE bounds[k + 1] - bounds[k] > 0
+    ),
+    dup AS (
+      SELECT h FROM (SELECT DISTINCT id, h FROM ch)
+      GROUP BY h HAVING count(*) >= 2
+    ),
+    per_doc AS (
+      SELECT ch.id, count(*)::BIGINT AS n_chunks,
+             sum(CASE WHEN d.h IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+               AS n_dup_chunks,
+             sum(CASE WHEN d.h IS NOT NULL THEN ch.ln ELSE 0 END)::BIGINT
+               AS dup_chars
+      FROM ch LEFT JOIN dup d USING (h)
+      GROUP BY 1
+    )
+    SELECT b.id AS {id_col},
+           coalesce(p.n_chunks, 0)::BIGINT AS n_chunks,
+           coalesce(p.n_dup_chunks, 0)::BIGINT AS n_dup_chunks,
+           coalesce(p.dup_chars, 0)::BIGINT AS dup_chars
+    FROM base b LEFT JOIN per_doc p USING (id)
+    """

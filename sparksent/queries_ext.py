@@ -1360,6 +1360,25 @@ def q_entity_resolution_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_cdc_chunks",
+    oracle=dedup.cdc_chunk_stats_sql(),
+    tags=("ext", "dedup", "cdc"),
+)
+def q_dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking duplicate statistics — the rsync/LBFS
+    primitive as a corpus operator: a fixed-window rolling hash marks
+    chunk boundaries wherever H % 64 == 0 (min spacing 32), so an
+    INSERTION shifts downstream chunk offsets but not their contents,
+    and chunk-hash dedup catches shifted duplication that fixed-stride
+    windows structurally miss. Per doc: n_chunks / n_dup_chunks /
+    dup_chars (dup = chunk md5 present in >= 2 distinct docs). The
+    boundary math is per-row JVM array arithmetic (unrolled 8-term
+    polynomial — no fold, stays in codegen); the only shuffles are the
+    chunk-hash df aggregate and the join back."""
+    return dedup.cdc_chunk_stats(_docs(spark, sf_dir))
+
+
+@register(
     "dedup_exact_normalized",
     # composes the SHARED builders: the normalization SQL comes from
     # textstats.normalize_text_sql and the dedup aggregate from
