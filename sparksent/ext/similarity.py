@@ -1039,9 +1039,44 @@ def pq_codes_sql(
 # ---------------------------------------------------------------------------
 
 
+SEMDEDUP_K = 8  # floor cluster count (the oracle-checked kmeans default)
+SEMDEDUP_TARGET = 256  # target vectors per cluster the k rule aims at
+SEMDEDUP_K_AUTO_MAX = 10  # largest k the pre-generated oracle branches cover
+
+
+def semdedup_k_for(
+    n_rows: int, target: int = SEMDEDUP_TARGET, floor: int = SEMDEDUP_K
+) -> int:
+    """Cluster count for a corpus of ``n_rows``: the pair stage is
+    quadratic per cluster, so k must grow ~N/target or SemDeDup
+    degrades toward all-pairs one cluster at a time — the same
+    self-scaling rule as :func:`num_planes_for`, made code.  At every
+    fixture SF this resolves to the historical default 8; at 1e9
+    vectors it yields ~4M clusters (~256 vectors each)."""
+    import math
+
+    if n_rows <= 0:
+        return floor
+    return max(floor, math.ceil(n_rows / target))
+
+
+def _semdedup_k_windows(
+    floor: int = SEMDEDUP_K,
+    max_k: int = SEMDEDUP_K_AUTO_MAX,
+    target: int = SEMDEDUP_TARGET,
+):
+    """(k, lo_exclusive, hi_inclusive) count windows under which
+    ``semdedup_k_for`` returns k — the SQL mirror's branch gates."""
+    out = []
+    for k in range(floor, max_k + 1):
+        lo = 0 if k == floor else target * (k - 1)
+        out.append((k, lo, target * k))
+    return out
+
+
 def semdedup_keep_flags(
     df: DataFrame,
-    k: int = 8,
+    k: int | None = None,
     iters: int = 2,
     threshold: float = 0.4,
     id_col: str = "vec_id",
@@ -1063,6 +1098,8 @@ def semdedup_keep_flags(
     the drop set distincts to at most N rows and left-joins back."""
     from .iterative import kmeans_assignments
 
+    if k is None:
+        k = semdedup_k_for(df.count())
     assign = kmeans_assignments(df, k, iters, id_col=id_col, vec_col=vec_col)
     side = (
         df.select(F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("v"))
@@ -1126,3 +1163,21 @@ def semdedup_sql(
            (CASE WHEN d.id IS NULL THEN 1 ELSE 0 END)::INT AS keep
     FROM side s LEFT JOIN dropped d ON d.id = s.id
     """
+
+
+def semdedup_auto_sql(
+    table: str = "embeddings",
+    iters: int = 2,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """Count-gated mirror of the ``k=None`` runtime default: one full
+    semdedup query per k value the corpus size could select
+    (``semdedup_k_for``), exactly one branch's gate true for any
+    fixture — the ``lsh_topk_auto_sql`` pattern."""
+    return _count_gated_union(
+        table,
+        lambda k: semdedup_sql(table, k, iters, threshold, id_col, vec_col),
+        windows=_semdedup_k_windows(),
+    )

@@ -1060,7 +1060,7 @@ def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "semdedup_embeddings",
-    oracle=similarity.semdedup_sql(),
+    oracle=similarity.semdedup_auto_sql(),
     tags=("ext", "dedup", "ml", "iterative"),
 )
 def q_semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1068,11 +1068,13 @@ def q_semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle-exact Lloyd loop, then drop within-cluster near-dups at
     cosine >= 0.4, keeping the lowest id per witness pair. One row per
     vector (vec_id, cluster, keep). The clustering is what bounds the
-    quadratic: the pair stage is cluster-co-partitioned — at 100 TB, k
-    grows with N to hold per-cluster load constant (the same knob as
-    num_planes_for), and clusters shard the pair join perfectly. The
-    oracle shares the Lloyd CTEs with kmeans_embeddings_2iter and the
-    left-to-right double cosine with the similarity family."""
+    quadratic: the pair stage is cluster-co-partitioned, and k
+    SELF-SCALES with the corpus (k=None -> semdedup_k_for(N) ~ N/256,
+    the num_planes_for pattern; every fixture resolves to the
+    historical 8) so per-cluster load stays constant as N grows. The
+    oracle is the count-gated union over the k values the corpus size
+    could select, sharing the Lloyd CTEs with kmeans_embeddings_2iter
+    and the left-to-right double cosine with the similarity family."""
     return similarity.semdedup_keep_flags(_emb(spark, sf_dir))
 
 

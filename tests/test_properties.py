@@ -1064,3 +1064,24 @@ def test_cdc_catches_insertion_shifted_duplication(spark):
             for i in range(0, len(t) - 63, 64)
         }
     assert not (strides(base) & strides(shifted))
+
+
+def test_semdedup_k_for_matches_oracle_windows():
+    """Same contract for the SemDeDup cluster-count rule: the Python
+    helper and the count-gated SQL branch windows agree at every
+    boundary, and every fixture size resolves to the historical k=8."""
+    from sparksent.ext.similarity import (
+        SEMDEDUP_K,
+        _semdedup_k_windows,
+        semdedup_k_for,
+    )
+
+    for k, lo, hi in _semdedup_k_windows():
+        assert semdedup_k_for(lo + 1) == k
+        assert semdedup_k_for(hi) == k
+        if lo > 0:
+            assert semdedup_k_for(lo) == k - 1
+    assert semdedup_k_for(0) == SEMDEDUP_K
+    assert semdedup_k_for(500) == SEMDEDUP_K  # sf0.001 / sf0.01 fixtures
+    assert semdedup_k_for(2000) == SEMDEDUP_K  # sf0.1 bench corpus
+    assert semdedup_k_for(40_000) == 157  # scale_demo x20: ~256/cluster
