@@ -321,6 +321,13 @@ def main() -> None:
         # blocked pair stage + iterative min-label closure must stay
         # value-domain-sized as row multiplicity grows
         "entity_resolution_parts": qs["entity_resolution_parts"],
+        # round-6 additions: SemDeDup at x20 vectors exercises the
+        # self-scaling cluster count (k_for(40k)=157 -> ~256
+        # vectors/cluster keeps the per-cluster quadratic constant);
+        # CDC chunking's boundary math is per-row array arithmetic, so
+        # only the chunk-hash aggregate shuffles
+        "semdedup_embeddings": qs["semdedup_embeddings"],
+        "dedup_cdc_chunks": qs["dedup_cdc_chunks"],
     }
     results = {}
     group_of = {}
