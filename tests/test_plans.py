@@ -997,3 +997,22 @@ def test_semdedup_pair_join_cluster_keyed(spark):
     plan = plan_of(spark, "semdedup_embeddings")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_token_budget_single_group_shuffle(spark):
+    """sample_token_budget: ONE data shuffle (the lang-keyed
+    running-sum window) and nothing Python anywhere."""
+    plan = plan_of(spark, "sample_token_budget")
+    assert count_data_shuffles(plan) <= 1
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
+
+
+def test_cdc_chunks_no_python_no_cartesian(spark):
+    """dedup_cdc_chunks: the rolling-hash boundary math stays JVM-side
+    (no Python evaluator) and the dup join is hash-keyed, never a
+    nested loop."""
+    plan = plan_of(spark, "dedup_cdc_chunks")
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                   "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert marker not in plan
