@@ -213,6 +213,7 @@ HEADLINE = [
     "semdedup_embeddings",
     "sample_token_budget",
     "dedup_cdc_chunks",
+    "daily_median_value",
 ]
 
 # Timed and reported, but excluded from the headline sum: cost dominated

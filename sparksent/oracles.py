@@ -45,15 +45,18 @@ def _pos(q: float, n_col: str) -> str:
 
 def spark_percentile_select(
     source: str,
-    group_col: str,
+    group_col: str | list[str],
     value_col: str,
     qs: dict[str, float],
 ) -> str:
     """SQL computing Spark-exact percentiles of ``value_col`` per
-    ``group_col`` over ``source`` (a table name or parenthesized
-    subquery).  Output columns: ``group_col`` plus one DOUBLE column per
-    ``qs`` alias.  Mirrors Spark ``percentile()`` bit-for-bit including
-    the equal-keys shortcut (module docstring)."""
+    ``group_col`` (a column name, or a list for composite groups) over
+    ``source`` (a table name or parenthesized subquery).  Output
+    columns: the group column(s) plus one DOUBLE column per ``qs``
+    alias.  Mirrors Spark ``percentile()`` bit-for-bit including the
+    equal-keys shortcut (module docstring)."""
+    groups = [group_col] if isinstance(group_col, str) else list(group_col)
+    glist = ", ".join(groups)
     lo_hi = []
     outs = []
     for alias, q in qs.items():
@@ -74,17 +77,17 @@ def spark_percentile_select(
     lo_hi_sql = ",\n      ".join(lo_hi)
     outs_sql = ",\n      ".join(outs)
     return f"""
-    SELECT _g AS {group_col},
+    SELECT {glist},
       {outs_sql}
     FROM (
-      SELECT _g, any_value(_n) AS _cnt,
+      SELECT {glist}, any_value(_n) AS _cnt,
       {lo_hi_sql}
       FROM (
-        SELECT {group_col} AS _g, {value_col} AS _v,
-               row_number() OVER (PARTITION BY {group_col} ORDER BY {value_col})
+        SELECT {glist}, {value_col} AS _v,
+               row_number() OVER (PARTITION BY {glist} ORDER BY {value_col})
                  - 1 AS _i,
-               count(*) OVER (PARTITION BY {group_col}) AS _n
+               count(*) OVER (PARTITION BY {glist}) AS _n
         FROM {source}
         WHERE ({value_col}) IS NOT NULL
-      ) GROUP BY _g
+      ) GROUP BY {glist}
     )"""

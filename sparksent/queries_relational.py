@@ -465,6 +465,49 @@ def q_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "daily_median_value",
+    oracle=f"""
+    WITH src AS (
+      SELECT event_type,
+             (floor(epoch(ts))::BIGINT // 86400) AS day,
+             value
+      FROM events
+    ),
+    p AS ({spark_percentile_select(
+        "src", ["event_type", "day"], "value",
+        {"p50": 0.5, "p90": 0.9})})
+    SELECT c.event_type, c.day, p.p50, p.p90, c.n
+    FROM (SELECT event_type, (floor(epoch(ts))::BIGINT // 86400) AS day,
+                 count(*) AS n
+          FROM events GROUP BY 1, 2) c
+    JOIN p USING (event_type, day)
+    """,
+    tags=("relational", "agg", "percentile", "timeseries"),
+)
+def q_daily_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-(type, day) median and P90 of event values — the
+    composite-group form of the pinned Spark-exact percentile oracle
+    (sparksent/oracles.py), over epoch-day BIGINT buckets. The daily
+    robust-statistics monitor every metrics pipeline runs: one
+    map-side-combined holistic aggregate; at 100 TB the drop-in is
+    approx_percentile per bucket (mergeable t-digest), same shape."""
+    ev = tables.load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type",
+            F.expr("CAST(unix_timestamp(ts) div 86400 AS BIGINT)").alias("day"),
+            "value",
+        )
+        .groupBy("event_type", "day")
+        .agg(
+            F.percentile("value", 0.5).alias("p50"),
+            F.percentile("value", 0.9).alias("p90"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@register(
     "pivot_event_counts",
     oracle="""
     SELECT (user_id % 10)::INT AS user_bucket,
