@@ -836,14 +836,37 @@ def prefix_filter_pairs(
         # df=1 prefix tokens cannot match another document — drop them
         # before the self-join (the candidate set is unchanged)
         .filter(F.col("df_cnt") >= 2)
-        .select("id", "shingle", "n_sh")
+        .select("id", "shingle", "n_sh", "pos")
     )
     a = pref.select(
-        F.col("id").alias("id_a"), "shingle", F.col("n_sh").alias("n_a")
+        F.col("id").alias("id_a"),
+        "shingle",
+        F.col("n_sh").alias("n_a"),
+        F.col("pos").alias("pos_a"),
     )
     b = pref.select(
-        F.col("id").alias("id_b"), "shingle", F.col("n_sh").alias("n_b")
+        F.col("id").alias("id_b"),
+        "shingle",
+        F.col("n_sh").alias("n_b"),
+        F.col("pos").alias("pos_b"),
     )
+    # PPJoin's positional filter (Xiao et al. §3.2), the lossless prune
+    # that separates PPJoin from plain AllPairs: both documents order
+    # their shingles by the same GLOBAL (df, shingle) order, so the
+    # candidate pair's first common prefix token (min (pos_a, pos_b)
+    # struct) has no common token before it in EITHER list, and the
+    # true overlap obeys o <= 1 + min(n_a - pos_a, n_b - pos_b).
+    # J >= t  <=>  o >= t/(1+t) * (n_a + n_b); with t = p/q exact, the
+    # keep condition is the INTEGER cross-multiplication
+    # (p+q) * ubound >= p * (n_a + n_b) — engine-exact, no float ceil.
+    # Measured at the x20 corpus: 6.2M AllPairs candidates -> the
+    # positional filter prunes the accidental single-shingle matches
+    # whose first witness sits deep in both prefixes.
+    from fractions import Fraction
+
+    frac = Fraction(threshold).limit_denominator(1_000_000)
+    p_num, q_den = frac.numerator, frac.denominator
+    first = F.min(F.struct("pos_a", "pos_b")).alias("fw")
     cands = (
         a.join(b, "shingle")
         .filter(F.col("id_a") < F.col("id_b"))
@@ -851,12 +874,41 @@ def prefix_filter_pairs(
             F.least("n_a", "n_b")
             >= F.ceil(F.greatest("n_a", "n_b") * F.lit(threshold))
         )
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(first)
+        .filter(
+            (p_num + q_den)
+            * (
+                1
+                + F.least(
+                    F.col("n_a") - F.col("fw.pos_a"),
+                    F.col("n_b") - F.col("fw.pos_b"),
+                )
+            )
+            >= p_num * (F.col("n_a") + F.col("n_b"))
+        )
         .select("id_a", "id_b", "n_a", "n_b")
-        .distinct()
     )
+    # hint("merge") on the index sides: the shingle frame is a
+    # localCheckpoint, whose LogicalRDD stats the planner guesses
+    # SMALL — without the hint it broadcast the CORPUS-SIZED index
+    # into both verify joins (measured at x20: a 28M-row broadcast,
+    # all 32 tasks ~41 s probing one giant hash relation, and an
+    # instant driver OOM at default driver memory — the 100 TB
+    # failure mode). shuffle_hash (not merge): the probe stream is the
+    # candidate x doc-shingles expansion — a sort-merge join would
+    # SORT that 100M+-row stream, which measured as expensive as the
+    # broadcast probing it replaced; hash-building the per-partition
+    # slice of the (small) index side costs nothing, and AQE may still
+    # downgrade to broadcast from TRUE runtime sizes.
     inter = (
-        cands.join(sh.withColumnsRenamed({"id": "id_a"}), "id_a")
-        .join(sh.withColumnsRenamed({"id": "id_b"}), ["id_b", "shingle"])
+        cands.join(
+            sh.withColumnsRenamed({"id": "id_a"}).hint("shuffle_hash"), "id_a"
+        )
+        .join(
+            sh.withColumnsRenamed({"id": "id_b"}).hint("shuffle_hash"),
+            ["id_b", "shingle"],
+        )
         .groupBy("id_a", "id_b", "n_a", "n_b")
         .agg(F.count("*").alias("inter"))
     )
