@@ -809,26 +809,23 @@ def prefix_filter_pairs(
         .select("id", h60("g").alias("shingle"))
         .localCheckpoint()  # consumers: df counts, sizes, rank, verify
     )
-    # Only REPEATED shingles (df >= 2) matter for matching: a df=1
-    # shingle lives in exactly one document, so it can order a prefix
-    # but never join one.  Computing df over the repeated set only and
-    # defaulting the rest to df=1 keeps the order identical (all df=1
-    # shingles tie on df and sort by shingle, as before) while
-    # shrinking the df-join build side from |vocabulary| to |repeated
-    # shingles| — on near-dup corpora the former is ~|corpus| and the
-    # latter is tiny.
-    rep = (
-        sh.groupBy("shingle")
-        .agg(F.count("*").alias("df_cnt"))
-        .filter(F.col("df_cnt") >= 2)
-    )
-    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    # Shingle document frequency as a WINDOW over the shingle key, not
+    # a join against a df frame: the round-6 plan audit found the
+    # planner BROADCASTING the df frame (a localCheckpoint-descended
+    # aggregate whose stats read small — at 100 TB that frame is
+    # vocabulary-sized and the broadcast is a driver OOM). The window
+    # needs the same one shuffle on shingle the join needed, with no
+    # second frame and no build side at all; df=1 rows get their 1
+    # directly.
+    w_df = Window.partitionBy("shingle")
     w = Window.partitionBy("id").orderBy("df_cnt", "shingle")
     pref = (
-        sh.join(rep, "shingle", "left")
-        .withColumn("df_cnt", F.coalesce("df_cnt", F.lit(1)))
+        sh.withColumn("df_cnt", F.count("*").over(w_df))
         .withColumn("pos", F.row_number().over(w))
-        .join(sizes, "id")
+        # n_sh rides the SAME id exchange as the rank window — the
+        # former groupBy-sizes join (another bogus-stats broadcast
+        # candidate) disappears entirely
+        .withColumn("n_sh", F.count("*").over(Window.partitionBy("id")))
         .filter(
             F.col("pos")
             <= F.col("n_sh") - F.ceil(F.col("n_sh") * F.lit(threshold)) + 1

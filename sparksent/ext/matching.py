@@ -253,12 +253,16 @@ def bm25_topk(
     """
     base = rebalance(df)
     toks = F.split(F.col(text_col), " ")
-    # (id, dl) feeds both the N/avgdl totals and the score join —
-    # localCheckpoint so the corpus text is scanned+split once for it,
-    # not once per consumer (same multi-consumer convention as tf).
-    docs = base.select(
-        F.col(id_col).alias("id"), F.size(toks).alias("dl")
-    ).localCheckpoint()
+    # (id, dl) feeds both the N/avgdl totals and the score join.
+    # Deliberately NOT localCheckpoint'ed (round-6 revision): a
+    # checkpointed frame's LogicalRDD stats read as small, and the
+    # planner then BROADCAST this corpus-sized frame into the score
+    # join (the audited driver-OOM shape). Kept as a plain
+    # parquet-derived plan, its stats are REAL, so the planner
+    # broadcasts at fixture scale and sort-merges at corpus scale —
+    # self-optimizing where a join hint would freeze one choice. The
+    # price is a second column-pruned text scan for the totals.
+    docs = base.select(F.col(id_col).alias("id"), F.size(toks).alias("dl"))
     # tf is tiny (≤ |docs|·|terms| rows) and feeds both df and the score
     # join — localCheckpoint so the explode over the corpus runs once.
     tf = (

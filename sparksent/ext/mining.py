@@ -172,7 +172,14 @@ def basket_pair_lift(
     a = pruned.alias("a")
     b = pruned.alias("b")
     pairs = (
-        a.join(b, "basket")
+        # merge hint: pruned descends from the _basket_items
+        # localCheckpoint, whose stats read small — without the hint
+        # the planner broadcast one CORPUS-SIZED side of this
+        # interactions self-join (round-6 plan audit, the driver-OOM
+        # shape). Sort-merge on the basket key keeps both sides
+        # shuffled/co-partitioned; AQE may still downgrade to
+        # broadcast from true runtime sizes.
+        a.join(b.hint("merge"), "basket")
         .filter(F.col("a.item") < F.col("b.item"))
         .groupBy(F.col("a.item").alias("item_a"), F.col("b.item").alias("item_b"))
         .agg(F.count("*").cast("long").alias("pair_n"))
@@ -457,7 +464,12 @@ def negative_sample(
     entities = observed.select(key_col).distinct()
     vocab = observed.select("item").distinct()
     grid = entities.crossJoin(F.broadcast(vocab))
-    negs = grid.join(observed, [key_col, "item"], "left_anti")
+    # merge hint: observed descends from the user_item_frame
+    # localCheckpoint (stats read small), and without it the planner
+    # broadcast the CORPUS-SIZED interaction frame into the anti-join
+    # (round-6 plan audit). Sort-merge keeps the anti-join
+    # co-partitioned on (user, item) as the docstring promises.
+    negs = grid.join(observed.hint("merge"), [key_col, "item"], "left_anti")
     lot = h60(
         F.concat(
             F.lit(f"{salt}:"),
@@ -623,9 +635,12 @@ def basket_triple_support(
     # ONE materialization of the quadratic basket pair join feeds both
     # the pair-support aggregate and the candidate stream (the module's
     # one-materialization convention — re-deriving it would run the
-    # dominant stage twice)
+    # dominant stage twice). merge hints on the interaction-frame join
+    # sides here and below: pruned/cand descend from localCheckpoints
+    # whose stats read small, and the planner otherwise broadcast a
+    # corpus-sized side (round-6 plan audit, the driver-OOM shape).
     cand = (
-        a.join(b, "basket")
+        a.join(b.hint("merge"), "basket")
         .filter(F.col("a.item") < F.col("b.item"))
         .select("basket", F.col("a.item").alias("ia"), F.col("b.item").alias("ib"))
         .localCheckpoint()
@@ -644,7 +659,7 @@ def basket_triple_support(
     )
     c = pruned.alias("c")
     triples = (
-        ab.join(c, "basket")
+        ab.join(c.hint("merge"), "basket")
         .filter(F.col("c.item") > F.col("ib"))
         .select("basket", "ia", "ib", F.col("c.item").alias("ic"))
         .join(

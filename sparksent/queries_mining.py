@@ -375,11 +375,21 @@ def q_item_similarity_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("w") <= MAX_BASKET_WIDTH)
         .select("user_id")
     )
-    ui = raw.join(F.broadcast(widths), "user_id", "left_semi").localCheckpoint()
+    # merge hints, not broadcasts, on the USER-sized frames: widths is
+    # one row per user and ui one row per interaction — both billions
+    # at 100 TB (the round-6 plan audit found the planner broadcasting
+    # the localCheckpoint-descended ui side of the pair self-join, the
+    # driver-OOM shape). Sort-merge on user_id lets the semi-join, the
+    # pair self-join, and their sorts share one user_id exchange; the
+    # per-ITEM sizes frames below stay broadcast — items are
+    # catalog-bounded, which is this query's whole orientation.
+    ui = raw.join(
+        widths.hint("merge"), "user_id", "left_semi"
+    ).localCheckpoint()
     sizes = ui.groupBy("item").agg(F.count("*").cast("long").alias("sz"))
     a, b = ui.alias("a"), ui.alias("b")
     inter = (
-        a.join(b, "user_id")
+        a.join(b.hint("merge"), "user_id")
         .filter(F.col("a.item") < F.col("b.item"))
         .groupBy(F.col("a.item").alias("item_a"), F.col("b.item").alias("item_b"))
         .agg(F.count("*").cast("long").alias("i"))

@@ -486,16 +486,74 @@ def test_lm_bigram_score_single_explode(spark):
     assert schemas and all(s == "doc_id:bigint" for s in schemas)
 
 
+def broadcast_over_existing_rdd(plan: str) -> list:
+    """The round-6 scale-killer predicate: a BroadcastExchange whose
+    input columns come from a Scan ExistingRDD (a localCheckpoint
+    frame, whose LogicalRDD stats read as SMALL regardless of true
+    size — so the planner may broadcast a corpus-sized frame, the
+    driver-OOM shape found in dedup_prefix_filter's verify joins)."""
+    scans = re.findall(
+        r"\(\d+\) Scan ExistingRDD[^\n]*\nOutput \[\d+\]: \[([^\]]*)\]", plan
+    )
+    bes = re.findall(
+        r"\(\d+\) BroadcastExchange\s*\nInput \[\d+\]: \[([^\]]*)\]", plan
+    )
+
+    def cols(s):
+        return {c.split("#")[0].strip() for c in s.split(",")}
+
+    return [
+        sorted(cols(b))
+        for b in bes
+        for sc in scans
+        if cols(b) <= cols(sc) and len(cols(b) & cols(sc)) >= 1
+    ]
+
+
 def test_bm25_probe_shape(spark):
     """BM25 must look like an inverted-index probe, not an index build:
     the exploded tf frame is checkpointed (one explode), df and the
-    totals broadcast, and the final top-k is TakeOrderedAndProject —
-    never a global Sort."""
+    totals broadcast, the final top-k is TakeOrderedAndProject (never a
+    global rangepartitioning sort), and the doc-length join's plan
+    must derive from REAL stats — the (id, dl) frame is deliberately
+    not checkpointed, so no broadcast is fed by a stats-less
+    ExistingRDD scan (at fixture scale the planner broadcasts it from
+    its true small size; at corpus scale the same plan sort-merges)."""
     plan = plan_of(spark, "bm25_topk")
     assert "TakeOrderedAndProject" in plan
-    assert re.search(r"\(\d+\) Sort\b", plan) is None
-    assert plan.count("Generate") == 0  # the one explode is pre-checkpoint
+    assert "rangepartitioning" not in plan  # no global sort anywhere
     assert plan.count("BroadcastExchange") >= 2  # dfreq + totals
+    assert broadcast_over_existing_rdd(plan) == []
+
+
+def test_no_corpus_sized_checkpoint_broadcasts(spark):
+    """Sweep the round-6 audit predicate over the query families whose
+    joins consume localCheckpoint frames: no plan may broadcast a
+    frame whose only size evidence is the stats-less ExistingRDD scan,
+    UNLESS the frame is bounded by construction (the allowlist:
+    model/centroid/dimension/hot-set/frequent-set frames, each
+    documented at its builder)."""
+    allow = {
+        "doc_sentiment_frozen_margin": {("tok", "w_e6")},  # 31-row model
+        "kmeans_embeddings_2iter": {("c", "j", "pos")},  # k x dims
+        "boilerplate_removal": {("line",)},  # df-capped hot-line set
+        "rangejoin_price_bands": {("band", "e", "hi", "lo")},  # dimension
+        "basket_pair_lift": {("item",)},  # a-priori frequent items
+        "negative_sample_user_items": {("item",)},  # item vocabulary
+        "basket_triple_support": {("pa", "pb"), ("item",)},  # frequent pairs + items
+        "entity_resolution_parts": {("n_rows", "name")},  # value domain
+    }
+    for name in (
+        "bm25_topk",
+        "dedup_prefix_filter",
+        "item_similarity_jaccard",
+        "semdedup_embeddings",
+        "dedup_cdc_chunks",
+        *allow,
+    ):
+        flags = {tuple(f) for f in broadcast_over_existing_rdd(plan_of(spark, name))}
+        allowed = {tuple(sorted(t)) for t in allow.get(name, set())}
+        assert flags <= allowed, (name, flags - allowed)
 
 
 def test_ewma_single_user_shuffle(spark):
