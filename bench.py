@@ -214,6 +214,7 @@ HEADLINE = [
     "sample_token_budget",
     "dedup_cdc_chunks",
     "daily_median_value",
+    "asof_view_next_purchase",
 ]
 
 # Timed and reported, but excluded from the headline sum: cost dominated

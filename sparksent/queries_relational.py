@@ -349,6 +349,67 @@ def q_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "asof_view_next_purchase",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, ts, 0 AS side, event_id AS tie,
+             event_id AS l_id, NULL::BIGINT AS r_id, NULL::TIMESTAMP AS r_ts
+      FROM events WHERE event_type = 'view'
+      UNION ALL
+      SELECT user_id, ts, 1 AS side, event_id AS tie,
+             NULL::BIGINT, event_id, ts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    m AS (
+      SELECT *,
+             first_value(r_id IGNORE NULLS) OVER w AS purchase_id,
+             first_value(r_ts IGNORE NULLS) OVER w AS purchase_ts
+      FROM u
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, side, tie
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT l_id AS view_id, user_id,
+           coalesce(purchase_id, -1) AS purchase_id,
+           coalesce(epoch_us(purchase_ts) - epoch_us(ts), -1) AS gap_us
+    FROM m WHERE side = 0
+    """,
+    tags=("relational", "join", "asof"),
+)
+def q_asof_view_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join — the time-to-conversion complement of
+    asof_purchase_last_view: each view picks the user's EARLIEST
+    at-or-after purchase (>= semantics; equal-ts purchases resolve to
+    the smallest event_id), reporting the conversion gap in exact
+    microseconds with -1 sentinels for never-converted views. Same
+    single-shuffle union + carry plan, running forward
+    (joins.asof_join_forward) — never a nested-loop range join."""
+    ev = tables.load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_id")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    from .joins import asof_join_forward
+
+    joined = asof_join_forward(
+        views,
+        purchases,
+        on="user_id",
+        left_tie=F.col("view_id"),
+        right_tie=F.col("purchase_id"),
+    )
+    return joined.select(
+        "view_id",
+        "user_id",
+        F.coalesce("r_purchase_id", F.lit(-1)).alias("purchase_id"),
+        F.coalesce(
+            F.unix_micros("r_ts") - F.unix_micros("ts"), F.lit(-1)
+        ).alias("gap_us"),
+    )
+
+
+@register(
     "asof_purchase_last_view",
     oracle="""
     WITH u AS (
