@@ -1074,3 +1074,15 @@ def test_cdc_chunks_no_python_no_cartesian(spark):
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
                    "CartesianProduct", "BroadcastNestedLoopJoin"):
         assert marker not in plan
+
+
+def test_asof_forward_single_shuffle(spark):
+    """The forward as-of runs on the same union + carry plan as the
+    backward one: no join node, one user_id shuffle, both event-type
+    filters pushed to the scans."""
+    plan = plan_of(spark, "asof_view_next_purchase")
+    assert "Join" not in plan
+    assert "Window" in plan
+    assert count_data_shuffles(plan) == 1
+    assert "EqualTo(event_type,view)" in plan
+    assert "EqualTo(event_type,purchase)" in plan
