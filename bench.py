@@ -215,6 +215,7 @@ HEADLINE = [
     "dedup_cdc_chunks",
     "daily_median_value",
     "asof_view_next_purchase",
+    "gopher_quality_gate",
 ]
 
 # Timed and reported, but excluded from the headline sum: cost dominated

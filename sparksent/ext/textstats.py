@@ -272,3 +272,138 @@ def top_distinctive_terms_sql(
           FROM tf JOIN dfreq USING (term))
     WHERE rank <= {k}
     """
+
+# ---------------------------------------------------------------------------
+# composite quality gate (Gopher-rule shape, fixture-scaled thresholds)
+# ---------------------------------------------------------------------------
+
+GATE_MIN_WORDS, GATE_MAX_WORDS = 10, 1_000  # Gopher: 50..100k
+GATE_MIN_LEN_MILLI, GATE_MAX_LEN_MILLI = 3_000, 10_000  # mean word len 3..10
+GATE_MIN_STOP_HITS = 2  # Gopher: >=2 of an 8-word list (ours: STOPWORDS)
+GATE_MIN_ALPHA_PPM = 800_000  # >=80% purely-alphabetic words
+GATE_MIN_TTR_PPM = 200_000  # repetition floor (the n-gram dup rules
+#                             live in repetition_stats; this is the
+#                             cheap single-scan proxy)
+
+
+def gopher_quality_gate(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The composite document-quality gate every curation pipeline runs
+    (the Gopher §A1.1 rule shape; thresholds scaled to the fixture
+    corpus, named above): word-count band, mean-word-length band,
+    minimum stopword hits, alphabetic-word fraction, and a
+    type-token-ratio floor — each failure a bit in ``fail_mask`` so
+    downstream reports WHY documents drop, not just how many. All
+    metrics are exact integer floordivs (milli / ppm), so the gate is
+    bit-identical cross-engine. One scan, zero shuffles, pure codegen."""
+    words = F.filter(F.split(F.col(text_col), " "), lambda t: t != F.lit(""))
+    counts = df.select(
+        F.col(id_col),
+        F.size(words).cast("long").alias("n_words"),
+        F.aggregate(
+            F.transform(words, lambda t: F.length(t).cast("long")),
+            F.lit(0).cast("long"),
+            lambda a, b: a + b,
+        ).alias("sum_len"),
+        F.size(F.filter(words, lambda t: t.isin(*STOPWORDS)))
+        .cast("long")
+        .alias("n_stop"),
+        F.size(F.filter(words, lambda t: t.rlike("^[a-z]+$")))
+        .cast("long")
+        .alias("n_alpha"),
+        F.size(F.array_distinct(words)).cast("long").alias("n_types"),
+    )
+    m = counts.select(
+        id_col,
+        "n_words",
+        "n_stop",
+        F.expr(
+            "CASE WHEN n_words > 0 THEN (sum_len * 1000) div n_words"
+            " ELSE CAST(0 AS BIGINT) END"
+        ).alias("mean_len_milli"),
+        F.expr(
+            "CASE WHEN n_words > 0 THEN (n_alpha * 1000000) div n_words"
+            " ELSE CAST(0 AS BIGINT) END"
+        ).alias("alpha_ppm"),
+        F.expr(
+            "CASE WHEN n_words > 0 THEN (n_types * 1000000) div n_words"
+            " ELSE CAST(0 AS BIGINT) END"
+        ).alias("ttr_ppm"),
+    )
+    fail_bits = (
+        F.when(
+            (F.col("n_words") < GATE_MIN_WORDS)
+            | (F.col("n_words") > GATE_MAX_WORDS),
+            1,
+        ).otherwise(0)
+        + F.when(
+            (F.col("mean_len_milli") < GATE_MIN_LEN_MILLI)
+            | (F.col("mean_len_milli") > GATE_MAX_LEN_MILLI),
+            2,
+        ).otherwise(0)
+        + F.when(F.col("n_stop") < GATE_MIN_STOP_HITS, 4).otherwise(0)
+        + F.when(F.col("alpha_ppm") < GATE_MIN_ALPHA_PPM, 8).otherwise(0)
+        + F.when(F.col("ttr_ppm") < GATE_MIN_TTR_PPM, 16).otherwise(0)
+    )
+    return m.select(
+        id_col,
+        "n_words",
+        "mean_len_milli",
+        "n_stop",
+        "alpha_ppm",
+        "ttr_ppm",
+        fail_bits.cast("long").alias("fail_mask"),
+        F.when(fail_bits == 0, 1).otherwise(0).cast("int").alias("pass"),
+    )
+
+
+def gopher_quality_gate_sql(
+    table: str = "documents", id_col: str = "doc_id", text: str = "text"
+) -> str:
+    stop_set = ", ".join(f"'{s}'" for s in STOPWORDS)
+    return f"""
+    WITH w AS (
+      SELECT {id_col},
+             list_filter(string_split({text}, ' '), t -> t <> '') AS words
+      FROM {table}
+    ),
+    c AS (
+      SELECT {id_col},
+             len(words)::BIGINT AS n_words,
+             coalesce(list_sum([strlen(t)::BIGINT FOR t IN words]), 0)::BIGINT
+               AS sum_len,
+             len(list_filter(words, t -> t IN ({stop_set})))::BIGINT AS n_stop,
+             len(list_filter(words, t -> regexp_matches(t, '^[a-z]+$')))::BIGINT
+               AS n_alpha,
+             len(list_distinct(words))::BIGINT AS n_types
+      FROM w
+    ),
+    m AS (
+      SELECT {id_col}, n_words, n_stop,
+             CASE WHEN n_words > 0 THEN (sum_len * 1000) // n_words
+                  ELSE 0 END AS mean_len_milli,
+             CASE WHEN n_words > 0 THEN (n_alpha * 1000000) // n_words
+                  ELSE 0 END AS alpha_ppm,
+             CASE WHEN n_words > 0 THEN (n_types * 1000000) // n_words
+                  ELSE 0 END AS ttr_ppm
+      FROM c
+    )
+    SELECT {id_col}, n_words, mean_len_milli, n_stop, alpha_ppm, ttr_ppm,
+           ((CASE WHEN n_words < {GATE_MIN_WORDS} OR n_words > {GATE_MAX_WORDS}
+                  THEN 1 ELSE 0 END)
+          + (CASE WHEN mean_len_milli < {GATE_MIN_LEN_MILLI}
+                    OR mean_len_milli > {GATE_MAX_LEN_MILLI} THEN 2 ELSE 0 END)
+          + (CASE WHEN n_stop < {GATE_MIN_STOP_HITS} THEN 4 ELSE 0 END)
+          + (CASE WHEN alpha_ppm < {GATE_MIN_ALPHA_PPM} THEN 8 ELSE 0 END)
+          + (CASE WHEN ttr_ppm < {GATE_MIN_TTR_PPM} THEN 16 ELSE 0 END)
+           )::BIGINT AS fail_mask,
+           (CASE WHEN n_words BETWEEN {GATE_MIN_WORDS} AND {GATE_MAX_WORDS}
+                  AND mean_len_milli BETWEEN {GATE_MIN_LEN_MILLI}
+                                         AND {GATE_MAX_LEN_MILLI}
+                  AND n_stop >= {GATE_MIN_STOP_HITS}
+                  AND alpha_ppm >= {GATE_MIN_ALPHA_PPM}
+                  AND ttr_ppm >= {GATE_MIN_TTR_PPM}
+             THEN 1 ELSE 0 END)::INT AS pass
+    FROM m
+    """

@@ -156,6 +156,22 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "gopher_quality_gate",
+    oracle=textstats.gopher_quality_gate_sql(),
+    tags=("ext", "text", "curation"),
+)
+def q_gopher_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composite Gopher-rule document gate: word-count band,
+    mean-word-length band, minimum stopword hits, alphabetic-word
+    fraction, and a TTR floor — per doc, with each failure a bit in
+    fail_mask so drops are EXPLAINED, not just counted (the report
+    every curation pipeline owes its corpus card). All metrics exact
+    integer milli/ppm floordivs; one scan, zero shuffles, pure
+    codegen."""
+    return textstats.gopher_quality_gate(_docs(spark, sf_dir))
+
+
+@register(
     "text_fingerprint",
     oracle=f"""
     SELECT doc_id, {textstats.rolling_fingerprint_sql()} AS fingerprint
