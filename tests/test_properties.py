@@ -1085,3 +1085,43 @@ def test_semdedup_k_for_matches_oracle_windows():
     assert semdedup_k_for(500) == SEMDEDUP_K  # sf0.001 / sf0.01 fixtures
     assert semdedup_k_for(2000) == SEMDEDUP_K  # sf0.1 bench corpus
     assert semdedup_k_for(40_000) == 157  # scale_demo x20: ~256/cluster
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 50), st.booleans()),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: (t[0], t[1]),
+    )
+)
+def test_asof_forward_matches_reference_model(spark, rows):
+    """asof_join_forward == the obvious per-row model: for each left
+    row, the right row of the same key with the SMALLEST ts >= left.ts
+    (the mirror of the backward test)."""
+    from sparksent.joins import asof_join_forward
+
+    lefts = [(k, t) for (k, t, is_left) in rows if is_left]
+    rights = [(k, t) for (k, t, is_left) in rows if not is_left]
+    if not lefts or not rights:
+        return
+    ldf = spark.createDataFrame(
+        [(k, float(t), i) for i, (k, t) in enumerate(lefts)],
+        "k int, ts double, lid long",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    rdf = spark.createDataFrame(
+        [(k, float(t), i) for i, (k, t) in enumerate(rights)],
+        "k int, ts double, rid long",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    got = {
+        r["lid"]: r["r_rid"]
+        for r in asof_join_forward(
+            ldf, rdf, on="k", left_tie=F.col("lid"), right_tie=F.col("rid")
+        ).collect()
+    }
+    for i, (k, t) in enumerate(lefts):
+        cands = [(rt, j) for j, (rk, rt) in enumerate(rights) if rk == k and rt >= t]
+        want = min(cands)[1] if cands else None
+        assert got[i] == want, (i, k, t, cands)
