@@ -216,6 +216,7 @@ HEADLINE = [
     "daily_median_value",
     "asof_view_next_purchase",
     "gopher_quality_gate",
+    "session_concurrency",
 ]
 
 # Timed and reported, but excluded from the headline sum: cost dominated

@@ -343,6 +343,116 @@ def q_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "session_concurrency",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)
+                       >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, ts,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o
+    ),
+    g AS (
+      SELECT user_id, min(epoch_us(ts)) AS a, max(epoch_us(ts)) AS b
+      FROM s GROUP BY user_id, sid
+    ),
+    pairs AS (
+      SELECT DISTINCT x.user_id AS ux, x.a AS ax, y.user_id AS uy, y.a AS ay
+      FROM g x JOIN g y
+        ON x.user_id <> y.user_id AND x.a <= y.b AND y.a <= x.b
+    )
+    SELECT g.user_id, g.a AS session_start_us, g.b AS session_end_us,
+           coalesce(c.n, 0)::BIGINT AS n_concurrent
+    FROM g LEFT JOIN (
+      SELECT ux, ax, count(*) AS n FROM pairs GROUP BY 1, 2
+    ) c ON c.ux = g.user_id AND c.ax = g.a
+    """,
+    tags=("relational", "session", "intervaljoin"),
+)
+def q_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap SELF-join — the big-big range-join shape the
+    registry lacked: for every 30-minute-gap user session, how many
+    OTHER users' sessions overlapped it in time (platform concurrency
+    analytics). The naive form is an O(S²) range join (the oracle
+    states it); the plan here explodes each session to its covered
+    10-minute epoch bins and equi-joins on the bin — only co-bin
+    sessions ever pair, a pair meeting in several bins dedupes on the
+    (user, start) keys, and exact closed-interval overlap
+    (a1<=b2 AND a2<=b1, integer microseconds) filters bin-neighbors
+    that never truly overlap.
+
+    Scale: candidates are bounded by per-bin session load (the bin is
+    to interval joins what the LSH bucket is to similarity); a hot bin
+    (peak hour) is the skew hazard, handled by AQE skew splitting and,
+    at planetary load, a finer bin. Bins per session are bounded by
+    duration/bin (~7 here). The same binned plan is how the streaming
+    stream-stream interval join is expressed."""
+    from .windows import session_agg
+
+    BIN = 600_000_000  # 10-minute bins, ~ the p95 session duration
+    ev = tables.load_table(spark, sf_dir, "events")
+    sess = session_agg(
+        ev,
+        ["user_id"],
+        30 * 60,
+        [F.max(F.unix_micros(F.col("ts"))).alias("session_end_us")],
+    ).select("user_id", "session_start_us", "session_end_us")
+    binned = sess.select(
+        "user_id",
+        "session_start_us",
+        "session_end_us",
+        F.explode(
+            F.sequence(
+                F.expr(f"session_start_us div {BIN}"),
+                F.expr(f"session_end_us div {BIN}"),
+            )
+        ).alias("bin"),
+    )
+    x = binned.select(
+        F.col("user_id").alias("ux"),
+        F.col("session_start_us").alias("ax"),
+        F.col("session_end_us").alias("bx"),
+        "bin",
+    )
+    y = binned.select(
+        F.col("user_id").alias("uy"),
+        F.col("session_start_us").alias("ay"),
+        F.col("session_end_us").alias("by"),
+        "bin",
+    )
+    pairs = (
+        x.join(y, "bin")
+        .filter(F.col("ux") != F.col("uy"))
+        .filter((F.col("ax") <= F.col("by")) & (F.col("ay") <= F.col("bx")))
+        .select("ux", "ax", "uy", "ay")
+        .distinct()
+    )
+    counts = pairs.groupBy("ux", "ax").agg(
+        F.count("*").cast("long").alias("n_concurrent")
+    )
+    return (
+        sess.join(
+            counts,
+            (sess.user_id == counts.ux) & (sess.session_start_us == counts.ax),
+            "left",
+        )
+        .select(
+            "user_id",
+            "session_start_us",
+            "session_end_us",
+            F.coalesce("n_concurrent", F.lit(0)).cast("long").alias("n_concurrent"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # as-of join
 # ---------------------------------------------------------------------------
