@@ -1086,3 +1086,13 @@ def test_asof_forward_single_shuffle(spark):
     assert count_data_shuffles(plan) == 1
     assert "EqualTo(event_type,view)" in plan
     assert "EqualTo(event_type,purchase)" in plan
+
+
+def test_session_concurrency_bin_equijoin(spark):
+    """The interval self-join must pair through the bin equi-join —
+    never a nested-loop range join (the O(S^2) shape the oracle
+    deliberately states)."""
+    plan = plan_of(spark, "session_concurrency")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert re.search(r"keys(?:.|\n)*bin", plan)  # the equi-join key is the bin
