@@ -217,6 +217,7 @@ HEADLINE = [
     "asof_view_next_purchase",
     "gopher_quality_gate",
     "session_concurrency",
+    "hll_sliding_distinct_7d",
 ]
 
 # Timed and reported, but excluded from the headline sum: cost dominated

@@ -44,6 +44,13 @@ HLL_REST_BITS = 60 - HLL_P  # h60 yields 60 hash bits
 HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
 HLL_NUMER = HLL_ALPHA * HLL_M * HLL_M * float(1 << (HLL_REST_BITS + 1))
 
+# ln(m/V) for V in 1..m, computed ONCE in Python and embedded as
+# literals in both engines' plans (linear-counting correction; see
+# hll_sliding_distinct) — the lookup sidesteps java-vs-libm log.
+import math as _math
+
+_LC_LN = {v: _math.log(HLL_M / v) for v in range(1, HLL_M + 1)}
+
 
 def _rho(rest: F.Column) -> F.Column:
     """Position (1-based) of the leftmost 1-bit in the REST_BITS-wide
@@ -642,3 +649,164 @@ def hll_finalize(regs: DataFrame, group_cols: list[str]) -> DataFrame:
         scaled.alias("sum_scaled"),
         (F.lit(HLL_NUMER) / scaled).alias("est_hll"),
     )
+
+
+def hll_sliding_distinct(
+    df: DataFrame,
+    value_col: str = "user_id",
+    ts_col: str = "ts",
+    window_days: int = 7,
+) -> DataFrame:
+    """Rolling ``window_days``-day distinct counts per day — the classic
+    OLAP problem distinct counts cannot answer by summation, solved the
+    way production systems do: daily HLL REGISTER tables, then a
+    register-wise max over a RANGE window frame (max is associative, so
+    the frame merge is a true sketch union). The frame runs over a
+    dense (day x 256-bucket) grid so a bucket's register carries into
+    days where it saw no new data. The EXACT rolling distinct is
+    computed alongside (each (day, value) pair explodes to the
+    window_days target days it serves — precisely the blow-up the
+    sketch exists to avoid) so every row shows estimate vs truth.
+
+    Scale: the raw stage is one (day, bucket) partial-max aggregate —
+    256 rows per day regardless of corpus size; the window runs on the
+    days x 256 grid (tiny). The exact side is fixture-scale
+    self-demonstration; at 100 TB you keep only the register path."""
+    from .hashing import h60
+
+    day = F.expr(f"CAST(unix_micros({ts_col}) div 86400000000 AS BIGINT)")
+    h = h60(F.col(value_col).cast("string"))
+    base = df.select(
+        day.alias("day"),
+        (h % HLL_M).alias("bucket"),
+        _rho(F.shiftright(h, HLL_P)).alias("rho"),
+    )
+    daily = base.groupBy("day", "bucket").agg(F.max("rho").alias("mj"))
+    days = base.select("day").distinct()
+    spark = df.sparkSession
+    buckets = spark.range(HLL_M).select(F.col("id").cast("long").alias("bucket"))
+    grid = days.crossJoin(F.broadcast(buckets))
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("day")
+        .rangeBetween(-(window_days - 1), 0)
+    )
+    g = (
+        grid.join(daily, ["day", "bucket"], "left")
+        .withColumn("mj7", F.max("mj").over(w))
+    )
+    shift = (
+        f"shiftleft(cast(1 as bigint), cast({HLL_REST_BITS + 1} - mj7 as int))"
+    )
+    per_day = g.groupBy("day").agg(
+        F.count("mj7").cast("long").alias("n_present"),
+        F.coalesce(
+            F.sum(F.when(F.col("mj7").isNotNull(), F.expr(shift))), F.lit(0)
+        )
+        .cast("long")
+        .alias("sum_present"),
+    )
+    scaled = F.col("sum_present") + (F.lit(HLL_M) - F.col("n_present")) * F.lit(
+        1 << (HLL_REST_BITS + 1)
+    )
+    # Small-cardinality (linear counting) correction, cross-engine
+    # bit-exact by construction: ln(m/V) has only m possible inputs
+    # (V = zero-register count in 1..m), so both engines read the SAME
+    # Python-computed lookup table — no libm divergence. Standard HLL
+    # switching rule: raw <= 2.5 m and V > 0 -> m * ln(m/V).
+    lut = F.array(*[F.lit(_LC_LN[v]) for v in range(1, HLL_M + 1)])
+    raw = F.lit(HLL_NUMER) / scaled
+    n_zero = F.lit(HLL_M) - F.col("n_present")
+    est = per_day.select(
+        "day",
+        "n_present",
+        scaled.cast("long").alias("sum_scaled"),
+        F.when(
+            (n_zero > 0) & (raw <= F.lit(2.5 * HLL_M)),
+            F.lit(float(HLL_M)) * F.element_at(lut, n_zero.cast("int")),
+        )
+        .otherwise(raw)
+        .alias("est_hll"),
+    )
+    dv = df.select(day.alias("day"), F.col(value_col).alias("v")).distinct()
+    contrib = (
+        dv.select(
+            F.explode(
+                F.sequence(F.col("day"), F.col("day") + (window_days - 1))
+            ).alias("day"),
+            "v",
+        )
+        .distinct()
+        .groupBy("day")
+        .agg(F.count("*").cast("long").alias("n_exact"))
+    )
+    return (
+        est.join(contrib, "day")
+        .select("day", "n_present", "sum_scaled", "est_hll", "n_exact")
+    )
+
+
+def hll_sliding_distinct_sql(
+    table: str = "events",
+    value_col: str = "user_id",
+    ts_col: str = "ts",
+    window_days: int = 7,
+) -> str:
+    h = h60_sql(f"{value_col}::VARCHAR")
+    rb = HLL_REST_BITS
+    wd = window_days
+    lut_sql = ", ".join(repr(_LC_LN[v]) for v in range(1, HLL_M + 1))
+    return f"""
+    WITH base AS (
+      SELECT epoch_us({ts_col}) // 86400000000 AS day,
+             h % {HLL_M} AS bucket,
+             CASE WHEN (h >> {HLL_P}) > 0
+                  THEN {rb + 1} - length(bin(h >> {HLL_P}))
+                  ELSE {rb + 1} END AS rho
+      FROM (SELECT {ts_col}, {h} AS h FROM {table})
+    ),
+    daily AS (SELECT day, bucket, max(rho) AS mj FROM base GROUP BY 1, 2),
+    grid AS (
+      SELECT d.day, b.bucket
+      FROM (SELECT DISTINCT day FROM base) d
+      CROSS JOIN (SELECT unnest(range(0, {HLL_M})) AS bucket) b
+    ),
+    g AS (
+      SELECT grid.day, grid.bucket,
+             max(daily.mj) OVER (PARTITION BY grid.bucket ORDER BY grid.day
+                                 RANGE BETWEEN {wd - 1} PRECEDING
+                                       AND CURRENT ROW) AS mj7
+      FROM grid LEFT JOIN daily USING (day, bucket)
+    ),
+    per_day AS (
+      SELECT day, count(mj7)::BIGINT AS n_present,
+             coalesce(sum(CASE WHEN mj7 IS NOT NULL
+                          THEN 1::BIGINT << ({rb + 1} - mj7) END), 0)::BIGINT
+               AS sum_present
+      FROM g GROUP BY 1
+    ),
+    est AS (
+      SELECT day, n_present,
+             (sum_present
+              + ({HLL_M} - n_present) * (1::BIGINT << {rb + 1}))::BIGINT
+               AS sum_scaled,
+             CASE WHEN ({HLL_M} - n_present) > 0
+                   AND {HLL_NUMER!r} / (sum_present
+                       + ({HLL_M} - n_present) * (1::BIGINT << {rb + 1}))
+                       <= {2.5 * HLL_M!r}
+                  THEN {float(HLL_M)!r} * ([{lut_sql}])[({HLL_M} - n_present)::INT]
+                  ELSE {HLL_NUMER!r} / (sum_present
+                       + ({HLL_M} - n_present) * (1::BIGINT << {rb + 1}))
+             END AS est_hll
+      FROM per_day
+    ),
+    dv AS (SELECT DISTINCT epoch_us({ts_col}) // 86400000000 AS day,
+                  {value_col} AS v FROM {table}),
+    contrib AS (
+      SELECT day, count(*)::BIGINT AS n_exact FROM (
+        SELECT DISTINCT unnest(range(day, day + {wd})) AS day, v FROM dv
+      ) GROUP BY 1
+    )
+    SELECT e.day, e.n_present, e.sum_scaled, e.est_hll, c.n_exact
+    FROM est e JOIN contrib c USING (day)
+    """

@@ -934,6 +934,26 @@ def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "hll_sliding_distinct_7d",
+    oracle=sketches.hll_sliding_distinct_sql(),
+    tags=("ext", "sketch", "timeseries"),
+)
+def q_hll_sliding_distinct_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct users per day — the OLAP question
+    distinct counts cannot answer by summation, solved the production
+    way: daily HLL register tables max-merged over a RANGE window
+    frame on a dense (day x 256-bucket) grid (register max is
+    associative, so the frame merge IS a sketch union; absent-day
+    buckets carry forward through the grid). The exact rolling
+    distinct rides alongside (each (day, user) explodes to the 7 days
+    it serves — exactly the blow-up the sketch avoids at 100 TB), so
+    every row shows estimate vs truth. Raw stage: one (day, bucket)
+    partial-max aggregate, 256 rows/day regardless of corpus size."""
+    ev = tables.load_table(spark, sf_dir, "events")
+    return sketches.hll_sliding_distinct(ev)
+
+
+@register(
     "hll_merge_rollup",
     oracle=sketches.hll_merge_rollup_sql(
         "events", "event_type", "epoch_us(ts) // 86400000000", "user_id"

@@ -74,6 +74,7 @@ _PRIORITY: tuple[str, ...] = (
     "asof_view_next_purchase",  # registered round 6
     "gopher_quality_gate",  # registered round 6
     "session_concurrency",  # registered round 6
+    "hll_sliding_distinct_7d",  # registered round 6
     # Slots 7-10: oracles NEW or REWRITTEN this round (pinned Spark-exact
     # percentile interpolation, sparksent/oracles.py; bpe_merges got its
     # first real oracle — the recursive-CTE merge loop) — verify first.
