@@ -1034,25 +1034,38 @@ def cdc_chunk_stats(
         .alias("bounds"),
     ).localCheckpoint()
     bounds = F.col("bounds")
+    # Empty-text guard: bounds=[0] (the seed alone, n=0) must yield zero
+    # chunks.  An unguarded sequence(1, size-1) here is sequence(1, 0),
+    # which Spark auto-steps DESCENDING to [1, 0] — element_at(bounds, 2)
+    # then throws INVALID_ARRAY_INDEX_IN_ELEMENT_AT, while the DuckDB
+    # oracle's range(1, len(bounds)) is simply empty.  CASE WHEN is
+    # lazily evaluated per row, so the sequence never materializes for
+    # empty documents (pinned: tests/test_properties.py
+    # test_cdc_empty_text_yields_zero_chunks).
     chunked = with_bounds.select(
         F.col("id"),
-        F.filter(
-            F.transform(
-                F.sequence(F.lit(1), F.size(bounds) - 1),
-                lambda k: F.struct(
-                    F.md5(
-                        F.col("t").substr(
-                            F.element_at(bounds, k) + 1,
-                            F.element_at(bounds, k + 1) - F.element_at(bounds, k),
-                        )
-                    ).alias("h"),
-                    (
-                        F.element_at(bounds, k + 1) - F.element_at(bounds, k)
-                    ).alias("ln"),
+        F.when(
+            F.size(bounds) >= 2,
+            F.filter(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(bounds) - 1),
+                    lambda k: F.struct(
+                        F.md5(
+                            F.col("t").substr(
+                                F.element_at(bounds, k) + 1,
+                                F.element_at(bounds, k + 1) - F.element_at(bounds, k),
+                            )
+                        ).alias("h"),
+                        (
+                            F.element_at(bounds, k + 1) - F.element_at(bounds, k)
+                        ).alias("ln"),
+                    ),
                 ),
+                lambda s: s["ln"] > 0,
             ),
-            lambda s: s["ln"] > 0,
-        ).alias("chunks"),
+        )
+        .otherwise(F.expr("CAST(array() AS array<struct<h:string,ln:int>>)"))
+        .alias("chunks"),
     )
     ch = chunked.select("id", F.explode("chunks").alias("c")).select(
         "id", F.col("c.h").alias("h"), F.col("c.ln").alias("ln")
@@ -1095,7 +1108,21 @@ def cdc_chunk_stats_sql(
 ) -> str:
     """DuckDB mirror of :func:`cdc_chunk_stats`: same unrolled
     polynomial, same min-spacing fold (list_reduce with the
-    single-element-list trick seeding at position 0)."""
+    single-element-list trick seeding at position 0).
+
+    The fold is written ``a || CASE WHEN far-enough THEN x ELSE [] END``
+    rather than the natural ``CASE WHEN ... THEN a || x ELSE a END``:
+    DuckDB 1.0.0's list_reduce mis-evaluates lambdas where a branch
+    returns the ACCUMULATOR UNCHANGED once that branch fires mid-list
+    (``list_reduce([[100],[120],[200]], (a,x) -> CASE WHEN x[1]-a[-1]
+    >= 32 THEN a||x ELSE a END)`` yields ``[200]``, not ``[0,100,200]``
+    — reproduced on v1.0.0; the skip-at-end and no-skip cases are
+    correct, which is why fixture docs never exposed it).  Rebuilding
+    the list on every step (appending the empty list on skip) sidesteps
+    the divergent-branch path entirely; the BPE fold in ``bpe.py`` is
+    unaffected because both its branches already rebuild.  Pinned by
+    tests/test_properties.py::test_cdc_empty_text_yields_zero_chunks
+    (whose doc 2 has a mid-list skip)."""
     terms = " + ".join(
         f"ascii(codes[i - {j}])::BIGINT * {CDC_B**j}" for j in range(CDC_W)
     )
@@ -1117,8 +1144,8 @@ def cdc_chunk_stats_sql(
       SELECT id, t, n,
              list_reduce(
                list_prepend([0::BIGINT], list_transform(cands, p -> [p])),
-               (a, x) -> CASE WHEN x[1] - a[-1] >= {CDC_MIN}
-                              THEN a || x ELSE a END) AS accepted
+               (a, x) -> a || CASE WHEN x[1] - a[-1] >= {CDC_MIN}
+                               THEN x ELSE [] END) AS accepted
       FROM cand
     ),
     bnd AS (

@@ -1066,6 +1066,43 @@ def test_cdc_catches_insertion_shifted_duplication(spark):
     assert not (strides(base) & strides(shifted))
 
 
+def test_cdc_empty_text_yields_zero_chunks(spark):
+    """Empty and sub-window documents must not crash the chunk stage
+    (ADVICE r6: bounds=[0] made sequence(1, 0) auto-step DESCENDING,
+    so element_at(bounds, 2) threw INVALID_ARRAY_INDEX_IN_ELEMENT_AT)
+    and must agree with the DuckDB oracle, whose range(1, len(bounds))
+    is simply empty: empty text -> 0 chunks, short text -> 1 chunk."""
+    import duckdb
+
+    from sparksent.ext.dedup import cdc_chunk_stats, cdc_chunk_stats_sql
+
+    rows = [
+        (0, ""),  # the crash row: bounds=[0]
+        (1, "tiny"),  # below CDC_W: no candidates, one whole-doc chunk
+        (2, " ".join(f"w{i * 7 % 97}x{i % 13}" for i in range(120))),
+        (3, " ".join(f"w{i * 7 % 97}x{i % 13}" for i in range(120))),  # dup of 2
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in cdc_chunk_stats(df).collect()}
+    assert out[0]["n_chunks"] == 0
+    assert out[0]["n_dup_chunks"] == 0 and out[0]["dup_chars"] == 0
+    assert out[1]["n_chunks"] == 1
+    assert out[2]["n_dup_chunks"] == out[2]["n_chunks"]  # exact dup pair
+
+    con = duckdb.connect()
+    try:
+        import pandas as pd
+
+        con.register(
+            "documents", pd.DataFrame(rows, columns=["doc_id", "text"])
+        )
+        from conftest import assert_oracle_match
+
+        assert_oracle_match(cdc_chunk_stats(df), con, cdc_chunk_stats_sql())
+    finally:
+        con.close()
+
+
 def test_semdedup_k_for_matches_oracle_windows():
     """Same contract for the SemDeDup cluster-count rule: the Python
     helper and the count-gated SQL branch windows agree at every
