@@ -39,6 +39,19 @@ from ..tables import rebalance
 N_MERGES = 16
 END_MARK = "</w>"  # end-of-word symbol, per the original BPE formulation
 
+# Largest merge count the chained-Catalyst-fold encode path is allowed:
+# each merge is one nested `aggregate` expression layer, so plan depth
+# grows linearly with the merge table.  Measured on pyspark 4.1.2:
+# 64 chained folds still analyze+run in ~1.1 s, but 128 ABORT at
+# analysis time with "Max iterations (100) reached for batch
+# Resolution" — a hard Catalyst ceiling far below any production
+# tokenizer (30k-50k merges).  Above this limit the encode switches to
+# one Arrow ``mapInPandas`` over the DISTINCT WORD domain (bounded
+# rows — the same domain trick the vocab stage uses), whose plan depth
+# is constant in the merge count: a production 50k merge table is just
+# a bigger task closure, not a deeper plan.
+FOLD_DEPTH_LIMIT = 16
+
 
 def word_vocab(df: DataFrame, text_col: str = "text") -> DataFrame:
     """(word, n) over every whitespace token occurrence — the ONLY
@@ -190,25 +203,89 @@ def _apply_merge_fold(arr, left: str, right: str):
     )
 
 
+def apply_merges_py(word: str, merges: list[tuple[str, str]]) -> int:
+    """Sequential greedy-leftmost merge application to one word —
+    byte-for-byte the semantics of :func:`_apply_merge_fold` chained in
+    merge order (and of the rewrite loop in :func:`learn_merges_py`),
+    returning the post-merge subword count.  The substring pre-check is
+    sound because every symbol is a contiguous run of the original
+    ``word + END_MARK`` stream, so a pair (l, r) can only ever match if
+    ``l + r`` occurs literally in that stream — at a production merge
+    count almost every merge skips in one C-speed ``in``."""
+    stream = word + END_MARK
+    syms = list(word) + [END_MARK]
+    for left, right in merges:
+        if left + right not in stream:
+            continue
+        out = []
+        i, n = 0, len(syms)
+        while i < n:
+            if i < n - 1 and syms[i] == left and syms[i + 1] == right:
+                out.append(left + right)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return len(syms)
+
+
+def _encode_distinct_words_arrow(words: DataFrame, merges) -> DataFrame:
+    """(word) -> (word, n_subwords) via ONE Arrow ``mapInPandas`` over
+    the distinct-word domain.  Plan depth is constant in the merge
+    count (the merge table rides in the task closure, bounded by the
+    ``learn_merges`` vocab caps), so this path has no Catalyst ceiling
+    — see FOLD_DEPTH_LIMIT."""
+    merges = list(merges)
+
+    def enc(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "word": pdf["word"],
+                    "n_subwords": [
+                        apply_merges_py(w, merges) for w in pdf["word"]
+                    ],
+                }
+            )
+
+    return words.mapInPandas(enc, "word string, n_subwords long").select(
+        "word", F.col("n_subwords").cast("long").alias("n_subwords")
+    )
+
+
 def encode_token_counts(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     n_merges: int = N_MERGES,
+    fold_limit: int = FOLD_DEPTH_LIMIT,
 ) -> DataFrame:
     """Tokenizer APPLY — encode every document under the learned merge
     table and report real BPE token counts: (doc_id, n_words,
     n_tokens), where n_tokens counts post-merge subword symbols
     (including the </w> markers, merged or not).
 
-    The 100-TB shape: encoding folds run over the DISTINCT WORD domain
-    only (dictionary-first, the fuzzy_name_pairs lever — billions of
-    occurrences, millions of distinct words), as 16 chained JVM-side
-    ``aggregate`` folds compiled from the collected merge table
-    (bounded, driver-sized — the same collect :func:`learn_merges`
-    already does); the per-word subword counts then broadcast-join
-    back onto the occurrence stream and one map-side-combinable
-    doc_id sum finishes. No Python touches row data anywhere."""
+    The 100-TB shape: encoding runs over the DISTINCT WORD domain only
+    (dictionary-first, the fuzzy_name_pairs lever — billions of
+    occurrences, millions of distinct words); the per-word subword
+    counts then broadcast-join back onto the occurrence stream and one
+    map-side-combinable doc_id sum finishes.  The per-word encode has
+    two engines with identical semantics (pinned by
+    tests/test_properties.py::test_bpe_encode_paths_agree):
+
+    - ``n_merges <= fold_limit``: chained JVM-side ``aggregate`` folds,
+      one per merge — zero Python, whole-stage codegen.  This path's
+      plan depth grows with the merge table and hits Catalyst
+      analysis-cost limits (FOLD_DEPTH_LIMIT docstring), so it is
+      capped, not default-unbounded.
+    - above: one Arrow ``mapInPandas`` over the distinct words — plan
+      depth constant in the merge count; proven at n_merges=1024 by
+      tests/test_properties.py::test_bpe_encode_production_merge_count.
+      This is the production tokenizer-apply shape: per-row Python on a
+      BOUNDED domain, never on the occurrence stream."""
     merges = [
         (r["left"], r["right"])
         for r in learn_merges(df, text_col, n_merges).collect()
@@ -217,14 +294,16 @@ def encode_token_counts(
         df.select(id_col, F.explode(F.split(F.col(text_col), " ")).alias("word"))
         .where(F.col("word") != "")
     )
-    syms = F.concat(F.split(F.col("word"), ""), F.array(F.lit(END_MARK)))
-    for left, right in merges:
-        syms = _apply_merge_fold(syms, left, right)
-    enc = (
-        words.select("word")
-        .distinct()
-        .select("word", F.size(syms).cast("long").alias("n_subwords"))
-    )
+    distinct_words = words.select("word").distinct()
+    if len(merges) <= fold_limit:
+        syms = F.concat(F.split(F.col("word"), ""), F.array(F.lit(END_MARK)))
+        for left, right in merges:
+            syms = _apply_merge_fold(syms, left, right)
+        enc = distinct_words.select(
+            "word", F.size(syms).cast("long").alias("n_subwords")
+        )
+    else:
+        enc = _encode_distinct_words_arrow(distinct_words, merges)
     per_doc = (
         words.join(F.broadcast(enc), "word")
         .groupBy(id_col)

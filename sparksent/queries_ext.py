@@ -1017,12 +1017,18 @@ def q_bpe_encode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     table and report REAL subword token counts (doc_id, n_words,
     n_tokens) — the statistic every token-budgeted corpus pipeline
     needs (seq_packing/chunking currently count whitespace words).
-    The encoding folds run over the DISTINCT WORD domain only
-    (dictionary-first), as 16 chained JVM-side ``aggregate`` folds —
-    no Python touches row data; per-word counts broadcast-join back
-    onto the occurrence stream. The oracle reuses the merge
-    recursion's deepest level, whose symbol lists ARE the encoded
-    vocabulary (ext/bpe.py::encode_sql)."""
+    The encoding runs over the DISTINCT WORD domain only
+    (dictionary-first); at this registered depth (16 merges) it is 16
+    chained JVM-side ``aggregate`` folds — no Python touches row data;
+    per-word counts broadcast-join back onto the occurrence stream.
+    Production merge counts (30k-50k) exceed the Catalyst fold-nesting
+    ceiling (128 chained folds abort analysis — ext/bpe.py
+    FOLD_DEPTH_LIMIT), so above 16 merges encode_token_counts switches
+    to one Arrow mapInPandas over the same bounded distinct-word
+    domain, path-equality- and depth-1024-proven in
+    tests/test_properties.py. The oracle reuses the merge recursion's
+    deepest level, whose symbol lists ARE the encoded vocabulary
+    (ext/bpe.py::encode_sql)."""
     from .ext import bpe
 
     return bpe.encode_token_counts(_docs(spark, sf_dir))

@@ -343,9 +343,10 @@ def q_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "session_concurrency",
-    oracle="""
+# Shared sessionization + naive interval-self-join CTE text of the two
+# session_concurrency oracles (the oracle deliberately states the O(S²)
+# range join the Spark plans avoid).
+_SESSION_PAIRS_CTES = """
     WITH o AS (
       SELECT user_id, ts, event_id,
              CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
@@ -368,7 +369,60 @@ def q_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT x.user_id AS ux, x.a AS ax, y.user_id AS uy, y.a AS ay
       FROM g x JOIN g y
         ON x.user_id <> y.user_id AND x.a <= y.b AND y.a <= x.b
+    )"""
+
+CONCURRENCY_CAP = 16  # per-session partner cap of the production variant
+_CONC_BIN_US = 600_000_000  # 10-minute bins, ~ the p95 session duration
+
+
+def _session_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, session_start_us, session_end_us) under the shared
+    30-minute-gap sessionization — the input frame of both
+    session_concurrency variants."""
+    from .windows import session_agg
+
+    ev = tables.load_table(spark, sf_dir, "events")
+    return session_agg(
+        ev,
+        ["user_id"],
+        30 * 60,
+        [F.max(F.unix_micros(F.col("ts"))).alias("session_end_us")],
+    ).select("user_id", "session_start_us", "session_end_us")
+
+
+def _binned_sides(sess: DataFrame):
+    """Explode sessions to covered 10-minute bins and produce the two
+    aliased sides of the co-bin equi-join."""
+    binned = sess.select(
+        "user_id",
+        "session_start_us",
+        "session_end_us",
+        F.explode(
+            F.sequence(
+                F.expr(f"session_start_us div {_CONC_BIN_US}"),
+                F.expr(f"session_end_us div {_CONC_BIN_US}"),
+            )
+        ).alias("bin"),
     )
+    x = binned.select(
+        F.col("user_id").alias("ux"),
+        F.col("session_start_us").alias("ax"),
+        F.col("session_end_us").alias("bx"),
+        "bin",
+    )
+    y = binned.select(
+        F.col("user_id").alias("uy"),
+        F.col("session_start_us").alias("ay"),
+        F.col("session_end_us").alias("by"),
+        "bin",
+    )
+    return x, y
+
+
+@register(
+    "session_concurrency",
+    oracle=_SESSION_PAIRS_CTES
+    + """
     SELECT g.user_id, g.a AS session_start_us, g.b AS session_end_us,
            coalesce(c.n, 0)::BIGINT AS n_concurrent
     FROM g LEFT JOIN (
@@ -394,40 +448,16 @@ def q_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     (peak hour) is the skew hazard, handled by AQE skew splitting and,
     at planetary load, a finer bin. Bins per session are bounded by
     duration/bin (~7 here). The same binned plan is how the streaming
-    stream-stream interval join is expressed."""
-    from .windows import session_agg
+    stream-stream interval join is expressed.
 
-    BIN = 600_000_000  # 10-minute bins, ~ the p95 session duration
-    ev = tables.load_table(spark, sf_dir, "events")
-    sess = session_agg(
-        ev,
-        ["user_id"],
-        30 * 60,
-        [F.max(F.unix_micros(F.col("ts"))).alias("session_end_us")],
-    ).select("user_id", "session_start_us", "session_end_us")
-    binned = sess.select(
-        "user_id",
-        "session_start_us",
-        "session_end_us",
-        F.explode(
-            F.sequence(
-                F.expr(f"session_start_us div {BIN}"),
-                F.expr(f"session_end_us div {BIN}"),
-            )
-        ).alias("bin"),
-    )
-    x = binned.select(
-        F.col("user_id").alias("ux"),
-        F.col("session_start_us").alias("ax"),
-        F.col("session_end_us").alias("bx"),
-        "bin",
-    )
-    y = binned.select(
-        F.col("user_id").alias("uy"),
-        F.col("session_start_us").alias("ay"),
-        F.col("session_end_us").alias("by"),
-        "bin",
-    )
+    This is the EXACT form: its output is dense by definition (a
+    platform where everything overlaps everything has ~S² true pairs —
+    88 s at scale_demo ×20 is 157 M pairs of real answer, not a plan
+    defect).  Production dashboards don't need exact counts above a
+    saturation point; session_concurrency_capped is the bounded form
+    whose post-candidate volume is S×CAP regardless of density."""
+    sess = _session_intervals(spark, sf_dir)
+    x, y = _binned_sides(sess)
     pairs = (
         x.join(y, "bin")
         .filter(F.col("ux") != F.col("uy"))
@@ -449,6 +479,81 @@ def q_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             "session_start_us",
             "session_end_us",
             F.coalesce("n_concurrent", F.lit(0)).cast("long").alias("n_concurrent"),
+        )
+    )
+
+
+@register(
+    "session_concurrency_capped",
+    oracle=_SESSION_PAIRS_CTES
+    + f"""
+    SELECT g.user_id, g.a AS session_start_us, g.b AS session_end_us,
+           least(coalesce(c.n, 0), {CONCURRENCY_CAP})::BIGINT
+             AS n_concurrent_capped
+    FROM g LEFT JOIN (
+      SELECT ux, ax, count(*) AS n FROM pairs GROUP BY 1, 2
+    ) c ON c.ux = g.user_id AND c.ax = g.a
+    """,
+    tags=("relational", "session", "intervaljoin"),
+)
+def q_session_concurrency_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """session_concurrency with the production density bound the r6
+    verdict asked to be implemented, not documented: n_concurrent
+    saturates at CONCURRENCY_CAP=16 (dashboards need "is this session
+    contended", not the exact 4-millionth partner), and the PLAN is
+    bounded by it end to end:
+
+    - each truly-overlapping pair is emitted from exactly ONE bin (its
+      first shared bin, ``bin == greatest(ax, ay) div BIN``), so the
+      157 M-row pair ``distinct()`` shuffle of the exact form
+      disappears entirely;
+    - the per-session partner limit is a ``row_number() <= CAP`` over
+      (ux, ax), which Spark rewrites to WindowGroupLimit (plan-gated):
+      every shuffle-map task emits at most CAP rows per session seen,
+      so the rank shuffle carries ≤ S×CAP rows no matter how dense the
+      overlap graph gets — sub-linear in output density where the
+      exact form is linear (measured: SCALE.md ×20, 88 s → bounded);
+    - the final count aggregates ≤ S×CAP rows.
+
+    The oracle computes the naive O(S²) join and applies
+    ``least(n, CAP)`` — exact equality, because min(true count, CAP)
+    is exactly what the rank filter counts once pairs are unique."""
+    sess = _session_intervals(spark, sf_dir)
+    x, y = _binned_sides(sess)
+    pairs = (
+        x.join(y, "bin")
+        .filter(F.col("ux") != F.col("uy"))
+        .filter((F.col("ax") <= F.col("by")) & (F.col("ay") <= F.col("bx")))
+        # first-shared-bin guard: emit each overlapping pair exactly once
+        # (shared bins run from greatest(ax,ay) div BIN to
+        # least(bx,by) div BIN; keep only the first) — replaces the full
+        # pair distinct() with a free per-row predicate
+        .filter(
+            F.col("bin")
+            == F.expr(f"greatest(ax, ay) div {_CONC_BIN_US}")
+        )
+        .select("ux", "ax", "uy", "ay")
+    )
+    w = Window.partitionBy("ux", "ax").orderBy("ay", "uy")
+    capped = (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= CONCURRENCY_CAP)
+        .groupBy("ux", "ax")
+        .agg(F.count("*").cast("long").alias("n_concurrent_capped"))
+    )
+    return (
+        sess.join(
+            capped,
+            (sess.user_id == capped.ux) & (sess.session_start_us == capped.ax),
+            "left",
+        )
+        .select(
+            "user_id",
+            "session_start_us",
+            "session_end_us",
+            F.coalesce("n_concurrent_capped", F.lit(0))
+            .cast("long")
+            .alias("n_concurrent_capped"),
         )
     )
 

@@ -1096,3 +1096,24 @@ def test_session_concurrency_bin_equijoin(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert re.search(r"keys(?:.|\n)*bin", plan)  # the equi-join key is the bin
+
+
+def test_session_concurrency_capped_windowgrouplimit(spark):
+    """The capped variant's density bound must be IN THE PLAN, not just
+    the semantics: the per-session partner limit rewrites to
+    WindowGroupLimit (map-side top-CAP per session before the rank
+    shuffle, so post-candidate volume is ≤ S×CAP however dense the
+    overlap graph), the first-shared-bin guard replaces the full-pair
+    distinct() (no HashAggregate over the raw pair stream beyond the
+    final ≤S×CAP count), and pairing still goes through the bin
+    equi-join, never a nested loop."""
+    plan = plan_of(spark, "session_concurrency_capped")
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert re.search(r"keys(?:.|\n)*bin", plan)
+    # one fewer shuffle than the exact form: the pair-distinct exchange
+    # is gone (exact form: bin-explode sides + distinct + count + join
+    # back; capped: sides + rank + count + join back)
+    exact = plan_of(spark, "session_concurrency")
+    assert count_data_shuffles(plan) <= count_data_shuffles(exact)
