@@ -46,8 +46,8 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 
 
 # The driver verifies only the FIRST 50 entries of ``queries()`` per round
-# (CORRECTNESS_r01..r05 are each exactly the 50-name prefix of the order
-# we expose).  Registration order is an import-order accident, so we pin
+# (each CORRECTNESS_r*.json is exactly the 50-name prefix of the order
+# we expose at that round).  Registration order is an import-order accident, so we pin
 # an explicit verification priority instead: queries that have never had
 # a green driver CORRECTNESS row come first, then stale-green names
 # oldest-round-first (driver freshness is the one evidence class the repo
@@ -55,71 +55,14 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # the priority block, so the registry surface itself is unchanged — only
 # the iteration order of queries()/oracle_sql() moves.
 #
-# Round-6 window, regenerated from CORRECTNESS_r01..r05.json via
-# tools/regen_priority.py (one hand adjustment: the three queries whose
-# oracles were rewritten this round jump to slots 5-7).
+# Round-8 window, regenerated mechanically from CORRECTNESS_r01..r07.json
+# via tools/regen_priority.py (no hand adjustments): slot 1 is the only
+# registered query with zero driver evidence, slots 2-28 the 27 names
+# whose latest green driver row is round 3, remainder oldest-first.
 _PRIORITY: tuple[str, ...] = (
-    # Slots 1-4: registered late round 5, past that round's window —
-    # never driver-checked (pytest-oracle evidence only).
-    "dedup_exact_normalized",
-    "supplier_lead_time",
-    "survival_km_error",
-    "backtest_seasonal_naive",
-    "doc_sentiment_frozen_margin",  # registered round 6
-    "bpe_encode_documents",  # registered round 6
-    "semdedup_embeddings",  # registered round 6
-    "sample_token_budget",  # registered round 6
-    "dedup_cdc_chunks",  # registered round 6
-    "daily_median_value",  # registered round 6
-    "asof_view_next_purchase",  # registered round 6
-    "gopher_quality_gate",  # registered round 6
-    "session_concurrency",  # registered round 6
-    "hll_sliding_distinct_7d",  # registered round 6
-    # Slots 7-10: oracles NEW or REWRITTEN this round (pinned Spark-exact
-    # percentile interpolation, sparksent/oracles.py; bpe_merges got its
-    # first real oracle — the recursive-CTE merge loop) — verify first.
-    "percentile_order_value",
-    "winsorize_event_value",
-    "anomaly_robust_events",
-    "bpe_merges",
-    # Latest green driver row is r01.
-    "tpch_q6_forecast",
-    "tpch_q14_promo",
-    "tpch_q16_supplier_cnt",
-    "tpch_q17_small_quantity",
-    "tpch_q18_large_orders",
-    "tpch_q19_disjunctive",
-    "semi_late_orders",
-    "anti_customers_no_orders",
-    # Latest green driver row is r02 (pre-TIMESTAMP_NTZ fixture-drift
-    # evidence).
-    "doc_sentiment",
-    "doc_entities",
-    "doc_categories",
-    "doc_sentiment_mllib",
-    "dedup_exact",
-    "dedup_simhash",
-    "dedup_keep_set",
-    "dedup_components",
-    "similarity_topk_brute",
-    "similarity_topk_lsh",
-    "similarity_topk_ivf",
-    "similarity_topk_multiprobe",
-    "text_stats",
-    "text_fingerprint",
-    "text_distinctive_terms",
-    "text_normalize",
-    "text_bigram_lift",
-    "multimodal_features",
-    "multimodal_image_headers",
-    "embedding_centroids",
-    "embedding_quantize_error",
-    "corpus_curation_pipeline",
-    "tpch_q1_pricing",
-    "tpch_q3_shipping",
-    # Oldest r03-green names; with the two round-6 registrations in
-    # slots 5-6 the 50-slot window ends at multimodal_frame_sample
-    # (pii_redaction leads the round-7 queue).
+    # slot 1+: no green driver row yet
+    "session_concurrency_capped",
+    # slot 2+: latest green driver row is r03
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_ngram_containment",
@@ -131,9 +74,6 @@ _PRIORITY: tuple[str, ...] = (
     "pii_redaction",
     "boilerplate_removal",
     "lang_id_confusion",
-    # Slots 51+: round-7 queue — remaining r03-green names, then r04,
-    # then r05, each tier oldest-green-first (regenerate with
-    # tools/regen_priority.py next round).
     "bloom_semijoin_customers",
     "tpch_q2_min_cost_supplier",
     "tpch_q4_priority_check",
@@ -150,6 +90,7 @@ _PRIORITY: tuple[str, ...] = (
     "outer_order_count_distribution",
     "topn_orders_per_priority",
     "rangejoin_price_bands",
+    # slot 29+: latest green driver row is r04
     "parse_lines",
     "window_concat_1s",
     "window_concat_100s",
@@ -171,7 +112,7 @@ _PRIORITY: tuple[str, ...] = (
     "hll_distinct_users",
     "sample_bernoulli_events",
     "sample_stratified_events",
-    "cmsketch_heavy_hitters",
+    "cmsketch_heavy_hitters",  # --- driver window ends here (50) ---
     "grouped_mode_event_type",
     "seq_packing_512",
     "repetition_stats",
@@ -199,6 +140,7 @@ _PRIORITY: tuple[str, ...] = (
     "funnel_view_click_purchase",
     "retention_cohorts",
     "event_transition_matrix",
+    # slot 78+: latest green driver row is r05
     "chunk_documents_128_96",
     "multimodal_decode_audio",
     "column_stats_events",
@@ -248,6 +190,57 @@ _PRIORITY: tuple[str, ...] = (
     "entity_resolution_parts",
     "churn_training_set",
     "item_similarity_jaccard",
+    # slot 127+: latest green driver row is r07
+    "dedup_exact_normalized",
+    "supplier_lead_time",
+    "survival_km_error",
+    "backtest_seasonal_naive",
+    "doc_sentiment_frozen_margin",
+    "bpe_encode_documents",
+    "semdedup_embeddings",
+    "sample_token_budget",
+    "dedup_cdc_chunks",
+    "daily_median_value",
+    "asof_view_next_purchase",
+    "gopher_quality_gate",
+    "session_concurrency",
+    "hll_sliding_distinct_7d",
+    "percentile_order_value",
+    "winsorize_event_value",
+    "anomaly_robust_events",
+    "bpe_merges",
+    "tpch_q6_forecast",
+    "tpch_q14_promo",
+    "tpch_q16_supplier_cnt",
+    "tpch_q17_small_quantity",
+    "tpch_q18_large_orders",
+    "tpch_q19_disjunctive",
+    "semi_late_orders",
+    "anti_customers_no_orders",
+    "doc_sentiment",
+    "doc_entities",
+    "doc_categories",
+    "doc_sentiment_mllib",
+    "dedup_exact",
+    "dedup_simhash",
+    "dedup_keep_set",
+    "dedup_components",
+    "similarity_topk_brute",
+    "similarity_topk_lsh",
+    "similarity_topk_ivf",
+    "similarity_topk_multiprobe",
+    "text_stats",
+    "text_fingerprint",
+    "text_distinctive_terms",
+    "text_normalize",
+    "text_bigram_lift",
+    "multimodal_features",
+    "multimodal_image_headers",
+    "embedding_centroids",
+    "embedding_quantize_error",
+    "corpus_curation_pipeline",
+    "tpch_q1_pricing",
+    "tpch_q3_shipping",
 )
 
 
