@@ -1450,3 +1450,49 @@ def test_space_saving_state_survives_checkpoint_restart(spark, tmp_path):
     got = {(r.event_type, r.item): r.count_est for r in final.itertuples()}
     assert got == want
     assert (final["err"] == 0).all()
+
+
+def test_space_saving_matches_oracle_sf001(spark, ducks, tmp_path):
+    """Streaming space-saving against an INDEPENDENT DuckDB group-count
+    recomputation at sf0.01 (rows + schema + exact values) — closing
+    the direct-oracle matrix for every carry-state operator (VERDICT r7
+    ask #3). In the exact-capacity regime (capacity >= distinct items
+    per key; sf0.01 has 150 users x 5 event types) the final snapshot
+    per key IS the exact count table with all errs 0 and n_seen equal
+    to the key's total row count, so the engine-vs-engine comparison is
+    bit-exact, not a bound check."""
+    from sparksent.streaming.count_window import streaming_space_saving
+
+    from conftest import SF_DIR, assert_oracle_match
+
+    replay = str(tmp_path / "ss_oracle_replay")
+    ev = load_table(spark, SF_DIR, "events")
+    write_replay_chunks(ev, replay, N_CHUNKS)
+
+    stream = file_replay_source(spark, replay).select(
+        "event_type", "user_id", "ts", "event_id"
+    )
+    out = streaming_space_saving(stream, capacity=1_000)
+    _run_to_memory(out, "t_ss_oracle", "update")
+    snap = spark.table("t_ss_oracle")
+    w = Window.partitionBy("event_type")
+    final = (
+        snap.withColumn("max_seen", F.max("n_seen").over(w))
+        .filter(F.col("n_seen") == F.col("max_seen"))
+        .select("event_type", "item", "count_est", "err", "n_seen")
+    )
+    assert_oracle_match(
+        final,
+        ducks,
+        """
+        SELECT e.event_type, e.user_id AS item,
+               count(*)::BIGINT AS count_est, 0::BIGINT AS err,
+               t.n_seen
+        FROM events e
+        JOIN (
+          SELECT event_type, count(*)::BIGINT AS n_seen
+          FROM events GROUP BY 1
+        ) t USING (event_type)
+        GROUP BY e.event_type, e.user_id, t.n_seen
+        """,
+    )
