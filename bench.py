@@ -185,10 +185,10 @@ HEADLINE = [
     "supplier_lead_time",
     "survival_km_error",
     "backtest_seasonal_naive",
-    # round-6 additions: the 19 registry names that previously had no
-    # bench pin (a regression there was invisible to the BENCH gate) —
-    # the headline tier now covers the registry minus the 3
-    # capability-tier queries.
+    # round-6 additions: registry names that previously had no bench
+    # pin (a regression there was invisible to the BENCH gate) — the
+    # headline tier covers the registry minus the 3 capability-tier
+    # queries.
     "parse_lines",
     "window_concat_100s",
     "toxic_topic_cw25",
@@ -218,6 +218,8 @@ HEADLINE = [
     "gopher_quality_gate",
     "session_concurrency",
     "hll_sliding_distinct_7d",
+    # round-8 additions
+    "session_concurrency_capped",
 ]
 
 # Timed and reported, but excluded from the headline sum: cost dominated
@@ -299,6 +301,41 @@ def main() -> None:
             }
         )
     )
+    # Persistent full-suite artifact (VERDICT r6 ask #7 / r7 ask #5):
+    # the driver's stdout capture keeps only a ~2000-char tail, which
+    # truncates the per-query map — so the complete name -> best-of-2
+    # seconds table is ALSO written to BENCH_FULL_r<k>.json in the repo
+    # root, where <k> is the current round (max recorded BENCH round
+    # + 1, or $SPARK_GRAFT_ROUND).  tools/bench_diff.py compares two
+    # such artifacts (or one vs BASELINE_BENCH.json).
+    here = os.path.dirname(os.path.abspath(__file__))
+    rnd = os.environ.get("SPARK_GRAFT_ROUND")
+    if rnd is None:
+        import glob as _glob
+        import re as _re
+
+        rounds = [
+            int(m.group(1))
+            for p in _glob.glob(os.path.join(here, "BENCH_r*.json"))
+            if (m := _re.search(r"BENCH_r(\d+)\.json$", p))
+        ]
+        rnd = str(max(rounds, default=0) + 1)
+    full_path = os.path.join(here, f"BENCH_FULL_r{int(rnd):02d}.json")
+    with open(full_path, "w") as f:
+        json.dump(
+            {
+                "metric": "per-query best-of-2 wall clock, full suite",
+                "unit": "sec",
+                "sf": float(sf),
+                "headline_total": round(headline_total, 3),
+                "n_headline": len(HEADLINE),
+                "capability_tier": CAPABILITY,
+                "queries": timings,
+            },
+            f,
+            indent=1,
+        )
+    print(f"full per-query artifact: {full_path}", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -1060,6 +1060,27 @@ def semdedup_k_for(
     return max(floor, math.ceil(n_rows / target))
 
 
+def semdedup_k_oracle_checked(n_rows: int) -> int:
+    """``semdedup_k_for`` for the REGISTERED query/oracle pair: the
+    pre-generated count-gated oracle (``semdedup_auto_sql``) only has
+    branches up to ``SEMDEDUP_K_AUTO_MAX``, so a corpus that would
+    self-scale past it must fail loudly on the QUERY side too —
+    symmetric with the oracle's ``error()`` overflow branch — instead
+    of the pair diverging (ADVICE r7).  The library rule itself stays
+    unclamped: production callers pass k=None to
+    ``semdedup_keep_flags`` and scale to millions of clusters; only
+    the fixture-facing registration routes through this check."""
+    k = semdedup_k_for(n_rows)
+    if k > SEMDEDUP_K_AUTO_MAX:
+        raise ValueError(
+            f"semdedup_k_for({n_rows}) = {k} exceeds the pre-generated "
+            f"oracle branch ceiling {SEMDEDUP_K_AUTO_MAX} (corpora up to "
+            f"{SEMDEDUP_TARGET * SEMDEDUP_K_AUTO_MAX} vectors); extend "
+            "_semdedup_k_windows if the driver fixtures grow"
+        )
+    return k
+
+
 def _semdedup_k_windows(
     floor: int = SEMDEDUP_K,
     max_k: int = SEMDEDUP_K_AUTO_MAX,

@@ -17,7 +17,12 @@ BPE_ISH_PATTERN = "[a-z]+|[0-9]+"  # identical RE2/Java semantics
 EN_STOPWORD_MIN_RATIO = 0.03
 
 
-def text_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def text_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
     """Per-document statistics:
 
     - n_tokens (whitespace), n_types (distinct), sum_len (total chars in
@@ -28,6 +33,11 @@ def text_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") ->
     - lang_pred: stopword-ratio heuristic ('en' iff ratio >= 3%)
     - quality: ttr damped outside the 20..80-token sweet spot — the
       length/stopword-style quality gate of C4-like pipelines
+
+    ``keep`` passes extra input columns through the projection, so a
+    pipeline can CHAIN this after another per-row stage (e.g. the
+    gopher gate) and Catalyst collapses the chained projections into
+    one ProjectExec over one scan — the no-self-join composition rule.
     """
     toks = F.split(F.col(text_col), " ")
     n = F.size(toks)
@@ -54,6 +64,7 @@ def text_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") ->
             (n_types / n)
             * F.when((n >= 20) & (n <= 80), F.lit(1.0)).otherwise(F.lit(0.5))
         ).alias("quality"),
+        *[F.col(c) for c in keep],
     )
 
 
@@ -287,7 +298,10 @@ GATE_MIN_TTR_PPM = 200_000  # repetition floor (the n-gram dup rules
 
 
 def gopher_quality_gate(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """The composite document-quality gate every curation pipeline runs
     (the Gopher §A1.1 rule shape; thresholds scaled to the fixture
@@ -313,6 +327,7 @@ def gopher_quality_gate(
         .cast("long")
         .alias("n_alpha"),
         F.size(F.array_distinct(words)).cast("long").alias("n_types"),
+        *[F.col(c) for c in keep],
     )
     m = counts.select(
         id_col,
@@ -330,6 +345,7 @@ def gopher_quality_gate(
             "CASE WHEN n_words > 0 THEN (n_types * 1000000) div n_words"
             " ELSE CAST(0 AS BIGINT) END"
         ).alias("ttr_ppm"),
+        *[F.col(c) for c in keep],
     )
     fail_bits = (
         F.when(
@@ -355,6 +371,7 @@ def gopher_quality_gate(
         "ttr_ppm",
         fail_bits.cast("long").alias("fail_mask"),
         F.when(fail_bits == 0, 1).otherwise(0).cast("int").alias("pass"),
+        *[F.col(c) for c in keep],
     )
 
 

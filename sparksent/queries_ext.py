@@ -478,27 +478,43 @@ def q_bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "corpus_curation_pipeline",
     oracle=f"""
-    WITH stats AS ({textstats.text_stats_sql()}),
+    WITH gate AS ({textstats.gopher_quality_gate_sql()}),
+    stats AS ({textstats.text_stats_sql()}),
     mh_pairs AS ({dedup.minhash_lsh_pairs_sql()}),
     drops AS (SELECT DISTINCT id_b AS doc_id FROM mh_pairs)
-    SELECT s.doc_id, s.n_tokens, s.lang_pred, s.quality
-    FROM stats s
-    WHERE s.quality >= 0.5 AND s.lang_pred = 'en'
+    SELECT s.doc_id, s.n_tokens, s.lang_pred, s.quality,
+           g.n_stop, g.ttr_ppm, g.mean_len_milli
+    FROM stats s JOIN gate g USING (doc_id)
+    WHERE g.fail_mask = 0
+      AND s.quality >= 0.5 AND s.lang_pred = 'en'
       AND s.doc_id NOT IN (SELECT doc_id FROM drops)
     """,
     tags=("ext", "pipeline"),
 )
 def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The full C4-style curation endpoint in ONE plan: per-document
-    quality/language stats (pure projections), the quality + lang gate,
-    and near-duplicate removal (anti-join against the MinHash-LSH drop
-    set). Catalyst sees the whole pipeline — the stats projection and
-    the gate fuse into the scan side of the anti-join; nothing
-    materializes between stages."""
+    """The full C4-style curation endpoint in ONE plan: the composite
+    Gopher quality gate (fail_mask = 0 keeps only documents passing
+    ALL five rules — word-count band, mean-word-length band, stopword
+    minimum, alphabetic fraction, TTR floor), per-document
+    quality/language stats, the quality + lang gate, and near-duplicate
+    removal (anti-join against the MinHash-LSH drop set) — one pass, as
+    a real curation user runs it (VERDICT r7 ask #4).
+
+    The gate and stats stages compose at COLUMN level (``keep``
+    pass-through, ext/textstats.py): chained per-row projections that
+    Catalyst collapses into one ProjectExec over one documents scan —
+    no gate-vs-stats self-join, no extra shuffle (plan-gated:
+    tests/test_plans.py asserts 2 scans total, the stats+gate side and
+    the LSH drop side).  Three gate metrics (n_stop, ttr_ppm,
+    mean_len_milli) surface in the output so the oracle value-checks
+    the gate arithmetic, not just the surviving cardinality."""
     docs = _docs(spark, sf_dir)
-    stats = textstats.text_stats(docs).filter(
-        (F.col("quality") >= 0.5) & (F.col("lang_pred") == "en")
+    gated = textstats.gopher_quality_gate(docs, keep=("text",)).filter(
+        F.col("fail_mask") == 0
     )
+    stats = textstats.text_stats(
+        gated, keep=("n_stop", "ttr_ppm", "mean_len_milli")
+    ).filter((F.col("quality") >= 0.5) & (F.col("lang_pred") == "en"))
     drops = (
         dedup.minhash_lsh_pairs(docs)
         .select(F.col("id_b").alias("drop_id"))
@@ -506,7 +522,10 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         stats.join(drops, stats.doc_id == drops.drop_id, "left_anti")
-        .select("doc_id", "n_tokens", "lang_pred", "quality")
+        .select(
+            "doc_id", "n_tokens", "lang_pred", "quality",
+            "n_stop", "ttr_ppm", "mean_len_milli",
+        )
     )
 
 
@@ -1116,8 +1135,13 @@ def q_semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     historical 8) so per-cluster load stays constant as N grows. The
     oracle is the count-gated union over the k values the corpus size
     could select, sharing the Lloyd CTEs with kmeans_embeddings_2iter
-    and the left-to-right double cosine with the similarity family."""
-    return similarity.semdedup_keep_flags(_emb(spark, sf_dir))
+    and the left-to-right double cosine with the similarity family.
+    The k the corpus selects is checked against the oracle's branch
+    ceiling (semdedup_k_oracle_checked) so an oversized fixture fails
+    loudly on BOTH sides of the pair instead of diverging."""
+    emb = _emb(spark, sf_dir)
+    k = similarity.semdedup_k_oracle_checked(emb.count())
+    return similarity.semdedup_keep_flags(emb, k=k)
 
 
 @register(

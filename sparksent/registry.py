@@ -60,8 +60,11 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # registered query with zero driver evidence, slots 2-28 the 27 names
 # whose latest green driver row is round 3, remainder oldest-first.
 _PRIORITY: tuple[str, ...] = (
-    # slot 1+: no green driver row yet
+    # slot 1+: no green driver row yet / output changed this round
     "session_concurrency_capped",
+    # rewritten round 8 (gopher gate wired in; new output schema) —
+    # its prior green rows no longer cover it, so it re-verifies first
+    "corpus_curation_pipeline",
     # slot 2+: latest green driver row is r03
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
@@ -238,7 +241,6 @@ _PRIORITY: tuple[str, ...] = (
     "multimodal_image_headers",
     "embedding_centroids",
     "embedding_quantize_error",
-    "corpus_curation_pipeline",
     "tpch_q1_pricing",
     "tpch_q3_shipping",
 )

@@ -191,3 +191,31 @@ def test_documents_text_is_single_spaced(sf_dir):
         "regex/string_split gram equivalence no longer holds; see "
         "overlapping_gram_re's contract note"
     )
+
+
+@pytest.mark.parametrize("sf_dir", [SF_DIR_SMALL, SF_DIR, "/root/testdata/sf0.1"])
+def test_percentile_measures_have_no_null_groups(sf_dir):
+    """Contract of sparksent/oracles.py::spark_percentile_select (its
+    module docstring, pinned here per ADVICE r7): a group whose measure
+    is ALL NULL would silently drop out of the oracle's window+CASE SQL
+    while Spark's percentile() emits a NULL row — a row-count mismatch
+    the oracle pair would blame on the query. The registered callers'
+    measures are orders.o_totalprice (by o_orderpriority) and
+    events.value (by event_type / (event_type, day)); a regenerated
+    fixture that introduces NULL measures must fail HERE, named, not as
+    a driver hash mismatch on four percentile queries."""
+    con = duckdb.connect()
+    n_null_price = con.execute(
+        f"SELECT count(*) FROM read_parquet('{sf_dir}/orders.parquet')"
+        " WHERE o_totalprice IS NULL"
+    ).fetchone()[0]
+    n_null_value = con.execute(
+        f"SELECT count(*) FROM read_parquet('{sf_dir}/events.parquet')"
+        " WHERE value IS NULL"
+    ).fetchone()[0]
+    assert n_null_price == 0 and n_null_value == 0, (
+        f"{sf_dir}: {n_null_price} NULL o_totalprice / {n_null_value} "
+        "NULL event values - the percentile oracles' non-NULL contract "
+        "no longer holds; add a LEFT JOIN + explicit NULL row to "
+        "spark_percentile_select callers or regenerate the fixture"
+    )

@@ -1117,3 +1117,19 @@ def test_session_concurrency_capped_windowgrouplimit(spark):
     # back; capped: sides + rank + count + join back)
     exact = plan_of(spark, "session_concurrency")
     assert count_data_shuffles(plan) <= count_data_shuffles(exact)
+
+
+def test_corpus_curation_gate_fused_single_scan(spark):
+    """The gopher gate wired into the curation pipeline (r7 ask #4)
+    must compose at COLUMN level: the gate projection, the stats
+    projection, and both quality filters collapse onto the SAME
+    documents scan (no gate-vs-stats self-join), so the whole plan
+    reads documents exactly twice — once for the gated-stats side,
+    once for the MinHash-LSH drop side."""
+    plan = plan_of(spark, "corpus_curation_pipeline")
+    # each scan node appears twice in formatted output (tree + detail)
+    assert len(set(re.findall(r"\(\d+\) Scan parquet", plan))) <= 2
+    assert plan.count("Scan parquet ") <= 4
+    # anti-join against the drop set is present; no cartesian anywhere
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan

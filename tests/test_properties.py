@@ -1285,3 +1285,26 @@ def test_asof_forward_matches_reference_model(spark, rows):
         cands = [(rt, j) for j, (rk, rt) in enumerate(rights) if rk == k and rt >= t]
         want = min(cands)[1] if cands else None
         assert got[i] == want, (i, k, t, cands)
+
+
+def test_semdedup_k_oracle_checked_clamp():
+    """The registered semdedup pair's sizing guard (ADVICE r7): inside
+    the pre-generated oracle branch range the check is the identity on
+    semdedup_k_for; one vector past the last branch's window it raises
+    loudly — symmetric with the oracle's error() overflow branch, so an
+    oversized fixture can never make the pair silently diverge."""
+    import pytest as _pytest
+
+    from sparksent.ext.similarity import (
+        SEMDEDUP_K_AUTO_MAX,
+        SEMDEDUP_TARGET,
+        semdedup_k_for,
+        semdedup_k_oracle_checked,
+    )
+
+    hi = SEMDEDUP_TARGET * SEMDEDUP_K_AUTO_MAX  # 2560: last covered count
+    for n in (0, 500, 2000, hi):
+        assert semdedup_k_oracle_checked(n) == semdedup_k_for(n)
+    assert semdedup_k_oracle_checked(hi) == SEMDEDUP_K_AUTO_MAX
+    with _pytest.raises(ValueError, match="oracle branch ceiling"):
+        semdedup_k_oracle_checked(hi + 1)
