@@ -262,6 +262,12 @@ def main() -> None:
         # registered default: num_planes=None -> num_planes_for(count)
         return cosine_neardup_pairs(emb, threshold=SCALE_COSINE_THRESHOLD)
 
+    def semdedup_scale(spark_, sf_dir):
+        from sparksent.ext.similarity import semdedup_keep_flags
+
+        emb = load_table(spark_, sf_dir, "embeddings")
+        return semdedup_keep_flags(emb)  # k=None -> semdedup_k_for(N)
+
     targets = {
         "dedup_minhash_lsh": qs["dedup_minhash_lsh"],
         "dedup_ngram_jaccard": qs["dedup_ngram_jaccard"],
@@ -323,10 +329,15 @@ def main() -> None:
         "entity_resolution_parts": qs["entity_resolution_parts"],
         # round-6 additions: SemDeDup at x20 vectors exercises the
         # self-scaling cluster count (k_for(40k)=157 -> ~256
-        # vectors/cluster keeps the per-cluster quadratic constant);
+        # vectors/cluster keeps the per-cluster quadratic constant) —
+        # via the LIBRARY entry point (k=None self-scaling), because
+        # the REGISTERED query routes through semdedup_k_oracle_checked
+        # which refuses corpora past the pre-generated oracle branch
+        # ceiling (the scale corpus has no oracle, so the library path
+        # is the production-faithful one — the cosine_scale pattern);
         # CDC chunking's boundary math is per-row array arithmetic, so
         # only the chunk-hash aggregate shuffles
-        "semdedup_embeddings": qs["semdedup_embeddings"],
+        "semdedup_embeddings": semdedup_scale,
         "dedup_cdc_chunks": qs["dedup_cdc_chunks"],
     }
     results = {}
