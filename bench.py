@@ -220,6 +220,8 @@ HEADLINE = [
     "hll_sliding_distinct_7d",
     # round-8 additions
     "session_concurrency_capped",
+    "dedup_span_8gram",
+    "dsir_importance_weights",
 ]
 
 # Timed and reported, but excluded from the headline sum: cost dominated

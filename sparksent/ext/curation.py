@@ -629,3 +629,192 @@ def sample_token_budget_sql(
     SELECT {id_col}, {group_col}, n_tokens, prior_tokens
     FROM r WHERE prior_tokens < {budget}
     """
+
+
+# ---------------------------------------------------------------------------
+# DSIR: Data Selection via Importance Resampling (Xie et al. 2023) —
+# hashed n-gram importance weights for target-domain-matched pretraining
+# data selection; no reference counterpart, LLM-pipeline extension
+# surface
+# ---------------------------------------------------------------------------
+
+DSIR_BUCKETS = 8192  # hashed feature space (the paper uses 10k buckets)
+DSIR_TARGET_MOD = 97  # target-domain sample: doc_id % 97 == 0 (the
+#                       decontaminate benchmark-slice convention)
+
+
+def dsir_importance(
+    df: DataFrame,
+    buckets: int = DSIR_BUCKETS,
+    target_mod: int = DSIR_TARGET_MOD,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR importance weights over the raw corpus: hash each word
+    bigram into ``buckets`` features, fit add-one-smoothed unigram
+    feature models on the target slice (doc_id % target_mod == 0 — the
+    domain sample you want more of) and on the raw remainder, and score
+    every raw document by its feature likelihood ratio.  RATIONAL
+    variant: the weight is the arithmetic-mean per-feature ratio
+    ``(sum tf·(t_b+1) / T) / (sum tf·(r_b+1) / R)`` instead of the
+    paper's log-sum (geometric mean) — the ``lm_bigram_score`` /
+    ``bigram_lift`` precedent: both numerator and denominator are EXACT
+    BIGINTs (emitted as columns), the one double expression is pinned
+    to the same association order in both engines, and no ``ln`` libm
+    ulp drift enters the pair.  Ordering agrees with log-DSIR wherever
+    per-feature ratios are not wildly dispersed; the exact integer
+    columns let a consumer apply any monotone transform downstream.
+
+    Plan/scale: the hashing is what bounds the model — BOTH feature
+    tables are <= ``buckets`` rows no matter the corpus size, so the
+    model joins BROADCAST at any scale (the paper's trick, expressed
+    as a plan property).  One explode of the raw side into (doc,
+    bucket) tf — corpus-token-linear, one aggregate; the target slice
+    is corpus-fraction 1/target_mod and aggregates to <= buckets rows;
+    the scalar totals ride a one-row broadcast crossJoin (the repo's
+    totals convention).  Documents with < 2 tokens (no bigram
+    features) re-enter with the -1.0 sentinel (NULL-free convention).
+    """
+    from .hashing import h28, word_grams
+
+    feats = lambda d: d.select(  # noqa: E731
+        F.col(id_col).alias("id"),
+        F.explode(word_grams(text_col, 2)).alias("g"),
+    ).select("id", (h28(F.col("g")) % buckets).alias("b"))
+
+    target = feats(df.filter(F.col(id_col) % target_mod == 0)).groupBy("b").agg(
+        F.count("*").alias("t")
+    )
+    raw = feats(rebalance(df.filter(F.col(id_col) % target_mod != 0)))
+    raw_model = raw.groupBy("b").agg(F.count("*").alias("r"))
+    totals = target.agg(F.sum("t").cast("long").alias("t_sum")).crossJoin(
+        raw_model.agg(F.sum("r").cast("long").alias("r_sum"))
+    )
+    return dsir_score(
+        df.filter(F.col(id_col) % target_mod != 0),
+        target,
+        raw_model,
+        totals,
+        buckets=buckets,
+        id_col=id_col,
+        text_col=text_col,
+    )
+
+
+def dsir_score(
+    docs: DataFrame,
+    target: DataFrame,
+    raw_model: DataFrame,
+    totals: DataFrame,
+    buckets: int = DSIR_BUCKETS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score ``docs`` against PRE-FIT DSIR feature models (the
+    target/raw (b, count) tables and the one-row totals frame from
+    :func:`dsir_importance`'s fit stage).  Split out so the SAME
+    scoring plan runs in batch and per micro-batch under Structured
+    Streaming (foreachBatch — scoring is per-document, no cross-row
+    state; models are the static side of a stream-static broadcast
+    join).  Pinned batch == stream by
+    tests/test_streaming_equivalence.py::test_dsir_score_stream_matches_batch.
+    """
+    from .hashing import h28, word_grams
+
+    feat = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_grams(text_col, 2)).alias("g"),
+    ).select("id", (h28(F.col("g")) % buckets).alias("b"))
+    doc_b = feat.groupBy("id", "b").agg(F.count("*").alias("tf"))
+    per_doc = (
+        doc_b.join(F.broadcast(target), "b", "left")
+        .join(F.broadcast(raw_model), "b", "left")
+        .groupBy("id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_feats"),
+            F.sum(F.col("tf") * (F.coalesce(F.col("t"), F.lit(0)) + 1))
+            .cast("long")
+            .alias("num"),
+            F.sum(F.col("tf") * (F.coalesce(F.col("r"), F.lit(0)) + 1))
+            .cast("long")
+            .alias("den"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(per_doc, "id", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_feats", F.lit(0)).cast("long").alias("n_feats"),
+            F.coalesce("num", F.lit(0)).cast("long").alias("num"),
+            F.coalesce("den", F.lit(0)).cast("long").alias("den"),
+            F.when(F.col("n_feats").isNull(), F.lit(-1.0))
+            .otherwise(
+                (
+                    F.col("num").cast("double")
+                    * (F.col("r_sum") + F.lit(buckets)).cast("double")
+                )
+                / (
+                    F.col("den").cast("double")
+                    * (F.col("t_sum") + F.lit(buckets)).cast("double")
+                )
+            )
+            .alias("dsir_weight"),
+        )
+    )
+
+
+def dsir_importance_sql(
+    table: str = "documents",
+    buckets: int = DSIR_BUCKETS,
+    target_mod: int = DSIR_TARGET_MOD,
+    id_col: str = "doc_id",
+    text: str = "text",
+) -> str:
+    from .hashing import h28_sql
+
+    grams = word_ngrams_sql(text, 2)
+    return f"""
+    WITH tfe AS (
+      SELECT {id_col} AS id, ({h28_sql('g')} % {buckets}) AS b
+      FROM (SELECT {id_col}, unnest(
+              CASE WHEN len(string_split({text}, ' ')) >= 2
+                   THEN {grams} ELSE [] END) AS g
+            FROM {table} WHERE {id_col} % {target_mod} <> 0)
+    ),
+    tge AS (
+      SELECT ({h28_sql('g')} % {buckets}) AS b
+      FROM (SELECT unnest(
+              CASE WHEN len(string_split({text}, ' ')) >= 2
+                   THEN {grams} ELSE [] END) AS g
+            FROM {table} WHERE {id_col} % {target_mod} = 0)
+    ),
+    target AS (SELECT b, count(*)::BIGINT AS t FROM tge GROUP BY 1),
+    raw_model AS (SELECT b, count(*)::BIGINT AS r FROM tfe GROUP BY 1),
+    totals AS (
+      SELECT (SELECT coalesce(sum(t), 0)::BIGINT FROM target) AS t_sum,
+             (SELECT coalesce(sum(r), 0)::BIGINT FROM raw_model) AS r_sum
+    ),
+    doc_b AS (SELECT id, b, count(*)::BIGINT AS tf FROM tfe GROUP BY 1, 2),
+    per_doc AS (
+      SELECT d.id, sum(d.tf)::BIGINT AS n_feats,
+             sum(d.tf * (coalesce(t.t, 0) + 1))::BIGINT AS num,
+             sum(d.tf * (coalesce(r.r, 0) + 1))::BIGINT AS den
+      FROM doc_b d
+      LEFT JOIN target t USING (b)
+      LEFT JOIN raw_model r USING (b)
+      GROUP BY d.id
+    )
+    SELECT base.{id_col},
+           coalesce(p.n_feats, 0)::BIGINT AS n_feats,
+           coalesce(p.num, 0)::BIGINT AS num,
+           coalesce(p.den, 0)::BIGINT AS den,
+           CASE WHEN p.n_feats IS NULL THEN -1.0
+                ELSE (p.num::DOUBLE * (totals.r_sum + {buckets})::DOUBLE)
+                   / (p.den::DOUBLE * (totals.t_sum + {buckets})::DOUBLE)
+           END AS dsir_weight
+    FROM {table} base CROSS JOIN totals
+    LEFT JOIN per_doc p ON p.id = base.{id_col}
+    WHERE base.{id_col} % {target_mod} <> 0
+    """

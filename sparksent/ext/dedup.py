@@ -1180,3 +1180,115 @@ def cdc_chunk_stats_sql(
            coalesce(p.dup_chars, 0)::BIGINT AS dup_chars
     FROM base b LEFT JOIN per_doc p USING (id)
     """
+
+
+# ---------------------------------------------------------------------------
+# cross-document span duplication (Lee et al. 2022, "Deduplicating
+# Training Data Makes Language Models Better": ExactSubstr — memorized
+# spans repeat VERBATIM across documents even when documents as a whole
+# are unique; no reference counterpart, LLM-pipeline extension surface)
+# ---------------------------------------------------------------------------
+
+SPAN_GRAM_W = 8  # span window in words (the paper uses 50 BPE tokens on
+#                  web text; fixture documents are 20-80 words, so 8
+#                  keeps the duplicated-span regime populated)
+
+
+def span_dup_stats(
+    df: DataFrame,
+    w: int = SPAN_GRAM_W,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document verbatim-span duplication: every overlapping
+    ``w``-word gram position is checked against the REST of the corpus
+    — a position is duplicated iff its gram occurs in >= 2 distinct
+    documents — yielding (n_grams, n_dup_grams, dup_gram_ppm) per doc,
+    the span-level dedup signal of Lee et al. 2022 (ExactSubstr)
+    expressed relationally instead of via suffix arrays.  Differs from
+    chunk dedup (dedup_cdc_chunks: shift-robust CHUNK identity) and
+    whole-doc near-dup (MinHash family): this counts how much of each
+    document is verbatim-copied text, the direct memorization-risk
+    metric. Short texts (< w words) fall back to the whole text as one
+    gram — two identical short documents therefore count as fully
+    duplicated, the correct dedup semantics (word_ngrams contract).
+
+    Plan/scale: one explode of gram POSITIONS (multiplicity kept,
+    ``curation.word_ngrams``) hashed to h60 — corpus-token-linear, gram
+    text never shuffles; the >=2-distinct-docs gram set is one
+    (gram, doc) distinct + count aggregate keyed on the hash; the join
+    back is gram-hash-keyed (AQE broadcasts it while small, hash-joins
+    when the dup set outgrows broadcast — both sides already hash on
+    gh). Every ratio is an exact integer ppm floordiv."""
+    from .curation import word_ngrams
+
+    base = rebalance(df)
+    pos = base.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_ngrams(text_col, w)).alias("g"),
+    ).select("id", h60(F.col("g")).alias("gh"))
+    dup = (
+        pos.distinct()
+        .groupBy("gh")
+        .agg(F.count("*").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gh", F.lit(1).alias("isdup"))
+    )
+    per_doc = (
+        pos.join(dup, "gh", "left")
+        .groupBy("id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum(F.coalesce("isdup", F.lit(0))).cast("long").alias("n_dup_grams"),
+        )
+    )
+    return (
+        base.select(F.col(id_col).alias("id"))
+        .join(per_doc, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("n_dup_grams", F.lit(0)).cast("long").alias("n_dup_grams"),
+            F.expr(
+                "CASE WHEN coalesce(n_grams, 0) > 0 THEN"
+                " (coalesce(n_dup_grams, 0) * 1000000) div n_grams"
+                " ELSE CAST(0 AS BIGINT) END"
+            ).alias("dup_gram_ppm"),
+        )
+    )
+
+
+def span_dup_stats_sql(
+    table: str = "documents",
+    w: int = SPAN_GRAM_W,
+    id_col: str = "doc_id",
+    text: str = "text",
+) -> str:
+    from .curation import word_ngrams_sql
+
+    return f"""
+    WITH pos AS (
+      SELECT {id_col} AS id,
+             {h60_sql('g')} AS gh
+      FROM (SELECT {id_col}, unnest({word_ngrams_sql(text, w)}) AS g
+            FROM {table})
+    ),
+    dup AS (
+      SELECT gh FROM (SELECT DISTINCT id, gh FROM pos)
+      GROUP BY gh HAVING count(*) >= 2
+    ),
+    per_doc AS (
+      SELECT p.id, count(*)::BIGINT AS n_grams,
+             sum(CASE WHEN d.gh IS NULL THEN 0 ELSE 1 END)::BIGINT
+               AS n_dup_grams
+      FROM pos p LEFT JOIN dup d USING (gh)
+      GROUP BY p.id
+    )
+    SELECT b.{id_col},
+           coalesce(p.n_grams, 0)::BIGINT AS n_grams,
+           coalesce(p.n_dup_grams, 0)::BIGINT AS n_dup_grams,
+           (CASE WHEN coalesce(p.n_grams, 0) > 0 THEN
+              (coalesce(p.n_dup_grams, 0) * 1000000) // p.n_grams
+            ELSE 0 END)::BIGINT AS dup_gram_ppm
+    FROM {table} b LEFT JOIN per_doc p ON p.id = b.{id_col}
+    """

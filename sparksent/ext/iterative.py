@@ -56,24 +56,77 @@ def _scaled_vec(vec_col: str) -> F.Column:
     )
 
 
-def _assign(xs: DataFrame, cents: DataFrame) -> DataFrame:
+# Above this k, assignment switches from the codegen pos-join shape to
+# the shuffle-free broadcast-row shape (see _assign).  64 keeps every
+# fixture/oracle run (k=8..10) on the codegen path and every
+# self-scaled corpus (k ~ N/256 >= 157 at x20) on the bounded-shuffle
+# path; both paths are integer-exact and pinned equal by
+# tests/test_properties.py::test_kmeans_assign_paths_agree.
+ASSIGN_BROADCAST_MIN_K = 64
+
+
+def _assign(xs: DataFrame, cents: DataFrame, k_hint: int) -> DataFrame:
     """(id, cl, d): nearest centroid by squared L2 over the scaled
-    ints, ties broken by the smaller cluster id.  Vectors posexplode to
-    (id, pos, x) and broadcast-join the k x dims centroid frame on pos;
-    per-(id, cluster) squared diffs partial-aggregate map-side, and the
-    argmin is a min over (d, j) structs (field-lexicographic ordering
-    = the (distance, id) tie-break).  All integer, no UDF — the codegen
-    footprint is small and constant, unlike an unrolled k x dims
-    literal-expression distance which pays seconds of Janino compile
-    per stage."""
-    ex = xs.select("id", F.posexplode("v").alias("pos", "x"))
-    per_cluster = (
-        ex.join(F.broadcast(cents), "pos")
-        .groupBy("id", "j")
-        .agg(F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))).alias("d"))
+    ints, ties broken by the smaller cluster id.  Two path-equal
+    shapes, chosen by ``k_hint`` (the bpe_encode dual-engine pattern):
+
+    SMALL k (< ASSIGN_BROADCAST_MIN_K — every fixture): vectors
+    posexplode to (id, pos, x) and broadcast-join the k x dims centroid
+    frame on pos; per-(id, cluster) squared diffs partial-aggregate
+    map-side, and the argmin is a min over (d, j) structs
+    (field-lexicographic ordering = the (distance, id) tie-break).
+    All integer, codegen'd, constant expression size; the N x k
+    (id, cluster, d) shuffle it pays is negligible at bounded k.
+
+    LARGE k (self-scaled corpora, k ~ N/256): that N x k shuffle is
+    O(N^2/256) rows and was measured growing 3.4x per corpus doubling
+    (SCALE.md round-8 section) — so the centroid frame instead folds
+    into ONE broadcast row of array<struct<j, cvec>> (sorted by j) and
+    the argmin becomes a pure per-row expression: ``transform`` maps
+    each centroid to struct(d, j) (``zip_with`` + ``aggregate`` integer
+    squared-L2) and ``array_min`` takes the lexicographic struct min —
+    the identical tie-break.  Assignment then shuffles NOTHING
+    (measured x40: semdedup shuffle 1,347 -> 132 MB); the cost is the
+    interpreted higher-order-function constant (HOF lambdas don't
+    enter whole-stage codegen), ~1.3x local CPU — the right trade
+    exactly when the shuffle is the scale hazard, and why small k
+    keeps the codegen shape.  Expression size is constant in k and
+    dims (data-driven lambdas, not unrolled literals — the bpe
+    fold-depth lesson); the broadcast row is k x dims longs, the same
+    budget MLlib spends on its centroid matrix."""
+    if k_hint < ASSIGN_BROADCAST_MIN_K:
+        ex = xs.select("id", F.posexplode("v").alias("pos", "x"))
+        per_cluster = (
+            ex.join(F.broadcast(cents), "pos")
+            .groupBy("id", "j")
+            .agg(
+                F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))).alias("d")
+            )
+        )
+        best = per_cluster.groupBy("id").agg(F.min(F.struct("d", "j")).alias("b"))
+        return best.select("id", F.col("b.j").alias("cl"), F.col("b.d").alias("d"))
+    cvecs = cents.groupBy("j").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+        ).alias("cvec")
     )
-    best = per_cluster.groupBy("id").agg(F.min(F.struct("d", "j")).alias("b"))
-    return best.select("id", F.col("b.j").alias("cl"), F.col("b.d").alias("d"))
+    crow = cvecs.agg(F.sort_array(F.collect_list(F.struct("j", "cvec"))).alias("cs"))
+    dj = F.transform(
+        F.col("cs"),
+        lambda cent: F.struct(
+            F.aggregate(
+                F.zip_with(F.col("v"), cent["cvec"], lambda x, c: (x - c) * (x - c)),
+                F.lit(0).cast("long"),
+                lambda a, b: a + b,
+            ).alias("d"),
+            cent["j"].alias("j"),
+        ),
+    )
+    return (
+        xs.crossJoin(F.broadcast(crow))
+        .select("id", F.array_min(dj).alias("b"))
+        .select("id", F.col("b.j").alias("cl"), F.col("b.d").alias("d"))
+    )
 
 
 def _kmeans_fit(
@@ -90,7 +143,7 @@ def _kmeans_fit(
         F.col("id").alias("j"), F.posexplode("v").alias("pos", "c")
     )
     for _ in range(iters):
-        assigned = _assign(xs, cents)
+        assigned = _assign(xs, cents, k)
         cents = (
             xs.join(assigned.select("id", "cl"), "id")
             .select("cl", F.posexplode("v").alias("pos", "x"))
@@ -103,7 +156,7 @@ def _kmeans_fit(
             )
             .localCheckpoint()
         )
-    return _assign(xs, cents), cents
+    return _assign(xs, cents, k), cents
 
 
 def kmeans_assignments(

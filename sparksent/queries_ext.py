@@ -1530,3 +1530,37 @@ def q_supplier_lead_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_late_90d"),
     )
+
+
+@register(
+    "dedup_span_8gram",
+    oracle=dedup.span_dup_stats_sql(),
+    tags=("ext", "dedup", "curation"),
+)
+def q_dedup_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document verbatim-span duplication (Lee et al. 2022
+    ExactSubstr, relational form): per document, how many of its
+    overlapping 8-word gram positions occur verbatim in ANOTHER
+    document — the span-level memorization-risk metric the MinHash
+    (whole-doc) and CDC (chunk) families don't measure. Gram positions
+    hash to h60 and never shuffle as text; the >=2-distinct-docs gram
+    set is one hash-keyed aggregate; exact integer ppm output."""
+    return dedup.span_dup_stats(_docs(spark, sf_dir))
+
+
+@register(
+    "dsir_importance_weights",
+    oracle=curation.dsir_importance_sql(),
+    tags=("ext", "curation", "sampling"),
+)
+def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR (Xie et al. 2023) importance weights for target-matched
+    pretraining data selection: hashed-bigram feature models (8192
+    buckets, add-one smoothed) fit on a target slice vs the raw
+    remainder; every raw document scored by its feature likelihood
+    ratio, rational-arithmetic variant (exact BIGINT numerator /
+    denominator columns + one pinned double). The bucket hashing
+    bounds BOTH models to <= 8192 rows at ANY corpus size, so the
+    model joins broadcast forever — the paper's trick as a plan
+    property."""
+    return curation.dsir_importance(_docs(spark, sf_dir))

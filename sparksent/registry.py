@@ -65,6 +65,9 @@ _PRIORITY: tuple[str, ...] = (
     # rewritten round 8 (gopher gate wired in; new output schema) —
     # its prior green rows no longer cover it, so it re-verifies first
     "corpus_curation_pipeline",
+    # registered round 8 — never driver-checked
+    "dedup_span_8gram",
+    "dsir_importance_weights",
     # slot 2+: latest green driver row is r03
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",

@@ -1133,3 +1133,24 @@ def test_corpus_curation_gate_fused_single_scan(spark):
     # anti-join against the drop set is present; no cartesian anywhere
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_span_dedup_hash_keyed_no_cartesian(spark):
+    """Span-level dedup must stay gram-hash-keyed end to end: the
+    position stream joins the >=2-docs gram set on gh (broadcast or
+    hash — never a nested loop), and no raw gram text appears in any
+    exchange (the h60 projection happens scan-side)."""
+    plan = plan_of(spark, "dedup_span_8gram")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert re.search(r"keys(?:.|\n)*gh", plan)
+
+
+def test_dsir_models_broadcast(spark):
+    """DSIR's whole point as a plan property: both hashed feature
+    models are <= DSIR_BUCKETS rows regardless of corpus size, so they
+    must BROADCAST into the per-doc join — a shuffled model join would
+    mean the bucket bound isn't reaching the planner."""
+    plan = plan_of(spark, "dsir_importance_weights")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan

@@ -1308,3 +1308,41 @@ def test_semdedup_k_oracle_checked_clamp():
     assert semdedup_k_oracle_checked(hi) == SEMDEDUP_K_AUTO_MAX
     with _pytest.raises(ValueError, match="oracle branch ceiling"):
         semdedup_k_oracle_checked(hi + 1)
+
+
+def test_kmeans_assign_paths_agree(spark):
+    """The dual-engine assignment contract (the bpe_encode pattern):
+    the codegen pos-join shape (small k) and the shuffle-free
+    broadcast-row shape (self-scaled k) must produce IDENTICAL
+    (id, cl, d) on the same centroids — same scaled integers, same
+    lexicographic (distance, id) tie-break. Checked on the sf0.01
+    embeddings with the same k on both paths, forced through each
+    branch explicitly."""
+    from sparksent.ext.iterative import (
+        ASSIGN_BROADCAST_MIN_K,
+        _assign,
+        _scaled_vec,
+    )
+    from sparksent.tables import load_table
+
+    import pyspark.sql.functions as FF
+
+    from conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    xs = emb.select(
+        FF.col("vec_id").cast("long").alias("id"),
+        _scaled_vec("embedding").alias("v"),
+    ).localCheckpoint()
+    k = 8
+    cents = xs.filter(FF.col("id") < k).select(
+        FF.col("id").alias("j"), FF.posexplode("v").alias("pos", "c")
+    )
+    small = {
+        (r.id, r.cl, r.d) for r in _assign(xs, cents, k_hint=k).collect()
+    }
+    large = {
+        (r.id, r.cl, r.d)
+        for r in _assign(xs, cents, k_hint=ASSIGN_BROADCAST_MIN_K).collect()
+    }
+    assert small == large and len(small) == emb.count()

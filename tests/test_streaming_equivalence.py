@@ -1496,3 +1496,66 @@ def test_space_saving_matches_oracle_sf001(spark, ducks, tmp_path):
         GROUP BY e.event_type, e.user_id, t.n_seen
         """,
     )
+
+
+def test_dsir_score_stream_matches_batch(spark, tmp_path):
+    """DSIR scoring as a stream-static pipeline: feature models are
+    FIT in batch (dsir_importance's fit stage), then documents arrive
+    as a file-replay stream and each micro-batch is scored by the SAME
+    dsir_score plan via foreachBatch (scoring is per-document — no
+    cross-row state; the bucket-bounded models are the static broadcast
+    side). The union of streamed outputs must equal the registered
+    batch query's answer row-for-row — the new-corpus-member scoring
+    path a production ingest would run."""
+    import os
+
+    from sparksent.ext import curation
+    from sparksent.streaming.sources import append_flat_file
+    from sparksent.tables import load_table
+
+    docs = load_table(spark, SF_DIR_SMALL, "documents").select("doc_id", "text")
+    target_docs = docs.filter(F.col("doc_id") % curation.DSIR_TARGET_MOD == 0)
+    raw_docs = docs.filter(F.col("doc_id") % curation.DSIR_TARGET_MOD != 0)
+
+    from sparksent.ext.hashing import h28, word_grams
+
+    B = curation.DSIR_BUCKETS
+    feats = lambda d: d.select(  # noqa: E731
+        F.explode(word_grams("text", 2)).alias("g")
+    ).select((h28(F.col("g")) % B).alias("b"))
+    target = feats(target_docs).groupBy("b").agg(F.count("*").alias("t"))
+    raw_model = feats(raw_docs).groupBy("b").agg(F.count("*").alias("r"))
+    totals = target.agg(F.sum("t").cast("long").alias("t_sum")).crossJoin(
+        raw_model.agg(F.sum("r").cast("long").alias("r_sum"))
+    )
+    # pin the fitted models (scanned once per micro-batch otherwise)
+    target, raw_model, totals = (
+        target.localCheckpoint(),
+        raw_model.localCheckpoint(),
+        totals.localCheckpoint(),
+    )
+
+    replay = str(tmp_path / "dsir_replay")
+    for i in range(3):
+        append_flat_file(
+            raw_docs.filter(F.col("doc_id") % 3 == i), replay, f"chunk_{i}.parquet"
+        )
+    out_dir = str(tmp_path / "dsir_out")
+    stream = spark.readStream.schema("doc_id long, text string").parquet(replay)
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda b, _i: curation.dsir_score(b, target, raw_model, totals)
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+        .option("checkpointLocation", str(tmp_path / "dsir_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out_dir)
+    want = curation.dsir_importance(docs)
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
