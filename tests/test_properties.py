@@ -1346,3 +1346,102 @@ def test_kmeans_assign_paths_agree(spark):
         for r in _assign(xs, cents, k_hint=ASSIGN_BROADCAST_MIN_K).collect()
     }
     assert small == large and len(small) == emb.count()
+
+
+def test_span_dup_stats_matches_pure_python(spark):
+    """Third-engine check for the ExactSubstr relational form: recompute
+    span duplication in plain Python (dict of gram -> doc set over the
+    sf0.001 corpus, same whole-text-fallback gram rule) and require the
+    Spark answer to match exactly — independent of the DuckDB oracle,
+    the bpe_encode validation style."""
+    from sparksent.ext.dedup import SPAN_GRAM_W, span_dup_stats
+    from sparksent.tables import load_table
+
+    from conftest import SF_DIR_SMALL
+
+    docs = load_table(spark, SF_DIR_SMALL, "documents").select("doc_id", "text")
+    rows = {r.doc_id: r.text for r in docs.collect()}
+
+    def grams(text):
+        toks = text.split(" ")
+        if len(toks) >= SPAN_GRAM_W:
+            return [
+                " ".join(toks[i : i + SPAN_GRAM_W])
+                for i in range(len(toks) - SPAN_GRAM_W + 1)
+            ]
+        return [text]
+
+    gram_docs = {}
+    for did, text in rows.items():
+        for g in set(grams(text)):
+            gram_docs.setdefault(g, set()).add(did)
+    want = {}
+    for did, text in rows.items():
+        gs = grams(text)
+        nd = sum(1 for g in gs if len(gram_docs[g]) >= 2)
+        ppm = (nd * 1_000_000) // len(gs) if gs else 0
+        want[did] = (len(gs), nd, ppm)
+
+    got = {
+        r.doc_id: (r.n_grams, r.n_dup_grams, r.dup_gram_ppm)
+        for r in span_dup_stats(docs).collect()
+    }
+    assert got == want and len(got) == len(rows) > 0
+
+
+def test_dsir_importance_matches_pure_python(spark):
+    """Third-engine check for DSIR: refit the hashed-bigram models and
+    rescore every raw document in plain Python (hashlib md5 bucket
+    hashing, add-one smoothing, the same pinned double expression) and
+    require exact agreement on the integer columns and bit-equality on
+    the weight."""
+    import hashlib
+
+    from sparksent.ext.curation import (
+        DSIR_BUCKETS,
+        DSIR_TARGET_MOD,
+        dsir_importance,
+    )
+    from sparksent.tables import load_table
+
+    from conftest import SF_DIR_SMALL
+
+    docs = load_table(spark, SF_DIR_SMALL, "documents").select("doc_id", "text")
+    rows = {r.doc_id: r.text for r in docs.collect()}
+
+    def feats(text):
+        toks = text.split(" ")
+        out = []
+        for i in range(len(toks) - 1):
+            g = toks[i] + " " + toks[i + 1]
+            b = int(hashlib.md5(g.encode()).hexdigest()[:7], 16) % DSIR_BUCKETS
+            out.append(b)
+        return out
+
+    target, raw_model = {}, {}
+    for did, text in rows.items():
+        model = target if did % DSIR_TARGET_MOD == 0 else raw_model
+        for b in feats(text):
+            model[b] = model.get(b, 0) + 1
+    t_sum, r_sum = sum(target.values()), sum(raw_model.values())
+
+    want = {}
+    for did, text in rows.items():
+        if did % DSIR_TARGET_MOD == 0:
+            continue
+        fs = feats(text)
+        if not fs:
+            want[did] = (0, 0, 0, -1.0)
+            continue
+        num = sum(target.get(b, 0) + 1 for b in fs)
+        den = sum(raw_model.get(b, 0) + 1 for b in fs)
+        w = (float(num) * float(r_sum + DSIR_BUCKETS)) / (
+            float(den) * float(t_sum + DSIR_BUCKETS)
+        )
+        want[did] = (len(fs), num, den, w)
+
+    got = {
+        r.doc_id: (r.n_feats, r.num, r.den, r.dsir_weight)
+        for r in dsir_importance(docs).collect()
+    }
+    assert got == want and len(got) > 0
