@@ -222,6 +222,7 @@ HEADLINE = [
     "session_concurrency_capped",
     "dedup_span_8gram",
     "dsir_importance_weights",
+    "sample_cluster_balanced",
 ]
 
 # Timed and reported, but excluded from the headline sum: cost dominated

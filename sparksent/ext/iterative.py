@@ -393,3 +393,78 @@ def word_pagerank_sql(
     return f"""WITH {joined}
     SELECT r.tok, coalesce(o.ow, 0)::BIGINT AS out_weight, r.pr
     FROM r{iters} r LEFT JOIN outw o ON r.tok = o.src"""
+
+
+# ---------------------------------------------------------------------------
+# cluster-balanced sampling (the module-docstring motivation, realized)
+# ---------------------------------------------------------------------------
+
+BALANCED_PER_CLUSTER = 16
+
+
+def kmeans_balanced_sample(
+    df: DataFrame,
+    k: int = 8,
+    per_cluster: int = BALANCED_PER_CLUSTER,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cluster-balanced deterministic sample: k-means the embedding
+    space (the shared oracle-exact Lloyd loop), then take exactly
+    ``per_cluster`` vectors from EVERY cluster — the
+    diversity-preserving sample a curation pipeline draws when a
+    uniform sample would be dominated by the majority mode (the
+    "cluster-balanced sampling" use the module docstring names).
+
+    Determinism: within a cluster, rows rank by (md5-hash of the id
+    string, id) — a cross-engine-stable pseudo-random order (the
+    sampling modules' convention), so the sample is a pure function of
+    the data.  Output: (vec_id, cluster, rk), rk = 1..per_cluster.
+
+    Scale: assignment is the dual-path Lloyd loop (shuffle-free
+    broadcast-row argmin at self-scaled k); the per-cluster take is a
+    rank window Spark rewrites to WindowGroupLimit — every shuffle-map
+    task emits at most per_cluster rows per cluster seen, so the rank
+    shuffle carries <= k x per_cluster rows however large the corpus
+    (the session_concurrency_capped bound, reused)."""
+    from .hashing import h60
+
+    assign = kmeans_assignments(df, k, iters, id_col=id_col, vec_col=vec_col)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cl").orderBy(
+        h60(F.col("id").cast("string")).asc(), F.col("id").asc()
+    )
+    return (
+        assign.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= per_cluster)
+        .select(
+            F.col("id").alias(id_col),
+            F.col("cl").cast("long").alias("cluster"),
+            F.col("rk").cast("long").alias("rk"),
+        )
+    )
+
+
+def kmeans_balanced_sample_sql(
+    table: str = "embeddings",
+    k: int = 8,
+    per_cluster: int = BALANCED_PER_CLUSTER,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB oracle for :func:`kmeans_balanced_sample`, composed from
+    the shared Lloyd CTEs + the same md5-rank take."""
+    from .hashing import h60_sql
+
+    return f"""WITH {kmeans_ctes_sql(table, k, iters, id_col, vec_col)}
+    SELECT id::BIGINT AS {id_col}, cl::BIGINT AS cluster, rk::BIGINT AS rk
+    FROM (
+      SELECT id, cl, row_number() OVER (
+               PARTITION BY cl
+               ORDER BY {h60_sql("id::VARCHAR")}, id) AS rk
+      FROM a{iters + 1})
+    WHERE rk <= {per_cluster}
+    """

@@ -1564,3 +1564,19 @@ def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     model joins broadcast forever — the paper's trick as a plan
     property."""
     return curation.dsir_importance(_docs(spark, sf_dir))
+
+
+@register(
+    "sample_cluster_balanced",
+    oracle=iterative.kmeans_balanced_sample_sql(),
+    tags=("ext", "sampling", "ml", "iterative"),
+)
+def q_sample_cluster_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced deterministic sample over the embedding space:
+    oracle-exact Lloyd k-means, then exactly 16 vectors per cluster by
+    a cross-engine md5 pseudo-random rank — the diversity-preserving
+    draw a curation pipeline uses when uniform sampling would be
+    dominated by the majority mode. The per-cluster take rewrites to
+    WindowGroupLimit, bounding the rank shuffle at k x 16 rows at any
+    corpus size (plan-gated)."""
+    return iterative.kmeans_balanced_sample(_emb(spark, sf_dir))

@@ -68,6 +68,7 @@ _PRIORITY: tuple[str, ...] = (
     # registered round 8 — never driver-checked
     "dedup_span_8gram",
     "dsir_importance_weights",
+    "sample_cluster_balanced",
     # slot 2+: latest green driver row is r03
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",

@@ -1154,3 +1154,14 @@ def test_dsir_models_broadcast(spark):
     plan = plan_of(spark, "dsir_importance_weights")
     assert plan.count("BroadcastHashJoin") >= 2
     assert "CartesianProduct" not in plan
+
+
+def test_cluster_balanced_sample_windowgrouplimit(spark):
+    """The balanced take's bound must be IN THE PLAN: the per-cluster
+    rank rewrites to WindowGroupLimit (map-side top-16 per cluster
+    before the rank shuffle, so the shuffle carries <= k x 16 rows at
+    any corpus size), and pairing stays join-free (assignment is the
+    Lloyd loop, not a pair stage)."""
+    plan = plan_of(spark, "sample_cluster_balanced")
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan

@@ -1445,3 +1445,59 @@ def test_dsir_importance_matches_pure_python(spark):
         for r in dsir_importance(docs).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_span_and_dsir_adversarial_edges(spark, ducks):
+    """Adversarial inputs through BOTH engines for the round-8 text
+    operators: empty text, single token, all-identical tokens, and an
+    exact duplicate pair — the rows where gram fallbacks, zero-feature
+    sentinels, and ANSI-mode casts would diverge first. The synthetic
+    frame replaces the documents view on the DuckDB side so the
+    registered oracles run unchanged."""
+    import pandas as pd
+
+    from sparksent.ext.curation import dsir_importance
+    from sparksent.ext.dedup import span_dup_stats
+
+    rows = [
+        (0, "x"),  # target-slice member (0 % 97 == 0) AND single token
+        (1, ""),  # empty text
+        (2, "solo"),  # single token
+        (3, "a a a a a a a a a a"),  # 10 identical tokens
+        (4, "one two three four five six seven eight nine ten"),
+        (5, "one two three four five six seven eight nine ten"),  # dup of 4
+        (97, "b b b b b b b b b b"),  # second target-slice member
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    docs = spark.createDataFrame(pdf)
+    con = ducks.cursor()
+    con.register("adv_docs", pdf)
+    con.execute("CREATE OR REPLACE TEMP VIEW documents_adv AS SELECT * FROM adv_docs")
+
+    from sparksent.ext.curation import dsir_importance_sql
+    from sparksent.ext.dedup import span_dup_stats_sql
+
+    for spark_df, sql in (
+        (span_dup_stats(docs), span_dup_stats_sql(table="documents_adv")),
+        (dsir_importance(docs), dsir_importance_sql(table="documents_adv")),
+    ):
+        a = spark_df.toPandas()
+        b = con.execute(sql).fetchdf()
+        cols = sorted(a.columns)
+        a = a[cols].sort_values(cols).reset_index(drop=True)
+        b = b[cols].sort_values(cols).reset_index(drop=True)
+        assert len(a) == len(b) > 0
+        for c in cols:
+            assert (a[c].to_numpy() == b[c].to_numpy()).all(), c
+
+    # semantic spot checks: docs 4 and 5 are full duplicates of each
+    # other (ppm = 1e6); the empty doc has zero grams... (the fallback
+    # gram for empty text is the empty string itself, shared only if
+    # another empty doc exists - here unique, so 0 dup)
+    got = {r.doc_id: r for r in span_dup_stats(docs).collect()}
+    assert got[4].dup_gram_ppm == 1_000_000 and got[5].dup_gram_ppm == 1_000_000
+    assert got[1].n_dup_grams == 0
+    dsir = {r.doc_id: r for r in dsir_importance(docs).collect()}
+    assert 0 not in dsir and 97 not in dsir  # target slice excluded
+    assert dsir[1].dsir_weight == -1.0 and dsir[2].dsir_weight == -1.0
+    assert dsir[3].n_feats == 9  # 10 identical tokens -> 9 bigrams
