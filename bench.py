@@ -309,7 +309,11 @@ def main() -> None:
     # truncates the per-query map — so the complete name -> best-of-2
     # seconds table is ALSO written to BENCH_FULL_r<k>.json in the repo
     # root, where <k> is the current round (max recorded BENCH round
-    # + 1, or $SPARK_GRAFT_ROUND).  tools/bench_diff.py compares two
+    # + 1, or $SPARK_GRAFT_ROUND).  The inference is correct for every
+    # in-round run because the driver records BENCH_r<k>.json only at
+    # round END; a manual re-run AFTER that record exists is round-k+1
+    # context by definition — to re-pin late inside a round anyway, set
+    # SPARK_GRAFT_ROUND explicitly.  tools/bench_diff.py compares two
     # such artifacts (or one vs BASELINE_BENCH.json).
     here = os.path.dirname(os.path.abspath(__file__))
     rnd = os.environ.get("SPARK_GRAFT_ROUND")

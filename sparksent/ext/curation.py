@@ -685,10 +685,24 @@ def dsir_importance(
     target = feats(df.filter(F.col(id_col) % target_mod == 0)).groupBy("b").agg(
         F.count("*").alias("t")
     )
-    raw = feats(rebalance(df.filter(F.col(id_col) % target_mod != 0)))
-    raw_model = raw.groupBy("b").agg(F.count("*").alias("r"))
-    totals = target.agg(F.sum("t").cast("long").alias("t_sum")).crossJoin(
-        raw_model.agg(F.sum("r").cast("long").alias("r_sum"))
+    # one explode over the raw corpus: doc_b is the per-doc feature
+    # table AND the source raw_model aggregates from (the oracle's
+    # single tfe CTE, mirrored — the corpus-token-linear stage is paid
+    # once, not twice)
+    doc_b = (
+        feats(rebalance(df.filter(F.col(id_col) % target_mod != 0)))
+        .groupBy("id", "b")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint()
+    )
+    raw_model = doc_b.groupBy("b").agg(F.sum("tf").cast("long").alias("r"))
+    # coalesce like the oracle's totals CTE: an empty model (no
+    # target-slice doc with >= 2 tokens) must yield 0, not NULL — a
+    # NULL t_sum would NULL every weight while the oracle stays finite
+    totals = target.agg(
+        F.coalesce(F.sum("t"), F.lit(0)).cast("long").alias("t_sum")
+    ).crossJoin(
+        raw_model.agg(F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("r_sum"))
     )
     return dsir_score(
         df.filter(F.col(id_col) % target_mod != 0),
@@ -698,6 +712,7 @@ def dsir_importance(
         buckets=buckets,
         id_col=id_col,
         text_col=text_col,
+        doc_features=doc_b,
     )
 
 
@@ -709,6 +724,7 @@ def dsir_score(
     buckets: int = DSIR_BUCKETS,
     id_col: str = "doc_id",
     text_col: str = "text",
+    doc_features: DataFrame | None = None,
 ) -> DataFrame:
     """Score ``docs`` against PRE-FIT DSIR feature models (the
     target/raw (b, count) tables and the one-row totals frame from
@@ -718,14 +734,22 @@ def dsir_score(
     state; models are the static side of a stream-static broadcast
     join).  Pinned batch == stream by
     tests/test_streaming_equivalence.py::test_dsir_score_stream_matches_batch.
+
+    ``doc_features`` optionally supplies the per-doc (id, b, tf) frame
+    when the caller already built it (dsir_importance shares the one
+    raw-corpus explode between model fit and scoring); by default it is
+    derived from ``docs`` here.
     """
     from .hashing import h28, word_grams
 
-    feat = docs.select(
-        F.col(id_col).alias("id"),
-        F.explode(word_grams(text_col, 2)).alias("g"),
-    ).select("id", (h28(F.col("g")) % buckets).alias("b"))
-    doc_b = feat.groupBy("id", "b").agg(F.count("*").alias("tf"))
+    if doc_features is None:
+        feat = docs.select(
+            F.col(id_col).alias("id"),
+            F.explode(word_grams(text_col, 2)).alias("g"),
+        ).select("id", (h28(F.col("g")) % buckets).alias("b"))
+        doc_b = feat.groupBy("id", "b").agg(F.count("*").alias("tf"))
+    else:
+        doc_b = doc_features
     per_doc = (
         doc_b.join(F.broadcast(target), "b", "left")
         .join(F.broadcast(raw_model), "b", "left")

@@ -111,6 +111,12 @@ def _assign(xs: DataFrame, cents: DataFrame, k_hint: int) -> DataFrame:
         ).alias("cvec")
     )
     crow = cvecs.agg(F.sort_array(F.collect_list(F.struct("j", "cvec"))).alias("cs"))
+    # path-equality contract: the small-k posexplode shape silently
+    # DROPS rows whose vector is NULL or empty (no rows to explode);
+    # this shape would otherwise keep them (crossJoin) and emit a
+    # NULL-distance assignment — filter to the same drop semantics
+    # (F.size is -1 for NULL, 0 for empty; both excluded)
+    xs = xs.filter(F.size("v") > 0)
     dj = F.transform(
         F.col("cs"),
         lambda cent: F.struct(

@@ -56,9 +56,18 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # the iteration order of queries()/oracle_sql() moves.
 #
 # Round-8 window, regenerated mechanically from CORRECTNESS_r01..r07.json
-# via tools/regen_priority.py (no hand adjustments): slot 1 is the only
-# registered query with zero driver evidence, slots 2-28 the 27 names
-# whose latest green driver row is round 3, remainder oldest-first.
+# via tools/regen_priority.py, then FOUR hand insertions at the top for
+# the round-8 surface changes (the deliberate-ordering escape hatch the
+# tool's docstring reserves): slots 1-5 are session_concurrency_capped
+# (zero driver evidence), the rewritten corpus_curation_pipeline (output
+# changed, prior green rows no longer cover it), and the three new
+# round-8 registrations; slots 6-32 the 27 names whose latest green
+# driver row is round 3; remainder oldest-first.  The insertions push
+# the last four r04 names (hll_distinct_users, sample_bernoulli_events,
+# sample_stratified_events, cmsketch_heavy_hitters) just past the
+# 50-slot window — deliberate: a changed or never-checked query
+# outranks a stale-but-green one, and those four rotate back in next
+# round.
 _PRIORITY: tuple[str, ...] = (
     # slot 1+: no green driver row yet / output changed this round
     "session_concurrency_capped",
@@ -115,11 +124,11 @@ _PRIORITY: tuple[str, ...] = (
     "entity_opinion_30s",
     "category_opinion_cumulative",
     "toxic_user_nlp_cw10",
-    "json_field_stats",
+    "json_field_stats",  # --- driver window ends here (50) ---
     "hll_distinct_users",
     "sample_bernoulli_events",
     "sample_stratified_events",
-    "cmsketch_heavy_hitters",  # --- driver window ends here (50) ---
+    "cmsketch_heavy_hitters",
     "grouped_mode_event_type",
     "seq_packing_512",
     "repetition_stats",

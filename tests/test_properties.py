@@ -1501,3 +1501,69 @@ def test_span_and_dsir_adversarial_edges(spark, ducks):
     assert 0 not in dsir and 97 not in dsir  # target slice excluded
     assert dsir[1].dsir_weight == -1.0 and dsir[2].dsir_weight == -1.0
     assert dsir[3].n_feats == 9  # 10 identical tokens -> 9 bigrams
+
+
+def test_dsir_empty_target_model_stays_finite(spark, ducks):
+    """Review-found divergence, pinned fixed: when NO target-slice doc
+    has >= 2 tokens the target model is empty — Spark's un-coalesced
+    sum over an empty frame gave NULL t_sum (NULL-ing every weight)
+    while the oracle's coalesced totals stayed finite. Both engines
+    must now emit the same finite weights."""
+    import pandas as pd
+
+    from sparksent.ext.curation import dsir_importance, dsir_importance_sql
+
+    rows = [(0, "solo"), (1, "a b c d"), (2, "c d e f")]  # target doc 0: 1 token
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    out = dsir_importance(spark.createDataFrame(pdf)).toPandas()
+    assert out["dsir_weight"].notna().all()
+    assert (out["dsir_weight"] > 0).all()
+    con = ducks.cursor()
+    con.register("adv_docs_et", pdf)
+    con.execute(
+        "CREATE OR REPLACE TEMP VIEW documents_et AS SELECT * FROM adv_docs_et"
+    )
+    b = con.execute(dsir_importance_sql(table="documents_et")).fetchdf()
+    cols = sorted(out.columns)
+    a = out[cols].sort_values(cols).reset_index(drop=True)
+    b = b[cols].sort_values(cols).reset_index(drop=True)
+    assert len(a) == len(b) == 2
+    for c in cols:
+        assert (a[c].to_numpy() == b[c].to_numpy()).all(), c
+
+
+def test_kmeans_assign_paths_agree_on_degenerate_vectors(spark):
+    """Review-found divergence, pinned fixed: a NULL or empty vector
+    row vanished from the small-k posexplode path but survived the
+    broadcast-row path as a NULL-distance assignment. Both paths must
+    now DROP such rows identically."""
+    import pandas as pd
+
+    from sparksent.ext.iterative import (
+        ASSIGN_BROADCAST_MIN_K,
+        _assign,
+        _scaled_vec,
+    )
+
+    import pyspark.sql.functions as FF
+
+    pdf = pd.DataFrame(
+        {
+            "vec_id": [0, 1, 2, 3],
+            "embedding": [[0.1, 0.2], [0.3, 0.1], [], None],
+        }
+    )
+    df = spark.createDataFrame(pdf, "vec_id long, embedding array<double>")
+    xs = df.select(
+        FF.col("vec_id").alias("id"), _scaled_vec("embedding").alias("v")
+    ).localCheckpoint()
+    cents = xs.filter((FF.col("id") < 2) & (FF.size("v") > 0)).select(
+        FF.col("id").alias("j"), FF.posexplode("v").alias("pos", "c")
+    )
+    small = {(r.id, r.cl, r.d) for r in _assign(xs, cents, k_hint=2).collect()}
+    large = {
+        (r.id, r.cl, r.d)
+        for r in _assign(xs, cents, k_hint=ASSIGN_BROADCAST_MIN_K).collect()
+    }
+    assert small == large
+    assert {r[0] for r in small} == {0, 1}  # degenerate rows dropped on BOTH

@@ -68,9 +68,11 @@ def main() -> None:
     for ratio, n, a, b in regressions[:20]:
         print(f"  {n}: {b:.2f}s -> {a:.2f}s  ({ratio:.2f}x)")
     print("\nbiggest improvements:")
-    for ratio, n, a, b in rows[::-1][:10]:
-        if ratio < 1 and max(a, b) >= SUBSEC_FLOOR:
-            print(f"  {n}: {b:.2f}s -> {a:.2f}s  ({ratio:.2f}x)")
+    improvements = [
+        r for r in rows[::-1] if r[0] < 1 and max(r[2], r[3]) >= SUBSEC_FLOOR
+    ]
+    for ratio, n, a, b in improvements[:10]:
+        print(f"  {n}: {b:.2f}s -> {a:.2f}s  ({ratio:.2f}x)")
     if only_new:
         print(f"\nonly in new ({len(only_new)}): {', '.join(only_new)}")
     if only_old:
