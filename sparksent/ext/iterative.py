@@ -130,6 +130,12 @@ def _assign(xs: DataFrame, cents: DataFrame, k_hint: int) -> DataFrame:
     )
     return (
         xs.crossJoin(F.broadcast(crow))
+        # path-equality contract, empty-centroid edge: with zero
+        # centroid rows the agg above still yields ONE row with cs=[],
+        # so array_min would emit every vector with a NULL assignment
+        # — whereas the small-k join shape returns zero rows. Filter
+        # to the same semantics (ADVICE r8).
+        .filter(F.size("cs") > 0)
         .select("id", F.array_min(dj).alias("b"))
         .select("id", F.col("b.j").alias("cl"), F.col("b.d").alias("d"))
     )
@@ -224,10 +230,16 @@ def kmeans_ctes_sql(
     The final assignment is ``a{iters+1}(id, v, cl, d)``; used by both
     :func:`kmeans_cluster_stats_sql` and the SemDeDup oracle."""
     parts = [
+        # the len() predicate mirrors the Spark paths' NULL/empty-vector
+        # drop (posexplode emits nothing; the broadcast-row path filters
+        # size(v) > 0) — without it a degenerate embedding would keep a
+        # NULL/padded list_zip distance row only on the oracle side
+        # (ADVICE r8; fixtures have none, so fixture hashes are unchanged)
         f"""xs AS (
           SELECT {id_col}::BIGINT AS id,
                  list_transform({vec_col}, x -> floor(x::DOUBLE * {float(V_SCALE)!r})::BIGINT) AS v
-          FROM {table})""",
+          FROM {table}
+          WHERE {vec_col} IS NOT NULL AND len({vec_col}) > 0)""",
         f"c0 AS (SELECT id AS j, v AS c FROM xs WHERE id < {k})",
     ]
     for i in range(1, iters + 2):

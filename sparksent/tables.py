@@ -100,6 +100,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+_COUNT_CACHE: dict[tuple[str, str], int] = {}
+
+
+def cached_row_count(spark: SparkSession, sf_dir: str, name: str) -> int:
+    """Row count of a fixture table, memoized per (sf_dir, table).
+
+    Several self-scaling operators (plane/cell/cluster counts) size
+    themselves from the corpus row count before the plan builds; the
+    count is a parquet metadata-only job, but paying it at every query
+    CONSTRUCTION (bench loops, harnesses that build all queries up
+    front) is pure waste — the fixture is immutable for a process
+    lifetime (ADVICE r8). Cache key is the resolved path, so distinct
+    SFs never collide."""
+    key = (os.path.abspath(sf_dir), name)
+    if key not in _COUNT_CACHE:
+        _COUNT_CACHE[key] = load_table(spark, sf_dir, name).count()
+    return _COUNT_CACHE[key]
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
 

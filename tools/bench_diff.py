@@ -21,6 +21,15 @@ import sys
 SUBSEC_FLOOR = 1.0  # ignore ratio noise below this many seconds (max side)
 REGRESSION_RATIO = 1.5
 
+# Deliberate-regression pins (VERDICT r8 ask #6): queries whose cost was
+# knowingly re-baselined get an absolute watch pin here, checked against
+# every NEW artifact independent of the OLD side — so the accepted bump
+# can't silently compound round over round.  corpus_curation_pipeline was
+# re-pinned in round 8 (+0.4 s for the fused Gopher gate, a semantics
+# change) at 1.40 s.
+WATCH_PINS = {"corpus_curation_pipeline": 1.40}
+WATCH_RATIO = 1.2
+
 
 def load(path: str) -> dict:
     with open(path) as f:
@@ -46,10 +55,15 @@ def main() -> None:
     only_old = sorted(set(oq) - set(nq))
 
     rows = []
+    not_comparable = []
     for n in common:
         a, b = float(nq[n]), float(oq[n])
-        ratio = a / b if b > 0 else float("inf")
-        rows.append((ratio, n, a, b))
+        if b <= 0:
+            # a zero/placeholder old timing makes the ratio inf — noise,
+            # not a regression; report separately (ADVICE r8)
+            not_comparable.append((n, a, b))
+            continue
+        rows.append((a / b, n, a, b))
     rows.sort(reverse=True)
 
     tot_new = sum(float(nq[n]) for n in common)
@@ -73,11 +87,22 @@ def main() -> None:
     ]
     for ratio, n, a, b in improvements[:10]:
         print(f"  {n}: {b:.2f}s -> {a:.2f}s  ({ratio:.2f}x)")
+    if not_comparable:
+        print(f"\nnot comparable (old time <= 0, {len(not_comparable)}): "
+              + ", ".join(f"{n} (new {a:.2f}s)" for n, a, _ in not_comparable))
     if only_new:
         print(f"\nonly in new ({len(only_new)}): {', '.join(only_new)}")
     if only_old:
         print(f"only in old ({len(only_old)}): {', '.join(only_old)}")
-    sys.exit(1 if regressions else 0)
+    watch_fails = []
+    for n, pin in WATCH_PINS.items():
+        if n in nq and float(nq[n]) > WATCH_RATIO * pin:
+            watch_fails.append((n, float(nq[n]), pin))
+    if watch_fails:
+        print(f"\nwatch-pin violations (> {WATCH_RATIO}x pinned):")
+        for n, a, pin in watch_fails:
+            print(f"  {n}: pinned {pin:.2f}s, now {a:.2f}s ({a / pin:.2f}x)")
+    sys.exit(1 if (regressions or watch_fails) else 0)
 
 
 if __name__ == "__main__":

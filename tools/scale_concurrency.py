@@ -21,7 +21,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from tools.scale_demo import build_session, generate, rest, stage_metrics
+from tools.scale_demo import build_session, generate, stage_metrics
 
 
 def main() -> None:
