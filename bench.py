@@ -223,6 +223,10 @@ HEADLINE = [
     "dedup_span_8gram",
     "dsir_importance_weights",
     "sample_cluster_balanced",
+    # round-9 additions
+    "similarity_topk_ivf_trained",
+    "multimodal_resample_pixels",
+    "multimodal_frame_decode_sampled",
 ]
 
 # Timed and reported, but excluded from the headline sum: cost dominated

@@ -736,6 +736,187 @@ def ivf_topk_auto_sql(
     )
 
 
+IVF_TRAINED_ITERS = 2  # Lloyd rounds for the trained-centroid index
+
+
+def ivf_trained_parts(
+    corpus: DataFrame,
+    queries: DataFrame,
+    nprobe: int = NPROBE,
+    iters: int = IVF_TRAINED_ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """(cells, probes) for the trained-IVF index — split out so the
+    candidate BUDGET is measurable (tests pin candidate pairs /
+    (n_queries x N) <= the nprobe/K fraction the index promises):
+    ``cells`` = (neighbor_id, cv, nc, cell) — every corpus vector in
+    its trained Lloyd cell; ``probes`` = (query_id, qv, nq, cell) —
+    each query's top-``nprobe`` trained cells by scaled-int L2, ties to
+    the smaller cell id (the Lloyd loop's own tie-break)."""
+    from .iterative import _kmeans_fit, _scaled_vec
+
+    if n_centroids is None:
+        n_centroids = n_centroids_for(corpus.count())
+    final, cents = _kmeans_fit(corpus, n_centroids, iters, id_col, vec_col)
+    cells = (
+        corpus.select(
+            F.col(id_col).cast("long").alias("id"),
+            F.col(vec_col).alias("cv"),
+            norm(F.col(vec_col)).alias("nc"),
+        )
+        .join(final.select("id", "cl"), "id")
+        .select(
+            F.col("id").alias("neighbor_id"), "cv", "nc", F.col("cl").alias("cell")
+        )
+    )
+    qxs = queries.select(
+        F.col(id_col).cast("long").alias("query_id"),
+        _scaled_vec(vec_col).alias("v"),
+        F.col(vec_col).alias("qv"),
+        norm(F.col(vec_col)).alias("nq"),
+    )
+    # The probe explode is n_queries x dims rows — bounded by the query
+    # set, not the corpus.
+    per = (
+        qxs.select("query_id", F.posexplode("v").alias("pos", "x"))
+        .join(F.broadcast(cents), "pos")
+        .groupBy("query_id", "j")
+        .agg(F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))).alias("d"))
+    )
+    wq = Window.partitionBy("query_id").orderBy("d", "j")
+    probes = (
+        per.withColumn("crank", F.row_number().over(wq))
+        .filter(F.col("crank") <= nprobe)
+        .select("query_id", F.col("j").alias("cell"))
+        .join(qxs.select("query_id", "qv", "nq"), "query_id")
+    )
+    return cells, probes
+
+
+def ivf_trained_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = NPROBE,
+    iters: int = IVF_TRAINED_ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int | None = None,
+) -> DataFrame:
+    """IVF ANN with TRAINED centroids + exact re-rank (VERDICT r8 ask
+    #1): the cell structure comes from the shared oracle-exact Lloyd
+    loop (ext/iterative.py) run on the corpus itself — a data-dependent
+    index, unlike :func:`ivf_topk`'s fixed seed-vector cells — so on
+    clustered embeddings (the regime ANN indexes exist for) the probed
+    cells actually contain the true neighbors.  Measured on the
+    mixture-of-Gaussians fixture: recall >= 0.8 at <= 1/4 candidate
+    budget (tests/test_properties.py::test_ivf_trained_recall_clustered)
+    vs the untrained ladder's 0.02-0.38 on the same budget.
+
+    Plan shape: training is the dual-path Lloyd loop (shuffle-free
+    broadcast-row argmin at self-scaled k — SCALE.md round-8 fix); the
+    final assignment IS the cell layout (one integer-exact pass, no
+    extra scan); query->centroid ranking joins the bounded query set
+    against the broadcast k x dims centroid frame (n_queries x k rows,
+    never corpus-sized); search is a cell equi-join against the
+    broadcast probe set followed by EXACT cosine re-rank of the bounded
+    candidates — at rest the corpus is partitioned by cell so a query
+    reads ~nprobe/K of the data.  Probe ranking is scaled-integer L2
+    (bit-exact both engines); the re-rank is the left-to-right double
+    cosine every similarity query pins."""
+    cells, probes = ivf_trained_parts(
+        corpus, queries, nprobe, iters, id_col, vec_col, n_centroids
+    )
+    scored = (
+        cells.join(F.broadcast(probes), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "sim", dot_arrow(F.col("qv"), F.col("cv")) / (F.col("nq") * F.col("nc"))
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("sim", 6).alias("sim_r"))
+    )
+
+
+def ivf_trained_topk_sql(
+    table: str = "embeddings",
+    k: int = 5,
+    n_queries: int = 10,
+    nprobe: int = NPROBE,
+    iters: int = IVF_TRAINED_ITERS,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+    n_centroids: int = N_CENTROIDS,
+) -> str:
+    """DuckDB mirror of :func:`ivf_trained_topk`, composed from the
+    shared Lloyd CTEs (iterative.kmeans_ctes_sql): the final assignment
+    a{iters+1} is the cell layout, c{iters} the trained centroid frame
+    the queries rank against with the same scaled-int L2 + (d, j)
+    tie-break, and the re-rank is the shared double cosine."""
+    from .iterative import kmeans_ctes_sql
+
+    int_l2 = (
+        "list_sum(list_transform(list_zip(xs.v, c.c), "
+        "p -> (p[1]-p[2])*(p[1]-p[2])))::BIGINT"
+    )
+    return f"""
+    WITH {kmeans_ctes_sql(table, n_centroids, iters, id_col, vec)},
+    cells AS (
+      SELECT a.id AS neighbor_id, e.{vec} AS cv, a.cl AS cell
+      FROM a{iters + 1} a JOIN {table} e ON e.{id_col} = a.id
+    ),
+    qd AS (
+      SELECT xs.id AS query_id, c.j AS cell,
+             row_number() OVER (PARTITION BY xs.id
+                                ORDER BY {int_l2}, c.j) AS crank
+      FROM xs CROSS JOIN c{iters} c
+      WHERE xs.id < {n_queries}
+    ),
+    probes AS (
+      SELECT q.query_id, q.cell, e.{vec} AS qv
+      FROM qd q JOIN {table} e ON e.{id_col} = q.query_id
+      WHERE q.crank <= {nprobe}
+    ),
+    scored AS (
+      SELECT p.query_id, c.neighbor_id, {cosine_sql('p.qv', 'c.cv')} AS sim
+      FROM cells c JOIN probes p USING (cell)
+      WHERE c.neighbor_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, rank, round(sim, 6) AS sim_r
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY sim DESC, neighbor_id) AS rank
+          FROM scored)
+    WHERE rank <= {k}
+    """
+
+
+def ivf_trained_auto_sql(
+    table: str = "embeddings",
+    k: int = 5,
+    n_queries: int = 10,
+    nprobe: int = NPROBE,
+    iters: int = IVF_TRAINED_ITERS,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+) -> str:
+    """Oracle for ``ivf_trained_topk(n_centroids=None)``: count-gated
+    branches over the shared IVF cell-count windows (every fixture
+    resolves to the floor of 8)."""
+    return _count_gated_union(
+        table,
+        lambda kc: ivf_trained_topk_sql(
+            table, k, n_queries, nprobe, iters, id_col, vec, n_centroids=kc
+        ),
+        windows=_centroid_count_windows(),
+    )
+
+
 def lsh_topk_multiprobe(
     corpus: DataFrame,
     queries: DataFrame,

@@ -55,76 +55,19 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # the priority block, so the registry surface itself is unchanged — only
 # the iteration order of queries()/oracle_sql() moves.
 #
-# Round-8 window, regenerated mechanically from CORRECTNESS_r01..r07.json
-# via tools/regen_priority.py, then FOUR hand insertions at the top for
-# the round-8 surface changes (the deliberate-ordering escape hatch the
-# tool's docstring reserves): slots 1-5 are session_concurrency_capped
-# (zero driver evidence), the rewritten corpus_curation_pipeline (output
-# changed, prior green rows no longer cover it), and the three new
-# round-8 registrations; slots 6-32 the 27 names whose latest green
-# driver row is round 3; remainder oldest-first.  The insertions push
-# the last four r04 names (hll_distinct_users, sample_bernoulli_events,
-# sample_stratified_events, cmsketch_heavy_hitters) just past the
-# 50-slot window — deliberate: a changed or never-checked query
-# outranks a stale-but-green one, and those four rotate back in next
-# round.
+# Round-9 window, regenerated PURELY mechanically by
+# tools/regen_priority.py from CORRECTNESS_r01..r08.json — zero hand
+# insertions this round (VERDICT r8 ask #4): the three round-9
+# registrations (never driver-checked) lead, then the 31 names whose
+# latest green driver row is round 4, then the oldest round-5 names up
+# to the 50-slot boundary; remainder oldest-first.  After this window
+# verifies, no name's latest driver row is older than r05.
 _PRIORITY: tuple[str, ...] = (
-    # slot 1+: no green driver row yet / output changed this round
-    "session_concurrency_capped",
-    # rewritten round 8 (gopher gate wired in; new output schema) —
-    # its prior green rows no longer cover it, so it re-verifies first
-    "corpus_curation_pipeline",
-    # registered round 8 — never driver-checked
-    "dedup_span_8gram",
-    "dsir_importance_weights",
-    "sample_cluster_balanced",
-    # slot 2+: latest green driver row is r03
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_ngram_containment",
-    "dedup_embedding_cosine",
-    "graph_triangle_counts",
-    "decontaminate_5gram",
-    "multimodal_resize_plan",
-    "multimodal_frame_sample",
-    "pii_redaction",
-    "boilerplate_removal",
-    "lang_id_confusion",
-    "bloom_semijoin_customers",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q4_priority_check",
-    "tpch_q5_regional",
-    "tpch_q7_nation_trade",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "tpch_q10_returns",
-    "tpch_q11_important_stock",
-    "tpch_q15_top_supplier",
-    "tpch_q20_excess_suppliers",
-    "tpch_q21_waiting_supplier",
-    "tpch_q22_global_sales_opportunity",
-    "outer_order_count_distribution",
-    "topn_orders_per_priority",
-    "rangejoin_price_bands",
-    # slot 29+: latest green driver row is r04
-    "parse_lines",
-    "window_concat_1s",
-    "window_concat_100s",
-    "topic_count_10s",
-    "trending_10s",
-    "channel_mood_sliding_90_60",
-    "user_mood_cumulative",
-    "toxic_user_cw10",
-    "toxic_topic_cw25",
-    "toxic_channel_cw50",
-    "toxic_user_literal_cw10",
-    "toxic_channel_literal_cw50",
-    "toxic_topic_literal_cw25",
-    "user_mood_nlp_cumulative",
-    "entity_opinion_30s",
-    "category_opinion_cumulative",
-    "toxic_user_nlp_cw10",
-    "json_field_stats",  # --- driver window ends here (50) ---
+    # slot 1+: no green driver row yet
+    "similarity_topk_ivf_trained",
+    "multimodal_resample_pixels",
+    "multimodal_frame_decode_sampled",
+    # slot 4+: latest green driver row is r04
     "hll_distinct_users",
     "sample_bernoulli_events",
     "sample_stratified_events",
@@ -156,7 +99,7 @@ _PRIORITY: tuple[str, ...] = (
     "funnel_view_click_purchase",
     "retention_cohorts",
     "event_transition_matrix",
-    # slot 78+: latest green driver row is r05
+    # slot 35+: latest green driver row is r05
     "chunk_documents_128_96",
     "multimodal_decode_audio",
     "column_stats_events",
@@ -172,7 +115,7 @@ _PRIORITY: tuple[str, ...] = (
     "bm25_topk",
     "ewma_user_value",
     "attribution_first_touch",
-    "unpivot_user_metrics",
+    "unpivot_user_metrics",  # --- driver window ends here (50) ---
     "rolling_60s_user_stats",
     "kmeans_embeddings_2iter",
     "pagerank_word_graph",
@@ -206,7 +149,7 @@ _PRIORITY: tuple[str, ...] = (
     "entity_resolution_parts",
     "churn_training_set",
     "item_similarity_jaccard",
-    # slot 127+: latest green driver row is r07
+    # slot 84+: latest green driver row is r07
     "dedup_exact_normalized",
     "supplier_lead_time",
     "survival_km_error",
@@ -256,6 +199,57 @@ _PRIORITY: tuple[str, ...] = (
     "embedding_quantize_error",
     "tpch_q1_pricing",
     "tpch_q3_shipping",
+    # slot 133+: latest green driver row is r08
+    "session_concurrency_capped",
+    "corpus_curation_pipeline",
+    "dedup_span_8gram",
+    "dsir_importance_weights",
+    "sample_cluster_balanced",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_ngram_containment",
+    "dedup_embedding_cosine",
+    "graph_triangle_counts",
+    "decontaminate_5gram",
+    "multimodal_resize_plan",
+    "multimodal_frame_sample",
+    "pii_redaction",
+    "boilerplate_removal",
+    "lang_id_confusion",
+    "bloom_semijoin_customers",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q4_priority_check",
+    "tpch_q5_regional",
+    "tpch_q7_nation_trade",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q10_returns",
+    "tpch_q11_important_stock",
+    "tpch_q15_top_supplier",
+    "tpch_q20_excess_suppliers",
+    "tpch_q21_waiting_supplier",
+    "tpch_q22_global_sales_opportunity",
+    "outer_order_count_distribution",
+    "topn_orders_per_priority",
+    "rangejoin_price_bands",
+    "parse_lines",
+    "window_concat_1s",
+    "window_concat_100s",
+    "topic_count_10s",
+    "trending_10s",
+    "channel_mood_sliding_90_60",
+    "user_mood_cumulative",
+    "toxic_user_cw10",
+    "toxic_topic_cw25",
+    "toxic_channel_cw50",
+    "toxic_user_literal_cw10",
+    "toxic_channel_literal_cw50",
+    "toxic_topic_literal_cw25",
+    "user_mood_nlp_cumulative",
+    "entity_opinion_30s",
+    "category_opinion_cumulative",
+    "toxic_user_nlp_cw10",
+    "json_field_stats",
 )
 
 

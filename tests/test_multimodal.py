@@ -567,3 +567,55 @@ def test_wav_rejects_non_pcm():
     bad[20:22] = (85).to_bytes(2, "little")  # MP3 codec id
     with pytest.raises(NotImplementedError):
         decode_wav(bytes(bad))
+
+
+def test_frame_decode_sampled_work_proportional_to_k(monkeypatch):
+    """The sample->decode composition's entire point: entropy decode
+    runs ONLY on the sampled frames.  Count decode_media calls through
+    the batch stage directly (it's a plain generator) for a clip with
+    n_frames > k and assert exactly min(k, n) decodes — where the
+    full-decode stage (decode_video_stats) pays n."""
+    import pandas as pd
+
+    from sparksent.ext import multimodal as mm
+
+    mid = 5  # n_frames = 5 % 6 + 2 = 7 > k = 4
+    n = mid % mm.MJPEG_FRAMES_MOD + 2
+    calls = []
+    real = mm.decode_media
+    monkeypatch.setattr(
+        mm, "decode_media", lambda p, m: calls.append(m) or real(p, m)
+    )
+    batch = pd.DataFrame({"media_id": [mid]})
+    out = pd.concat(list(mm.frame_decode_sampled_stats(iter([batch]), k=4)))
+    assert len(calls) == min(4, n) == 4 < n
+    assert list(out["frame_no"]) == [i * n // 4 for i in range(4)]
+    # and the decoded stats agree with the full-decode stage's rows for
+    # the same frames (same per-frame block law, real decode both ways)
+    calls.clear()
+    full = pd.concat(list(mm.decode_video_stats(iter([batch]))))
+    assert len(calls) == n  # the contrast: full decode pays clip length
+    merged = out.merge(
+        full, on=["media_id", "frame_no"], suffixes=("", "_full")
+    )
+    assert len(merged) == 4
+    assert (merged["sum_v"] == merged["sum_v_full"]).all()
+    assert (merged["wsum_v"] == merged["wsum_v_full"]).all()
+
+
+def test_box_resample_identity_and_law():
+    """scale=1 keeps the grid; a 2x downscale floor-averages each box —
+    checked against a hand computation."""
+    import numpy as np
+
+    from sparksent.ext.multimodal import box_resample
+
+    img = np.arange(4 * 6 * 3, dtype=np.uint8).reshape(4, 6, 3)
+    same = box_resample(img, max_w=8, max_h=6)  # 6x4 fits in 8x6
+    assert (same == img.astype(np.int64)).all()
+    half = box_resample(img, max_w=3, max_h=2)  # exact 2x2 boxes
+    assert half.shape == (2, 3, 3)
+    for oy in range(2):
+        for ox in range(3):
+            box = img[2 * oy : 2 * oy + 2, 2 * ox : 2 * ox + 2].astype(np.int64)
+            assert (half[oy, ox] == box.reshape(4, 3).sum(0) // 4).all()

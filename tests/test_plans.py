@@ -1165,3 +1165,20 @@ def test_cluster_balanced_sample_windowgrouplimit(spark):
     plan = plan_of(spark, "sample_cluster_balanced")
     assert "WindowGroupLimit" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ivf_trained_bucket_pruned_search(spark):
+    """Trained-IVF search must stay bucket-pruned end to end: the
+    candidate stage is a hash equi-join on the trained cell id with the
+    bounded probe set broadcast — never a corpus cross join (the brute
+    shape it exists to avoid) — and probe ranking joins the broadcast
+    k x dims centroid frame, so nothing corpus-sized is nested-looped.
+    At fixture k the Lloyd assignment takes the codegen pos-join path,
+    so NO nested-loop/cartesian node may appear anywhere in the plan."""
+    plan = plan_of(spark, "similarity_topk_ivf_trained")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the cell equi-join (search) + probe/centroid joins all broadcast;
+    # formatted mode lists hash keys per node, so the search join shows
+    # as a 1-key join on the cell column
+    assert re.search(r"keys \[1\]: \[cell#", plan), "cell equi-join missing"

@@ -1,0 +1,199 @@
+#!/usr/bin/env python
+"""Round-9 scale battery (VERDICT r8 asks #5 / #7 / #8), one command
+per part so each can rerun independently:
+
+  python tools/scale_r9.py hotkey    # adversarial hot-term dedup skew
+  python tools/scale_r9.py neardup   # streaming near-dup per-batch cost
+  python tools/scale_r9.py x80       # span dedup + DSIR at 80 replicas
+
+hotkey — ask #5: the dedup inverted indexes' df caps are CLAIMED to
+neutralize pathological hot keys; measure it. Derive the standing x20
+documents corpus (100 k docs) with an adversarial hot phrase appended
+to HALF the corpus ("zzhot" x 4 -> one shingle in 50 k docs, one term
+in 50 k docs — uncapped, the self-join would build a ~2.5e9-row
+partition for that single key), then run the registered
+dedup_ngram_jaccard (max_df=25) and dedup_tf_cosine (relative cap) and
+record wall / shuffle / max-task skew.  Pass = skew <= 3 and sane
+output (the hot key is anti-joined out map-side BEFORE any shuffle).
+
+neardup — ask #7: streaming/neardup.py's stream-static band join has
+equivalence tests at sf0.01 but no scale row.  Build the corpus
+MinHash band index at x1 (5 k docs) and x20 (100 k docs), then measure
+the PER-BATCH candidate join cost for a fixed 1,000-doc micro-batch
+against each index, broadcast and shuffled variants — the claim being
+that per-batch cost tracks the BATCH (x bands), not the corpus, once
+the index is built (built once per corpus version, amortized across
+batches).  The batch is replica-0 text re-id'd, so true matches exist.
+
+x80 — ask #8: one more doubling for the two round-8 operators
+(dedup_span_8gram, dsir_importance_weights) on the scale_x40
+derivation at 80 replicas (400 k docs): linearity holds if wall and
+shuffle stay ~2x the x40 row (ratio <= 2.1 per the ask).
+
+All metrics from the Spark status REST API of the live run, local[32],
+AQE on (build_session from tools/scale_demo).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tools.scale_demo import build_session, stage_metrics
+
+X20_BASE = "/tmp/sparksent-scale"
+HOT_BASE = "/tmp/sparksent-scale-hot"
+X80_BASE = "/tmp/sparksent-scale80"
+HOT_PHRASE = " zzhot zzhot zzhot zzhot"  # 4 repeats -> interior 3-gram repeats
+
+
+def _run_measured(spark, fns: dict, port: int, app_id: str) -> dict:
+    sc = spark.sparkContext
+    results, group_of = {}, {}
+    for name, fn in fns.items():
+        sc.setJobGroup(name, name)
+        t0 = time.perf_counter()
+        df = fn()
+        df.write.mode("overwrite").format("noop").save()
+        wall = time.perf_counter() - t0
+        sc.setJobGroup("count_" + name, "row count")
+        n_out = df.count()
+        results[name] = {"wall_s": round(wall, 2), "rows_out": n_out}
+        group_of[name] = name
+        print(f"  {name}: {wall:.1f}s, {n_out} rows", file=sys.stderr)
+    metrics = stage_metrics(port, app_id, group_of)
+    return {n: {**results[n], **metrics.get(n, {})} for n in fns}
+
+
+def cmd_hotkey(spark, port, app_id) -> dict:
+    from pyspark.sql import functions as F
+
+    if not os.path.isdir(f"{X20_BASE}/documents.parquet"):
+        from tools.scale_demo import generate
+
+        generate(spark, X20_BASE)
+    os.makedirs(HOT_BASE, exist_ok=True)
+    docs = spark.read.parquet(f"{X20_BASE}/documents.parquet")
+    docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 2 == 0, F.concat(F.col("text"), F.lit(HOT_PHRASE))
+        ).otherwise(F.col("text")),
+    ).repartition(64).write.mode("overwrite").parquet(
+        f"{HOT_BASE}/documents.parquet"
+    )
+    n_hot = spark.read.parquet(f"{HOT_BASE}/documents.parquet").filter(
+        F.col("text").contains("zzhot")
+    ).count()
+    print(f"hot docs: {n_hot}", file=sys.stderr)
+
+    from sparksent.registry import queries
+
+    qs = queries()
+    # warm-up python workers + codegen before timed runs
+    qs["text_stats"](spark, HOT_BASE).write.mode("overwrite").format("noop").save()
+    fns = {
+        "dedup_ngram_jaccard_hot": lambda: qs["dedup_ngram_jaccard"](spark, HOT_BASE),
+        "dedup_tf_cosine_hot": lambda: qs["dedup_tf_cosine"](spark, HOT_BASE),
+    }
+    out = _run_measured(spark, fns, port, app_id)
+    return {"hot_docs": n_hot, "queries": out}
+
+
+def cmd_neardup(spark, port, app_id) -> dict:
+    from pyspark.sql import functions as F
+
+    from sparksent.streaming import (
+        minhash_band_index,
+        streaming_neardup_candidates,
+    )
+    from sparksent.tables import load_table
+
+    if not os.path.isdir(f"{X20_BASE}/documents.parquet"):
+        from tools.scale_demo import generate
+
+        generate(spark, X20_BASE)
+
+    corpora = {
+        "x1": load_table(spark, "/root/testdata/sf0.1", "documents").select(
+            "doc_id", "text"
+        ),
+        "x20": spark.read.parquet(f"{X20_BASE}/documents.parquet").select(
+            "doc_id", "text"
+        ),
+    }
+    # fixed micro-batch: 1,000 replica-0 docs re-id'd (verbatim text ->
+    # true matches against both corpora)
+    batch = (
+        corpora["x1"]
+        .filter(F.col("doc_id") < 1000)
+        .withColumn("doc_id", F.col("doc_id") + F.lit(10_000_000))
+        .localCheckpoint()
+    )
+    report = {}
+    for tag, corpus in corpora.items():
+        t0 = time.perf_counter()
+        index = minhash_band_index(corpus).localCheckpoint()  # once per corpus
+        build_s = time.perf_counter() - t0
+        index_rows = index.count()
+        fns = {
+            f"neardup_batch_{tag}_bcast": lambda idx=index: (
+                streaming_neardup_candidates(batch, idx, broadcast_index=True)
+            ),
+            f"neardup_batch_{tag}_shuffle": lambda idx=index: (
+                streaming_neardup_candidates(batch, idx, broadcast_index=False)
+            ),
+        }
+        out = _run_measured(spark, fns, port, app_id)
+        report[tag] = {
+            "index_build_s": round(build_s, 2),
+            "index_rows": index_rows,
+            "batches": out,
+        }
+    return report
+
+
+def cmd_x80(spark, port, app_id, replicas: int = 80) -> dict:
+    from tools.scale_x40 import generate
+
+    if not os.path.isdir(f"{X80_BASE}/documents.parquet"):
+        t0 = time.perf_counter()
+        generate(spark, X80_BASE, replicas)
+        print(f"generate x{replicas}: {time.perf_counter() - t0:.1f}s",
+              file=sys.stderr)
+
+    from sparksent.registry import queries
+
+    qs = queries()
+    qs["text_stats"](spark, X80_BASE).write.mode("overwrite").format("noop").save()
+    fns = {
+        "dedup_span_8gram_x80": lambda: qs["dedup_span_8gram"](spark, X80_BASE),
+        "dsir_importance_weights_x80": lambda: qs["dsir_importance_weights"](
+            spark, X80_BASE
+        ),
+    }
+    return _run_measured(spark, fns, port, app_id)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("part", choices=["hotkey", "neardup", "x80"])
+    args = ap.parse_args()
+    spark = build_session()
+    sc = spark.sparkContext
+    port = int(sc.uiWebUrl.rsplit(":", 1)[1]) if sc.uiWebUrl else 4050
+    report = {
+        "hotkey": cmd_hotkey,
+        "neardup": cmd_neardup,
+        "x80": cmd_x80,
+    }[args.part](spark, port, sc.applicationId)
+    print(json.dumps({args.part: report}, indent=1))
+
+
+if __name__ == "__main__":
+    main()
