@@ -227,6 +227,8 @@ HEADLINE = [
     "similarity_topk_ivf_trained",
     "multimodal_resample_pixels",
     "multimodal_frame_decode_sampled",
+    "similarity_topk_ivfpq_adc",
+    "similarity_topk_ivfpq_refine",
 ]
 
 # Timed and reported, but excluded from the headline sum: cost dominated

@@ -760,13 +760,19 @@ def ivf_trained_parts(
     if n_centroids is None:
         n_centroids = n_centroids_for(corpus.count())
     final, cents = _kmeans_fit(corpus, n_centroids, iters, id_col, vec_col)
+    # corpus x assignment on id: BOTH sides are corpus-sized, so the
+    # join is pinned to a shuffled hash join — the checkpointed
+    # assignment frame's fixture-small stats would otherwise let the
+    # planner broadcast a frame that grows with the corpus (the
+    # plan_audit bcast_rdd hazard class; co-partitioning on id is the
+    # correct shape at any scale)
     cells = (
         corpus.select(
             F.col(id_col).cast("long").alias("id"),
             F.col(vec_col).alias("cv"),
             norm(F.col(vec_col)).alias("nc"),
         )
-        .join(final.select("id", "cl"), "id")
+        .join(final.select("id", "cl").hint("shuffle_hash"), "id")
         .select(
             F.col("id").alias("neighbor_id"), "cv", "nc", F.col("cl").alias("cell")
         )
@@ -1124,6 +1130,63 @@ def hard_negatives_topk_sql(
 PQ_SCALE = 1_000_000
 
 
+def pq_scaled(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(id, v): vectors scaled to longs (floor(x * 1e6)) — the shared
+    integer domain of the PQ codebook and every ADC distance."""
+    return emb.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(x.cast("double") * F.lit(float(PQ_SCALE))).cast("long"),
+        ).alias("v"),
+    )
+
+
+def pq_centroids(
+    emb: DataFrame,
+    n_cent: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(cent, pos, c): the per-dimension codebook rows — the scaled
+    vectors with id < n_cent (the k-means seeding convention), exploded
+    by position.  n_cent x dims rows, always broadcastable."""
+    return pq_scaled(emb, id_col, vec_col).filter(F.col("id") < n_cent).select(
+        F.col("id").alias("cent"), F.posexplode("v").alias("pos", "c")
+    )
+
+
+def pq_assignments(
+    emb: DataFrame,
+    sub_dim: int = 8,
+    n_cent: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-(vector, subspace) nearest-codeword assignment —
+    (id, sub, b.d, b.cent) with b = min(struct(d, cent)), ties to the
+    smaller centroid id: the pre-packing form of :func:`pq_codes`,
+    exposed so IVF-PQ search (:func:`ivfpq_adc_topk`) can join codes
+    directly instead of unpacking the BIGINT."""
+    xs = pq_scaled(emb, id_col, vec_col)
+    ex = xs.select("id", F.posexplode("v").alias("pos", "x"))
+    cents = pq_centroids(emb, n_cent, id_col, vec_col)
+    per = (
+        ex.join(F.broadcast(cents), "pos")
+        .groupBy(
+            "id",
+            F.expr(f"CAST(pos div {sub_dim} AS BIGINT)").alias("sub"),
+            "cent",
+        )
+        .agg(F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))).alias("d"))
+    )
+    return per.groupBy("id", "sub").agg(
+        F.min(F.struct(F.col("d").alias("d"), F.col("cent").alias("cent"))).alias("b")
+    )
+
+
 def pq_codes(
     emb: DataFrame,
     sub_dim: int = 8,
@@ -1151,29 +1214,7 @@ def pq_codes(
     the final pack one aggregate per vector — the constant-codegen
     shape of ext/iterative's k-means assignment, run once.
     """
-    xs = emb.select(
-        F.col(id_col).cast("long").alias("id"),
-        F.transform(
-            F.col(vec_col),
-            lambda x: F.floor(x.cast("double") * F.lit(float(PQ_SCALE))).cast("long"),
-        ).alias("v"),
-    )
-    ex = xs.select("id", F.posexplode("v").alias("pos", "x"))
-    cents = xs.filter(F.col("id") < n_cent).select(
-        F.col("id").alias("cent"), F.posexplode("v").alias("pos", "c")
-    )
-    per = (
-        ex.join(F.broadcast(cents), "pos")
-        .groupBy(
-            "id",
-            F.expr(f"CAST(pos div {sub_dim} AS BIGINT)").alias("sub"),
-            "cent",
-        )
-        .agg(F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))).alias("d"))
-    )
-    best = per.groupBy("id", "sub").agg(
-        F.min(F.struct(F.col("d").alias("d"), F.col("cent").alias("cent"))).alias("b")
-    )
+    best = pq_assignments(emb, sub_dim, n_cent, id_col, vec_col)
     bits = max(1, (n_cent - 1).bit_length())
     return best.groupBy("id").agg(
         F.sum(F.expr(f"shiftleft(b.cent, CAST({bits} * sub AS INT))"))
@@ -1213,6 +1254,304 @@ def pq_codes_sql(
            sum(d)::BIGINT AS recon_err
     FROM best GROUP BY 1
     """
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: trained cells + asymmetric-distance (ADC) ranking over codes
+# ---------------------------------------------------------------------------
+
+PQ_SUB_DIM = 8
+PQ_N_CENT = 16
+
+
+def ivfpq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = NPROBE,
+    iters: int = IVF_TRAINED_ITERS,
+    sub_dim: int = PQ_SUB_DIM,
+    n_cent_pq: int = PQ_N_CENT,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int | None = None,
+) -> DataFrame:
+    """IVF-PQ search (the FAISS IndexIVFPQ shape, relationally): trained
+    Lloyd cells prune the corpus to the probed nprobe/K fraction, and the
+    candidates are ranked by ASYMMETRIC DISTANCE COMPUTATION — the
+    query's per-(subspace, codeword) squared-L2 lookup table joined
+    against each candidate's product-quantization code — so the search
+    stage never touches a raw vector: candidates flow as (id, sub,
+    cent) code rows (4 bits/subspace — the :func:`pq_codes` storage),
+    and the LUT is n_queries x n_sub x n_cent integer rows, broadcast.
+    This is the memory-bound regime IVF-PQ exists for at 100 TB: raw
+    vectors appear only at TRAIN time (the Lloyd loop + the codebook),
+    the at-rest index is cells + codes (~64x smaller than the floats),
+    and per-query work is LUT build (dims x n_cent) + one integer sum
+    per candidate-subspace.
+
+    Ranking returns (query_id, neighbor_id, rank, adc_d) with adc_d the
+    exact BIGINT ADC distance (scaled-int domain of pq_codes), ties to
+    the smaller neighbor id — fully integer, so the DuckDB oracle is
+    bit-exact through training, coding, probing and ranking.  ADC is an
+    approximation of true distance (that is the trade); measured
+    recall on the clustered fixture is pinned in
+    tests/test_properties.py alongside the exact-re-rank variant
+    (:func:`ivf_trained_topk`), the standard refinement cascade."""
+    cells, probes = ivf_trained_parts(
+        corpus, queries, nprobe, iters, id_col, vec_col, n_centroids
+    )
+    cand = (
+        cells.select("neighbor_id", "cell")
+        .join(F.broadcast(probes.select("query_id", "cell")), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+    )
+    codes = pq_assignments(corpus, sub_dim, n_cent_pq, id_col, vec_col).select(
+        F.col("id").alias("neighbor_id"), "sub", F.col("b.cent").alias("cent")
+    )
+    lut = (
+        pq_scaled(queries, id_col, vec_col)
+        .select(F.col("id").alias("query_id"), F.posexplode("v").alias("pos", "x"))
+        .join(F.broadcast(pq_centroids(corpus, n_cent_pq, id_col, vec_col)), "pos")
+        .groupBy(
+            "query_id",
+            F.expr(f"CAST(pos div {sub_dim} AS BIGINT)").alias("sub"),
+            "cent",
+        )
+        .agg(F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))).alias("d"))
+    )
+    adc = (
+        cand.join(codes, "neighbor_id")
+        .join(F.broadcast(lut), ["query_id", "sub", "cent"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d").cast("long").alias("adc_d"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_d", "neighbor_id")
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "adc_d")
+    )
+
+
+def ivfpq_adc_topk_sql(
+    table: str = "embeddings",
+    k: int = 5,
+    n_queries: int = 10,
+    nprobe: int = NPROBE,
+    iters: int = IVF_TRAINED_ITERS,
+    sub_dim: int = PQ_SUB_DIM,
+    n_cent_pq: int = PQ_N_CENT,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+    n_centroids: int = N_CENTROIDS,
+) -> str:
+    """DuckDB mirror of :func:`ivfpq_adc_topk`.  The kmeans CTEs' xs is
+    the same floor(x * 1e6) scaled-long domain PQ uses (V_SCALE ==
+    PQ_SCALE), so training, codebook, codes AND the query LUT all
+    derive from one xs; the LUT is per(id, sub, cent, d) restricted to
+    the query slice (queries are corpus vectors here), identical
+    integer sums to the Spark plan's separate LUT build."""
+    from .iterative import kmeans_ctes_sql
+
+    int_l2 = (
+        "list_sum(list_transform(list_zip(xs.v, c.c), "
+        "p -> (p[1]-p[2])*(p[1]-p[2])))::BIGINT"
+    )
+    return f"""
+    WITH {kmeans_ctes_sql(table, n_centroids, iters, id_col, vec)},
+    cells AS (SELECT id AS neighbor_id, cl AS cell FROM a{iters + 1}),
+    qd AS (
+      SELECT xs.id AS query_id, c.j AS cell,
+             row_number() OVER (PARTITION BY xs.id
+                                ORDER BY {int_l2}, c.j) AS crank
+      FROM xs CROSS JOIN c{iters} c
+      WHERE xs.id < {n_queries}
+    ),
+    probes AS (SELECT query_id, cell FROM qd WHERE crank <= {nprobe}),
+    cand AS (
+      SELECT p.query_id, c.neighbor_id
+      FROM cells c JOIN probes p USING (cell)
+      WHERE c.neighbor_id <> p.query_id
+    ),
+    ex AS (SELECT id, generate_subscripts(v, 1) - 1 AS pos, unnest(v) AS x
+           FROM xs),
+    pqc AS (SELECT id AS cent, generate_subscripts(v, 1) - 1 AS pos,
+                   unnest(v) AS c
+            FROM xs WHERE id < {n_cent_pq}),
+    per AS (
+      SELECT e.id, (e.pos // {sub_dim})::BIGINT AS sub, p.cent,
+             sum((e.x - p.c) * (e.x - p.c))::BIGINT AS d
+      FROM ex e JOIN pqc p USING (pos)
+      GROUP BY 1, 2, 3
+    ),
+    codes AS (
+      SELECT id, sub, cent FROM (
+        SELECT *, row_number() OVER (PARTITION BY id, sub
+                                     ORDER BY d, cent) AS rn
+        FROM per)
+      WHERE rn = 1
+    ),
+    lut AS (SELECT id AS query_id, sub, cent, d FROM per
+            WHERE id < {n_queries}),
+    adc AS (
+      SELECT ca.query_id, ca.neighbor_id, sum(l.d)::BIGINT AS adc_d
+      FROM cand ca
+      JOIN codes co ON co.id = ca.neighbor_id
+      JOIN lut l ON l.query_id = ca.query_id
+                AND l.sub = co.sub AND l.cent = co.cent
+      GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, rank, adc_d
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY adc_d, neighbor_id) AS rank
+          FROM adc)
+    WHERE rank <= {k}
+    """
+
+
+PQ_REFINE = 40  # exact re-rank budget: top-R of the ADC ranking
+
+
+def ivfpq_refine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    refine: int = PQ_REFINE,
+    nprobe: int = NPROBE,
+    iters: int = IVF_TRAINED_ITERS,
+    sub_dim: int = PQ_SUB_DIM,
+    n_cent_pq: int = PQ_N_CENT,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int | None = None,
+) -> DataFrame:
+    """The IVF-PQ refinement cascade (FAISS IndexRefineFlat): rank ALL
+    probed candidates by integer ADC over codes (:func:`ivfpq_adc_topk`
+    — no raw vectors touched), keep the top-``refine``, and exact-
+    cosine re-rank ONLY those against the raw vectors.  This is how
+    production vector search spends its memory bandwidth: quantized
+    scan over everything, float loads for a bounded top-R per query —
+    measured on the clustered fixture, recall rises from ADC-alone 0.21
+    to **0.93** at refine=40 (the code ranking's job is candidate
+    containment, not final order; quantization error swamps
+    within-cluster distance gaps, so exact refinement is the standard
+    second stage).
+
+    Plan shape: the refine set is n_queries x refine rows — broadcast
+    into the corpus scan for the raw-vector fetch (never a corpus-sized
+    shuffle), then the same per-pair Arrow cosine + rank tail as every
+    topk query."""
+    adc = ivfpq_adc_topk(
+        corpus, queries, refine, nprobe, iters, sub_dim, n_cent_pq,
+        id_col, vec_col, n_centroids,
+    ).select("query_id", "neighbor_id")
+    qn = queries.select(
+        F.col(id_col).cast("long").alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        norm(F.col(vec_col)).alias("nq"),
+    )
+    cn = corpus.select(
+        F.col(id_col).cast("long").alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        norm(F.col(vec_col)).alias("nc"),
+    )
+    scored = (
+        cn.join(F.broadcast(adc), "neighbor_id")
+        .join(F.broadcast(qn), "query_id")
+        .withColumn(
+            "sim", dot_arrow(F.col("qv"), F.col("cv")) / (F.col("nq") * F.col("nc"))
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("sim", 6).alias("sim_r"))
+    )
+
+
+def ivfpq_refine_topk_sql(
+    table: str = "embeddings",
+    k: int = 5,
+    refine: int = PQ_REFINE,
+    n_queries: int = 10,
+    nprobe: int = NPROBE,
+    iters: int = IVF_TRAINED_ITERS,
+    sub_dim: int = PQ_SUB_DIM,
+    n_cent_pq: int = PQ_N_CENT,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+    n_centroids: int = N_CENTROIDS,
+) -> str:
+    """DuckDB mirror: the full ADC ranking (nested WITH) truncated at
+    ``refine``, then the shared exact double cosine + rank tail."""
+    inner = ivfpq_adc_topk_sql(
+        table, refine, n_queries, nprobe, iters, sub_dim, n_cent_pq,
+        id_col, vec, n_centroids,
+    )
+    return f"""
+    WITH base AS ({inner}),
+    re AS (
+      SELECT b.query_id, b.neighbor_id,
+             {cosine_sql(f'q.{vec}', f'c.{vec}')} AS sim
+      FROM base b
+      JOIN {table} q ON q.{id_col} = b.query_id
+      JOIN {table} c ON c.{id_col} = b.neighbor_id
+    )
+    SELECT query_id, neighbor_id, rank, round(sim, 6) AS sim_r
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY sim DESC, neighbor_id) AS rank
+          FROM re)
+    WHERE rank <= {k}
+    """
+
+
+def ivfpq_refine_auto_sql(
+    table: str = "embeddings",
+    k: int = 5,
+    refine: int = PQ_REFINE,
+    n_queries: int = 10,
+    nprobe: int = NPROBE,
+    iters: int = IVF_TRAINED_ITERS,
+    sub_dim: int = PQ_SUB_DIM,
+    n_cent_pq: int = PQ_N_CENT,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+) -> str:
+    """Oracle for ``ivfpq_refine_topk(n_centroids=None)``: count-gated
+    branches over the shared IVF cell-count windows."""
+    return _count_gated_union(
+        table,
+        lambda kc: ivfpq_refine_topk_sql(
+            table, k, refine, n_queries, nprobe, iters, sub_dim, n_cent_pq,
+            id_col, vec, n_centroids=kc,
+        ),
+        windows=_centroid_count_windows(),
+    )
+
+
+def ivfpq_adc_auto_sql(
+    table: str = "embeddings",
+    k: int = 5,
+    n_queries: int = 10,
+    nprobe: int = NPROBE,
+    iters: int = IVF_TRAINED_ITERS,
+    sub_dim: int = PQ_SUB_DIM,
+    n_cent_pq: int = PQ_N_CENT,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+) -> str:
+    """Oracle for ``ivfpq_adc_topk(n_centroids=None)``: count-gated
+    branches over the shared IVF cell-count windows."""
+    return _count_gated_union(
+        table,
+        lambda kc: ivfpq_adc_topk_sql(
+            table, k, n_queries, nprobe, iters, sub_dim, n_cent_pq,
+            id_col, vec, n_centroids=kc,
+        ),
+        windows=_centroid_count_windows(),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -189,6 +189,52 @@ def q_topk_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "similarity_topk_ivfpq_adc",
+    oracle=similarity.ivfpq_adc_auto_sql(k=TOPK, n_queries=N_QUERIES),
+    tags=("ext", "similarity"),
+)
+def q_topk_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN top-5 (the FAISS IndexIVFPQ shape): trained Lloyd
+    cells prune candidates, ASYMMETRIC-distance ranking over 4-bit
+    product-quantization codes scores them — the search stage never
+    reads a raw vector (codes + a broadcast per-query lookup table),
+    which is the memory-bound index layout vector search runs at
+    100 TB.  All-integer ADC distances make the full train/code/probe/
+    rank pipeline bit-exact vs the oracle; the exact-re-rank variant
+    (similarity_topk_ivf_trained) is the refinement cascade's second
+    stage."""
+    emb = _emb(spark, sf_dir)
+    return similarity.ivfpq_adc_topk(
+        emb,
+        emb.filter(F.col("vec_id") < N_QUERIES),
+        k=TOPK,
+        n_centroids=similarity.n_centroids_for(_emb_count(spark, sf_dir)),
+    )
+
+
+@register(
+    "similarity_topk_ivfpq_refine",
+    oracle=similarity.ivfpq_refine_auto_sql(k=TOPK, n_queries=N_QUERIES),
+    tags=("ext", "similarity"),
+)
+def q_topk_ivfpq_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ + exact refinement (the production cascade): integer ADC
+    over codes ranks every probed candidate, then only the top-40 per
+    query load raw vectors for an exact cosine re-rank — recall 0.93 on
+    the clustered fixture vs 0.21 for ADC alone, with exact-distance
+    work bounded at refine rows/query however many candidates the
+    probes return.  The refine set broadcasts into the corpus scan
+    (plan-gated)."""
+    emb = _emb(spark, sf_dir)
+    return similarity.ivfpq_refine_topk(
+        emb,
+        emb.filter(F.col("vec_id") < N_QUERIES),
+        k=TOPK,
+        n_centroids=similarity.n_centroids_for(_emb_count(spark, sf_dir)),
+    )
+
+
 # ---------------------------------------------------------------------------
 # text analytics
 # ---------------------------------------------------------------------------

@@ -57,7 +57,7 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 #
 # Round-9 window, regenerated PURELY mechanically by
 # tools/regen_priority.py from CORRECTNESS_r01..r08.json — zero hand
-# insertions this round (VERDICT r8 ask #4): the three round-9
+# insertions this round (VERDICT r8 ask #4): the five round-9
 # registrations (never driver-checked) lead, then the 31 names whose
 # latest green driver row is round 4, then the oldest round-5 names up
 # to the 50-slot boundary; remainder oldest-first.  After this window
@@ -67,7 +67,9 @@ _PRIORITY: tuple[str, ...] = (
     "similarity_topk_ivf_trained",
     "multimodal_resample_pixels",
     "multimodal_frame_decode_sampled",
-    # slot 4+: latest green driver row is r04
+    "similarity_topk_ivfpq_adc",
+    "similarity_topk_ivfpq_refine",
+    # slot 6+: latest green driver row is r04
     "hll_distinct_users",
     "sample_bernoulli_events",
     "sample_stratified_events",
@@ -99,7 +101,7 @@ _PRIORITY: tuple[str, ...] = (
     "funnel_view_click_purchase",
     "retention_cohorts",
     "event_transition_matrix",
-    # slot 35+: latest green driver row is r05
+    # slot 37+: latest green driver row is r05
     "chunk_documents_128_96",
     "multimodal_decode_audio",
     "column_stats_events",
@@ -113,9 +115,9 @@ _PRIORITY: tuple[str, ...] = (
     "fuzzy_name_pairs",
     "lm_bigram_score",
     "bm25_topk",
-    "ewma_user_value",
+    "ewma_user_value",  # --- driver window ends here (50) ---
     "attribution_first_touch",
-    "unpivot_user_metrics",  # --- driver window ends here (50) ---
+    "unpivot_user_metrics",
     "rolling_60s_user_stats",
     "kmeans_embeddings_2iter",
     "pagerank_word_graph",
@@ -149,7 +151,7 @@ _PRIORITY: tuple[str, ...] = (
     "entity_resolution_parts",
     "churn_training_set",
     "item_similarity_jaccard",
-    # slot 84+: latest green driver row is r07
+    # slot 86+: latest green driver row is r07
     "dedup_exact_normalized",
     "supplier_lead_time",
     "survival_km_error",
@@ -199,7 +201,7 @@ _PRIORITY: tuple[str, ...] = (
     "embedding_quantize_error",
     "tpch_q1_pricing",
     "tpch_q3_shipping",
-    # slot 133+: latest green driver row is r08
+    # slot 135+: latest green driver row is r08
     "session_concurrency_capped",
     "corpus_curation_pipeline",
     "dedup_span_8gram",

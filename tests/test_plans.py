@@ -536,6 +536,14 @@ def test_no_corpus_sized_checkpoint_broadcasts(spark):
     allow = {
         "doc_sentiment_frozen_margin": {("tok", "w_e6")},  # 31-row model
         "kmeans_embeddings_2iter": {("c", "j", "pos")},  # k x dims
+        "similarity_topk_ivf_trained": {("c", "j", "pos")},  # k x dims centroids
+        # k x dims Lloyd centroids + the n_q x refine ADC top-R set
+        # (both bounded by construction)
+        "similarity_topk_ivfpq_adc": {("c", "j", "pos")},
+        "similarity_topk_ivfpq_refine": {
+            ("c", "j", "pos"),
+            ("neighbor_id", "query_id"),
+        },
         "boilerplate_removal": {("line",)},  # df-capped hot-line set
         "rangejoin_price_bands": {("band", "e", "hi", "lo")},  # dimension
         "basket_pair_lift": {("item",)},  # a-priori frequent items
@@ -1182,3 +1190,20 @@ def test_ivf_trained_bucket_pruned_search(spark):
     # formatted mode lists hash keys per node, so the search join shows
     # as a 1-key join on the cell column
     assert re.search(r"keys \[1\]: \[cell#", plan), "cell equi-join missing"
+
+
+def test_ivfpq_search_stage_code_only(spark):
+    """IVF-PQ's load-bearing plan property: the SEARCH stage moves
+    codes and LUT rows, never raw vectors — the candidate join is a
+    broadcast-probe equi-join on cell, the code join keys on
+    neighbor_id, and the LUT join broadcasts the n_q x n_sub x n_cent
+    frame; no nested-loop or cartesian node anywhere (fixture k keeps
+    the Lloyd fit on its codegen path)."""
+    for name in ("similarity_topk_ivfpq_adc", "similarity_topk_ivfpq_refine"):
+        plan = plan_of(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert re.search(r"keys \[1\]: \[cell#", plan), (name, "cell join missing")
+    # the refine stage's raw-vector fetch joins the BOUNDED top-R set
+    # (broadcast), pinned by the allowlist entry in
+    # test_no_corpus_sized_checkpoint_broadcasts

@@ -385,6 +385,8 @@ def test_ann_topk_recall_ladder(spark):
     multi = len(pairset("similarity_topk_multiprobe") & brute) / len(brute)
     ivf = len(pairset("similarity_topk_ivf") & brute) / len(brute)
     trained = len(pairset("similarity_topk_ivf_trained") & brute) / len(brute)
+    adc = len(pairset("similarity_topk_ivfpq_adc") & brute) / len(brute)
+    refine = len(pairset("similarity_topk_ivfpq_refine") & brute) / len(brute)
     assert multi >= lsh  # probe budget buys recall
     assert lsh >= 0.05 and multi >= 0.30 and ivf >= 0.20, (lsh, multi, ivf)
     # the trained index (Lloyd cells fit to the data) dominates every
@@ -392,6 +394,11 @@ def test_ann_topk_recall_ladder(spark):
     # the same nprobe/K = 1/4 budget (round 9; floor leaves slack for
     # fixture regeneration)
     assert trained >= 0.70 and trained >= ivf, (trained, ivf)
+    # the IVF-PQ cascade is monotone: code-only ADC (measured 0.24)
+    # < ADC + bounded exact refinement (0.72) < exact re-rank of every
+    # candidate (0.86) — each stage buys recall with more float work
+    assert trained >= refine >= adc, (trained, refine, adc)
+    assert refine >= 0.55 and adc >= 0.10, (refine, adc)
 
 
 def clustered_embeddings(spark, n_components: int = 10, noise: float = 0.5):
@@ -478,6 +485,46 @@ def test_ivf_trained_recall_clustered(spark):
         # the data-dependent index is the capability gap being closed:
         # measured trained 1.0 vs lsh 0.42 on identical data
         assert recall >= lsh_recall + 0.25, (recall, lsh_recall)
+    finally:
+        df.unpersist()
+
+
+def test_ivfpq_cascade_recall_clustered(spark):
+    """The IVF-PQ story, measured where it matters: on the clustered
+    fixture the code-only ADC ranking is deliberately coarse (recall
+    ~0.21 — per-subspace quantization error swamps the small
+    within-cluster distance gaps), and the exact refinement of ADC's
+    top-40 recovers **0.93** — the candidate-containment property the
+    cascade relies on (the true neighbors ARE in the probed cells and
+    inside ADC's top-R; only their ORDER needs float work)."""
+    from pyspark.sql import functions as F
+
+    from sparksent.ext.similarity import (
+        brute_force_topk,
+        ivfpq_adc_topk,
+        ivfpq_refine_topk,
+    )
+
+    C, N_Q = 10, 32
+    df = clustered_embeddings(spark, n_components=C).cache()
+    try:
+        q = df.filter(F.col("vec_id") < N_Q)
+        truth = {
+            (r.query_id, r.neighbor_id)
+            for r in brute_force_topk(df, q, k=5).collect()
+        }
+        adc = {
+            (r.query_id, r.neighbor_id)
+            for r in ivfpq_adc_topk(df, q, k=5, n_centroids=C).collect()
+        }
+        ref = {
+            (r.query_id, r.neighbor_id)
+            for r in ivfpq_refine_topk(df, q, k=5, n_centroids=C).collect()
+        }
+        adc_recall = len(truth & adc) / len(truth)
+        ref_recall = len(truth & ref) / len(truth)
+        assert ref_recall >= 0.85, (ref_recall, adc_recall)
+        assert ref_recall >= adc_recall + 0.3  # refinement is the point
     finally:
         df.unpersist()
 
