@@ -229,6 +229,7 @@ HEADLINE = [
     "multimodal_frame_decode_sampled",
     "similarity_topk_ivfpq_adc",
     "similarity_topk_ivfpq_refine",
+    "multimodal_resize_bilinear",
 ]
 
 # Timed and reported, but excluded from the headline sum: cost dominated

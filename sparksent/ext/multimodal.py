@@ -759,6 +759,155 @@ def resample_images_sql(table: str = "documents") -> str:
     """
 
 
+BILINEAR_S = 4096  # fixed-point weight scale (12 fractional bits)
+BILINEAR_OW, BILINEAR_OH = 8, 6  # fixed output tensor dims
+
+
+def bilinear_resize(img, ow: int = BILINEAR_OW, oh: int = BILINEAR_OH):
+    """REAL bilinear resample of a decoded (H, W, 3) grid to a FIXED
+    (oh, ow) output — the ML-preprocessing shape (every image becomes
+    the same tensor, up- OR down-sampled), complementing
+    :func:`box_resample` (aspect-fit downscale).  Integer-exact by
+    fixed-point weights: half-pixel source coords
+    src = ((2*o+1)*in - out) / (2*out) are scaled by S=4096 with the
+    negative edge clamped BEFORE the floordiv (so floor-vs-trunc
+    division semantics can never differ between engines), weights are
+    fx = sfp % S, and the 4-corner blend divides once by S^2 — max
+    intermediate 255*S^2 < 2^63.  Border handling is clamp-replicate
+    (x1 = min(x0+1, w-1)), the standard convention."""
+    import numpy as np
+
+    S = BILINEAR_S
+    h, w, _ = img.shape
+    ox = np.arange(ow, dtype=np.int64)
+    oy = np.arange(oh, dtype=np.int64)
+    sx = np.minimum((w - 1) * S, np.maximum(0, (2 * ox + 1) * w - ow) * S // (2 * ow))
+    sy = np.minimum((h - 1) * S, np.maximum(0, (2 * oy + 1) * h - oh) * S // (2 * oh))
+    x0, fx = sx // S, sx % S
+    y0, fy = sy // S, sy % S
+    x1 = np.minimum(x0 + 1, w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    im = img.astype(np.int64)
+    p00 = im[y0[:, None], x0[None, :]]
+    p01 = im[y0[:, None], x1[None, :]]
+    p10 = im[y1[:, None], x0[None, :]]
+    p11 = im[y1[:, None], x1[None, :]]
+    fxb = fx[None, :, None]
+    fyb = fy[:, None, None]
+    return (
+        (S - fyb) * ((S - fxb) * p00 + fxb * p01)
+        + fyb * ((S - fxb) * p10 + fxb * p11)
+    ) // (S * S)
+
+
+def bilinear_pixel_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas stage: real BMP/PPM encode -> real decode -> REAL
+    fixed-point bilinear resample to the fixed 8x6 tensor -> exact
+    channel sums + the position-weighted sum over the OUTPUT grid."""
+    import numpy as np
+
+    for pdf in batches:
+        rows = []
+        for mid in pdf["media_id"]:
+            mid = int(mid)
+            payload, mime, fmt = _synth_bmp_or_ppm(mid)
+            img = decode_media(payload, mime)
+            h, w, _ = img.shape
+            out = bilinear_resize(img)
+            oh, ow, _ = out.shape
+            wgt = (
+                1
+                + np.arange(ow, dtype=np.int64)[None, :]
+                + 2 * np.arange(oh, dtype=np.int64)[:, None]
+            )
+            rows.append(
+                (
+                    mid, fmt, w, h, ow, oh,
+                    int(out[:, :, 0].sum()),
+                    int(out[:, :, 1].sum()),
+                    int(out[:, :, 2].sum()),
+                    int((wgt * out[:, :, 0]).sum()),
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "media_id", "format", "width", "height", "out_w", "out_h",
+                "sum_r", "sum_g", "sum_b", "wsum_r",
+            ],
+        )
+
+
+def bilinear_images(docs: DataFrame) -> DataFrame:
+    """documents -> real decode -> REAL bilinear resample to a fixed
+    8x6 tensor (up- and down-sampling), one Arrow-batched mapInPandas."""
+    narrow = rebalance(docs.select(F.col("doc_id").alias("media_id")))
+    return narrow.mapInPandas(bilinear_pixel_stats, RESAMPLE_STAT_SCHEMA)
+
+
+def bilinear_images_sql(table: str = "documents") -> str:
+    """Oracle: the fixed-point bilinear blend restated per OUTPUT pixel
+    from the pixel law — identical integer coord/weight/blend sequence
+    (the edge clamp precedes the floordiv, so both engines divide only
+    non-negative integers)."""
+    S, OW, OH = BILINEAR_S, BILINEAR_OW, BILINEAR_OH
+
+    def corner(dx: str, dy: str, off: int) -> str:
+        return f"((media_id + 3 * {dx} + 7 * {dy} + {off}) % 256)"
+
+    def blend(off: int) -> str:
+        return (
+            f"(({S} - fy) * (({S} - fx) * {corner('x0', 'y0', off)}"
+            f" + fx * {corner('x1', 'y0', off)})"
+            f" + fy * (({S} - fx) * {corner('x0', 'y1', off)}"
+            f" + fx * {corner('x1', 'y1', off)})) // {S * S}"
+        )
+
+    return f"""
+    WITH dims AS (
+      SELECT doc_id AS media_id,
+             CASE doc_id % 2 WHEN 0 THEN 'bmp' ELSE 'ppm' END AS format,
+             (doc_id % {PIX_W_MOD} + 1)::INT AS width,
+             (doc_id % {PIX_H_MOD} + 1)::INT AS height
+      FROM {table}
+    ),
+    grid AS (
+      SELECT d.*, gx.ox, gy.oy
+      FROM dims d,
+           LATERAL (SELECT unnest(generate_series(0, {OW - 1})) AS ox) gx,
+           LATERAL (SELECT unnest(generate_series(0, {OH - 1})) AS oy) gy
+    ),
+    co AS (
+      SELECT *,
+             least((width - 1) * {S},
+                   greatest(0, (2 * ox + 1) * width - {OW}) * {S} // {2 * OW}) AS sx,
+             least((height - 1) * {S},
+                   greatest(0, (2 * oy + 1) * height - {OH}) * {S} // {2 * OH}) AS sy
+      FROM grid
+    ),
+    cc AS (
+      SELECT *, sx // {S} AS x0, sx % {S} AS fx,
+             least(sx // {S} + 1, width - 1) AS x1,
+             sy // {S} AS y0, sy % {S} AS fy,
+             least(sy // {S} + 1, height - 1) AS y1
+      FROM co
+    ),
+    px AS (
+      SELECT media_id, format, width, height, ox, oy,
+             {blend(0)} AS r, {blend(11)} AS g, {blend(22)} AS b
+      FROM cc
+    )
+    SELECT media_id, format, width, height,
+           {OW}::INT AS out_w, {OH}::INT AS out_h,
+           sum(r)::BIGINT AS sum_r,
+           sum(g)::BIGINT AS sum_g,
+           sum(b)::BIGINT AS sum_b,
+           sum((1 + ox + 2 * oy) * r)::BIGINT AS wsum_r
+    FROM px
+    GROUP BY 1, 2, 3, 4
+    """
+
+
 # ---------------------------------------------------------------------------
 # real PNG pixel decode end-to-end (stdlib zlib — no image library needed)
 # ---------------------------------------------------------------------------

@@ -732,6 +732,24 @@ def q_multimodal_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_resize_bilinear",
+    oracle=multimodal.bilinear_images_sql(),
+    tags=("ext", "multimodal"),
+)
+def q_multimodal_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END bilinear resize to a FIXED 8x6 tensor — the
+    ML-preprocessing shape (every image the same dims, up- AND
+    down-sampled; the box resample covers the aspect-fit downscale
+    path): real BMP/PPM decode, then a fixed-point (S=4096) bilinear
+    4-corner blend with half-pixel coords and clamp-replicate borders,
+    all int64 so the oracle restates the exact blend per OUTPUT pixel
+    from the pixel law.  Edge clamp happens BEFORE the floordiv, so
+    floor-vs-trunc division semantics can never diverge between
+    engines."""
+    return multimodal.bilinear_images(_docs(spark, sf_dir))
+
+
+@register(
     "multimodal_frame_sample",
     oracle=multimodal.frame_sample_sql(),
     tags=("ext", "multimodal"),

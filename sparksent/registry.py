@@ -57,7 +57,7 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 #
 # Round-9 window, regenerated PURELY mechanically by
 # tools/regen_priority.py from CORRECTNESS_r01..r08.json — zero hand
-# insertions this round (VERDICT r8 ask #4): the five round-9
+# insertions this round (VERDICT r8 ask #4): the six round-9
 # registrations (never driver-checked) lead, then the 31 names whose
 # latest green driver row is round 4, then the oldest round-5 names up
 # to the 50-slot boundary; remainder oldest-first.  After this window
@@ -69,7 +69,8 @@ _PRIORITY: tuple[str, ...] = (
     "multimodal_frame_decode_sampled",
     "similarity_topk_ivfpq_adc",
     "similarity_topk_ivfpq_refine",
-    # slot 6+: latest green driver row is r04
+    "multimodal_resize_bilinear",
+    # slot 7+: latest green driver row is r04
     "hll_distinct_users",
     "sample_bernoulli_events",
     "sample_stratified_events",
@@ -101,7 +102,7 @@ _PRIORITY: tuple[str, ...] = (
     "funnel_view_click_purchase",
     "retention_cohorts",
     "event_transition_matrix",
-    # slot 37+: latest green driver row is r05
+    # slot 38+: latest green driver row is r05
     "chunk_documents_128_96",
     "multimodal_decode_audio",
     "column_stats_events",
@@ -114,8 +115,8 @@ _PRIORITY: tuple[str, ...] = (
     "bpe_word_vocab",
     "fuzzy_name_pairs",
     "lm_bigram_score",
-    "bm25_topk",
-    "ewma_user_value",  # --- driver window ends here (50) ---
+    "bm25_topk",  # --- driver window ends here (50) ---
+    "ewma_user_value",
     "attribution_first_touch",
     "unpivot_user_metrics",
     "rolling_60s_user_stats",
@@ -151,7 +152,7 @@ _PRIORITY: tuple[str, ...] = (
     "entity_resolution_parts",
     "churn_training_set",
     "item_similarity_jaccard",
-    # slot 86+: latest green driver row is r07
+    # slot 87+: latest green driver row is r07
     "dedup_exact_normalized",
     "supplier_lead_time",
     "survival_km_error",
@@ -201,7 +202,7 @@ _PRIORITY: tuple[str, ...] = (
     "embedding_quantize_error",
     "tpch_q1_pricing",
     "tpch_q3_shipping",
-    # slot 135+: latest green driver row is r08
+    # slot 136+: latest green driver row is r08
     "session_concurrency_capped",
     "corpus_curation_pipeline",
     "dedup_span_8gram",

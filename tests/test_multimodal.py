@@ -619,3 +619,27 @@ def test_box_resample_identity_and_law():
         for ox in range(3):
             box = img[2 * oy : 2 * oy + 2, 2 * ox : 2 * ox + 2].astype(np.int64)
             assert (half[oy, ox] == box.reshape(4, 3).sum(0) // 4).all()
+
+
+def test_bilinear_resize_identity_edges_gradient():
+    """Fixed-point bilinear: same-dims resize is the identity (all
+    weights land on integer centers), a 1x1 image replicates, and a
+    2-pixel gradient upscales monotonically with replicated borders."""
+    import numpy as np
+
+    from sparksent.ext.multimodal import bilinear_resize
+
+    img = np.arange(6 * 8 * 3, dtype=np.uint8).reshape(6, 8, 3)
+    assert (bilinear_resize(img, ow=8, oh=6) == img.astype(np.int64)).all()
+
+    one = np.full((1, 1, 3), 77, dtype=np.uint8)
+    out1 = bilinear_resize(one, ow=8, oh=6)
+    assert out1.shape == (6, 8, 3) and (out1 == 77).all()
+
+    two = np.zeros((1, 2, 3), dtype=np.uint8)
+    two[0, 1] = 200
+    out2 = bilinear_resize(two, ow=8, oh=6)
+    col = out2[0, :, 0]
+    assert col[0] == 0 and col[-1] == 200  # borders replicate
+    assert all(col[i] <= col[i + 1] for i in range(7))  # monotone blend
+    assert (out2 == out2[0:1]).all()  # rows identical (1-row source)
