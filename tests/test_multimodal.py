@@ -643,3 +643,52 @@ def test_bilinear_resize_identity_edges_gradient():
     assert col[0] == 0 and col[-1] == 200  # borders replicate
     assert all(col[i] <= col[i + 1] for i in range(7))  # monotone blend
     assert (out2 == out2[0:1]).all()  # rows identical (1-row source)
+
+
+def test_resample_kernels_value_bounds_property():
+    """Property over arbitrary dims (hypothesis): both resample kernels
+    are convex combinations (floor'd) of source pixels, so every output
+    value must lie within [min-1, max] of the source channel (the -1
+    absorbs the floor), and output dims must match the sizing laws."""
+    import numpy as np
+    from hypothesis import given, settings, strategies as st
+
+    from sparksent.ext.multimodal import (
+        BILINEAR_OH,
+        BILINEAR_OW,
+        bilinear_resize,
+        box_resample,
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        w=st.integers(1, 20),
+        h=st.integers(1, 16),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def run(w, h, seed):
+        rng = np.random.default_rng(seed)
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.int64).astype(np.uint8)
+        lo, hi = int(img.min()), int(img.max())
+
+        box = box_resample(img)
+        scale = min(8 / w, 6 / h, 1.0)
+        assert box.shape == (max(1, int(h * scale)), max(1, int(w * scale)), 3)
+        assert box.min() >= lo - 1 and box.max() <= hi
+
+        bil = bilinear_resize(img)
+        assert bil.shape == (BILINEAR_OH, BILINEAR_OW, 3)
+        assert bil.min() >= lo - 1 and bil.max() <= hi
+        # box partitions the source: every source pixel contributes to
+        # exactly one output cell, so per-channel output-cell sums
+        # weighted by box counts reproduce the source sum exactly
+        bx = np.arange(w, dtype=np.int64) * box.shape[1] // w
+        by = np.arange(h, dtype=np.int64) * box.shape[0] // h
+        cnt = np.zeros(box.shape[:2], dtype=np.int64)
+        np.add.at(cnt, (by[:, None], bx[None, :]), 1)
+        src_sum = img.astype(np.int64).sum(axis=(0, 1))
+        # floor-mean loses < 1 per cell per channel
+        lost = src_sum - (box * cnt[:, :, None]).sum(axis=(0, 1))
+        assert (lost >= 0).all() and (lost < cnt.sum()).all()
+
+    run()
