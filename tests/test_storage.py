@@ -178,3 +178,58 @@ def test_orc_roundtrip(spark, tmp_path):
     filtered = back.where(F.col("doc_id") < 100)
     plan = _formatted(filtered)
     assert "PushedFilters" in plan and "LessThan(doc_id,100)" in plan
+
+
+def test_ivf_trained_cells_at_rest_prune_and_match(spark, tmp_path):
+    """The trained-IVF at-rest claim, end to end: the corpus written
+    PARTITIONED BY its trained Lloyd cell is read with partition
+    pruning for a query's probed cells (only nprobe/K directories
+    scanned), and the search over the at-rest layout returns EXACTLY
+    the in-memory ivf_trained_topk result — layout is an optimization,
+    never a semantics change."""
+    from pyspark.sql import Window
+
+    from sparksent.ext.similarity import (
+        dot_arrow,
+        ivf_trained_parts,
+        ivf_trained_topk,
+    )
+
+    emb = tables.load_table(spark, SF_DIR, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    cells, probes = ivf_trained_parts(emb, queries_df, n_centroids=8)
+    path = str(tmp_path / "emb_ivf_cells")
+    write_partitioned(cells, path, ["cell"])
+
+    # the probe list is n_queries x nprobe rows — bounded, driver-legal
+    probe_rows = probes.select("query_id", "cell", "qv", "nq").collect()
+    probed_cells = sorted({r.cell for r in probe_rows})
+
+    at_rest = spark.read.parquet(path).filter(F.col("cell").isin(probed_cells))
+    plan = _formatted(at_rest)
+    assert re.search(r"PartitionFilters: \[[^\]]*cell", plan)
+    # pruned read touches only the probed cells' rows
+    want_rows = cells.filter(F.col("cell").isin(probed_cells)).count()
+    assert at_rest.count() == want_rows
+
+    # full search over the at-rest layout == the in-memory query
+    probe_df = spark.createDataFrame(probe_rows)
+    scored = (
+        at_rest.join(F.broadcast(probe_df), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "sim", dot_arrow(F.col("qv"), F.col("cv")) / (F.col("nq") * F.col("nc"))
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    got = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .collect()
+    }
+    want = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in ivf_trained_topk(emb, queries_df, k=5, n_centroids=8).collect()
+    }
+    assert got == want
