@@ -569,6 +569,27 @@ def n_centroids_for(
     return min(cap, max(floor, math.ceil(math.sqrt(n_rows / target_cell))))
 
 
+def n_centroids_oracle_checked(n_rows: int) -> int:
+    """``n_centroids_for`` for REGISTERED query/oracle pairs: the
+    pre-generated count-gated oracles only carry branches up to
+    ``CENTROID_AUTO_MAX`` cells, so a corpus that would self-scale past
+    them must fail loudly on the QUERY side too — symmetric with the
+    oracle's ``error()`` overflow branch — instead of the pair
+    diverging (the ``semdedup_k_oracle_checked`` convention, ADVICE
+    r7).  The library rule stays unclamped: production callers pass
+    ``n_centroids=None`` and scale to thousands of cells; only the
+    fixture-facing registrations route through this check."""
+    k = n_centroids_for(n_rows)
+    if k > CENTROID_AUTO_MAX:
+        raise ValueError(
+            f"n_centroids_for({n_rows}) = {k} exceeds the pre-generated "
+            f"oracle branch ceiling {CENTROID_AUTO_MAX} (corpora up to "
+            f"{CENTROID_TARGET_CELL * CENTROID_AUTO_MAX ** 2} vectors); "
+            "extend _centroid_count_windows if the driver fixtures grow"
+        )
+    return k
+
+
 def _centroid_count_windows(
     floor: int = N_CENTROIDS,
     max_k: int = CENTROID_AUTO_MAX,

@@ -161,7 +161,7 @@ def q_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb,
         emb.filter(F.col("vec_id") < N_QUERIES),
         k=TOPK,
-        n_centroids=similarity.n_centroids_for(_emb_count(spark, sf_dir)),
+        n_centroids=similarity.n_centroids_oracle_checked(_emb_count(spark, sf_dir)),
     )
 
 
@@ -185,7 +185,7 @@ def q_topk_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb,
         emb.filter(F.col("vec_id") < N_QUERIES),
         k=TOPK,
-        n_centroids=similarity.n_centroids_for(_emb_count(spark, sf_dir)),
+        n_centroids=similarity.n_centroids_oracle_checked(_emb_count(spark, sf_dir)),
     )
 
 
@@ -209,7 +209,7 @@ def q_topk_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb,
         emb.filter(F.col("vec_id") < N_QUERIES),
         k=TOPK,
-        n_centroids=similarity.n_centroids_for(_emb_count(spark, sf_dir)),
+        n_centroids=similarity.n_centroids_oracle_checked(_emb_count(spark, sf_dir)),
     )
 
 
@@ -231,7 +231,7 @@ def q_topk_ivfpq_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb,
         emb.filter(F.col("vec_id") < N_QUERIES),
         k=TOPK,
-        n_centroids=similarity.n_centroids_for(_emb_count(spark, sf_dir)),
+        n_centroids=similarity.n_centroids_oracle_checked(_emb_count(spark, sf_dir)),
     )
 
 

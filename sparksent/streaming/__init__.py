@@ -15,8 +15,15 @@ DataFrame. This package holds the parts that ARE streaming-specific:
   parquet, foreachBatch
 - neardup.py: incremental new-vs-corpus MinHash dedup (stream-static
   band join against a precomputed corpus index)
+- ivf_route.py: route incoming embeddings to their trained IVF cell
+  (stateless broadcast-argmin projection; admission control for the
+  vector index)
 """
 
+from .ivf_route import (  # noqa: F401
+    ivf_centroid_row,
+    route_to_cells,
+)
 from .neardup import (  # noqa: F401
     minhash_band_index,
     streaming_neardup_candidates,

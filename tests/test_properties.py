@@ -316,6 +316,20 @@ def test_n_centroids_for_matches_oracle_windows():
     assert n_centroids_for(2000) == N_CENTROIDS  # sf0.1
     assert n_centroids_for(40_000) == 13  # x20 corpus (13 cells)
     assert n_centroids_for(10**9) == 1977  # ~sqrt(N/256)
+    # the fixture-facing wrapper fails loudly past the oracle ceiling
+    # (the semdedup_k_oracle_checked convention) instead of letting the
+    # query/oracle pair diverge
+    import pytest as _pytest
+
+    from sparksent.ext.similarity import (
+        CENTROID_AUTO_MAX,
+        n_centroids_oracle_checked,
+    )
+
+    assert n_centroids_oracle_checked(2000) == N_CENTROIDS
+    assert n_centroids_oracle_checked(36_864) == CENTROID_AUTO_MAX
+    with _pytest.raises(ValueError, match="oracle branch ceiling"):
+        n_centroids_oracle_checked(40_000)
 
 
 def test_curation_invariants(spark):

@@ -1559,3 +1559,59 @@ def test_dsir_score_stream_matches_batch(spark, tmp_path):
     assert got.count() == want.count() > 0
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_streaming_ivf_route_vs_batch_and_lloyd(spark, tmp_path):
+    """Incoming-embedding routing: odd vec_ids replayed as the stream
+    against cells trained on the even-id corpus; the streamed
+    assignments must equal (a) the same routing run as one batch, and
+    (b) for the TRAINING corpus itself, the Lloyd loop's own final
+    assignment — the router and the index were fit by the same integer
+    argmin, so a routed vector lands exactly where a reclustering
+    would put it."""
+    from pyspark.sql import types as T
+
+    from sparksent.ext.iterative import kmeans_assignments
+    from sparksent.streaming import ivf_centroid_row, route_to_cells
+    from sparksent.streaming.sources import file_replay_source, write_replay_chunks
+
+    emb = load_table(spark, SF_DIR_SMALL, "embeddings").select("vec_id", "embedding")
+    corpus = emb.filter(F.col("vec_id") % 2 == 0)
+    incoming = emb.filter(F.col("vec_id") % 2 == 1)
+    crow = ivf_centroid_row(corpus, n_centroids=8)
+
+    replay = str(tmp_path / "ivf_route_replay")
+    write_replay_chunks(incoming, replay, 3, order_col="vec_id")
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    stream = file_replay_source(spark, replay, schema=schema)
+    out = route_to_cells(stream, crow)
+    q = (
+        out.writeStream.outputMode("append")  # stateless projection
+        .format("memory")
+        .queryName("t_ivf_route")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.vec_id, r.cell, r.d) for r in spark.table("t_ivf_route").collect()
+    }
+    want = {
+        (r.vec_id, r.cell, r.d) for r in route_to_cells(incoming, crow).collect()
+    }
+    assert got == want and len(got) == incoming.count()
+
+    # self-parity: routing the training corpus == the Lloyd assignment
+    routed = {
+        (r.vec_id, r.cell, r.d) for r in route_to_cells(corpus, crow).collect()
+    }
+    lloyd = {
+        (r.id, r.cl, r.d)
+        for r in kmeans_assignments(corpus, k=8).collect()
+    }
+    assert routed == lloyd
