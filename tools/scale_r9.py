@@ -180,9 +180,121 @@ def cmd_x80(spark, port, app_id, replicas: int = 80) -> dict:
     return _run_measured(spark, fns, port, app_id)
 
 
+def cmd_ivfpq_rest(spark, port, app_id) -> dict:
+    """IVF-PQ split into its production phases at x20: INGEST (train
+    cells + PQ-code the corpus + persist the index: cells, codes,
+    centroid frame, codebook — all parquet) vs SEARCH-ONLY (probe
+    ranking + LUT build + candidate/code join + ADC rank reading ONLY
+    the at-rest index, no raw corpus vectors).  The registered query
+    times all phases fused (nothing is at rest in a one-shot query);
+    this measures the claim that coding is a once-per-corpus cost and
+    the per-query-batch search is cheap and code-only."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from sparksent.ext.iterative import _kmeans_fit, _scaled_vec
+    from sparksent.ext.similarity import (
+        NPROBE,
+        PQ_N_CENT,
+        PQ_SUB_DIM,
+        n_centroids_for,
+        pq_assignments,
+    )
+
+    if not os.path.isdir(f"{X20_BASE}/embeddings.parquet"):
+        from tools.scale_demo import generate
+
+        generate(spark, X20_BASE)
+    emb = spark.read.parquet(f"{X20_BASE}/embeddings.parquet")
+    n = emb.count()
+    k = n_centroids_for(n)
+    base = "/tmp/sparksent-ivfpq-rest"
+    os.makedirs(base, exist_ok=True)
+
+    t0 = time.perf_counter()
+    final, cents = _kmeans_fit(emb, k, 2, "vec_id", "embedding")
+    final.select(F.col("id").alias("neighbor_id"), F.col("cl").alias("cell")) \
+        .write.mode("overwrite").partitionBy("cell").parquet(f"{base}/cells")
+    pq_assignments(emb, PQ_SUB_DIM, PQ_N_CENT).select(
+        F.col("id").alias("neighbor_id"), "sub", F.col("b.cent").alias("cent")
+    ).write.mode("overwrite").parquet(f"{base}/codes")
+    cents.write.mode("overwrite").parquet(f"{base}/cents")
+    ingest_s = time.perf_counter() - t0
+
+    sc = spark.sparkContext
+    queries = emb.filter(F.col("vec_id") < 10).localCheckpoint()
+    codebook = emb.filter(F.col("vec_id") < PQ_N_CENT).select(
+        F.col("vec_id").alias("cent"),
+        F.posexplode(_scaled_vec("embedding")).alias("pos", "c"),
+    ).localCheckpoint()  # 16 x 64 rows — part of the at-rest index
+
+    def search():
+        cents_r = spark.read.parquet(f"{base}/cents")
+        qxs = queries.select(
+            F.col("vec_id").cast("long").alias("query_id"),
+            _scaled_vec("embedding").alias("v"),
+        )
+        per = (
+            qxs.select("query_id", F.posexplode("v").alias("pos", "x"))
+            .join(F.broadcast(cents_r), "pos")
+            .groupBy("query_id", "j")
+            .agg(F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))).alias("d"))
+        )
+        wq = Window.partitionBy("query_id").orderBy("d", "j")
+        probes = (
+            per.withColumn("crank", F.row_number().over(wq))
+            .filter(F.col("crank") <= NPROBE)
+            .select("query_id", F.col("j").alias("cell"))
+        )
+        lut = (
+            qxs.select("query_id", F.posexplode("v").alias("pos", "x"))
+            .join(F.broadcast(codebook), "pos")
+            .groupBy(
+                "query_id",
+                F.expr(f"CAST(pos div {PQ_SUB_DIM} AS BIGINT)").alias("sub"),
+                "cent",
+            )
+            .agg(F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))).alias("d"))
+        )
+        cand = (
+            spark.read.parquet(f"{base}/cells")
+            .join(F.broadcast(probes), "cell")
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+        )
+        adc = (
+            cand.join(spark.read.parquet(f"{base}/codes"), "neighbor_id")
+            .join(F.broadcast(lut), ["query_id", "sub", "cent"])
+            .groupBy("query_id", "neighbor_id")
+            .agg(F.sum("d").cast("long").alias("adc_d"))
+        )
+        w = Window.partitionBy("query_id").orderBy("adc_d", "neighbor_id")
+        return (
+            adc.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 5)
+            .select("query_id", "neighbor_id", "rank", "adc_d")
+        )
+
+    search().write.mode("overwrite").format("noop").save()  # warm-up
+    sc.setJobGroup("ivfpq_search", "ivfpq_search")
+    t0 = time.perf_counter()
+    df = search()
+    df.write.mode("overwrite").format("noop").save()
+    search_s = time.perf_counter() - t0
+    rows = df.count()
+    m = stage_metrics(port, app_id, {"ivfpq_search": "ivfpq_search"})
+    return {
+        "corpus": n,
+        "cells": k,
+        "ingest_s": round(ingest_s, 2),
+        "search_only_s": round(search_s, 2),
+        "rows_out": rows,
+        **m.get("ivfpq_search", {}),
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("part", choices=["hotkey", "neardup", "x80"])
+    ap.add_argument("part", choices=["hotkey", "neardup", "x80", "ivfpq_rest"])
     args = ap.parse_args()
     spark = build_session()
     sc = spark.sparkContext
@@ -191,6 +303,7 @@ def main() -> None:
         "hotkey": cmd_hotkey,
         "neardup": cmd_neardup,
         "x80": cmd_x80,
+        "ivfpq_rest": cmd_ivfpq_rest,
     }[args.part](spark, port, sc.applicationId)
     print(json.dumps({args.part: report}, indent=1))
 
