@@ -26,6 +26,7 @@ from .ivf_route import (  # noqa: F401
 )
 from .neardup import (  # noqa: F401
     minhash_band_index,
+    neardup_admit_batch,
     streaming_neardup_candidates,
 )
 from .count_window import (  # noqa: F401

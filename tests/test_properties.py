@@ -1722,3 +1722,27 @@ def test_kmeans_assign_paths_agree_on_degenerate_vectors(spark):
     }
     assert small == large
     assert {r[0] for r in small} == {0, 1}  # degenerate rows dropped on BOTH
+
+
+def test_ivf_trained_seedless_corpus_empty_not_wrong(spark):
+    """The Lloyd seed convention (seeds = ids < k) on a corpus whose
+    ids all exceed k: training finds no seeds, so the trained index is
+    EMPTY and search returns zero rows — on BOTH paths and in the
+    router — rather than an error or an arbitrary assignment (the
+    ADVICE-r8 path-equality guards, exercised end to end)."""
+    from pyspark.sql import functions as F
+
+    from sparksent.ext.similarity import ivf_trained_topk, ivfpq_adc_topk
+    from sparksent.streaming import ivf_centroid_row, route_to_cells
+    from sparksent.tables import load_table
+
+    from conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings").withColumn(
+        "vec_id", F.col("vec_id") + F.lit(1_000_000)
+    )
+    q = emb.filter(F.col("vec_id") < 1_000_010)
+    assert ivf_trained_topk(emb, q, k=5, n_centroids=8).count() == 0
+    assert ivfpq_adc_topk(emb, q, k=5, n_centroids=8).count() == 0
+    crow = ivf_centroid_row(emb, n_centroids=8)
+    assert route_to_cells(emb, crow).count() == 0

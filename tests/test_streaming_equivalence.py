@@ -1615,3 +1615,59 @@ def test_streaming_ivf_route_vs_batch_and_lloyd(spark, tmp_path):
         for r in kmeans_assignments(corpus, k=8).collect()
     }
     assert routed == lloyd
+
+
+def test_neardup_admission_loop(spark, tmp_path):
+    """The self-maintaining dedup index: seed the at-rest index with
+    the even-id corpus, replay odd ids in 3 micro-batches through
+    neardup_admit_batch (check vs accumulated index + intra-batch
+    self-join + append), and require the accumulated emissions to equal
+    the FULL batch minhash self-join over all documents minus the
+    even-even pairs (the only pairs no admission checks — the corpus
+    was indexed, never admitted).  This closes the new-vs-new scope
+    gap the fixed-index operator documents: a near-dup whose twin
+    arrives in a later or the same micro-batch is still caught."""
+    from pyspark.sql import types as T
+
+    from sparksent.ext.dedup import minhash_lsh_pairs
+    from sparksent.streaming import minhash_band_index, neardup_admit_batch
+    from sparksent.streaming.sources import file_replay_source, write_replay_chunks
+    from sparksent.tables import load_table
+
+    docs = load_table(spark, SF_DIR_SMALL, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    incoming = docs.filter(F.col("doc_id") % 2 == 1)
+
+    index_path = str(tmp_path / "admit_index")
+    out_path = str(tmp_path / "admit_out")
+    minhash_band_index(corpus).write.mode("overwrite").parquet(index_path)
+
+    replay = str(tmp_path / "admit_replay")
+    write_replay_chunks(incoming, replay, 3, order_col="doc_id")
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    q = (
+        file_replay_source(spark, replay, schema=schema)
+        .writeStream.foreachBatch(
+            lambda b, _i: neardup_admit_batch(b, index_path, out_path)
+        )
+        .option("checkpointLocation", str(tmp_path / "admit_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {
+        (r.id_lo, r.id_hi, round(r.est_jaccard, 9))
+        for r in spark.read.parquet(out_path).collect()
+    }
+    want = {
+        (r.id_a, r.id_b, round(r.est_jaccard, 9))
+        for r in minhash_lsh_pairs(docs).collect()
+        if not (r.id_a % 2 == 0 and r.id_b % 2 == 0)
+    }
+    assert got == want and len(want) > 0
+    # odd-odd pairs must be present — the new-vs-new class the fixed
+    # index cannot catch
+    assert any(a % 2 == 1 and b % 2 == 1 for a, b, _ in got)
