@@ -145,3 +145,42 @@ def test_span_dedup_hot_gram_correct_and_bounded(spark):
     assert (out["n_grams"] == 9).all()
     assert (out["n_dup_grams"] == 1).all()
     assert (out["dup_gram_ppm"] == 1_000_000 // 9).all()
+
+
+def test_dedup_df_caps_neutralize_hot_key(spark):
+    """The adversarial-hot-key property measured at ×20 in SCALE.md
+    (round 9), pinned as a regression test at sf0.001: appending a hot
+    phrase (one shingle AND one term in 50% of the corpus — uncapped, a
+    D²-row join partition) to every even-id document leaves the
+    detected near-dup PAIR SET unchanged for the shingle query (the
+    interior zzhot³ shingle is df-capped away; the two boundary
+    shingles each doc gains shift scores marginally but flip no
+    threshold decision on this fixture) and the tf-cosine output
+    EXACTLY unchanged (a unigram hot term has no boundary effect — the
+    cap removes it and every other term count is untouched).  Both
+    caps drop the hot key with a broadcast anti-join BEFORE the pair
+    self-join."""
+    from sparksent.ext.dedup import ngram_jaccard_pairs, tf_cosine_pairs
+
+    docs = tables.load_table(spark, SF_DIR_SMALL, "documents").select(
+        "doc_id", "text"
+    )
+    hot = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.col("text"), F.lit(" zzhot zzhot zzhot zzhot")),
+        ).otherwise(F.col("text")),
+    )
+
+    clean_j = {
+        (r.id_a, r.id_b) for r in ngram_jaccard_pairs(docs, max_df=25).collect()
+    }
+    hot_j = {
+        (r.id_a, r.id_b) for r in ngram_jaccard_pairs(hot, max_df=25).collect()
+    }
+    assert hot_j == clean_j and len(clean_j) > 0
+
+    clean_c = {tuple(r) for r in tf_cosine_pairs(docs).collect()}
+    hot_c = {tuple(r) for r in tf_cosine_pairs(hot).collect()}
+    assert hot_c == clean_c and len(clean_c) > 0
