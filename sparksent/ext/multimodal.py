@@ -415,8 +415,11 @@ def frame_sample(media: DataFrame, k: int = 8) -> DataFrame:
     """Uniform k-frame sampling of a 'video' (stand-in: the document,
     with n_frames = payload byte length): a ROW-EXPANDING mapInPandas
     (1 video in, <=k frames out) emitting (sample_idx, frame_no,
-    frame_fp). frame_no = floor(i * n_frames / k) — the uniform
-    sampler every video pipeline uses; the frame DECODE is the stub
+    frame_fp). frame_no = floor(i * n_frames / min(k, n_frames)) — the
+    uniform sampler every video pipeline uses, with the short-clip
+    denominator clamped so a clip with fewer frames than the budget
+    still samples DISTINCT frames (i*n//k would re-decode frame 0 and
+    skip later ones, ADVICE r9); the frame DECODE is the stub
     (frame_fp is a deterministic stand-in fingerprint, (media_id*31 +
     frame_no) % 997), while the expansion shape, schema, and batch
     plumbing are real."""
@@ -425,8 +428,9 @@ def frame_sample(media: DataFrame, k: int = 8) -> DataFrame:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 n = len(payload) if payload is not None else 0
-                for i in range(min(k, n)):
-                    fno = i * n // k
+                m = min(k, n)
+                for i in range(m):
+                    fno = i * n // m
                     rows.append((int(mid), i, fno, (int(mid) * 31 + fno) % 997))
             yield pd.DataFrame(
                 rows, columns=["media_id", "sample_idx", "frame_no", "frame_fp"]
@@ -1316,8 +1320,8 @@ def frame_sample_sql(table: str = "documents", k: int = 8) -> str:
     WITH v AS (SELECT doc_id AS media_id, strlen(text)::BIGINT AS n FROM {table}),
     idx AS (SELECT unnest(generate_series(0, {k - 1})) AS sample_idx)
     SELECT media_id, sample_idx::INT AS sample_idx,
-           (sample_idx * n) // {k} AS frame_no,
-           (media_id * 31 + (sample_idx * n) // {k}) % 997 AS frame_fp
+           (sample_idx * n) // least({k}, n) AS frame_no,
+           (media_id * 31 + (sample_idx * n) // least({k}, n)) % 997 AS frame_fp
     FROM v JOIN idx ON sample_idx < least({k}, n)
     """
 
@@ -2034,8 +2038,10 @@ def frame_decode_sampled_stats(
     """mapInPandas stage: sample-THEN-decode (VERDICT r8 ask #3) —
     synthesize a real MJPEG AVI per id, demux the container (cheap:
     chunk walk + idx1 cross-check, NO entropy decode), pick the uniform
-    sample frame_no = i*n//k for i < min(k, n) — the same law as
-    frame_sample — and run the baseline-JPEG entropy decode ONLY on the
+    sample frame_no = i*n//min(k, n) for i < min(k, n) — the same law
+    as frame_sample; the min(k, n) denominator keeps short clips
+    (n < k) sampling DISTINCT frames instead of re-decoding frame 0
+    (ADVICE r9) — and run the baseline-JPEG entropy decode ONLY on the
     sampled frames.  Decode work is proportional to k, not to clip
     length (pinned by test_frame_decode_sampled_work_proportional_to_k,
     which counts decode_media calls); contrast decode_video_stats,
@@ -2048,8 +2054,9 @@ def frame_decode_sampled_stats(
             mid = int(mid)
             meta, frames = parse_avi_index(synth_mjpeg_payload(mid), keep_data=True)
             n = meta["n_frames"]
-            for i in range(min(k, n)):
-                fno = i * n // k
+            m = min(k, n)
+            for i in range(m):
+                fno = i * n // m
                 img = decode_media(frames[fno]["data"], "image/jpeg")
                 v = img[:, :, 0].astype(np.int64)
                 h, w = v.shape
@@ -2100,7 +2107,7 @@ def frame_decode_sampled_sql(
     ),
     samp AS (
       SELECT c.*, g.i::INT AS sample_idx,
-             ((g.i * c.n_frames) // {k})::INT AS frame_no
+             ((g.i * c.n_frames) // least({k}, c.n_frames))::INT AS frame_no
       FROM clips c,
            LATERAL (SELECT unnest(generate_series(
                       0, least({k}, c.n_frames) - 1)) AS i) g

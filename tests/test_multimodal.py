@@ -603,6 +603,24 @@ def test_frame_decode_sampled_work_proportional_to_k(monkeypatch):
     assert (merged["wsum_v"] == merged["wsum_v_full"]).all()
 
 
+def test_frame_decode_sampled_short_clip_distinct_frames():
+    """Clips with n_frames < k must sample DISTINCT frames: the old
+    law fno = i*n//k decoded frame 0 twice for n=2, k=4 and never
+    touched frame 1 (ADVICE r9) — the min(k, n) denominator covers the
+    whole short clip exactly once."""
+    import pandas as pd
+
+    from sparksent.ext import multimodal as mm
+
+    mid = 0  # n_frames = 0 % 6 + 2 = 2 < k = 4
+    n = mid % mm.MJPEG_FRAMES_MOD + 2
+    assert n == 2
+    batch = pd.DataFrame({"media_id": [mid]})
+    out = pd.concat(list(mm.frame_decode_sampled_stats(iter([batch]), k=4)))
+    assert len(out) == n  # min(k, n) rows, not k
+    assert sorted(out["frame_no"]) == list(range(n))  # every frame, once
+
+
 def test_box_resample_identity_and_law():
     """scale=1 keeps the grid; a 2x downscale floor-averages each box —
     checked against a hand computation."""

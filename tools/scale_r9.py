@@ -49,6 +49,10 @@ from tools.scale_demo import build_session, stage_metrics
 X20_BASE = "/tmp/sparksent-scale"
 HOT_BASE = "/tmp/sparksent-scale-hot"
 X80_BASE = "/tmp/sparksent-scale80"
+# x1 fixture dir: overridable like the conftest SF_DIR convention so
+# the battery runs on machines where the fixtures live elsewhere
+# (ADVICE r9 — cmd_neardup used to hardcode the absolute path).
+SF_DIR_X1 = os.environ.get("SPARKSENT_SF_DIR", "/root/testdata/sf0.1")
 HOT_PHRASE = " zzhot zzhot zzhot zzhot"  # 4 repeats -> interior 3-gram repeats
 
 
@@ -120,7 +124,7 @@ def cmd_neardup(spark, port, app_id) -> dict:
         generate(spark, X20_BASE)
 
     corpora = {
-        "x1": load_table(spark, "/root/testdata/sf0.1", "documents").select(
+        "x1": load_table(spark, SF_DIR_X1, "documents").select(
             "doc_id", "text"
         ),
         "x20": spark.read.parquet(f"{X20_BASE}/documents.parquet").select(
