@@ -28,6 +28,7 @@ from .neardup import (  # noqa: F401
     minhash_band_index,
     neardup_admit_batch,
     streaming_neardup_candidates,
+    write_neardup_index,
 )
 from .count_window import (  # noqa: F401
     streaming_count_window,

@@ -1630,7 +1630,11 @@ def test_neardup_admission_loop(spark, tmp_path):
     from pyspark.sql import types as T
 
     from sparksent.ext.dedup import minhash_lsh_pairs
-    from sparksent.streaming import minhash_band_index, neardup_admit_batch
+    from sparksent.streaming import (
+        minhash_band_index,
+        neardup_admit_batch,
+        write_neardup_index,
+    )
     from sparksent.streaming.sources import file_replay_source, write_replay_chunks
     from sparksent.tables import load_table
 
@@ -1640,7 +1644,7 @@ def test_neardup_admission_loop(spark, tmp_path):
 
     index_path = str(tmp_path / "admit_index")
     out_path = str(tmp_path / "admit_out")
-    minhash_band_index(corpus).write.mode("overwrite").parquet(index_path)
+    write_neardup_index(minhash_band_index(corpus), index_path, n_buckets=16)
 
     replay = str(tmp_path / "admit_replay")
     write_replay_chunks(incoming, replay, 3, order_col="doc_id")
@@ -1650,7 +1654,9 @@ def test_neardup_admission_loop(spark, tmp_path):
     q = (
         file_replay_source(spark, replay, schema=schema)
         .writeStream.foreachBatch(
-            lambda b, _i: neardup_admit_batch(b, index_path, out_path)
+            lambda b, i: neardup_admit_batch(
+                b, index_path, out_path, batch_id=i, n_buckets=16
+            )
         )
         .option("checkpointLocation", str(tmp_path / "admit_ckpt"))
         .trigger(availableNow=True)
@@ -1671,3 +1677,81 @@ def test_neardup_admission_loop(spark, tmp_path):
     # odd-odd pairs must be present — the new-vs-new class the fixed
     # index cannot catch
     assert any(a % 2 == 1 and b % 2 == 1 for a, b, _ in got)
+    # the index layout is bucketed: every data file lives under a
+    # kbucket=N partition directory (the probe prunes on it)
+    import os
+
+    kdirs = [d for d in os.listdir(index_path) if d.startswith("kbucket=")]
+    assert kdirs and all(int(d.split("=")[1]) < 16 for d in kdirs)
+
+
+def test_neardup_admission_corrupt_index_raises(spark, tmp_path):
+    """ADVICE r9 regression: a PRESENT but unreadable index must fail
+    the micro-batch (so it is retried), not be silently treated as
+    'first batch' — the old bare ``except Exception`` skipped the
+    vs-index check, emitted nothing, and still appended, permanently
+    losing new-vs-corpus pairs."""
+    import os
+
+    import pytest
+
+    from sparksent.streaming import neardup_admit_batch
+    from sparksent.tables import load_table
+
+    docs = load_table(spark, SF_DIR_SMALL, "documents").select("doc_id", "text")
+    index_path = str(tmp_path / "bad_index")
+    out_path = str(tmp_path / "bad_out")
+    os.makedirs(index_path)
+    with open(os.path.join(index_path, "part-0.parquet"), "wb") as f:
+        f.write(b"this is not a parquet file")
+    batch = docs.filter(F.col("doc_id") < 50).localCheckpoint()
+    with pytest.raises(Exception):
+        neardup_admit_batch(batch, index_path, out_path, batch_id=0, n_buckets=16)
+    # and nothing was emitted or admitted: the corrupt index is intact,
+    # no pair output exists (the failure happened BEFORE any write)
+    assert not os.path.isdir(out_path)
+    assert os.listdir(index_path) == ["part-0.parquet"]
+
+
+def test_neardup_admission_replay_idempotent(spark, tmp_path):
+    """ADVICE r9 regression: replaying a micro-batch (at-least-once
+    foreachBatch) must not double-append. The pair output overwrites
+    its own ingest_batch partition; the index merge anti-joins the
+    batch's own keys out before re-adding them — both byte-identical
+    row sets after a replay."""
+    from sparksent.streaming import (
+        minhash_band_index,
+        neardup_admit_batch,
+        write_neardup_index,
+    )
+    from sparksent.tables import load_table
+
+    docs = load_table(spark, SF_DIR_SMALL, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1).filter(
+        F.col("doc_id") < 200
+    ).localCheckpoint()
+
+    index_path = str(tmp_path / "re_index")
+    out_path = str(tmp_path / "re_out")
+    write_neardup_index(minhash_band_index(corpus), index_path, n_buckets=16)
+
+    neardup_admit_batch(batch, index_path, out_path, batch_id=7, n_buckets=16)
+    pairs_1 = sorted(
+        (r.id_lo, r.id_hi) for r in spark.read.parquet(out_path).collect()
+    )
+    index_1 = sorted(
+        (r.corpus_id, r.band) for r in spark.read.parquet(index_path).collect()
+    )
+    assert len(pairs_1) > 0 and len(index_1) == len(set(index_1))
+
+    # the replay: same batch, same batch_id
+    neardup_admit_batch(batch, index_path, out_path, batch_id=7, n_buckets=16)
+    pairs_2 = sorted(
+        (r.id_lo, r.id_hi) for r in spark.read.parquet(out_path).collect()
+    )
+    index_2 = sorted(
+        (r.corpus_id, r.band) for r in spark.read.parquet(index_path).collect()
+    )
+    assert pairs_2 == pairs_1
+    assert index_2 == index_1
