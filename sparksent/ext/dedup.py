@@ -1292,3 +1292,93 @@ def span_dup_stats_sql(
             ELSE 0 END)::BIGINT AS dup_gram_ppm
     FROM {table} b LEFT JOIN per_doc p ON p.id = b.{id_col}
     """
+
+
+def span_dup_extents(
+    df: DataFrame,
+    w: int = SPAN_GRAM_W,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MAXIMAL verbatim-span extents (VERDICT r9 ask #4): where
+    :func:`span_dup_stats` reports the duplicated-gram FRACTION per
+    document, this reports the actual spans you would cut — the
+    ExactSubstr output shape of Lee et al. 2022: for each document,
+    every maximal run of consecutive duplicated ``w``-gram positions
+    merged into one (doc_id, span_start, span_len) row, where
+    span_start is the first WORD index of the span and span_len =
+    last_pos - first_pos + w its length in words (adjacent duplicated
+    grams overlap by w-1 words, so a run of positions [p0..p1] covers
+    words [p0 .. p1+w-1]).  Documents shorter than w words fall back
+    to the whole text as one gram (word_ngrams contract), so a fully
+    duplicated short doc reports one span of the padded gram window.
+
+    Plan/scale: the gram-position explode and the >=2-distinct-docs
+    dup set are the span_dup_stats stages (corpus-token-linear, grams
+    shuffle as h60 hashes only); the islands merge is the
+    gaps-and-islands pattern (event_session_ids): ONE window keyed on
+    the document — rank minus position is constant within a run — then
+    one (doc, run) aggregate.  Both partition by doc_id, so the added
+    cost is a per-document sort of its duplicated positions, bounded
+    by document length, never corpus-global."""
+    from .curation import word_ngrams
+
+    base = rebalance(df)
+    pos = base.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(word_ngrams(text_col, w)).alias("p", "g"),
+    ).select("id", "p", h60(F.col("g")).alias("gh"))
+    dup = (
+        pos.select("id", "gh")
+        .distinct()
+        .groupBy("gh")
+        .agg(F.count("*").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gh")
+    )
+    dpos = pos.join(dup, "gh").select("id", "p")
+    run_key = F.col("p") - F.row_number().over(
+        Window.partitionBy("id").orderBy("p")
+    )
+    return (
+        dpos.withColumn("grp", run_key)
+        .groupBy("id", "grp")
+        .agg(F.min("p").alias("p0"), F.max("p").alias("p1"))
+        .select(
+            F.col("id").alias(id_col),
+            F.col("p0").cast("long").alias("span_start"),
+            (F.col("p1") - F.col("p0") + F.lit(w)).cast("long").alias("span_len"),
+        )
+    )
+
+
+def span_dup_extents_sql(
+    table: str = "documents",
+    w: int = SPAN_GRAM_W,
+    id_col: str = "doc_id",
+    text: str = "text",
+) -> str:
+    """DuckDB mirror over the SHARED gram CTE (word_ngrams_sql + h60):
+    duplicated positions -> p - row_number() run key -> min/max per
+    run — the same gaps-and-islands rewrite."""
+    from .curation import word_ngrams_sql
+
+    return f"""
+    WITH pos AS (
+      SELECT id, gi.i - 1 AS p, {h60_sql('gs[gi.i]')} AS gh
+      FROM (SELECT {id_col} AS id, {word_ngrams_sql(text, w)} AS gs FROM {table}),
+           LATERAL (SELECT unnest(generate_series(1, len(gs))) AS i) gi
+    ),
+    dup AS (
+      SELECT gh FROM (SELECT DISTINCT id, gh FROM pos)
+      GROUP BY gh HAVING count(*) >= 2
+    ),
+    dpos AS (
+      SELECT p.id, p.p,
+             p.p - row_number() OVER (PARTITION BY p.id ORDER BY p.p) AS grp
+      FROM pos p JOIN dup d USING (gh)
+    )
+    SELECT id AS {id_col}, min(p)::BIGINT AS span_start,
+           (max(p) - min(p) + {w})::BIGINT AS span_len
+    FROM dpos GROUP BY id, grp
+    """

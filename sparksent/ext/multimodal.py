@@ -465,12 +465,13 @@ def _synth_pixels(media_id: int):
     )
 
 
-def synth_bmp_payload(media_id: int) -> bytes:
-    """A REAL 24-bit BI_RGB BMP file for the pixel law — bottom-up rows,
-    BGR channels, 4-byte row padding, correct headers."""
+def bmp_payload_from_pixels(img) -> bytes:
+    """Encode an (H, W, 3) uint8 RGB grid as a REAL 24-bit BI_RGB BMP
+    file — bottom-up rows, BGR channels, 4-byte row padding, correct
+    headers.  Extracted from :func:`synth_bmp_payload` so other pixel
+    laws (ext/imagedup.py's near-dup variants) can reuse the encoder."""
     import numpy as np
 
-    img = _synth_pixels(media_id)
     h, w, _ = img.shape
     stride = (w * 3 + 3) & ~3
     rows = np.zeros((h, stride), dtype=np.uint8)
@@ -495,16 +496,28 @@ def synth_bmp_payload(media_id: int) -> bytes:
     return head + info + raster
 
 
-def synth_ppm_payload(media_id: int) -> bytes:
-    """A REAL binary PPM (P6) file for the pixel law — comment line
-    included so the decoder's comment handling is exercised."""
-    img = _synth_pixels(media_id)
+def synth_bmp_payload(media_id: int) -> bytes:
+    """A REAL BMP file for the shared pixel law (bytes via
+    :func:`bmp_payload_from_pixels`)."""
+    return bmp_payload_from_pixels(_synth_pixels(media_id))
+
+
+def ppm_payload_from_pixels(img) -> bytes:
+    """Encode an (H, W, 3) uint8 RGB grid as a REAL binary PPM (P6)
+    file — comment line included so decoder comment handling is
+    exercised."""
     h, w, _ = img.shape
     return (
         b"P6\n# synthetic fixture image\n"
         + f"{w} {h}\n255\n".encode("ascii")
         + img.tobytes()
     )
+
+
+def synth_ppm_payload(media_id: int) -> bytes:
+    """A REAL PPM file for the shared pixel law (bytes via
+    :func:`ppm_payload_from_pixels`)."""
+    return ppm_payload_from_pixels(_synth_pixels(media_id))
 
 
 PIXEL_STAT_SCHEMA = (

@@ -13,6 +13,7 @@ from .ext import (
     curation,
     dedup,
     grouped,
+    imagedup,
     iterative,
     jsonops,
     matching,
@@ -1695,6 +1696,39 @@ def q_dedup_span(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash to h60 and never shuffle as text; the >=2-distinct-docs gram
     set is one hash-keyed aggregate; exact integer ppm output."""
     return dedup.span_dup_stats(_docs(spark, sf_dir))
+
+
+@register(
+    "dedup_image_phash",
+    oracle=imagedup.image_phash_pairs_sql(),
+    tags=("ext", "dedup", "multimodal"),
+)
+def q_dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate pairs by perceptual dHash (VERDICT r9 ask
+    #1): real BMP/PPM byte decode -> integer luma grayscale -> 9x8
+    fixed-point bilinear resample -> 64-bit gradient-sign hash as four
+    16-bit words -> banded Hamming equi-join (pigeonhole-exact for
+    distance <= 3, never all-pairs) -> exact popcount(xor) filter.
+    The image-side dedup modality of a multimodal pipeline, composing
+    three proven families: the multimodal byte decoders, the round-9
+    resample kernels, and the simhash banded-pair machinery."""
+    return imagedup.image_phash_pairs(_docs(spark, sf_dir))
+
+
+@register(
+    "dedup_span_extents",
+    oracle=dedup.span_dup_extents_sql(),
+    tags=("ext", "dedup", "curation"),
+)
+def q_dedup_span_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAXIMAL verbatim dup-span extents (VERDICT r9 ask #4) — the
+    ExactSubstr output shape: adjacent duplicated 8-gram positions
+    merged by the gaps-and-islands rewrite into (doc_id, span_start,
+    span_len) rows, the spans a curation pipeline actually cuts.
+    Shares dedup_span_8gram's gram CTE (positions hash to h60, gram
+    text never shuffles); the islands window partitions by document,
+    so the merge cost is bounded by doc length at any corpus size."""
+    return dedup.span_dup_extents(_docs(spark, sf_dir))
 
 
 @register(

@@ -1207,3 +1207,18 @@ def test_ivfpq_search_stage_code_only(spark):
     # the refine stage's raw-vector fetch joins the BOUNDED top-R set
     # (broadcast), pinned by the allowlist entry in
     # test_no_corpus_sized_checkpoint_broadcasts
+
+
+def test_image_phash_banded_equi_join(spark):
+    """dedup_image_phash's scale property: the pair stage is the
+    banded (word_idx, word_value) EQUI-join over the localCheckpointed
+    hash frame — never an all-pairs product of the image corpus — and
+    the exploded band rows shuffle hashes (4 small ints/image), never
+    pixels.  The decode stage shows as one Arrow-batched
+    MapInPandas/ArrowEvalPython stage, not a row-at-a-time UDF."""
+    plan = plan_of(spark, "dedup_image_phash")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the banded join keys on the two band columns
+    assert re.search(r"keys \[2\]: \[widx#\d+, wval#\d+\]", plan), "band join missing"
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python

@@ -1746,3 +1746,73 @@ def test_ivf_trained_seedless_corpus_empty_not_wrong(spark):
     assert ivfpq_adc_topk(emb, q, k=5, n_centroids=8).count() == 0
     crow = ivf_centroid_row(emb, n_centroids=8)
     assert route_to_cells(emb, crow).count() == 0
+
+
+def test_image_phash_planted_structure(spark):
+    """The variant image law plants known structure; the phash pipeline
+    must recover ALL of it and nothing else at fixture scale:
+    - variants 0-2 of each seed group are pixel-identical, so every
+      within-group (v<3, v<3) pair MUST appear at hamming 0;
+    - the corner-perturbed variant 3 yields near pairs (0 < h <= 3)
+      for a measurable fraction of groups;
+    - NO cross-group pair (the law is non-smooth by design; a smooth
+      law would make every image 'mostly increasing' and collapse the
+      banded index — measured 0 accidental pairs at 5k docs)."""
+    from sparksent.ext.imagedup import PHASH_GROUP, image_phash_pairs
+    from sparksent.tables import load_table
+
+    from conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    n = docs.count()
+    pairs = {(r.id_a, r.id_b): r.hamming for r in image_phash_pairs(docs).collect()}
+
+    g = PHASH_GROUP
+    expected_exact = {
+        (s * g + a, s * g + b)
+        for s in range(n // g)
+        for a in range(g - 1)
+        for b in range(a + 1, g - 1)
+    }
+    missing = [p for p in expected_exact if pairs.get(p) != 0]
+    assert not missing, f"exact image dups missed: {missing[:5]}"
+
+    near = [(a, b) for (a, b), h in pairs.items() if h > 0]
+    assert len(near) >= 20  # planted perturbed variants surface
+    assert all(a // g == b // g for a, b in near)  # near pairs stay in-group
+    cross = [(a, b) for (a, b) in pairs if a // g != b // g]
+    assert not cross, f"accidental cross-group pairs: {cross[:5]}"
+
+
+def test_span_extents_reconcile_with_span_stats(spark):
+    """dedup_span_extents and dedup_span_8gram are two views of the
+    same duplicated-gram position set: every span is at least one gram
+    wide (span_len >= w), spans within a doc are disjoint maximal runs
+    (separated by at least one non-duplicated position), and per doc
+    the spans' gram-position counts (span_len - w + 1 each) add up to
+    span_dup_stats' n_dup_grams exactly."""
+    from collections import defaultdict
+
+    from sparksent.ext.dedup import SPAN_GRAM_W, span_dup_extents, span_dup_stats
+    from sparksent.tables import load_table
+
+    from conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    w = SPAN_GRAM_W
+    spans = defaultdict(list)
+    for r in span_dup_extents(docs, w).collect():
+        spans[r.doc_id].append((r.span_start, r.span_len))
+    n_dup = {
+        r.doc_id: r.n_dup_grams for r in span_dup_stats(docs, w).collect()
+    }
+    assert spans, "fixture has verbatim dup spans"
+    for doc, ss in spans.items():
+        ss.sort()
+        assert all(ln >= w for _, ln in ss), (doc, ss)
+        # maximality: runs are separated by >= 1 non-dup gram position
+        for (a0, al), (b0, _) in zip(ss, ss[1:]):
+            assert b0 > (a0 + al - w) + 1, (doc, ss)
+        assert sum(ln - w + 1 for _, ln in ss) == n_dup[doc], doc
+    # docs with zero dup grams emit no span rows
+    assert all(n == 0 for d, n in n_dup.items() if d not in spans)
