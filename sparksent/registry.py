@@ -55,67 +55,18 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # the priority block, so the registry surface itself is unchanged — only
 # the iteration order of queries()/oracle_sql() moves.
 #
-# Round-9 window, regenerated PURELY mechanically by
-# tools/regen_priority.py from CORRECTNESS_r01..r08.json — zero hand
-# insertions this round (VERDICT r8 ask #4): the six round-9
-# registrations (never driver-checked) lead, then the 31 names whose
-# latest green driver row is round 4, then the oldest round-5 names up
-# to the 50-slot boundary; remainder oldest-first.  After this window
-# verifies, no name's latest driver row is older than r05.
+# Round-11 window, regenerated PURELY mechanically by
+# tools/regen_priority.py from CORRECTNESS_r01..r10.json — zero hand
+# insertions (VERDICT r10 ask #1): the two round-10 registrations
+# (never driver-checked) lead, then the 36 names whose latest green
+# driver row is round 5, then the oldest round-7 names up to the
+# 50-slot boundary; remainder oldest-first.  After this window
+# verifies, no name's latest driver row is older than r07.
 _PRIORITY: tuple[str, ...] = (
     # slot 1+: no green driver row yet
-    "similarity_topk_ivf_trained",
-    "multimodal_resample_pixels",
-    "multimodal_frame_decode_sampled",
-    "similarity_topk_ivfpq_adc",
-    "similarity_topk_ivfpq_refine",
-    "multimodal_resize_bilinear",
-    # slot 7+: latest green driver row is r04
-    "hll_distinct_users",
-    "sample_bernoulli_events",
-    "sample_stratified_events",
-    "cmsketch_heavy_hitters",
-    "grouped_mode_event_type",
-    "seq_packing_512",
-    "repetition_stats",
-    "rare_word_stats",
-    "multimodal_decode_pixels",
-    "sample_weighted_tickets",
-    "split_train_valid_test",
-    "dedup_tf_cosine",
-    "quantile_sketch_value",
-    "hll_merge_rollup",
-    "tpch_q12_late_shipments",
-    "setop_user_cohorts",
-    "rollup_event_value",
-    "session_agg_30m",
-    "asof_purchase_last_view",
-    "skew_distinct_users",
-    "pivot_event_counts",
-    "event_gap_stats",
-    "cube_event_value",
-    "hist_event_value",
-    "decile_user_value",
-    "event_session_ids",
-    "fullouter_user_activity",
-    "user_behavior_features",
-    "funnel_view_click_purchase",
-    "retention_cohorts",
-    "event_transition_matrix",
-    # slot 38+: latest green driver row is r05
-    "chunk_documents_128_96",
-    "multimodal_decode_audio",
-    "column_stats_events",
-    "weekly_value_wow",
-    "multimodal_decode_png",
-    "multimodal_decode_gif",
-    "multimodal_decode_jpeg",
-    "multimodal_decode_video",
-    "multimodal_video_index",
-    "bpe_word_vocab",
-    "fuzzy_name_pairs",
-    "lm_bigram_score",
-    "bm25_topk",  # --- driver window ends here (50) ---
+    "dedup_image_phash",
+    "dedup_span_extents",
+    # slot 3+: latest green driver row is r05
     "ewma_user_value",
     "attribution_first_touch",
     "unpivot_user_metrics",
@@ -152,7 +103,7 @@ _PRIORITY: tuple[str, ...] = (
     "entity_resolution_parts",
     "churn_training_set",
     "item_similarity_jaccard",
-    # slot 87+: latest green driver row is r07
+    # slot 39+: latest green driver row is r07
     "dedup_exact_normalized",
     "supplier_lead_time",
     "survival_km_error",
@@ -164,7 +115,7 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_cdc_chunks",
     "daily_median_value",
     "asof_view_next_purchase",
-    "gopher_quality_gate",
+    "gopher_quality_gate",  # --- driver window ends here (50) ---
     "session_concurrency",
     "hll_sliding_distinct_7d",
     "percentile_order_value",
@@ -202,7 +153,7 @@ _PRIORITY: tuple[str, ...] = (
     "embedding_quantize_error",
     "tpch_q1_pricing",
     "tpch_q3_shipping",
-    # slot 136+: latest green driver row is r08
+    # slot 88+: latest green driver row is r08
     "session_concurrency_capped",
     "corpus_curation_pipeline",
     "dedup_span_8gram",
@@ -253,6 +204,57 @@ _PRIORITY: tuple[str, ...] = (
     "category_opinion_cumulative",
     "toxic_user_nlp_cw10",
     "json_field_stats",
+    # slot 138+: latest green driver row is r10
+    "similarity_topk_ivf_trained",
+    "multimodal_resample_pixels",
+    "multimodal_frame_decode_sampled",
+    "similarity_topk_ivfpq_adc",
+    "similarity_topk_ivfpq_refine",
+    "multimodal_resize_bilinear",
+    "hll_distinct_users",
+    "sample_bernoulli_events",
+    "sample_stratified_events",
+    "cmsketch_heavy_hitters",
+    "grouped_mode_event_type",
+    "seq_packing_512",
+    "repetition_stats",
+    "rare_word_stats",
+    "multimodal_decode_pixels",
+    "sample_weighted_tickets",
+    "split_train_valid_test",
+    "dedup_tf_cosine",
+    "quantile_sketch_value",
+    "hll_merge_rollup",
+    "tpch_q12_late_shipments",
+    "setop_user_cohorts",
+    "rollup_event_value",
+    "session_agg_30m",
+    "asof_purchase_last_view",
+    "skew_distinct_users",
+    "pivot_event_counts",
+    "event_gap_stats",
+    "cube_event_value",
+    "hist_event_value",
+    "decile_user_value",
+    "event_session_ids",
+    "fullouter_user_activity",
+    "user_behavior_features",
+    "funnel_view_click_purchase",
+    "retention_cohorts",
+    "event_transition_matrix",
+    "chunk_documents_128_96",
+    "multimodal_decode_audio",
+    "column_stats_events",
+    "weekly_value_wow",
+    "multimodal_decode_png",
+    "multimodal_decode_gif",
+    "multimodal_decode_jpeg",
+    "multimodal_decode_video",
+    "multimodal_video_index",
+    "bpe_word_vocab",
+    "fuzzy_name_pairs",
+    "lm_bigram_score",
+    "bm25_topk",
 )
 
 
