@@ -1223,10 +1223,12 @@ def span_dup_stats(
     from .curation import word_ngrams
 
     base = rebalance(df)
+    # dup aggregate + per_doc probe both read this explode: materialize
+    # once (ADVICE r10, same rationale as span_dup_extents below).
     pos = base.select(
         F.col(id_col).alias("id"),
         F.explode(word_ngrams(text_col, w)).alias("g"),
-    ).select("id", h60(F.col("g")).alias("gh"))
+    ).select("id", h60(F.col("g")).alias("gh")).localCheckpoint()
     dup = (
         pos.distinct()
         .groupBy("gh")
@@ -1234,8 +1236,12 @@ def span_dup_stats(
         .filter(F.col("nd") >= 2)
         .select("gh", F.lit(1).alias("isdup"))
     )
+    # hint("shuffle_hash") on both checkpoint-descended sides: the
+    # LogicalRDD's stats read SMALL, so the static planner would
+    # BROADCAST dup (duplicated-gram-vocabulary-sized at 100 TB) and
+    # per_doc (corpus-row-sized) — the round-6 audit failure mode.
     per_doc = (
-        pos.join(dup, "gh", "left")
+        pos.join(dup.hint("shuffle_hash"), "gh", "left")
         .groupBy("id")
         .agg(
             F.count("*").cast("long").alias("n_grams"),
@@ -1244,7 +1250,7 @@ def span_dup_stats(
     )
     return (
         base.select(F.col(id_col).alias("id"))
-        .join(per_doc, "id", "left")
+        .join(per_doc.hint("shuffle_hash"), "id", "left")
         .select(
             F.col("id").alias(id_col),
             F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
@@ -1324,10 +1330,16 @@ def span_dup_extents(
     from .curation import word_ngrams
 
     base = rebalance(df)
+    # Two consumers (the >=2-docs dup aggregate AND the dpos probe side)
+    # read this corpus-token-linear explode — materialize it once
+    # instead of running the most expensive stage twice (ADVICE r10;
+    # same recompute-vs-store call as minhash_lsh_pairs): the stored
+    # frame is (id, pos, h60) — ~20 B/gram, far smaller than re-reading
+    # and re-exploding the raw text.
     pos = base.select(
         F.col(id_col).alias("id"),
         F.posexplode(word_ngrams(text_col, w)).alias("p", "g"),
-    ).select("id", "p", h60(F.col("g")).alias("gh"))
+    ).select("id", "p", h60(F.col("g")).alias("gh")).localCheckpoint()
     dup = (
         pos.select("id", "gh")
         .distinct()
@@ -1336,7 +1348,9 @@ def span_dup_extents(
         .filter(F.col("nd") >= 2)
         .select("gh")
     )
-    dpos = pos.join(dup, "gh").select("id", "p")
+    # shuffle_hash: dup is checkpoint-descended (stats read small) but
+    # duplicated-gram-vocabulary-sized at 100 TB — must not broadcast.
+    dpos = pos.join(dup.hint("shuffle_hash"), "gh").select("id", "p")
     run_key = F.col("p") - F.row_number().over(
         Window.partitionBy("id").orderBy("p")
     )

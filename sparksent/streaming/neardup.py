@@ -97,10 +97,42 @@ def _index_exists(spark, path: str) -> bool:
     skipping the vs-index check while still appending — permanently
     losing pairs.  With the explicit probe, a present-but-unreadable
     index RAISES (the micro-batch fails and is retried) instead of
-    emitting nothing."""
-    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
-    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    return fs.exists(jpath)
+    emitting nothing.
+
+    ADVICE r10 refinements:
+    - a present-but-EMPTY directory (no data files — e.g. a bare mkdir
+      left by an aborted first write) is "no index yet", NOT an error:
+      raising "unable to infer schema" on every retry would turn a
+      non-transient state into a permanent micro-batch failure loop;
+    - under Spark Connect there is no py4j gateway (``spark._jvm``
+      raises), so fall back to classifying the read-side
+      AnalysisException instead of probing the FileSystem."""
+    try:
+        jvm, jsc = spark._jvm, spark._jsc
+    except Exception:  # Spark Connect: no py4j gateway on the client
+        jvm = jsc = None
+    if jvm is not None:
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(jsc.hadoopConfiguration())
+        if not fs.exists(jpath):
+            return False
+        it = fs.listFiles(jpath, True)  # recursive: data lives in kbucket= dirs
+        while it.hasNext():
+            name = it.next().getPath().getName()
+            if not (name.startswith("_") or name.startswith(".")):
+                return True  # at least one data file: index present
+        return False  # exists but holds no data files: no index yet
+    # Spark Connect fallback: attempt the schema read and classify.
+    from pyspark.errors import AnalysisException
+
+    try:
+        spark.read.parquet(path).schema
+        return True
+    except AnalysisException as e:
+        cond = getattr(e, "getErrorClass", lambda: None)() or str(e)
+        if "PATH_NOT_FOUND" in cond or "UNABLE_TO_INFER_SCHEMA" in cond:
+            return False  # missing, or existing-but-empty
+        raise  # corrupt/unreadable: fail the micro-batch (retryable)
 
 
 def write_neardup_index(
@@ -130,7 +162,8 @@ def neardup_admit_batch(
     threshold: float = 0.5,
     id_col: str = "doc_id",
     text_col: str = "text",
-    batch_id: int = 0,
+    *,
+    batch_id: int,
     n_buckets: int = NEARDUP_INDEX_BUCKETS,
 ) -> None:
     """foreachBatch body for the SELF-MAINTAINING admission loop — the
@@ -149,7 +182,21 @@ def neardup_admit_batch(
     — written under an ``ingest_batch={batch_id}`` partition with
     dynamic partition OVERWRITE, so a replayed micro-batch (Structured
     Streaming is at-least-once into external sinks) rewrites its own
-    partition instead of double-appending (ADVICE r9).
+    partition instead of double-appending (ADVICE r9).  ``batch_id`` is
+    keyword-only and REQUIRED (ADVICE r10): with the overwrite sink a
+    defaulted batch_id=0 would make every micro-batch rewrite partition
+    ingest_batch=0, silently discarding all earlier pairs — a caller
+    still using the old two-positional foreachBatch shape now fails
+    loudly with TypeError instead.
+
+    Assumption (ADVICE r10): stream doc ids are IMMUTABLE — a doc_id is
+    never re-ingested with different text.  The idempotent keyed merge
+    removes a replayed doc's old rows by (corpus_id, band) within the
+    batch's touched kbuckets, which reaches every old row only when the
+    replay is byte-identical (same text ⇒ same bsigs ⇒ same buckets).
+    A doc_id re-ingested with DIFFERENT text would leave its old-text
+    rows alive in untouched buckets; mutable corpora should version ids
+    (doc_id, rev) or periodically re-seed via write_neardup_index.
 
     At-rest index layout (VERDICT r9 ask #2): partitioned on
     ``kbucket = pmod(hash(band, bsig), n_buckets)`` —
