@@ -146,9 +146,17 @@ def write_neardup_index(
     is fixed per index version (probe and merge must hash with the
     same count); size it so a bucket stays a bounded number of MB —
     then per-batch probe INPUT is O(batch band keys x bucket size),
-    independent of corpus size."""
+    independent of corpus size.
+
+    The repartition on kbucket before partitionBy is load-bearing:
+    without it every write task emits a file into every bucket dir it
+    holds rows for (tasks x buckets files — measured round 11: 4096
+    buckets x 32 tasks inflated a 56 MB index to 247 MB of tiny files
+    and a 273 s seed); co-locating each bucket in one task writes ONE
+    file per bucket."""
     (
         index.withColumn("kbucket", F.pmod(F.hash("band", "bsig"), F.lit(n_buckets)))
+        .repartition("kbucket")
         .write.mode("overwrite")
         .partitionBy("kbucket")
         .parquet(path)
@@ -205,18 +213,27 @@ def neardup_admit_batch(
 
     1. bucket the batch's band rows; the touched-bucket list (at most
        ``min(4 x batch, n_buckets)`` ints) is all the driver sees;
-    2. read ONLY the touched bucket partitions — this one pruned read
-       serves BOTH the vs-index probe join and the merge;
+    2. read ONLY the touched bucket partitions, ``localCheckpoint``ed —
+       ONE scan of the touched buckets serves BOTH the vs-index probe
+       join and the merge, and the overwrite below never reads the
+       files it replaces;
     3. anti-join the old bucket rows against the batch's (corpus_id,
-       band) keys, union the batch slice, ``localCheckpoint`` (the
-       write must not read the files it replaces), dynamic-partition-
-       overwrite the touched buckets.
+       band) keys, union the batch slice, dynamic-partition-overwrite
+       the touched buckets.
 
     Per-batch cost is therefore O(batch keys x bucket size) for input
-    AND output, corpus-independent once ``n_buckets`` is sized to keep
-    buckets bounded (measured: SCALE.md round-10 admission-loop row —
-    the round-9 append-only layout re-read the ENTIRE index every
-    batch, ~113 MB/batch at x20).  The keyed anti-join also makes the
+    AND output — corpus-independent, but ONLY when ``n_buckets`` is
+    sized for it: pruning is real iff n_buckets >> the batch's band-key
+    count (~BANDS x batch docs); at or below that, every bucket is
+    touched and the loop degrades to a full index read+rewrite per
+    batch (the round-9 append-only behavior).  Size n_buckets at seed
+    time from the expected batch size AND corpus size so buckets stay
+    a bounded number of MB — measured in SCALE.md's round-11
+    admission-loop section (`tools/scale_r9.py admission`): at x20,
+    100-doc batches against n_buckets=4096 touch ~9% of buckets —
+    ~22 MB input/batch, FLAT as the index grows — vs ~236 MB/batch for
+    1,000-doc batches against 64 buckets, where every bucket is
+    touched.  The keyed anti-join also makes the
     merge idempotent: a replayed batch finds its own rows in the index,
     removes and re-adds them — index and emitted-pair set are both
     exactly-once even under at-least-once replay (the vs-index probe
@@ -242,8 +259,17 @@ def neardup_admit_batch(
     old = None
     if _index_exists(spark, index_path):
         # one pruned read (partition pruning on kbucket) feeds both the
-        # probe join and the merge; corrupt/unreadable index -> raise
-        old = spark.read.parquet(index_path).filter(F.col("kbucket").isin(touched))
+        # probe join and the merge — localCheckpoint so the touched
+        # buckets are SCANNED once, not once per consumer (measured
+        # round 11: the unmaterialized read doubled per-batch input);
+        # the materialized frame is bounded by the touched-bucket
+        # contract, O(batch band keys x bucket size).  Corrupt/
+        # unreadable index -> raise.
+        old = (
+            spark.read.parquet(index_path)
+            .filter(F.col("kbucket").isin(touched))
+            .localCheckpoint()
+        )
         vs_index = (
             bands.select(
                 F.col("id").alias("id_a"), F.col("sig").alias("sig_a"),
@@ -305,8 +331,13 @@ def neardup_admit_batch(
         merged = kept.unionByName(delta)
     else:
         merged = delta
+    # safe to overwrite in place: ``old`` is localCheckpointed above and
+    # ``delta`` descends from the checkpointed sigs, so this write reads
+    # none of the files it replaces.  repartition("kbucket"): one file
+    # per touched bucket, not one per (task x bucket) — the same
+    # small-files guard as write_neardup_index.
     (
-        merged.localCheckpoint()
+        merged.repartition("kbucket")
         .write.mode("overwrite")
         .partitionBy("kbucket")
         .option("partitionOverwriteMode", "dynamic")

@@ -184,6 +184,100 @@ def cmd_x80(spark, port, app_id, replicas: int = 80) -> dict:
     return _run_measured(spark, fns, port, app_id)
 
 
+def cmd_admission(spark, port, app_id) -> dict:
+    """Round-11 (VERDICT r10 ask #3, the round-9 ask #2 done-criterion):
+    measure the BUCKETED at-rest admission index.  The round-9
+    append-only layout re-read the ENTIRE index every micro-batch
+    (~113 MB input/batch at x20); the kbucket layout
+    (write_neardup_index + neardup_admit_batch's pruned probe) should
+    read only the batch's touched bucket partitions — per-batch input
+    ~batch-sized and flat as batches accumulate, corpus-independent.
+
+    Method: seed the index over the x20 corpus (100k docs), then run
+    three disjoint re-id'd micro-batches (vs-index matches exist —
+    replica copies are in the corpus) through neardup_admit_batch;
+    per-batch wall + input/shuffle bytes from the status REST API, vs
+    the at-rest index size a full scan would pay.  Two legs:
+
+    - ``defaults``: 1,000-doc batches, n_buckets=64 — the batch's
+      ~4,000 band keys touch EVERY bucket, so pruning is vacuous and
+      each batch reads+rewrites the whole index (the sizing-rule
+      counterexample, kept as the comparison figure);
+    - ``pruned``: 100-doc batches, n_buckets=4096 — ~400 band keys
+      touch ~1/10 of the buckets; per-batch input should be a
+      corresponding fraction of the index and FLAT across batches."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from sparksent.streaming import (
+        minhash_band_index,
+        neardup_admit_batch,
+        write_neardup_index,
+    )
+
+    if not os.path.isdir(f"{X20_BASE}/documents.parquet"):
+        from tools.scale_demo import generate
+
+        generate(spark, X20_BASE)
+    corpus = spark.read.parquet(f"{X20_BASE}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    sc = spark.sparkContext
+    report = {}
+    for leg, batch_docs, n_buckets in (
+        ("defaults", 1000, 64),
+        ("pruned", 100, 4096),
+    ):
+        idx_path = f"/tmp/sparksent-admit-idx-{leg}"
+        out_path = f"/tmp/sparksent-admit-out-{leg}"
+        for p in (idx_path, out_path):
+            shutil.rmtree(p, ignore_errors=True)
+        t0 = time.perf_counter()
+        write_neardup_index(minhash_band_index(corpus), idx_path, n_buckets)
+        seed_s = time.perf_counter() - t0
+        idx_bytes = sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(idx_path)
+            for f in fs
+        )
+        leg_report = {
+            "batch_docs": batch_docs,
+            "n_buckets": n_buckets,
+            "seed_index_s": round(seed_s, 2),
+            "index_at_rest_mb": round(idx_bytes / 1e6, 1),
+            "batches": {},
+        }
+        group_of = {}
+        for b in range(3):
+            batch = (
+                corpus.filter(
+                    (F.col("doc_id") >= b * batch_docs)
+                    & (F.col("doc_id") < (b + 1) * batch_docs)
+                )
+                .withColumn("doc_id", F.col("doc_id") + F.lit(10_000_000))
+                .localCheckpoint()  # batch bytes don't pollute input_mb
+            )
+            name = f"admit_{leg}_{b}"
+            sc.setJobGroup(name, name)
+            t0 = time.perf_counter()
+            neardup_admit_batch(
+                batch, idx_path, out_path, batch_id=b, n_buckets=n_buckets
+            )
+            wall = time.perf_counter() - t0
+            leg_report["batches"][name] = {"wall_s": round(wall, 2)}
+            group_of[name] = name
+            print(f"  {name}: {wall:.1f}s", file=sys.stderr)
+        metrics = stage_metrics(port, app_id, group_of)
+        for name in group_of:
+            leg_report["batches"][name].update(metrics.get(name, {}))
+        pairs = spark.read.parquet(out_path)
+        leg_report["pairs_emitted"] = pairs.count()
+        leg_report["pair_batches"] = pairs.select("ingest_batch").distinct().count()
+        report[leg] = leg_report
+    return report
+
+
 def cmd_ivfpq_rest(spark, port, app_id) -> dict:
     """IVF-PQ split into its production phases at x20: INGEST (train
     cells + PQ-code the corpus + persist the index: cells, codes,
@@ -298,7 +392,9 @@ def cmd_ivfpq_rest(spark, port, app_id) -> dict:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("part", choices=["hotkey", "neardup", "x80", "ivfpq_rest"])
+    ap.add_argument(
+        "part", choices=["hotkey", "neardup", "x80", "ivfpq_rest", "admission"]
+    )
     args = ap.parse_args()
     spark = build_session()
     sc = spark.sparkContext
@@ -308,6 +404,7 @@ def main() -> None:
         "neardup": cmd_neardup,
         "x80": cmd_x80,
         "ivfpq_rest": cmd_ivfpq_rest,
+        "admission": cmd_admission,
     }[args.part](spark, port, sc.applicationId)
     print(json.dumps({args.part: report}, indent=1))
 
