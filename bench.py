@@ -230,6 +230,9 @@ HEADLINE = [
     "similarity_topk_ivfpq_adc",
     "similarity_topk_ivfpq_refine",
     "multimodal_resize_bilinear",
+    # round-10 additions (pinned round 11)
+    "dedup_image_phash",
+    "dedup_span_extents",
 ]
 
 # Timed and reported, but excluded from the headline sum: cost dominated
