@@ -233,6 +233,8 @@ HEADLINE = [
     # round-10 additions (pinned round 11)
     "dedup_image_phash",
     "dedup_span_extents",
+    # round-11 additions
+    "multimodal_embed_topk",
 ]
 
 # Timed and reported, but excluded from the headline sum: cost dominated

@@ -1027,25 +1027,27 @@ def _png_chunk(ctype: bytes, body: bytes) -> bytes:
     )
 
 
-def synth_png_payload(media_id: int) -> bytes:
-    """A REAL PNG file for the pixel law — correct CRCs, zlib-deflated
-    raster, RGB (even ids) or RGBA with a synthetic alpha plane (odd
-    ids, alpha = (base+33)%256 — dropped by the decoder), and the
-    scanline filter VARIED per row as ``(media_id + row) % 5`` so every
-    filter type (None/Sub/Up/Average/Paeth) is exercised and a decoder
-    that skips reconstruction cannot match."""
+def png_payload_from_pixels(img, filter_seed: int = 0, alpha=None) -> bytes:
+    """REAL PNG encode of an arbitrary (H, W, 3) uint8 RGB grid —
+    correct CRCs, zlib-deflated raster, scanline filter VARIED per row
+    as ``(filter_seed + row) % 5`` so every filter type
+    (None/Sub/Up/Average/Paeth) is exercised and a decoder that skips
+    reconstruction cannot match.  Optional (H, W) ``alpha`` plane
+    encodes truecolor+alpha (color type 6; :func:`decode_png` drops
+    the plane on decode).  General-purpose inverse of
+    :func:`decode_png` — used by the synth law below AND by the
+    cross-format image-dedup fixtures (ext/imagedup.py)."""
     import zlib
 
     import numpy as np
 
-    img = _synth_pixels(media_id).astype(np.int16)
+    img = np.asarray(img).astype(np.int16)
     h, w, _ = img.shape
-    if media_id % 2:  # RGBA: alpha follows the same arithmetic law
-        x = np.arange(w, dtype=np.int64)[None, :]
-        y = np.arange(h, dtype=np.int64)[:, None]
-        alpha = ((media_id + 3 * x + 7 * y + 33) % 256).astype(np.int16)
-        img = np.concatenate([img, alpha[:, :, None]], axis=-1)
-    color_type = 6 if media_id % 2 else 2
+    if alpha is not None:
+        img = np.concatenate(
+            [img, np.asarray(alpha).astype(np.int16)[:, :, None]], axis=-1
+        )
+    color_type = 6 if alpha is not None else 2
     bpp = img.shape[2]
     rows = img.reshape(h, w * bpp)
     raster = bytearray()
@@ -1054,7 +1056,7 @@ def synth_png_payload(media_id: int) -> bytes:
         cur = rows[row]
         left = np.concatenate([np.zeros(bpp, dtype=np.int16), cur[:-bpp]])
         upleft = np.concatenate([np.zeros(bpp, dtype=np.int16), prev[:-bpp]])
-        ft = (media_id + row) % 5
+        ft = (filter_seed + row) % 5
         if ft == 0:
             filt = cur
         elif ft == 1:
@@ -1084,6 +1086,24 @@ def synth_png_payload(media_id: int) -> bytes:
         + _png_chunk(b"IDAT", zlib.compress(bytes(raster)))
         + _png_chunk(b"IEND", b"")
     )
+
+
+def synth_png_payload(media_id: int) -> bytes:
+    """A REAL PNG file for the pixel law — RGB (even ids) or RGBA with
+    a synthetic alpha plane (odd ids, alpha = (base+33)%256 — dropped
+    by the decoder), filter law ``(media_id + row) % 5`` via the
+    general encoder above (byte-identical to the pre-refactor inline
+    form: same int16 arithmetic, same chunk layout)."""
+    import numpy as np
+
+    img = _synth_pixels(media_id)
+    alpha = None
+    if media_id % 2:  # RGBA: alpha follows the same arithmetic law
+        h, w, _ = img.shape
+        x = np.arange(w, dtype=np.int64)[None, :]
+        y = np.arange(h, dtype=np.int64)[:, None]
+        alpha = (media_id + 3 * x + 7 * y + 33) % 256
+    return png_payload_from_pixels(img, filter_seed=media_id, alpha=alpha)
 
 
 def _synth_png(mid: int):

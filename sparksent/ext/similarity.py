@@ -880,20 +880,29 @@ def ivf_trained_topk_sql(
     id_col: str = "vec_id",
     vec: str = "embedding",
     n_centroids: int = N_CENTROIDS,
+    dim: int = 64,
+    extra_ctes: str = "",
 ) -> str:
     """DuckDB mirror of :func:`ivf_trained_topk`, composed from the
     shared Lloyd CTEs (iterative.kmeans_ctes_sql): the final assignment
     a{iters+1} is the cell layout, c{iters} the trained centroid frame
     the queries rank against with the same scaled-int L2 + (d, j)
-    tie-break, and the re-rank is the shared double cosine."""
+    tie-break, and the re-rank is the shared double cosine.
+
+    ``extra_ctes`` lets a caller prepend CTEs and point ``table`` at
+    one of them (the image-embedding oracle derives its vector frame
+    from decoded-pixel CTEs first); ``dim`` sizes the cosine unroll
+    (64 for the embeddings fixture, 72 for the 9x8 image grid)."""
     from .iterative import kmeans_ctes_sql
 
     int_l2 = (
         "list_sum(list_transform(list_zip(xs.v, c.c), "
         "p -> (p[1]-p[2])*(p[1]-p[2])))::BIGINT"
     )
+    pre = f"{extra_ctes}," if extra_ctes else ""
     return f"""
-    WITH {kmeans_ctes_sql(table, n_centroids, iters, id_col, vec)},
+    WITH {pre}
+    {kmeans_ctes_sql(table, n_centroids, iters, id_col, vec)},
     cells AS (
       SELECT a.id AS neighbor_id, e.{vec} AS cv, a.cl AS cell
       FROM a{iters + 1} a JOIN {table} e ON e.{id_col} = a.id
@@ -911,7 +920,8 @@ def ivf_trained_topk_sql(
       WHERE q.crank <= {nprobe}
     ),
     scored AS (
-      SELECT p.query_id, c.neighbor_id, {cosine_sql('p.qv', 'c.cv')} AS sim
+      SELECT p.query_id, c.neighbor_id,
+             {cosine_sql('p.qv', 'c.cv', dim)} AS sim
       FROM cells c JOIN probes p USING (cell)
       WHERE c.neighbor_id <> p.query_id
     )

@@ -63,10 +63,12 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # 50-slot boundary; remainder oldest-first.  After this window
 # verifies, no name's latest driver row is older than r07.
 _PRIORITY: tuple[str, ...] = (
-    # slot 1+: no green driver row yet
+    # slot 1+: no green driver row yet (incl. the round-11
+    # registration multimodal_embed_topk)
     "dedup_image_phash",
     "dedup_span_extents",
-    # slot 3+: latest green driver row is r05
+    "multimodal_embed_topk",
+    # slot 4+: latest green driver row is r05
     "ewma_user_value",
     "attribution_first_touch",
     "unpivot_user_metrics",
@@ -103,7 +105,7 @@ _PRIORITY: tuple[str, ...] = (
     "entity_resolution_parts",
     "churn_training_set",
     "item_similarity_jaccard",
-    # slot 39+: latest green driver row is r07
+    # slot 40+: latest green driver row is r07
     "dedup_exact_normalized",
     "supplier_lead_time",
     "survival_km_error",
@@ -114,8 +116,8 @@ _PRIORITY: tuple[str, ...] = (
     "sample_token_budget",
     "dedup_cdc_chunks",
     "daily_median_value",
-    "asof_view_next_purchase",
-    "gopher_quality_gate",  # --- driver window ends here (50) ---
+    "asof_view_next_purchase",  # --- driver window ends here (50) ---
+    "gopher_quality_gate",
     "session_concurrency",
     "hll_sliding_distinct_7d",
     "percentile_order_value",
@@ -153,7 +155,7 @@ _PRIORITY: tuple[str, ...] = (
     "embedding_quantize_error",
     "tpch_q1_pricing",
     "tpch_q3_shipping",
-    # slot 88+: latest green driver row is r08
+    # slot 89+: latest green driver row is r08
     "session_concurrency_capped",
     "corpus_curation_pipeline",
     "dedup_span_8gram",
@@ -204,7 +206,7 @@ _PRIORITY: tuple[str, ...] = (
     "category_opinion_cumulative",
     "toxic_user_nlp_cw10",
     "json_field_stats",
-    # slot 138+: latest green driver row is r10
+    # slot 139+: latest green driver row is r10
     "similarity_topk_ivf_trained",
     "multimodal_resample_pixels",
     "multimodal_frame_decode_sampled",

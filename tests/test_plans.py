@@ -537,6 +537,7 @@ def test_no_corpus_sized_checkpoint_broadcasts(spark):
         "doc_sentiment_frozen_margin": {("tok", "w_e6")},  # 31-row model
         "kmeans_embeddings_2iter": {("c", "j", "pos")},  # k x dims
         "similarity_topk_ivf_trained": {("c", "j", "pos")},  # k x dims centroids
+        "multimodal_embed_topk": {("c", "j", "pos")},  # k x dims centroids
         # k x dims Lloyd centroids + the n_q x refine ADC top-R set
         # (both bounded by construction)
         "similarity_topk_ivfpq_adc": {("c", "j", "pos")},
@@ -1222,3 +1223,21 @@ def test_image_phash_banded_equi_join(spark):
     # the banded join keys on the two band columns
     assert re.search(r"keys \[2\]: \[widx#\d+, wval#\d+\]", plan), "band join missing"
     assert "BatchEvalPython" not in plan  # no row-at-a-time Python
+    # the df cap's hot set leaves via a broadcast anti-join BEFORE the
+    # pair shuffle (round 11, VERDICT r10 ask #6)
+    assert "LeftAnti" in plan
+
+
+def test_multimodal_embed_topk_search_stage(spark):
+    """The multimodal -> ANN composition keeps the trained-IVF search
+    contract over pixel-derived vectors: the candidate stage is a
+    1-key cell equi-join with the bounded probe set broadcast — never
+    a corpus cross join — no nested-loop/cartesian node anywhere, and
+    the only Python stages are the Arrow-batched decode/embed
+    (MapInPandas / ArrowEvalPython), never row-at-a-time
+    BatchEvalPython."""
+    plan = plan_of(spark, "multimodal_embed_topk")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert re.search(r"keys \[1\]: \[cell#", plan), "cell equi-join missing"
+    assert "BatchEvalPython" not in plan
