@@ -195,6 +195,16 @@ def image_phash_pairs(
     return phash_band_pairs(ph, max_hamming, max_df)
 
 
+def hamming_distance(a, b):
+    """Column: 64-bit Hamming distance between two word-array hashes —
+    the sum of bit_count(xor) over the zipped 16-bit words."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: F.bit_count(x.bitwiseXOR(y))),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ).cast("int")
+
+
 def phash_band_pairs(
     ph: DataFrame,
     max_hamming: int = PHASH_MAX_HAMMING,
@@ -223,11 +233,7 @@ def phash_band_pairs(
     right = bandrows.select(
         F.col("media_id").alias("id_b"), F.col("hw").alias("hb"), "widx", "wval"
     )
-    hamming = F.aggregate(
-        F.zip_with("ha", "hb", lambda x, y: F.bit_count(x.bitwiseXOR(y))),
-        F.lit(0),
-        lambda a, b: a + b,
-    ).cast("int")
+    hamming = hamming_distance(F.col("ha"), F.col("hb"))
     return (
         left.join(right, ["widx", "wval"])
         .filter(F.col("id_a") < F.col("id_b"))
