@@ -235,6 +235,7 @@ HEADLINE = [
     "dedup_span_extents",
     # round-11 additions
     "multimodal_embed_topk",
+    "dedup_audio_fingerprint",
 ]
 
 # Timed and reported, but excluded from the headline sum: cost dominated

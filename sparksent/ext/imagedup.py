@@ -306,16 +306,17 @@ def resized_gray_ctes(table: str, ow: int, oh: int) -> str:
     )"""
 
 
-def image_phash_pairs_sql(
-    table: str = "documents",
+def banded_hamming_tail_sql(
     max_hamming: int = PHASH_MAX_HAMMING,
     max_df: int | None = PHASH_MAX_DF,
 ) -> str:
-    """DuckDB mirror: variant-law pixels by grid expansion, the SAME
-    integer gray/bilinear/dHash sequence, the SAME banded pair join
-    (including the band-word df cap) — a hash that binned a pixel
-    differently, packed a bit elsewhere, skipped a band, or capped a
-    different hot set cannot match."""
+    """The word-banded Hamming pair machinery as a reusable SQL tail:
+    given a preceding ``bits(doc_id, i, bit)`` CTE (i in 0..63), pack
+    the four 16-bit words, apply the band-word df cap, banded
+    equi-join, exact popcount(xor) filter.  Shared by the image
+    (:func:`image_phash_pairs_sql`) and audio
+    (``audiodup.audio_fp_pairs_sql``) oracles — the dedup modalities
+    differ only in how the 64 bits are derived."""
     df_filter = (
         f"""AND NOT EXISTS (
             SELECT 1 FROM (SELECT widx, wval FROM words
@@ -324,16 +325,7 @@ def image_phash_pairs_sql(
         if max_df is not None
         else ""
     )
-    return f"""
-    WITH {resized_gray_ctes(table, PHASH_GW, PHASH_GH)},
-    bits AS (
-      SELECT a.doc_id, (a.oy * 8 + a.ox)::BIGINT AS i,
-             CASE WHEN b.v > a.v THEN 1 ELSE 0 END AS bit
-      FROM res a
-      JOIN res b ON b.doc_id = a.doc_id AND b.oy = a.oy AND b.ox = a.ox + 1
-      WHERE a.ox < {PHASH_GW - 1}
-    ),
-    words AS (
+    return f"""words AS (
       SELECT doc_id, (i // 16)::INT AS widx,
              sum(bit * (1 << ((i % 16)::INT)))::INT AS wval
       FROM bits GROUP BY 1, 2
@@ -359,6 +351,29 @@ def image_phash_pairs_sql(
                AS hamming
       FROM pairs)
     WHERE hamming <= {max_hamming}
+    """
+
+
+def image_phash_pairs_sql(
+    table: str = "documents",
+    max_hamming: int = PHASH_MAX_HAMMING,
+    max_df: int | None = PHASH_MAX_DF,
+) -> str:
+    """DuckDB mirror: variant-law pixels by grid expansion, the SAME
+    integer gray/bilinear/dHash sequence, the SAME banded pair join
+    (including the band-word df cap) — a hash that binned a pixel
+    differently, packed a bit elsewhere, skipped a band, or capped a
+    different hot set cannot match."""
+    return f"""
+    WITH {resized_gray_ctes(table, PHASH_GW, PHASH_GH)},
+    bits AS (
+      SELECT a.doc_id, (a.oy * 8 + a.ox)::BIGINT AS i,
+             CASE WHEN b.v > a.v THEN 1 ELSE 0 END AS bit
+      FROM res a
+      JOIN res b ON b.doc_id = a.doc_id AND b.oy = a.oy AND b.ox = a.ox + 1
+      WHERE a.ox < {PHASH_GW - 1}
+    ),
+    {banded_hamming_tail_sql(max_hamming, max_df)}
     """
 
 

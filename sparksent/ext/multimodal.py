@@ -2261,8 +2261,15 @@ def _synth_samples(media_id: int):
 def synth_wav_payload(media_id: int) -> bytes:
     """A REAL RIFF/WAVE file (PCM16 mono) for the sample law — correct
     chunk sizes, fmt block, little-endian samples."""
-    samples = _synth_samples(media_id)
-    data = samples.tobytes()
+    return wav_payload_from_samples(_synth_samples(media_id))
+
+
+def wav_payload_from_samples(samples) -> bytes:
+    """REAL RIFF/WAVE PCM16-mono encode of an arbitrary int16 sample
+    vector — the general-purpose inverse of :func:`decode_wav` (used
+    by the synth law above AND the audio-fingerprint dedup fixtures,
+    ext/audiodup.py)."""
+    data = samples.astype("<i2").tobytes()
     fmt = (
         b"fmt " + (16).to_bytes(4, "little")
         + (1).to_bytes(2, "little")                    # PCM

@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from . import tables
 from .ext import (
+    audiodup,
     bpe,
     curation,
     dedup,
@@ -1716,6 +1717,24 @@ def q_dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     families: the multimodal byte codecs, the round-9 resample
     kernels, and the simhash banded-pair machinery."""
     return imagedup.image_phash_pairs(_docs(spark, sf_dir))
+
+
+@register(
+    "dedup_audio_fingerprint",
+    oracle=audiodup.audio_fp_pairs_sql(),
+    tags=("ext", "dedup", "multimodal"),
+)
+def q_dedup_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-duplicate pairs by energy-gradient fingerprint
+    (round 11 — completes the dedup modality set: text, image, AUDIO):
+    real RIFF/WAVE PCM16 encode + chunk-walking decode -> 65 near-equal
+    time bins -> BIGINT bin energies -> 64 gradient-sign bits as four
+    16-bit words (Haitsma-Kalker 2002, integer-exact single-frame
+    form) -> the SHARED banded Hamming machinery (pigeonhole-exact for
+    distance <= 3, band-word df cap, exact popcount filter).  The pair
+    stage and oracle tail are literally the image modality's —
+    fingerprint shuffles 4 ints per clip, never samples."""
+    return audiodup.audio_fp_pairs(_docs(spark, sf_dir))
 
 
 @register(

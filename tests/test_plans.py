@@ -1228,6 +1228,20 @@ def test_image_phash_banded_equi_join(spark):
     assert "LeftAnti" in plan
 
 
+def test_audio_fp_banded_equi_join(spark):
+    """dedup_audio_fingerprint reuses the image modality's pair
+    machinery and must keep its scale contract: banded (word_idx,
+    word_value) equi-join over the localCheckpointed fingerprint frame
+    — never all-pairs — df-cap anti-join before the shuffle, decode as
+    Arrow-batched MapInPandas, no row-at-a-time Python."""
+    plan = plan_of(spark, "dedup_audio_fingerprint")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert re.search(r"keys \[2\]: \[widx#\d+, wval#\d+\]", plan), "band join missing"
+    assert "BatchEvalPython" not in plan
+    assert "LeftAnti" in plan
+
+
 def test_multimodal_embed_topk_search_stage(spark):
     """The multimodal -> ANN composition keeps the trained-IVF search
     contract over pixel-derived vectors: the candidate stage is a

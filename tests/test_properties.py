@@ -1784,6 +1784,41 @@ def test_image_phash_planted_structure(spark):
     assert not cross, f"accidental cross-group pairs: {cross[:5]}"
 
 
+def test_audio_fp_planted_structure(spark):
+    """The variant clip law plants known structure; the audio
+    fingerprint pipeline must recover ALL of it and nothing else at
+    fixture scale: variants 0-2 of each seed group are
+    sample-identical (every within-group pair at hamming 0); the
+    +40-prefix variant 3 yields near pairs (0 < h <= 3) for a
+    measurable fraction of groups; NO cross-group pair (the law is
+    pseudo-random, so band words collide across seeds only at the
+    2^-16 level and the exact Hamming filter kills every survivor)."""
+    from sparksent.ext.audiodup import AFP_GROUP, audio_fp_pairs
+    from sparksent.tables import load_table
+
+    from conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    n = docs.count()
+    pairs = {(r.id_a, r.id_b): r.hamming for r in audio_fp_pairs(docs).collect()}
+
+    g = AFP_GROUP
+    expected_exact = {
+        (s * g + a, s * g + b)
+        for s in range(n // g)
+        for a in range(g - 1)
+        for b in range(a + 1, g - 1)
+    }
+    missing = [p for p in expected_exact if pairs.get(p) != 0]
+    assert not missing, f"exact audio dups missed: {missing[:5]}"
+
+    near = [(a, b) for (a, b), h in pairs.items() if h > 0]
+    assert len(near) >= 20  # planted perturbed variants surface
+    assert all(a // g == b // g for a, b in near)  # near pairs stay in-group
+    cross = [(a, b) for (a, b) in pairs if a // g != b // g]
+    assert not cross, f"accidental cross-group pairs: {cross[:5]}"
+
+
 def test_span_extents_reconcile_with_span_stats(spark):
     """dedup_span_extents and dedup_span_8gram are two views of the
     same duplicated-gram position set: every span is at least one gram
