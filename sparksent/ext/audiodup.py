@@ -16,7 +16,14 @@ simhash_pairs and image_phash_pairs):
    ``decode_wav`` (chunk walk, fmt validation);
 2. partition the clip into 65 near-equal time bins (sample t of an
    n-sample clip lands in bin ``t * 65 // n``) and take each bin's
-   ENERGY (sum of squared samples — BIGINT-exact);
+   MEAN energy (sum of squared samples floor-divided by the bin's
+   sample count — BIGINT-exact).  Mean, not sum, is load-bearing:
+   near-equal bins still differ by one sample, and the raw-sum form
+   made the gradient bits substantially a function of that BIN-SIZE
+   pattern (which depends only on n) — measured at 5k clips, ~8k
+   accidental cross-seed pairs from size-correlated fingerprints; the
+   mean form (Haitsma-Kalker's normalized energies) restores
+   per-sample randomness and zero accidental pairs at 100k clips;
 3. fingerprint: bit(i) = 1 iff E[i+1] > E[i] — 64 energy-gradient
    signs, stored as FOUR 16-bit words;
 4. pair via the SAME banded (word_idx, word_value) equi-join as the
@@ -37,11 +44,27 @@ shortcuts the byte path).  doc_ids form groups of 4 sharing a seed:
 variants 0-2 are sample-identical (exact audio dups under different
 ids), variant 3 adds +40 to the first 6 samples — a planted NEAR
 duplicate that disturbs only the first time bins' energies, flipping
-at most a few gradient bits.  The sample law
-``((seed*7 + t*13 + (t*t % 89) * (seed % 5 + 1)) % 2001) - 1000`` is
-pseudo-random enough that unrelated seeds collide on a 16-bit band
-word only at the ~2^-16 chance level, and every accidental candidate
-dies at the exact Hamming filter.
+at most a few gradient bits.
+
+The sample law is QUADRATIC in t with seed-keyed coefficients drawn
+from CO-PRIME prime moduli::
+
+    a = (seed*13 + 11) % 1997;  b = (seed*17 + 7) % 1993
+    s(t) = (a*(t+3)*(t+5) + b*t*t + 53*((t + 2*seed) % 5)) % 2001 - 1000
+
+Both design choices are load-bearing, found by measuring candidate
+pairs at 100k clips (prototyped in numpy before wiring):
+- a LINEAR law (slope*t + ...) is a modular rotation sequence whose
+  windowed energy sums carry three-distance-theorem structure — seeds
+  sharing a residue class produced fingerprints within Hamming 1 even
+  at wildly different clip lengths (~11k accidental pairs at 5k
+  clips); the quadratic form behaves like the image law's bilinear
+  pixel law instead;
+- drawing a, b mod 2001 aliases seeds 2001 apart onto the SAME sample
+  shape (16-192 residual accidental pairs depending on how clip
+  lengths line up); mod 1997/1993 pushes the joint alias period past
+  3.9M seeds.  Measured at 100k clips: 150,000 planted in-group
+  pairs, ZERO cross-group.
 """
 
 from __future__ import annotations
@@ -77,7 +100,9 @@ def synth_variant_samples(doc_id: int):
     seed, variant = doc_id // AFP_GROUP, doc_id % AFP_GROUP
     n = seed % AFP_N_MOD + AFP_N_MIN
     t = np.arange(n, dtype=np.int64)
-    s = ((seed * 7 + t * 13 + (t * t % 89) * (seed % 5 + 1)) % 2001) - 1000
+    a = (seed * 13 + 11) % 1997
+    b = (seed * 17 + 7) % 1993
+    s = ((a * (t + 3) * (t + 5) + b * t * t + 53 * ((t + 2 * seed) % 5)) % 2001) - 1000
     if variant == AFP_GROUP - 1:
         s = s + np.where(t < AFP_PERTURB_N, AFP_PERTURB, 0)
     return s.astype(np.int16)
@@ -102,8 +127,11 @@ def afp_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             payload = wav_payload_from_samples(synth_variant_samples(mid))
             s = decode_wav(payload).astype(np.int64)
             n = len(s)
+            idx = np.arange(n) * AFP_BINS // n
             e = np.zeros(AFP_BINS, dtype=np.int64)
-            np.add.at(e, np.arange(n) * AFP_BINS // n, s * s)
+            np.add.at(e, idx, s * s)
+            cnt = np.bincount(idx, minlength=AFP_BINS).astype(np.int64)
+            e = e // np.maximum(cnt, 1)  # mean energy; empty bin -> 0
             bits = (e[1:] > e[:-1]).astype(np.int64)
             words = [int((bits[w * 16:(w + 1) * 16] << shifts).sum())
                      for w in range(4)]
@@ -156,8 +184,9 @@ def audio_fp_pairs_sql(
     ),
     s AS (
       SELECT d.doc_id, d.n, g.t,
-             ((d.seed * 7 + g.t * 13 + (g.t * g.t % 89) * (d.seed % 5 + 1))
-              % 2001) - 1000
+             (((d.seed * 13 + 11) % 1997) * (g.t + 3) * (g.t + 5)
+              + ((d.seed * 17 + 7) % 1993) * g.t * g.t
+              + 53 * ((g.t + 2 * d.seed) % 5)) % 2001 - 1000
              + CASE WHEN d.variant = {g - 1} AND g.t < {AFP_PERTURB_N}
                     THEN {AFP_PERTURB} ELSE 0 END AS v
       FROM dims d,
@@ -165,7 +194,7 @@ def audio_fp_pairs_sql(
     ),
     eb AS (
       SELECT doc_id, (t * {AFP_BINS} // n)::BIGINT AS b,
-             sum(v * v)::BIGINT AS e
+             (sum(v * v)::BIGINT // count(*))::BIGINT AS e
       FROM s GROUP BY 1, 2
     ),
     bin_grid AS (

@@ -1792,31 +1792,42 @@ def test_audio_fp_planted_structure(spark):
     +40-prefix variant 3 yields near pairs (0 < h <= 3) for a
     measurable fraction of groups; NO cross-group pair (the law is
     pseudo-random, so band words collide across seeds only at the
-    2^-16 level and the exact Hamming filter kills every survivor)."""
+    2^-16 level and the exact Hamming filter kills every survivor).
+
+    Runs at sf0.01 AND sf0.1: the 5,000-clip corpus is the regression
+    fixture for the round-11 raw-sum bug — with SUM bin energies the
+    gradient bits were substantially a function of the bin-SIZE
+    pattern (which depends only on clip length), and ~8k accidental
+    size-correlated cross-group pairs appeared at 5k clips that the
+    500-clip fixture never showed; MEAN energies (the Haitsma-Kalker
+    normalized form) eliminate them."""
     from sparksent.ext.audiodup import AFP_GROUP, audio_fp_pairs
     from sparksent.tables import load_table
 
     from conftest import SF_DIR
 
-    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
-    n = docs.count()
-    pairs = {(r.id_a, r.id_b): r.hamming for r in audio_fp_pairs(docs).collect()}
+    for sf_dir in dict.fromkeys([SF_DIR, "/root/testdata/sf0.1"]):
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        n = docs.count()
+        pairs = {
+            (r.id_a, r.id_b): r.hamming for r in audio_fp_pairs(docs).collect()
+        }
 
-    g = AFP_GROUP
-    expected_exact = {
-        (s * g + a, s * g + b)
-        for s in range(n // g)
-        for a in range(g - 1)
-        for b in range(a + 1, g - 1)
-    }
-    missing = [p for p in expected_exact if pairs.get(p) != 0]
-    assert not missing, f"exact audio dups missed: {missing[:5]}"
+        g = AFP_GROUP
+        expected_exact = {
+            (s * g + a, s * g + b)
+            for s in range(n // g)
+            for a in range(g - 1)
+            for b in range(a + 1, g - 1)
+        }
+        missing = [p for p in expected_exact if pairs.get(p) != 0]
+        assert not missing, f"exact audio dups missed at {sf_dir}: {missing[:5]}"
 
-    near = [(a, b) for (a, b), h in pairs.items() if h > 0]
-    assert len(near) >= 20  # planted perturbed variants surface
-    assert all(a // g == b // g for a, b in near)  # near pairs stay in-group
-    cross = [(a, b) for (a, b) in pairs if a // g != b // g]
-    assert not cross, f"accidental cross-group pairs: {cross[:5]}"
+        near = [(a, b) for (a, b), h in pairs.items() if h > 0]
+        assert len(near) >= 20  # planted perturbed variants surface
+        assert all(a // g == b // g for a, b in near)  # near stays in-group
+        cross = [(a, b) for (a, b) in pairs if a // g != b // g]
+        assert not cross, f"accidental cross-group pairs at {sf_dir}: {cross[:5]}"
 
 
 def test_span_extents_reconcile_with_span_stats(spark):

@@ -278,6 +278,35 @@ def cmd_admission(spark, port, app_id) -> dict:
     return report
 
 
+def cmd_r11ops(spark, port, app_id) -> dict:
+    """Round-11 linearity check for the round-10/11 registrations:
+    run each at x1 (sf0.1, 5k docs) and x20 (100k docs) and record
+    wall / shuffle / rows / skew — the claim being ~linear wall and
+    shuffle tracking candidate output, never corpus^2."""
+    if not os.path.isdir(f"{X20_BASE}/documents.parquet"):
+        from tools.scale_demo import generate
+
+        generate(spark, X20_BASE)
+    from sparksent.registry import queries
+
+    qs = queries()
+    names = [
+        "dedup_image_phash",
+        "dedup_audio_fingerprint",
+        "dedup_span_extents",
+        "multimodal_embed_topk",
+    ]
+    # Python-worker warm-up (Arrow path) so x1 rows aren't charged for it
+    spark.range(32).repartition(32).mapInPandas(
+        lambda it: it, "id long"
+    ).write.mode("overwrite").format("noop").save()
+    report = {}
+    for tag, base in (("x1", SF_DIR_X1), ("x20", X20_BASE)):
+        fns = {f"{n}_{tag}": (lambda n=n, b=base: qs[n](spark, b)) for n in names}
+        report[tag] = _run_measured(spark, fns, port, app_id)
+    return report
+
+
 def cmd_ivfpq_rest(spark, port, app_id) -> dict:
     """IVF-PQ split into its production phases at x20: INGEST (train
     cells + PQ-code the corpus + persist the index: cells, codes,
@@ -393,7 +422,7 @@ def cmd_ivfpq_rest(spark, port, app_id) -> dict:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument(
-        "part", choices=["hotkey", "neardup", "x80", "ivfpq_rest", "admission"]
+        "part", choices=["hotkey", "neardup", "x80", "ivfpq_rest", "admission", "r11ops"]
     )
     args = ap.parse_args()
     spark = build_session()
@@ -405,6 +434,7 @@ def main() -> None:
         "x80": cmd_x80,
         "ivfpq_rest": cmd_ivfpq_rest,
         "admission": cmd_admission,
+        "r11ops": cmd_r11ops,
     }[args.part](spark, port, sc.applicationId)
     print(json.dumps({args.part: report}, indent=1))
 
