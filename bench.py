@@ -236,6 +236,7 @@ HEADLINE = [
     # round-11 additions
     "multimodal_embed_topk",
     "dedup_audio_fingerprint",
+    "dedup_video_framehash",
 ]
 
 # Timed and reported, but excluded from the headline sum: cost dominated

@@ -24,6 +24,7 @@ from .ext import (
     textclean,
     textstats,
     vectorops,
+    videodup,
 )
 from .graph import triangle_count_sql
 from .registry import register
@@ -1735,6 +1736,24 @@ def q_dedup_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage and oracle tail are literally the image modality's —
     fingerprint shuffles 4 ints per clip, never samples."""
     return audiodup.audio_fp_pairs(_docs(spark, sf_dir))
+
+
+@register(
+    "dedup_video_framehash",
+    oracle=videodup.video_framehash_pairs_sql(),
+    tags=("ext", "dedup", "multimodal"),
+)
+def q_dedup_video_framehash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-duplicate pairs by sampled-frame content hashing
+    (round 11 — completes the dedup modality set: text, image, audio,
+    VIDEO): real RIFF/AVI demux -> sample-then-decode of k uniformly
+    sampled MJPEG frames -> per-frame 60-bit md5 content hash over the
+    canonical block grid -> (slot, fhash) equi-join + agreement count
+    (>= half the slots; exact dups agree on all).  Shot-level video
+    dedup expressed with the signature-agreement machinery; the join
+    carries only true frame matches (60-bit content hash), shuffle
+    moves ints per sampled frame, never pixels."""
+    return videodup.video_framehash_pairs(_docs(spark, sf_dir))
 
 
 @register(

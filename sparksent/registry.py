@@ -64,12 +64,14 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # verifies, no name's latest driver row is older than r07.
 _PRIORITY: tuple[str, ...] = (
     # slot 1+: no green driver row yet (incl. the round-11
-    # registrations multimodal_embed_topk + dedup_audio_fingerprint)
+    # registrations multimodal_embed_topk, dedup_audio_fingerprint,
+    # dedup_video_framehash)
     "dedup_image_phash",
     "dedup_span_extents",
     "multimodal_embed_topk",
     "dedup_audio_fingerprint",
-    # slot 5+: latest green driver row is r05
+    "dedup_video_framehash",
+    # slot 6+: latest green driver row is r05
     "ewma_user_value",
     "attribution_first_touch",
     "unpivot_user_metrics",
@@ -106,7 +108,7 @@ _PRIORITY: tuple[str, ...] = (
     "entity_resolution_parts",
     "churn_training_set",
     "item_similarity_jaccard",
-    # slot 41+: latest green driver row is r07
+    # slot 42+: latest green driver row is r07
     "dedup_exact_normalized",
     "supplier_lead_time",
     "survival_km_error",
@@ -115,8 +117,8 @@ _PRIORITY: tuple[str, ...] = (
     "bpe_encode_documents",
     "semdedup_embeddings",
     "sample_token_budget",
-    "dedup_cdc_chunks",
-    "daily_median_value",  # --- driver window ends here (50) ---
+    "dedup_cdc_chunks",  # --- driver window ends here (50) ---
+    "daily_median_value",
     "asof_view_next_purchase",
     "gopher_quality_gate",
     "session_concurrency",
@@ -156,7 +158,7 @@ _PRIORITY: tuple[str, ...] = (
     "embedding_quantize_error",
     "tpch_q1_pricing",
     "tpch_q3_shipping",
-    # slot 90+: latest green driver row is r08
+    # slot 91+: latest green driver row is r08
     "session_concurrency_capped",
     "corpus_curation_pipeline",
     "dedup_span_8gram",
@@ -207,7 +209,7 @@ _PRIORITY: tuple[str, ...] = (
     "category_opinion_cumulative",
     "toxic_user_nlp_cw10",
     "json_field_stats",
-    # slot 140+: latest green driver row is r10
+    # slot 141+: latest green driver row is r10
     "similarity_topk_ivf_trained",
     "multimodal_resample_pixels",
     "multimodal_frame_decode_sampled",

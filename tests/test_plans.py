@@ -1242,6 +1242,24 @@ def test_audio_fp_banded_equi_join(spark):
     assert "LeftAnti" in plan
 
 
+def test_video_framehash_equi_join(spark):
+    """dedup_video_framehash's scale contract: candidates are a
+    (slot, fhash) EQUI-join over the localCheckpointed signature frame
+    — never all-pairs — followed by one pair aggregate; decode is
+    Arrow-batched MapInPandas, no row-at-a-time Python."""
+    plan = plan_of(spark, "dedup_video_framehash")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # Catalyst folds the slot-count equality into the equi-join: a
+    # 3-key hash join on (n_slots, slot, fhash)
+    assert re.search(
+        r"keys \[3\]: \[ns_a#\d+, slot#\d+, fhash#\d+", plan
+    ), "sig join missing"
+    assert "BatchEvalPython" not in plan
+    # corpus-sized checkpoint-descended sides must NOT broadcast
+    assert "BroadcastHashJoin" not in plan
+
+
 def test_multimodal_embed_topk_search_stage(spark):
     """The multimodal -> ANN composition keeps the trained-IVF search
     contract over pixel-derived vectors: the candidate stage is a

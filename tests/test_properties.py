@@ -1830,6 +1830,35 @@ def test_audio_fp_planted_structure(spark):
         assert not cross, f"accidental cross-group pairs at {sf_dir}: {cross[:5]}"
 
 
+def test_video_framehash_planted_structure(spark):
+    """The variant clip law plants exact structure the video pipeline
+    must recover completely: per seed group, variants 0-2 are
+    byte-identical clips (pair agreement n_match == n_slots) and
+    variant 3 differs in frame 0 ONLY (agreement exactly
+    n_slots - 1, which always passes the half threshold since every
+    clip has >= 2 slots) — so the pair set is EXACTLY 6 pairs per
+    group, and the 60-bit content hash makes cross-group pairs a
+    2^-60 event (zero tolerated).  Checked at sf0.01 and sf0.1."""
+    from sparksent.ext.videodup import VFP_GROUP, video_framehash_pairs
+    from sparksent.tables import load_table
+
+    from conftest import SF_DIR
+
+    for sf_dir in dict.fromkeys([SF_DIR, "/root/testdata/sf0.1"]):
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        n = docs.count()
+        rows = video_framehash_pairs(docs).collect()
+        g = VFP_GROUP
+        got = {(r.id_a, r.id_b): (r.n_match, r.n_slots) for r in rows}
+        assert len(got) == 6 * (n // g), sf_dir
+        for (a, b), (m, k) in got.items():
+            assert a // g == b // g, f"cross-group pair {(a, b)} at {sf_dir}"
+            if a % g < g - 1 and b % g < g - 1:
+                assert m == k, f"exact pair {(a, b)} not full-agreement"
+            else:
+                assert m == k - 1, f"near pair {(a, b)} wrong agreement"
+
+
 def test_span_extents_reconcile_with_span_stats(spark):
     """dedup_span_extents and dedup_span_8gram are two views of the
     same duplicated-gram position set: every span is at least one gram

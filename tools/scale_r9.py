@@ -293,6 +293,7 @@ def cmd_r11ops(spark, port, app_id) -> dict:
     names = [
         "dedup_image_phash",
         "dedup_audio_fingerprint",
+        "dedup_video_framehash",
         "dedup_span_extents",
         "multimodal_embed_topk",
     ]
