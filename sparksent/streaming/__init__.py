@@ -30,6 +30,8 @@ from .neardup import (  # noqa: F401
     minhash_band_index,
     neardup_admit_batch,
     streaming_neardup_candidates,
+    video_framehash_admit_batch,
+    video_framehash_band_index,
     write_neardup_index,
 )
 from .count_window import (  # noqa: F401

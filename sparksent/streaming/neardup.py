@@ -404,6 +404,85 @@ def image_phash_band_index(
     )
 
 
+def _video_sig_bands(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, sig, band, bsig) band rows for the video modality: sig is
+    the slot-ordered frame-hash array, bands are (slot, fhash) — the
+    signature-agreement shape the MinHash loop uses, at frame
+    granularity."""
+    from ..ext.videodup import video_frame_sigs
+
+    rows = video_frame_sigs(docs.select(F.col(id_col).alias("doc_id")))
+    sig_arr = rows.groupBy("media_id").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("slot", "fhash"))),
+            lambda x: x.fhash,
+        ).alias("sig")
+    )
+    return sig_arr.select(
+        F.col("media_id").alias("id"),
+        "sig",
+        F.posexplode("sig").alias("band", "bsig"),
+    )
+
+
+def video_framehash_band_index(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """The video analog of :func:`minhash_band_index`: every corpus
+    clip's sampled-frame hashes as (band=slot, bsig=fhash, corpus_id,
+    corpus_sig=hash array) — seed at rest with
+    :func:`write_neardup_index`."""
+    return _video_sig_bands(docs, id_col).select(
+        "band", "bsig",
+        F.col("id").alias("corpus_id"),
+        F.col("sig").alias("corpus_sig"),
+    )
+
+
+def _frame_agreement(a, b):
+    """Fraction of slot positions with equal frame hashes.  zip_with
+    truncates to the shorter signature, but unlike-length pairs can
+    only candidate via a 60-bit content-hash collision (~2^-60), so
+    the division by size(a) is well-defined in practice."""
+    matches = F.size(F.filter(F.zip_with(a, b, lambda x, y: x == y), lambda m: m))
+    return (matches / F.size(a)).cast("double")
+
+
+def video_framehash_admit_batch(
+    batch_df: DataFrame,
+    index_path: str,
+    out_path: str,
+    min_agreement: float = 0.5,
+    id_col: str = "doc_id",
+    *,
+    batch_id: int,
+    n_buckets: int = NEARDUP_INDEX_BUCKETS,
+) -> None:
+    """Incremental VIDEO dedup: the admission loop bound to the
+    sampled-frame content-hash modality (the third binding of
+    :func:`_admit_bands` after MinHash text and perceptual-hash
+    images).  Per micro-batch of clip ids: demux + sample-then-decode
+    via the Arrow-batched signature stage, band on (slot, fhash),
+    probe the accumulated bucketed index, self-join within the batch,
+    emit (id_lo, id_hi, agreement) for pairs agreeing on >=
+    ``min_agreement`` of their slots, merge the batch's bands into the
+    index.  Across a stream the emitted pair set equals the batch
+    ``video_framehash_pairs`` over the accumulated corpus (pinned by
+    tests/test_streaming_equivalence.py)."""
+    bands = _video_sig_bands(
+        batch_df, id_col
+    ).localCheckpoint()  # decode once; probe + self-join + merge consume it
+    _admit_bands(
+        batch_df.sparkSession,
+        bands,
+        index_path,
+        out_path,
+        batch_id=batch_id,
+        n_buckets=n_buckets,
+        score=_frame_agreement,
+        score_name="agreement",
+        keep=lambda s: s >= min_agreement,
+    )
+
+
 def image_phash_admit_batch(
     batch_df: DataFrame,
     index_path: str,

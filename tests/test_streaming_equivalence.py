@@ -1823,3 +1823,69 @@ def test_image_phash_admission_loop(spark, tmp_path):
     # incl. odd-odd new-vs-new) and near (0 < h <= 3)
     assert any(h == 0 and a % 2 == 1 and b % 2 == 1 for a, b, h in got)
     assert any(h > 0 for a, b, h in got)
+
+
+def test_video_framehash_admission_loop(spark, tmp_path):
+    """The admission loop bound to the VIDEO modality (the third
+    binding of the hash-agnostic core): seed the bucketed index with
+    the even-id clips, replay odd ids in 3 micro-batches through
+    video_framehash_admit_batch, and require the accumulated emissions
+    to equal the batch sampled-frame-agreement self-join over ALL
+    clips minus the even-even pairs — exact dups at agreement 1.0 and
+    the frame-0-perturbed variants at exactly (kk-1)/kk."""
+    from pyspark.sql import types as T
+
+    from sparksent.ext.videodup import video_framehash_pairs
+    from sparksent.streaming import (
+        video_framehash_admit_batch,
+        video_framehash_band_index,
+        write_neardup_index,
+    )
+    from sparksent.streaming.sources import file_replay_source, write_replay_chunks
+    from sparksent.tables import load_table
+
+    docs = load_table(spark, SF_DIR_SMALL, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    incoming = docs.filter(F.col("doc_id") % 2 == 1)
+
+    index_path = str(tmp_path / "vid_index")
+    out_path = str(tmp_path / "vid_out")
+    write_neardup_index(
+        video_framehash_band_index(corpus), index_path, n_buckets=16
+    )
+
+    replay = str(tmp_path / "vid_replay")
+    write_replay_chunks(incoming, replay, 3, order_col="doc_id")
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    q = (
+        file_replay_source(spark, replay, schema=schema)
+        .writeStream.foreachBatch(
+            lambda b, i: video_framehash_admit_batch(
+                b, index_path, out_path, batch_id=i, n_buckets=16
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "vid_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {
+        (r.id_lo, r.id_hi, round(r.agreement, 9))
+        for r in spark.read.parquet(out_path).collect()
+    }
+    want = {
+        (r.id_a, r.id_b, round(r.n_match / r.n_slots, 9))
+        for r in video_framehash_pairs(docs).collect()
+        if not (r.id_a % 2 == 0 and r.id_b % 2 == 0)
+    }
+    assert got == want and len(want) > 0
+    # exact class surfaces (agreement 1.0: the even-indexed variant
+    # against the odd one — only one of variants 0-2 is odd, so no
+    # odd-odd exact pair can exist by construction)
+    assert any(s == 1.0 for a, b, s in got)
+    # new-vs-new class surfaces: odd-odd pairs are always v1-vs-v3,
+    # agreement exactly (kk-1)/kk < 1
+    assert any(a % 2 == 1 and b % 2 == 1 and s < 1.0 for a, b, s in got)
