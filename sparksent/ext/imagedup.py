@@ -234,8 +234,14 @@ def phash_band_pairs(
         F.col("media_id").alias("id_b"), F.col("hw").alias("hb"), "widx", "wval"
     )
     hamming = hamming_distance(F.col("ha"), F.col("hb"))
+    # shuffle_hash (round 11): both band-join sides are corpus-sized
+    # and descend from the localCheckpointed hash frame whose stats
+    # read SMALL — without the hint the planner BROADCASTS the whole
+    # band frame (measured on the sf0.01 plan; a driver OOM at scale,
+    # the round-6 lying-stats hazard).  The hot-set anti-join above
+    # stays a broadcast: that frame is bounded by construction.
     return (
-        left.join(right, ["widx", "wval"])
+        left.join(right.hint("shuffle_hash"), ["widx", "wval"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "ha", "hb")
         .distinct()

@@ -1226,6 +1226,11 @@ def test_image_phash_banded_equi_join(spark):
     # the df cap's hot set leaves via a broadcast anti-join BEFORE the
     # pair shuffle (round 11, VERDICT r10 ask #6)
     assert "LeftAnti" in plan
+    # the INNER pair join must never broadcast its corpus-sized
+    # checkpoint-descended sides (round-11 audit: the planner did,
+    # off the lying LogicalRDD stats) — only the bounded hot-set
+    # anti-joins may build broadcast sides
+    assert "BroadcastHashJoin Inner" not in plan
 
 
 def test_audio_fp_banded_equi_join(spark):
@@ -1240,6 +1245,7 @@ def test_audio_fp_banded_equi_join(spark):
     assert re.search(r"keys \[2\]: \[widx#\d+, wval#\d+\]", plan), "band join missing"
     assert "BatchEvalPython" not in plan
     assert "LeftAnti" in plan
+    assert "BroadcastHashJoin Inner" not in plan  # same guard as the image plan
 
 
 def test_video_framehash_equi_join(spark):
