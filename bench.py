@@ -237,6 +237,7 @@ HEADLINE = [
     "multimodal_embed_topk",
     "dedup_audio_fingerprint",
     "dedup_video_framehash",
+    "dedup_multimodal_keep_set",
 ]
 
 # Timed and reported, but excluded from the headline sum: cost dominated

@@ -1757,6 +1757,73 @@ def q_dedup_video_framehash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_multimodal_keep_set",
+    oracle=f"""
+    WITH RECURSIVE all_pairs AS (
+      SELECT id_a, id_b FROM ({dedup.minhash_lsh_pairs_sql()})
+      UNION
+      SELECT id_a, id_b FROM ({imagedup.image_phash_pairs_sql()})
+      UNION
+      SELECT id_a, id_b FROM ({audiodup.audio_fp_pairs_sql()})
+      UNION
+      SELECT id_a, id_b FROM ({videodup.video_framehash_pairs_sql()})
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM all_pairs
+      UNION
+      SELECT id_b, id_a FROM all_pairs
+    ),
+    reach(id, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id
+    ),
+    comp AS (SELECT id AS doc_id, min(label) AS component FROM reach GROUP BY id)
+    SELECT doc_id, component,
+           (CASE WHEN doc_id = component THEN 1 ELSE 0 END)::BIGINT AS keep
+    FROM comp
+    """,
+    tags=("ext", "dedup", "multimodal", "iterative"),
+)
+def q_dedup_multimodal_keep_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production drop-list ACROSS ALL FOUR MODALITIES (round 11):
+    a document is a duplicate if it near-duplicates another by TEXT
+    (MinHash-LSH), IMAGE (perceptual dHash), AUDIO (energy-gradient
+    fingerprint), or VIDEO (sampled-frame agreement) — the union of
+    the four pair graphs, transitively closed by min-label connected
+    components, keep = the component's minimum id.  This is the
+    composition a real multimodal ingest runs: each modality's pair
+    stage is the registered bucketed/banded plan unchanged (no
+    all-pairs anywhere), the union is edge-count-sized, and label
+    propagation is the shared Pregel-style loop.  Oracle: the same
+    four pair SQLs unioned under one recursive-CTE reachability."""
+    from .graph import connected_components
+
+    docs = _docs(spark, sf_dir)
+    pairs = (
+        dedup.minhash_lsh_pairs(docs).select("id_a", "id_b")
+        .unionByName(imagedup.image_phash_pairs(docs).select("id_a", "id_b"))
+        .unionByName(audiodup.audio_fp_pairs(docs).select("id_a", "id_b"))
+        .unionByName(
+            videodup.video_framehash_pairs(docs).select("id_a", "id_b")
+        )
+        .distinct()
+    )
+    comp = connected_components(
+        docs.select("doc_id"),
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+        id_col="doc_id",
+    )
+    return comp.select(
+        F.col("id").alias("doc_id"),
+        F.col("label").alias("component"),
+        F.when(F.col("id") == F.col("label"), 1).otherwise(0)
+        .cast("long")
+        .alias("keep"),
+    )
+
+
+@register(
     "multimodal_embed_topk",
     oracle=imagedup.image_embed_topk_sql(),
     tags=("ext", "multimodal", "similarity", "iterative"),
