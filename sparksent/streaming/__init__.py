@@ -25,6 +25,8 @@ from .ivf_route import (  # noqa: F401
     route_to_cells,
 )
 from .neardup import (  # noqa: F401
+    audio_fp_admit_batch,
+    audio_fp_band_index,
     image_phash_admit_batch,
     image_phash_band_index,
     minhash_band_index,

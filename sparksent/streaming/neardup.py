@@ -404,6 +404,67 @@ def image_phash_band_index(
     )
 
 
+def audio_fp_band_index(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """The audio analog of :func:`image_phash_band_index`: every corpus
+    clip's fingerprint words as (band=widx, bsig=wval, corpus_id,
+    corpus_sig=hw) — the audio fingerprint shares the image modality's
+    4x16-bit word banding exactly."""
+    from ..ext.audiodup import audio_fingerprints
+
+    fp = audio_fingerprints(docs.select(F.col(id_col).alias("doc_id")))
+    return fp.select(
+        "media_id", "hw", F.posexplode("hw").alias("band", "bsig")
+    ).select(
+        "band",
+        "bsig",
+        F.col("media_id").alias("corpus_id"),
+        F.col("hw").alias("corpus_sig"),
+    )
+
+
+def audio_fp_admit_batch(
+    batch_df: DataFrame,
+    index_path: str,
+    out_path: str,
+    max_hamming: int | None = None,
+    id_col: str = "doc_id",
+    *,
+    batch_id: int,
+    n_buckets: int = NEARDUP_INDEX_BUCKETS,
+) -> None:
+    """Incremental AUDIO dedup: the admission loop bound to the
+    energy-gradient fingerprint — identical core and scoring to
+    :func:`image_phash_admit_batch` (both modalities band their 64-bit
+    hash as four 16-bit words and keep pairs within Hamming
+    ``max_hamming``); only the decode stage differs.  With this
+    binding every fingerprinted modality streams: text (MinHash),
+    image, audio, video."""
+    from ..ext.audiodup import audio_fingerprints
+    from ..ext.imagedup import PHASH_MAX_HAMMING, hamming_distance
+
+    if max_hamming is None:
+        max_hamming = PHASH_MAX_HAMMING
+    fp = audio_fingerprints(
+        batch_df.select(F.col(id_col).alias("doc_id"))
+    ).localCheckpoint()  # decode once; bands/probe/merge all consume it
+    band_rows = fp.select(
+        F.col("media_id").alias("id"),
+        F.col("hw").alias("sig"),
+        F.posexplode("hw").alias("band", "bsig"),
+    )
+    _admit_bands(
+        batch_df.sparkSession,
+        band_rows,
+        index_path,
+        out_path,
+        batch_id=batch_id,
+        n_buckets=n_buckets,
+        score=hamming_distance,
+        score_name="hamming",
+        keep=lambda s: s <= max_hamming,
+    )
+
+
 def _video_sig_bands(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """(id, sig, band, bsig) band rows for the video modality: sig is
     the slot-ordered frame-hash array, bands are (slot, fhash) — the

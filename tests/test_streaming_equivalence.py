@@ -1825,6 +1825,66 @@ def test_image_phash_admission_loop(spark, tmp_path):
     assert any(h > 0 for a, b, h in got)
 
 
+def test_audio_fp_admission_loop(spark, tmp_path):
+    """The admission loop bound to the AUDIO modality (the fourth
+    binding — every fingerprinted modality now streams): seed the
+    bucketed index with even-id clips, replay odd ids in 3
+    micro-batches through audio_fp_admit_batch, and require the
+    accumulated emissions to equal the batch banded fingerprint
+    self-join over all clips minus the even-even pairs."""
+    from pyspark.sql import types as T
+
+    from sparksent.ext.audiodup import audio_fp_pairs
+    from sparksent.streaming import (
+        audio_fp_admit_batch,
+        audio_fp_band_index,
+        write_neardup_index,
+    )
+    from sparksent.streaming.sources import file_replay_source, write_replay_chunks
+    from sparksent.tables import load_table
+
+    docs = load_table(spark, SF_DIR_SMALL, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    incoming = docs.filter(F.col("doc_id") % 2 == 1)
+
+    index_path = str(tmp_path / "aud_index")
+    out_path = str(tmp_path / "aud_out")
+    write_neardup_index(audio_fp_band_index(corpus), index_path, n_buckets=16)
+
+    replay = str(tmp_path / "aud_replay")
+    write_replay_chunks(incoming, replay, 3, order_col="doc_id")
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    q = (
+        file_replay_source(spark, replay, schema=schema)
+        .writeStream.foreachBatch(
+            lambda b, i: audio_fp_admit_batch(
+                b, index_path, out_path, batch_id=i, n_buckets=16
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "aud_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {
+        (r.id_lo, r.id_hi, r.hamming)
+        for r in spark.read.parquet(out_path).collect()
+    }
+    # the admission loop has no df-cap stage (per-batch band keys are
+    # bounded by the batch); the batch reference runs uncapped —
+    # identical on this corpus (hottest bucket far below the cap)
+    want = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in audio_fp_pairs(docs, max_df=None).collect()
+        if not (r.id_a % 2 == 0 and r.id_b % 2 == 0)
+    }
+    assert got == want and len(want) > 0
+    assert any(h == 0 for a, b, h in got)  # exact class surfaces
+
+
 def test_video_framehash_admission_loop(spark, tmp_path):
     """The admission loop bound to the VIDEO modality (the third
     binding of the hash-agnostic core): seed the bucketed index with
