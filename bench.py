@@ -238,6 +238,7 @@ HEADLINE = [
     "dedup_audio_fingerprint",
     "dedup_video_framehash",
     "dedup_multimodal_keep_set",
+    "multimodal_quality_gate",
 ]
 
 # Timed and reported, but excluded from the headline sum: cost dominated

@@ -164,38 +164,47 @@ def audio_fp_pairs(
     return phash_band_pairs(fp, max_hamming, max_df)
 
 
-def audio_fp_pairs_sql(
-    table: str = "documents",
-    max_hamming: int = PHASH_MAX_HAMMING,
-    max_df: int | None = PHASH_MAX_DF,
-) -> str:
-    """DuckDB mirror: variant-law samples by grid expansion, the SAME
-    integer bin/energy/gradient sequence (empty bins restated as
-    energy 0 via the bin grid left join), then the SHARED banded
-    Hamming tail — a fingerprint that binned a sample differently,
-    packed a bit elsewhere, or capped a different hot set cannot
-    match."""
-    g = AFP_GROUP
-    return f"""
-    WITH dims AS (
+def clip_samples_ctes(table: str, prefix: str = "") -> str:
+    """The variant clip LAW alone as CTEs — ``{prefix}dims(doc_id,
+    seed, variant, n)`` and ``{prefix}samp(doc_id, n, t, v)`` — shared by
+    the fingerprint-pair oracle and the multimodal quality-gate oracle
+    so the law is stated in SQL exactly once.  ``prefix`` namespaces
+    the CTEs when several modality laws compose in one oracle."""
+    g, p = AFP_GROUP, prefix
+    return f"""{p}dims AS (
       SELECT doc_id, doc_id // {g} AS seed, doc_id % {g} AS variant,
              ((doc_id // {g}) % {AFP_N_MOD} + {AFP_N_MIN})::BIGINT AS n
       FROM {table}
     ),
-    s AS (
+    {p}samp AS (
       SELECT d.doc_id, d.n, g.t,
              (((d.seed * 13 + 11) % 1997) * (g.t + 3) * (g.t + 5)
               + ((d.seed * 17 + 7) % 1993) * g.t * g.t
               + 53 * ((g.t + 2 * d.seed) % 5)) % 2001 - 1000
              + CASE WHEN d.variant = {g - 1} AND g.t < {AFP_PERTURB_N}
                     THEN {AFP_PERTURB} ELSE 0 END AS v
-      FROM dims d,
+      FROM {p}dims d,
            LATERAL (SELECT unnest(generate_series(0, d.n - 1)) AS t) g
-    ),
+    )"""
+
+
+def audio_fp_pairs_sql(
+    table: str = "documents",
+    max_hamming: int = PHASH_MAX_HAMMING,
+    max_df: int | None = PHASH_MAX_DF,
+) -> str:
+    """DuckDB mirror: variant-law samples by grid expansion
+    (:func:`clip_samples_ctes`), the SAME integer bin/energy/gradient
+    sequence (empty bins restated as energy 0 via the bin grid left
+    join), then the SHARED banded Hamming tail — a fingerprint that
+    binned a sample differently, packed a bit elsewhere, or capped a
+    different hot set cannot match."""
+    return f"""
+    WITH {clip_samples_ctes(table)},
     eb AS (
       SELECT doc_id, (t * {AFP_BINS} // n)::BIGINT AS b,
              (sum(v * v)::BIGINT // count(*))::BIGINT AS e
-      FROM s GROUP BY 1, 2
+      FROM samp GROUP BY 1, 2
     ),
     bin_grid AS (
       SELECT d.doc_id, gb.b

@@ -251,22 +251,23 @@ def phash_band_pairs(
     )
 
 
-def resized_gray_ctes(table: str, ow: int, oh: int) -> str:
-    """Shared oracle CTE fragment: the variant-law image of every
-    doc_id, grayscaled and bilinear-resampled to (ow x oh), restated
-    by grid expansion — ``res(doc_id, ox, oy, v)``.  The blend is the
-    4-corner join form (corner values come from the ``gray`` CTE, not
-    textual re-expansion), the same integer coord/weight sequence as
-    multimodal.bilinear_images_sql.  Used by both the phash-pair
-    oracle and the image-embedding oracle."""
-    return f"""dims AS (
+def variant_pixels_ctes(table: str, prefix: str = "") -> str:
+    """The variant image LAW alone as CTEs — ``{prefix}dims(doc_id,
+    seed, variant, width, height)`` and ``{prefix}base(doc_id, width,
+    height, x, y, r)`` — the shared source both
+    :func:`resized_gray_ctes` (phash/embedding oracles) and the
+    multimodal quality-gate oracle build on, so the law is stated in
+    SQL exactly once.  ``prefix`` namespaces the CTEs when several
+    modality laws compose in one oracle."""
+    p = prefix
+    return f"""{p}dims AS (
       SELECT doc_id, doc_id // {PHASH_GROUP} AS seed,
              doc_id % {PHASH_GROUP} AS variant,
              ((doc_id // {PHASH_GROUP}) % 13 + 4)::BIGINT AS width,
              ((doc_id // {PHASH_GROUP}) % 9 + 4)::BIGINT AS height
       FROM {table}
     ),
-    base AS (
+    {p}base AS (
       SELECT d.doc_id, d.width, d.height, gx.x, gy.y,
              ((d.seed * 13 + 11) * (gx.x + 3) * (gy.y + 5)
               + d.seed * gx.x * gy.y
@@ -274,10 +275,22 @@ def resized_gray_ctes(table: str, ow: int, oh: int) -> str:
               + CASE WHEN d.variant = {PHASH_GROUP - 1}
                           AND gx.x < 3 AND gy.y < 3
                      THEN 97 ELSE 0 END) % 256 AS r
-      FROM dims d,
+      FROM {p}dims d,
            LATERAL (SELECT unnest(generate_series(0, d.width - 1)) AS x) gx,
            LATERAL (SELECT unnest(generate_series(0, d.height - 1)) AS y) gy
-    ),
+    )"""
+
+
+def resized_gray_ctes(table: str, ow: int, oh: int) -> str:
+    """Shared oracle CTE fragment: the variant-law image of every
+    doc_id, grayscaled and bilinear-resampled to (ow x oh), restated
+    by grid expansion — ``res(doc_id, ox, oy, v)``.  The blend is the
+    4-corner join form (corner values come from the ``gray`` CTE, not
+    textual re-expansion), the same integer coord/weight sequence as
+    multimodal.bilinear_images_sql.  Used by both the phash-pair
+    oracle and the image-embedding oracle; the law itself comes from
+    :func:`variant_pixels_ctes`."""
+    return f"""{variant_pixels_ctes(table)},
     gray AS (
       SELECT doc_id, width, height, x, y,
              (299 * r + 587 * ((r + 11) % 256) + 114 * ((r + 22) % 256)) // 1000 AS v

@@ -185,25 +185,33 @@ def video_framehash_pairs(docs: DataFrame) -> DataFrame:
     )
 
 
+def clip_dims_cte(table: str, prefix: str = "") -> str:
+    """The clip-dimension LAW alone — ``{prefix}dims(doc_id, seed,
+    variant, n, w, h)`` — shared by the frame-hash pair oracle and the
+    multimodal quality-gate oracle."""
+    g, p = VFP_GROUP, prefix
+    return f"""{p}dims AS (
+      SELECT doc_id, doc_id // {g} AS seed, doc_id % {g} AS variant,
+             (doc_id // {g}) % {VFP_FRAMES_MOD} + 2 AS n,
+             (doc_id // {g}) % {VFP_W_MOD} + {VFP_W_MIN} AS w,
+             (doc_id // {g}) % {VFP_H_MOD} + {VFP_H_MIN} AS h
+      FROM {table}
+    )"""
+
+
 def video_framehash_pairs_sql(table: str = "documents") -> str:
-    """DuckDB mirror: clip dims, sampled slots, block-law values, the
-    SAME canonical content string and md5-h60 hash, the SAME
-    (slot, fhash) join + agreement count — a decoder that sampled a
-    different frame, read a block elsewhere, or canonicalized
-    differently cannot match."""
+    """DuckDB mirror: clip dims (:func:`clip_dims_cte`), sampled
+    slots, block-law values, the SAME canonical content string and
+    md5-h60 hash, the SAME (slot, fhash) join + agreement count — a
+    decoder that sampled a different frame, read a block elsewhere, or
+    canonicalized differently cannot match."""
     g = VFP_GROUP
     canon = (
         "w::VARCHAR || 'x' || h::VARCHAR || ':' || "
         "string_agg(v::VARCHAR, ',' ORDER BY by, bx)"
     )
     return f"""
-    WITH dims AS (
-      SELECT doc_id, doc_id // {g} AS seed, doc_id % {g} AS variant,
-             (doc_id // {g}) % {VFP_FRAMES_MOD} + 2 AS n,
-             (doc_id // {g}) % {VFP_W_MOD} + {VFP_W_MIN} AS w,
-             (doc_id // {g}) % {VFP_H_MOD} + {VFP_H_MIN} AS h
-      FROM {table}
-    ),
+    WITH {clip_dims_cte(table)},
     slots AS (
       SELECT d.*, least({VFP_K}, d.n) AS kk, gs.slot,
              gs.slot * d.n // least({VFP_K}, d.n) AS fno

@@ -18,6 +18,7 @@ from .ext import (
     iterative,
     jsonops,
     matching,
+    mmquality,
     multimodal,
     similarity,
     sketches,
@@ -1821,6 +1822,24 @@ def q_dedup_multimodal_keep_set(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("keep"),
     )
+
+
+@register(
+    "multimodal_quality_gate",
+    oracle=mmquality.multimodal_quality_gate_sql(),
+    tags=("ext", "multimodal", "curation"),
+)
+def q_multimodal_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher-gate analog for MEDIA (round 11): per document,
+    integer-exact quality signals from REAL decodes of all three media
+    variants — decoded distinct-color count + pixel count (image,
+    format-routed BMP/PPM/PNG), silence/clipping ppm over decoded PCM
+    (audio), frame count from the cross-validated AVI demux (video) —
+    composed into one five-rule keep flag.  One Arrow-batched decode
+    stage emitting seven ints per doc; ppm math and the conjunction
+    are codegen'd column expressions.  Oracle: the three shared law
+    CTEs, prefix-namespaced into one WITH block."""
+    return mmquality.multimodal_quality_gate(_docs(spark, sf_dir))
 
 
 @register(

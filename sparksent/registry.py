@@ -72,7 +72,8 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_audio_fingerprint",
     "dedup_video_framehash",
     "dedup_multimodal_keep_set",
-    # slot 7+: latest green driver row is r05
+    "multimodal_quality_gate",
+    # slot 8+: latest green driver row is r05
     "ewma_user_value",
     "attribution_first_touch",
     "unpivot_user_metrics",
@@ -109,15 +110,15 @@ _PRIORITY: tuple[str, ...] = (
     "entity_resolution_parts",
     "churn_training_set",
     "item_similarity_jaccard",
-    # slot 43+: latest green driver row is r07
+    # slot 44+: latest green driver row is r07
     "dedup_exact_normalized",
     "supplier_lead_time",
     "survival_km_error",
     "backtest_seasonal_naive",
     "doc_sentiment_frozen_margin",
     "bpe_encode_documents",
-    "semdedup_embeddings",
-    "sample_token_budget",  # --- driver window ends here (50) ---
+    "semdedup_embeddings",  # --- driver window ends here (50) ---
+    "sample_token_budget",
     "dedup_cdc_chunks",
     "daily_median_value",
     "asof_view_next_purchase",
@@ -159,7 +160,7 @@ _PRIORITY: tuple[str, ...] = (
     "embedding_quantize_error",
     "tpch_q1_pricing",
     "tpch_q3_shipping",
-    # slot 92+: latest green driver row is r08
+    # slot 93+: latest green driver row is r08
     "session_concurrency_capped",
     "corpus_curation_pipeline",
     "dedup_span_8gram",
@@ -210,7 +211,7 @@ _PRIORITY: tuple[str, ...] = (
     "category_opinion_cumulative",
     "toxic_user_nlp_cw10",
     "json_field_stats",
-    # slot 142+: latest green driver row is r10
+    # slot 143+: latest green driver row is r10
     "similarity_topk_ivf_trained",
     "multimodal_resample_pixels",
     "multimodal_frame_decode_sampled",

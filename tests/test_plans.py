@@ -1266,6 +1266,18 @@ def test_video_framehash_equi_join(spark):
     assert "BroadcastHashJoin" not in plan
 
 
+def test_multimodal_quality_gate_single_pass(spark):
+    """The media gate must be one scan -> one Arrow decode stage ->
+    row-local math: no joins (the three modalities fuse inside the
+    Python stage, not via plan-level joins), at most the rebalance
+    exchange, no row-at-a-time Python."""
+    plan = plan_of(spark, "multimodal_quality_gate")
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
+    assert count_data_shuffles(plan) <= 1  # the rebalance repartition
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+
+
 def test_multimodal_embed_topk_search_stage(spark):
     """The multimodal -> ANN composition keeps the trained-IVF search
     contract over pixel-derived vectors: the candidate stage is a
