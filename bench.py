@@ -239,6 +239,8 @@ HEADLINE = [
     "dedup_video_framehash",
     "dedup_multimodal_keep_set",
     "multimodal_quality_gate",
+    "dedup_winnowing",
+    "similarity_topk_sq8",
 ]
 
 # Timed and reported, but excluded from the headline sum: cost dominated

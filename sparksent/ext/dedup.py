@@ -1396,3 +1396,182 @@ def span_dup_extents_sql(
            (max(p) - min(p) + {w})::BIGINT AS span_len
     FROM dpos GROUP BY id, grp
     """
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD 2003 — MOSS)
+# ---------------------------------------------------------------------------
+
+WINNOW_K = 4  # gram width in words (MOSS uses char k-grams on source
+#               code; the fixture corpus is word soup, so word grams —
+#               consistent with the span-dedup family above)
+WINNOW_W = 4  # winnowing window in hashes: any shared verbatim run of
+#               >= k + w - 1 = 7 words is GUARANTEED to share at least
+#               one selected fingerprint (the paper's detection bound)
+WINNOW_MAX_DF = 200  # hot-fingerprint cap (the stop-shingle escalation)
+WINNOW_MIN_SHARED = 2  # pair emission floor: one shared fingerprint is
+#                        the noise regime on a small-vocabulary corpus
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al. 2003): slide a
+    window of ``w`` consecutive word-``k``-gram hashes over each
+    document and select the RIGHTMOST MINIMUM hash of every window; the
+    distinct selected (hash, position) set is the fingerprint.  Unlike
+    "every gram" (span_dup_stats) this samples ~2/(w+1) of positions
+    while guaranteeing any shared run of k+w-1 words is caught, and
+    unlike "global mod-p sampling" the selection is position-local, so
+    the density guarantee holds inside EVERY window (the paper's core
+    argument vs 0-mod-p fingerprinting).
+
+    Relational form: the rightmost-min of each window is ONE window
+    aggregate — ``min(struct(gh, -p))`` over ``ROWS BETWEEN CURRENT ROW
+    AND w-1 FOLLOWING`` picks the smallest hash and, among ties, the
+    largest position (struct ordering is lexicographic; Spark and DuckDB
+    agree bit-for-bit, verified by the registered oracle).  Window
+    starts with fewer than ``w`` hashes are invalid EXCEPT start 0 when
+    the whole document has fewer than ``w`` grams — then the single
+    all-grams window fingerprints the short doc (mirrors the
+    word_ngrams short-text contract).
+
+    Plan/scale: one posexplode (corpus-token-linear, grams leave as h60
+    hashes immediately); the selection window partitions by document and
+    sorts by position, so its cost is bounded by document length, never
+    corpus-global; output is ~2/(w+1) of gram positions — the shuffle
+    REDUCTION is the point of winnowing at 100 TB.
+    """
+    from .curation import word_ngrams
+
+    pos = rebalance(df).select(
+        F.col(id_col).alias("id"),
+        F.posexplode(word_ngrams(text_col, k)).alias("p", "g"),
+    ).select("id", "p", h60(F.col("g")).alias("gh"))
+    frame = (
+        Window.partitionBy("id").orderBy("p").rowsBetween(Window.currentRow, w - 1)
+    )
+    sel = F.min(F.struct(F.col("gh"), (-F.col("p")).alias("np"))).over(frame)
+    cnt = F.count(F.lit(1)).over(frame)
+    return (
+        pos.select("id", "p", sel.alias("sel"), cnt.alias("cnt"))
+        .filter((F.col("cnt") == w) | ((F.col("p") == 0) & (F.col("cnt") < w)))
+        .select(
+            "id",
+            F.col("sel.gh").alias("gh"),
+            (-F.col("sel.np")).cast("long").alias("fp_pos"),
+        )
+        .distinct()
+    )
+
+
+def winnowing_pairs(
+    df: DataFrame,
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    min_shared: int = WINNOW_MIN_SHARED,
+    max_df: int | None = WINNOW_MAX_DF,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Candidate near-duplicate pairs from shared winnowing
+    fingerprints: (id_a < id_b, n_shared) where n_shared counts DISTINCT
+    fingerprint hashes the two documents both selected, >= min_shared.
+
+    The pair stage is the inverted-index shape of ngram_jaccard_pairs —
+    docs meet only on shared fingerprint hashes — but the index is the
+    winnowed ~2/(w+1) sample, not every gram: the same guarantee-backed
+    candidate recall at a fraction of the index shuffle.  Hot
+    fingerprints (a ubiquitous phrase) leave via the broadcast anti-join
+    BEFORE the self-join (the stop-shingle escalation; hot set is
+    <= occurrences/max_df rows by construction).
+    """
+    # Materialize the winnowed index ONCE, before the cap: the
+    # selection window is the expensive stage and has THREE consumers
+    # (the hot-fingerprint aggregate and both self-join sides); the
+    # stored frame is two longs per fingerprint — the cheap side of the
+    # recompute-vs-store trade (minhash_lsh_pairs precedent).
+    fps = (
+        winnowing_fingerprints(df, k, w, id_col, text_col)
+        .select("id", "gh")
+        .distinct()
+        .localCheckpoint()
+    )
+    if max_df is not None:
+        hot = (
+            fps.groupBy("gh")
+            .agg(F.count("*").alias("df_cnt"))
+            .filter(F.col("df_cnt") > max_df)
+            .select("gh")
+        )
+        fps = fps.join(F.broadcast(hot), "gh", "left_anti")
+    left = fps.select(F.col("id").alias("id_a"), "gh")
+    right = fps.select(F.col("id").alias("id_b"), "gh")
+    # shuffle_hash: both sides descend from the localCheckpoint whose
+    # stats read SMALL while the frame is corpus-sized — the static
+    # planner would BROADCAST the build side (driver OOM at 100 TB, the
+    # round-6 audit failure mode).
+    return (
+        left.join(right.hint("shuffle_hash"), "gh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def winnowing_pairs_sql(
+    table: str = "documents",
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    min_shared: int = WINNOW_MIN_SHARED,
+    max_df: int | None = WINNOW_MAX_DF,
+    id_col: str = "doc_id",
+    text: str = "text",
+) -> str:
+    """DuckDB mirror: same gram CTE (word_ngrams_sql + h60), same
+    ``min(struct)`` rightmost-min window (DuckDB struct ordering matches
+    Spark's — lexicographic by field), same short-doc single-window rule,
+    same hot-fingerprint cap and distinct-hash pair count."""
+    from .curation import word_ngrams_sql
+
+    cap = (
+        f"""
+    fps AS (
+      SELECT * FROM fps0 WHERE gh NOT IN (
+        SELECT gh FROM fps0 GROUP BY gh HAVING count(*) > {max_df}
+      )
+    ),"""
+        if max_df is not None
+        else "\n    fps AS (SELECT * FROM fps0),"
+    )
+    return f"""
+    WITH pos AS (
+      SELECT id, gi.i - 1 AS p, {h60_sql('gs[gi.i]')} AS gh
+      FROM (SELECT {id_col} AS id, {word_ngrams_sql(text, k)} AS gs FROM {table}),
+           LATERAL (SELECT unnest(generate_series(1, len(gs))) AS i) gi
+    ),
+    sel AS (
+      SELECT id, p,
+             min({{'gh': gh, 'np': -p}}) OVER fw AS s,
+             count(*) OVER fw AS cnt
+      FROM pos
+      WINDOW fw AS (PARTITION BY id ORDER BY p
+                    ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING)
+    ),
+    fps0 AS (
+      SELECT DISTINCT id, s.gh AS gh
+      FROM sel WHERE cnt = {w} OR (p = 0 AND cnt < {w})
+    ),{cap}
+    pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*)::BIGINT AS n_shared
+      FROM fps a JOIN fps b USING (gh)
+      WHERE a.id < b.id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, n_shared FROM pairs WHERE n_shared >= {min_shared}
+    """

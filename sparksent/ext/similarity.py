@@ -1753,3 +1753,214 @@ def semdedup_auto_sql(
         lambda k: semdedup_sql(table, k, iters, threshold, id_col, vec_col),
         windows=_semdedup_k_windows(),
     )
+
+
+# ---------------------------------------------------------------------------
+# SQ8: per-dimension scalar quantization (FAISS ScalarQuantizer QT_8bit
+# shape) + refined search — completes the quantization family alongside
+# PQ (subspace codebooks): SQ stores one byte per DIMENSION with a
+# per-dimension affine dequantizer, trading PQ's higher compression for
+# a much cheaper (table-free) asymmetric distance.
+# ---------------------------------------------------------------------------
+
+SQ_LEVELS = 255  # 8-bit code range [0, 255]
+SQ_REFINE = 40  # exact re-rank budget, matching PQ_REFINE
+
+
+def _idot(a: Column, b: Column) -> Column:
+    """Exact BIGINT dot of two integer arrays (scaled domain: values
+    ~1e6, squares ~1e12, 64-dim sums ~1e14 — well inside BIGINT)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def sq8_minmax(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """ONE row: (mns, mxs) — per-dimension min/max of the scaled-integer
+    vectors (the SQ trained parameters).  dims x 2 longs, always
+    broadcastable; exact integers, so both engines train identically."""
+    return (
+        pq_scaled(emb, id_col, vec_col)
+        .select(F.posexplode("v").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "mn", "mx"))).alias("pm"))
+        .select(
+            F.expr("transform(pm, s -> s.mn)").alias("mns"),
+            F.expr("transform(pm, s -> s.mx)").alias("mxs"),
+        )
+    )
+
+
+def sq8_dequant(
+    emb: DataFrame,
+    levels: int = SQ_LEVELS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, xh, cn2): each vector quantized to its 8-bit code and
+    immediately dequantized back into the scaled-integer domain —
+    xh[i] = mn[i] + (code[i] * (mx[i] - mn[i])) div levels with
+    code[i] = ((x[i] - mn[i]) * levels) div (mx[i] - mn[i]) — plus the
+    BIGINT squared norm of the reconstruction.  All arithmetic is
+    integer floor-div on non-negative operands, bit-exact in both
+    engines; `least(..., levels)` clamps the x = mx edge.  The affine
+    params join as a broadcast ONE-ROW frame (the repo's one-row
+    crossJoin pattern)."""
+    xs = pq_scaled(emb, id_col, vec_col)
+    code = (
+        f"transform(v, (x, i) -> least(((x - mns[i]) * {levels})"
+        f" div greatest(mxs[i] - mns[i], 1), {levels}))"
+    )
+    deq = (
+        f"transform({code}, (q, i) -> mns[i] + (q * (mxs[i] - mns[i]))"
+        f" div {levels})"
+    )
+    return (
+        xs.crossJoin(F.broadcast(sq8_minmax(emb, id_col, vec_col)))
+        .select("id", F.expr(deq).alias("xh"))
+        .select("id", "xh", F.greatest(_idot("xh", "xh"), F.lit(1).cast("long")).alias("cn2"))
+    )
+
+
+def sq8_refine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    refine: int = SQ_REFINE,
+    levels: int = SQ_LEVELS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SQ8 search with exact refinement: rank the WHOLE corpus per query
+    by the integer-reconstruction cosine (BIGINT dot + two BIGINT
+    norms, one double division — no raw-vector float math), keep the
+    top-``refine``, and exact-cosine re-rank only those against the raw
+    vectors (the ivfpq_refine_topk cascade, with SQ's table-free
+    asymmetric distance instead of PQ LUTs).
+
+    Plan shape: the search stage crossJoins the BROADCAST scaled query
+    set against the dequantized codes — shuffle-free scoring, one
+    per-query window for the top-R cut; the raw-vector fetch joins the
+    bounded n_queries x refine candidate set by broadcast.  At 100 TB
+    the search scan reads 8-byte reconstructions (one byte stored per
+    dim in a real SQ index), never floats; the float stage is bounded.
+    """
+    qs = pq_scaled(queries, id_col, vec_col).select(
+        F.col("id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.greatest(_idot("v", "v"), F.lit(1).cast("long")).alias("qn2"),
+    )
+    cand = (
+        sq8_dequant(corpus, levels, id_col, vec_col)
+        .crossJoin(F.broadcast(qs))
+        .filter(F.col("id") != F.col("query_id"))
+        .withColumn(
+            "sim_q",
+            _idot("qv", "xh").cast("double")
+            / (F.sqrt(F.col("qn2").cast("double")) * F.sqrt(F.col("cn2").cast("double"))),
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("sim_q").desc(), F.col("id"))
+    topr = (
+        cand.withColumn("rq", F.row_number().over(wq))
+        .filter(F.col("rq") <= refine)
+        .select("query_id", F.col("id").alias("neighbor_id"))
+    )
+    qn = queries.select(
+        F.col(id_col).cast("long").alias("query_id"),
+        F.col(vec_col).alias("qvf"),
+        norm(F.col(vec_col)).alias("nq"),
+    )
+    cn = corpus.select(
+        F.col(id_col).cast("long").alias("neighbor_id"),
+        F.col(vec_col).alias("cvf"),
+        norm(F.col(vec_col)).alias("nc"),
+    )
+    scored = (
+        cn.join(F.broadcast(topr), "neighbor_id")
+        .join(F.broadcast(qn), "query_id")
+        .withColumn(
+            "sim", dot_arrow(F.col("qvf"), F.col("cvf")) / (F.col("nq") * F.col("nc"))
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("sim", 6).alias("sim_r"))
+    )
+
+
+def sq8_refine_topk_sql(
+    table: str = "embeddings",
+    k: int = 5,
+    refine: int = SQ_REFINE,
+    n_queries: int = 10,
+    levels: int = SQ_LEVELS,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+) -> str:
+    """DuckDB mirror: identical scaled-integer train/encode/dequantize
+    (1-based comprehensions aligned with Spark's 0-based transform
+    indices), identical BIGINT dots, same double ranking key and exact
+    re-rank tail."""
+    idot = f"list_sum([{{a}}[i] * {{b}}[i] FOR i IN generate_series(1, {dim})])"
+
+    def idot_of(a, b):
+        return idot.format(a=a, b=b)
+
+    code = (
+        f"[least(((v[i] - mns[i]) * {levels}) // greatest(mxs[i] - mns[i], 1),"
+        f" {levels}) FOR i IN generate_series(1, {dim})]"
+    )
+    return f"""
+    WITH xs AS (
+      SELECT {id_col}::BIGINT AS id,
+             list_transform({vec}, x -> floor(x::DOUBLE * {float(PQ_SCALE)!r})::BIGINT) AS v
+      FROM {table}),
+    mm AS (
+      SELECT list(mn ORDER BY pos) AS mns, list(mx ORDER BY pos) AS mxs
+      FROM (SELECT pos, min(x) AS mn, max(x) AS mx
+            FROM (SELECT generate_subscripts(v, 1) AS pos, unnest(v) AS x FROM xs)
+            GROUP BY pos)),
+    cd AS (
+      SELECT id, {code} AS q FROM xs, mm),
+    xh AS (
+      SELECT id,
+             [mns[i] + (q[i] * (mxs[i] - mns[i])) // {levels}
+              FOR i IN generate_series(1, {dim})] AS xh
+      FROM cd, mm),
+    cn AS (
+      SELECT id, xh, greatest({idot_of('xh', 'xh')}, 1)::BIGINT AS cn2 FROM xh),
+    qs AS (
+      SELECT id AS query_id, v AS qv,
+             greatest({idot_of('v', 'v')}, 1)::BIGINT AS qn2
+      FROM xs WHERE id < {n_queries}),
+    cand AS (
+      SELECT qs.query_id, cn.id AS neighbor_id,
+             {idot_of('qv', 'xh')}::DOUBLE / (sqrt(qn2::DOUBLE) * sqrt(cn2::DOUBLE)) AS sim_q
+      FROM cn, qs WHERE cn.id <> qs.query_id),
+    topr AS (
+      SELECT query_id, neighbor_id
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY sim_q DESC, neighbor_id) AS rq
+            FROM cand)
+      WHERE rq <= {refine}),
+    re AS (
+      SELECT t.query_id, t.neighbor_id,
+             {cosine_sql(f'q.{vec}', f'c.{vec}')} AS sim
+      FROM topr t
+      JOIN {table} q ON q.{id_col} = t.query_id
+      JOIN {table} c ON c.{id_col} = t.neighbor_id)
+    SELECT query_id, neighbor_id, rank, round(sim, 6) AS sim_r
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY sim DESC, neighbor_id) AS rank
+          FROM re)
+    WHERE rank <= {k}
+    """

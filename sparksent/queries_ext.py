@@ -218,6 +218,26 @@ def q_topk_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "similarity_topk_sq8",
+    oracle=similarity.sq8_refine_topk_sql(k=TOPK, n_queries=N_QUERIES),
+    tags=("ext", "similarity"),
+)
+def q_topk_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized (SQ8) search with exact refinement — the FAISS
+    ScalarQuantizer counterpart to the PQ family: one byte per
+    DIMENSION with a per-dimension affine dequantizer (trained min/max
+    in the scaled-integer domain, one broadcast row), candidates ranked
+    by the table-free integer-reconstruction cosine, top-40 re-ranked
+    by exact cosine against raw vectors.  All quantization arithmetic
+    is non-negative integer floor-div — bit-exact in both engines; the
+    float stage is bounded at refine rows/query."""
+    emb = _emb(spark, sf_dir)
+    return similarity.sq8_refine_topk(
+        emb, emb.filter(F.col("vec_id") < N_QUERIES), k=TOPK
+    )
+
+
+@register(
     "similarity_topk_ivfpq_refine",
     oracle=similarity.ivfpq_refine_auto_sql(k=TOPK, n_queries=N_QUERIES),
     tags=("ext", "similarity"),
@@ -1859,6 +1879,25 @@ def q_multimodal_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     leave the decode workers; the index search stage moves cells and
     72-double vectors, plan-gated like similarity_topk_ivf_trained."""
     return imagedup.image_embed_topk(_docs(spark, sf_dir))
+
+
+@register(
+    "dedup_winnowing",
+    oracle=dedup.winnowing_pairs_sql(),
+    tags=("ext", "dedup", "curation"),
+)
+def q_dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-fingerprint near-dup pairs (Schleimer et al. 2003, the
+    MOSS algorithm): rightmost-min-of-window selection over word-4-gram
+    hashes samples ~2/(w+1) of positions while GUARANTEEING any shared
+    verbatim run of >= 7 words is caught — the guarantee-backed middle
+    ground between every-gram span dedup (dedup_span_8gram, full index
+    cost) and MinHash (dedup_minhash_lsh, whole-doc similarity only).
+    The selection is one per-document window aggregate (min(struct(gh,
+    -p)), doc-bounded sort); the pair stage is the capped inverted
+    index — docs meet only on shared fingerprints, hot fingerprints
+    leave via a broadcast anti-join before the self-join."""
+    return dedup.winnowing_pairs(_docs(spark, sf_dir))
 
 
 @register(

@@ -57,15 +57,14 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 #
 # Round-11 window, regenerated PURELY mechanically by
 # tools/regen_priority.py from CORRECTNESS_r01..r10.json — zero hand
-# insertions (VERDICT r10 ask #1): the two round-10 registrations
-# (never driver-checked) lead, then the 36 names whose latest green
+# insertions (VERDICT r10 ask #1): every registration without a green
+# driver row leads (the round-10 pair plus all round-11 additions,
+# dedup_winnowing included), then the 36 names whose latest green
 # driver row is round 5, then the oldest round-7 names up to the
 # 50-slot boundary; remainder oldest-first.  After this window
 # verifies, no name's latest driver row is older than r07.
 _PRIORITY: tuple[str, ...] = (
-    # slot 1+: no green driver row yet (incl. the round-11
-    # registrations multimodal_embed_topk, dedup_audio_fingerprint,
-    # dedup_video_framehash)
+    # slot 1+: no green driver row yet
     "dedup_image_phash",
     "dedup_span_extents",
     "multimodal_embed_topk",
@@ -73,7 +72,9 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_video_framehash",
     "dedup_multimodal_keep_set",
     "multimodal_quality_gate",
-    # slot 8+: latest green driver row is r05
+    "dedup_winnowing",
+    "similarity_topk_sq8",
+    # slot 10+: latest green driver row is r05
     "ewma_user_value",
     "attribution_first_touch",
     "unpivot_user_metrics",
@@ -110,14 +111,14 @@ _PRIORITY: tuple[str, ...] = (
     "entity_resolution_parts",
     "churn_training_set",
     "item_similarity_jaccard",
-    # slot 44+: latest green driver row is r07
+    # slot 46+: latest green driver row is r07
     "dedup_exact_normalized",
     "supplier_lead_time",
     "survival_km_error",
     "backtest_seasonal_naive",
-    "doc_sentiment_frozen_margin",
+    "doc_sentiment_frozen_margin",  # --- driver window ends here (50) ---
     "bpe_encode_documents",
-    "semdedup_embeddings",  # --- driver window ends here (50) ---
+    "semdedup_embeddings",
     "sample_token_budget",
     "dedup_cdc_chunks",
     "daily_median_value",
@@ -160,7 +161,7 @@ _PRIORITY: tuple[str, ...] = (
     "embedding_quantize_error",
     "tpch_q1_pricing",
     "tpch_q3_shipping",
-    # slot 93+: latest green driver row is r08
+    # slot 95+: latest green driver row is r08
     "session_concurrency_capped",
     "corpus_curation_pipeline",
     "dedup_span_8gram",
@@ -211,7 +212,7 @@ _PRIORITY: tuple[str, ...] = (
     "category_opinion_cumulative",
     "toxic_user_nlp_cw10",
     "json_field_stats",
-    # slot 143+: latest green driver row is r10
+    # slot 145+: latest green driver row is r10
     "similarity_topk_ivf_trained",
     "multimodal_resample_pixels",
     "multimodal_frame_decode_sampled",
@@ -263,6 +264,8 @@ _PRIORITY: tuple[str, ...] = (
     "lm_bigram_score",
     "bm25_topk",
 )
+
+# window summary: 9 never-checked + 41 stale (oldest tier inside: r05); 144 names spill past the window
 
 
 def _ordered() -> list[Query]:

@@ -34,6 +34,8 @@ from .neardup import (  # noqa: F401
     streaming_neardup_candidates,
     video_framehash_admit_batch,
     video_framehash_band_index,
+    winnowing_admit_batch,
+    winnowing_band_index,
     write_neardup_index,
 )
 from .count_window import (  # noqa: F401

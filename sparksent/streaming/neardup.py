@@ -591,3 +591,95 @@ def image_phash_admit_batch(
         score_name="hamming",
         keep=lambda s: s <= max_hamming,
     )
+
+
+def winnowing_band_index(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The winnowing analog of :func:`minhash_band_index`: every corpus
+    document's winnowed fingerprint SET as (band=0, bsig=fingerprint
+    hash, corpus_id, corpus_sig=sorted fingerprint array) — each
+    fingerprint is its own band (there is no positional band structure;
+    the constant band still spreads buckets because the bucket key
+    hashes (band, bsig)).  The carried sig array is bounded by document
+    length (~2/(w+1) of gram positions), so index rows stay
+    doc-bounded; seed at rest with :func:`write_neardup_index`."""
+    from ..ext.dedup import winnowing_fingerprints
+
+    fps = (
+        winnowing_fingerprints(docs.select(F.col(id_col).alias("doc_id"), text_col))
+        .select("id", "gh")
+        .distinct()
+    )
+    sigs = fps.groupBy("id").agg(F.array_sort(F.collect_set("gh")).alias("sig"))
+    return sigs.select(
+        "id", "sig", F.explode("sig").alias("bsig")
+    ).select(
+        F.lit(0).alias("band"),
+        "bsig",
+        F.col("id").alias("corpus_id"),
+        F.col("sig").alias("corpus_sig"),
+    )
+
+
+def winnowing_shared(sig_a, sig_b):
+    """Pair score for the winnowing modality: the number of DISTINCT
+    fingerprint hashes both documents selected (sig arrays are distinct
+    and sorted by construction)."""
+    return F.size(F.array_intersect(sig_a, sig_b)).cast("long")
+
+
+def winnowing_admit_batch(
+    batch_df: DataFrame,
+    index_path: str,
+    out_path: str,
+    min_shared: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    batch_id: int,
+    n_buckets: int = NEARDUP_INDEX_BUCKETS,
+) -> None:
+    """Incremental TEXT dedup on winnowing fingerprints — the fifth
+    binding of the hash-agnostic admission core (after MinHash, image,
+    audio, video): per micro-batch, winnow each document's fingerprint
+    set (one per-doc window aggregate), probe the accumulated bucketed
+    index on the fingerprint hash, self-join within the batch, emit
+    (id_lo, id_hi, n_shared) pairs with n_shared >= min_shared, merge
+    the batch's fingerprints into the index.  Across a stream the
+    emitted pair set equals the UNCAPPED batch
+    ``winnowing_pairs(max_df=None)`` over the accumulated corpus
+    (pinned by tests/test_streaming_equivalence.py): the admission
+    loop has no df-cap stage — per-batch band keys are bounded by the
+    batch, and the corpus-wide hot set the batch cap models is a
+    periodic index-side rebuild concern, not a per-batch one.  All
+    replay/corrupt-index/bucket-pruning behavior is the shared core's
+    (:func:`_admit_bands`)."""
+    from ..ext.dedup import WINNOW_MIN_SHARED, winnowing_fingerprints
+
+    if min_shared is None:
+        min_shared = WINNOW_MIN_SHARED
+    fps = (
+        winnowing_fingerprints(
+            batch_df.select(F.col(id_col).alias("doc_id"), text_col)
+        )
+        .select("id", "gh")
+        .distinct()
+    )
+    sigs = fps.groupBy("id").agg(
+        F.array_sort(F.collect_set("gh")).alias("sig")
+    ).localCheckpoint()  # winnow once; bands/probe/merge all consume it
+    band_rows = sigs.select(
+        "id", "sig", F.explode("sig").alias("bsig")
+    ).select("id", "sig", F.lit(0).alias("band"), "bsig")
+    _admit_bands(
+        batch_df.sparkSession,
+        band_rows,
+        index_path,
+        out_path,
+        batch_id=batch_id,
+        n_buckets=n_buckets,
+        score=winnowing_shared,
+        score_name="n_shared",
+        keep=lambda s: s >= min_shared,
+    )

@@ -1291,3 +1291,56 @@ def test_multimodal_embed_topk_search_stage(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert re.search(r"keys \[1\]: \[cell#", plan), "cell equi-join missing"
     assert "BatchEvalPython" not in plan
+
+
+def test_winnowing_inverted_index_join(spark):
+    """dedup_winnowing's scale contract: the pair stage is an EQUI-join
+    on the winnowed fingerprint hash over the localCheckpointed index —
+    never all-pairs — with the hot-fingerprint cap leaving via a
+    broadcast anti-join BEFORE the pair shuffle, and the selection
+    window partitioned per document (no corpus-global sort). The
+    checkpoint-descended join sides must never broadcast (lying
+    LogicalRDD stats — the round-6/round-11 audit hazard)."""
+    plan = plan_of(spark, "dedup_winnowing")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan  # pure built-in pipeline
+    assert re.search(r"Left keys \[1\]: \[gh#\d+L\]", plan), (
+        "fingerprint equi-join missing"
+    )
+    assert "LeftAnti" in plan  # df cap before the pair shuffle
+    assert "BroadcastHashJoin Inner" not in plan
+    # selection window partitions by document, not globally (asserted on
+    # the fingerprint stage's own plan — the registered query
+    # localCheckpoints it, which hides the window behind a LogicalRDD)
+    from sparksent.ext.dedup import winnowing_fingerprints
+    from sparksent.tables import load_table
+
+    fp = winnowing_fingerprints(load_table(spark, SF_DIR, "documents"))
+    fp_plan = fp._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert re.search(r"windowspecdefinition\(id#\d+L, p#\d+", fp_plan), (
+        "per-doc window partition missing"
+    )
+    assert "CartesianProduct" not in fp_plan and "Join" not in fp_plan
+
+
+def test_sq8_search_integer_rank_bounded_float(spark):
+    """SQ8 search's load-bearing plan properties: the corpus-wide
+    ranking runs on INTEGER reconstructions (no Arrow/Python float math
+    before the top-R cut — the one ArrowEvalPython is the bounded
+    refine stage, and it sits ABOVE the top-R WindowGroupLimit); the
+    only cross joins are the two broadcast ones (the one-row min/max
+    params and the n_queries scaled probe set); rank limits push into
+    the shuffle as WindowGroupLimit."""
+    plan = plan_of(spark, "similarity_topk_sq8")
+    assert "CartesianProduct" not in plan
+    assert plan.count("Join type: Cross") == 2  # one-row params + probe set
+    assert len(re.findall(r"\(\d+\) ArrowEvalPython", plan)) == 1  # float on top-R only
+    assert "WindowGroupLimit" in plan
+    arrow_id = int(re.search(r"\((\d+)\) ArrowEvalPython", plan).group(1))
+    topr_id = min(
+        int(m) for m in re.findall(r"\((\d+)\) WindowGroupLimit", plan)
+    )
+    assert arrow_id > topr_id, "float stage must follow the integer top-R cut"

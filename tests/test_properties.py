@@ -1891,3 +1891,144 @@ def test_span_extents_reconcile_with_span_stats(spark):
         assert sum(ln - w + 1 for _, ln in ss) == n_dup[doc], doc
     # docs with zero dup grams emit no span rows
     assert all(n == 0 for d, n in n_dup.items() if d not in spans)
+
+
+def test_winnowing_guarantee_and_planted_structure(spark):
+    """Winnowing's paper guarantees (Schleimer et al. 2003), pinned on
+    a corpus with known structure:
+
+    1. DETECTION: any two documents sharing a verbatim run of
+       >= k + w - 1 words share at least one fingerprint (the shared
+       run contains one FULL window of identical gram hashes; the
+       rightmost-min of a window depends only on hashes INSIDE it, so
+       both documents select the same gram) — planted as doc pairs
+       sharing exactly a 7-word run inside otherwise-disjoint
+       vocabulary, asserted at min_shared=1.
+    2. DENSITY/COVERAGE: every window of w consecutive gram positions
+       selects >= 1 fingerprint, so per document the first selected
+       position is < w and no gap between consecutive selected
+       positions exceeds w.
+    3. NO FALSE PAIRS: documents with fully disjoint vocabulary share
+       nothing.
+    4. FULL COPIES: byte-identical documents share EVERY fingerprint
+       hash, so they pair with n_shared = their fingerprint count.
+    """
+    from sparksent.ext.dedup import (
+        WINNOW_K,
+        WINNOW_W,
+        winnowing_fingerprints,
+        winnowing_pairs,
+    )
+
+    k, w = WINNOW_K, WINNOW_W
+
+    def words(ns, n):
+        return " ".join(f"{ns}w{(j * 7 + 3) % n}x{j}" for j in range(n))
+
+    rows = []
+    # 10 pairs, each sharing its OWN exactly-7-word run at different
+    # offsets (a shared run across pairs would make cross-pair matches
+    # genuine winnowing output, not false pairs)
+    for i in range(10):
+        run = " ".join(f"shared{i}q{j}" for j in range(k + w - 1))
+        a = words(f"a{i}", 20) + " " + run + " " + words(f"b{i}", 15)
+        b = words(f"c{i}", 5) + " " + run + " " + words(f"d{i}", 30)
+        rows += [(1000 + 2 * i, a), (1000 + 2 * i + 1, b)]
+    # 5 exact-copy pairs
+    for i in range(5):
+        t = words(f"e{i}", 40)
+        rows += [(2000 + 2 * i, t), (2000 + 2 * i + 1, t)]
+    # 20 unrelated docs (disjoint vocabulary)
+    rows += [(3000 + i, words(f"u{i}", 35)) for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # (1) detection guarantee at min_shared=1 + (3) no false pairs
+    pairs = {
+        (r.id_a, r.id_b): r.n_shared
+        for r in winnowing_pairs(docs, min_shared=1).collect()
+    }
+    for i in range(10):
+        assert (1000 + 2 * i, 1000 + 2 * i + 1) in pairs, f"run pair {i} missed"
+    for a, b in pairs:
+        assert (a // 1000, a // 2) == (b // 1000, b // 2), f"false pair {(a, b)}"
+
+    # (4) exact copies share every fingerprint hash
+    fps = winnowing_fingerprints(docs).collect()
+    by_doc: dict[int, set] = {}
+    pos_by_doc: dict[int, list] = {}
+    for r in fps:
+        by_doc.setdefault(r.id, set()).add(r.gh)
+        pos_by_doc.setdefault(r.id, []).append(r.fp_pos)
+    for i in range(5):
+        a, b = 2000 + 2 * i, 2000 + 2 * i + 1
+        assert by_doc[a] == by_doc[b]
+        assert pairs[(a, b)] == len(by_doc[a])
+
+    # (2) density: first selection < w, max gap <= w
+    for doc_id, ps in pos_by_doc.items():
+        ps = sorted(ps)
+        assert ps[0] < w, f"doc {doc_id}: first fingerprint at {ps[0]}"
+        gaps = [b - a for a, b in zip(ps, ps[1:])]
+        assert all(g <= w for g in gaps), f"doc {doc_id}: gap > w"
+
+
+def test_sq8_quantization_laws_and_recall(spark):
+    """SQ8's capability claims:
+
+    - QUANTIZATION LAW: every dequantized component lies within one
+      quantization step of its input (|xh - x| <= ceil(range/levels)),
+      codes span [0, levels], and the x = min / x = max edges hit code
+      0 / levels exactly.
+    - RECALL: on the fixture corpus the integer-reconstruction ranking
+      plus exact top-40 re-rank recovers the ENTIRE exact top-5 set
+      (measured 1.0 — 255 levels on 64 dims leaves quantization error
+      far below inter-neighbor distance gaps at fixture scale; floor
+      asserted at 0.95 for corpus drift).
+    """
+    from pyspark.sql import functions as F
+
+    from sparksent.ext.similarity import (
+        SQ_LEVELS,
+        brute_force_topk,
+        pq_scaled,
+        sq8_dequant,
+        sq8_refine_topk,
+    )
+    from sparksent.tables import load_table
+
+    from conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    xs = pq_scaled(emb).select("id", F.posexplode("v").alias("pos", "x"))
+    xh = sq8_dequant(emb).select("id", F.posexplode("xh").alias("pos", "xh"))
+    rng = xs.groupBy("pos").agg(
+        F.min("x").alias("mn"), F.max("x").alias("mx")
+    )
+    err = (
+        xs.join(xh, ["id", "pos"])
+        .join(rng, "pos")
+        .select(
+            (F.abs(F.col("xh") - F.col("x"))
+             - (F.ceil((F.col("mx") - F.col("mn")) / F.lit(SQ_LEVELS)))).alias("over"),
+            ((F.col("x") == F.col("mn")) & (F.col("xh") != F.col("mn"))).alias("bad_min"),
+            ((F.col("x") == F.col("mx")) & (F.col("xh") != F.col("mx"))).alias("bad_max"),
+        )
+        .agg(
+            F.max("over").alias("worst"),
+            F.sum(F.col("bad_min").cast("int")).alias("n_bad_min"),
+            F.sum(F.col("bad_max").cast("int")).alias("n_bad_max"),
+        )
+        .first()
+    )
+    assert err.worst <= 0, f"dequant error exceeds one step by {err.worst}"
+    assert err.n_bad_min == 0 and err.n_bad_max == 0, "min/max edges must be exact"
+
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.neighbor_id) for r in brute_force_topk(emb, q).collect()
+    }
+    got = {
+        (r.query_id, r.neighbor_id) for r in sq8_refine_topk(emb, q).collect()
+    }
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.95, f"SQ8 recall {recall}"

@@ -1949,3 +1949,64 @@ def test_video_framehash_admission_loop(spark, tmp_path):
     # new-vs-new class surfaces: odd-odd pairs are always v1-vs-v3,
     # agreement exactly (kk-1)/kk < 1
     assert any(a % 2 == 1 and b % 2 == 1 and s < 1.0 for a, b, s in got)
+
+
+def test_winnowing_admission_loop(spark, tmp_path):
+    """The admission loop bound to WINNOWING fingerprints (the fifth
+    binding — every dedup signature family now streams): seed the
+    bucketed index with even-id documents, replay odd ids in 3
+    micro-batches through winnowing_admit_batch, and require the
+    accumulated emissions to equal the uncapped batch
+    winnowing_pairs(max_df=None) over all documents minus the
+    even-even pairs (indexed, never admitted).  Exercises vs-index,
+    intra-batch, and vs-accumulated-index candidate classes (the
+    fixture's near-dup ids land in different parity/batch cells)."""
+    from pyspark.sql import types as T
+
+    from sparksent.ext.dedup import winnowing_pairs
+    from sparksent.streaming import (
+        winnowing_admit_batch,
+        winnowing_band_index,
+        write_neardup_index,
+    )
+    from sparksent.streaming.sources import file_replay_source, write_replay_chunks
+    from sparksent.tables import load_table
+
+    docs = load_table(spark, SF_DIR_SMALL, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    incoming = docs.filter(F.col("doc_id") % 2 == 1)
+
+    index_path = str(tmp_path / "win_index")
+    out_path = str(tmp_path / "win_out")
+    write_neardup_index(winnowing_band_index(corpus), index_path, n_buckets=16)
+
+    replay = str(tmp_path / "win_replay")
+    write_replay_chunks(incoming, replay, 3, order_col="doc_id")
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    q = (
+        file_replay_source(spark, replay, schema=schema)
+        .writeStream.foreachBatch(
+            lambda b, i: winnowing_admit_batch(
+                b, index_path, out_path, batch_id=i, n_buckets=16
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "win_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {
+        (r.id_lo, r.id_hi, r.n_shared)
+        for r in spark.read.parquet(out_path).collect()
+    }
+    want = {
+        (r.id_a, r.id_b, r.n_shared)
+        for r in winnowing_pairs(docs, max_df=None).collect()
+        if not (r.id_a % 2 == 0 and r.id_b % 2 == 0)
+    }
+    assert got == want and len(want) > 0
+    # odd-odd pairs (new-vs-new, within or across micro-batches) surface
+    assert any(a % 2 == 1 and b % 2 == 1 for a, b, _n in got)
