@@ -241,6 +241,7 @@ HEADLINE = [
     "multimodal_quality_gate",
     "dedup_winnowing",
     "similarity_topk_sq8",
+    "dedup_span_rewrite",
 ]
 
 # Timed and reported, but excluded from the headline sum: cost dominated

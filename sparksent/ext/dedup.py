@@ -1575,3 +1575,128 @@ def winnowing_pairs_sql(
     )
     SELECT id_a, id_b, n_shared FROM pairs WHERE n_shared >= {min_shared}
     """
+
+
+def span_dup_rewrite(
+    df: DataFrame,
+    w: int = SPAN_GRAM_W,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The ExactSubstr TRANSFORMATION (Lee et al. 2022 §4.1 — the step
+    their pipeline actually applies): remove every word covered by a
+    cross-document duplicated ``w``-gram span and emit the REWRITTEN
+    corpus — (doc_id, n_words, n_kept, kept_text) with kept_text the
+    surviving words in original order ('' when the whole document is
+    verbatim-duplicated text).  Complements span_dup_stats (the
+    fraction) and span_dup_extents (the spans): this is the output a
+    curation pipeline materializes.
+
+    Plan/scale: the gram explode and the >=2-distinct-docs dup set are
+    the shared span stages (corpus-token-linear, grams shuffle as h60
+    hashes); covered word indices explode only DUPLICATED positions
+    (x w, bounded by dup volume); the reconstruction is one per-doc
+    aggregate over a sorted (index, word) collect — bounded by document
+    length, the same per-doc-bounded contract as the extents window.
+    Short docs (< w words) collapse to one whole-text gram
+    (word_ngrams contract): if that gram is duplicated the whole
+    document is covered and kept_text = ''."""
+    from .curation import word_ngrams
+
+    base = rebalance(df)
+    pos = base.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(word_ngrams(text_col, w)).alias("p", "g"),
+    ).select("id", "p", h60(F.col("g")).alias("gh")).localCheckpoint()
+    dup = (
+        pos.select("id", "gh")
+        .distinct()
+        .groupBy("gh")
+        .agg(F.count("*").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gh")
+    )
+    # shuffle_hash on both checkpoint-descended sides (lying LogicalRDD
+    # stats must not broadcast corpus-scaled frames — round-6 audit)
+    covered = (
+        pos.join(dup.hint("shuffle_hash"), "gh")
+        .select("id", F.explode(F.sequence("p", F.col("p") + F.lit(w - 1))).alias("i"))
+        .distinct()
+    )
+    words = base.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(text_col, " ")).alias("i", "word"),
+    )
+    kept = (
+        words.join(covered.hint("shuffle_hash"), ["id", "i"], "left_anti")
+        .groupBy("id")
+        .agg(
+            F.count("*").cast("long").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "word"))),
+                    lambda s: s.word,
+                ),
+                " ",
+            ).alias("kept_text"),
+        )
+    )
+    return (
+        base.select(
+            F.col(id_col),
+            F.size(F.split(text_col, " ")).cast("long").alias("n_words"),
+        )
+        .join(kept.hint("shuffle_hash"), F.col(id_col) == kept.id, "left")
+        .select(
+            F.col(id_col),
+            "n_words",
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce("kept_text", F.lit("")).alias("kept_text"),
+        )
+    )
+
+
+def span_dup_rewrite_sql(
+    table: str = "documents",
+    w: int = SPAN_GRAM_W,
+    id_col: str = "doc_id",
+    text: str = "text",
+) -> str:
+    """DuckDB mirror over the shared gram CTE: duplicated positions ->
+    covered word indices (generate_series per dup position) -> NOT
+    EXISTS anti-join -> ordered string_agg reconstruction."""
+    from .curation import word_ngrams_sql
+
+    return f"""
+    WITH pos AS (
+      SELECT id, gi.i - 1 AS p, {h60_sql('gs[gi.i]')} AS gh
+      FROM (SELECT {id_col} AS id, {word_ngrams_sql(text, w)} AS gs FROM {table}),
+           LATERAL (SELECT unnest(generate_series(1, len(gs))) AS i) gi
+    ),
+    dup AS (
+      SELECT gh FROM (SELECT DISTINCT id, gh FROM pos)
+      GROUP BY gh HAVING count(*) >= 2
+    ),
+    cov AS (
+      SELECT DISTINCT p.id, p.p + ci.i AS i
+      FROM pos p JOIN dup d USING (gh),
+           LATERAL (SELECT unnest(generate_series(0, {w - 1})) AS i) ci
+    ),
+    words AS (
+      SELECT id, wi.i - 1 AS i, ws[wi.i] AS word
+      FROM (SELECT {id_col} AS id, string_split({text}, ' ') AS ws FROM {table}),
+           LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i) wi
+    ),
+    kept AS (
+      SELECT w.id, count(*)::BIGINT AS n_kept,
+             string_agg(w.word, ' ' ORDER BY w.i) AS kept_text
+      FROM words w
+      WHERE NOT EXISTS (SELECT 1 FROM cov c WHERE c.id = w.id AND c.i = w.i)
+      GROUP BY w.id
+    )
+    SELECT d.{id_col},
+           len(string_split(d.{text}, ' '))::BIGINT AS n_words,
+           coalesce(k.n_kept, 0)::BIGINT AS n_kept,
+           coalesce(k.kept_text, '') AS kept_text
+    FROM {table} d LEFT JOIN kept k ON k.id = d.{id_col}
+    """

@@ -1917,6 +1917,22 @@ def q_dedup_span_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_span_rewrite",
+    oracle=dedup.span_dup_rewrite_sql(),
+    tags=("ext", "dedup", "curation"),
+)
+def q_dedup_span_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ExactSubstr TRANSFORMATION (Lee et al. 2022): the rewritten
+    corpus with every cross-document duplicated 8-gram span cut —
+    (doc_id, n_words, n_kept, kept_text), kept_text '' when the whole
+    document is verbatim-duplicated. Shares the span family's gram CTE
+    (hashes shuffle, never gram text); covered-index explode touches
+    only duplicated positions; per-doc ordered reconstruction is
+    doc-length-bounded."""
+    return dedup.span_dup_rewrite(_docs(spark, sf_dir))
+
+
+@register(
     "dsir_importance_weights",
     oracle=curation.dsir_importance_sql(),
     tags=("ext", "curation", "sampling"),

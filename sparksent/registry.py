@@ -74,7 +74,8 @@ _PRIORITY: tuple[str, ...] = (
     "multimodal_quality_gate",
     "dedup_winnowing",
     "similarity_topk_sq8",
-    # slot 10+: latest green driver row is r05
+    "dedup_span_rewrite",
+    # slot 11+: latest green driver row is r05
     "ewma_user_value",
     "attribution_first_touch",
     "unpivot_user_metrics",
@@ -111,12 +112,12 @@ _PRIORITY: tuple[str, ...] = (
     "entity_resolution_parts",
     "churn_training_set",
     "item_similarity_jaccard",
-    # slot 46+: latest green driver row is r07
+    # slot 47+: latest green driver row is r07
     "dedup_exact_normalized",
     "supplier_lead_time",
     "survival_km_error",
-    "backtest_seasonal_naive",
-    "doc_sentiment_frozen_margin",  # --- driver window ends here (50) ---
+    "backtest_seasonal_naive",  # --- driver window ends here (50) ---
+    "doc_sentiment_frozen_margin",
     "bpe_encode_documents",
     "semdedup_embeddings",
     "sample_token_budget",
@@ -161,7 +162,7 @@ _PRIORITY: tuple[str, ...] = (
     "embedding_quantize_error",
     "tpch_q1_pricing",
     "tpch_q3_shipping",
-    # slot 95+: latest green driver row is r08
+    # slot 96+: latest green driver row is r08
     "session_concurrency_capped",
     "corpus_curation_pipeline",
     "dedup_span_8gram",
@@ -212,7 +213,7 @@ _PRIORITY: tuple[str, ...] = (
     "category_opinion_cumulative",
     "toxic_user_nlp_cw10",
     "json_field_stats",
-    # slot 145+: latest green driver row is r10
+    # slot 146+: latest green driver row is r10
     "similarity_topk_ivf_trained",
     "multimodal_resample_pixels",
     "multimodal_frame_decode_sampled",
@@ -265,7 +266,7 @@ _PRIORITY: tuple[str, ...] = (
     "bm25_topk",
 )
 
-# window summary: 9 never-checked + 41 stale (oldest tier inside: r05); 144 names spill past the window
+# window summary: 10 never-checked + 40 stale (oldest tier inside: r05); 145 names spill past the window
 
 
 def _ordered() -> list[Query]:

@@ -1344,3 +1344,19 @@ def test_sq8_search_integer_rank_bounded_float(spark):
         int(m) for m in re.findall(r"\((\d+)\) WindowGroupLimit", plan)
     )
     assert arrow_id > topr_id, "float stage must follow the integer top-R cut"
+
+
+def test_span_rewrite_hashed_joins_no_broadcast(spark):
+    """dedup_span_rewrite's scale contract: the dup-gram probe, the
+    covered-index anti-join, and the reconstruction join all run as
+    partitioned hash joins (every join side descends from the
+    localCheckpointed gram explode or a corpus-sized frame whose
+    LogicalRDD stats lie — none may broadcast); no cartesian or
+    nested-loop node; the covered explode generates from duplicated
+    positions only (it sits above the dup-gram join)."""
+    plan = plan_of(spark, "dedup_span_rewrite")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" not in plan
+    assert "LeftAnti" in plan
+    assert re.search(r"Join type: LeftOuter", plan)  # reinstate untouched docs

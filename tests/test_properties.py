@@ -2032,3 +2032,37 @@ def test_sq8_quantization_laws_and_recall(spark):
     }
     recall = len(exact & got) / len(exact)
     assert recall >= 0.95, f"SQ8 recall {recall}"
+
+
+def test_span_rewrite_reconciles_with_stats_and_extents(spark):
+    """The three ExactSubstr family members must describe the SAME
+    duplicated text: per document, the words the rewrite cut
+    (n_words - n_kept) equal the union length of the maximal dup-span
+    extents — clipped to the document for short docs, whose whole-text
+    gram pads the window (span_len = w > n_words) — and n_dup_grams > 0
+    (stats) iff the rewrite cut anything iff extents exist.  kept_text
+    itself must re-split to exactly n_kept words."""
+    from sparksent.ext.dedup import (
+        span_dup_extents,
+        span_dup_rewrite,
+        span_dup_stats,
+    )
+    from sparksent.tables import load_table
+
+    from conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    rw = {r.doc_id: r for r in span_dup_rewrite(docs).collect()}
+    ext: dict[int, int] = {}
+    for r in span_dup_extents(docs).collect():
+        ext[r.doc_id] = ext.get(r.doc_id, 0) + r.span_len
+    st = {r.doc_id: r for r in span_dup_stats(docs).collect()}
+
+    assert set(rw) >= set(ext)
+    for doc_id, r in rw.items():
+        cut = r.n_words - r.n_kept
+        want = min(ext.get(doc_id, 0), r.n_words)
+        assert cut == want, (doc_id, cut, want)
+        assert (cut > 0) == (st[doc_id].n_dup_grams > 0) == (doc_id in ext)
+        got_words = len(r.kept_text.split(" ")) if r.kept_text else 0
+        assert got_words == r.n_kept, (doc_id, got_words, r.n_kept)

@@ -308,6 +308,33 @@ def cmd_r11ops(spark, port, app_id) -> dict:
     return report
 
 
+def cmd_r11ops2(spark, port, app_id) -> dict:
+    """Round-11 continuation linearity check for the session's three
+    new registrations (dedup_winnowing, similarity_topk_sq8,
+    dedup_span_rewrite): x1 (sf0.1) vs x20 (100k docs / 40k vectors),
+    wall / shuffle / rows / skew — winnowing's claim is the ~2/(w+1)
+    winnowed index keeping the pair stage planted-pairs-linear; SQ8's
+    that the integer search scales with corpus x queries and the float
+    stage stays bounded; the rewrite's that covered-index work tracks
+    DUPLICATED positions, not the corpus."""
+    if not os.path.isdir(f"{X20_BASE}/documents.parquet"):
+        from tools.scale_demo import generate
+
+        generate(spark, X20_BASE)
+    from sparksent.registry import queries
+
+    qs = queries()
+    names = ["dedup_winnowing", "similarity_topk_sq8", "dedup_span_rewrite"]
+    spark.range(32).repartition(32).mapInPandas(
+        lambda it: it, "id long"
+    ).write.mode("overwrite").format("noop").save()
+    report = {}
+    for tag, base in (("x1", SF_DIR_X1), ("x20", X20_BASE)):
+        fns = {f"{n}_{tag}": (lambda n=n, b=base: qs[n](spark, b)) for n in names}
+        report[tag] = _run_measured(spark, fns, port, app_id)
+    return report
+
+
 def cmd_ivfpq_rest(spark, port, app_id) -> dict:
     """IVF-PQ split into its production phases at x20: INGEST (train
     cells + PQ-code the corpus + persist the index: cells, codes,
@@ -423,7 +450,7 @@ def cmd_ivfpq_rest(spark, port, app_id) -> dict:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument(
-        "part", choices=["hotkey", "neardup", "x80", "ivfpq_rest", "admission", "r11ops"]
+        "part", choices=["hotkey", "neardup", "x80", "ivfpq_rest", "admission", "r11ops", "r11ops2"]
     )
     args = ap.parse_args()
     spark = build_session()
@@ -436,6 +463,7 @@ def main() -> None:
         "ivfpq_rest": cmd_ivfpq_rest,
         "admission": cmd_admission,
         "r11ops": cmd_r11ops,
+        "r11ops2": cmd_r11ops2,
     }[args.part](spark, port, sc.applicationId)
     print(json.dumps({args.part: report}, indent=1))
 
