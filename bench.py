@@ -242,6 +242,8 @@ HEADLINE = [
     "dedup_winnowing",
     "similarity_topk_sq8",
     "dedup_span_rewrite",
+    "graph_kcore_parts",
+    "epoch_shuffle_batches",
 ]
 
 # Timed and reported, but excluded from the headline sum: cost dominated

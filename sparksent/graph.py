@@ -125,3 +125,113 @@ def triangle_count_sql(edges_sql: str) -> str:
           UNION ALL SELECT c FROM tris)
     GROUP BY 1
     """
+
+
+def peel_round(e: DataFrame, k: int) -> DataFrame:
+    """One synchronous k-core peel round over an (src, dst) edge frame:
+    drop every edge with an endpoint whose current degree is < k.  One
+    map-side-combined degree aggregate plus two hash joins keyed on the
+    endpoint — both keep-side joins shuffle_hash-pinned, because in the
+    iterative loop every side descends from a localCheckpoint whose
+    LogicalRDD stats read small while the node frame is corpus-sized
+    (the round-6 broadcast hazard).  Exposed separately so the per-round
+    plan shape is gate-able (the loop's checkpoints hide it from the
+    registered query's final plan)."""
+    deg = (
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    keep = deg.filter(F.col("deg") >= k).select("node")
+    return (
+        e.join(keep.withColumnRenamed("node", "src").hint("shuffle_hash"), "src")
+        .join(keep.withColumnRenamed("node", "dst").hint("shuffle_hash"), "dst")
+        .select("src", "dst")
+    )
+
+
+def kcore(
+    edges: DataFrame,
+    k: int = 2,
+    rounds: int = 10,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """(node, core_deg): the subgraph surviving ``rounds`` synchronous
+    peeling rounds at threshold ``k`` — each round drops every vertex
+    whose degree in the CURRENT surviving subgraph is < k, with
+    core_deg the vertex's final within-core degree.  Once peeling
+    reaches its fixpoint the result IS the classic k-core (the unique
+    maximal subgraph with min degree >= k); ``rounds`` bounds the peel
+    depth so both engines compute the identical deterministic result
+    even on a pathological chain that would need more rounds (the
+    registered fixture converges well inside the bound — pinned by
+    test).  Stops early when an edge-count round is a no-op: the
+    surviving set is then stable, so extra rounds cannot change it and
+    the early exit is result-identical to the oracle's full unroll.
+
+    Scale: each round is one map-side-combined degree aggregate plus
+    two hash joins keyed on the endpoint (both sides
+    checkpoint-descended — shuffle_hash-pinned so the node-sized keep
+    frame never broadcasts at corpus scale); localCheckpoint per round
+    truncates the lineage, the iterative-algorithm contract shared
+    with connected_components/label propagation."""
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .localCheckpoint()
+    )
+    prev = e.count()
+    for _ in range(rounds):
+        e = peel_round(e, k).localCheckpoint()
+        n = e.count()
+        if n == prev:
+            break
+        prev = n
+    return (
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("core_deg"))
+    )
+
+
+def kcore_sql(edges_sql: str, k: int = 2, rounds: int = 10) -> str:
+    """DuckDB mirror: the peel unrolled to exactly ``rounds`` levels
+    (the label_propagation_sql unroll pattern) over an edge-list
+    subquery (columns src, dst) — identical to the Spark fixpoint
+    whenever convergence happens inside the bound, and identical to
+    the bounded peel otherwise.
+
+    Every level is ``AS MATERIALIZED``: DuckDB INLINES plain CTEs, and
+    each level references its predecessor three times (the degree
+    union's two arms + the edge filter), so a 10-round unroll would
+    expand to ~3^10 copies of the base scan — measured as an EMFILE
+    crash (tens of thousands of simultaneous parquet opens), not just
+    slowness.  Materialization makes each level compute once, matching
+    the Spark side's per-round localCheckpoint."""
+    ctes = [f"e0 AS MATERIALIZED ({edges_sql})"]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"""k{r} AS MATERIALIZED (
+      SELECT node FROM (
+        SELECT node, count(*) AS deg
+        FROM (SELECT src AS node FROM e{r - 1}
+              UNION ALL SELECT dst AS node FROM e{r - 1})
+        GROUP BY node)
+      WHERE deg >= {k})"""
+        )
+        ctes.append(
+            f"""e{r} AS MATERIALIZED (
+      SELECT e.src, e.dst FROM e{r - 1} e
+      JOIN k{r} a ON a.node = e.src
+      JOIN k{r} b ON b.node = e.dst)"""
+        )
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined}
+    SELECT node, count(*)::BIGINT AS core_deg
+    FROM (SELECT src AS node FROM e{rounds}
+          UNION ALL SELECT dst AS node FROM e{rounds})
+    GROUP BY node
+    """

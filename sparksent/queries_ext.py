@@ -20,6 +20,7 @@ from .ext import (
     matching,
     mmquality,
     multimodal,
+    ranks,
     similarity,
     sketches,
     textclean,
@@ -1964,3 +1965,47 @@ def q_sample_cluster_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     WindowGroupLimit, bounding the rank shuffle at k x 16 rows at any
     corpus size (plan-gated)."""
     return iterative.kmeans_balanced_sample(_emb(spark, sf_dir))
+
+
+EPOCH_SEED = "ep1"
+EPOCH_BATCH = 64
+
+
+@register(
+    "epoch_shuffle_batches",
+    oracle=f"""
+    SELECT doc_id, shuffle_rank,
+           ((shuffle_rank - 1) // {EPOCH_BATCH})::BIGINT AS batch_id
+    FROM (
+      SELECT doc_id,
+             row_number() OVER (
+               ORDER BY md5('{EPOCH_SEED}' || doc_id::VARCHAR), doc_id
+             )::BIGINT AS shuffle_rank
+      FROM documents)
+    """,
+    tags=("ext", "sampling"),
+)
+def q_epoch_shuffle_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle + micro-batch assignment — the
+    global reshuffle every training run does before packing: order the
+    corpus by md5(seed || doc_id) (seeded, reproducible, uncorrelated
+    with ingest order), assign exact 1-based global ranks, and cut
+    fixed-size micro-batches.  The rank is ext/ranks.py's distributed
+    range-partition ranking (repartitionByRange + per-partition
+    row_number + broadcast offsets) — NO single-reducer global sort,
+    the scale property a naive Window.orderBy would forfeit; the only
+    serial work is the cumulative sum over the #partitions-row count
+    frame.  New epoch = new seed literal."""
+    docs = _docs(spark, sf_dir).select("doc_id")
+    keyed = docs.withColumn(
+        "hkey",
+        F.md5(F.concat(F.lit(EPOCH_SEED), F.col("doc_id").cast("string"))),
+    )
+    ranked = ranks.with_global_ranks(keyed, ["hkey", "doc_id"], rank_col="shuffle_rank")
+    return ranked.select(
+        "doc_id",
+        F.col("shuffle_rank").cast("long").alias("shuffle_rank"),
+        F.expr(f"(shuffle_rank - 1) div {EPOCH_BATCH}")
+        .cast("long")
+        .alias("batch_id"),
+    )

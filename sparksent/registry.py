@@ -75,7 +75,9 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_winnowing",
     "similarity_topk_sq8",
     "dedup_span_rewrite",
-    # slot 11+: latest green driver row is r05
+    "graph_kcore_parts",
+    "epoch_shuffle_batches",
+    # slot 13+: latest green driver row is r05
     "ewma_user_value",
     "attribution_first_touch",
     "unpivot_user_metrics",
@@ -112,11 +114,11 @@ _PRIORITY: tuple[str, ...] = (
     "entity_resolution_parts",
     "churn_training_set",
     "item_similarity_jaccard",
-    # slot 47+: latest green driver row is r07
+    # slot 49+: latest green driver row is r07
     "dedup_exact_normalized",
-    "supplier_lead_time",
+    "supplier_lead_time",  # --- driver window ends here (50) ---
     "survival_km_error",
-    "backtest_seasonal_naive",  # --- driver window ends here (50) ---
+    "backtest_seasonal_naive",
     "doc_sentiment_frozen_margin",
     "bpe_encode_documents",
     "semdedup_embeddings",
@@ -162,7 +164,7 @@ _PRIORITY: tuple[str, ...] = (
     "embedding_quantize_error",
     "tpch_q1_pricing",
     "tpch_q3_shipping",
-    # slot 96+: latest green driver row is r08
+    # slot 98+: latest green driver row is r08
     "session_concurrency_capped",
     "corpus_curation_pipeline",
     "dedup_span_8gram",
@@ -213,7 +215,7 @@ _PRIORITY: tuple[str, ...] = (
     "category_opinion_cumulative",
     "toxic_user_nlp_cw10",
     "json_field_stats",
-    # slot 146+: latest green driver row is r10
+    # slot 148+: latest green driver row is r10
     "similarity_topk_ivf_trained",
     "multimodal_resample_pixels",
     "multimodal_frame_decode_sampled",
@@ -266,7 +268,7 @@ _PRIORITY: tuple[str, ...] = (
     "bm25_topk",
 )
 
-# window summary: 10 never-checked + 40 stale (oldest tier inside: r05); 145 names spill past the window
+# window summary: 12 never-checked + 38 stale (oldest tier inside: r05); 147 names spill past the window
 
 
 def _ordered() -> list[Query]:

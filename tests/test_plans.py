@@ -1360,3 +1360,55 @@ def test_span_rewrite_hashed_joins_no_broadcast(spark):
     assert "BroadcastHashJoin" not in plan
     assert "LeftAnti" in plan
     assert re.search(r"Join type: LeftOuter", plan)  # reinstate untouched docs
+
+
+def test_kcore_peel_round_shape(spark):
+    """One k-core peel round's scale contract: a map-side-combined
+    degree aggregate (partial_count) and two endpoint hash joins with
+    the node-sized keep frame NEVER broadcast (shuffle_hash-pinned —
+    inside the loop every side descends from a localCheckpoint whose
+    stats lie); no cartesian/nested-loop anywhere.  The registered
+    query's final plan is just the degree aggregate over the last
+    checkpoint, so the round body is gated directly."""
+    from pyspark.sql import functions as F
+
+    from sparksent.graph import peel_round
+    from sparksent.tables import load_table
+
+    li = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_partkey")
+    edges = (
+        li.alias("a")
+        .join(li.alias("b"), "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .agg(F.count("*").alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("src", "dst")
+        .localCheckpoint()
+    )
+    plan = peel_round(edges, 2)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" not in plan  # keep frame must not broadcast
+    assert "partial_count" in plan  # degree aggregate map-side combines
+    assert len(re.findall(r"\(\d+\) ShuffledHashJoin", plan)) == 2
+    # the registered query's final aggregate also map-side combines
+    final = plan_of(spark, "graph_kcore_parts")
+    assert "partial_count" in final and "CartesianProduct" not in final
+
+
+def test_epoch_shuffle_no_global_sort(spark):
+    """The epoch shuffle must keep the distributed-ranking shape: the
+    rank window partitions by the range-partition id (never a
+    corpus-global row_number on one reducer), the per-partition count
+    aggregate map-side combines, and the only unpartitioned window is
+    the cumulative sum over the #partitions-row offsets frame."""
+    plan = plan_of(spark, "epoch_shuffle_batches")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert re.search(r"row_number\(\) windowspecdefinition\(_pid#\d+,", plan), (
+        "per-partition rank window missing"
+    )
+    assert "partial_count" in plan

@@ -2066,3 +2066,71 @@ def test_span_rewrite_reconciles_with_stats_and_extents(spark):
         assert (cut > 0) == (st[doc_id].n_dup_grams > 0) == (doc_id in ext)
         got_words = len(r.kept_text.split(" ")) if r.kept_text else 0
         assert got_words == r.n_kept, (doc_id, got_words, r.n_kept)
+
+
+def test_kcore_fixpoint_and_monotonicity(spark):
+    """k-core invariants on the registered support->=2 co-purchase
+    graph: (1) FIXPOINT — every surviving node's within-core degree is
+    >= k, i.e. one more peel round is a no-op, so the bounded peel
+    equals the true k-core at fixture scale; (2) the peel is
+    NON-TRIVIAL here (nodes are actually removed — a graph where
+    nothing peels wouldn't exercise the operator); (3) MONOTONICITY —
+    the 3-core's nodes are a subset of the 2-core's."""
+    from pyspark.sql import functions as F
+
+    from sparksent.graph import kcore
+    from sparksent.tables import load_table
+
+    from conftest import SF_DIR
+
+    li = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_partkey")
+    edges = (
+        li.alias("a")
+        .join(li.alias("b"), "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .agg(F.count("*").alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("src", "dst")
+        .localCheckpoint()
+    )
+    n_base = (
+        edges.select(F.col("src").alias("n"))
+        .unionAll(edges.select(F.col("dst").alias("n")))
+        .distinct()
+        .count()
+    )
+    core2 = {r.node: r.core_deg for r in kcore(edges, k=2).collect()}
+    assert core2 and min(core2.values()) >= 2  # fixpoint: min degree >= k
+    assert len(core2) < n_base  # peeling removed something
+    core3 = {r.node for r in kcore(edges, k=3).collect()}
+    assert core3 <= set(core2)
+
+
+def test_epoch_shuffle_permutation_and_batch_law(spark):
+    """Epoch-shuffle invariants: ranks are exactly the permutation
+    1..n; every micro-batch has exactly EPOCH_BATCH docs except the
+    last partial one; the shuffle is seeded-deterministic (two
+    evaluations agree row-for-row); and the order is genuinely
+    shuffled (not the identity — the hash order must decorrelate from
+    ingest order)."""
+    from sparksent.queries_ext import EPOCH_BATCH
+    from sparksent.registry import REGISTRY
+
+    from conftest import SF_DIR
+
+    fn = REGISTRY["epoch_shuffle_batches"].fn
+    rows = {r.doc_id: (r.shuffle_rank, r.batch_id) for r in fn(spark, SF_DIR).collect()}
+    n = len(rows)
+    ranks = sorted(r for r, _b in rows.values())
+    assert ranks == list(range(1, n + 1))  # exact permutation
+    sizes: dict[int, int] = {}
+    for _r, b in rows.values():
+        sizes[b] = sizes.get(b, 0) + 1
+    last = max(sizes)
+    assert all(sz == EPOCH_BATCH for b, sz in sizes.items() if b != last)
+    assert 1 <= sizes[last] <= EPOCH_BATCH
+    again = {r.doc_id: (r.shuffle_rank, r.batch_id) for r in fn(spark, SF_DIR).collect()}
+    assert again == rows  # seeded determinism
+    identity = sum(1 for d, (r, _b) in rows.items() if r == sorted(rows).index(d) + 1)
+    assert identity < n / 10  # the order is actually shuffled
