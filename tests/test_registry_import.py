@@ -52,3 +52,28 @@ def test_bench_names_are_registered():
     missing = benched - set(qs)
     assert not missing, f"bench names not in registry: {sorted(missing)}"
     assert len(bench.HEADLINE) == len(set(bench.HEADLINE))  # no dupes
+
+
+def test_every_registered_query_is_benched_and_pinned():
+    """Pin-coverage gate (round-11 continuation): a fresh full bench
+    revealed six round-9 registrations had NEVER received
+    BASELINE_BENCH pins — each round's regression tracking silently
+    excluded them.  Enforce the two invariants that would have caught
+    it: every registered query is timed by bench.py (HEADLINE or
+    CAPABILITY), and every registered query has a pin in
+    BASELINE_BENCH.json."""
+    import json
+    import os
+
+    import bench
+    from sparksent.registry import queries
+
+    qs = set(queries())
+    benched = set(bench.HEADLINE) | set(bench.CAPABILITY)
+    unbenched = qs - benched
+    assert not unbenched, f"registered but never timed: {sorted(unbenched)}"
+    base = json.load(
+        open(os.path.join(os.path.dirname(bench.__file__), "BASELINE_BENCH.json"))
+    )
+    unpinned = qs - set(base["queries"])
+    assert not unpinned, f"registered but never pinned: {sorted(unpinned)}"

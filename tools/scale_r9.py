@@ -324,7 +324,14 @@ def cmd_r11ops2(spark, port, app_id) -> dict:
     from sparksent.registry import queries
 
     qs = queries()
-    names = ["dedup_winnowing", "similarity_topk_sq8", "dedup_span_rewrite"]
+    names = [
+        "dedup_winnowing",
+        "similarity_topk_sq8",
+        "dedup_span_rewrite",
+        # second wave of the continuation session (x20 lineitem = 12M rows)
+        "graph_kcore_parts",
+        "epoch_shuffle_batches",
+    ]
     spark.range(32).repartition(32).mapInPandas(
         lambda it: it, "id long"
     ).write.mode("overwrite").format("noop").save()
