@@ -38,6 +38,10 @@ from .neardup import (  # noqa: F401
     winnowing_band_index,
     write_neardup_index,
 )
+from .annserve import (  # noqa: F401
+    ivf_serve_batch,
+    write_ivf_index,
+)
 from .count_window import (  # noqa: F401
     streaming_count_window,
     streaming_cumulative_per_record,

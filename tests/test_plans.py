@@ -546,6 +546,8 @@ def test_no_corpus_sized_checkpoint_broadcasts(spark):
             ("neighbor_id", "query_id"),
         },
         "boilerplate_removal": {("line",)},  # df-capped hot-line set
+        # hot-fingerprint set: <= occurrences/max_df rows by construction
+        "dedup_winnowing": {("gh",)},
         "rangejoin_price_bands": {("band", "e", "hi", "lo")},  # dimension
         "basket_pair_lift": {("item",)},  # a-priori frequent items
         "negative_sample_user_items": {("item",)},  # item vocabulary

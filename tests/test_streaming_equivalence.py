@@ -2010,3 +2010,60 @@ def test_winnowing_admission_loop(spark, tmp_path):
     assert got == want and len(want) > 0
     # odd-odd pairs (new-vs-new, within or across micro-batches) surface
     assert any(a % 2 == 1 and b % 2 == 1 for a, b, _n in got)
+
+
+def test_ivf_serve_loop_matches_batch(spark, tmp_path):
+    """Streaming ANN SERVING (the retrieval-side dual of the admission
+    loops): build the trained-IVF index at rest once, replay 30 query
+    vectors in 3 micro-batches through ivf_serve_batch, and require the
+    accumulated emissions to equal the fused batch
+    ivf_trained_topk(corpus, all 30 queries) row-for-row — the trained
+    Lloyd centroids are deterministic, so offline-index + online-serve
+    reproduces the one-shot batch query bit-for-bit.  (The probed-cell
+    partition pruning is a filter on the cell PARTITION column —
+    structural, same mechanism the admission loop's kbucket probe
+    measures in SCALE.md.)"""
+    from pyspark.sql import types as T
+
+    from sparksent.ext.similarity import ivf_trained_topk, n_centroids_for
+    from sparksent.streaming import ivf_serve_batch, write_ivf_index
+    from sparksent.streaming.sources import file_replay_source, write_replay_chunks
+    from sparksent.tables import load_table
+
+    emb = load_table(spark, SF_DIR_SMALL, "embeddings")
+    kc = n_centroids_for(emb.count())
+    queries = emb.filter(F.col("vec_id") < 30)
+
+    index_dir = str(tmp_path / "ivf_index")
+    out_path = str(tmp_path / "ivf_out")
+    write_ivf_index(emb, index_dir, n_centroids=kc)
+
+    replay = str(tmp_path / "ivf_replay")
+    write_replay_chunks(queries, replay, 3, order_col="vec_id")
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.IntegerType()),
+        ]
+    )
+    q = (
+        file_replay_source(spark, replay, schema=schema)
+        .writeStream.foreachBatch(
+            lambda b, i: ivf_serve_batch(b, index_dir, out_path, batch_id=i)
+        )
+        .option("checkpointLocation", str(tmp_path / "ivf_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {
+        (r.query_id, r.neighbor_id, r.rank, r.sim_r)
+        for r in spark.read.parquet(out_path).collect()
+    }
+    want = {
+        (r.query_id, r.neighbor_id, r.rank, r.sim_r)
+        for r in ivf_trained_topk(emb, queries, n_centroids=kc).collect()
+    }
+    assert got == want and len(want) == 30 * 5

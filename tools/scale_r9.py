@@ -184,6 +184,60 @@ def cmd_x80(spark, port, app_id, replicas: int = 80) -> dict:
     return _run_measured(spark, fns, port, app_id)
 
 
+def cmd_annserve(spark, port, app_id) -> dict:
+    """Round-11 continuation: the streaming ANN serve loop's scale
+    claim — per-batch cost tracks the PROBED CELLS (~nprobe/K of the
+    corpus via partition pruning on the cell layout), not the corpus.
+    Method: build the at-rest trained-IVF index over the x1 (2k) and
+    x20 (40k) embedding corpora, then serve the SAME fixed 10-query
+    batch against each; per-batch wall + input bytes from the status
+    REST API, vs the at-rest cells size a full scan would pay."""
+    from pyspark.sql import functions as F
+
+    from sparksent.ext.similarity import n_centroids_for
+    from sparksent.streaming import ivf_serve_batch, write_ivf_index
+    from sparksent.tables import load_table
+
+    if not os.path.isdir(f"{X20_BASE}/embeddings.parquet"):
+        from tools.scale_demo import generate
+
+        generate(spark, X20_BASE)
+    corpora = {
+        "x1": load_table(spark, SF_DIR_X1, "embeddings"),
+        "x20": spark.read.parquet(f"{X20_BASE}/embeddings.parquet"),
+    }
+    batch = corpora["x1"].filter(F.col("vec_id") < 10).localCheckpoint()
+    report = {}
+    for tag, emb in corpora.items():
+        idx = f"/tmp/annserve-{tag}"
+        out = f"/tmp/annserve-{tag}-out"
+        kc = n_centroids_for(emb.count())
+        t0 = time.perf_counter()
+        write_ivf_index(emb, idx, n_centroids=kc)
+        build_s = time.perf_counter() - t0
+        cells_mb = sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _d, fs in os.walk(f"{idx}/cells")
+            for f in fs
+        ) / 1e6
+        sc = spark.sparkContext
+        name = f"serve_{tag}"
+        sc.setJobGroup(name, name)
+        t0 = time.perf_counter()
+        ivf_serve_batch(batch, idx, out, batch_id=0)
+        wall = time.perf_counter() - t0
+        m = stage_metrics(port, app_id, {name: name}).get(name, {})
+        report[tag] = {
+            "n_vectors": emb.count(),
+            "n_centroids": kc,
+            "index_build_s": round(build_s, 2),
+            "cells_at_rest_mb": round(cells_mb, 2),
+            "serve_batch_wall_s": round(wall, 2),
+            **m,
+        }
+    return report
+
+
 def cmd_admission(spark, port, app_id) -> dict:
     """Round-11 (VERDICT r10 ask #3, the round-9 ask #2 done-criterion):
     measure the BUCKETED at-rest admission index.  The round-9
@@ -457,7 +511,7 @@ def cmd_ivfpq_rest(spark, port, app_id) -> dict:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument(
-        "part", choices=["hotkey", "neardup", "x80", "ivfpq_rest", "admission", "r11ops", "r11ops2"]
+        "part", choices=["hotkey", "neardup", "x80", "ivfpq_rest", "admission", "r11ops", "r11ops2", "annserve"]
     )
     args = ap.parse_args()
     spark = build_session()
@@ -471,6 +525,7 @@ def main() -> None:
         "admission": cmd_admission,
         "r11ops": cmd_r11ops,
         "r11ops2": cmd_r11ops2,
+        "annserve": cmd_annserve,
     }[args.part](spark, port, sc.applicationId)
     print(json.dumps({args.part: report}, indent=1))
 
