@@ -244,6 +244,7 @@ HEADLINE = [
     "dedup_span_rewrite",
     "graph_kcore_parts",
     "epoch_shuffle_batches",
+    "decontaminate_semantic",
 ]
 
 # Timed and reported, but excluded from the headline sum: cost dominated

@@ -456,15 +456,31 @@ def cosine_neardup_pairs(
             )
         ).alias("tb"),
     ).select("id_a", "va", "na", "tb.tbl", "tb.bucket")
-    return (
+    scored = (
         a.join(b, ["tbl", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn(
             "sim", dot_arrow(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
         )
+    )
+    # The multi-table duplicate collapse is an aggregate (max over a
+    # pair's identical sims == the sim) rather than the former
+    # post-threshold distinct, and the threshold applies to the
+    # aggregated value: a row-level filter between the pandas-UDF dot
+    # and the projection made Catalyst extract the UDF into TWO
+    # ArrowEvalPython stages, evaluating every candidate's dot twice.
+    # The aggregate is a real attribute barrier, so the dot evaluates
+    # once (plan-gated).  A/B at sf0.1 is a wash (2.48 vs 2.47 s best
+    # of 3 — 64-dim dots on 2k vectors are cheap); the structural win
+    # is at production vector widths and candidate volumes, where the
+    # Arrow stage dominates.  The trade: below-threshold candidates now
+    # enter the pair shuffle (24 B/candidate) instead of being cut
+    # before it.
+    return (
+        scored.groupBy("id_a", "id_b")
+        .agg(F.max("sim").alias("sim"))
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", F.round("sim", 6).alias("sim_r"))
-        .distinct()
     )
 
 
@@ -1964,3 +1980,170 @@ def sq8_refine_topk_sql(
           FROM re)
     WHERE rank <= {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# semantic decontamination: benchmark-contamination flags at the
+# EMBEDDING level — the modern complement to the exact n-gram
+# decontaminator (ext/curation.py decontaminate_5gram): paraphrased or
+# re-formatted benchmark leakage survives n-gram checks but not a
+# cosine test against the benchmark embeddings.
+# ---------------------------------------------------------------------------
+
+DECON_SEM_MOD = 97  # vec_id % 97 == 0 plays the held-out benchmark set
+#                     (the curation.BENCH_MOD convention)
+DECON_SEM_THRESHOLD = 0.4  # the fixtures' similarity regime (~3 sigma of
+#                            the decorrelated cross-vector distribution)
+
+
+def semantic_decontaminate(
+    emb: DataFrame,
+    threshold: float = DECON_SEM_THRESHOLD,
+    bench_mod: int = DECON_SEM_MOD,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int | None = None,
+    n_tables: int = N_TABLES,
+) -> DataFrame:
+    """(vec_id, bench_id, sim_r): every TRAIN vector whose cosine to
+    some BENCHMARK vector reaches ``threshold``, with its best-matching
+    benchmark id (ties to the smaller id) — the rows a pipeline drops
+    before pretraining so the eval set stays held out.
+
+    The candidate stage is the BIPARTITE form of
+    :func:`cosine_neardup_pairs`' multi-table multi-probe LSH: train
+    vectors probe their own bucket plus the hamming-1 ring in each
+    table, benchmark vectors sit in their own buckets — a hash
+    equi-join on (tbl, bucket), never train x bench.  A pair matching
+    in several tables or probes joins more than once; the per-train
+    max-aggregate absorbs the duplicates (max of duplicated rows),
+    so no distinct is needed before it.  Plane count self-scales from
+    the corpus row count (num_planes_for), mirrored by the oracle's
+    count-gated branches."""
+    if num_planes is None:
+        num_planes = num_planes_for(emb.count())
+    base = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        norm(F.col(vec_col)).alias("nrm"),
+        *[lsh_bucket(vec_col, table=t, num_planes=num_planes).alias(f"own{t}")
+          for t in range(n_tables)],
+    )
+    bench = base.filter(F.col("id") % bench_mod == 0).select(
+        F.col("id").alias("bench_id"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(t).alias("tbl"), F.col(f"own{t}").alias("bucket"))
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select("bench_id", "vb", "nb", "tb.tbl", "tb.bucket")
+    train = base.filter(F.col("id") % bench_mod != 0).select(
+        F.col("id").alias("vec_id"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        F.col(f"own{t}").bitwiseXOR(F.lit(flip)).alias("bucket"),
+                    )
+                    for t in range(n_tables)
+                    for flip in [0] + [1 << j for j in range(num_planes)]
+                ]
+            )
+        ).alias("tb"),
+    ).select("vec_id", "va", "na", "tb.tbl", "tb.bucket")
+    hits = train.join(bench, ["tbl", "bucket"]).withColumn(
+        "sim", dot_arrow(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    )
+    # The threshold applies to the AGGREGATED max, not the candidate
+    # rows: flagged iff max(sim) >= threshold and argmax-over-all ==
+    # argmax-over-the->=threshold-subset whenever that subset is
+    # nonempty, so the result is identical — but the row-level filter
+    # would make Catalyst extract the pandas-UDF dot into TWO
+    # ArrowEvalPython stages (one feeding Filter, one the aggregate),
+    # evaluating every candidate's dot twice (plan-gated to one).
+    best = hits.groupBy("vec_id").agg(
+        F.min(
+            F.struct((-F.col("sim")).alias("ns"), F.col("bench_id").alias("bid"))
+        ).alias("b")
+    )
+    return (
+        best.filter(-F.col("b.ns") >= threshold)
+        .select(
+            "vec_id",
+            F.col("b.bid").alias("bench_id"),
+            F.round(-F.col("b.ns"), 6).alias("sim_r"),
+        )
+    )
+
+
+def semantic_decontaminate_sql(
+    table: str = "embeddings",
+    threshold: float = DECON_SEM_THRESHOLD,
+    bench_mod: int = DECON_SEM_MOD,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+    num_planes: int = NUM_PLANES,
+    n_tables: int = N_TABLES,
+) -> str:
+    """DuckDB mirror: identical buckets/probes/float op order; the best
+    match via row_number ordered by (sim DESC, bench_id) — equivalent
+    to the Spark min(struct(-sim, bench_id)) on duplicated candidate
+    rows."""
+    flips = ", ".join(f"xor(own, {1 << j})" for j in range(num_planes))
+    sim = f"({dot_sql('t.va', 'b.v')} / (t.na * b.nb))"
+    per_table = " UNION ALL ".join(
+        f"SELECT {t} AS tbl, {id_col} AS id, v, nrm, own{t} AS own FROM base"
+        for t in range(n_tables)
+    )
+    return f"""
+    WITH base AS (
+      SELECT {id_col}, {vec} AS v, sqrt({dot_sql(vec, vec)}) AS nrm,
+             {", ".join(f"{lsh_bucket_sql(vec, table=t, num_planes=num_planes)}::BIGINT AS own{t}" for t in range(n_tables))}
+      FROM {table}
+    ),
+    cand AS ({per_table}),
+    probes AS (
+      SELECT tbl, id AS vec_id, v AS va, nrm AS na,
+             unnest([own, {flips}]) AS bucket
+      FROM cand WHERE id % {bench_mod} <> 0
+    ),
+    hits AS (
+      SELECT t.vec_id, b.id AS bench_id, {sim} AS sim
+      FROM (SELECT tbl, id, v, nrm AS nb, own FROM cand
+            WHERE id % {bench_mod} = 0) b
+      JOIN probes t ON t.tbl = b.tbl AND t.bucket = b.own
+      WHERE {sim} >= {threshold}
+    )
+    SELECT vec_id, bench_id, round(sim, 6) AS sim_r
+    FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY sim DESC, bench_id) AS rn
+          FROM hits)
+    WHERE rn = 1
+    """
+
+
+def semantic_decontaminate_auto_sql(
+    table: str = "embeddings",
+    threshold: float = DECON_SEM_THRESHOLD,
+    bench_mod: int = DECON_SEM_MOD,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+    n_tables: int = N_TABLES,
+) -> str:
+    """Oracle for ``semantic_decontaminate(num_planes=None)``:
+    count-gated branches over the shared plane-count windows."""
+    return _count_gated_union(
+        table,
+        lambda p: semantic_decontaminate_sql(
+            table, threshold, bench_mod, id_col, vec, num_planes=p,
+            n_tables=n_tables,
+        ),
+    )

@@ -1967,6 +1967,24 @@ def q_sample_cluster_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     return iterative.kmeans_balanced_sample(_emb(spark, sf_dir))
 
 
+@register(
+    "decontaminate_semantic",
+    oracle=similarity.semantic_decontaminate_auto_sql(),
+    tags=("ext", "similarity", "curation"),
+)
+def q_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic decontamination — the embedding-level complement to
+    decontaminate_5gram: every train vector whose cosine to some
+    held-out benchmark vector (vec_id % 97 == 0, the BENCH_MOD
+    convention) reaches 0.4, with its best-matching benchmark id.
+    Candidates via the BIPARTITE multi-table multi-probe LSH join
+    (train probes own + hamming-1 buckets, bench sits in its own) —
+    never train x bench; the per-train max absorbs duplicate
+    candidates, plane count self-scales with count-gated oracle
+    branches."""
+    return similarity.semantic_decontaminate(_emb(spark, sf_dir))
+
+
 EPOCH_SEED = "ep1"
 EPOCH_BATCH = 64
 

@@ -77,7 +77,8 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_span_rewrite",
     "graph_kcore_parts",
     "epoch_shuffle_batches",
-    # slot 13+: latest green driver row is r05
+    "decontaminate_semantic",
+    # slot 14+: latest green driver row is r05
     "ewma_user_value",
     "attribution_first_touch",
     "unpivot_user_metrics",
@@ -114,9 +115,9 @@ _PRIORITY: tuple[str, ...] = (
     "entity_resolution_parts",
     "churn_training_set",
     "item_similarity_jaccard",
-    # slot 49+: latest green driver row is r07
-    "dedup_exact_normalized",
-    "supplier_lead_time",  # --- driver window ends here (50) ---
+    # slot 50+: latest green driver row is r07
+    "dedup_exact_normalized",  # --- driver window ends here (50) ---
+    "supplier_lead_time",
     "survival_km_error",
     "backtest_seasonal_naive",
     "doc_sentiment_frozen_margin",
@@ -164,7 +165,7 @@ _PRIORITY: tuple[str, ...] = (
     "embedding_quantize_error",
     "tpch_q1_pricing",
     "tpch_q3_shipping",
-    # slot 98+: latest green driver row is r08
+    # slot 99+: latest green driver row is r08
     "session_concurrency_capped",
     "corpus_curation_pipeline",
     "dedup_span_8gram",
@@ -215,7 +216,7 @@ _PRIORITY: tuple[str, ...] = (
     "category_opinion_cumulative",
     "toxic_user_nlp_cw10",
     "json_field_stats",
-    # slot 148+: latest green driver row is r10
+    # slot 149+: latest green driver row is r10
     "similarity_topk_ivf_trained",
     "multimodal_resample_pixels",
     "multimodal_frame_decode_sampled",
@@ -268,7 +269,7 @@ _PRIORITY: tuple[str, ...] = (
     "bm25_topk",
 )
 
-# window summary: 12 never-checked + 38 stale (oldest tier inside: r05); 147 names spill past the window
+# window summary: 13 never-checked + 37 stale (oldest tier inside: r05); 148 names spill past the window
 
 
 def _ordered() -> list[Query]:

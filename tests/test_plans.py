@@ -102,6 +102,11 @@ def test_embedding_cosine_bucketed_join(spark):
     assert re.search(r"(Broadcast|Shuffled)HashJoin|SortMergeJoin", plan)
     # the equi-join key is the LSH bucket
     assert re.search(r"keys(?:.|\n)*bucket", plan)
+    # the pandas-UDF dot evaluates ONCE per candidate (the duplicate
+    # collapse is an aggregate barrier; a row-level threshold filter
+    # would split the UDF into two ArrowEvalPython stages and double
+    # the dominant per-candidate cost)
+    assert len(re.findall(r"\(\d+\) ArrowEvalPython", plan)) == 1
 
 
 def test_exact_dedup_partial_agg(spark):
@@ -1414,3 +1419,18 @@ def test_epoch_shuffle_no_global_sort(spark):
         "per-partition rank window missing"
     )
     assert "partial_count" in plan
+
+
+def test_semantic_decontaminate_bucketed_bipartite(spark):
+    """Semantic decontamination's scale contract: candidates come from
+    the (tbl, bucket) hash equi-join — never a train x bench product —
+    with the per-train best-match as one map-side-combined aggregate;
+    the pair dot is the Arrow-batched pandas UDF."""
+    plan = plan_of(spark, "decontaminate_semantic")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert re.search(r"Left keys \[2\]: \[tbl#\d+, bucket#\d+L?\]", plan), (
+        "bucket equi-join missing"
+    )
+    assert "partial_min" in plan  # best-match aggregate combines map-side
+    assert len(re.findall(r"\(\d+\) ArrowEvalPython", plan)) == 1

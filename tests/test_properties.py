@@ -2134,3 +2134,53 @@ def test_epoch_shuffle_permutation_and_batch_law(spark):
     assert again == rows  # seeded determinism
     identity = sum(1 for d, (r, _b) in rows.items() if r == sorted(rows).index(d) + 1)
     assert identity < n / 10  # the order is actually shuffled
+
+
+def test_semantic_decontaminate_planted_recall(spark):
+    """Semantic decontamination on a corpus with planted structure:
+    five benchmark vectors (%97 == 0) each have an IDENTICAL train twin
+    — every twin MUST be flagged against its own benchmark at sim 1.0
+    (identical vectors share every LSH bucket, so multi-probe recall is
+    structural, not probabilistic) — while 50 train vectors hot on
+    disjoint dimensions (pairwise cosine 0 to everything) must not be
+    flagged.  Also the output's structural law on the real fixture:
+    only train ids appear, only benchmark ids match, every sim_r >=
+    the threshold."""
+    from sparksent.ext.similarity import (
+        DECON_SEM_THRESHOLD,
+        semantic_decontaminate,
+    )
+    from sparksent.registry import queries
+
+    from conftest import SF_DIR
+
+    def vec(hot):
+        v = [0.0] * 64
+        for d, x in hot:
+            v[d] = float(x)
+        return v
+
+    rows = []
+    for g in range(5):
+        bench_id = 97 * (g + 1)
+        rows.append((bench_id, vec([(2 * g, 3), (2 * g + 1, 4)])))
+        rows.append((bench_id + 1, vec([(2 * g, 3), (2 * g + 1, 4)])))
+    unrelated = []
+    d = 10
+    i = 1000
+    while len(unrelated) < 50:
+        if i % 97 != 0:
+            unrelated.append((i, vec([(d, 2)])))
+            d += 1
+        i += 1
+    rows += unrelated
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r.vec_id: (r.bench_id, r.sim_r) for r in semantic_decontaminate(emb).collect()}
+    for g in range(5):
+        bench_id = 97 * (g + 1)
+        assert got.get(bench_id + 1) == (bench_id, 1.0), (g, got.get(bench_id + 1))
+    assert set(got) == {97 * (g + 1) + 1 for g in range(5)}  # nothing else flagged
+
+    out = queries()["decontaminate_semantic"](spark, SF_DIR).collect()
+    assert all(r.vec_id % 97 != 0 and r.bench_id % 97 == 0 for r in out)
+    assert all(r.sim_r >= DECON_SEM_THRESHOLD for r in out)
