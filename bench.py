@@ -245,6 +245,7 @@ HEADLINE = [
     "graph_kcore_parts",
     "epoch_shuffle_batches",
     "decontaminate_semantic",
+    "kmv_intersection_users",
 ]
 
 # Timed and reported, but excluded from the headline sum: cost dominated

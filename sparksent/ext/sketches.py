@@ -810,3 +810,165 @@ def hll_sliding_distinct_sql(
     SELECT e.day, e.n_present, e.sum_scaled, e.est_hll, c.n_exact
     FROM est e JOIN contrib c USING (day)
     """
+
+
+# ---------------------------------------------------------------------------
+# KMV / theta sketch: distinct counts WITH set-intersection estimation —
+# the operation HLL registers cannot give you (register merges only
+# express unions; intersections via inclusion-exclusion explode the
+# relative error when |A∩B| << |A∪B|).  The k-minimum-values sketch
+# (Bar-Yossef et al. 2002; the DataSketches theta sketch) keeps the k
+# smallest key hashes per set; the kth value estimates density, and
+# membership flags on the UNION's k smallest give a direct intersection
+# estimate at theta = v_k / 2^60.
+# ---------------------------------------------------------------------------
+
+KMV_K = 64
+
+
+def _kmv_est(n_col, vk_col, k: int):
+    """(k-1) / theta with theta = v_k / 2^60, exact-count fallback when
+    the set has fewer than k members (then the "sketch" IS the set).
+    One double division on identical operands in both engines; the
+    int64 -> double cast of v_k is IEEE round-to-nearest, identical."""
+    return F.when(n_col < k, n_col.cast("double")).otherwise(
+        F.lit(float((k - 1) * (1 << 60))) / vk_col.cast("double")
+    )
+
+
+def kmv_intersection(
+    events: DataFrame,
+    type_a: str = "view",
+    type_b: str = "purchase",
+    type_col: str = "event_type",
+    key_col: str = "user_id",
+    k: int = KMV_K,
+) -> DataFrame:
+    """ONE row comparing the KMV estimates against exact counts for two
+    keyed sets (users who {type_a}, users who {type_b}): distinct
+    estimates for each side, their union, and — the sketch's reason to
+    exist — their INTERSECTION (theta form: membership-flag count rho
+    on the union's k smallest hashes, divided by theta).  Exact counts
+    ride along for accuracy reporting at test SFs, the hll_distinct
+    convention.
+
+    Plan/scale: each side's sketch is a distinct + TakeOrderedAndProject
+    (distributed top-k by hash — per-partition heads then one bounded
+    merge, never a single-reducer global sort); membership flags come
+    from a full-outer join of the two distinct-hash sets keyed on the
+    hash; every estimator input is a one-row aggregate broadcast into
+    the final crossJoin (the one-row-totals pattern).  At 100 TB the
+    wire carries distinct hashes (8 B/key) and three k-row sketches."""
+    uh = h60(F.col(key_col).cast("string"))
+    ua = (
+        events.filter(F.col(type_col) == type_a)
+        .select(uh.alias("uh"))
+        .distinct()
+    )
+    ub = (
+        events.filter(F.col(type_col) == type_b)
+        .select(uh.alias("uh"))
+        .distinct()
+    )
+    both = (
+        ua.withColumn("in_a", F.lit(1))
+        .join(ub.withColumn("in_b", F.lit(1)), "uh", "full")
+        .select(
+            "uh",
+            F.coalesce("in_a", F.lit(0)).alias("in_a"),
+            F.coalesce("in_b", F.lit(0)).alias("in_b"),
+        )
+    )
+    # the union sketch carries the membership flags, so rho (members of
+    # BOTH sets among the union's k smallest) needs no further join
+    sk_u = both.orderBy("uh").limit(k)
+    sk_a = ua.orderBy("uh").limit(k)
+    sk_b = ub.orderBy("uh").limit(k)
+    agg_u = sk_u.agg(
+        F.count("*").alias("nu"),
+        F.max("uh").alias("vku"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("rho"),
+    )
+    agg_a = sk_a.agg(F.count("*").alias("na"), F.max("uh").alias("vka"))
+    agg_b = sk_b.agg(F.count("*").alias("nb"), F.max("uh").alias("vkb"))
+    exact = both.agg(
+        F.count("*").cast("long").alias("n_union_exact"),
+        F.sum("in_a").cast("long").alias("n_a_exact"),
+        F.sum("in_b").cast("long").alias("n_b_exact"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("n_inter_exact"),
+    )
+    inter_est = F.when(
+        F.col("nu") < k, F.col("rho").cast("double")
+    ).otherwise(
+        F.col("rho").cast("double")
+        * F.lit(float(1 << 60))
+        / F.col("vku").cast("double")
+    )
+    return (
+        exact.crossJoin(F.broadcast(agg_a))
+        .crossJoin(F.broadcast(agg_b))
+        .crossJoin(F.broadcast(agg_u))
+        .select(
+            "n_a_exact",
+            "n_b_exact",
+            "n_union_exact",
+            "n_inter_exact",
+            F.round(_kmv_est(F.col("na"), F.col("vka"), k), 4).alias("a_est"),
+            F.round(_kmv_est(F.col("nb"), F.col("vkb"), k), 4).alias("b_est"),
+            F.round(_kmv_est(F.col("nu"), F.col("vku"), k), 4).alias("union_est"),
+            F.round(inter_est, 4).alias("inter_est"),
+        )
+    )
+
+
+def kmv_intersection_sql(
+    table: str = "events",
+    type_a: str = "view",
+    type_b: str = "purchase",
+    type_col: str = "event_type",
+    key_col: str = "user_id",
+    k: int = KMV_K,
+) -> str:
+    """DuckDB mirror: identical hashes, identical top-k-by-hash
+    sketches, identical one-float-division estimators."""
+    est = (
+        "(CASE WHEN {n} < " + str(k) + " THEN {n}::DOUBLE "
+        "ELSE " + repr(float((k - 1) * (1 << 60))) + " / {vk}::DOUBLE END)"
+    )
+    return f"""
+    WITH ua AS (
+      SELECT DISTINCT {h60_sql(f"{key_col}::VARCHAR")} AS uh
+      FROM {table} WHERE {type_col} = '{type_a}'
+    ),
+    ub AS (
+      SELECT DISTINCT {h60_sql(f"{key_col}::VARCHAR")} AS uh
+      FROM {table} WHERE {type_col} = '{type_b}'
+    ),
+    mem AS (
+      SELECT coalesce(a.uh, b.uh) AS uh,
+             CASE WHEN a.uh IS NULL THEN 0 ELSE 1 END AS in_a,
+             CASE WHEN b.uh IS NULL THEN 0 ELSE 1 END AS in_b
+      FROM ua a FULL JOIN ub b ON a.uh = b.uh
+    ),
+    sk_u AS (SELECT * FROM mem ORDER BY uh LIMIT {k}),
+    sk_a AS (SELECT * FROM ua ORDER BY uh LIMIT {k}),
+    sk_b AS (SELECT * FROM ub ORDER BY uh LIMIT {k}),
+    agg_u AS (SELECT count(*) AS nu, max(uh) AS vku,
+                     sum(in_a * in_b)::BIGINT AS rho FROM sk_u),
+    agg_a AS (SELECT count(*) AS na, max(uh) AS vka FROM sk_a),
+    agg_b AS (SELECT count(*) AS nb, max(uh) AS vkb FROM sk_b),
+    exact AS (
+      SELECT count(*)::BIGINT AS n_union_exact,
+             sum(in_a)::BIGINT AS n_a_exact,
+             sum(in_b)::BIGINT AS n_b_exact,
+             sum(in_a * in_b)::BIGINT AS n_inter_exact
+      FROM mem)
+    SELECT n_a_exact, n_b_exact, n_union_exact, n_inter_exact,
+           round({est.format(n='na', vk='vka')}, 4) AS a_est,
+           round({est.format(n='nb', vk='vkb')}, 4) AS b_est,
+           round({est.format(n='nu', vk='vku')}, 4) AS union_est,
+           round(CASE WHEN nu < {k} THEN rho::DOUBLE
+                 ELSE rho::DOUBLE * {repr(float(1 << 60))} / vku::DOUBLE END,
+                 4) AS inter_est
+    FROM exact, agg_a, agg_b, agg_u
+    """

@@ -1968,6 +1968,25 @@ def q_sample_cluster_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "kmv_intersection_users",
+    oracle=sketches.kmv_intersection_sql(),
+    tags=("ext", "sketch"),
+)
+def q_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV / theta sketch (Bar-Yossef et al. 2002): distinct-count
+    estimates for the view-users and purchase-users sets AND their
+    INTERSECTION — the operation HLL registers cannot express (register
+    merges are union-only; inclusion-exclusion error explodes when the
+    overlap is small). Each sketch is k=64 minimum key hashes via
+    distributed top-k (TakeOrderedAndProject — never a single-reducer
+    sort); the union sketch carries membership flags so the theta
+    intersection (rho / theta) needs no further join; exact counts ride
+    along for accuracy reporting, the hll_distinct convention."""
+    ev = tables.load_table(spark, sf_dir, "events")
+    return sketches.kmv_intersection(ev)
+
+
+@register(
     "decontaminate_semantic",
     oracle=similarity.semantic_decontaminate_auto_sql(),
     tags=("ext", "similarity", "curation"),

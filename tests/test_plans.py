@@ -1434,3 +1434,18 @@ def test_semantic_decontaminate_bucketed_bipartite(spark):
     )
     assert "partial_min" in plan  # best-match aggregate combines map-side
     assert len(re.findall(r"\(\d+\) ArrowEvalPython", plan)) == 1
+
+
+def test_kmv_sketch_distributed_topk(spark):
+    """KMV's scale contract: all three k-minimum sketches are
+    distributed top-k (TakeOrderedAndProject — per-partition heads then
+    one bounded merge), never a global rangepartitioning sort; the
+    membership flags come from one full-outer hash join of the two
+    distinct-hash sets; the estimator inputs are one-row aggregates
+    broadcast into the final cross joins."""
+    plan = plan_of(spark, "kmv_intersection_users")
+    assert len(re.findall(r"\(\d+\) TakeOrderedAndProject", plan)) == 3
+    assert "rangepartitioning" not in plan  # no global sort
+    assert "FullOuter" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Join type: Cross") == 3  # the one-row estimator inputs

@@ -2184,3 +2184,40 @@ def test_semantic_decontaminate_planted_recall(spark):
     out = queries()["decontaminate_semantic"](spark, SF_DIR).collect()
     assert all(r.vec_id % 97 != 0 and r.bench_id % 97 == 0 for r in out)
     assert all(r.sim_r >= DECON_SEM_THRESHOLD for r in out)
+
+
+def test_kmv_intersection_overlap_laws(spark):
+    """KMV/theta laws on a PARTIAL-overlap corpus (the fixture's users
+    all do every event type, so the fixture exercises only the
+    full-overlap regime): users 0..99 view, 50..149 purchase — exact
+    intersection 50, union 150.  Sketch estimates (k=64) must land
+    within 25% of exact on every quantity (k=64 gives ~12.7% standard
+    error; the bound is ~2 sigma and the values are deterministic),
+    the estimates must satisfy inclusion-exclusion sanity
+    (union <= a + b, inter >= 0), and the exact-count fallback must be
+    EXACT when a set is smaller than k (pinned on a 15-user slice)."""
+    from pyspark.sql import functions as F
+
+    from sparksent.ext.sketches import kmv_intersection
+
+    rows = [(u, "view") for u in range(100)] + [
+        (u, "purchase") for u in range(50, 150)
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, event_type string")
+    r = kmv_intersection(ev).first()
+    assert (r.n_a_exact, r.n_b_exact, r.n_union_exact, r.n_inter_exact) == (
+        100, 100, 150, 50,
+    )
+    for est, exact in [
+        (r.a_est, 100), (r.b_est, 100), (r.union_est, 150), (r.inter_est, 50),
+    ]:
+        assert abs(est - exact) / exact < 0.25, (est, exact)
+    assert r.union_est <= r.a_est + r.b_est
+    assert r.inter_est >= 0
+
+    # n < k -> the sketch IS the set: 15 viewers, ZERO purchasers in
+    # this slice (purchase ids start at 50), so the fallback must be
+    # exact on both the small-set and the empty-set path
+    small = ev.filter(F.col("user_id") < 15)
+    s = kmv_intersection(small).first()
+    assert (s.a_est, s.b_est, s.union_est, s.inter_est) == (15.0, 0.0, 15.0, 0.0)
