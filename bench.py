@@ -246,6 +246,7 @@ HEADLINE = [
     "epoch_shuffle_batches",
     "decontaminate_semantic",
     "kmv_intersection_users",
+    "k_anonymity_audit",
 ]
 
 # Timed and reported, but excluded from the headline sum: cost dominated

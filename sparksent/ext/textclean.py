@@ -327,3 +327,68 @@ def lang_id_confusion_sql(
     SELECT lang_true AS lang, lang_pred, CAST(count(*) AS BIGINT) AS n_docs
     FROM pred GROUP BY 1, 2
     """
+
+
+K_ANON = 5
+K_ANON_LEN_BUCKET = 50  # n_chars div 50: coarse length generalization
+
+
+def k_anonymity_audit(
+    docs: DataFrame,
+    k: int = K_ANON,
+    len_bucket: int = K_ANON_LEN_BUCKET,
+) -> DataFrame:
+    """k-anonymity audit over the release quasi-identifiers (Sweeney
+    2002): group the corpus by (lang, source, length bucket) — the
+    attributes a "de-identified" release would still carry — and emit
+    every equivalence class smaller than ``k``, the classes where a
+    member is re-identifiable by linking those attributes.  One row per
+    risky class (the quasi-identifier values, its size, and the re-id
+    risk ceiling in ppm = 1e6/size), ordered by size then keys so the
+    audit is a stable artifact.
+
+    Plan/scale: ONE map-side-combined aggregate over the generalized
+    keys (class count is bounded by the QI domain, orders of magnitude
+    below the corpus), then a scan-side filter on the class size —
+    no join, no window, one shuffle."""
+    classes = (
+        docs.select(
+            "lang",
+            "source",
+            F.expr(f"CAST(n_chars AS BIGINT) div {len_bucket}").alias(
+                "len_bucket"
+            ),
+        )
+        .groupBy("lang", "source", "len_bucket")
+        .agg(F.count("*").cast("long").alias("class_size"))
+    )
+    return (
+        classes.filter(F.col("class_size") < k)
+        .select(
+            "lang",
+            "source",
+            "len_bucket",
+            "class_size",
+            F.expr("1000000 div class_size").cast("long").alias("reid_risk_ppm"),
+        )
+        .orderBy("class_size", "lang", "source", "len_bucket")
+    )
+
+
+def k_anonymity_audit_sql(
+    table: str = "documents",
+    k: int = K_ANON,
+    len_bucket: int = K_ANON_LEN_BUCKET,
+) -> str:
+    return f"""
+    SELECT lang, source, len_bucket, class_size,
+           (1000000 // class_size)::BIGINT AS reid_risk_ppm
+    FROM (
+      SELECT lang, source,
+             (n_chars // {len_bucket})::BIGINT AS len_bucket,
+             count(*)::BIGINT AS class_size
+      FROM {table}
+      GROUP BY 1, 2, 3)
+    WHERE class_size < {k}
+    ORDER BY class_size, lang, source, len_bucket
+    """

@@ -1968,6 +1968,24 @@ def q_sample_cluster_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "k_anonymity_audit",
+    oracle=textclean.k_anonymity_audit_sql(),
+    tags=("ext", "textclean", "privacy"),
+)
+def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (Sweeney 2002) over the release
+    quasi-identifiers (lang, source, 50-char length bucket): every
+    equivalence class smaller than k=5, with its re-identification risk
+    ceiling in exact-integer ppm — the privacy gate a data release runs
+    beside the PII regex scrub (which removes direct identifiers;
+    k-anonymity measures LINKING risk from the attributes that remain).
+    One map-side-combined aggregate over the generalized keys + a
+    scan-side size filter; no join, one shuffle."""
+    docs = tables.load_table(spark, sf_dir, "documents")
+    return textclean.k_anonymity_audit(docs)
+
+
+@register(
     "kmv_intersection_users",
     oracle=sketches.kmv_intersection_sql(),
     tags=("ext", "sketch"),

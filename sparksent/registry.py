@@ -79,7 +79,8 @@ _PRIORITY: tuple[str, ...] = (
     "epoch_shuffle_batches",
     "decontaminate_semantic",
     "kmv_intersection_users",
-    # slot 15+: latest green driver row is r05
+    "k_anonymity_audit",
+    # slot 16+: latest green driver row is r05
     "ewma_user_value",
     "attribution_first_touch",
     "unpivot_user_metrics",
@@ -114,9 +115,9 @@ _PRIORITY: tuple[str, ...] = (
     "basket_triple_support",
     "session_path_topk",
     "entity_resolution_parts",
-    "churn_training_set",
-    "item_similarity_jaccard",  # --- driver window ends here (50) ---
-    # slot 51+: latest green driver row is r07
+    "churn_training_set",  # --- driver window ends here (50) ---
+    "item_similarity_jaccard",
+    # slot 52+: latest green driver row is r07
     "dedup_exact_normalized",
     "supplier_lead_time",
     "survival_km_error",
@@ -166,7 +167,7 @@ _PRIORITY: tuple[str, ...] = (
     "embedding_quantize_error",
     "tpch_q1_pricing",
     "tpch_q3_shipping",
-    # slot 100+: latest green driver row is r08
+    # slot 101+: latest green driver row is r08
     "session_concurrency_capped",
     "corpus_curation_pipeline",
     "dedup_span_8gram",
@@ -217,7 +218,7 @@ _PRIORITY: tuple[str, ...] = (
     "category_opinion_cumulative",
     "toxic_user_nlp_cw10",
     "json_field_stats",
-    # slot 150+: latest green driver row is r10
+    # slot 151+: latest green driver row is r10
     "similarity_topk_ivf_trained",
     "multimodal_resample_pixels",
     "multimodal_frame_decode_sampled",
@@ -270,7 +271,7 @@ _PRIORITY: tuple[str, ...] = (
     "bm25_topk",
 )
 
-# window summary: 14 never-checked + 36 stale (oldest tier inside: r05); 149 names spill past the window
+# window summary: 15 never-checked + 35 stale (oldest tier inside: r05); 150 names spill past the window
 
 
 def _ordered() -> list[Query]:

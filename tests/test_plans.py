@@ -1449,3 +1449,16 @@ def test_kmv_sketch_distributed_topk(spark):
     assert "FullOuter" in plan
     assert "CartesianProduct" not in plan
     assert plan.count("Join type: Cross") == 3  # the one-row estimator inputs
+
+
+def test_k_anonymity_single_aggregate(spark):
+    """The privacy audit is ONE map-side-combined aggregate over the
+    generalized quasi-identifier keys plus a post-aggregate size filter
+    — no join, a single data shuffle (plus the output sort's range
+    exchange, which runs on the class table, orders of magnitude below
+    the corpus)."""
+    plan = plan_of(spark, "k_anonymity_audit")
+    assert "Join" not in plan
+    assert "partial_count" in plan
+    assert count_data_shuffles(plan) <= 2  # class agg + the audit-order sort
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1

@@ -2221,3 +2221,35 @@ def test_kmv_intersection_overlap_laws(spark):
     small = ev.filter(F.col("user_id") < 15)
     s = kmv_intersection(small).first()
     assert (s.a_est, s.b_est, s.union_est, s.inter_est) == (15.0, 0.0, 15.0, 0.0)
+
+
+def test_k_anonymity_partition_law(spark):
+    """k-anonymity audit laws: every reported class is genuinely
+    smaller than k; the report is exactly the under-k side of the full
+    equivalence-class partition (risky + safe class members == corpus
+    size, recomputed independently); reid_risk_ppm is the exact
+    integer floordiv of 1e6 by the class size."""
+    from pyspark.sql import functions as F
+
+    from sparksent.ext.textclean import K_ANON, K_ANON_LEN_BUCKET, k_anonymity_audit
+    from sparksent.tables import load_table
+
+    from conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    risky = k_anonymity_audit(docs).collect()
+    assert risky and all(r.class_size < K_ANON for r in risky)
+    assert all(r.reid_risk_ppm == 1_000_000 // r.class_size for r in risky)
+    full = (
+        docs.groupBy(
+            "lang", "source",
+            F.expr(f"CAST(n_chars AS BIGINT) div {K_ANON_LEN_BUCKET}").alias("lb"),
+        )
+        .count()
+        .collect()
+    )
+    n_risky_docs = sum(r.class_size for r in risky)
+    assert n_risky_docs == sum(r["count"] for r in full if r["count"] < K_ANON)
+    assert n_risky_docs + sum(
+        r["count"] for r in full if r["count"] >= K_ANON
+    ) == docs.count()
