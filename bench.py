@@ -247,6 +247,7 @@ HEADLINE = [
     "decontaminate_semantic",
     "kmv_intersection_users",
     "k_anonymity_audit",
+    "theilsen_slope_per_user",
 ]
 
 # Timed and reported, but excluded from the headline sum: cost dominated

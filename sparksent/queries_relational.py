@@ -3067,3 +3067,96 @@ def q_backtest_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("wape_ppm"),
     )
+
+
+@register(
+    "theilsen_slope_per_user",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+             sum(floor(value::DOUBLE * 1000.0)::BIGINT)::BIGINT AS y
+      FROM events GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT a.user_id,
+             (b.y - a.y)::DOUBLE / (b.day - a.day)::DOUBLE AS slope,
+             a.day AS da, b.day AS db
+      FROM daily a JOIN daily b
+        ON b.user_id = a.user_id AND a.day < b.day
+    ),
+    ranked AS (
+      SELECT user_id, slope,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY slope, da, db) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n_pairs
+      FROM pairs
+    )
+    SELECT user_id, n_pairs::BIGINT AS n_pairs,
+           round(slope, 6) AS ts_slope
+    FROM ranked WHERE rn = (n_pairs + 1) // 2
+    """,
+    tags=("relational", "timeseries", "ml"),
+)
+def q_theilsen_slope_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend per user — the median of all pairwise
+    slopes over (day, daily value sum) points: up to ~29% of a user's
+    days can be arbitrarily corrupted before the estimate moves
+    (breakdown point 0.293), where trend_slope_per_user's OLS line
+    chases a single bad day.  The median is the LOWER median at rank
+    (n+1) div 2 under the total order (slope, day_a, day_b) — an exact
+    element pick, never an interpolated midpoint, so no float
+    averaging exists to diverge between engines (the
+    spark_percentile_select 1-ULP class is avoided by construction);
+    each slope is ONE double division of exact BIGINT deltas.
+
+    Plan/scale: the daily rollup and the pair self-join share the
+    user_id key (co-partitioned equi-join, never a cross join); the
+    pairwise stage is per-user-day-count quadratic — bounded by the
+    ~30-day fixture window per user at any corpus size (days per user
+    is a calendar constant, not a data-volume variable) — and the
+    median window sorts only each user's own pairs."""
+    return theilsen_slope(tables.load_table(spark, sf_dir, "events"))
+
+
+def theilsen_slope(ev: DataFrame) -> DataFrame:
+    """The Theil-Sen body over any (user_id, ts, value) frame —
+    split out so property tests can feed synthetic users (see
+    q_theilsen_slope_per_user for semantics and scale notes)."""
+    daily = (
+        ev.select(
+            "user_id",
+            F.expr("unix_micros(ts) div 86400000000").alias("day"),
+            F.floor(F.col("value").cast("double") * F.lit(1000.0))
+            .cast("long")
+            .alias("ym"),
+        )
+        .groupBy("user_id", "day")
+        .agg(F.sum("ym").cast("long").alias("y"))
+    )
+    a = daily.alias("a")
+    b = daily.alias("b")
+    pairs = (
+        a.join(b, "user_id")
+        .filter(F.col("a.day") < F.col("b.day"))
+        .select(
+            "user_id",
+            (
+                (F.col("b.y") - F.col("a.y")).cast("double")
+                / (F.col("b.day") - F.col("a.day")).cast("double")
+            ).alias("slope"),
+            F.col("a.day").alias("da"),
+            F.col("b.day").alias("db"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("slope", "da", "db")
+    wc = Window.partitionBy("user_id")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_pairs", F.count("*").over(wc))
+        .filter(F.col("rn") == F.expr("(n_pairs + 1) div 2"))
+        .select(
+            "user_id",
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            F.round("slope", 6).alias("ts_slope"),
+        )
+    )

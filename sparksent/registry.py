@@ -80,7 +80,8 @@ _PRIORITY: tuple[str, ...] = (
     "decontaminate_semantic",
     "kmv_intersection_users",
     "k_anonymity_audit",
-    # slot 16+: latest green driver row is r05
+    "theilsen_slope_per_user",
+    # slot 17+: latest green driver row is r05
     "ewma_user_value",
     "attribution_first_touch",
     "unpivot_user_metrics",
@@ -114,10 +115,10 @@ _PRIORITY: tuple[str, ...] = (
     "ab_test_value_by_variant",
     "basket_triple_support",
     "session_path_topk",
-    "entity_resolution_parts",
-    "churn_training_set",  # --- driver window ends here (50) ---
+    "entity_resolution_parts",  # --- driver window ends here (50) ---
+    "churn_training_set",
     "item_similarity_jaccard",
-    # slot 52+: latest green driver row is r07
+    # slot 53+: latest green driver row is r07
     "dedup_exact_normalized",
     "supplier_lead_time",
     "survival_km_error",
@@ -167,7 +168,7 @@ _PRIORITY: tuple[str, ...] = (
     "embedding_quantize_error",
     "tpch_q1_pricing",
     "tpch_q3_shipping",
-    # slot 101+: latest green driver row is r08
+    # slot 102+: latest green driver row is r08
     "session_concurrency_capped",
     "corpus_curation_pipeline",
     "dedup_span_8gram",
@@ -218,7 +219,7 @@ _PRIORITY: tuple[str, ...] = (
     "category_opinion_cumulative",
     "toxic_user_nlp_cw10",
     "json_field_stats",
-    # slot 151+: latest green driver row is r10
+    # slot 152+: latest green driver row is r10
     "similarity_topk_ivf_trained",
     "multimodal_resample_pixels",
     "multimodal_frame_decode_sampled",
@@ -271,7 +272,7 @@ _PRIORITY: tuple[str, ...] = (
     "bm25_topk",
 )
 
-# window summary: 15 never-checked + 35 stale (oldest tier inside: r05); 150 names spill past the window
+# window summary: 16 never-checked + 34 stale (oldest tier inside: r05); 151 names spill past the window
 
 
 def _ordered() -> list[Query]:

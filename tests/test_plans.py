@@ -1462,3 +1462,19 @@ def test_k_anonymity_single_aggregate(spark):
     assert "partial_count" in plan
     assert count_data_shuffles(plan) <= 2  # class agg + the audit-order sort
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+
+
+def test_theilsen_user_keyed_pairs(spark):
+    """Theil-Sen's scale contract: the pairwise stage is the user-keyed
+    equi-join of the daily rollup with itself (co-partitioned, never a
+    cross join), the rollup aggregate map-side combines, and both the
+    rank and count windows share the user partition — the quadratic is
+    per-user-day-count bounded, a calendar constant."""
+    plan = plan_of(spark, "theilsen_slope_per_user")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert re.search(r"Left keys \[1\]: \[user_id#\d+L?\]", plan), (
+        "user-keyed pair join missing"
+    )
+    assert "partial_sum" in plan  # daily rollup combines map-side
+    assert re.search(r"windowspecdefinition\(user_id#\d+", plan)

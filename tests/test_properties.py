@@ -2253,3 +2253,39 @@ def test_k_anonymity_partition_law(spark):
     assert n_risky_docs + sum(
         r["count"] for r in full if r["count"] >= K_ANON
     ) == docs.count()
+
+
+def test_theilsen_robustness_and_median_law(spark):
+    """Theil-Sen laws on synthetic users (daily grain, value in units
+    so y-milli = value * 1000):
+
+    - user 1: perfect line y = 2.5/day over 9 days -> ts_slope exactly
+      2500.0 (every pairwise slope identical);
+    - user 2: the SAME line with day 4 corrupted by +1000 -> ts_slope
+      STILL 2500.0 (only 8/36 pairs touch the outlier; the median is
+      untouched — the robustness OLS lacks);
+    - user 3: days [0..3], y-milli [0,1,10,11] -> six pairwise slopes
+      sorted [1,1,3.666667,5,5,9]; the LOWER median (rank (6+1) div 2
+      = 3) is 3.666667 — pins the exact-element (never interpolated)
+      median definition on an even pair count."""
+    import datetime as dt
+
+    from sparksent.queries_relational import theilsen_slope
+
+    def ts(day):
+        return dt.datetime(2024, 1, 1) + dt.timedelta(days=day)
+
+    rows = []
+    for day in range(9):
+        rows.append((1, ts(day), 2.5 * day))
+        bad = 1000.0 if day == 4 else 0.0
+        rows.append((2, ts(day), 2.5 * day + bad))
+    for day, ym in [(0, 0), (1, 1), (2, 10), (3, 11)]:
+        rows.append((3, ts(day), ym / 1000.0))
+    # TIMESTAMP (not NTZ): the loader normalizes events.ts to TIMESTAMP
+    # carrying the wall clock, and unix_micros rejects NTZ input
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    got = {r.user_id: (r.n_pairs, r.ts_slope) for r in theilsen_slope(ev).collect()}
+    assert got[1] == (36, 2500.0)
+    assert got[2] == (36, 2500.0)  # one corrupted day cannot move the median
+    assert got[3] == (6, 3.666667)
