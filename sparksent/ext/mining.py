@@ -266,6 +266,14 @@ def copurchase_bfs_hops(
     distributed BFS.  The first-discovery hop is the minimum distance
     by BFS invariant, which is what the oracle's min-over-all-walks
     recursive CTE computes.
+
+    Join pins: frontier and levels both descend from per-round
+    ``localCheckpoint``s whose stats read small, yet one hop from a
+    high-support seed the frontier IS most of a co-purchase graph —
+    so the expand join and the seen-set anti-join are
+    ``shuffle_hash``-pinned (the graph.py round-6 hazard), as is the
+    final node-levels outer join.  Gate:
+    tests/test_plans.py::test_bfs_expand_shape.
     """
     items = _basket_items(lineitem, basket_col, item_col)
     edges = _copurchase_edges(items, weighted=False)
@@ -280,19 +288,32 @@ def copurchase_bfs_hops(
     levels = seeds.withColumn("hop", F.lit(0).cast("long")).localCheckpoint()
     frontier = levels.select("item")
     for i in range(1, max_hops + 1):
-        nxt = (
-            frontier.join(edges, frontier.item == edges.src)
-            .select(F.col("dst").alias("item"))
-            .distinct()
-            .join(levels.select("item"), "item", "left_anti")
-            .withColumn("hop", F.lit(i).cast("long"))
-            .localCheckpoint()
-        )
+        nxt = bfs_expand(frontier, edges, levels, i).localCheckpoint()
         levels = levels.union(nxt).localCheckpoint()
         frontier = nxt.select("item")
-    return nodes.join(levels, "item", "left").select(
+    return nodes.join(levels.hint("shuffle_hash"), "item", "left").select(
         F.col("item").alias("part"),
         F.coalesce(F.col("hop"), F.lit(-1)).cast("long").alias("hops"),
+    )
+
+
+def bfs_expand(
+    frontier: DataFrame, edges: DataFrame, levels: DataFrame, hop: int
+) -> DataFrame:
+    """One BFS expansion: frontier × out-edges → distinct targets →
+    drop already-levelled → stamp the hop.  Both joins shuffle_hash-
+    pinned: every input descends from a localCheckpoint (stats read
+    small) while frontier/levels can be node-sized, so leaving the
+    broadcast election to the lying stats risks the measured round-6
+    OOM shape.  Exposed separately so the per-round plan is
+    gate-able."""
+    return (
+        frontier.hint("shuffle_hash")
+        .join(edges, frontier["item"] == edges["src"])
+        .select(F.col("dst").alias("item"))
+        .distinct()
+        .join(levels.select("item").hint("shuffle_hash"), "item", "left_anti")
+        .withColumn("hop", F.lit(hop).cast("long"))
     )
 
 
@@ -514,6 +535,39 @@ def negative_sample_sql(
 # ---------------------------------------------------------------------------
 
 
+def lpa_round(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """One synchronous label-propagation round: weighted neighbor vote
+    → per-node argmax (ties to the smallest label) → adopt, keeping
+    the old label where no vote arrived.  Inside the loop the label
+    frame always descends from a ``localCheckpoint`` whose LogicalRDD
+    stats read small while the frame is NODE-SIZED (the item
+    vocabulary — corpus-scale on a real catalog), so both label-side
+    joins are ``shuffle_hash``-pinned against the measured round-6
+    mis-broadcast hazard (graph.py's peel_round/cc_send_min contract).
+    Exposed separately so the per-round plan is gate-able
+    (tests/test_plans.py::test_lpa_round_shape)."""
+    votes = (
+        edges.join(
+            labels.select(F.col("item").alias("src"), "lbl").hint("shuffle_hash"),
+            "src",
+        )
+        .groupBy(F.col("dst").alias("item"), "lbl")
+        .agg(F.sum("w").cast("long").alias("ws"))
+    )
+    best = (
+        votes.groupBy("item")
+        .agg(
+            F.min(
+                F.struct((-F.col("ws")).alias("nws"), F.col("lbl").alias("l"))
+            ).alias("b")
+        )
+        .select("item", F.col("b.l").alias("new_lbl"))
+    )
+    return labels.join(best.hint("shuffle_hash"), "item", "left").select(
+        "item", F.coalesce("new_lbl", "lbl").alias("lbl")
+    )
+
+
 def label_propagation(
     lineitem: DataFrame,
     rounds: int = 2,
@@ -531,40 +585,17 @@ def label_propagation(
     (ext/iterative.py).
 
     Scale: the label frame is node-sized and joins the edge list
-    co-partitioned on src (broadcast at this vocabulary); the vote
-    aggregate partial-combines on (dst, label) map-side; every round
-    is localCheckpoint-pinned so the plan depth stays O(1).
+    co-partitioned on src (shuffle_hash-pinned in :func:`lpa_round` —
+    checkpoint-descended stats must not elect it for broadcast); the
+    vote aggregate partial-combines on (dst, label) map-side; every
+    round is localCheckpoint-pinned so the plan depth stays O(1).
     """
     items = _basket_items(lineitem, basket_col, item_col)
     edges = _copurchase_edges(items, weighted=True)
     nodes = items.select("item").distinct().localCheckpoint()
     labels = nodes.select("item", F.col("item").alias("lbl"))
     for _ in range(rounds):
-        votes = (
-            edges.join(
-                labels.select(F.col("item").alias("src"), "lbl"), "src"
-            )
-            .groupBy(F.col("dst").alias("item"), "lbl")
-            .agg(F.sum("w").cast("long").alias("ws"))
-        )
-        best = (
-            votes.groupBy("item")
-            .agg(
-                F.min(
-                    F.struct(
-                        (-F.col("ws")).alias("nws"), F.col("lbl").alias("l")
-                    )
-                ).alias("b")
-            )
-            .select("item", F.col("b.l").alias("new_lbl"))
-        )
-        labels = (
-            labels.join(best, "item", "left")
-            .select(
-                "item", F.coalesce("new_lbl", "lbl").alias("lbl")
-            )
-            .localCheckpoint()
-        )
+        labels = lpa_round(edges, labels).localCheckpoint()
     return labels.select(
         F.col("item").alias("part"), F.col("lbl").cast("long").alias("label")
     )

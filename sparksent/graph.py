@@ -21,6 +21,35 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def cc_send_min(e: DataFrame, labels: DataFrame) -> DataFrame:
+    """One min-label propagation round: send every vertex's current
+    label across its out-edges and fold with the vertex's own label by
+    min.  The label frame is CORPUS-SIZED and, inside the loop, always
+    descends from a ``localCheckpoint`` whose LogicalRDD stats read
+    small — the measured round-6 hazard where the planner wrongly
+    broadcasts a corpus-sized frame — so the edge-label join is
+    ``shuffle_hash``-pinned exactly like ``peel_round``'s keep joins.
+    Exposed separately so the per-round plan shape is gate-able (the
+    loop's checkpoints hide it from the registered query's final
+    plan)."""
+    nbr = e.join(labels.hint("shuffle_hash"), e.src == labels.id).select(
+        F.col("dst").alias("id"), "label"
+    )
+    return labels.union(nbr).groupBy("id").agg(F.min("label").alias("label"))
+
+
+def cc_changed(new_labels: DataFrame, labels: DataFrame) -> DataFrame:
+    """The convergence probe: rows whose label changed this round.
+    Both sides are corpus-sized checkpoint descendants, so the join is
+    ``shuffle_hash``-pinned for the same reason as :func:`cc_send_min`
+    (a mis-broadcast labels frame here is an executor OOM at 100×)."""
+    return (
+        new_labels.withColumnRenamed("label", "new_label")
+        .join(labels.hint("shuffle_hash"), "id")
+        .filter(F.col("new_label") != F.col("label"))
+    )
+
+
 def connected_components(
     vertices: DataFrame,
     edges: DataFrame,
@@ -34,12 +63,23 @@ def connected_components(
 
     Each round sends every vertex's current label to its neighbors and
     takes the min; converged when no label changes. Deterministic for
-    any partitioning (min is commutative/associative).
+    any partitioning (min is commutative/associative).  Both per-round
+    joins run through :func:`cc_send_min` / :func:`cc_changed`, which
+    pin ``shuffle_hash`` against the checkpoint-descended-stats
+    broadcast hazard (see their docstrings; gate:
+    tests/test_plans.py::test_cc_round_shape).
 
     Raises RuntimeError if ``max_iter`` rounds pass without convergence
     — returning silently non-converged labels would hand transitive
     dedup wrong clusters with no signal (a chain longer than max_iter
-    hops needs more rounds, not a wrong answer).
+    hops needs more rounds, not a wrong answer).  Convergence takes
+    O(diameter) rounds under min-label propagation; near-dup graphs
+    are clique-ish (tiny diameter), and a corpus that ever presented
+    genuinely long chains would call for the large-star/small-star
+    alternating algorithm (Kiveris et al., "Connected Components in
+    MapReduce and Beyond"), which converges in O(log^2 n) rounds —
+    documented here as the escalation path, not implemented, because
+    every shipped caller feeds similarity graphs.
     """
     e = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
@@ -52,18 +92,8 @@ def connected_components(
     ).localCheckpoint()
 
     for _ in range(max_iter):
-        nbr = e.join(labels, e.src == labels.id).select(
-            F.col("dst").alias("id"), "label"
-        )
-        new_labels = (
-            labels.union(nbr).groupBy("id").agg(F.min("label").alias("label"))
-        ).localCheckpoint()
-        changed = (
-            new_labels.withColumnRenamed("label", "new_label")
-            .join(labels, "id")
-            .filter(F.col("new_label") != F.col("label"))
-            .count()
-        )
+        new_labels = cc_send_min(e, labels).localCheckpoint()
+        changed = cc_changed(new_labels, labels).count()
         labels = new_labels
         if changed == 0:
             return labels

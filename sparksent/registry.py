@@ -55,70 +55,18 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # the priority block, so the registry surface itself is unchanged — only
 # the iteration order of queries()/oracle_sql() moves.
 #
-# Round-11 window, regenerated PURELY mechanically by
-# tools/regen_priority.py from CORRECTNESS_r01..r10.json — zero hand
-# insertions (VERDICT r10 ask #1): every registration without a green
-# driver row leads (the round-10 pair plus all round-11 additions,
-# dedup_winnowing included), then the 36 names whose latest green
-# driver row is round 5, then the oldest round-7 names up to the
-# 50-slot boundary; remainder oldest-first.  After this window
-# verifies, no name's latest driver row is older than r07.
+# Round-12 window, regenerated PURELY mechanically by
+# tools/regen_priority.py from CORRECTNESS_r01..r11.json — zero hand
+# insertions (VERDICT r11 ask #2): the 2 r05-stale names
+# (churn_training_set, item_similarity_jaccard) lead, then the oldest
+# r07 names up to the 50-slot boundary; remainder oldest-first.  After
+# this window verifies, no name's latest driver row is older than r07
+# and the oldest tier inside the NEXT window rises to r08.
 _PRIORITY: tuple[str, ...] = (
-    # slot 1+: no green driver row yet
-    "dedup_image_phash",
-    "dedup_span_extents",
-    "multimodal_embed_topk",
-    "dedup_audio_fingerprint",
-    "dedup_video_framehash",
-    "dedup_multimodal_keep_set",
-    "multimodal_quality_gate",
-    "dedup_winnowing",
-    "similarity_topk_sq8",
-    "dedup_span_rewrite",
-    "graph_kcore_parts",
-    "epoch_shuffle_batches",
-    "decontaminate_semantic",
-    "kmv_intersection_users",
-    "k_anonymity_audit",
-    "theilsen_slope_per_user",
-    # slot 17+: latest green driver row is r05
-    "ewma_user_value",
-    "attribution_first_touch",
-    "unpivot_user_metrics",
-    "rolling_60s_user_stats",
-    "kmeans_embeddings_2iter",
-    "pagerank_word_graph",
-    "mix_langs_temperature",
-    "scd2_user_event_type",
-    "trend_slope_per_user",
-    "acf_daily_value_lag7",
-    "dedup_prefix_filter",
-    "basket_pair_lift",
-    "bfs_hops_copurchase",
-    "snapshot_diff_users",
-    "negative_sample_user_items",
-    "grouping_sets_event_stats",
-    "label_propagation_communities",
-    "corr_matrix_event_types",
-    "hard_negatives_topk",
-    "skyline_parts",
-    "drift_binned_ks_value",
-    "zorder_file_stats",
-    "event_ngram_next",
-    "referential_audit",
-    "inverted_index_postings",
-    "dedup_cluster_canonical",
-    "pq_codes_embeddings",
-    "twap_user_value",
-    "rank_normalize_value",
-    "attribution_linear",
-    "ab_test_value_by_variant",
-    "basket_triple_support",
-    "session_path_topk",
-    "entity_resolution_parts",  # --- driver window ends here (50) ---
+    # slot 1+: latest green driver row is r05
     "churn_training_set",
     "item_similarity_jaccard",
-    # slot 53+: latest green driver row is r07
+    # slot 3+: latest green driver row is r07
     "dedup_exact_normalized",
     "supplier_lead_time",
     "survival_km_error",
@@ -166,9 +114,9 @@ _PRIORITY: tuple[str, ...] = (
     "multimodal_image_headers",
     "embedding_centroids",
     "embedding_quantize_error",
-    "tpch_q1_pricing",
+    "tpch_q1_pricing",  # --- driver window ends here (50) ---
     "tpch_q3_shipping",
-    # slot 102+: latest green driver row is r08
+    # slot 52+: latest green driver row is r08
     "session_concurrency_capped",
     "corpus_curation_pipeline",
     "dedup_span_8gram",
@@ -219,7 +167,7 @@ _PRIORITY: tuple[str, ...] = (
     "category_opinion_cumulative",
     "toxic_user_nlp_cw10",
     "json_field_stats",
-    # slot 152+: latest green driver row is r10
+    # slot 102+: latest green driver row is r10
     "similarity_topk_ivf_trained",
     "multimodal_resample_pixels",
     "multimodal_frame_decode_sampled",
@@ -270,9 +218,58 @@ _PRIORITY: tuple[str, ...] = (
     "fuzzy_name_pairs",
     "lm_bigram_score",
     "bm25_topk",
+    # slot 152+: latest green driver row is r11
+    "dedup_image_phash",
+    "dedup_span_extents",
+    "multimodal_embed_topk",
+    "dedup_audio_fingerprint",
+    "dedup_video_framehash",
+    "dedup_multimodal_keep_set",
+    "multimodal_quality_gate",
+    "dedup_winnowing",
+    "similarity_topk_sq8",
+    "dedup_span_rewrite",
+    "graph_kcore_parts",
+    "epoch_shuffle_batches",
+    "decontaminate_semantic",
+    "kmv_intersection_users",
+    "k_anonymity_audit",
+    "theilsen_slope_per_user",
+    "ewma_user_value",
+    "attribution_first_touch",
+    "unpivot_user_metrics",
+    "rolling_60s_user_stats",
+    "kmeans_embeddings_2iter",
+    "pagerank_word_graph",
+    "mix_langs_temperature",
+    "scd2_user_event_type",
+    "trend_slope_per_user",
+    "acf_daily_value_lag7",
+    "dedup_prefix_filter",
+    "basket_pair_lift",
+    "bfs_hops_copurchase",
+    "snapshot_diff_users",
+    "negative_sample_user_items",
+    "grouping_sets_event_stats",
+    "label_propagation_communities",
+    "corr_matrix_event_types",
+    "hard_negatives_topk",
+    "skyline_parts",
+    "drift_binned_ks_value",
+    "zorder_file_stats",
+    "event_ngram_next",
+    "referential_audit",
+    "inverted_index_postings",
+    "dedup_cluster_canonical",
+    "pq_codes_embeddings",
+    "twap_user_value",
+    "rank_normalize_value",
+    "attribution_linear",
+    "ab_test_value_by_variant",
+    "basket_triple_support",
+    "session_path_topk",
+    "entity_resolution_parts",
 )
-
-# window summary: 16 never-checked + 34 stale (oldest tier inside: r05); 151 names spill past the window
 
 
 def _ordered() -> list[Query]:
