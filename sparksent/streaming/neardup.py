@@ -499,12 +499,19 @@ def video_framehash_band_index(docs: DataFrame, id_col: str = "doc_id") -> DataF
 
 
 def _frame_agreement(a, b):
-    """Fraction of slot positions with equal frame hashes.  zip_with
-    truncates to the shorter signature, but unlike-length pairs can
-    only candidate via a 60-bit content-hash collision (~2^-60), so
-    the division by size(a) is well-defined in practice."""
+    """Fraction of slot positions with equal frame hashes, 0.0 when the
+    signatures have unlike slot counts — the same ``ns_a == ns_b``
+    guard batch ``video_framehash_pairs`` applies (agreement over
+    unlike signatures is undefined; 0.0 fails every ``keep``
+    threshold, so such pairs drop from the output exactly as the batch
+    filter drops them).  Note zip_with PADS the shorter array with
+    nulls (it does not truncate); the null comparisons fall out of
+    F.filter, but the equal-size guard makes padding unreachable
+    anyway (ADVICE r11)."""
     matches = F.size(F.filter(F.zip_with(a, b, lambda x, y: x == y), lambda m: m))
-    return (matches / F.size(a)).cast("double")
+    return F.when(
+        F.size(a) == F.size(b), (matches / F.size(a)).cast("double")
+    ).otherwise(F.lit(0.0))
 
 
 def video_framehash_admit_batch(
@@ -607,7 +614,10 @@ def winnowing_band_index(
     from ..ext.dedup import winnowing_fingerprints
 
     fps = (
-        winnowing_fingerprints(docs.select(F.col(id_col).alias("doc_id"), text_col))
+        winnowing_fingerprints(
+            docs.select(F.col(id_col).alias("doc_id"), text_col),
+            text_col=text_col,  # forward: default-named lookup broke
+        )  # non-default callers with an AnalysisException (ADVICE r11)
         .select("id", "gh")
         .distinct()
     )
@@ -661,7 +671,8 @@ def winnowing_admit_batch(
         min_shared = WINNOW_MIN_SHARED
     fps = (
         winnowing_fingerprints(
-            batch_df.select(F.col(id_col).alias("doc_id"), text_col)
+            batch_df.select(F.col(id_col).alias("doc_id"), text_col),
+            text_col=text_col,  # forward (ADVICE r11), as in winnowing_band_index
         )
         .select("id", "gh")
         .distinct()

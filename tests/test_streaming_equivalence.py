@@ -2067,3 +2067,47 @@ def test_ivf_serve_loop_matches_batch(spark, tmp_path):
         for r in ivf_trained_topk(emb, queries, n_centroids=kc).collect()
     }
     assert got == want and len(want) == 30 * 5
+
+
+def test_winnowing_nondefault_text_col(spark, tmp_path):
+    """ADVICE r11: winnowing_band_index / winnowing_admit_batch accept
+    a text_col but didn't forward it, so any non-default caller got an
+    unresolved-column AnalysisException.  Rename the fixture column and
+    require the band index to equal the default-named run."""
+    from sparksent.streaming import winnowing_band_index
+    from sparksent.tables import load_table
+
+    docs = load_table(spark, SF_DIR_SMALL, "documents").select("doc_id", "text")
+    renamed = docs.withColumnRenamed("text", "body")
+    want = {
+        (r.band, r.bsig, r.corpus_id)
+        for r in winnowing_band_index(docs).collect()
+    }
+    got = {
+        (r.band, r.bsig, r.corpus_id)
+        for r in winnowing_band_index(renamed, text_col="body").collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_frame_agreement_unlike_lengths_dropped(spark):
+    """ADVICE r11: the streaming video score must apply the same
+    ns_a == ns_b guard as batch video_framehash_pairs — a pair of
+    unlike-length signatures sharing a frame hash scores 0.0 (dropped
+    by every keep threshold), never matches/size(sig_a); equal-length
+    pairs score the true slot-agreement fraction."""
+    from sparksent.streaming.neardup import _frame_agreement
+
+    df = spark.createDataFrame(
+        [
+            ([1, 2, 3], [1, 2, 3]),      # exact: 1.0
+            ([1, 2, 3, 4], [1, 2, 9, 9]),  # half: 0.5
+            ([1, 2, 3], [1, 2]),         # unlike length: guarded to 0.0
+            ([1, 2], [1, 2, 3]),         # unlike length, shorter left
+        ],
+        "a array<long>, b array<long>",
+    )
+    got = [
+        r.s for r in df.select(_frame_agreement(F.col("a"), F.col("b")).alias("s")).collect()
+    ]
+    assert got == [1.0, 0.5, 0.0, 0.0]
