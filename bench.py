@@ -248,6 +248,8 @@ HEADLINE = [
     "kmv_intersection_users",
     "k_anonymity_audit",
     "theilsen_slope_per_user",
+    # round-12 additions
+    "sample_domain_quota",
 ]
 
 # Timed and reported, but excluded from the headline sum: cost dominated

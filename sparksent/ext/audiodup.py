@@ -108,6 +108,30 @@ def synth_variant_samples(doc_id: int):
     return s.astype(np.int16)
 
 
+def afp_words(mid: int) -> list[int]:
+    """The per-clip fingerprint alone: synthesize the WAV payload,
+    decode it back through the real RIFF chunk walker, MEAN-energy the
+    65 near-equal time bins, fold the 64 gradient signs into four
+    16-bit words.  Shared by :func:`afp_stats` and the FUSED
+    multimodal signature stage (ext/mmsig.py), so both paths hash
+    identically by construction."""
+    import numpy as np
+
+    from .multimodal import decode_wav, wav_payload_from_samples
+
+    shifts = np.arange(16, dtype=np.int64)
+    payload = wav_payload_from_samples(synth_variant_samples(mid))
+    s = decode_wav(payload).astype(np.int64)
+    n = len(s)
+    idx = np.arange(n) * AFP_BINS // n
+    e = np.zeros(AFP_BINS, dtype=np.int64)
+    np.add.at(e, idx, s * s)
+    cnt = np.bincount(idx, minlength=AFP_BINS).astype(np.int64)
+    e = e // np.maximum(cnt, 1)  # mean energy; empty bin -> 0
+    bits = (e[1:] > e[:-1]).astype(np.int64)
+    return [int((bits[w * 16:(w + 1) * 16] << shifts).sum()) for w in range(4)]
+
+
 def afp_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas stage: synthesize a real WAV FILE for the variant
     law, decode it back through the real RIFF chunk walker, bin the
@@ -115,27 +139,8 @@ def afp_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     energy-gradient signs as four 16-bit words.  Payload bytes and
     samples never leave the worker; the output is 4 small ints per
     clip at ANY corpus size."""
-    import numpy as np
-
-    from .multimodal import decode_wav, wav_payload_from_samples
-
-    shifts = np.arange(16, dtype=np.int64)
     for pdf in batches:
-        rows = []
-        for mid in pdf["media_id"]:
-            mid = int(mid)
-            payload = wav_payload_from_samples(synth_variant_samples(mid))
-            s = decode_wav(payload).astype(np.int64)
-            n = len(s)
-            idx = np.arange(n) * AFP_BINS // n
-            e = np.zeros(AFP_BINS, dtype=np.int64)
-            np.add.at(e, idx, s * s)
-            cnt = np.bincount(idx, minlength=AFP_BINS).astype(np.int64)
-            e = e // np.maximum(cnt, 1)  # mean energy; empty bin -> 0
-            bits = (e[1:] > e[:-1]).astype(np.int64)
-            words = [int((bits[w * 16:(w + 1) * 16] << shifts).sum())
-                     for w in range(4)]
-            rows.append((mid, *words))
+        rows = [(int(mid), *afp_words(int(mid))) for mid in pdf["media_id"]]
         yield pd.DataFrame(rows, columns=["media_id", "w0", "w1", "w2", "w3"])
 
 

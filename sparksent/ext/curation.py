@@ -632,6 +632,68 @@ def sample_token_budget_sql(
 
 
 # ---------------------------------------------------------------------------
+# per-domain quota capping (RefinedWeb/C4-style source frequency cap)
+# ---------------------------------------------------------------------------
+
+DOMAIN_QUOTA = 16  # max docs per source at fixture scale
+
+
+def sample_domain_quota(
+    docs: DataFrame,
+    cap: int = DOMAIN_QUOTA,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-domain frequency capping (VERDICT r11 ask #6): keep at most
+    ``cap`` documents per source, chosen by the deterministic md5
+    lottery (smallest hash wins, ties by id) — the RefinedWeb/C4-style
+    curation knob that stops any single host/domain from dominating
+    the mix regardless of how many documents it contributes.  Unlike
+    :func:`sample_token_budget` (a budget over token SUMS, needing a
+    running-sum window) the cap is a COUNT, so the take is a rank
+    window.  Output: (doc_id, source, rk), rk = 1..cap.
+
+    Determinism: the lottery is a pure function of (salt, doc_id), so
+    the sample is reproducible across engines and re-partitioned
+    re-runs (the sampling modules' convention).
+
+    Scale: Spark rewrites the rank-filter to WindowGroupLimit — every
+    shuffle-map task emits at most ``cap`` rows per source it sees, so
+    the window shuffle carries <= sources x cap x tasks rows, NOT the
+    corpus (the kmeans_balanced_sample / session_concurrency_capped
+    bound; plan-gated).  A hot domain with a billion pages costs its
+    map-side top-cap heaps, never a corpus-sized sort partition."""
+    lot = h60(
+        F.concat(F.lit("domquota:"), F.col(id_col).cast("string"))
+    )
+    w = Window.partitionBy(group_col).orderBy(lot.asc(), F.col(id_col).asc())
+    return (
+        docs.select(id_col, group_col)
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= cap)
+        .select(id_col, group_col, "rk")
+    )
+
+
+def sample_domain_quota_sql(
+    table: str = "documents",
+    cap: int = DOMAIN_QUOTA,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB oracle: the same md5 lottery rank + cap filter."""
+    lot = h60_sql(f"'domquota:'||{id_col}::VARCHAR")
+    return f"""
+    SELECT {id_col}, {group_col}, rk FROM (
+      SELECT {id_col}, {group_col},
+             row_number() OVER (PARTITION BY {group_col}
+                                ORDER BY {lot}, {id_col})::BIGINT AS rk
+      FROM {table})
+    WHERE rk <= {cap}
+    """
+
+
+# ---------------------------------------------------------------------------
 # DSIR: Data Selection via Importance Resampling (Xie et al. 2023) —
 # hashed n-gram importance weights for target-domain-matched pretraining
 # data selection; no reference counterpart, LLM-pipeline extension

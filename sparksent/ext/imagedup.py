@@ -123,6 +123,22 @@ def _decoded_gray_grid(mid: int):
     return bilinear_resize(gray[:, :, None], PHASH_GW, PHASH_GH)[:, :, 0]
 
 
+def phash_words(mid: int) -> list[int]:
+    """The per-image signature alone: synthesize + decode the
+    format-routed payload, grayscale, bilinear-resample to the 9x8
+    dHash grid, fold the 64 gradient-sign bits (i = y*8+x) into four
+    16-bit words.  Shared by :func:`phash_stats` and the FUSED
+    multimodal signature stage (ext/mmsig.py), so both paths hash
+    identically by construction."""
+    import numpy as np
+
+    shifts = np.arange(16, dtype=np.int64)
+    g = _decoded_gray_grid(mid)
+    bits = (g[:, 1:] > g[:, :-1]).astype(np.int64).ravel()
+    return [int((bits[w * 16:(w + 1) * 16] << shifts).sum())
+            for w in range(PHASH_WORDS)]
+
+
 def phash_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas stage: synthesize a real BMP/PPM/PNG FILE for the
     variant law (format routed by ``mid % 3``), decode it back through
@@ -130,18 +146,8 @@ def phash_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     dHash grid, and emit the 64 gradient-sign bits as four 16-bit
     words.  Payload bytes and pixel grids never leave the worker; the
     output is 4 small ints per image at ANY corpus size."""
-    import numpy as np
-
-    shifts = np.arange(16, dtype=np.int64)
     for pdf in batches:
-        rows = []
-        for mid in pdf["media_id"]:
-            mid = int(mid)
-            g = _decoded_gray_grid(mid)
-            bits = (g[:, 1:] > g[:, :-1]).astype(np.int64).ravel()  # i = y*8+x
-            words = [int((bits[w * 16:(w + 1) * 16] << shifts).sum())
-                     for w in range(PHASH_WORDS)]
-            rows.append((mid, *words))
+        rows = [(int(mid), *phash_words(int(mid))) for mid in pdf["media_id"]]
         yield pd.DataFrame(rows, columns=["media_id", "w0", "w1", "w2", "w3"])
 
 

@@ -104,34 +104,48 @@ def synth_variant_avi(doc_id: int) -> bytes:
     return _avi_container(frames, w, h, handler=b"MJPG")
 
 
+def frame_hashes(mid: int) -> list[int]:
+    """The per-clip signature alone: synthesize the real AVI, demux
+    it, decode ONLY the kk sampled frames (sample-then-decode), read
+    the block grid back from the decoded pixels, md5-hash the
+    canonical content string — the slot-ordered list of 60-bit frame
+    hashes.  Shared by :func:`vfh_stats` and the FUSED multimodal
+    signature stage (ext/mmsig.py), so both paths hash identically by
+    construction."""
+    import hashlib
+
+    from .multimodal import decode_media, parse_avi_index
+
+    payload = synth_variant_avi(mid)
+    meta, frames = parse_avi_index(payload, keep_data=True)
+    n, w, h = meta["n_frames"], meta["width"], meta["height"]
+    kk = min(VFP_K, n)
+    out = []
+    for i in range(kk):
+        fno = i * n // kk
+        px = decode_media(frames[fno]["data"], "image/jpeg")
+        # block-constant by format: blocks read at corners
+        blocks = px[::8, ::8, 0]
+        canon = f"{w}x{h}:" + ",".join(
+            str(int(v)) for row in blocks for v in row
+        )
+        out.append(int(hashlib.md5(canon.encode()).hexdigest()[:15], 16))
+    return out
+
+
 def vfh_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas stage: synthesize the real AVI, demux it, decode
     ONLY the kk sampled frames (sample-then-decode), read the block
     grid back from the decoded pixels, hash the canonical content
     string.  One (media_id, n_slots, slot, fhash) row per sampled
     frame — bytes and pixels never leave the worker."""
-    import hashlib
-
-    from .multimodal import decode_media, parse_avi_index
-
     for pdf in batches:
         rows = []
         for mid in pdf["media_id"]:
             mid = int(mid)
-            payload = synth_variant_avi(mid)
-            meta, frames = parse_avi_index(payload, keep_data=True)
-            n, w, h = meta["n_frames"], meta["width"], meta["height"]
-            kk = min(VFP_K, n)
-            for i in range(kk):
-                fno = i * n // kk
-                px = decode_media(frames[fno]["data"], "image/jpeg")
-                # block-constant by format: blocks read at corners
-                blocks = px[::8, ::8, 0]
-                canon = f"{w}x{h}:" + ",".join(
-                    str(int(v)) for row in blocks for v in row
-                )
-                fh = int(hashlib.md5(canon.encode()).hexdigest()[:15], 16)
-                rows.append((mid, kk, i, fh))
+            fhs = frame_hashes(mid)
+            kk = len(fhs)
+            rows.extend((mid, kk, i, fh) for i, fh in enumerate(fhs))
         yield pd.DataFrame(
             rows, columns=["media_id", "n_slots", "slot", "fhash"]
         )
@@ -159,7 +173,15 @@ def video_framehash_pairs(docs: DataFrame) -> DataFrame:
     frame, never pixels.  Pairs with different slot counts never score
     (agreement over unlike signatures is undefined); same-seed
     variants always share kk."""
-    sigs = video_frame_sigs(docs).localCheckpoint()
+    return framehash_pair_join(video_frame_sigs(docs).localCheckpoint())
+
+
+def framehash_pair_join(sigs: DataFrame) -> DataFrame:
+    """The (slot, fhash) agreement join over an arbitrary
+    (media_id, n_slots, slot, fhash) frame — split from the decode
+    stage (the phash_band_pairs pattern) so the fused multimodal
+    signature stage (ext/mmsig.py) can reuse the identical pair plan
+    over its one-decode-pass signatures."""
     left = sigs.select(
         F.col("media_id").alias("id_a"),
         F.col("n_slots").alias("ns_a"),

@@ -57,16 +57,19 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 #
 # Round-12 window, regenerated PURELY mechanically by
 # tools/regen_priority.py from CORRECTNESS_r01..r11.json — zero hand
-# insertions (VERDICT r11 ask #2): the 2 r05-stale names
-# (churn_training_set, item_similarity_jaccard) lead, then the oldest
-# r07 names up to the 50-slot boundary; remainder oldest-first.  After
-# this window verifies, no name's latest driver row is older than r07
-# and the oldest tier inside the NEXT window rises to r08.
+# insertions (VERDICT r11 ask #2): the round-12 registration
+# sample_domain_quota (never driver-checked) leads, then the 2
+# r05-stale names (churn_training_set, item_similarity_jaccard), then
+# the oldest r07 names up to the 50-slot boundary; remainder
+# oldest-first.  After this window verifies, no name's latest driver
+# row is older than r07.
 _PRIORITY: tuple[str, ...] = (
-    # slot 1+: latest green driver row is r05
+    # slot 1+: no green driver row yet
+    "sample_domain_quota",
+    # slot 2+: latest green driver row is r05
     "churn_training_set",
     "item_similarity_jaccard",
-    # slot 3+: latest green driver row is r07
+    # slot 4+: latest green driver row is r07
     "dedup_exact_normalized",
     "supplier_lead_time",
     "survival_km_error",
@@ -113,10 +116,10 @@ _PRIORITY: tuple[str, ...] = (
     "multimodal_features",
     "multimodal_image_headers",
     "embedding_centroids",
-    "embedding_quantize_error",
-    "tpch_q1_pricing",  # --- driver window ends here (50) ---
+    "embedding_quantize_error",  # --- driver window ends here (50) ---
+    "tpch_q1_pricing",
     "tpch_q3_shipping",
-    # slot 52+: latest green driver row is r08
+    # slot 53+: latest green driver row is r08
     "session_concurrency_capped",
     "corpus_curation_pipeline",
     "dedup_span_8gram",
@@ -167,7 +170,7 @@ _PRIORITY: tuple[str, ...] = (
     "category_opinion_cumulative",
     "toxic_user_nlp_cw10",
     "json_field_stats",
-    # slot 102+: latest green driver row is r10
+    # slot 103+: latest green driver row is r10
     "similarity_topk_ivf_trained",
     "multimodal_resample_pixels",
     "multimodal_frame_decode_sampled",
@@ -218,7 +221,7 @@ _PRIORITY: tuple[str, ...] = (
     "fuzzy_name_pairs",
     "lm_bigram_score",
     "bm25_topk",
-    # slot 152+: latest green driver row is r11
+    # slot 153+: latest green driver row is r11
     "dedup_image_phash",
     "dedup_span_extents",
     "multimodal_embed_topk",

@@ -58,6 +58,7 @@ from .ops import (  # noqa: F401
 )
 from .sources import file_replay_source, rate_events, socket_lines  # noqa: F401
 from .sinks import (  # noqa: F401
+    compact_bucketed_store,
     parquet_keyed_merge,
     to_console,
     to_memory,

@@ -710,3 +710,39 @@ def test_resample_kernels_value_bounds_property():
         assert (lost >= 0).all() and (lost < cnt.sum()).all()
 
     run()
+
+
+def test_fused_signatures_match_per_modality(spark):
+    """The fused one-decode-pass signature stage (ext/mmsig.py) must
+    emit exactly the per-modality stages' signatures — same helpers by
+    construction, but this pins the Spark-level plumbing (schema,
+    array packing, slot order) across all three media modalities."""
+    from pyspark.sql import functions as F
+
+    from sparksent.ext.audiodup import audio_fingerprints
+    from sparksent.ext.imagedup import image_phashes
+    from sparksent.ext.mmsig import multimodal_signatures
+    from sparksent.ext.videodup import video_frame_sigs
+    from sparksent.tables import load_table
+
+    from conftest import SF_DIR_SMALL
+
+    docs = load_table(spark, SF_DIR_SMALL, "documents").select("doc_id").limit(60)
+    fused = {
+        r.media_id: (tuple(r.img_hw), tuple(r.aud_hw), tuple(r.vid_sig))
+        for r in multimodal_signatures(docs).collect()
+    }
+    img = {r.media_id: tuple(r.hw) for r in image_phashes(docs).collect()}
+    aud = {r.media_id: tuple(r.hw) for r in audio_fingerprints(docs).collect()}
+    vid = {
+        r.media_id: tuple(x.fhash for x in r.s)
+        for r in video_frame_sigs(docs)
+        .groupBy("media_id")
+        .agg(F.sort_array(F.collect_list(F.struct("slot", "fhash"))).alias("s"))
+        .collect()
+    }
+    assert len(fused) == 60
+    for mid, (ih, ah, vs) in fused.items():
+        assert ih == img[mid], mid
+        assert ah == aud[mid], mid
+        assert vs == vid[mid], mid

