@@ -44,6 +44,49 @@ def socket_lines(spark: SparkSession, host: str = "localhost", port: int = 9001)
     )
 
 
+def kafka_lines(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "latest",
+) -> DataFrame:
+    """The production ingest swap the module docstring names, made
+    concrete (round 12): a Kafka topic of newline-free text records,
+    projected to the SAME (line, ts, event_id) surface as
+    :func:`socket_lines` — every downstream operator is source-agnostic
+    past this projection, which is the point of the unified model.
+
+    ``ts`` is the broker-assigned record timestamp (a real event-time
+    column, unlike the socket's processing-time stamp), so watermarks
+    downstream bound genuine lateness.  The id surrogate is the same
+    content+time hash contract as socket_lines.
+
+    Requires the spark-sql-kafka package on the session's classpath
+    (``--packages org.apache.spark:spark-sql-kafka-0-10_2.13:<ver>``);
+    this sandbox does not ship it, so the builder raises a clear
+    RuntimeError naming the package instead of Spark's generic
+    DATA_SOURCE_NOT_FOUND at a surprising distance from the call site
+    (pinned by test).  No other code path imports this function."""
+    try:
+        raw = (
+            spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", bootstrap_servers)
+            .option("subscribe", topic)
+            .option("startingOffsets", starting_offsets)
+            .load()
+        )
+    except Exception as e:  # analysis-time: provider not on classpath
+        raise RuntimeError(
+            "kafka_lines needs the spark-sql-kafka package on the "
+            "classpath (org.apache.spark:spark-sql-kafka-0-10_2.13); "
+            f"source resolution failed: {e}"
+        ) from e
+    return raw.select(
+        F.col("value").cast("string").alias("line"),
+        F.col("timestamp").alias("ts"),
+    ).withColumn("event_id", F.xxhash64("line", "ts"))
+
+
 EVENT_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),

@@ -66,3 +66,19 @@ def test_socket_source_to_memory_sink(spark):
             query.stop()
         server.shutdown()
         server.server_close()
+
+
+def test_kafka_lines_clear_error_without_package(spark):
+    """kafka_lines (the documented production ingest swap, made
+    concrete in round 12) must fail with a RuntimeError NAMING the
+    missing spark-sql-kafka package in this sandbox — not Spark's
+    generic DATA_SOURCE_NOT_FOUND surfacing at a surprising distance
+    from the call site.  If a future environment ships the package,
+    this test's premise changes and it should become a live smoke
+    test."""
+    import pytest as _pytest
+
+    from sparksent.streaming import kafka_lines
+
+    with _pytest.raises(RuntimeError, match="spark-sql-kafka"):
+        kafka_lines(spark, "localhost:9092", "chat")
