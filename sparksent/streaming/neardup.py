@@ -245,7 +245,19 @@ def neardup_admit_batch(
     exactly-once even under at-least-once replay (the vs-index probe
     may then see the batch's own rows, but orientation-normalization +
     dropDuplicates collapses those to the same pair set the intra-batch
-    self-join emits)."""
+    self-join emits).
+
+    Long-stream footprint (round 12): the INDEX never fragments (one
+    file per touched bucket per merge — the repartition guard; flat
+    ~22 MB/batch input measured over 12 batches, SCALE.md) but the
+    OUT pair log adds one ``ingest_batch=N`` partition per batch by
+    design — that per-batch overwrite IS the replay-idempotency
+    mechanism, so it must not be merged for batches the checkpoint
+    could still replay.  The production housekeeping: periodically
+    fold partitions older than the checkpoint's committed offset into
+    a consolidated archive partition (Structured Streaming replays at
+    most the last uncommitted batch, so anything older is final);
+    downstream consumers of the pair set read the union either way."""
     from ..ext.dedup import minhash_bands, minhash_signatures, signature_agreement
 
     sigs = minhash_signatures(batch_df, id_col, text_col).localCheckpoint()

@@ -2164,3 +2164,153 @@ def test_frame_agreement_unlike_lengths_dropped(spark):
         r.s for r in df.select(_frame_agreement(F.col("a"), F.col("b")).alias("s")).collect()
     ]
     assert got == [1.0, 0.5, 0.0, 0.0]
+
+
+def test_streaming_domain_quota_vs_greedy_batch(spark, tmp_path):
+    """The streaming per-domain quota (round 12): replay documents in 3
+    micro-batches; the admitted set must equal the deterministic greedy
+    chunk-by-chunk simulation — per source, rank by (chunk, lottery,
+    doc_id) and keep the first cap — and when the WHOLE corpus arrives
+    as ONE batch the streamed set must equal the BATCH
+    sample_domain_quota exactly (same lottery, same rank)."""
+    from pyspark.sql import types as T
+
+    from sparksent.ext.curation import sample_domain_quota
+    from sparksent.ext.hashing import h60
+    from sparksent.streaming import streaming_domain_quota
+    from sparksent.streaming.sources import file_replay_source, write_replay_chunks
+    from sparksent.tables import load_table
+
+    docs = load_table(spark, SF_DIR_SMALL, "documents").select("doc_id", "source")
+    cap = 5
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("source", T.StringType())]
+    )
+
+    def run_stream(replay, ckpt, out_name):
+        q = (
+            streaming_domain_quota(
+                file_replay_source(spark, replay, schema=schema), cap=cap
+            )
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(out_name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return {
+            (r.doc_id, r.source, r.rk) for r in spark.table(out_name).collect()
+        }
+
+    # leg 1: three chunks -> greedy chunk-by-chunk model
+    replay3 = str(tmp_path / "dq_replay3")
+    files = write_replay_chunks(docs, replay3, 3, order_col="doc_id")
+    chunk_of = []
+    for i, f in enumerate(sorted(files)):
+        chunk_of.append(
+            spark.read.parquet(f).select("doc_id").withColumn("chunk", F.lit(i))
+        )
+    chunks = chunk_of[0]
+    for c in chunk_of[1:]:
+        chunks = chunks.union(c)
+    lot = h60(F.concat(F.lit("domquota:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy("chunk", lot.asc(), F.col("doc_id").asc())
+    want3 = {
+        (r.doc_id, r.source, r.rk)
+        for r in docs.join(chunks, "doc_id")
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= cap)
+        .collect()
+    }
+    got3 = run_stream(replay3, str(tmp_path / "dq_ckpt3"), "t_dq3")
+    assert got3 == want3 and len(want3) > 0
+
+    # leg 2: one chunk -> exact agreement with the batch operator
+    replay1 = str(tmp_path / "dq_replay1")
+    write_replay_chunks(docs, replay1, 1, order_col="doc_id")
+    got1 = run_stream(replay1, str(tmp_path / "dq_ckpt1"), "t_dq1")
+    want1 = {
+        (r.doc_id, r.source, r.rk)
+        for r in sample_domain_quota(docs, cap=cap).collect()
+    }
+    assert got1 == want1 and len(want1) > 0
+
+
+def test_streaming_domain_quota_survives_checkpoint_restart(spark, tmp_path):
+    """Kill-and-restart recovery proof for the quota state (the
+    applyInPandasWithState contract every stateful operator here
+    carries): stop after the first micro-batch, restart from the
+    checkpoint, and require the union of both runs' emissions to equal
+    the single-pass greedy answer — the admitted counters must survive
+    the restart (a reset counter would re-admit past-cap docs)."""
+    from pyspark.sql import types as T
+
+    from sparksent.ext.hashing import h60
+    from sparksent.streaming import streaming_domain_quota
+    from sparksent.streaming.sources import file_replay_source, write_replay_chunks
+    from sparksent.tables import load_table
+
+    docs = load_table(spark, SF_DIR_SMALL, "documents").select("doc_id", "source")
+    cap = 5
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("source", T.StringType())]
+    )
+    replay = str(tmp_path / "dqr_replay")
+    files = write_replay_chunks(docs, replay, 3, order_col="doc_id")
+    ckpt = str(tmp_path / "dqr_ckpt")
+
+    def start():
+        return (
+            streaming_domain_quota(
+                file_replay_source(spark, replay, schema=schema), cap=cap
+            )
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", str(tmp_path / "dqr_out"))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = start()
+    # kill between micro-batches: wait for the first batch to commit
+    import time as _time
+
+    deadline = _time.time() + 120
+    import os as _os
+
+    while _time.time() < deadline:
+        commits = _os.path.join(ckpt, "commits")
+        if _os.path.isdir(commits) and any(
+            not f.startswith(".") for f in _os.listdir(commits)
+        ):
+            break
+        _time.sleep(0.5)
+    q.stop()
+    q2 = start()  # resume from the checkpoint
+    q2.awaitTermination(180)
+
+    got = {
+        (r.doc_id, r.source, r.rk)
+        for r in spark.read.parquet(str(tmp_path / "dqr_out")).collect()
+    }
+    chunk_of = []
+    for i, f in enumerate(sorted(files)):
+        chunk_of.append(
+            spark.read.parquet(f).select("doc_id").withColumn("chunk", F.lit(i))
+        )
+    chunks = chunk_of[0]
+    for c in chunk_of[1:]:
+        chunks = chunks.union(c)
+    lot = h60(F.concat(F.lit("domquota:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy("chunk", lot.asc(), F.col("doc_id").asc())
+    want = {
+        (r.doc_id, r.source, r.rk)
+        for r in docs.join(chunks, "doc_id")
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= cap)
+        .collect()
+    }
+    assert got == want and len(want) > 0

@@ -410,6 +410,31 @@ def cmd_longstream(spark, port, app_id) -> dict:
     return report
 
 
+def cmd_r12ops(spark, port, app_id) -> dict:
+    """Round-12 linearity check for this round's changes: the fused
+    multimodal keep-set (one decode pass + pointer-doubling CC) and
+    sample_domain_quota at ×1 (sf0.1, 5k docs) vs ×20 (100k docs) —
+    the claims being ~linear wall, shuffle tracking candidate pairs
+    (not corpus bytes), and the CC round count staying logarithmic in
+    component diameter however the corpus grows."""
+    if not os.path.isdir(f"{X20_BASE}/documents.parquet"):
+        from tools.scale_demo import generate
+
+        generate(spark, X20_BASE)
+    from sparksent.registry import queries
+
+    qs = queries()
+    names = ["dedup_multimodal_keep_set", "sample_domain_quota"]
+    spark.range(32).repartition(32).mapInPandas(
+        lambda it: it, "id long"
+    ).write.mode("overwrite").format("noop").save()
+    report = {}
+    for tag, base in (("x1", SF_DIR_X1), ("x20", X20_BASE)):
+        fns = {f"{n}_{tag}": (lambda n=n, b=base: qs[n](spark, b)) for n in names}
+        report[tag] = _run_measured(spark, fns, port, app_id)
+    return report
+
+
 def cmd_annrecall(spark, port, app_id) -> dict:
     """Round-12 (VERDICT r11 ask #7): recall-at-scale evidence for the
     quantized ANN family.  At ×20 (40k embeddings — 20× the sf0.1
@@ -663,7 +688,7 @@ def cmd_ivfpq_rest(spark, port, app_id) -> dict:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument(
-        "part", choices=["hotkey", "neardup", "x80", "ivfpq_rest", "admission", "r11ops", "r11ops2", "annserve", "longstream", "annrecall"]
+        "part", choices=["hotkey", "neardup", "x80", "ivfpq_rest", "admission", "r11ops", "r11ops2", "annserve", "longstream", "annrecall", "r12ops"]
     )
     args = ap.parse_args()
     spark = build_session()
@@ -680,6 +705,7 @@ def main() -> None:
         "annserve": cmd_annserve,
         "longstream": cmd_longstream,
         "annrecall": cmd_annrecall,
+        "r12ops": cmd_r12ops,
     }[args.part](spark, port, sc.applicationId)
     print(json.dumps({args.part: report}, indent=1))
 
