@@ -77,11 +77,31 @@ def cc_shortcut(folded: DataFrame) -> DataFrame:
     )
 
 
+def cc_label_sum(labels: DataFrame):
+    """The convergence probe for NUMERIC vertex ids, joinless
+    (round 12): every step of the round is per-vertex NON-INCREASING
+    (the min-fold includes the vertex's own label; the shortcut
+    substitutes ``label(u) <= u = label(v)``), so the labels changed
+    this round **iff** the label sum decreased — one map-side-combined
+    aggregate replaces the new-vs-old equi-join the probe used to pay
+    (a corpus-sized shuffle per round at 100×).  DECIMAL(38,0)
+    accumulation: exact at any corpus size, and Spark 4 ANSI mode
+    would abort a silently overflowing BIGINT sum anyway.  Non-numeric
+    ids (entity resolution's canonical NAMES) have no exact monotone
+    scalar, so they keep the :func:`cc_changed` join probe — a sum of
+    label hashes would be order-insensitive but admits collisions,
+    and the engine does not trade exactness for a per-round join."""
+    return labels.agg(
+        F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+    ).collect()[0][0]
+
+
 def cc_changed(new_labels: DataFrame, labels: DataFrame) -> DataFrame:
-    """The convergence probe: rows whose label changed this round.
-    Both sides are corpus-sized checkpoint descendants, so the join is
-    ``shuffle_hash``-pinned for the same reason as :func:`cc_send_min`
-    (a mis-broadcast labels frame here is an executor OOM at 100×)."""
+    """The convergence probe for NON-NUMERIC vertex ids: rows whose
+    label changed this round.  Both sides are corpus-sized checkpoint
+    descendants, so the join is ``shuffle_hash``-pinned for the same
+    reason as :func:`cc_send_min` (a mis-broadcast labels frame here
+    is an executor OOM at 100×)."""
     return (
         new_labels.withColumnRenamed("label", "new_label")
         .join(labels.hint("shuffle_hash"), "id")
@@ -103,9 +123,10 @@ def connected_components(
     Each round sends every vertex's current label to its neighbors and
     takes the min; converged when no label changes. Deterministic for
     any partitioning (min is commutative/associative).  Both per-round
-    joins run through :func:`cc_send_min` / :func:`cc_changed`, which
-    pin ``shuffle_hash`` against the checkpoint-descended-stats
-    broadcast hazard (see their docstrings; gate:
+    joins run through :func:`cc_send_min`, which pins ``shuffle_hash``
+    against the checkpoint-descended-stats broadcast hazard (see its
+    docstring); convergence is detected by the joinless
+    :func:`cc_label_sum` monotone probe (gate:
     tests/test_plans.py::test_cc_round_shape).
 
     Raises RuntimeError if ``max_iter`` rounds pass without convergence
@@ -142,15 +163,24 @@ def connected_components(
         "id", F.col("id").alias("label")
     )
 
+    from pyspark.sql import types as T
+
+    numeric = isinstance(labels.schema["label"].dataType, T.NumericType)
+    prev_sum = cc_label_sum(labels) if numeric else None
     for _ in range(max_iter):
         new_labels = cc_send_min(e, labels).localCheckpoint()
-        changed = cc_changed(new_labels, labels).count()
+        if numeric:
+            s = cc_label_sum(new_labels)
+            done = s == prev_sum  # monotone labels: equal sum == no change
+            prev_sum = s
+        else:
+            done = cc_changed(new_labels, labels).count() == 0
         labels = new_labels
-        if changed == 0:
+        if done:
             return labels.union(isolated)
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds "
-        f"(last round still changed {changed} labels); raise max_iter"
+        f"(labels still changing); raise max_iter"
     )
 
 

@@ -1482,21 +1482,22 @@ def test_theilsen_user_keyed_pairs(spark):
 
 def test_cc_round_shape(spark):
     """Connected components' per-round scale contract (the round-11
-    judge finding): the label-send join, the pointer-shortcut join,
-    and the convergence-probe join all run as ShuffledHashJoin — NEVER
-    BroadcastHashJoin, because inside the loop every side descends
-    from a localCheckpoint whose stats read small while the labels
-    frame is dup-graph-sized (the measured round-6 mis-broadcast
-    hazard) — the min-label fold map-side combines, and each stage
-    executes its joins exactly ONCE (the shortcut consumes the fold
-    twice; an un-materialized fold would double the send join, caught
-    here by the per-stage join counts).  Five shipped queries
+    judge finding): the label-send join and the pointer-shortcut join
+    run as ShuffledHashJoin — NEVER BroadcastHashJoin, because inside
+    the loop every side descends from a localCheckpoint whose stats
+    read small while the labels frame is dup-graph-sized (the measured
+    round-6 mis-broadcast hazard) — the min-label fold map-side
+    combines, each stage executes its joins exactly ONCE (the shortcut
+    consumes the fold twice; an un-materialized fold would double the
+    send join, caught here by the per-stage join counts), and the
+    convergence probe is JOINLESS — one map-side-combined sum, never a
+    corpus-sized new-vs-old equi-join.  Five shipped queries
     (dedup_components, dedup_keep_set, dedup_cluster_canonical,
     entity_resolution_parts, dedup_multimodal_keep_set) sit on this
     loop."""
     from pyspark.sql import functions as F
 
-    from sparksent.graph import cc_changed, cc_fold_min, cc_shortcut
+    from sparksent.graph import cc_fold_min, cc_shortcut
     from sparksent.tables import load_table
 
     def fmt(df):
@@ -1530,6 +1531,19 @@ def test_cc_round_shape(spark):
     short_plan = fmt(cc_shortcut(folded))
     assert "BroadcastHashJoin" not in short_plan
     assert len(re.findall(r"\(\d+\) ShuffledHashJoin", short_plan)) == 1
+    # the numeric convergence probe: one map-side-combined aggregate,
+    # no join
+    probe_plan = fmt(
+        cc_shortcut(folded)
+        .localCheckpoint()
+        .agg(F.sum(F.col("label").cast("decimal(38,0)")).alias("s"))
+    )
+    assert "Join" not in probe_plan
+    assert "partial_sum" in probe_plan
+    # the non-numeric fallback probe (string-id graphs, e.g. entity
+    # resolution) keeps the shuffle_hash-pinned join
+    from sparksent.graph import cc_changed
+
     pplan = fmt(cc_changed(cc_shortcut(folded).localCheckpoint(), labels))
     assert "BroadcastHashJoin" not in pplan
     assert len(re.findall(r"\(\d+\) ShuffledHashJoin", pplan)) == 1
