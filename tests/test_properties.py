@@ -2342,3 +2342,51 @@ def test_domain_quota_cap_exact_and_deterministic(spark):
     assert {(r.doc_id, r.source, r.rk) for r in reparted} == {
         (r.doc_id, r.source, r.rk) for r in got
     }
+
+
+def test_cc_round_monotone_and_sum_probe_exact(spark):
+    """The joinless convergence probe's premise, pinned directly:
+    on a seeded pseudo-random graph, every cc_send_min round leaves
+    every vertex's label <= its previous label (the min-fold includes
+    the own label; the shortcut substitutes label(u) <= u), and the
+    DECIMAL label sum is unchanged in a round IFF no vertex's label
+    changed — the equivalence connected_components' numeric probe
+    relies on."""
+    from pyspark.sql import functions as F
+
+    from sparksent.graph import cc_label_sum, cc_send_min
+
+    n = 400
+    # deterministic scraggly graph: chains + long-range chords, ids
+    # deliberately NOT aligned with adjacency (the shortcut's hard case)
+    edges = [(i, (i * 137 + 31) % n) for i in range(n)] + [
+        (i, i + 1) for i in range(0, n - 1, 3)
+    ]
+    e_df = spark.createDataFrame(
+        [(a, b) for a, b in edges if a != b], "src long, dst long"
+    )
+    e = (
+        e_df.union(e_df.selectExpr("dst AS src", "src AS dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        spark.range(n)
+        .select(F.col("id"), F.col("id").alias("label"))
+        .localCheckpoint()
+    )
+    prev = {r.id: r.label for r in labels.collect()}
+    prev_sum = cc_label_sum(labels)
+    for _ in range(12):
+        labels = cc_send_min(e, labels).localCheckpoint()
+        cur = {r.id: r.label for r in labels.collect()}
+        assert set(cur) == set(prev)  # no vertex gained or lost
+        assert all(cur[v] <= prev[v] for v in cur)  # monotone
+        s = cc_label_sum(labels)
+        changed = sum(1 for v in cur if cur[v] != prev[v])
+        assert (s == prev_sum) == (changed == 0)  # the probe equivalence
+        if changed == 0:
+            break
+        prev, prev_sum = cur, s
+    assert changed == 0  # converged inside the bound
+    assert set(cur.values()) == {0}  # the chord law makes one component
