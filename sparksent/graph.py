@@ -33,15 +33,19 @@ def cc_send_min(e: DataFrame, labels: DataFrame) -> DataFrame:
     covered per round; the loop converges in O(log diameter) rounds
     instead of O(diameter).  Measured on the fused multimodal pair
     graph at sf0.1 (diameter ~13 from MinHash band chains): 14 rounds
-    → 5, CC wall 6.9 s → ~2.5 s; at 100× a chain-y corpus is exactly
-    where O(diameter) rounds would bite.  Both the fixpoint and the
-    trajectory stay deterministic: labels only decrease, every label
-    is a same-component vertex id, and a stable point forces every
-    label to the component min (the same fixpoint as plain min-label
-    propagation — see test_cc_long_chain).
+    → 9, CC wall 6.9 → ~5 s (ids are not aligned along the chains, so
+    one shortcut hop compresses less than ideal doubling — still
+    logarithmic: a planted 10,000-hop chain converges inside 20
+    rounds); at 100× a chain-y corpus is exactly where O(diameter)
+    rounds would bite.  Both the fixpoint and the trajectory stay
+    deterministic: labels only decrease, every label is a
+    same-component vertex id, and a stable point forces every label
+    to the component min (the same fixpoint as plain min-label
+    propagation — see test_cc_long_chain_logarithmic_rounds).
 
     Both joins are ``shuffle_hash``-pinned: the label frame is
-    CORPUS-SIZED and, inside the loop, always descends from a
+    dup-graph-sized (corpus-scale on a dup-heavy corpus) and, inside
+    the loop, always descends from a
     ``localCheckpoint`` whose LogicalRDD stats read small — the
     measured round-6 hazard where the planner wrongly broadcasts a
     corpus-sized frame (``peel_round``'s contract).  The fold is
