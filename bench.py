@@ -17,6 +17,12 @@ Methodology (round-3 revision, after the r02 regression diagnosis):
   the same commit, isolated; dedup_exact — a single unchanged
   hash-aggregate — "doubled"). Min-of-2 measures the plan, not the
   neighbor's GC pause; both runs do all the work.
+- A box-degradation SENTINEL (round 13): a constant-plan,
+  data-independent query timed best-of-3 before and after the suite,
+  recorded as sentinel_pre_sec / sentinel_post_sec in every artifact.
+  Drift triage order: if post/pre >> 1, suspect the box before any
+  query's plan — the watch-item protocol (isolated best-of-3 vs
+  BASELINE_BENCH pin) now starts by reading these two fields.
 - Two tiers. HEADLINE is plan-shaped engine queries only — its sum is
   the reported "value" and the regression-gate metric. CAPABILITY holds
   queries whose cost is a documented Python/ML constant (applyInPandas
@@ -270,8 +276,35 @@ def _run(qs, name: str) -> float:
     return round(best, 3)
 
 
+def _sentinel() -> float:
+    """Box-degradation sentinel (VERDICT r12 ask #3): a constant-plan,
+    data-independent CPU burn — 256M xxhash64 rows through one map-side
+    aggregate, no file reads, no Python workers.  Timed before AND
+    after the suite; a post/pre ratio well above 1 is machine evidence
+    the BOX degraded during the run (GC pressure, noisy neighbor),
+    so a 'queries regressed late in the suite' artifact is
+    self-identifying instead of argued in ROUND*.md prose.  Best-of-3
+    for the same reason per-query times are best-of-2: measure the
+    machine's capability, not one scheduling hiccup."""
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        # max, not sum: ANSI mode aborts a 64M-row BIGINT hash sum on
+        # overflow; max forces the identical per-row hash work.
+        (
+            SPARK.range(256_000_000)
+            .select(F_xxhash64("id").alias("h"))
+            .agg({"h": "max"})
+            .collect()
+        )
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
 def main() -> None:
-    global SPARK
+    global SPARK, F_xxhash64
+    from pyspark.sql.functions import xxhash64 as F_xxhash64
+
     from sparksent.session import get_spark
     from sparksent.registry import queries
 
@@ -285,10 +318,16 @@ def main() -> None:
         lambda it: it, "id long"
     ).write.mode("overwrite").format("noop").save()
 
+    sentinel_pre = _sentinel()
+    print(f"  [sentinel pre-suite]: {sentinel_pre:.2f}s", file=sys.stderr)
+
     timings: dict[str, float] = {}
     for name in HEADLINE + CAPABILITY:
         timings[name] = _run(qs, name)
         print(f"  {name}: {timings[name]:.2f}s", file=sys.stderr)
+
+    sentinel_post = _sentinel()
+    print(f"  [sentinel post-suite]: {sentinel_post:.2f}s", file=sys.stderr)
 
     headline_total = sum(timings[n] for n in HEADLINE)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -300,6 +339,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "capability_tier": CAPABILITY,
+                "sentinel_pre_sec": sentinel_pre,
+                "sentinel_post_sec": sentinel_post,
                 "sf": float(sf),
             }
         )
@@ -328,6 +369,8 @@ def main() -> None:
                 "sf": float(sf),
                 "n_queries": len(HEADLINE),
                 "vs_baseline_common_queries": vs,
+                "sentinel_pre_sec": sentinel_pre,
+                "sentinel_post_sec": sentinel_post,
             }
         )
     )
@@ -364,6 +407,8 @@ def main() -> None:
                 "headline_total": round(headline_total, 3),
                 "n_headline": len(HEADLINE),
                 "capability_tier": CAPABILITY,
+                "sentinel_pre_sec": sentinel_pre,
+                "sentinel_post_sec": sentinel_post,
                 "queries": timings,
             },
             f,

@@ -606,6 +606,36 @@ def n_centroids_oracle_checked(n_rows: int) -> int:
     return k
 
 
+PROBE_FRACTION = 0.15  # registered probe budget: fraction of cells a query reads
+
+
+def nprobe_for(
+    n_rows: int | None = None,
+    n_cells: int | None = None,
+    target_fraction: float = PROBE_FRACTION,
+) -> int:
+    """Probe count for a trained-IVF search: hold the probe FRACTION
+    (nprobe / n_cells ~= fraction of the corpus read per query)
+    constant as the corpus grows — the sizing rule the round-12 ×20
+    recall measurement validated (SCALE.md: K=13 cells at 40k vectors,
+    nprobe=2 = 15.4% of the corpus probed, recall@5 0.98; nprobe=4
+    recovers the cross-cell-boundary tail to 1.00).  Codified here
+    (VERDICT r12 ask #7) so the rule is code, not prose: callers grow
+    ``n_cells`` ~sqrt(N) via :func:`n_centroids_for` and this returns
+    ceil(target_fraction * n_cells), clamped to [1, n_cells] — probe
+    work per query stays ~target_fraction * N rows at ANY corpus size.
+    Derives ``n_cells`` from ``n_rows`` when only the corpus size is
+    known.  Every driver fixture (K = 8..13) resolves to the historic
+    NPROBE = 2, so registered results are unchanged by construction."""
+    import math
+
+    if n_cells is None:
+        if n_rows is None:
+            raise ValueError("nprobe_for needs n_rows or n_cells")
+        n_cells = n_centroids_for(n_rows)
+    return min(n_cells, max(1, math.ceil(target_fraction * n_cells)))
+
+
 def _centroid_count_windows(
     floor: int = N_CENTROIDS,
     max_k: int = CENTROID_AUTO_MAX,
@@ -779,7 +809,7 @@ IVF_TRAINED_ITERS = 2  # Lloyd rounds for the trained-centroid index
 def ivf_trained_parts(
     corpus: DataFrame,
     queries: DataFrame,
-    nprobe: int = NPROBE,
+    nprobe: int | None = None,
     iters: int = IVF_TRAINED_ITERS,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -796,6 +826,10 @@ def ivf_trained_parts(
 
     if n_centroids is None:
         n_centroids = n_centroids_for(corpus.count())
+    if nprobe is None:
+        # constant-probe-fraction rule (nprobe_for): every fixture
+        # resolves to the historic NPROBE = 2
+        nprobe = nprobe_for(n_cells=n_centroids)
     final, cents = _kmeans_fit(corpus, n_centroids, iters, id_col, vec_col)
     # corpus x assignment on id: BOTH sides are corpus-sized, so the
     # join is pinned to a shuffled hash join — the checkpointed
@@ -842,7 +876,7 @@ def ivf_trained_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    nprobe: int = NPROBE,
+    nprobe: int | None = None,
     iters: int = IVF_TRAINED_ITERS,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -953,18 +987,29 @@ def ivf_trained_auto_sql(
     table: str = "embeddings",
     k: int = 5,
     n_queries: int = 10,
-    nprobe: int = NPROBE,
+    nprobe: int | None = None,
     iters: int = IVF_TRAINED_ITERS,
     id_col: str = "vec_id",
     vec: str = "embedding",
 ) -> str:
     """Oracle for ``ivf_trained_topk(n_centroids=None)``: count-gated
     branches over the shared IVF cell-count windows (every fixture
-    resolves to the floor of 8)."""
+    resolves to the floor of 8).  ``nprobe=None`` mirrors the query
+    side's constant-probe-fraction rule per branch — each window's
+    branch embeds ``nprobe_for(n_cells=kc)``, so query and oracle
+    derive the probe budget from the SAME function at every corpus
+    size the branches cover."""
     return _count_gated_union(
         table,
         lambda kc: ivf_trained_topk_sql(
-            table, k, n_queries, nprobe, iters, id_col, vec, n_centroids=kc
+            table,
+            k,
+            n_queries,
+            nprobe if nprobe is not None else nprobe_for(n_cells=kc),
+            iters,
+            id_col,
+            vec,
+            n_centroids=kc,
         ),
         windows=_centroid_count_windows(),
     )

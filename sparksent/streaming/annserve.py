@@ -23,7 +23,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..ext.similarity import NPROBE, IVF_TRAINED_ITERS, dot_arrow, n_centroids_for, norm
+from ..ext.similarity import (
+    IVF_TRAINED_ITERS,
+    dot_arrow,
+    n_centroids_for,
+    norm,
+    nprobe_for,
+)
 
 
 def write_ivf_index(
@@ -78,7 +84,7 @@ def ivf_serve_batch(
     index_dir: str,
     out_path: str,
     k: int = 5,
-    nprobe: int = NPROBE,
+    nprobe: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     *,
@@ -110,6 +116,15 @@ def ivf_serve_batch(
     if qxs.count() == 0:
         return
     cents = spark.read.parquet(f"{index_dir}/centroids")
+    if nprobe is None:
+        # constant-probe-fraction rule (nprobe_for, VERDICT r12 ask
+        # #7): derive the probe budget from the index's OWN cell count
+        # — the centroid frame is k x dims rows, so the distinct-j
+        # count is a broadcast-sized metadata read, and the serving
+        # path stays in lockstep with the batch ivf_trained_topk
+        # default at any corpus size.
+        n_cells = cents.select("j").distinct().count()
+        nprobe = nprobe_for(n_cells=n_cells)
     per = (
         qxs.select("query_id", F.posexplode("v").alias("pos", "x"))
         .join(F.broadcast(cents), "pos")

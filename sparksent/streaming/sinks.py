@@ -170,7 +170,7 @@ def compact_bucketed_store(
     path: str,
     max_files_per_bucket: int = 4,
     bucket_col: str = "kbucket",
-) -> list[int]:
+) -> list[str]:
     """File-count-triggered compaction for a kbucket-partitioned store
     (VERDICT r11 ask #5): rewrite ONLY the bucket partitions holding
     more than ``max_files_per_bucket`` parquet files, each back to one
@@ -195,16 +195,25 @@ def compact_bucketed_store(
 
     from pyspark.sql import functions as F
 
-    counts: dict[int, int] = {}
+    # Partition values stay RAW STRINGS (ADVICE r12): they are only fed
+    # to isin() (Spark casts against the column type) and the return
+    # list, so a non-integer bucket_col works unchanged.  The one value
+    # isin() cannot match is the null partition
+    # (__HIVE_DEFAULT_PARTITION__) — skipped explicitly rather than
+    # crashing the whole compaction on int().
+    counts: dict[str, int] = {}
     for entry in os.listdir(path):
         if not entry.startswith(f"{bucket_col}="):
+            continue
+        val = entry.split("=", 1)[1]
+        if val == "__HIVE_DEFAULT_PARTITION__":
             continue
         n = sum(
             1
             for f in os.listdir(os.path.join(path, entry))
             if f.endswith(".parquet")
         )
-        counts[int(entry.split("=", 1)[1])] = n
+        counts[val] = n
     offenders = sorted(b for b, n in counts.items() if n > max_files_per_bucket)
     if not offenders:
         return []

@@ -75,12 +75,19 @@ def kafka_lines(
             .option("startingOffsets", starting_offsets)
             .load()
         )
-    except Exception as e:  # analysis-time: provider not on classpath
-        raise RuntimeError(
-            "kafka_lines needs the spark-sql-kafka package on the "
-            "classpath (org.apache.spark:spark-sql-kafka-0-10_2.13); "
-            f"source resolution failed: {e}"
-        ) from e
+    except Exception as e:  # analysis-time failure
+        # Substitute the missing-package diagnosis ONLY when the error
+        # actually is source resolution (ADVICE r12: wrapping every
+        # load-time exception — bad option, auth/config — misdiagnosed
+        # unrelated failures as a classpath problem).
+        msg = str(e)
+        if "DATA_SOURCE_NOT_FOUND" in msg or "Failed to find data source" in msg:
+            raise RuntimeError(
+                "kafka_lines needs the spark-sql-kafka package on the "
+                "classpath (org.apache.spark:spark-sql-kafka-0-10_2.13); "
+                f"source resolution failed: {e}"
+            ) from e
+        raise
     return raw.select(
         F.col("value").cast("string").alias("line"),
         F.col("timestamp").alias("ts"),

@@ -158,6 +158,102 @@ def test_connected_components_nonconvergence_raises(spark):
         connected_components(verts, edges, max_iter=1)
 
 
+def test_connected_components_duplicate_ids_one_row_per_id(spark):
+    """ADVICE r12: duplicate vertex ids must not yield duplicate output
+    rows.  Touched vertices collapse in the first fold's groupBy, but
+    edge-free vertices bypass the loop — the isolated arm needs its own
+    .distinct().  Both arms exercised here: ids 0/1 are touched dups,
+    id 9 is an isolated dup."""
+    from sparksent.graph import connected_components
+
+    verts = spark.createDataFrame(
+        [(0,), (0,), (1,), (1,), (1,), (9,), (9,)], "id long"
+    )
+    edges = spark.createDataFrame([(0, 1)], "src long, dst long")
+    got = connected_components(verts, edges).collect()
+    assert sorted((r.id, r.label) for r in got) == [(0, 0), (1, 0), (9, 9)]
+
+
+def test_connected_components_shortcut_from_result_invariant(spark):
+    """The adaptive pointer-shortcut (VERDICT r12 ask #1) must be a
+    pure performance knob: plain-only, always-shortcut, and the
+    default staged engagement reach the IDENTICAL fixpoint on a graph
+    with both clique-ish and chain structure."""
+    from sparksent.graph import connected_components
+
+    n = 60
+    # two cliques (0-9, 20-29), one 15-hop chain (30..45), isolateds
+    edges = (
+        [(a, b) for a in range(10) for b in range(a + 1, 10)]
+        + [(a, b) for a in range(20, 30) for b in range(a + 1, 30)]
+        + [(i, i + 1) for i in range(30, 45)]
+    )
+    verts = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    e = spark.createDataFrame(edges, "src long, dst long")
+    want = None
+    for scf in (1, 3, 999):
+        got = sorted(
+            (r.id, r.label)
+            for r in connected_components(
+                verts, e, max_iter=30, shortcut_from=scf
+            ).collect()
+        )
+        if want is None:
+            want = got
+        assert got == want, f"shortcut_from={scf} diverged"
+
+
+def test_nprobe_for_pins_measured_recall_settings():
+    """The constant-probe-fraction sizing rule as CODE (VERDICT r12
+    ask #7), pinned to the settings the SCALE.md recall rows measured:
+    ×1 fixtures (K=8 cells) and the ×20 corpus (40k vectors, K=13 —
+    where nprobe=2 probed 15.4% and recalled 0.98) must both resolve
+    to the registered nprobe=2, and the fraction must stay ~constant
+    as cells grow."""
+    import math
+
+    from sparksent.ext.similarity import (
+        NPROBE,
+        PROBE_FRACTION,
+        _centroid_count_windows,
+        ivf_trained_auto_sql,
+        n_centroids_for,
+        nprobe_for,
+    )
+
+    # the two measured rows: ×1 (K=8) and ×20 (40k rows -> K=13)
+    assert nprobe_for(n_cells=8) == NPROBE
+    assert n_centroids_for(40_000) == 13
+    assert nprobe_for(n_rows=40_000) == NPROBE
+    # every pre-generated oracle window resolves to the historic
+    # NPROBE, so nprobe=None changes no registered result
+    for kc, _, _ in _centroid_count_windows():
+        assert nprobe_for(n_cells=kc) == NPROBE
+    assert ivf_trained_auto_sql() == ivf_trained_auto_sql(nprobe=NPROBE)
+    # the rule itself: ceil(fraction * cells), clamped to [1, cells]
+    assert nprobe_for(n_cells=1) == 1
+    assert nprobe_for(n_cells=100) == math.ceil(PROBE_FRACTION * 100)
+    assert nprobe_for(n_cells=2000) == math.ceil(PROBE_FRACTION * 2000)
+    # 100× story: cells grow ~sqrt(N); probed fraction stays within
+    # one cell of the target at any size
+    for n in (1e6, 1e8, 1e10):
+        k = n_centroids_for(int(n))
+        np_ = nprobe_for(n_cells=k)
+        assert PROBE_FRACTION <= np_ / k <= PROBE_FRACTION + 1 / k
+
+
+def test_cc_label_sum_empty_and_null_guard(spark):
+    """ADVICE r12: SUM over an empty frame is NULL — the probe must
+    report a real 0 there (not None, which would compare equal to a
+    theoretical overflow NULL and silently declare convergence)."""
+    from sparksent.graph import cc_label_sum
+
+    empty = spark.createDataFrame([], "id long, label long")
+    assert cc_label_sum(empty) == 0
+    some = spark.createDataFrame([(1, 5), (2, 7)], "id long, label long")
+    assert cc_label_sum(some) == 12
+
+
 def test_jaccard_stop_shingle_cap_bounds_hot_partition(spark):
     """One ubiquitous shingle must not create an O(D^2) join partition:
     with max_df set, (a) the hot shingle is gone from the inverted index
