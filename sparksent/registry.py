@@ -55,71 +55,17 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # the priority block, so the registry surface itself is unchanged — only
 # the iteration order of queries()/oracle_sql() moves.
 #
-# Round-12 window, regenerated PURELY mechanically by
-# tools/regen_priority.py from CORRECTNESS_r01..r11.json — zero hand
-# insertions (VERDICT r11 ask #2): the round-12 registration
-# sample_domain_quota (never driver-checked) leads, then the 2
-# r05-stale names (churn_training_set, item_similarity_jaccard), then
-# the oldest r07 names up to the 50-slot boundary; remainder
-# oldest-first.  After this window verifies, no name's latest driver
-# row is older than r07.
+# Round-13 window, regenerated PURELY mechanically by
+# tools/regen_priority.py from CORRECTNESS_r01..r12.json — zero hand
+# insertions (VERDICT r12 ask #4): the two last r07-stale names
+# (tpch_q1_pricing, tpch_q3_shipping) lead, then the r08 tier up to
+# the 50-slot boundary; remainder oldest-first.  After this window
+# verifies, no name's latest driver row is older than r08.
 _PRIORITY: tuple[str, ...] = (
-    # slot 1+: no green driver row yet
-    "sample_domain_quota",
-    # slot 2+: latest green driver row is r05
-    "churn_training_set",
-    "item_similarity_jaccard",
-    # slot 4+: latest green driver row is r07
-    "dedup_exact_normalized",
-    "supplier_lead_time",
-    "survival_km_error",
-    "backtest_seasonal_naive",
-    "doc_sentiment_frozen_margin",
-    "bpe_encode_documents",
-    "semdedup_embeddings",
-    "sample_token_budget",
-    "dedup_cdc_chunks",
-    "daily_median_value",
-    "asof_view_next_purchase",
-    "gopher_quality_gate",
-    "session_concurrency",
-    "hll_sliding_distinct_7d",
-    "percentile_order_value",
-    "winsorize_event_value",
-    "anomaly_robust_events",
-    "bpe_merges",
-    "tpch_q6_forecast",
-    "tpch_q14_promo",
-    "tpch_q16_supplier_cnt",
-    "tpch_q17_small_quantity",
-    "tpch_q18_large_orders",
-    "tpch_q19_disjunctive",
-    "semi_late_orders",
-    "anti_customers_no_orders",
-    "doc_sentiment",
-    "doc_entities",
-    "doc_categories",
-    "doc_sentiment_mllib",
-    "dedup_exact",
-    "dedup_simhash",
-    "dedup_keep_set",
-    "dedup_components",
-    "similarity_topk_brute",
-    "similarity_topk_lsh",
-    "similarity_topk_ivf",
-    "similarity_topk_multiprobe",
-    "text_stats",
-    "text_fingerprint",
-    "text_distinctive_terms",
-    "text_normalize",
-    "text_bigram_lift",
-    "multimodal_features",
-    "multimodal_image_headers",
-    "embedding_centroids",
-    "embedding_quantize_error",  # --- driver window ends here (50) ---
+    # slot 1+: latest green driver row is r07
     "tpch_q1_pricing",
     "tpch_q3_shipping",
-    # slot 53+: latest green driver row is r08
+    # slot 3+: latest green driver row is r08
     "session_concurrency_capped",
     "corpus_curation_pipeline",
     "dedup_span_8gram",
@@ -167,10 +113,10 @@ _PRIORITY: tuple[str, ...] = (
     "toxic_topic_literal_cw25",
     "user_mood_nlp_cumulative",
     "entity_opinion_30s",
-    "category_opinion_cumulative",
+    "category_opinion_cumulative",  # --- driver window ends here (50) ---
     "toxic_user_nlp_cw10",
     "json_field_stats",
-    # slot 103+: latest green driver row is r10
+    # slot 53+: latest green driver row is r10
     "similarity_topk_ivf_trained",
     "multimodal_resample_pixels",
     "multimodal_frame_decode_sampled",
@@ -221,7 +167,7 @@ _PRIORITY: tuple[str, ...] = (
     "fuzzy_name_pairs",
     "lm_bigram_score",
     "bm25_topk",
-    # slot 153+: latest green driver row is r11
+    # slot 103+: latest green driver row is r11
     "dedup_image_phash",
     "dedup_span_extents",
     "multimodal_embed_topk",
@@ -272,6 +218,57 @@ _PRIORITY: tuple[str, ...] = (
     "basket_triple_support",
     "session_path_topk",
     "entity_resolution_parts",
+    # slot 153+: latest green driver row is r12
+    "sample_domain_quota",
+    "churn_training_set",
+    "item_similarity_jaccard",
+    "dedup_exact_normalized",
+    "supplier_lead_time",
+    "survival_km_error",
+    "backtest_seasonal_naive",
+    "doc_sentiment_frozen_margin",
+    "bpe_encode_documents",
+    "semdedup_embeddings",
+    "sample_token_budget",
+    "dedup_cdc_chunks",
+    "daily_median_value",
+    "asof_view_next_purchase",
+    "gopher_quality_gate",
+    "session_concurrency",
+    "hll_sliding_distinct_7d",
+    "percentile_order_value",
+    "winsorize_event_value",
+    "anomaly_robust_events",
+    "bpe_merges",
+    "tpch_q6_forecast",
+    "tpch_q14_promo",
+    "tpch_q16_supplier_cnt",
+    "tpch_q17_small_quantity",
+    "tpch_q18_large_orders",
+    "tpch_q19_disjunctive",
+    "semi_late_orders",
+    "anti_customers_no_orders",
+    "doc_sentiment",
+    "doc_entities",
+    "doc_categories",
+    "doc_sentiment_mllib",
+    "dedup_exact",
+    "dedup_simhash",
+    "dedup_keep_set",
+    "dedup_components",
+    "similarity_topk_brute",
+    "similarity_topk_lsh",
+    "similarity_topk_ivf",
+    "similarity_topk_multiprobe",
+    "text_stats",
+    "text_fingerprint",
+    "text_distinctive_terms",
+    "text_normalize",
+    "text_bigram_lift",
+    "multimodal_features",
+    "multimodal_image_headers",
+    "embedding_centroids",
+    "embedding_quantize_error",
 )
 
 
