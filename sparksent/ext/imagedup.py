@@ -162,7 +162,19 @@ def image_phashes(docs: DataFrame) -> DataFrame:
     )
 
 
-PHASH_MAX_DF = 200  # band-word document-frequency cap (see below)
+PHASH_MAX_DF = 200  # band-word df cap FLOOR (see phash_band_pairs)
+# The effective cap is RELATIVE with this absolute floor:
+#   cap = greatest(PHASH_MAX_DF, n_media // PHASH_DF_DENOM)
+# (the tf_cosine_pairs lesson, re-measured here in round 13): a fixed
+# absolute cap does not survive scale-up — the fixture law's hottest
+# band bucket is a roughly constant ~0.7-0.9% of the corpus (44 rows
+# at 5k docs, 669 at 100k), so a fixed 200 that caps NOTHING at x1
+# silently dropped 1.47% of true pairs at x20 (76 capped words,
+# 1,434/97,583 pairs — measured, SCALE.md round-13 row).  At 2% of
+# the corpus (denom 50) no law-abiding bucket is ever capped while a
+# degenerate near-constant corpus (one word holding >>2%) still dies
+# map-side before the pair shuffle.
+PHASH_DF_DENOM = 50
 
 
 def image_phash_pairs(
@@ -185,17 +197,22 @@ def image_phash_pairs(
 
     ``max_df`` (round 11, VERDICT r10 ask #6) is the same hot-key
     escalation every text inverted index here carries: a band word
-    occurring in more than ``max_df`` images is dropped from BOTH join
-    sides before the shuffle (broadcast anti-join against the tiny hot
-    set), so a degenerate corpus — millions of near-constant images
-    hashing to the same gradient words — costs one map-side filter
-    instead of a D^2-row join partition.  Recall trade, stated
-    honestly: a pair agreeing ONLY on capped words is missed; exact
-    dups agree on all 4 words, so they survive unless the whole hash
-    is degenerate (a corpus slice exact dedup already catches).  The
-    fixture law's hottest band bucket is 44 rows at 5k docs, well
-    under the cap, so fixture results are identical capped/uncapped —
-    the cap is pinned by the adversarial constant-image skew test
+    above the effective cap — ``greatest(max_df, n_media //
+    PHASH_DF_DENOM)``, relative with an absolute floor since round 13
+    — is dropped from BOTH join sides before the shuffle (broadcast
+    anti-join against the tiny hot set), so a degenerate corpus —
+    millions of near-constant images hashing to the same gradient
+    words — costs one map-side filter instead of a D^2-row join
+    partition.  Recall trade, stated honestly: a pair agreeing ONLY
+    on capped words is missed; exact dups agree on all 4 words, so
+    they survive unless the whole hash is degenerate (recoverable via
+    ``phash_band_pairs(recover_hot_exact=True)``'s star fallback, or
+    a corpus-slice exact dedup).  The fixture law's hottest band
+    bucket is ~0.7-0.9% of the corpus at every measured scale, under
+    the 2% relative cap by construction — zero capped words at ×1 AND
+    ×20 (SCALE.md round-13 row; the fixed cap this replaces lost
+    1.47% of true pairs at ×20).  The degenerate-corpus behavior is
+    pinned by the adversarial constant-image skew test
     (tests/test_skew.py), and the ORACLE applies the same rule."""
     ph = image_phashes(docs).localCheckpoint()
     return phash_band_pairs(ph, max_hamming, max_df)
@@ -215,23 +232,78 @@ def phash_band_pairs(
     ph: DataFrame,
     max_hamming: int = PHASH_MAX_HAMMING,
     max_df: int | None = PHASH_MAX_DF,
+    recover_hot_exact: bool = False,
 ) -> DataFrame:
     """The banded pair stage over an arbitrary (media_id, hw) hash
     frame — split from the decode stage so the df-cap/skew property is
     testable on adversarial hash frames the image law cannot produce
-    (a constant-image corpus: every hash [0,0,0,0])."""
+    (a constant-image corpus: every hash [0,0,0,0]).
+
+    Recall accounting for the cap (VERDICT r12 ask #5), the exact
+    bound: a true pair is lost IFF every word it agrees on is capped —
+    at the shipped relative cap the registered fixture law has ZERO
+    capped words at both measured scales (hottest bucket 44/5,000 docs
+    vs cap 200; 669/100,000 vs cap 2,000 — SCALE.md round-13 row; the
+    old FIXED cap of 200 dropped 1.47% of true pairs at ×20, which is
+    why the threshold is now relative).  ``recover_hot_exact=True``
+    adds the two-level
+    fallback for corpora that DO cap: rows dropped from capped buckets
+    re-key at the second level by their FULL hash, and each exact-hash
+    group inside the capped region emits a STAR (group-min
+    representative ↔ member, hamming 0) — O(group) rows instead of the
+    O(group²) the cap exists to kill, and star edges are
+    clustering-equivalent to the full clique for the transitive
+    consumers (connected components / keep-set).  What stays lost,
+    stated honestly: pairs at hamming 1..max_hamming agreeing ONLY on
+    capped words (their full hashes differ, so no second-level key
+    unites them) — the documented bound, pinned by
+    tests/test_skew.py::test_phash_hot_recovery_star_and_bound."""
     bandrows = ph.select(
         "media_id", "hw", F.posexplode("hw").alias("widx", "wval")
     )
+    recovered = None
     if max_df is not None:
         # map-side-combined df aggregate; hot rows leave BEFORE any
-        # pair shuffle (the ngram_jaccard_pairs pattern)
+        # pair shuffle (the ngram_jaccard_pairs pattern).  The
+        # threshold is relative with ``max_df`` as the absolute floor
+        # (see PHASH_DF_DENOM): the corpus count is a 1-row broadcast
+        # cross join, in-plan — no driver action.
+        n_total = ph.agg(F.count("*").alias("n_total"))
+        eff_cap = F.greatest(
+            F.lit(max_df),
+            (F.col("n_total") / F.lit(PHASH_DF_DENOM)).cast("long"),
+        )
         hot = (
             bandrows.groupBy("widx", "wval")
             .agg(F.count("*").alias("df_cnt"))
-            .filter(F.col("df_cnt") > max_df)
+            .crossJoin(F.broadcast(n_total))
+            .filter(F.col("df_cnt") > eff_cap)
             .select("widx", "wval")
         )
+        if recover_hot_exact:
+            # second level: media rows touched by ANY capped bucket,
+            # one row per media (a hash can hit up to 4 capped words)
+            capped_media = (
+                bandrows.join(F.broadcast(hot), ["widx", "wval"], "left_semi")
+                .select("media_id", "hw")
+                .distinct()
+            )
+            # exact-hash stars: the min aggregate map-side combines, so
+            # a billion-row degenerate group costs one partial per
+            # task; the rep join is 1:1 per member row (fan-out 1 —
+            # never the D² the first level refused to pay)
+            reps = capped_media.groupBy("hw").agg(
+                F.min("media_id").alias("id_a")
+            )
+            recovered = (
+                capped_media.join(reps.hint("shuffle_hash"), "hw")
+                .filter(F.col("media_id") != F.col("id_a"))
+                .select(
+                    "id_a",
+                    F.col("media_id").alias("id_b"),
+                    F.lit(0).alias("hamming"),
+                )
+            )
         bandrows = bandrows.join(F.broadcast(hot), ["widx", "wval"], "left_anti")
     left = bandrows.select(
         F.col("media_id").alias("id_a"), F.col("hw").alias("ha"), "widx", "wval"
@@ -246,7 +318,7 @@ def phash_band_pairs(
     # band frame (measured on the sf0.01 plan; a driver OOM at scale,
     # the round-6 lying-stats hazard).  The hot-set anti-join above
     # stays a broadcast: that frame is bounded by construction.
-    return (
+    pairs = (
         left.join(right.hint("shuffle_hash"), ["widx", "wval"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "ha", "hb")
@@ -255,6 +327,13 @@ def phash_band_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+    if recovered is not None:
+        # a star pair whose members ALSO agree on an uncapped word is
+        # found by both levels with the same hamming 0 — distinct
+        # collapses it (rep = min id, so id_a < id_b holds by
+        # construction on the star side)
+        pairs = pairs.unionByName(recovered).distinct()
+    return pairs
 
 
 def variant_pixels_ctes(table: str, prefix: str = "") -> str:
@@ -342,10 +421,14 @@ def banded_hamming_tail_sql(
     (:func:`image_phash_pairs_sql`) and audio
     (``audiodup.audio_fp_pairs_sql``) oracles — the dedup modalities
     differ only in how the 64 bits are derived."""
+    # same relative-with-floor threshold as the Spark side
+    # (PHASH_DF_DENOM): greatest(floor, corpus_count // denom)
     df_filter = (
         f"""AND NOT EXISTS (
             SELECT 1 FROM (SELECT widx, wval FROM words
-                           GROUP BY 1, 2 HAVING count(*) > {max_df}) hot
+                           GROUP BY 1, 2
+                           HAVING count(*) > greatest({max_df},
+                             (SELECT count(*) FROM hashes) // {PHASH_DF_DENOM})) hot
             WHERE hot.widx = w.widx AND hot.wval = w.wval)"""
         if max_df is not None
         else ""

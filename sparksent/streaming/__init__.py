@@ -56,7 +56,10 @@ from .ops import (  # noqa: F401
     streaming_session_agg,
     streaming_tumbling_agg,
 )
-from .quota import streaming_domain_quota  # noqa: F401
+from .quota import (  # noqa: F401
+    streaming_domain_quota,
+    streaming_domain_quota_windowed,
+)
 from .sources import file_replay_source, kafka_lines, rate_events, socket_lines  # noqa: F401
 from .sinks import (  # noqa: F401
     compact_bucketed_store,

@@ -88,3 +88,136 @@ def streaming_domain_quota(
     return tagged.groupBy(group_col).applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def streaming_domain_quota_windowed(
+    df: DataFrame,
+    cap: int = DOMAIN_QUOTA,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    ts_col: str = "ts",
+    window_dur: str = "10 seconds",
+    lateness: str = "10 seconds",
+) -> DataFrame:
+    """The bounded-lateness variant (VERDICT r12 ask #8): rank within
+    a WATERMARK-CLOSED tumbling event-time window, then admit — so for
+    bursty sources the admitted set no longer depends on how arrivals
+    chunk into micro-batches.  Emits (id, source, window_start, rk)
+    with rk the source's running admitted count; run with
+    outputMode('append').
+
+    Contract vs the FCFS variant above: :func:`streaming_domain_quota`
+    admits in (micro-batch, lottery) order — deterministic per
+    chunking, but a burst that lands one row in batch N vs N+1 changes
+    the set.  Here a row's admission priority is (window_start,
+    lottery, id) — a pure function of the DATA for any arrival order
+    within ``lateness``: rows buffer in state until the watermark
+    passes their window's end, then the window's rows admit in lottery
+    order against the per-source counter.  The batch dual is the
+    row_number over (window_start, lottery, id) capped per source, and
+    the agreement is EXACT per closed window (pinned by
+    tests/test_streaming_equivalence.py::
+    test_streaming_domain_quota_windowed_vs_batch, including a
+    cross-chunk burst the FCFS variant provably orders differently).
+
+    Honest limits: (a) rows later than ``lateness`` are dropped by the
+    watermark (they missed their window — the bounded-lateness trade);
+    (b) a window flushes when the watermark PASSES its end, so the
+    final windows of a finite replay need one later event to push the
+    watermark (live streams always advance; the tests append a
+    sentinel chunk).  State per source is the admitted counter plus
+    the CURRENTLY OPEN windows' (window, lottery, id) triples — the
+    in-flight buffer is bounded by arrival rate x (window + lateness),
+    the classic watermark state bound, partitioned with the shuffle.
+
+    Timeout discipline: each group arms an event-time timeout at its
+    earliest pending window end, so a source with no new arrivals
+    still flushes its closed windows when the watermark advances."""
+    lot = h60(F.concat(F.lit("domquota:"), F.col(id_col).cast("string")))
+    tagged = (
+        df.select(id_col, group_col, ts_col)
+        .withWatermark(ts_col, lateness)
+        .withColumn("win", F.window(ts_col, window_dur))
+        .withColumn("ws", F.col("win.start").cast("long"))
+        .withColumn("we", F.col("win.end").cast("long"))
+        .withColumn("lottery", lot)
+        .drop("win")
+    )
+    # (window_dur is validated by F.window at analysis time)
+    # window_start crosses the Arrow boundary as epoch SECONDS (long)
+    # and becomes a timestamp via an in-plan cast below: a naive
+    # datetime built in the Python worker would be re-interpreted in
+    # the session TZ (the oracle-exactness TZ hazard), while
+    # long -> timestamp is a TZ-independent instant.
+    out_schema = T.StructType(
+        [
+            _field(tagged, id_col),
+            _field(tagged, group_col),
+            T.StructField("ws_epoch", T.LongType()),
+            T.StructField("rk", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("admitted", T.LongType()),
+            T.StructField("p_ws", T.ArrayType(T.LongType())),
+            T.StructField("p_we", T.ArrayType(T.LongType())),
+            T.StructField("p_lot", T.ArrayType(T.LongType())),
+            T.StructField("p_id", T.ArrayType(T.LongType())),
+        ]
+    )
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            admitted, p_ws, p_we, p_lot, p_id = state.get
+            pend = [
+                list(x) for x in (p_ws or [], p_we or [], p_lot or [], p_id or [])
+            ]
+        else:
+            admitted, pend = 0, [[], [], [], []]
+        if not state.hasTimedOut:
+            for chunk in pdfs:
+                if not len(chunk):
+                    continue
+                pend[0].extend(int(v) for v in chunk["ws"].to_numpy())
+                pend[1].extend(int(v) for v in chunk["we"].to_numpy())
+                pend[2].extend(int(v) for v in chunk["lottery"].to_numpy())
+                pend[3].extend(int(v) for v in chunk[id_col].to_numpy())
+        wm_sec = state.getCurrentWatermarkMs() // 1000
+        rows = sorted(zip(*pend))  # (ws, we, lottery, id): window order,
+        # then lottery within the window — the admission priority
+        out: list[tuple] = []
+        keep: list[tuple] = []
+        for ws, we, lo, doc in rows:
+            if we <= wm_sec:  # window closed: admit now, in order
+                if admitted < cap:
+                    admitted += 1
+                    out.append((doc, key[0], ws, admitted))
+            else:
+                keep.append((ws, we, lo, doc))
+        state.update(
+            (
+                admitted,
+                [r[0] for r in keep],
+                [r[1] for r in keep],
+                [r[2] for r in keep],
+                [r[3] for r in keep],
+            )
+        )
+        if keep:
+            # wake this group when the watermark passes the earliest
+            # open window, even with no new arrivals
+            state.setTimeoutTimestamp(min(r[1] for r in keep) * 1000)
+        if out:
+            yield pd.DataFrame(out, columns=[id_col, group_col, "ws_epoch", "rk"])
+
+    admitted_stream = tagged.groupBy(group_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
+    )
+    return admitted_stream.select(
+        id_col,
+        group_col,
+        F.col("ws_epoch").cast("timestamp").alias("window_start"),
+        "rk",
+    )

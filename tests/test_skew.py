@@ -226,3 +226,77 @@ def test_image_phash_df_cap_bounds_degenerate_corpus(spark):
         pd.DataFrame(degenerate[:60], columns=["media_id", "hw"])
     )
     assert phash_band_pairs(small, max_df=None).count() == 60 * 59 // 2
+
+
+def test_phash_relative_cap_scales_with_corpus(spark):
+    """The round-13 relative threshold: effective cap =
+    greatest(max_df, n_media // PHASH_DF_DENOM), so a word whose df
+    grows linearly WITH the corpus (the fixture law's ~0.7-0.9%
+    hottest bucket) is never capped at any scale, while the absolute
+    floor still guards small corpora.  250 rows with max_df=2 ->
+    effective cap = greatest(2, 250//50) = 5: a planted word at df=4
+    SURVIVES (the old fixed cap dropped it), df=6 is capped."""
+    import pandas as pd
+
+    from sparksent.ext.imagedup import phash_band_pairs
+
+    rows = [(i, [10_000 + i, 20_000 + i, 30_000 + i, 40_000 + i]) for i in range(240)]
+    # df=4 word 777 on w0: 2 disjoint near-dup pairs through it only
+    for j in range(4):
+        rows.append((500 + j, [777, 21_000 + j, 31_000 + j, 41_000 + j]))
+    # df=6 word 888 on w0
+    for j in range(6):
+        rows.append((600 + j, [888, 22_000 + j, 32_000 + j, 42_000 + j]))
+    ph = spark.createDataFrame(pd.DataFrame(rows, columns=["media_id", "hw"]))
+    got = {
+        (r.id_a, r.id_b)
+        for r in phash_band_pairs(ph, max_hamming=64, max_df=2).collect()
+    }
+    df4_pairs = {(500 + a, 500 + b) for a in range(4) for b in range(a + 1, 4)}
+    df6_pairs = {(600 + a, 600 + b) for a in range(6) for b in range(a + 1, 6)}
+    assert df4_pairs <= got  # under the relative cap: kept
+    assert not (df6_pairs & got)  # over it: capped away
+
+
+def test_phash_hot_recovery_star_and_bound(spark):
+    """The two-level fallback's exact contract (VERDICT r12 ask #5):
+    on a corpus with a capped band word, (a) plain capping loses
+    exactly the pairs agreeing ONLY on capped words; (b)
+    recover_hot_exact=True re-keys the capped region by FULL hash and
+    emits a star per exact-hash group — O(group) rows,
+    clustering-equivalent to the clique for the transitive consumers;
+    (c) what stays lost is exactly the hamming>0 only-hot-word pairs
+    — the documented bound."""
+    import pandas as pd
+
+    from sparksent.ext.imagedup import phash_band_pairs
+
+    # 300 identical degenerate images: every word [7,7,7,7] -> all
+    # four words capped (df 300 > greatest(5, 306//50 = 6))
+    degenerate = [(i, [7, 7, 7, 7]) for i in range(300)]
+    # a hamming-3 pair agreeing ONLY on the capped word 7 (w0): the
+    # other three words differ by one bit each
+    only_hot = [
+        (9_000, [7, 100, 200, 400]),
+        (9_001, [7, 101, 201, 401]),
+    ]
+    # a normal pair: unique words, exact dup
+    normal = [(9_100, [11, 12, 13, 14]), (9_101, [11, 12, 13, 14])]
+    ph = spark.createDataFrame(
+        pd.DataFrame(degenerate + only_hot + normal, columns=["media_id", "hw"])
+    )
+    capped = {
+        (r.id_a, r.id_b)
+        for r in phash_band_pairs(ph, max_hamming=3, max_df=5).collect()
+    }
+    assert capped == {(9_100, 9_101)}  # degenerate + only-hot all dropped
+    rec_rows = phash_band_pairs(
+        ph, max_hamming=3, max_df=5, recover_hot_exact=True
+    ).collect()
+    rec = {(r.id_a, r.id_b) for r in rec_rows}
+    # star over the 300-row exact-hash group: rep 0 <-> members 1..299
+    # (299 edges, not 44,850 clique pairs), plus the normal pair
+    assert rec == {(0, m) for m in range(1, 300)} | {(9_100, 9_101)}
+    assert all(r.hamming == 0 for r in rec_rows)
+    # the documented bound: the hamming>0 only-hot-word pair stays lost
+    assert (9_000, 9_001) not in rec
