@@ -266,17 +266,17 @@ def phash_band_pairs(
         # map-side-combined df aggregate; hot rows leave BEFORE any
         # pair shuffle (the ngram_jaccard_pairs pattern).  The
         # threshold is relative with ``max_df`` as the absolute floor
-        # (see PHASH_DF_DENOM): the corpus count is a 1-row broadcast
-        # cross join, in-plan — no driver action.
-        n_total = ph.agg(F.count("*").alias("n_total"))
-        eff_cap = F.greatest(
-            F.lit(max_df),
-            (F.col("n_total") / F.lit(PHASH_DF_DENOM)).cast("long"),
-        )
+        # (see PHASH_DF_DENOM); the corpus count is a driver-side
+        # count over the hash frame — every shipped caller hands in a
+        # localCheckpointed frame so this is a cached-block scan, the
+        # same self-scaling precedent as n_centroids_for(count())
+        # (an in-plan 1-row cross join would render as
+        # BroadcastNestedLoopJoin and trip the plan gates' blanket
+        # nested-loop ban).
+        eff_cap = max(max_df, ph.count() // PHASH_DF_DENOM)
         hot = (
             bandrows.groupBy("widx", "wval")
             .agg(F.count("*").alias("df_cnt"))
-            .crossJoin(F.broadcast(n_total))
             .filter(F.col("df_cnt") > eff_cap)
             .select("widx", "wval")
         )

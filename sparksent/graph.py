@@ -361,7 +361,13 @@ def kcore(
     )
     prev = e.count()
     for _ in range(rounds):
-        e = peel_round(e, k).localCheckpoint()
+        # LAZY checkpoint + count probe fuse into ONE Spark job per
+        # round (the connected_components round-13 pattern): the count
+        # materializes the marked RDD, and the next round's three
+        # reads of `e` (degree union's two arms + the edge filter) hit
+        # the persisted blocks.  Eager paid a separate
+        # materialization job per round — pure fixed overhead.
+        e = peel_round(e, k).localCheckpoint(eager=False)
         n = e.count()
         if n == prev:
             break

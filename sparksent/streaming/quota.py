@@ -120,8 +120,14 @@ def streaming_domain_quota_windowed(
     test_streaming_domain_quota_windowed_vs_batch, including a
     cross-chunk burst the FCFS variant provably orders differently).
 
-    Honest limits: (a) rows later than ``lateness`` are dropped by the
-    watermark (they missed their window — the bounded-lateness trade);
+    Honest limits: (a) a row whose window end is already <= the
+    watermark when it arrives is DROPPED — explicitly, in the
+    operator, because applyInPandasWithState receives all arriving
+    rows (Spark's late-row filter covers streaming aggregations, not
+    arbitrary stateful ops — measured, see the in-function comment);
+    it is beyond the lateness bound and its window's admission pass
+    runs (or ran) without it, the bounded-lateness trade, pinned by
+    the beyond-lateness test;
     (b) a window flushes when the watermark PASSES its end, so the
     final windows of a finite replay need one later event to push the
     watermark (live streams always advance; the tests append a
@@ -166,6 +172,7 @@ def streaming_domain_quota_windowed(
             T.StructField("p_id", T.ArrayType(T.LongType())),
         ]
     )
+
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
@@ -176,15 +183,31 @@ def streaming_domain_quota_windowed(
             ]
         else:
             admitted, pend = 0, [[], [], [], []]
+        wm_sec = state.getCurrentWatermarkMs() // 1000
         if not state.hasTimedOut:
+            # EXPLICIT late-row drop, gated on the CURRENT watermark
+            # (measured in the beyond-lateness test:
+            # applyInPandasWithState hands the function ALL arriving
+            # rows — Spark's below-watermark input filter covers
+            # streaming aggregations, not arbitrary stateful ops).  A
+            # row whose window end <= the invocation's watermark is
+            # beyond the lateness bound by definition — a streaming
+            # aggregation would drop it too — and its window either
+            # already flushed or flushes THIS invocation from rows
+            # that arrived in time; admitting a late straggler now
+            # would hand it a rank its window's admission pass never
+            # saw.  In-bound rows (we > watermark) always buffer,
+            # whatever micro-batch they land in — which is what makes
+            # the admitted set a pure function of the data for any
+            # arrival order within the bound.
             for chunk in pdfs:
                 if not len(chunk):
                     continue
-                pend[0].extend(int(v) for v in chunk["ws"].to_numpy())
-                pend[1].extend(int(v) for v in chunk["we"].to_numpy())
-                pend[2].extend(int(v) for v in chunk["lottery"].to_numpy())
-                pend[3].extend(int(v) for v in chunk[id_col].to_numpy())
-        wm_sec = state.getCurrentWatermarkMs() // 1000
+                ok = chunk[chunk["we"].to_numpy() > wm_sec]
+                pend[0].extend(int(v) for v in ok["ws"].to_numpy())
+                pend[1].extend(int(v) for v in ok["we"].to_numpy())
+                pend[2].extend(int(v) for v in ok["lottery"].to_numpy())
+                pend[3].extend(int(v) for v in ok[id_col].to_numpy())
         rows = sorted(zip(*pend))  # (ws, we, lottery, id): window order,
         # then lottery within the window — the admission priority
         out: list[tuple] = []

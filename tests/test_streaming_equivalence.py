@@ -2517,3 +2517,71 @@ def test_streaming_domain_quota_windowed_survives_restart(spark, tmp_path):
         for r in spark.read.parquet(str(tmp_path / "dqwr_out")).collect()
     }
     assert got == _dqw_batch_model(spark, docs, cap)
+
+
+def test_streaming_domain_quota_windowed_drops_beyond_lateness(spark, tmp_path):
+    """The bounded-lateness trade's other half, pinned: a row arriving
+    AFTER the watermark passed its window (here: a W0 row replayed
+    after a chunk whose max event time already pushed the watermark
+    past W0+lateness) is dropped by the watermark filter — never
+    admitted, never counted against the cap — while every in-bound
+    row admits exactly as the batch dual over the in-bound rows."""
+    from pyspark.sql import types as T
+
+    from sparksent.streaming import streaming_domain_quota_windowed
+    from sparksent.streaming.sources import (
+        append_flat_file,
+        file_replay_source,
+    )
+
+    def chunk(rows, name, replay):
+        df = spark.createDataFrame(
+            rows, "doc_id long, source string, sec long, arrival long"
+        ).withColumn("ts", F.col("sec").cast("timestamp")).drop("sec")
+        append_flat_file(df, replay, name)
+        return df
+
+    replay = str(tmp_path / "dql_replay")
+    import os as _os
+
+    _os.makedirs(replay, exist_ok=True)
+    # chunk 0: W0 rows + a ts=200s row -> watermark after chunk 0 =
+    # 200 - 10 = 190s, far past W0's end (10s)
+    c0 = [(100, "A", 1, 0), (101, "A", 3, 1), (900, "A", 200, 2)]
+    # chunk 1: a W0 straggler BEYOND the bound -> dropped
+    c1 = [(102, "A", 5, 10)]
+    # chunk 2: sentinel pushes the watermark past the ts=200 row's window
+    c2 = [(999, "zz", 1_000_000, 20)]
+    chunk(c0, "chunk_0000.parquet", replay)
+    chunk(c1, "chunk_0001.parquet", replay)
+    chunk(c2, "chunk_0002.parquet", replay)
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("arrival", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    q = (
+        streaming_domain_quota_windowed(
+            file_replay_source(spark, replay, schema=schema),
+            cap=10,
+            window_dur="10 seconds",
+            lateness="10 seconds",
+        )
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_dql")
+        .option("checkpointLocation", str(tmp_path / "dql_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {(r.doc_id, r.rk) for r in spark.table("t_dql").collect()}
+    # 100/101 admitted from W0 (lottery order), 900 admitted from its
+    # own window once the sentinel closes it; the straggler 102 is
+    # GONE — and it did not consume a cap slot (900 holds rk=3)
+    assert {d for d, _ in got} == {100, 101, 900}
+    assert (102, 3) not in got and dict(got)[900] == 3

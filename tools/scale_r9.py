@@ -332,7 +332,7 @@ def cmd_admission(spark, port, app_id) -> dict:
     return report
 
 
-def cmd_longstream(spark, port, app_id) -> dict:
+def cmd_longstream(spark, port, app_id, n_batches: int = 12) -> dict:
     """Round-12 (VERDICT r11 ask #5): the LONG-stream admission claim —
     per-batch read cost stays FLAT after 4× more batches than the
     round-11 measurement (12 batches of 100 docs vs 3), and the index
@@ -360,7 +360,7 @@ def cmd_longstream(spark, port, app_id) -> dict:
         "doc_id", "text"
     )
     sc = spark.sparkContext
-    batch_docs, n_buckets, n_batches = 100, 4096, 12
+    batch_docs, n_buckets = 100, 4096
     idx_path = "/tmp/sparksent-admit-idx-long"
     out_path = "/tmp/sparksent-admit-out-long"
     for p in (idx_path, out_path):
@@ -397,6 +397,15 @@ def cmd_longstream(spark, port, app_id) -> dict:
         report["batches"][name] = {
             "wall_s": round(time.perf_counter() - t0, 2),
             "max_files_per_bucket": max_files_per_bucket(),
+            "index_mb": round(
+                sum(
+                    os.path.getsize(os.path.join(r, f))
+                    for r, _, fs in os.walk(idx_path)
+                    for f in fs
+                )
+                / 1e6,
+                1,
+            ),
         }
         group_of[name] = name
         print(f"  {name}: {report['batches'][name]}", file=sys.stderr)
@@ -690,6 +699,8 @@ def main() -> None:
     ap.add_argument(
         "part", choices=["hotkey", "neardup", "x80", "ivfpq_rest", "admission", "r11ops", "r11ops2", "annserve", "longstream", "annrecall", "r12ops"]
     )
+    ap.add_argument("--batches", type=int, default=12,
+                    help="longstream soak length (VERDICT r12 ask #9: 48)")
     args = ap.parse_args()
     spark = build_session()
     sc = spark.sparkContext
@@ -706,7 +717,11 @@ def main() -> None:
         "longstream": cmd_longstream,
         "annrecall": cmd_annrecall,
         "r12ops": cmd_r12ops,
-    }[args.part](spark, port, sc.applicationId)
+    }
+    if args.part == "longstream":
+        report = report[args.part](spark, port, sc.applicationId, args.batches)
+    else:
+        report = report[args.part](spark, port, sc.applicationId)
     print(json.dumps({args.part: report}, indent=1))
 
 
