@@ -288,7 +288,12 @@ def copurchase_bfs_hops(
     levels = seeds.withColumn("hop", F.lit(0).cast("long")).localCheckpoint()
     frontier = levels.select("item")
     for i in range(1, max_hops + 1):
-        nxt = bfs_expand(frontier, edges, levels, i).localCheckpoint()
+        # nxt's checkpoint is LAZY (the graph.py round-13 probe-fusion
+        # pattern): the eager union checkpoint below is the round's one
+        # materialization job and persists nxt's blocks as it computes
+        # them; next round's frontier then reads the persisted blocks.
+        # Eager here paid a second job per round for nothing.
+        nxt = bfs_expand(frontier, edges, levels, i).localCheckpoint(eager=False)
         levels = levels.union(nxt).localCheckpoint()
         frontier = nxt.select("item")
     return nodes.join(levels.hint("shuffle_hash"), "item", "left").select(
