@@ -108,6 +108,7 @@ HEADLINE = [
     "event_session_ids",
     "cmsketch_heavy_hitters",
     "seq_packing_512",
+    "seq_packing_bpe_512",
     "decontaminate_5gram",
     "repetition_stats",
     "rare_word_stats",

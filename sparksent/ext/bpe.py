@@ -39,17 +39,22 @@ from ..tables import rebalance
 N_MERGES = 16
 END_MARK = "</w>"  # end-of-word symbol, per the original BPE formulation
 
-# Largest merge count the chained-Catalyst-fold encode path is allowed:
-# each merge is one nested `aggregate` expression layer, so plan depth
-# grows linearly with the merge table.  Measured on pyspark 4.1.2:
-# 64 chained folds still analyze+run in ~1.1 s, but 128 ABORT at
-# analysis time with "Max iterations (100) reached for batch
-# Resolution" — a hard Catalyst ceiling far below any production
-# tokenizer (30k-50k merges).  Above this limit the encode switches to
-# one Arrow ``mapInPandas`` over the DISTINCT WORD domain (bounded
-# rows — the same domain trick the vocab stage uses), whose plan depth
-# is constant in the merge count: a production 50k merge table is just
-# a bigger task closure, not a deeper plan.
+# Largest merge count the JVM fold encode engine is allowed.  Since
+# round 13 the engine is ONE nested ``aggregate`` over a literal
+# merge-struct array (plan depth CONSTANT in the merge count), so this
+# is a cost crossover, not an analysis ceiling: higher-order functions
+# evaluate interpreted, so per-word cost grows with every merge the
+# fold walks, while the Arrow engine's Python scan skips absent merges
+# with one C-speed substring check.  Measured on pyspark 4.1.2
+# (20k-distinct-word domain, 1024 merges): nested JVM fold ~9.4 s vs
+# Arrow ~0.7 s — so production merge tables (30k-50k) take the Arrow
+# ``mapInPandas`` over the DISTINCT WORD domain (bounded rows — the
+# same domain trick the vocab stage uses).  At the registered depth
+# (16) the JVM fold wins: no Python worker, whole plan stays JVM-side,
+# and plan analysis is a small constant (the round-11..13 bench creep
+# of the old one-aggregate-layer-PER-MERGE chain — 1.31 -> 2.41 s of
+# pure Catalyst analysis, which ABORTED outright at 128 chained layers
+# with "Max iterations (100) reached for batch Resolution" — is gone).
 FOLD_DEPTH_LIMIT = 16
 
 
@@ -182,30 +187,55 @@ def _recursion_ctes(table: str, text_col: str, n_merges: int) -> str:
     )"""
 
 
-def _apply_merge_fold(arr, left: str, right: str):
-    """One merge applied to a symbol array as a JVM-side ``aggregate``
-    fold — the exact Spark analog of the oracle's ``list_reduce`` and
-    of the scan in :func:`learn_merges_py` (equivalence argument in
+def _apply_merges_fold(syms0, stream, merges):
+    """The whole merge table applied to a symbol array as ONE nested
+    JVM-side ``aggregate``: the outer fold walks a LITERAL array of
+    (l, r) merge structs in learned order; its step is the inner fold —
+    the exact Spark analog of the oracle's ``list_reduce`` and of the
+    scan in :func:`learn_merges_py` (equivalence argument in
     :func:`merges_sql`): append the next symbol, or collapse it into
-    the accumulator tail when (tail, next) is this merge's pair."""
-    joined = left + right
+    the accumulator tail when (tail, next) is this merge's pair.
+
+    Two layers of ``aggregate`` TOTAL, whatever the merge count — the
+    old shape (one chained ``aggregate`` layer per merge) made Catalyst
+    analysis cost grow with the merge table and abort at 128 layers
+    (FOLD_DEPTH_LIMIT docstring).  The ``contains`` pre-check skipping
+    merges absent from the word is sound for the same reason as in
+    :func:`apply_merges_py`: every symbol is a contiguous run of the
+    original ``word + END_MARK`` stream, so (l, r) can only ever be
+    adjacent if ``l + r`` occurs literally in that stream."""
+    marr = F.array(
+        *[
+            F.struct(F.lit(l).alias("l"), F.lit(r).alias("r"))
+            for l, r in merges
+        ]
+    )
     return F.aggregate(
-        arr,
-        F.expr("CAST(array() AS array<string>)"),
-        lambda acc, x: F.when(
-            (F.size(acc) > 0)
-            & (F.element_at(acc, -1) == F.lit(left))
-            & (x == F.lit(right)),
-            F.concat(
-                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(joined))
-            ),
-        ).otherwise(F.concat(acc, F.array(x))),
+        marr,
+        syms0,
+        lambda acc, m: F.when(
+            ~F.contains(stream, F.concat(m["l"], m["r"])), acc
+        ).otherwise(
+            F.aggregate(
+                acc,
+                F.expr("CAST(array() AS array<string>)"),
+                lambda a2, x: F.when(
+                    (F.size(a2) > 0)
+                    & (F.element_at(a2, -1) == m["l"])
+                    & (x == m["r"]),
+                    F.concat(
+                        F.slice(a2, 1, F.size(a2) - 1),
+                        F.array(F.concat(m["l"], m["r"])),
+                    ),
+                ).otherwise(F.concat(a2, F.array(x))),
+            )
+        ),
     )
 
 
 def apply_merges_py(word: str, merges: list[tuple[str, str]]) -> int:
     """Sequential greedy-leftmost merge application to one word —
-    byte-for-byte the semantics of :func:`_apply_merge_fold` chained in
+    byte-for-byte the semantics of :func:`_apply_merges_fold` walked in
     merge order (and of the rewrite loop in :func:`learn_merges_py`),
     returning the post-merge subword count.  The substring pre-check is
     sound because every symbol is a contiguous run of the original
@@ -276,16 +306,18 @@ def encode_token_counts(
     two engines with identical semantics (pinned by
     tests/test_properties.py::test_bpe_encode_paths_agree):
 
-    - ``n_merges <= fold_limit``: chained JVM-side ``aggregate`` folds,
-      one per merge — zero Python, whole-stage codegen.  This path's
-      plan depth grows with the merge table and hits Catalyst
-      analysis-cost limits (FOLD_DEPTH_LIMIT docstring), so it is
-      capped, not default-unbounded.
-    - above: one Arrow ``mapInPandas`` over the distinct words — plan
-      depth constant in the merge count; proven at n_merges=1024 by
-      tests/test_properties.py::test_bpe_encode_production_merge_count.
-      This is the production tokenizer-apply shape: per-row Python on a
-      BOUNDED domain, never on the occurrence stream."""
+    - ``n_merges <= fold_limit``: ONE nested JVM-side ``aggregate``
+      over the literal merge array (:func:`_apply_merges_fold`) — zero
+      Python, plan depth constant in the merge count (the pre-round-13
+      chain of one ``aggregate`` layer per merge made Catalyst analysis
+      a creeping per-run constant and aborted at 128 layers).
+    - above: one Arrow ``mapInPandas`` over the distinct words —
+      proven at n_merges=1024 by tests/test_properties.py::
+      test_bpe_encode_production_merge_count.  Interpreted HOF
+      evaluation walks every merge per word, so at production merge
+      counts the Python scan with its C-speed substring skip wins ~10x
+      (FOLD_DEPTH_LIMIT docstring); per-row Python on a BOUNDED
+      domain, never on the occurrence stream."""
     merges = [
         (r["left"], r["right"])
         for r in learn_merges(df, text_col, n_merges).collect()
@@ -296,11 +328,15 @@ def encode_token_counts(
     )
     distinct_words = words.select("word").distinct()
     if len(merges) <= fold_limit:
-        syms = F.concat(F.split(F.col("word"), ""), F.array(F.lit(END_MARK)))
-        for left, right in merges:
-            syms = _apply_merge_fold(syms, left, right)
+        syms0 = F.concat(F.split(F.col("word"), ""), F.array(F.lit(END_MARK)))
+        if merges:
+            # a zero-element literal struct array wouldn't analyze, and
+            # zero merges leave every word at its initial symbol split
+            syms0 = _apply_merges_fold(
+                syms0, F.concat(F.col("word"), F.lit(END_MARK)), merges
+            )
         enc = distinct_words.select(
-            "word", F.size(syms).cast("long").alias("n_subwords")
+            "word", F.size(syms0).cast("long").alias("n_subwords")
         )
     else:
         enc = _encode_distinct_words_arrow(distinct_words, merges)
@@ -356,6 +392,50 @@ def encode_sql(
            coalesce(p.n_words, 0)::BIGINT AS n_words,
            coalesce(p.n_tokens, 0)::BIGINT AS n_tokens
     FROM {table} d LEFT JOIN per_doc p USING ({id_col})
+    """
+
+
+def seq_packing_bpe_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_merges: int = N_MERGES,
+    ctx_len: int = 512,
+    n_shards: int = 64,
+) -> str:
+    """DuckDB oracle for the BPE-count packing composition
+    (``seq_packing_bpe_512``): :func:`encode_sql`'s per-document token
+    counts feeding :func:`sparksent.ext.curation.seq_packing_sql`'s
+    shard-partitioned packing window."""
+    return f"""
+    WITH RECURSIVE {_recursion_ctes(table, text_col, n_merges)},
+    final AS (
+      SELECT word, len(syms)::BIGINT AS n_subwords
+      FROM st WHERE lvl = (SELECT max(lvl) FROM st)
+    ),
+    doctoks AS (
+      SELECT {id_col}, unnest(string_split({text_col}, ' ')) AS word
+      FROM {table}
+    ),
+    per_doc AS (
+      SELECT t.{id_col}, sum(f.n_subwords)::BIGINT AS n_tokens
+      FROM doctoks t JOIN final f USING (word)
+      WHERE t.word <> ''
+      GROUP BY 1
+    ),
+    counts AS (
+      SELECT d.{id_col}, d.{id_col} % {n_shards} AS shard,
+             coalesce(p.n_tokens, 0)::BIGINT AS n_tokens
+      FROM {table} d LEFT JOIN per_doc p USING ({id_col})
+    )
+    SELECT {id_col}, shard, n_tokens,
+           (COALESCE(sum(n_tokens) OVER (PARTITION BY shard ORDER BY {id_col}
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            // {ctx_len})::BIGINT AS seq_id,
+           (COALESCE(sum(n_tokens) OVER (PARTITION BY shard ORDER BY {id_col}
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            % {ctx_len})::BIGINT AS "offset"
+    FROM counts
     """
 
 

@@ -84,16 +84,33 @@ def seq_packing(
     keeps the operator data-size-neutral; the chunk materialization is
     a downstream gather."""
     n_tok = F.size(F.split(F.col(text_col), " "))
+    counts = df.select(F.col(id_col), n_tok.cast("long").alias("n_tokens"))
+    return seq_packing_counts(counts, ctx_len, n_shards, id_col)
+
+
+def seq_packing_counts(
+    counts: DataFrame,
+    ctx_len: int = CTX_LEN,
+    n_shards: int = N_SHARDS,
+    id_col: str = "doc_id",
+    count_col: str = "n_tokens",
+) -> DataFrame:
+    """The packing window itself over an already-computed
+    (id, token-count) frame — the shared tail of :func:`seq_packing`
+    (whitespace counts) and the BPE-count composition registered as
+    ``seq_packing_bpe_512`` (real subword counts from
+    ``bpe.encode_token_counts``). Same scale shape: ONE window shuffle
+    partitioned by shard."""
     w = (
         Window.partitionBy("shard")
         .orderBy(id_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     return (
-        df.select(
+        counts.select(
             F.col(id_col),
             (F.col(id_col) % n_shards).alias("shard"),
-            n_tok.alias("n_tokens"),
+            F.col(count_col).cast("long").alias("n_tokens"),
         )
         .withColumn("cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
         .select(

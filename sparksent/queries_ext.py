@@ -670,6 +670,29 @@ def q_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "seq_packing_bpe_512",
+    oracle=bpe.seq_packing_bpe_sql(),
+    tags=("ext", "curation", "tokenizer"),
+)
+def q_seq_packing_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing under REAL BPE token counts — the
+    composition that closes the gap seq_packing_512's own contract
+    noted (whitespace words are a proxy; training budgets are in
+    subword tokens): bpe.encode_token_counts supplies per-document
+    n_tokens (dictionary-first distinct-word encode, broadcast join
+    back, nested JVM merge fold), then the SAME shard-partitioned
+    packing window lays documents head-to-tail in ctx_len=512 token
+    sequences.  Scale shape: the encode adds one distinct-word
+    aggregate + one broadcast join to the packing's single window
+    shuffle — the corpus shuffles ONCE either way; at 100 TB the merge
+    table rides in the fold literal / Arrow closure and only (doc_id,
+    shard, n_tokens) enters the window."""
+    docs = _docs(spark, sf_dir)
+    counts = bpe.encode_token_counts(docs).select("doc_id", "n_tokens")
+    return curation.seq_packing_counts(counts)
+
+
+@register(
     "chunk_documents_128_96",
     oracle=curation.chunk_documents_sql(),
     tags=("ext", "curation"),
@@ -1210,16 +1233,21 @@ def q_bpe_encode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     the BPE family: encode every document under the learned merge
     table and report REAL subword token counts (doc_id, n_words,
     n_tokens) — the statistic every token-budgeted corpus pipeline
-    needs (seq_packing/chunking currently count whitespace words).
+    needs (seq_packing_bpe_512 packs under these counts; whitespace
+    seq_packing/chunking remain as the proxy forms).
     The encoding runs over the DISTINCT WORD domain only
-    (dictionary-first); at this registered depth (16 merges) it is 16
-    chained JVM-side ``aggregate`` folds — no Python touches row data;
-    per-word counts broadcast-join back onto the occurrence stream.
-    Production merge counts (30k-50k) exceed the Catalyst fold-nesting
-    ceiling (128 chained folds abort analysis — ext/bpe.py
-    FOLD_DEPTH_LIMIT), so above 16 merges encode_token_counts switches
-    to one Arrow mapInPandas over the same bounded distinct-word
-    domain, path-equality- and depth-1024-proven in
+    (dictionary-first); at this registered depth (16 merges) it is ONE
+    nested JVM-side ``aggregate`` over the literal merge array — no
+    Python touches row data, and plan depth is CONSTANT in the merge
+    count (round 13: the old one-aggregate-layer-per-merge chain made
+    Catalyst analysis a creeping driver-CPU constant — the r11-r13
+    bench drift — and aborted outright at 128 layers); per-word counts
+    broadcast-join back onto the occurrence stream.  At production
+    merge counts (30k-50k) interpreted HOF evaluation walks every
+    merge per word, so above FOLD_DEPTH_LIMIT encode_token_counts
+    switches to one Arrow mapInPandas over the same bounded
+    distinct-word domain (C-speed substring skip, ~10x faster at 1024
+    merges), path-equality- and depth-1024-proven in
     tests/test_properties.py. The oracle reuses the merge recursion's
     deepest level, whose symbol lists ARE the encoded vocabulary
     (ext/bpe.py::encode_sql)."""

@@ -1053,10 +1053,10 @@ def test_frozen_margin_broadcast_and_combine(spark):
 
 
 def test_bpe_encode_distinct_domain_and_broadcast(spark):
-    """bpe_encode_documents: the 16 chained folds run after a
-    HashAggregate (the distinct-word collapse), their output joins
+    """bpe_encode_documents: the nested merge fold runs after a
+    HashAggregate (the distinct-word collapse), its output joins
     back by broadcast, and no Python evaluator appears anywhere (the
-    folds are JVM aggregate expressions)."""
+    fold is a JVM aggregate expression)."""
     plan = plan_of(spark, "bpe_encode_documents")
     assert "BroadcastHashJoin" in plan
     assert "aggregate" in plan  # the fold expression survives into the plan

@@ -773,6 +773,31 @@ def test_bpe_encode_paths_agree(spark):
     assert fold == arrow
 
 
+def test_bpe_encode_nested_fold_no_catalyst_ceiling(spark):
+    """Round 13: the JVM engine is one nested aggregate over the
+    literal merge array, so its plan depth is constant in the merge
+    count — 128 merges, which ABORTED the old chained-layer shape at
+    analysis time ('Max iterations (100) reached for batch
+    Resolution'), must now analyze, run, and match the Arrow engine."""
+    from sparksent.ext import bpe
+
+    docs = [
+        (0, "aaaa aa a aaa"),
+        (1, "abab ab ba bab abba"),
+        (2, ""),
+        (3, "aaaa aaaa abab banana bandana"),
+        (4, "abcdefgh abcd efgh cafe babble"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    fold = sorted(
+        map(tuple, bpe.encode_token_counts(df, n_merges=128, fold_limit=128).collect())
+    )
+    arrow = sorted(
+        map(tuple, bpe.encode_token_counts(df, n_merges=128, fold_limit=0).collect())
+    )
+    assert fold == arrow
+
+
 def test_bpe_encode_production_merge_count(spark):
     """The capability the round-6 verdict flagged, proven: tokenizer
     apply at a PRODUCTION merge count.  n_merges=1024 is 64x the
