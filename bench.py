@@ -109,6 +109,7 @@ HEADLINE = [
     "cmsketch_heavy_hitters",
     "seq_packing_512",
     "seq_packing_bpe_512",
+    "sample_token_budget_bpe",
     "decontaminate_5gram",
     "repetition_stats",
     "rare_word_stats",

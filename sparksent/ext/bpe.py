@@ -292,6 +292,7 @@ def encode_token_counts(
     id_col: str = "doc_id",
     n_merges: int = N_MERGES,
     fold_limit: int = FOLD_DEPTH_LIMIT,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Tokenizer APPLY — encode every document under the learned merge
     table and report real BPE token counts: (doc_id, n_words,
@@ -349,10 +350,11 @@ def encode_token_counts(
         )
     )
     return (
-        df.select(id_col)
+        df.select(id_col, *carry_cols)
         .join(per_doc, id_col, "left")
         .select(
             id_col,
+            *carry_cols,
             F.coalesce("n_words", F.lit(0)).cast("long").alias("n_words"),
             F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
         )
@@ -395,20 +397,20 @@ def encode_sql(
     """
 
 
-def seq_packing_bpe_sql(
-    table: str = "documents",
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    n_merges: int = N_MERGES,
-    ctx_len: int = 512,
-    n_shards: int = 64,
+def _encode_counts_ctes(
+    table: str,
+    text_col: str,
+    id_col: str,
+    n_merges: int,
+    carry_cols: tuple[str, ...] = (),
 ) -> str:
-    """DuckDB oracle for the BPE-count packing composition
-    (``seq_packing_bpe_512``): :func:`encode_sql`'s per-document token
-    counts feeding :func:`sparksent.ext.curation.seq_packing_sql`'s
-    shard-partitioned packing window."""
-    return f"""
-    WITH RECURSIVE {_recursion_ctes(table, text_col, n_merges)},
+    """Shared CTE text producing ``counts`` — one row per ``table`` row
+    with its real BPE token count under the learned merge table (the
+    SQL twin of :func:`encode_token_counts`'s (id, n_tokens) frame).
+    ``carry_cols`` ride through for downstream grouping.  Used by every
+    BPE-count composition oracle (packing, token-budget sampling)."""
+    carry = "".join(f"d.{c}, " for c in carry_cols)
+    return f"""{_recursion_ctes(table, text_col, n_merges)},
     final AS (
       SELECT word, len(syms)::BIGINT AS n_subwords
       FROM st WHERE lvl = (SELECT max(lvl) FROM st)
@@ -424,9 +426,28 @@ def seq_packing_bpe_sql(
       GROUP BY 1
     ),
     counts AS (
-      SELECT d.{id_col}, d.{id_col} % {n_shards} AS shard,
-             coalesce(p.n_tokens, 0)::BIGINT AS n_tokens
+      SELECT d.{id_col}, {carry}coalesce(p.n_tokens, 0)::BIGINT AS n_tokens
       FROM {table} d LEFT JOIN per_doc p USING ({id_col})
+    )"""
+
+
+def seq_packing_bpe_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_merges: int = N_MERGES,
+    ctx_len: int = 512,
+    n_shards: int = 64,
+) -> str:
+    """DuckDB oracle for the BPE-count packing composition
+    (``seq_packing_bpe_512``): :func:`encode_sql`'s per-document token
+    counts feeding :func:`sparksent.ext.curation.seq_packing_sql`'s
+    shard-partitioned packing window."""
+    return f"""
+    WITH RECURSIVE {_encode_counts_ctes(table, text_col, id_col, n_merges)},
+    sharded AS (
+      SELECT {id_col}, {id_col} % {n_shards} AS shard, n_tokens
+      FROM counts
     )
     SELECT {id_col}, shard, n_tokens,
            (COALESCE(sum(n_tokens) OVER (PARTITION BY shard ORDER BY {id_col}
@@ -435,7 +456,40 @@ def seq_packing_bpe_sql(
            (COALESCE(sum(n_tokens) OVER (PARTITION BY shard ORDER BY {id_col}
                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
             % {ctx_len})::BIGINT AS "offset"
-    FROM counts
+    FROM sharded
+    """
+
+
+def sample_token_budget_bpe_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "lang",
+    n_merges: int = N_MERGES,
+    budget: int = 8_000,
+) -> str:
+    """DuckDB oracle for greedy first-fit token-budget sampling under
+    REAL BPE token counts (``sample_token_budget_bpe``): the encode
+    counts CTE feeding the same md5-lottery running-sum admission as
+    :func:`sparksent.ext.curation.sample_token_budget_sql`."""
+    from .hashing import h60_sql
+
+    lot = h60_sql(f"'tokbudget:'||{id_col}::VARCHAR")
+    return f"""
+    WITH RECURSIVE {_encode_counts_ctes(table, text_col, id_col, n_merges,
+                                        carry_cols=(group_col,))},
+    r AS (
+      SELECT *, {lot} AS lottery FROM counts
+    ),
+    s AS (
+      SELECT *, coalesce(sum(n_tokens) OVER (
+               PARTITION BY {group_col} ORDER BY lottery, {id_col}
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+             AS prior_tokens
+      FROM r
+    )
+    SELECT {id_col}, {group_col}, n_tokens, prior_tokens
+    FROM s WHERE prior_tokens < {budget}
     """
 
 

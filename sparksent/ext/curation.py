@@ -585,14 +585,10 @@ def sample_token_budget(
     first-fit in lottery order is the standard, reproducible cut).
 
     One group-keyed shuffle (the running-sum window); token counts are
-    whitespace word counts (the repo's token primitive — swap in
-    bpe_encode_documents' n_tokens for learned-subword budgets), all
+    whitespace word counts (the repo's token primitive —
+    ``sample_token_budget_bpe`` is the learned-subword form), all
     BIGINT arithmetic, so membership is identical on both engines."""
-    from pyspark.sql import Window
-
-    from .hashing import h60
-
-    t = docs.select(
+    counts = docs.select(
         F.col(id_col),
         F.col(group_col),
         F.size(
@@ -600,6 +596,29 @@ def sample_token_budget(
         )
         .cast("long")
         .alias("n_tokens"),
+    )
+    return sample_token_budget_counts(counts, budget, group_col, id_col)
+
+
+def sample_token_budget_counts(
+    counts: DataFrame,
+    budget: int = TOKEN_BUDGET,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    count_col: str = "n_tokens",
+) -> DataFrame:
+    """The lottery-ordered first-fit admission window itself over an
+    already-computed (id, group, token-count) frame — the shared tail
+    of :func:`sample_token_budget` (whitespace counts) and the
+    BPE-count composition registered as ``sample_token_budget_bpe``."""
+    from pyspark.sql import Window
+
+    from .hashing import h60
+
+    t = counts.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.col(count_col).cast("long").alias("n_tokens"),
         h60(F.concat(F.lit("tokbudget:"), F.col(id_col).cast("string"))).alias(
             "lottery"
         ),

@@ -693,6 +693,30 @@ def q_seq_packing_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sample_token_budget_bpe",
+    oracle=bpe.sample_token_budget_bpe_sql(),
+    tags=("ext", "curation", "tokenizer"),
+)
+def q_sample_token_budget_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy first-fit per-language token-budget sampling under REAL
+    BPE token counts — the learned-subword form sample_token_budget's
+    contract pointed at: encode_token_counts supplies per-document
+    n_tokens (lang carried through the encode's broadcast join — no
+    extra corpus-sized join), then the SAME md5-lottery running-sum
+    admission takes documents while the exclusive prior sum is under
+    the budget.  Budget 8000 (vs 5000 whitespace words: subword counts
+    run higher).  One group-keyed window shuffle, BIGINT arithmetic —
+    membership identical on both engines."""
+    docs = tables.load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    counts = bpe.encode_token_counts(docs, carry_cols=("lang",)).select(
+        "doc_id", "lang", "n_tokens"
+    )
+    return curation.sample_token_budget_counts(counts, budget=8_000)
+
+
+@register(
     "chunk_documents_128_96",
     oracle=curation.chunk_documents_sql(),
     tags=("ext", "curation"),

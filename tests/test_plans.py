@@ -221,6 +221,32 @@ def test_seq_packing_single_shard_window_shuffle(spark):
     assert "Join" not in plan
 
 
+def test_seq_packing_bpe_shape(spark):
+    """BPE-count packing: the per-word subword counts join back onto
+    the occurrence stream by BROADCAST (the distinct-word domain is
+    bounded), the packing stays one per-shard window, and no Python
+    evaluator appears (registered depth uses the nested JVM fold)."""
+    plan = plan_of(spark, "seq_packing_bpe_512")
+    assert "Window" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
+
+
+def test_sample_token_budget_bpe_shape(spark):
+    """BPE-count budget sampling: same encode shape (broadcast
+    count join, no Python), one group-keyed admission window; lang
+    rides the encode's existing join — no second corpus-sized join."""
+    plan = plan_of(spark, "sample_token_budget_bpe")
+    assert "Window" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
+
+
 def test_decontaminate_broadcast_bench_grams(spark):
     """The benchmark gram set broadcasts; the corpus side never
     shuffles raw text — only the per-doc counts aggregate."""
