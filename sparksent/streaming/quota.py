@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from ..ext.curation import DOMAIN_QUOTA
+from ..ext.curation import DOMAIN_QUOTA, TOKEN_BUDGET
 from ..ext.hashing import h60
 
 
@@ -84,6 +84,92 @@ def streaming_domain_quota(
         state.update((admitted,))
         if out:
             yield pd.DataFrame(out, columns=[id_col, group_col, "rk"])
+
+    return tagged.groupBy(group_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+def streaming_token_budget(
+    df: DataFrame,
+    budget: int = TOKEN_BUDGET,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming per-group TOKEN-budget admission — the streaming dual
+    of ``ext/curation.sample_token_budget`` (greedy first-fit: admit a
+    document while the group's EXCLUSIVE prior admitted token sum is
+    under ``budget``; the last admitted document may overshoot, exactly
+    like the batch cut).  Emits (id, group, n_tokens, prior_tokens) —
+    the batch operator's shape — run with outputMode('append').
+
+    Same FCFS-across-batches / lottery-within-batch contract as
+    :func:`streaming_domain_quota` (the same honesty note applies: a
+    stream cannot rank against future arrivals, so the admitted set is
+    the deterministic greedy chunk-by-chunk simulation, and equals the
+    batch operator exactly when the corpus arrives in ONE batch —
+    pinned by tests/test_streaming_equivalence.py).  The difference is
+    WHAT the counter accumulates: admitted token sums, not document
+    counts — the live form of converting per-language token targets
+    into a concrete document set.
+
+    Token counts are the batch operator's whitespace expression,
+    computed IN-PLAN (JVM-side) before the stateful shuffle — the
+    state function only compares and adds.  For learned-subword
+    budgets, pre-compute counts (e.g. ``bpe.encode_token_counts`` over
+    a static merge table) and feed a frame that already carries
+    ``n_tokens``; this function then skips its own count expression.
+
+    Scale: state is ONE BIGINT sum per group; each micro-batch
+    shuffles only its own rows on ``group_col``; a saturated group
+    costs one comparison per arriving row."""
+    lot = h60(F.concat(F.lit("tokbudget:"), F.col(id_col).cast("string")))
+    if "n_tokens" in df.columns:
+        tagged = df.select(id_col, group_col, "n_tokens")
+    else:
+        tagged = df.select(
+            id_col,
+            group_col,
+            F.size(
+                F.filter(F.split(F.col(text_col), " "), lambda x: x != F.lit(""))
+            )
+            .cast("long")
+            .alias("n_tokens"),
+        )
+    tagged = tagged.withColumn("lottery", lot)
+    out_schema = T.StructType(
+        [
+            _field(tagged, id_col),
+            _field(tagged, group_col),
+            T.StructField("n_tokens", T.LongType()),
+            T.StructField("prior_tokens", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("tok_sum", T.LongType())])
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (tok_sum,) = state.get if state.exists else (0,)
+        out: list[tuple] = []
+        chunks = [c for c in pdfs if len(c)]
+        if chunks:
+            # concat BEFORE the sort: a group's batch rows can span
+            # Arrow chunks (the count_window lesson)
+            pdf = pd.concat(chunks).sort_values(["lottery", id_col])
+            for doc, n_tok in zip(
+                pdf[id_col].to_numpy(), pdf["n_tokens"].to_numpy()
+            ):
+                if tok_sum >= budget:
+                    break
+                out.append((doc, key[0], int(n_tok), tok_sum))
+                tok_sum += int(n_tok)
+        state.update((tok_sum,))
+        if out:
+            yield pd.DataFrame(
+                out, columns=[id_col, group_col, "n_tokens", "prior_tokens"]
+            )
 
     return tagged.groupBy(group_col).applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout

@@ -2318,6 +2318,195 @@ def test_streaming_domain_quota_survives_checkpoint_restart(spark, tmp_path):
     assert got == want and len(want) > 0
 
 
+def test_streaming_token_budget_vs_greedy_batch(spark, tmp_path):
+    """The streaming per-group TOKEN budget (round 13): replay
+    documents in 3 micro-batches; the admitted set (including each
+    row's exclusive prior_tokens) must equal the deterministic greedy
+    chunk-by-chunk simulation — per language, order by (chunk,
+    lottery, doc_id), exclusive running token sum, keep while it is
+    under budget — and when the WHOLE corpus arrives as ONE batch the
+    streamed frame must equal the BATCH sample_token_budget exactly
+    (same lottery, same counts, same prior sums)."""
+    from pyspark.sql import types as T
+
+    from sparksent.ext.curation import sample_token_budget
+    from sparksent.ext.hashing import h60
+    from sparksent.streaming import streaming_token_budget
+    from sparksent.streaming.sources import file_replay_source, write_replay_chunks
+    from sparksent.tables import load_table
+
+    docs = load_table(spark, SF_DIR_SMALL, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    budget = 600
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+
+    def run_stream(replay, ckpt, out_name):
+        q = (
+            streaming_token_budget(
+                file_replay_source(spark, replay, schema=schema), budget=budget
+            )
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(out_name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return {
+            (r.doc_id, r.lang, r.n_tokens, r.prior_tokens)
+            for r in spark.table(out_name).collect()
+        }
+
+    n_tok = (
+        F.size(F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit("")))
+        .cast("long")
+        .alias("n_tokens")
+    )
+    lot = h60(F.concat(F.lit("tokbudget:"), F.col("doc_id").cast("string")))
+
+    # leg 1: three chunks -> greedy chunk-by-chunk model (exclusive
+    # running sum over the (chunk, lottery, id) order; admission is
+    # prefix-closed, so the all-rows window sum equals the stream's
+    # admitted-only counter — same argument as the batch operator)
+    replay3 = str(tmp_path / "tb_replay3")
+    files = write_replay_chunks(docs, replay3, 3, order_col="doc_id")
+    chunk_of = []
+    for i, f in enumerate(sorted(files)):
+        chunk_of.append(
+            spark.read.parquet(f).select("doc_id").withColumn("chunk", F.lit(i))
+        )
+    chunks = chunk_of[0]
+    for c in chunk_of[1:]:
+        chunks = chunks.union(c)
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("chunk", lot.asc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    want3 = {
+        (r.doc_id, r.lang, r.n_tokens, r.prior_tokens)
+        for r in docs.join(chunks, "doc_id")
+        .select("doc_id", "lang", "chunk", n_tok)
+        .withColumn(
+            "prior_tokens", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+        )
+        .filter(F.col("prior_tokens") < budget)
+        .collect()
+    }
+    got3 = run_stream(replay3, str(tmp_path / "tb_ckpt3"), "t_tb3")
+    assert got3 == want3 and len(want3) > 0
+
+    # leg 2: one chunk -> exact agreement with the batch operator
+    replay1 = str(tmp_path / "tb_replay1")
+    write_replay_chunks(docs, replay1, 1, order_col="doc_id")
+    got1 = run_stream(replay1, str(tmp_path / "tb_ckpt1"), "t_tb1")
+    want1 = {
+        (r.doc_id, r.lang, r.n_tokens, r.prior_tokens)
+        for r in sample_token_budget(docs, budget=budget).collect()
+    }
+    assert got1 == want1 and len(want1) > 0
+
+
+def test_streaming_token_budget_survives_checkpoint_restart(spark, tmp_path):
+    """Kill-and-restart recovery proof for the token-sum state: stop
+    after the first micro-batch, restart from the checkpoint, and
+    require the union of both runs' emissions to equal the single-pass
+    greedy answer — a reset sum would re-admit past-budget docs."""
+    from pyspark.sql import types as T
+
+    from sparksent.ext.hashing import h60
+    from sparksent.streaming import streaming_token_budget
+    from sparksent.streaming.sources import file_replay_source, write_replay_chunks
+    from sparksent.tables import load_table
+
+    docs = load_table(spark, SF_DIR_SMALL, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    budget = 600
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    replay = str(tmp_path / "tbr_replay")
+    files = write_replay_chunks(docs, replay, 3, order_col="doc_id")
+    ckpt = str(tmp_path / "tbr_ckpt")
+
+    def start():
+        return (
+            streaming_token_budget(
+                file_replay_source(spark, replay, schema=schema), budget=budget
+            )
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", str(tmp_path / "tbr_out"))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = start()
+    import os as _os
+    import time as _time
+
+    deadline = _time.time() + 120
+    while _time.time() < deadline:
+        commits = _os.path.join(ckpt, "commits")
+        if _os.path.isdir(commits) and any(
+            not f.startswith(".") for f in _os.listdir(commits)
+        ):
+            break
+        _time.sleep(0.5)
+    q.stop()
+    q2 = start()  # resume from the checkpoint
+    q2.awaitTermination(180)
+
+    got = {
+        (r.doc_id, r.lang, r.n_tokens, r.prior_tokens)
+        for r in spark.read.parquet(str(tmp_path / "tbr_out")).collect()
+    }
+    n_tok = (
+        F.size(F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit("")))
+        .cast("long")
+        .alias("n_tokens")
+    )
+    lot = h60(F.concat(F.lit("tokbudget:"), F.col("doc_id").cast("string")))
+    chunk_of = []
+    for i, f in enumerate(sorted(files)):
+        chunk_of.append(
+            spark.read.parquet(f).select("doc_id").withColumn("chunk", F.lit(i))
+        )
+    chunks = chunk_of[0]
+    for c in chunk_of[1:]:
+        chunks = chunks.union(c)
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("chunk", lot.asc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    want = {
+        (r.doc_id, r.lang, r.n_tokens, r.prior_tokens)
+        for r in docs.join(chunks, "doc_id")
+        .select("doc_id", "lang", "chunk", n_tok)
+        .withColumn(
+            "prior_tokens", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+        )
+        .filter(F.col("prior_tokens") < budget)
+        .collect()
+    }
+    assert got == want and len(want) > 0
+
+
 def _dqw_fixture(spark):
     """Synthetic bursty corpus for the WINDOWED quota: sources A/B over
     three 10s tumbling windows, with W1 rows ARRIVING BEFORE W0 rows
