@@ -60,6 +60,7 @@ from .quota import (  # noqa: F401
     streaming_domain_quota,
     streaming_domain_quota_windowed,
     streaming_token_budget,
+    streaming_token_budget_windowed,
 )
 from .sources import file_replay_source, kafka_lines, rate_events, socket_lines  # noqa: F401
 from .sinks import (  # noqa: F401

@@ -330,3 +330,142 @@ def streaming_domain_quota_windowed(
         F.col("ws_epoch").cast("timestamp").alias("window_start"),
         "rk",
     )
+
+
+def streaming_token_budget_windowed(
+    df: DataFrame,
+    budget: int = TOKEN_BUDGET,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ts_col: str = "ts",
+    window_dur: str = "10 seconds",
+    lateness: str = "10 seconds",
+) -> DataFrame:
+    """The bounded-lateness TOKEN-budget variant — completes the 2x2
+    admission matrix ({doc quota, token budget} x {FCFS, windowed}):
+    rows buffer per group until the watermark closes their tumbling
+    event-time window, then admit in (window_start, lottery, id) order
+    while the group's EXCLUSIVE prior admitted token sum is under
+    ``budget``.  Emits (id, group, window_start, n_tokens,
+    prior_tokens); run with outputMode('append').
+
+    Same state machinery, honest limits, and timeout discipline as
+    :func:`streaming_domain_quota_windowed` (explicit watermark-gated
+    late-row drop; finite replays need a watermark-advancing sentinel
+    for their tail windows; in-flight buffer bounded by arrival rate x
+    (window + lateness)) — the delta is WHAT the counter accumulates:
+    admitted token sums.  The batch dual is the exclusive running
+    token sum over the (window_start, lottery, id) order filtered
+    < budget; admission is prefix-closed per group (prior sums are
+    nondecreasing along the order), so the dual's all-rows window sum
+    and this counter agree exactly — pinned per closed window by
+    tests/test_streaming_equivalence.py, including a cross-chunk burst
+    the FCFS variant provably orders differently."""
+    lot = h60(F.concat(F.lit("tokbudget:"), F.col(id_col).cast("string")))
+    if "n_tokens" in df.columns:
+        base = df.select(id_col, group_col, ts_col, "n_tokens")
+    else:
+        base = df.select(
+            id_col,
+            group_col,
+            ts_col,
+            F.size(
+                F.filter(F.split(F.col(text_col), " "), lambda x: x != F.lit(""))
+            )
+            .cast("long")
+            .alias("n_tokens"),
+        )
+    tagged = (
+        base.withWatermark(ts_col, lateness)
+        .withColumn("win", F.window(ts_col, window_dur))
+        .withColumn("ws", F.col("win.start").cast("long"))
+        .withColumn("we", F.col("win.end").cast("long"))
+        .withColumn("lottery", lot)
+        .drop("win")
+    )
+    out_schema = T.StructType(
+        [
+            _field(tagged, id_col),
+            _field(tagged, group_col),
+            T.StructField("ws_epoch", T.LongType()),
+            T.StructField("n_tokens", T.LongType()),
+            T.StructField("prior_tokens", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("tok_sum", T.LongType()),
+            T.StructField("p_ws", T.ArrayType(T.LongType())),
+            T.StructField("p_we", T.ArrayType(T.LongType())),
+            T.StructField("p_lot", T.ArrayType(T.LongType())),
+            T.StructField("p_id", T.ArrayType(T.LongType())),
+            T.StructField("p_tok", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            tok_sum, p_ws, p_we, p_lot, p_id, p_tok = state.get
+            pend = [
+                list(x)
+                for x in (p_ws or [], p_we or [], p_lot or [], p_id or [], p_tok or [])
+            ]
+        else:
+            tok_sum, pend = 0, [[], [], [], [], []]
+        wm_sec = state.getCurrentWatermarkMs() // 1000
+        if not state.hasTimedOut:
+            # explicit watermark-gated late-row drop — same measured
+            # rationale as streaming_domain_quota_windowed (Spark's
+            # below-watermark filter covers aggregations, not
+            # arbitrary stateful ops)
+            for chunk in pdfs:
+                if not len(chunk):
+                    continue
+                ok = chunk[chunk["we"].to_numpy() > wm_sec]
+                pend[0].extend(int(v) for v in ok["ws"].to_numpy())
+                pend[1].extend(int(v) for v in ok["we"].to_numpy())
+                pend[2].extend(int(v) for v in ok["lottery"].to_numpy())
+                pend[3].extend(int(v) for v in ok[id_col].to_numpy())
+                pend[4].extend(int(v) for v in ok["n_tokens"].to_numpy())
+        rows = sorted(zip(*pend))  # (ws, we, lottery, id, n_tok):
+        # window order, then lottery within the window
+        out: list[tuple] = []
+        keep: list[tuple] = []
+        for ws, we, lo, doc, n_tok in rows:
+            if we <= wm_sec:  # window closed: admit now, in order
+                if tok_sum < budget:
+                    out.append((doc, key[0], ws, n_tok, tok_sum))
+                    tok_sum += n_tok
+            else:
+                keep.append((ws, we, lo, doc, n_tok))
+        state.update(
+            (
+                tok_sum,
+                [r[0] for r in keep],
+                [r[1] for r in keep],
+                [r[2] for r in keep],
+                [r[3] for r in keep],
+                [r[4] for r in keep],
+            )
+        )
+        if keep:
+            state.setTimeoutTimestamp(min(r[1] for r in keep) * 1000)
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=[id_col, group_col, "ws_epoch", "n_tokens", "prior_tokens"],
+            )
+
+    admitted_stream = tagged.groupBy(group_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
+    )
+    return admitted_stream.select(
+        id_col,
+        group_col,
+        F.col("ws_epoch").cast("timestamp").alias("window_start"),
+        "n_tokens",
+        "prior_tokens",
+    )

@@ -2774,3 +2774,226 @@ def test_streaming_domain_quota_windowed_drops_beyond_lateness(spark, tmp_path):
     # GONE — and it did not consume a cap slot (900 holds rk=3)
     assert {d for d, _ in got} == {100, 101, 900}
     assert (102, 3) not in got and dict(got)[900] == 3
+
+
+def _tbw_fixture(spark):
+    """Bursty corpus for the WINDOWED token budget: langs A/B over
+    three 10s tumbling windows, W1 arriving BEFORE W0 (the burst the
+    FCFS variant orders by arrival), with PER-DOC TOKEN COUNTS sized
+    so a budget of 100 saturates mid-stream and the FCFS and windowed
+    admitted SETS provably differ (FCFS spends the budget on W1's
+    heavy docs; the windowed form spends it on W0's light ones)."""
+    rows = []  # (doc_id, lang, sec, arrival, n_words)
+    a = 0
+    # chunk 0: all of W1 (ts 10..19) arrives FIRST — heavy docs
+    for d, s, sec, n in [
+        (200, "A", 12, 40), (201, "A", 15, 50),
+        (210, "B", 11, 30), (211, "B", 13, 30), (212, "B", 17, 30),
+    ]:
+        rows.append((d, s, sec, a, n)); a += 1
+    # chunk 1: W0 rows (ts 0..9) arrive late-but-in-bound — light docs
+    for d, s, sec, n in [
+        (100, "A", 1, 30), (101, "A", 3, 30), (102, "A", 5, 30),
+        (103, "A", 7, 30), (110, "B", 2, 40), (111, "B", 6, 40),
+    ]:
+        rows.append((d, s, sec, a + 1000, n)); a += 1
+    # chunk 2: W2 rows
+    for d, s, sec, n in [(300, "A", 22, 100), (301, "B", 25, 100)]:
+        rows.append((d, s, sec, a + 2000, n)); a += 1
+    return (
+        spark.createDataFrame(
+            rows, "doc_id long, lang string, sec long, arrival long, n_words int"
+        )
+        .withColumn("ts", F.col("sec").cast("timestamp"))
+        .withColumn(
+            "text", F.array_join(F.array_repeat(F.lit("w"), F.col("n_words")), " ")
+        )
+        .drop("sec", "n_words")
+    )
+
+
+def _tbw_batch_model(spark, docs_with_ts, budget):
+    """The windowed budget's batch dual: per lang, exclusive running
+    whitespace-token sum over (window_start, lottery, doc_id), keep
+    while it is under budget."""
+    from sparksent.ext.hashing import h60
+
+    lot = h60(F.concat(F.lit("tokbudget:"), F.col("doc_id").cast("string")))
+    n_tok = (
+        F.size(F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit("")))
+        .cast("long")
+        .alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("ws").asc(), lot.asc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return {
+        (r.doc_id, r.lang, r.ws, r.n_tokens, r.prior_tokens)
+        for r in docs_with_ts.withColumn(
+            "ws", F.window("ts", "10 seconds").start.cast("long")
+        )
+        .select("doc_id", "lang", "ws", n_tok)
+        .withColumn(
+            "prior_tokens", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+        )
+        .filter(F.col("prior_tokens") < budget)
+        .collect()
+    }
+
+
+_TBW_SCHEMA_FIELDS = [
+    ("doc_id", "long"), ("lang", "string"), ("arrival", "long"),
+    ("ts", "timestamp"), ("text", "string"),
+]
+
+
+def _tbw_schema():
+    from pyspark.sql import types as T
+
+    m = {"long": T.LongType(), "string": T.StringType(), "timestamp": T.TimestampType()}
+    return T.StructType([T.StructField(n, m[t]) for n, t in _TBW_SCHEMA_FIELDS])
+
+
+def test_streaming_token_budget_windowed_vs_batch(spark, tmp_path):
+    """The bounded-lateness token budget must admit a PURE FUNCTION of
+    the data — per-lang exclusive running token sum over (window_start,
+    lottery, doc_id), kept under budget — for a bursty arrival order
+    that provably reorders the FCFS variant (W1's heavy docs arrive
+    before W0's light ones).  Exact per-window agreement with the
+    batch dual, including n_tokens and prior_tokens; the FCFS
+    variant's admitted set differs on the same replay."""
+    from sparksent.streaming import (
+        streaming_token_budget,
+        streaming_token_budget_windowed,
+    )
+    from sparksent.streaming.sources import (
+        append_flat_file,
+        file_replay_source,
+        write_replay_chunks,
+    )
+
+    docs = _tbw_fixture(spark)
+    budget = 100
+    replay = str(tmp_path / "tbw_replay")
+    write_replay_chunks(docs, replay, 3, order_col="arrival")
+    sentinel = (
+        spark.createDataFrame(
+            [(999_999, "zz_sentinel", 1_000_000, 99_999, "w")],
+            "doc_id long, lang string, sec long, arrival long, text string",
+        )
+        .withColumn("ts", F.col("sec").cast("timestamp"))
+        .drop("sec")
+        .select("doc_id", "lang", "arrival", "ts", "text")
+    )
+    append_flat_file(sentinel, replay, "chunk_9999.parquet")
+
+    q = (
+        streaming_token_budget_windowed(
+            file_replay_source(spark, replay, schema=_tbw_schema()),
+            budget=budget,
+            window_dur="10 seconds",
+            lateness="60 seconds",
+        )
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_tbw")
+        .option("checkpointLocation", str(tmp_path / "tbw_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.doc_id, r.lang, int(r.window_start.timestamp()), r.n_tokens, r.prior_tokens)
+        for r in spark.table("t_tbw").collect()
+    }
+    want = _tbw_batch_model(spark, docs, budget)
+    assert got == want and len(want) > 0
+    # the planted divergence: FCFS spends the budget on W1's heavy
+    # docs (they arrived first)
+    qf = (
+        streaming_token_budget(
+            file_replay_source(spark, replay, schema=_tbw_schema()), budget=budget
+        )
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_tbw_fcfs")
+        .option("checkpointLocation", str(tmp_path / "tbw_fcfs_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    qf.awaitTermination(180)
+    fcfs_docs = {
+        (r.doc_id, r.lang)
+        for r in spark.table("t_tbw_fcfs").collect()
+        if r.lang != "zz_sentinel"
+    }
+    assert fcfs_docs != {(d, s) for d, s, _, _, _ in got}
+
+
+def test_streaming_token_budget_windowed_survives_restart(spark, tmp_path):
+    """Kill-and-restart proof for the windowed budget state (token sum
+    + pending buffers incl. per-row token counts): stop after the
+    first committed batch, restart from the checkpoint, and require
+    the union of both runs' emissions to equal the batch dual."""
+    import os as _os
+    import time as _time
+
+    from sparksent.streaming import streaming_token_budget_windowed
+    from sparksent.streaming.sources import (
+        append_flat_file,
+        file_replay_source,
+        write_replay_chunks,
+    )
+
+    docs = _tbw_fixture(spark)
+    budget = 100
+    replay = str(tmp_path / "tbwr_replay")
+    write_replay_chunks(docs, replay, 3, order_col="arrival")
+    sentinel = (
+        spark.createDataFrame(
+            [(999_999, "zz_sentinel", 1_000_000, 99_999, "w")],
+            "doc_id long, lang string, sec long, arrival long, text string",
+        )
+        .withColumn("ts", F.col("sec").cast("timestamp"))
+        .drop("sec")
+        .select("doc_id", "lang", "arrival", "ts", "text")
+    )
+    append_flat_file(sentinel, replay, "chunk_9999.parquet")
+    ckpt = str(tmp_path / "tbwr_ckpt")
+
+    def start():
+        return (
+            streaming_token_budget_windowed(
+                file_replay_source(spark, replay, schema=_tbw_schema()),
+                budget=budget,
+                window_dur="10 seconds",
+                lateness="60 seconds",
+            )
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", str(tmp_path / "tbwr_out"))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = start()
+    deadline = _time.time() + 120
+    while _time.time() < deadline:
+        commits = _os.path.join(ckpt, "commits")
+        if _os.path.isdir(commits) and any(
+            not f.startswith(".") for f in _os.listdir(commits)
+        ):
+            break
+        _time.sleep(0.5)
+    q.stop()
+    q2 = start()
+    q2.awaitTermination(180)
+
+    got = {
+        (r.doc_id, r.lang, int(r.window_start.timestamp()), r.n_tokens, r.prior_tokens)
+        for r in spark.read.parquet(str(tmp_path / "tbwr_out")).collect()
+    }
+    assert got == _tbw_batch_model(spark, docs, budget)
