@@ -110,6 +110,7 @@ HEADLINE = [
     "seq_packing_512",
     "seq_packing_bpe_512",
     "sample_token_budget_bpe",
+    "quality_gate_per_lang_head",
     "decontaminate_5gram",
     "repetition_stats",
     "rare_word_stats",

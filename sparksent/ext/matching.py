@@ -129,7 +129,10 @@ _word_bigrams = word_grams
 
 
 def lm_bigram_score(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """CCNet-style corpus-typicality score: how frequent are this
     document's word bigrams in the corpus overall? Low average bigram
@@ -173,10 +176,11 @@ def lm_bigram_score(
         )
     )
     return (
-        base.select(F.col(id_col).alias("id"))
+        base.select(F.col(id_col).alias("id"), *carry_cols)
         .join(per_doc, "id", "left")
         .select(
             F.col("id").alias(id_col),
+            *carry_cols,
             F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
             F.coalesce("sum_freq", F.lit(0)).alias("sum_freq"),
             F.when(
@@ -188,12 +192,12 @@ def lm_bigram_score(
     )
 
 
-def lm_bigram_score_sql(
-    table: str = "documents", id_col: str = "doc_id", text: str = "text"
-) -> str:
+def _lm_bigram_ctes(table: str, id_col: str, text: str) -> str:
+    """Shared CTE text of the corpus-typicality score — ends with
+    ``per_doc`` (id, n_bigrams, sum_freq); used by the score oracle and
+    the per-language head gate built on it."""
     toks = f"string_split({text}, ' ')"
-    return f"""
-    WITH grams AS (
+    return f"""grams AS (
       SELECT {id_col} AS id,
              unnest(CASE WHEN len({toks}) >= 2 THEN
                [array_to_string({toks}[i:i+1], ' ')
@@ -208,13 +212,55 @@ def lm_bigram_score_sql(
              sum(tf * c_ab)::BIGINT AS sum_freq
       FROM doc_bg JOIN bg USING (bigram)
       GROUP BY 1
-    )
+    )"""
+
+
+def lm_bigram_score_sql(
+    table: str = "documents", id_col: str = "doc_id", text: str = "text"
+) -> str:
+    return f"""
+    WITH {_lm_bigram_ctes(table, id_col, text)}
     SELECT d.{id_col},
            coalesce(p.n_bigrams, 0) AS n_bigrams,
            coalesce(p.sum_freq, 0) AS sum_freq,
            CASE WHEN p.n_bigrams IS NULL THEN -1.0
                 ELSE p.sum_freq::DOUBLE / p.n_bigrams END AS avg_bigram_freq
     FROM {table} d LEFT JOIN per_doc p ON p.id = d.{id_col}
+    """
+
+
+def quality_gate_per_lang_head_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    group_col: str = "lang",
+    text: str = "text",
+) -> str:
+    """DuckDB oracle for the per-language head gate: rank each
+    language's documents by (avg_bigram_freq DESC, id) and keep the
+    head half (rank <= ceil(n/2), the exact-integer form
+    2*rk <= n + 1).  The score division is the same single IEEE double
+    division on both engines, so the order — and therefore membership —
+    is deterministic; ranks break score ties on the unique id."""
+    return f"""
+    WITH {_lm_bigram_ctes(table, id_col, text)},
+    scored AS (
+      SELECT d.{id_col}, d.{group_col},
+             coalesce(p.n_bigrams, 0) AS n_bigrams,
+             coalesce(p.sum_freq, 0) AS sum_freq,
+             CASE WHEN p.n_bigrams IS NULL THEN -1.0
+                  ELSE p.sum_freq::DOUBLE / p.n_bigrams END AS avg_bigram_freq
+      FROM {table} d LEFT JOIN per_doc p ON p.id = d.{id_col}
+    ),
+    r AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY {group_col}
+                                ORDER BY avg_bigram_freq DESC, {id_col}) AS rk,
+             count(*) OVER (PARTITION BY {group_col}) AS n_lang
+      FROM scored
+    )
+    SELECT {id_col}, {group_col}, n_bigrams, sum_freq, avg_bigram_freq,
+           rk::BIGINT AS rk, n_lang::BIGINT AS n_lang
+    FROM r WHERE 2 * rk <= n_lang + 1
     """
 
 

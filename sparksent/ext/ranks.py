@@ -71,6 +71,56 @@ def with_global_ranks(
     )
 
 
+def with_group_ranks(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    rank_col: str = "rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact 1-based PER-GROUP row numbers over a total order within
+    each group — ``row_number() OVER (PARTITION BY group ORDER BY ...)``
+    without one task per group.
+
+    The window form shuffles on the group key, so a corpus with few
+    huge groups (per-LANGUAGE ranking over a web corpus: ~100 groups of
+    ~1 TB) serializes each group through one reducer.  This
+    generalizes :func:`with_global_ranks` instead: range-partition on
+    (group_cols + order_cols) — each group's rows are contiguous in
+    ascending partition order and sorted across partitions — then a
+    per-(partition, group) local row_number plus broadcast per-group
+    prefix offsets.  Every stage is partition-parallel; the offsets
+    frame is one row per (partition, group-in-partition), tiny.  The
+    combined (group + order) key must be a TOTAL order (append a
+    unique tiebreaker), same contract as the global form."""
+    spark = df.sparkSession
+    n_part = num_partitions or spark.sparkContext.defaultParallelism
+    keys = [F.col(c) for c in group_cols + order_cols]
+    # same multi-consumer materialization rationale as with_global_ranks
+    ranged = df.repartitionByRange(n_part, *keys).localCheckpoint(eager=True)
+    with_pid = ranged.withColumn("_pid", F.spark_partition_id())
+    counts = with_pid.groupBy("_pid", *group_cols).agg(F.count("*").alias("_cnt"))
+    w_cum = (
+        Window.partitionBy(*group_cols)
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "_pid",
+        *group_cols,
+        F.coalesce(F.sum("_cnt").over(w_cum), F.lit(0)).alias("_off"),
+    )
+    w_local = Window.partitionBy("_pid", *group_cols).orderBy(
+        *[F.col(c) for c in order_cols]
+    )
+    return (
+        with_pid.withColumn("_rn", F.row_number().over(w_local))
+        .join(F.broadcast(offsets), ["_pid", *group_cols])
+        .withColumn(rank_col, (F.col("_off") + F.col("_rn")).cast("long"))
+        .drop("_pid", "_rn", "_off")
+    )
+
+
 def _idiv(a: Column, b: Column) -> Column:
     """Exact integer floor-division for non-negative longs: subtracting
     the remainder first makes the double division mathematically exact

@@ -1316,6 +1316,53 @@ def q_lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "quality_gate_per_lang_head",
+    oracle=matching.quality_gate_per_lang_head_sql(),
+    tags=("ext", "curation", "quality"),
+)
+def q_quality_gate_per_lang_head(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style per-language ADAPTIVE quality gate: rank each
+    language's documents by the corpus-typicality score
+    (lm_bigram_score — exact-integer counts, one IEEE division) and
+    keep the head half, rank <= ceil(n_lang/2) in exact integer form
+    (2*rk <= n_lang + 1).  Absolute-threshold gates (gopher) miss that
+    score distributions differ per language; CCNet's answer is a
+    per-language quantile cut, which this reproduces with a
+    deterministic total order (score DESC, doc_id).
+
+    Scale shape: the ranking is ext/ranks.py::with_group_ranks — the
+    per-GROUP generalization of the distributed range-partition rank,
+    new this round: a window's PARTITION BY lang serializes each
+    language through one reducer (~100 languages of ~1 TB each at web
+    scale), while this range-partitions on (lang, score, id), local
+    row_numbers per (partition, lang), and broadcasts per-(partition,
+    lang) prefix offsets — every stage partition-parallel.  The lang
+    carry rides the score's existing left join (no second corpus-sized
+    join); per-lang totals broadcast back."""
+    docs = tables.load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    scored = matching.lm_bigram_score(docs, carry_cols=("lang",)).withColumn(
+        "_neg", -F.col("avg_bigram_freq")
+    )
+    ranked = ranks.with_group_ranks(scored, ["lang"], ["_neg", "doc_id"], "rk")
+    n_by_lang = ranked.groupBy("lang").agg(F.count("*").alias("n_lang"))
+    return (
+        ranked.join(F.broadcast(n_by_lang), "lang")
+        .filter(F.col("rk") * 2 <= F.col("n_lang") + 1)
+        .select(
+            "doc_id",
+            "lang",
+            "n_bigrams",
+            "sum_freq",
+            "avg_bigram_freq",
+            "rk",
+            "n_lang",
+        )
+    )
+
+
+@register(
     "bm25_topk",
     oracle=matching.bm25_topk_sql(),
     tags=("ext", "text"),

@@ -247,6 +247,34 @@ def test_sample_token_budget_bpe_shape(spark):
         assert marker not in plan
 
 
+def test_quality_gate_per_lang_head_shape(spark):
+    """Per-language head gate: offsets and per-lang totals join back by
+    BROADCAST and no Python evaluator or cartesian pair stage appears.
+    The range-partitioned group rank lives behind the ranked frame's
+    localCheckpoint (its Exchange rangepartitioning is in the
+    checkpointed subplan, not this one — the multi-consumer
+    materialization convention), so the windows visible HERE partition
+    by (_pid, lang): per-partition local row numbers, never a
+    PARTITION BY lang global sort of the corpus — pinned by asserting
+    every row_number window's partition spec includes _pid (the one
+    lang-only window is the offsets cumsum over the tiny
+    per-(partition, lang) counts frame, a sum, not a row_number)."""
+    import re
+
+    plan = plan_of(spark, "quality_gate_per_lang_head")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
+    rn_specs = re.findall(
+        r"row_number\(\) windowspecdefinition\(([^)]*)\)", plan.lower()
+    )
+    assert rn_specs  # the local rank window must be present
+    for spec in rn_specs:
+        assert "_pid" in spec, spec
+
+
 def test_decontaminate_broadcast_bench_grams(spark):
     """The benchmark gram set broadcasts; the corpus side never
     shuffles raw text — only the per-doc counts aggregate."""

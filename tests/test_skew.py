@@ -121,6 +121,60 @@ def test_global_ranks_match_single_reducer_window(spark):
         assert (got_t.sort_index() == want_t.sort_index()).all(), f"k={k}"
 
 
+def test_group_ranks_match_per_group_window(spark):
+    """Distributed PER-GROUP row numbers (range partition on
+    (group, order) + per-(partition, group) offsets) equal the window
+    row_number() OVER (PARTITION BY group ORDER BY ...), including
+    groups that straddle range-partition boundaries (num_partitions=7
+    over few groups forces straddling) and single-row groups."""
+    from pyspark.sql import Window
+
+    from sparksent.ext.ranks import with_group_ranks
+
+    ev = tables.load_table(spark, SF_DIR_SMALL, "events")
+    totals = ev.groupBy("user_id", "event_type").agg(
+        F.sum(F.col("value").cast("decimal(28,6)")).alias("total")
+    )
+    w = Window.partitionBy("event_type").orderBy("total", "user_id")
+    want = (
+        totals.select(
+            "user_id", "event_type", F.row_number().over(w).alias("rank")
+        )
+        .toPandas()
+        .set_index(["user_id", "event_type"])["rank"]
+    )
+    got = (
+        with_group_ranks(
+            totals, ["event_type"], ["total", "user_id"], num_partitions=7
+        )
+        .select("user_id", "event_type", "rank")
+        .toPandas()
+        .set_index(["user_id", "event_type"])["rank"]
+    )
+    assert (got.sort_index() == want.sort_index()).all()
+    # descending order via negation must match a DESC window too
+    totals_n = totals.withColumn("neg", -F.col("total").cast("double"))
+    w2 = Window.partitionBy("event_type").orderBy(
+        F.col("total").cast("double").desc(), "user_id"
+    )
+    want2 = (
+        totals.select(
+            "user_id", "event_type", F.row_number().over(w2).alias("rank")
+        )
+        .toPandas()
+        .set_index(["user_id", "event_type"])["rank"]
+    )
+    got2 = (
+        with_group_ranks(
+            totals_n, ["event_type"], ["neg", "user_id"], num_partitions=5
+        )
+        .select("user_id", "event_type", "rank")
+        .toPandas()
+        .set_index(["user_id", "event_type"])["rank"]
+    )
+    assert (got2.sort_index() == want2.sort_index()).all()
+
+
 def test_span_dedup_hot_gram_correct_and_bounded(spark):
     """Hot-key proof for span dedup: a corpus where ONE 8-gram
     (boilerplate header) appears in EVERY document — the classic skew
