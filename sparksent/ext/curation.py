@@ -607,13 +607,21 @@ def sample_token_budget_counts(
     id_col: str = "doc_id",
     count_col: str = "n_tokens",
 ) -> DataFrame:
-    """The lottery-ordered first-fit admission window itself over an
+    """The lottery-ordered first-fit admission itself over an
     already-computed (id, group, token-count) frame — the shared tail
     of :func:`sample_token_budget` (whitespace counts) and the
-    BPE-count composition registered as ``sample_token_budget_bpe``."""
-    from pyspark.sql import Window
+    BPE-count composition registered as ``sample_token_budget_bpe``.
 
+    Round 13: the exclusive running sum is
+    :func:`sparksent.ext.ranks.with_group_prefix_sums` instead of a
+    ``PARTITION BY group`` window — a corpus with few huge groups
+    (~100 languages at web scale) would serialize each group through
+    one reducer there; the range-partitioned form is
+    partition-parallel and BIGINT-exact in any work grouping, so
+    membership and prior_tokens values are unchanged (the oracle did
+    not move)."""
     from .hashing import h60
+    from .ranks import with_group_prefix_sums
 
     t = counts.select(
         F.col(id_col),
@@ -623,14 +631,9 @@ def sample_token_budget_counts(
             "lottery"
         ),
     )
-    w = (
-        Window.partitionBy(group_col)
-        .orderBy("lottery", id_col)
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
     return (
-        t.withColumn(
-            "prior_tokens", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+        with_group_prefix_sums(
+            t, [group_col], ["lottery", id_col], "n_tokens", "prior_tokens"
         )
         .filter(F.col("prior_tokens") < F.lit(budget))
         .select(id_col, group_col, "n_tokens", "prior_tokens")

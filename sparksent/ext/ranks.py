@@ -121,6 +121,60 @@ def with_group_ranks(
     )
 
 
+def with_group_prefix_sums(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    sum_col: str,
+    out_col: str = "prefix_sum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact EXCLUSIVE per-group running sums over a total order within
+    each group — ``sum(x) OVER (PARTITION BY group ORDER BY ... ROWS
+    UNBOUNDED PRECEDING TO 1 PRECEDING)`` without one task per group
+    (the :func:`with_group_ranks` trick applied to prefix sums: the
+    token-budget admission's shape).
+
+    Range-partition on (group_cols + order_cols); per-(partition,
+    group) partial sums cumulate into broadcast per-group offsets;
+    each row's exclusive prefix is its group's offset from earlier
+    partitions plus the local exclusive running sum.  BIGINT addition
+    is associative, so the result is bit-identical to the window form
+    in ANY grouping of the work.  Same total-order contract (append a
+    unique tiebreaker)."""
+    spark = df.sparkSession
+    n_part = num_partitions or spark.sparkContext.defaultParallelism
+    keys = [F.col(c) for c in group_cols + order_cols]
+    ranged = df.repartitionByRange(n_part, *keys).localCheckpoint(eager=True)
+    with_pid = ranged.withColumn("_pid", F.spark_partition_id())
+    counts = with_pid.groupBy("_pid", *group_cols).agg(
+        F.sum(sum_col).cast("long").alias("_psum")
+    )
+    w_cum = (
+        Window.partitionBy(*group_cols)
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "_pid",
+        *group_cols,
+        F.coalesce(F.sum("_psum").over(w_cum), F.lit(0)).alias("_off"),
+    )
+    w_local = (
+        Window.partitionBy("_pid", *group_cols)
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        with_pid.withColumn(
+            "_ps", F.coalesce(F.sum(sum_col).over(w_local), F.lit(0))
+        )
+        .join(F.broadcast(offsets), ["_pid", *group_cols])
+        .withColumn(out_col, (F.col("_off") + F.col("_ps")).cast("long"))
+        .drop("_pid", "_ps", "_off")
+    )
+
+
 def _idiv(a: Column, b: Column) -> Column:
     """Exact integer floor-division for non-negative longs: subtracting
     the remainder first makes the double division mathematically exact

@@ -175,6 +175,48 @@ def test_group_ranks_match_per_group_window(spark):
     assert (got2.sort_index() == want2.sort_index()).all()
 
 
+def test_group_prefix_sums_match_per_group_window(spark):
+    """Distributed per-group EXCLUSIVE running sums equal the window
+    form sum() OVER (PARTITION BY group ORDER BY ... ROWS UNBOUNDED
+    PRECEDING TO 1 PRECEDING) — BIGINT addition is associative, so the
+    range-partitioned regrouping must be bit-identical, including
+    groups straddling partition boundaries and first-row zeros."""
+    from pyspark.sql import Window
+
+    from sparksent.ext.ranks import with_group_prefix_sums
+
+    ev = tables.load_table(spark, SF_DIR_SMALL, "events")
+    base = ev.select(
+        "event_id",
+        "event_type",
+        (F.col("value").cast("decimal(18,6)") * 1_000_000)
+        .cast("long")
+        .alias("v_e6"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    want = (
+        base.select(
+            "event_id",
+            F.coalesce(F.sum("v_e6").over(w), F.lit(0)).alias("ps"),
+        )
+        .toPandas()
+        .set_index("event_id")["ps"]
+    )
+    got = (
+        with_group_prefix_sums(
+            base, ["event_type"], ["event_id"], "v_e6", "ps", num_partitions=7
+        )
+        .select("event_id", "ps")
+        .toPandas()
+        .set_index("event_id")["ps"]
+    )
+    assert (got.sort_index() == want.sort_index()).all()
+
+
 def test_span_dedup_hot_gram_correct_and_bounded(spark):
     """Hot-key proof for span dedup: a corpus where ONE 8-gram
     (boilerplate header) appears in EVERY document — the classic skew
