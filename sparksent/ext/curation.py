@@ -475,11 +475,14 @@ def temperature_mix(
     h60('mix:'||id), deterministic, no RNG).
 
     Scale: counts/quotas are one map-side-combined aggregate plus
-    domain-count-sized broadcasts; the draw is a per-domain
-    row_number — at 100 TB with quotas in the millions, swap the
-    window for ext/ranks.with_global_ranks per domain (range
-    partition + offsets) exactly as decile_user_value does; the quota
-    law and lottery key are unchanged."""
+    domain-count-sized broadcasts; the per-domain draw rank is
+    ranks.with_group_ranks (round 13 — this function's own docstring
+    used to defer the swap; the range-partitioned per-group form
+    replaced the PARTITION BY domain window, which would serialize
+    each of the few huge domains through one reducer at 100 TB).  The
+    quota law and lottery key are unchanged, and row numbers over the
+    same (key, rid) total order are identical, so results did not
+    move."""
     counts = df.groupBy(F.col(domain_col).alias("domain")).agg(
         F.count("*").cast("long").alias("n_docs")
     )
@@ -496,12 +499,18 @@ def temperature_mix(
         "n_docs",
         F.expr(f"CAST(({budget} * s) div st AS BIGINT)").alias("target_n"),
     )
-    w = Window.partitionBy("r_domain").orderBy("key", "rid")
-    ranked = df.select(
-        F.col(domain_col).alias("r_domain"),
-        F.col(id_col).alias("rid"),
-        h60(F.concat(F.lit("mix:"), F.col(id_col).cast("string"))).alias("key"),
-    ).withColumn("rk", F.row_number().over(w))
+    from .ranks import with_group_ranks
+
+    ranked = with_group_ranks(
+        df.select(
+            F.col(domain_col).alias("r_domain"),
+            F.col(id_col).alias("rid"),
+            h60(F.concat(F.lit("mix:"), F.col(id_col).cast("string"))).alias("key"),
+        ),
+        ["r_domain"],
+        ["key", "rid"],
+        "rk",
+    )
     # The big-side join must broadcast the quota frame, and a broadcast
     # build side cannot be outer-preserved — so: INNER broadcast join
     # for the draw, then re-attach zero-quota domains with a tiny

@@ -1458,9 +1458,11 @@ def q_sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget sampling (5 000 tokens per language): greedy
     first-fit in deterministic md5-lottery order — the step that turns
     a pretraining mix's per-domain token targets into a concrete,
-    reproducible document set. One lang-keyed running-sum window over
-    BIGINT whitespace token counts; emits the selected docs with their
-    exclusive prior sums so the cut is auditable."""
+    reproducible document set. The exclusive running sum over BIGINT
+    whitespace token counts is ranks.with_group_prefix_sums (round 13:
+    range-partitioned per-group form — no one-reducer-per-language
+    window); emits the selected docs with their exclusive prior sums
+    so the cut is auditable."""
     return curation.sample_token_budget(
         tables.load_table(spark, sf_dir, "documents").select(
             "doc_id", "lang", "text"
