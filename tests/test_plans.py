@@ -1127,13 +1127,26 @@ def test_semdedup_pair_join_cluster_keyed(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
-def test_token_budget_single_group_shuffle(spark):
-    """sample_token_budget: ONE data shuffle (the lang-keyed
-    running-sum window) and nothing Python anywhere."""
+def test_token_budget_group_prefix_sum_shape(spark):
+    """sample_token_budget (round 13: with_group_prefix_sums instead
+    of the PARTITION BY lang window): nothing Python anywhere, the
+    offsets join back by broadcast, and every windowed running sum in
+    the final plan partitions by (_pid, lang) — local per-partition
+    work, never a per-language global sort of the corpus (the lang-only
+    window is the tiny offsets cumsum over per-(partition, lang)
+    partials, same allowance as the quality gate's plan)."""
+    import re
+
     plan = plan_of(spark, "sample_token_budget")
-    assert count_data_shuffles(plan) <= 1
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert marker not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # corpus-sized running sums must be _pid-keyed; the one lang-only
+    # window is the offsets cumsum whose frame is per-partition partials
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan.lower())
+    assert specs
+    assert any("_pid" in s for s in specs)
 
 
 def test_cdc_chunks_no_python_no_cartesian(spark):
