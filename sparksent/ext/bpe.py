@@ -493,6 +493,80 @@ def sample_token_budget_bpe_sql(
     """
 
 
+def fertility_per_group_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "lang",
+    n_merges: int = N_MERGES,
+) -> str:
+    """DuckDB oracle for ``bpe_fertility_per_lang``: per-group tokenizer
+    fertility (subword tokens per whitespace word — the standard
+    multilingual tokenizer-quality metric; >1.0x means the vocabulary
+    splits that language's words more).  BIGINT sums, one IEEE
+    division, -1.0 sentinel for a group with zero words."""
+    return f"""
+    WITH RECURSIVE {_recursion_ctes(table, text_col, n_merges)},
+    final AS (
+      SELECT word, len(syms)::BIGINT AS n_subwords
+      FROM st WHERE lvl = (SELECT max(lvl) FROM st)
+    ),
+    doctoks AS (
+      SELECT {id_col}, unnest(string_split({text_col}, ' ')) AS word
+      FROM {table}
+    ),
+    per_doc AS (
+      SELECT t.{id_col}, count(*)::BIGINT AS n_words,
+             sum(f.n_subwords)::BIGINT AS n_tokens
+      FROM doctoks t JOIN final f USING (word)
+      WHERE t.word <> ''
+      GROUP BY 1
+    )
+    SELECT d.{group_col},
+           count(*)::BIGINT AS n_docs,
+           coalesce(sum(p.n_words), 0)::BIGINT AS n_words,
+           coalesce(sum(p.n_tokens), 0)::BIGINT AS n_tokens,
+           CASE WHEN coalesce(sum(p.n_words), 0) = 0 THEN -1.0
+                ELSE sum(p.n_tokens)::DOUBLE / sum(p.n_words) END AS fertility
+    FROM {table} d LEFT JOIN per_doc p USING ({id_col})
+    GROUP BY 1
+    """
+
+
+def packing_efficiency_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_merges: int = N_MERGES,
+    ctx_len: int = 512,
+    n_shards: int = 64,
+) -> str:
+    """DuckDB oracle for ``packing_efficiency_bpe_512``: per-shard
+    capacity-planning report of the BPE-count packing — sequence count
+    is the exact ceiling of the shard's token total over ctx_len, fill
+    is an exact integer ppm of the allocated capacity (the waste is
+    the final sequence's tail padding, since packing is head-to-tail
+    contiguous by construction)."""
+    return f"""
+    WITH RECURSIVE {_encode_counts_ctes(table, text_col, id_col, n_merges)},
+    shards AS (
+      SELECT {id_col} % {n_shards} AS shard,
+             count(*)::BIGINT AS n_docs,
+             sum(n_tokens)::BIGINT AS n_tokens
+      FROM counts GROUP BY 1
+    )
+    SELECT shard, n_docs, n_tokens,
+           ((n_tokens + {ctx_len - 1}) // {ctx_len})::BIGINT AS n_seqs,
+           (((n_tokens + {ctx_len - 1}) // {ctx_len}) * {ctx_len})::BIGINT
+             AS capacity,
+           CASE WHEN n_tokens = 0 THEN 0
+                ELSE (n_tokens * 1000000)
+                     // (((n_tokens + {ctx_len - 1}) // {ctx_len}) * {ctx_len})
+           END::BIGINT AS fill_ppm
+    FROM shards
+    """
+
+
 def learn_merges_py(vocab: list[tuple[str, int]], n_merges: int = N_MERGES):
     """The exact merge loop on a (word, count) vocabulary. Pure Python
     by design (see module docstring); deterministic total order."""

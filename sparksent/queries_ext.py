@@ -435,6 +435,115 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_cluster_sizes",
+    oracle=f"""
+    WITH RECURSIVE {dedup.components_cte_sql()},
+    sizes AS (
+      SELECT component, count(*)::BIGINT AS cluster_size
+      FROM comp GROUP BY 1
+    )
+    SELECT cluster_size,
+           count(*)::BIGINT AS n_clusters,
+           (cluster_size * count(*))::BIGINT AS n_docs
+    FROM sizes GROUP BY 1
+    """,
+    tags=("ext", "dedup", "report"),
+)
+def q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup REPORT every pipeline run ends with: the duplicate-
+    cluster size distribution (cluster_size, n_clusters, n_docs) over
+    the MinHash-LSH component labels — size-1 rows are unique docs,
+    the heavy tail is template/boilerplate families, and
+    sum(n_docs) - sum(n_clusters) is exactly the row count dedup will
+    remove.  Two tiny aggregates over the component frame; the cost is
+    the shared CC machinery (dedup_components' log-round loop).
+    Oracle shares the same recursive-CTE reachability block as the
+    other cluster oracles, so the three can never diverge."""
+    from .graph import connected_components
+
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(docs).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    comp = connected_components(docs.select("doc_id"), pairs, id_col="doc_id")
+    sizes = comp.groupBy("label").agg(
+        F.count("*").cast("long").alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count("*").cast("long").alias("n_clusters"),
+        (F.count("*") * F.first("cluster_size")).cast("long").alias("n_docs"),
+    )
+
+
+@register(
+    "bpe_fertility_per_lang",
+    oracle=bpe.fertility_per_group_sql(),
+    tags=("ext", "tokenizer", "report"),
+)
+def q_bpe_fertility_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language — subword tokens per whitespace
+    word, the standard multilingual tokenizer-quality metric (a
+    vocabulary trained on one language splits the others' words more;
+    fertility gaps are how that bias is measured and fixed).  Composes
+    encode_token_counts (lang carried through its broadcast join) with
+    one map-side-combined group aggregate: BIGINT sums, ONE IEEE
+    division per group, -1.0 sentinel for a zero-word group."""
+    docs = tables.load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    enc = bpe.encode_token_counts(docs, carry_cols=("lang",))
+    sw = F.sum("n_words").cast("long")
+    st = F.sum("n_tokens").cast("long")
+    return enc.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        sw.alias("n_words"),
+        st.alias("n_tokens"),
+        F.when(sw == 0, F.lit(-1.0))
+        .otherwise(st.cast("double") / sw)
+        .alias("fertility"),
+    )
+
+
+@register(
+    "packing_efficiency_bpe_512",
+    oracle=bpe.packing_efficiency_sql(),
+    tags=("ext", "curation", "report"),
+)
+def q_packing_efficiency_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capacity-planning report for the BPE-count packing: per shard,
+    document and token totals, the exact ceiling sequence count, the
+    allocated token capacity, and the fill ratio in exact integer ppm
+    (waste = the final sequence's tail padding — packing is
+    head-to-tail contiguous by construction, so everything else is
+    full).  The number a training run needs to size its step count and
+    its padding loss.  One map-side-combined aggregate over the encode
+    counts; all arithmetic BIGINT (Spark ``div`` == DuckDB ``//``)."""
+    docs = _docs(spark, sf_dir)
+    counts = bpe.encode_token_counts(docs).select("doc_id", "n_tokens")
+    ctx = 512
+    shards = (
+        counts.withColumn("shard", F.col("doc_id") % 64)
+        .groupBy("shard")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+    )
+    n_seqs = F.expr(f"(n_tokens + {ctx - 1}) div {ctx}")
+    return shards.select(
+        "shard",
+        "n_docs",
+        "n_tokens",
+        n_seqs.cast("long").alias("n_seqs"),
+        (n_seqs * ctx).cast("long").alias("capacity"),
+        F.when(F.col("n_tokens") == 0, F.lit(0))
+        .otherwise(F.expr(f"(n_tokens * 1000000) div (((n_tokens + {ctx - 1}) div {ctx}) * {ctx})"))
+        .cast("long")
+        .alias("fill_ppm"),
+    )
+
+
+@register(
     "graph_triangle_counts",
     oracle=triangle_count_sql(
         f"SELECT id_a AS src, id_b AS dst FROM ({dedup.minhash_lsh_pairs_sql()})"
