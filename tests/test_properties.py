@@ -2511,3 +2511,49 @@ def test_cc_round_monotone_and_sum_probe_exact(spark):
         prev, prev_sum = cur, s
     assert changed == 0  # converged inside the bound
     assert set(cur.values()) == {0}  # the chord law makes one component
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(-50, 50)),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_group_rank_machinery_fuzz(spark, rows):
+    """Fuzz the round-13 per-group machinery against a pure-pandas
+    model on random (group, weight) frames — duplicate weights (broken
+    only by the unique id), empty groups absent, single-row groups,
+    negative weights for the prefix sums, and more partitions than
+    rows all occur across examples."""
+    from sparksent.ext.ranks import with_group_prefix_sums, with_group_ranks
+
+    data = [(i, g, w) for i, (g, w) in enumerate(rows)]
+    df = spark.createDataFrame(data, "rid long, grp long, w long")
+
+    got_rank = {
+        r.rid: r.rank
+        for r in with_group_ranks(
+            df, ["grp"], ["w", "rid"], num_partitions=5
+        ).collect()
+    }
+    got_ps = {
+        r.rid: r.ps
+        for r in with_group_prefix_sums(
+            df, ["grp"], ["w", "rid"], "w", "ps", num_partitions=5
+        ).collect()
+    }
+    # pure-python model
+    by_grp: dict[int, list[tuple[int, int]]] = {}
+    for rid, g, w in data:
+        by_grp.setdefault(g, []).append((w, rid))
+    want_rank, want_ps = {}, {}
+    for g, items in by_grp.items():
+        run = 0
+        for k, (w, rid) in enumerate(sorted(items)):
+            want_rank[rid] = k + 1
+            want_ps[rid] = run
+            run += w
+    assert got_rank == want_rank
+    assert got_ps == want_ps
