@@ -224,7 +224,16 @@ def streaming_domain_quota_windowed(
 
     Timeout discipline: each group arms an event-time timeout at its
     earliest pending window end, so a source with no new arrivals
-    still flushes its closed windows when the watermark advances."""
+    still flushes its closed windows when the watermark advances.
+
+    Measured Spark edge (both windowed variants inherit it): a row
+    whose event time is EXACTLY epoch 0 never reaches an
+    EventTimeTimeout-configured applyInPandasWithState function — a
+    0-as-sentinel edge in the timeout plumbing, not late filtering
+    (rows below the watermark DO arrive, per the late-row measurement
+    above); pinned by tests/test_streaming_equivalence.py::
+    test_epoch_zero_event_time_edge.  Real streams never carry
+    1970-01-01T00:00:00.000 exactly."""
     lot = h60(F.concat(F.lit("domquota:"), F.col(id_col).cast("string")))
     tagged = (
         df.select(id_col, group_col, ts_col)

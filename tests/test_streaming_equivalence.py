@@ -2997,3 +2997,70 @@ def test_streaming_token_budget_windowed_survives_restart(spark, tmp_path):
         for r in spark.read.parquet(str(tmp_path / "tbwr_out")).collect()
     }
     assert got == _tbw_batch_model(spark, docs, budget)
+
+
+def test_epoch_zero_event_time_edge(spark, tmp_path):
+    """Measured Spark edge, pinned so fixtures stay off it: a row whose
+    event time is EXACTLY epoch 0 (1970-01-01T00:00:00.000) never
+    reaches an applyInPandasWithState function configured with
+    EventTimeTimeout — while the same row one second later does, and
+    rows BELOW the watermark do arrive (the repo's windowed-quota
+    late-row measurement), so this is a 0-as-sentinel edge in the
+    timeout plumbing, not late filtering.  The windowed admission
+    operators inherit it; real streams never carry epoch 0 exactly."""
+    from pyspark.sql import types as T
+
+    from sparksent.streaming import streaming_token_budget_windowed
+    from sparksent.streaming.sources import append_flat_file, file_replay_source
+
+    def run(shift, tag):
+        replay = str(tmp_path / f"e0_replay_{tag}")
+        rows = [(i, "en", i + shift, "w w") for i in range(3)]
+        df = (
+            spark.createDataFrame(
+                rows, "doc_id long, lang string, sec long, text string"
+            )
+            .withColumn("ts", F.col("sec").cast("timestamp"))
+            .drop("sec")
+            .select("doc_id", "lang", "ts", "text")
+        )
+        append_flat_file(df, replay, "chunk_0000.parquet")
+        sentinel = (
+            spark.createDataFrame(
+                [(999, "zz", 1_000_000, "w")],
+                "doc_id long, lang string, sec long, text string",
+            )
+            .withColumn("ts", F.col("sec").cast("timestamp"))
+            .drop("sec")
+            .select("doc_id", "lang", "ts", "text")
+        )
+        append_flat_file(sentinel, replay, "chunk_0001.parquet")
+        schema = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("lang", T.StringType()),
+                T.StructField("ts", T.TimestampType()),
+                T.StructField("text", T.StringType()),
+            ]
+        )
+        q = (
+            streaming_token_budget_windowed(
+                file_replay_source(spark, replay, schema=schema),
+                budget=10**9,
+                window_dur="10 seconds",
+                lateness="10 seconds",
+            )
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(f"t_e0_{tag}")
+            .option("checkpointLocation", str(tmp_path / f"e0_ckpt_{tag}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return {
+            r.doc_id for r in spark.table(f"t_e0_{tag}").collect() if r.lang == "en"
+        }
+
+    assert run(0, "zero") == {1, 2}  # the ts=0 row is swallowed by Spark
+    assert run(1, "one") == {0, 1, 2}  # shifted off epoch 0, all admit
