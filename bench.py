@@ -111,6 +111,7 @@ HEADLINE = [
     "seq_packing_bpe_512",
     "sample_token_budget_bpe",
     "quality_gate_per_lang_head",
+    "quality_tiers_per_lang",
     "dedup_cluster_sizes",
     "bpe_fertility_per_lang",
     "packing_efficiency_bpe_512",

@@ -229,6 +229,41 @@ def lm_bigram_score_sql(
     """
 
 
+def quality_tiers_per_lang_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    group_col: str = "lang",
+    text: str = "text",
+) -> str:
+    """DuckDB oracle for the CCNet head/middle/tail bucketing: every
+    document tagged with its per-language typicality tier by exact
+    integer rank thirds (head: 3*rk <= n; middle: 3*rk <= 2n; else
+    tail) — same deterministic (score DESC, id) order as the head
+    gate."""
+    return f"""
+    WITH {_lm_bigram_ctes(table, id_col, text)},
+    scored AS (
+      SELECT d.{id_col}, d.{group_col},
+             CASE WHEN p.n_bigrams IS NULL THEN -1.0
+                  ELSE p.sum_freq::DOUBLE / p.n_bigrams END AS avg_bigram_freq
+      FROM {table} d LEFT JOIN per_doc p ON p.id = d.{id_col}
+    ),
+    r AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY {group_col}
+                                ORDER BY avg_bigram_freq DESC, {id_col}) AS rk,
+             count(*) OVER (PARTITION BY {group_col}) AS n_lang
+      FROM scored
+    )
+    SELECT {id_col}, {group_col}, avg_bigram_freq,
+           rk::BIGINT AS rk, n_lang::BIGINT AS n_lang,
+           CASE WHEN 3 * rk <= n_lang THEN 'head'
+                WHEN 3 * rk <= 2 * n_lang THEN 'middle'
+                ELSE 'tail' END AS tier
+    FROM r
+    """
+
+
 def quality_gate_per_lang_head_sql(
     table: str = "documents",
     id_col: str = "doc_id",

@@ -1472,6 +1472,45 @@ def q_quality_gate_per_lang_head(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "quality_tiers_per_lang",
+    oracle=matching.quality_tiers_per_lang_sql(),
+    tags=("ext", "curation", "quality"),
+)
+def q_quality_tiers_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full CCNet shape the head gate is a filter of: EVERY
+    document tagged head/middle/tail by per-language typicality rank
+    thirds (exact integer arithmetic: head 3*rk <= n, middle
+    3*rk <= 2n) — CCNet trains on head+middle and keeps tail for
+    contrastive/quality-classifier data, so the TAGGING, not just the
+    cut, is the deliverable.  Same scored frame, same
+    with_group_ranks distributed ranking, same deterministic
+    (score DESC, doc_id) order as quality_gate_per_lang_head."""
+    docs = tables.load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    scored = matching.lm_bigram_score(docs, carry_cols=("lang",)).withColumn(
+        "_neg", -F.col("avg_bigram_freq")
+    )
+    ranked = ranks.with_group_ranks(scored, ["lang"], ["_neg", "doc_id"], "rk")
+    n_by_lang = ranked.groupBy("lang").agg(F.count("*").alias("n_lang"))
+    rk3 = F.col("rk") * 3
+    return (
+        ranked.join(F.broadcast(n_by_lang), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            "avg_bigram_freq",
+            "rk",
+            F.col("n_lang").cast("long").alias("n_lang"),
+            F.when(rk3 <= F.col("n_lang"), F.lit("head"))
+            .when(rk3 <= F.col("n_lang") * 2, F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("tier"),
+        )
+    )
+
+
+@register(
     "bm25_topk",
     oracle=matching.bm25_topk_sql(),
     tags=("ext", "text"),
