@@ -2557,3 +2557,37 @@ def test_group_rank_machinery_fuzz(spark, rows):
             run += w
     assert got_rank == want_rank
     assert got_ps == want_ps
+
+
+def test_bpe_unicode_segmentation_cross_engine(spark, ducks):
+    """Spark's split(word, '') and DuckDB's string_split(word, '')
+    must segment NON-ASCII identically for the BPE family's oracles to
+    hold on real multilingual corpora (the fixtures are ASCII, so the
+    registry gate alone would not catch a divergence): accented latin,
+    CJK, combining-free emoji, and mixed scripts — merges AND encode
+    counts must agree exactly."""
+    import pandas as pd
+
+    from sparksent.ext import bpe
+
+    docs = [
+        (0, "héllo wörld héllo"),
+        (1, "日本語 テスト 日本語"),
+        (2, "naïve café naïve café"),
+        (3, "emoji 🙂🙂 emoji 🙂"),
+        (4, "mixé ascii mixé"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    con = ducks.cursor()
+    con.register("uni_docs_pd", pd.DataFrame(docs, columns=["doc_id", "text"]))
+    con.execute("CREATE OR REPLACE VIEW uni_docs AS SELECT * FROM uni_docs_pd")
+    got_m = sorted(map(tuple, bpe.learn_merges(df).collect()))
+    want_m = sorted(
+        map(tuple, con.execute(bpe.merges_sql(table="uni_docs")).fetchall())
+    )
+    assert got_m == want_m
+    got_e = sorted(map(tuple, bpe.encode_token_counts(df).collect()))
+    want_e = sorted(
+        map(tuple, con.execute(bpe.encode_sql(table="uni_docs")).fetchall())
+    )
+    assert got_e == want_e
