@@ -113,6 +113,7 @@ HEADLINE = [
     "quality_gate_per_lang_head",
     "quality_tiers_per_lang",
     "dedup_cluster_sizes",
+    "dedup_chunks_exact",
     "bpe_fertility_per_lang",
     "packing_efficiency_bpe_512",
     "decontaminate_5gram",

@@ -415,6 +415,50 @@ def chunk_documents(
     )
 
 
+def dedup_chunks_exact(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_len: int = CHUNK_LEN,
+    stride: int = CHUNK_STRIDE,
+) -> DataFrame:
+    """Passage-level exact dedup — the RAG-index form of dedup: the
+    overlapping chunk expansion keyed by its 60-bit content hash, with
+    keep-first (min (doc, chunk)) per hash, so an index build drops
+    verbatim-repeated passages ACROSS documents (boilerplate headers,
+    quoted blocks) that whole-document dedup cannot see and span dedup
+    only measures.  Emits every chunk row + its keep flag.
+
+    Scale shape: the chunk expansion is the shuffle-free scan-side map
+    (chunk_documents); the keep flag is one window on the 60-bit hash —
+    a HIGH-cardinality key (≈ one group per distinct passage), so the
+    per-group work is the duplicate multiplicity, never a hot
+    partition.  The shuffle carries (ids, offsets, 8-byte hash), not
+    chunk text."""
+    from pyspark.sql import Window
+
+    chunks = chunk_documents(df, id_col, text_col, chunk_len, stride)
+    w = Window.partitionBy("chunk_h").orderBy(id_col, "chunk_id")
+    return chunks.withColumn(
+        "keep", (F.row_number().over(w) == 1).cast("boolean")
+    )
+
+
+def dedup_chunks_exact_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text: str = "text",
+    chunk_len: int = CHUNK_LEN,
+    stride: int = CHUNK_STRIDE,
+) -> str:
+    return f"""
+    WITH chunks AS ({chunk_documents_sql(table, id_col, text, chunk_len, stride)})
+    SELECT *, (row_number() OVER (PARTITION BY chunk_h
+                                  ORDER BY {id_col}, chunk_id) = 1) AS keep
+    FROM chunks
+    """
+
+
 def chunk_documents_sql(
     table: str = "documents",
     id_col: str = "doc_id",

@@ -840,6 +840,23 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_chunks_exact",
+    oracle=curation.dedup_chunks_exact_sql(),
+    tags=("ext", "dedup", "curation"),
+)
+def q_dedup_chunks_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level exact dedup — the RAG-index form: every chunk of
+    the 128/96 expansion keyed by its 60-bit content hash with a
+    keep-first flag, dropping verbatim-repeated passages ACROSS
+    documents (boilerplate, quoted blocks) that whole-doc dedup cannot
+    see and span dedup only measures.  The hash is HIGH-cardinality
+    (≈ one group per distinct passage), so the keep window's per-group
+    work is the duplicate multiplicity, never a hot partition; the
+    shuffle carries ids + 8-byte hashes, never chunk text."""
+    return curation.dedup_chunks_exact(_docs(spark, sf_dir))
+
+
+@register(
     "decontaminate_5gram",
     oracle=curation.decontaminate_sql(),
     tags=("ext", "curation"),

@@ -70,10 +70,11 @@ _PRIORITY: tuple[str, ...] = (
     "bpe_fertility_per_lang",
     "packing_efficiency_bpe_512",
     "quality_tiers_per_lang",
-    # slot 8+: latest green driver row is r07
+    "dedup_chunks_exact",
+    # slot 9+: latest green driver row is r07
     "tpch_q1_pricing",
     "tpch_q3_shipping",
-    # slot 10+: latest green driver row is r08
+    # slot 11+: latest green driver row is r08
     "session_concurrency_capped",
     "corpus_curation_pipeline",
     "dedup_span_8gram",
@@ -113,8 +114,8 @@ _PRIORITY: tuple[str, ...] = (
     "trending_10s",
     "channel_mood_sliding_90_60",
     "user_mood_cumulative",
-    "toxic_user_cw10",
-    "toxic_topic_cw25",  # --- driver window ends here (50) ---
+    "toxic_user_cw10",  # --- driver window ends here (50) ---
+    "toxic_topic_cw25",
     "toxic_channel_cw50",
     "toxic_user_literal_cw10",
     "toxic_channel_literal_cw50",
@@ -124,7 +125,7 @@ _PRIORITY: tuple[str, ...] = (
     "category_opinion_cumulative",
     "toxic_user_nlp_cw10",
     "json_field_stats",
-    # slot 60+: latest green driver row is r10
+    # slot 61+: latest green driver row is r10
     "similarity_topk_ivf_trained",
     "multimodal_resample_pixels",
     "multimodal_frame_decode_sampled",
@@ -175,7 +176,7 @@ _PRIORITY: tuple[str, ...] = (
     "fuzzy_name_pairs",
     "lm_bigram_score",
     "bm25_topk",
-    # slot 110+: latest green driver row is r11
+    # slot 111+: latest green driver row is r11
     "dedup_image_phash",
     "dedup_span_extents",
     "multimodal_embed_topk",
@@ -226,7 +227,7 @@ _PRIORITY: tuple[str, ...] = (
     "basket_triple_support",
     "session_path_topk",
     "entity_resolution_parts",
-    # slot 160+: latest green driver row is r12
+    # slot 161+: latest green driver row is r12
     "sample_domain_quota",
     "churn_training_set",
     "item_similarity_jaccard",
