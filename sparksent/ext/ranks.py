@@ -92,7 +92,13 @@ def with_group_ranks(
     prefix offsets.  Every stage is partition-parallel; the offsets
     frame is one row per (partition, group-in-partition), tiny.  The
     combined (group + order) key must be a TOTAL order (append a
-    unique tiebreaker), same contract as the global form."""
+    unique tiebreaker), same contract as the global form.
+
+    NULL group keys are ranked as their own group, matching the
+    ``PARTITION BY`` window form (where NULL is its own partition) and
+    the DuckDB oracles: the offsets rejoin uses null-safe equality
+    (``<=>``) on every group column, so NULL-keyed rows are neither
+    dropped nor merged with any non-NULL group."""
     spark = df.sparkSession
     n_part = num_partitions or spark.sparkContext.defaultParallelism
     keys = [F.col(c) for c in group_cols + order_cols]
@@ -115,10 +121,32 @@ def with_group_ranks(
     )
     return (
         with_pid.withColumn("_rn", F.row_number().over(w_local))
-        .join(F.broadcast(offsets), ["_pid", *group_cols])
+        .join(F.broadcast(_null_safe_offsets(offsets, group_cols)),
+              _null_safe_cond(group_cols))
         .withColumn(rank_col, (F.col("_off") + F.col("_rn")).cast("long"))
-        .drop("_pid", "_rn", "_off")
+        .drop("_pid", "_rn", "_off", "_opid",
+              *[f"_og{i}" for i in range(len(group_cols))])
     )
+
+
+def _null_safe_offsets(offsets: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Rename the offsets frame's join columns so the null-safe join
+    condition can reference both sides unambiguously."""
+    return offsets.select(
+        F.col("_pid").alias("_opid"),
+        *[F.col(c).alias(f"_og{i}") for i, c in enumerate(group_cols)],
+        "_off",
+    )
+
+
+def _null_safe_cond(group_cols: list[str]) -> Column:
+    """``_pid`` equality plus ``<=>`` on every group column — still an
+    equi-join for Catalyst (BroadcastHashJoin applies), but NULL group
+    keys match their own offsets row instead of being dropped."""
+    cond = F.col("_pid") == F.col("_opid")
+    for i, c in enumerate(group_cols):
+        cond = cond & F.col(c).eqNullSafe(F.col(f"_og{i}"))
+    return cond
 
 
 def with_group_prefix_sums(
@@ -141,7 +169,9 @@ def with_group_prefix_sums(
     partitions plus the local exclusive running sum.  BIGINT addition
     is associative, so the result is bit-identical to the window form
     in ANY grouping of the work.  Same total-order contract (append a
-    unique tiebreaker)."""
+    unique tiebreaker).  NULL group keys form their own group via the
+    null-safe offsets rejoin, matching the window form — see
+    :func:`with_group_ranks`."""
     spark = df.sparkSession
     n_part = num_partitions or spark.sparkContext.defaultParallelism
     keys = [F.col(c) for c in group_cols + order_cols]
@@ -169,9 +199,11 @@ def with_group_prefix_sums(
         with_pid.withColumn(
             "_ps", F.coalesce(F.sum(sum_col).over(w_local), F.lit(0))
         )
-        .join(F.broadcast(offsets), ["_pid", *group_cols])
+        .join(F.broadcast(_null_safe_offsets(offsets, group_cols)),
+              _null_safe_cond(group_cols))
         .withColumn(out_col, (F.col("_off") + F.col("_ps")).cast("long"))
-        .drop("_pid", "_ps", "_off")
+        .drop("_pid", "_ps", "_off", "_opid",
+              *[f"_og{i}" for i in range(len(group_cols))])
     )
 
 

@@ -40,6 +40,13 @@ def _field(df: DataFrame, name: str) -> T.StructField:
     return T.StructField(name, df.schema[name].dataType)
 
 
+def _py(v):
+    """numpy scalar -> native Python for GroupState round-tripping
+    (state.update rejects numpy types); str/None and other natives
+    pass through."""
+    return v.item() if hasattr(v, "item") else v
+
+
 def streaming_domain_quota(
     df: DataFrame,
     cap: int = DOMAIN_QUOTA,
@@ -258,13 +265,16 @@ def streaming_domain_quota_windowed(
             T.StructField("rk", T.LongType()),
         ]
     )
+    # the pending-id buffer's element type follows the frame's actual
+    # id type (ADVICE r13: a hardcoded LongType analyzed fine for any
+    # id but failed at state.update on the first buffered non-long id)
     state_schema = T.StructType(
         [
             T.StructField("admitted", T.LongType()),
             T.StructField("p_ws", T.ArrayType(T.LongType())),
             T.StructField("p_we", T.ArrayType(T.LongType())),
             T.StructField("p_lot", T.ArrayType(T.LongType())),
-            T.StructField("p_id", T.ArrayType(T.LongType())),
+            T.StructField("p_id", T.ArrayType(tagged.schema[id_col].dataType)),
         ]
     )
 
@@ -302,7 +312,7 @@ def streaming_domain_quota_windowed(
                 pend[0].extend(int(v) for v in ok["ws"].to_numpy())
                 pend[1].extend(int(v) for v in ok["we"].to_numpy())
                 pend[2].extend(int(v) for v in ok["lottery"].to_numpy())
-                pend[3].extend(int(v) for v in ok[id_col].to_numpy())
+                pend[3].extend(_py(v) for v in ok[id_col].to_numpy())
         rows = sorted(zip(*pend))  # (ws, we, lottery, id): window order,
         # then lottery within the window — the admission priority
         out: list[tuple] = []
@@ -402,13 +412,15 @@ def streaming_token_budget_windowed(
             T.StructField("prior_tokens", T.LongType()),
         ]
     )
+    # pending-id element type follows the frame's id type — see the
+    # domain-quota windowed variant's state_schema comment
     state_schema = T.StructType(
         [
             T.StructField("tok_sum", T.LongType()),
             T.StructField("p_ws", T.ArrayType(T.LongType())),
             T.StructField("p_we", T.ArrayType(T.LongType())),
             T.StructField("p_lot", T.ArrayType(T.LongType())),
-            T.StructField("p_id", T.ArrayType(T.LongType())),
+            T.StructField("p_id", T.ArrayType(tagged.schema[id_col].dataType)),
             T.StructField("p_tok", T.ArrayType(T.LongType())),
         ]
     )
@@ -437,7 +449,7 @@ def streaming_token_budget_windowed(
                 pend[0].extend(int(v) for v in ok["ws"].to_numpy())
                 pend[1].extend(int(v) for v in ok["we"].to_numpy())
                 pend[2].extend(int(v) for v in ok["lottery"].to_numpy())
-                pend[3].extend(int(v) for v in ok[id_col].to_numpy())
+                pend[3].extend(_py(v) for v in ok[id_col].to_numpy())
                 pend[4].extend(int(v) for v in ok["n_tokens"].to_numpy())
         rows = sorted(zip(*pend))  # (ws, we, lottery, id, n_tok):
         # window order, then lottery within the window

@@ -217,6 +217,61 @@ def test_group_prefix_sums_match_per_group_window(spark):
     assert (got.sort_index() == want.sort_index()).all()
 
 
+def test_group_ranks_null_group_keys_match_window(spark):
+    """NULL group keys must rank as their own group, exactly like
+    PARTITION BY (where NULL is its own partition) and the DuckDB
+    oracles.  The offsets rejoin is null-safe (``<=>``) — a plain
+    equi-join would silently DROP every NULL-keyed row, which the
+    main-table fixtures never exercise (no NULL langs), so this
+    synthetic frame plants NULLs straddling partition boundaries."""
+    import random
+
+    from pyspark.sql import Window
+
+    from sparksent.ext.ranks import with_group_prefix_sums, with_group_ranks
+
+    rng = random.Random(1404)
+    rows = [
+        (
+            i,
+            rng.choice(["en", "de", None, "fr", None]),
+            rng.randrange(0, 50),
+        )
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "id long, lang string, v long")
+
+    w = Window.partitionBy("lang").orderBy("v", "id")
+    want = (
+        df.select("id", F.row_number().over(w).alias("rank"))
+        .toPandas().set_index("id")["rank"]
+    )
+    got = (
+        with_group_ranks(df, ["lang"], ["v", "id"], num_partitions=7)
+        .select("id", "rank")
+        .toPandas().set_index("id")["rank"]
+    )
+    assert len(got) == len(rows), "null-group rows were dropped"
+    assert (got.sort_index() == want.sort_index()).all()
+
+    wp = w.rowsBetween(Window.unboundedPreceding, -1)
+    want_ps = (
+        df.select(
+            "id", F.coalesce(F.sum("v").over(wp), F.lit(0)).alias("ps")
+        )
+        .toPandas().set_index("id")["ps"]
+    )
+    got_ps = (
+        with_group_prefix_sums(
+            df, ["lang"], ["v", "id"], "v", "ps", num_partitions=7
+        )
+        .select("id", "ps")
+        .toPandas().set_index("id")["ps"]
+    )
+    assert len(got_ps) == len(rows), "null-group rows were dropped"
+    assert (got_ps.sort_index() == want_ps.sort_index()).all()
+
+
 def test_span_dedup_hot_gram_correct_and_bounded(spark):
     """Hot-key proof for span dedup: a corpus where ONE 8-gram
     (boilerplate header) appears in EVERY document — the classic skew

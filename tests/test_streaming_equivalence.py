@@ -2932,6 +2932,96 @@ def test_streaming_token_budget_windowed_vs_batch(spark, tmp_path):
     assert fcfs_docs != {(d, s) for d, s, _, _, _ in got}
 
 
+def test_streaming_token_budget_windowed_string_ids(spark, tmp_path):
+    """ADVICE r13: the pending-state buffer hardcoded p_id as
+    ArrayType(LongType) while out_schema adapted to the frame's id
+    type — a string id_col analyzed fine but failed at state.update on
+    the first BUFFERED batch.  The state schema now derives the
+    element type from the frame; this replays a string-id corpus whose
+    open windows must buffer across micro-batches (same burst shape as
+    the long-id test) and requires exact agreement with the batch
+    dual recomputed over string ids."""
+    from pyspark.sql import types as T
+
+    from sparksent.ext.hashing import h60
+    from sparksent.streaming import streaming_token_budget_windowed
+    from sparksent.streaming.sources import (
+        append_flat_file,
+        file_replay_source,
+        write_replay_chunks,
+    )
+
+    docs = _tbw_fixture(spark).withColumn(
+        "doc_id", F.concat(F.lit("d"), F.col("doc_id").cast("string"))
+    )
+    budget = 100
+    replay = str(tmp_path / "tbws_replay")
+    write_replay_chunks(docs, replay, 3, order_col="arrival")
+    sentinel = (
+        spark.createDataFrame(
+            [("d999999", "zz_sentinel", 1_000_000, 99_999, "w")],
+            "doc_id string, lang string, sec long, arrival long, text string",
+        )
+        .withColumn("ts", F.col("sec").cast("timestamp"))
+        .drop("sec")
+        .select("doc_id", "lang", "arrival", "ts", "text")
+    )
+    append_flat_file(sentinel, replay, "chunk_9999.parquet")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("arrival", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    q = (
+        streaming_token_budget_windowed(
+            file_replay_source(spark, replay, schema=schema),
+            budget=budget,
+            window_dur="10 seconds",
+            lateness="60 seconds",
+        )
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_tbw_sid")
+        .option("checkpointLocation", str(tmp_path / "tbws_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.doc_id, r.lang, int(r.window_start.timestamp()), r.n_tokens, r.prior_tokens)
+        for r in spark.table("t_tbw_sid").collect()
+    }
+    # batch dual over the SAME string ids (lottery hashes the string)
+    lot = h60(F.concat(F.lit("tokbudget:"), F.col("doc_id")))
+    n_tok = (
+        F.size(F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit("")))
+        .cast("long")
+        .alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("ws").asc(), lot.asc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    want = {
+        (r.doc_id, r.lang, r.ws, r.n_tokens, r.prior_tokens)
+        for r in docs.withColumn(
+            "ws", F.window("ts", "10 seconds").start.cast("long")
+        )
+        .select("doc_id", "lang", "ws", n_tok)
+        .withColumn(
+            "prior_tokens", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+        )
+        .filter(F.col("prior_tokens") < budget)
+        .collect()
+    }
+    assert got == want and len(want) > 0
+
+
 def test_streaming_token_budget_windowed_survives_restart(spark, tmp_path):
     """Kill-and-restart proof for the windowed budget state (token sum
     + pending buffers incl. per-row token counts): stop after the
