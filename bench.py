@@ -23,6 +23,18 @@ Methodology (round-3 revision, after the r02 regression diagnosis):
   Drift triage order: if post/pre >> 1, suspect the box before any
   query's plan — the watch-item protocol (isolated best-of-3 vs
   BASELINE_BENCH pin) now starts by reading these two fields.
+- MID-SUITE sentinel samples + per-query start timestamps (round 14,
+  after the r13 finding that two same-round full suites disagreed up to
+  8x per query with clean pre/post sentinels BOTH times — endpoint
+  probes cannot see a degradation window in the middle). Every ~25
+  queries the sentinel runs once more; each sample is recorded with its
+  position and wall-clock in "sentinel_samples", and every query's
+  start epoch lands in "query_starts", so an elevated reading is now
+  attributable to a TIME SPAN of named queries instead of argued.
+- A "micro" block times the ranks machinery (with_group_ranks /
+  with_group_prefix_sums over a synthetic constant-plan frame) so the
+  mechanism's own cost is tracked directly rather than folded into
+  each consumer query's pin (ADVICE r13).
 - Two tiers. HEADLINE is plan-shaped engine queries only — its sum is
   the reported "value" and the regression-gate metric. CAPABILITY holds
   queries whose cost is a documented Python/ML constant (applyInPandas
@@ -284,6 +296,53 @@ def _run(qs, name: str) -> float:
     return round(best, 3)
 
 
+SENTINEL_EVERY = 25  # queries between mid-suite sentinel samples
+
+
+def _sentinel_once() -> float:
+    """One sentinel repetition — the mid-suite probe.  Single-rep by
+    design: interleaved samples exist to LOCALIZE a degradation window,
+    and averaging across it would blur exactly the signal we want."""
+    t0 = time.perf_counter()
+    (
+        SPARK.range(256_000_000)
+        .select(F_xxhash64("id").alias("h"))
+        .agg({"h": "max"})
+        .collect()
+    )
+    return round(time.perf_counter() - t0, 3)
+
+
+def _micro_ranks() -> dict[str, float]:
+    """Mechanism micro-benchmark (ADVICE r13): the ranks machinery's
+    own cost over a synthetic constant-plan frame — 2M rows, 8 groups
+    — so drift in with_group_ranks / with_group_prefix_sums shows up
+    here directly instead of only inside each consumer's pin."""
+    from pyspark.sql import functions as F
+
+    from sparksent.ext.ranks import with_group_prefix_sums, with_group_ranks
+
+    base = SPARK.range(2_000_000).select(
+        F.col("id"),
+        (F.col("id") % 8).cast("string").alias("g"),
+        (F_xxhash64("id") % 1000).alias("v"),
+    )
+    out: dict[str, float] = {}
+    for key, fn in (
+        ("ranks_group_ranks_sec",
+         lambda: with_group_ranks(base, ["g"], ["v", "id"])),
+        ("ranks_prefix_sums_sec",
+         lambda: with_group_prefix_sums(base, ["g"], ["v", "id"], "v", "ps")),
+    ):
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn().write.mode("overwrite").format("noop").save()
+            best = min(best, time.perf_counter() - t0)
+        out[key] = round(best, 3)
+    return out
+
+
 def _sentinel() -> float:
     """Box-degradation sentinel (VERDICT r12 ask #3): a constant-plan,
     data-independent CPU burn — 256M xxhash64 rows through one map-side
@@ -294,19 +353,10 @@ def _sentinel() -> float:
     self-identifying instead of argued in ROUND*.md prose.  Best-of-3
     for the same reason per-query times are best-of-2: measure the
     machine's capability, not one scheduling hiccup."""
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        # max, not sum: ANSI mode aborts a 64M-row BIGINT hash sum on
-        # overflow; max forces the identical per-row hash work.
-        (
-            SPARK.range(256_000_000)
-            .select(F_xxhash64("id").alias("h"))
-            .agg({"h": "max"})
-            .collect()
-        )
-        best = min(best, time.perf_counter() - t0)
-    return round(best, 3)
+    # max, not sum: ANSI mode aborts a 64M-row BIGINT hash sum on
+    # overflow; max forces the identical per-row hash work (inside
+    # _sentinel_once, shared with the mid-suite samples).
+    return round(min(_sentinel_once() for _ in range(3)), 3)
 
 
 def main() -> None:
@@ -328,14 +378,28 @@ def main() -> None:
 
     sentinel_pre = _sentinel()
     print(f"  [sentinel pre-suite]: {sentinel_pre:.2f}s", file=sys.stderr)
+    suite_start = round(time.time(), 3)
 
     timings: dict[str, float] = {}
-    for name in HEADLINE + CAPABILITY:
+    query_starts: dict[str, float] = {}
+    sentinel_samples: list[dict] = []
+    for i, name in enumerate(HEADLINE + CAPABILITY):
+        query_starts[name] = round(time.time(), 3)
         timings[name] = _run(qs, name)
         print(f"  {name}: {timings[name]:.2f}s", file=sys.stderr)
+        if (i + 1) % SENTINEL_EVERY == 0:
+            s = _sentinel_once()
+            sentinel_samples.append(
+                {"after_n": i + 1, "after": name, "t": round(time.time(), 3),
+                 "sec": s}
+            )
+            print(f"  [sentinel @{i + 1} after {name}]: {s:.2f}s",
+                  file=sys.stderr)
 
     sentinel_post = _sentinel()
     print(f"  [sentinel post-suite]: {sentinel_post:.2f}s", file=sys.stderr)
+    micro = _micro_ranks()
+    print(f"  [micro] {micro}", file=sys.stderr)
 
     headline_total = sum(timings[n] for n in HEADLINE)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -417,6 +481,10 @@ def main() -> None:
                 "capability_tier": CAPABILITY,
                 "sentinel_pre_sec": sentinel_pre,
                 "sentinel_post_sec": sentinel_post,
+                "sentinel_samples": sentinel_samples,
+                "suite_start_epoch": suite_start,
+                "query_starts": query_starts,
+                "micro": micro,
                 "queries": timings,
             },
             f,
