@@ -31,6 +31,13 @@ Methodology (round-3 revision, after the r02 regression diagnosis):
   position and wall-clock in "sentinel_samples", and every query's
   start epoch lands in "query_starts", so an elevated reading is now
   attributable to a TIME SPAN of named queries instead of argued.
+- A second, PYTHON-WORKER sentinel (py_sentinel_*): the JVM sentinel
+  never touches Python workers, so a degraded reused-daemon pool is a
+  blind spot it cannot see — the one degradation mode consistent with
+  r13's "Arrow-heavy queries elevated, JVM sentinel clean both times".
+  The py sentinel is a constant-plan 1M-row trivial mapInPandas whose
+  time measures worker-pool + Arrow-path health; it runs pre/post
+  (best-of-3) and inside every mid-suite sample (single-rep).
 - A "micro" block times the ranks machinery (with_group_ranks /
   with_group_prefix_sums over a synthetic constant-plan frame) so the
   mechanism's own cost is tracked directly rather than folded into
@@ -313,6 +320,33 @@ def _sentinel_once() -> float:
     return round(time.perf_counter() - t0, 3)
 
 
+def _py_sentinel_once() -> float:
+    """PYTHON-WORKER sentinel (round 14).  The JVM sentinel above never
+    touches Python workers, so a degraded reused-daemon pool (grown
+    RSS, fragmented heaps after ~200 Arrow-heavy queries) is invisible
+    to it — the exact blind spot consistent with r13's 'Arrow-heavy
+    queries elevated, JVM sentinel clean both times' driver artifact.
+    This probe is constant-plan Arrow round-trip work: 1M rows through
+    a trivial mapInPandas over 32 partitions — no file reads, no real
+    computation, so its time measures worker-pool + Arrow-path health."""
+    import pandas as _pd  # noqa: F401  (worker-side import cost is part of the path)
+
+    t0 = time.perf_counter()
+    (
+        SPARK.range(1_000_000)
+        .repartition(32)
+        .mapInPandas(lambda it: it, "id long")
+        .write.mode("overwrite")
+        .format("noop")
+        .save()
+    )
+    return round(time.perf_counter() - t0, 3)
+
+
+def _py_sentinel() -> float:
+    return round(min(_py_sentinel_once() for _ in range(3)), 3)
+
+
 def _micro_ranks() -> dict[str, float]:
     """Mechanism micro-benchmark (ADVICE r13): the ranks machinery's
     own cost over a synthetic constant-plan frame — 2M rows, 8 groups
@@ -377,7 +411,12 @@ def main() -> None:
     ).write.mode("overwrite").format("noop").save()
 
     sentinel_pre = _sentinel()
-    print(f"  [sentinel pre-suite]: {sentinel_pre:.2f}s", file=sys.stderr)
+    py_sentinel_pre = _py_sentinel()
+    print(
+        f"  [sentinel pre-suite]: jvm {sentinel_pre:.2f}s"
+        f" py {py_sentinel_pre:.2f}s",
+        file=sys.stderr,
+    )
     suite_start = round(time.time(), 3)
 
     timings: dict[str, float] = {}
@@ -389,15 +428,22 @@ def main() -> None:
         print(f"  {name}: {timings[name]:.2f}s", file=sys.stderr)
         if (i + 1) % SENTINEL_EVERY == 0:
             s = _sentinel_once()
+            ps = _py_sentinel_once()
             sentinel_samples.append(
                 {"after_n": i + 1, "after": name, "t": round(time.time(), 3),
-                 "sec": s}
+                 "sec": s, "py_sec": ps}
             )
-            print(f"  [sentinel @{i + 1} after {name}]: {s:.2f}s",
+            print(f"  [sentinel @{i + 1} after {name}]: jvm {s:.2f}s"
+                  f" py {ps:.2f}s",
                   file=sys.stderr)
 
     sentinel_post = _sentinel()
-    print(f"  [sentinel post-suite]: {sentinel_post:.2f}s", file=sys.stderr)
+    py_sentinel_post = _py_sentinel()
+    print(
+        f"  [sentinel post-suite]: jvm {sentinel_post:.2f}s"
+        f" py {py_sentinel_post:.2f}s",
+        file=sys.stderr,
+    )
     micro = _micro_ranks()
     print(f"  [micro] {micro}", file=sys.stderr)
 
@@ -481,6 +527,8 @@ def main() -> None:
                 "capability_tier": CAPABILITY,
                 "sentinel_pre_sec": sentinel_pre,
                 "sentinel_post_sec": sentinel_post,
+                "py_sentinel_pre_sec": py_sentinel_pre,
+                "py_sentinel_post_sec": py_sentinel_post,
                 "sentinel_samples": sentinel_samples,
                 "suite_start_epoch": suite_start,
                 "query_starts": query_starts,
