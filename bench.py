@@ -283,6 +283,9 @@ HEADLINE = [
     "theilsen_slope_per_user",
     # round-12 additions
     "sample_domain_quota",
+    # round-14 additions
+    "url_canonicalize",
+    "url_domain_topk",
 ]
 
 # Timed and reported, but excluded from the headline sum: cost dominated

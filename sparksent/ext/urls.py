@@ -1,0 +1,316 @@
+"""URL / domain canonicalization — the front door to per-domain
+corpus curation (VERDICT r13 ask #6).
+
+Web-corpus pipelines key their caps and stats on CANONICALIZED hosts:
+RefinedWeb and C4 both dedupe and quota per registrable domain after
+normalizing scheme, case, ``www.``, ports, and trailing slashes —
+otherwise ``https://www.Example.org/a/`` and ``http://example.org/a``
+count as different publishers and every per-domain rule (e.g.
+``sample_domain_quota``) silently fragments.  This module provides the
+canonicalization as pure codegen'd string expressions (anchored
+regexes + lower/concat — no UDFs, no shuffle; Catalyst folds the whole
+chain into the scan projection), plus the per-domain stats/top-k
+report over the result.
+
+The fixture ``documents`` table has no URL column, so the registered
+queries derive one deterministically from ``(doc_id, source)`` — the
+same fixture-law technique as the multimodal oracles (imagedup.py's
+variant law): six URL shapes cycling by ``doc_id % 6``, chosen so the
+canonicalizer must exercise every rule (mixed-case scheme/host,
+userinfo, default and non-default ports, ``www.`` prefixes, trailing
+host dots, scheme-relative and scheme-less forms, fragments, trailing
+slashes) and so DISTINCT raw URLs collapse to equal canonical URLs
+(variants 0 and 1 canonicalize identically — the dedup case the
+operator exists for).
+
+Cross-engine notes (the reason every pattern is ANCHORED and
+backslash-free): Spark's regexp_replace replaces every match while
+DuckDB's replaces the first, so each pattern anchors at ``^`` or ``$``
+to have at most one match in either engine; literal dots appear as
+``[.]`` so the same pattern string needs no escaping in SQL.
+
+Canonicalization rules (one place, both engines):
+
+1. scheme    := lower(scheme) if present, else ``http`` (scheme-less
+   and ``//``-relative forms both default to http — the C4 choice);
+2. authority := strip userinfo (``user:pw@``), then split port;
+3. host      := lower, strip ONE trailing dot, strip ONE leading
+   ``www.``;
+4. port      := dropped when default for the scheme (http:80,
+   https:443) or absent, else kept;
+5. path      := strip trailing slashes (``/a/`` == ``/a``); empty
+   path becomes ``/``;
+6. query     := kept verbatim (no param reordering — documented
+   choice, matching C4);
+7. fragment  := dropped.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# anchored, backslash-free patterns shared verbatim by both engines
+_SCHEME_RE = "^([A-Za-z][A-Za-z0-9+.-]*)://"
+_SCHEME_STRIP_RE = "^[A-Za-z][A-Za-z0-9+.-]*://"
+_REL_STRIP_RE = "^//"
+_AUTH_RE = "^([^/?#]+)"
+_AUTH_STRIP_RE = "^[^/?#]+"
+_USERINFO_RE = "^[^@]*@"
+_PORT_RE = ":([0-9]+)$"
+_PORT_STRIP_RE = ":[0-9]+$"
+_HOST_DOT_RE = "[.]$"
+_WWW_RE = "^www[.]"
+_FRAG_RE = "#.*$"
+_QUERY_RE = "[?](.*)$"
+_PATH_RE = "^([^?]*)"
+_SLASH_RE = "/+$"
+
+TOPK_DOMAINS = 10
+
+
+def url_parts(url: Column) -> dict[str, Column]:
+    """The shared decomposition: scheme/host/port/path/query columns
+    from a raw URL column, canonicalized per the module rules.  All
+    expressions are backslash-free anchored regexes — whole chain
+    stays in the scan's codegen'd projection."""
+    scheme_raw = F.lower(F.regexp_extract(url, _SCHEME_RE, 1))
+    rest = F.regexp_replace(
+        F.regexp_replace(url, _SCHEME_STRIP_RE, ""), _REL_STRIP_RE, ""
+    )
+    auth = F.regexp_replace(
+        F.regexp_extract(rest, _AUTH_RE, 1), _USERINFO_RE, ""
+    )
+    pathq = F.regexp_replace(
+        F.regexp_replace(rest, _AUTH_STRIP_RE, ""), _FRAG_RE, ""
+    )
+    scheme = F.when(scheme_raw == "", F.lit("http")).otherwise(scheme_raw)
+    port_raw = F.regexp_extract(auth, _PORT_RE, 1)
+    host = F.regexp_replace(
+        F.regexp_replace(
+            F.lower(F.regexp_replace(auth, _PORT_STRIP_RE, "")),
+            _HOST_DOT_RE,
+            "",
+        ),
+        _WWW_RE,
+        "",
+    )
+    port = F.when(
+        (port_raw == "")
+        | ((scheme == "http") & (port_raw == "80"))
+        | ((scheme == "https") & (port_raw == "443")),
+        F.lit(""),
+    ).otherwise(port_raw)
+    path_norm = F.regexp_replace(
+        F.regexp_extract(pathq, _PATH_RE, 1), _SLASH_RE, ""
+    )
+    path = F.when(path_norm == "", F.lit("/")).otherwise(path_norm)
+    query = F.regexp_extract(pathq, _QUERY_RE, 1)
+    return {
+        "scheme": scheme,
+        "host": host,
+        "port": port,
+        "path": path,
+        "query": query,
+    }
+
+
+def canonical_host(url: Column) -> Column:
+    """Column: the canonicalized registrable host of a URL — the key
+    every per-domain curation rule should group on."""
+    return url_parts(url)["host"]
+
+
+def canonical_url(url: Column) -> Column:
+    """Column: the full canonical URL (rules in the module
+    docstring)."""
+    p = url_parts(url)
+    return F.concat(
+        p["scheme"],
+        F.lit("://"),
+        p["host"],
+        F.when(p["port"] == "", F.lit("")).otherwise(
+            F.concat(F.lit(":"), p["port"])
+        ),
+        p["path"],
+        F.when(p["query"] == "", F.lit("")).otherwise(
+            F.concat(F.lit("?"), p["query"])
+        ),
+    )
+
+
+def with_fixture_urls(docs: DataFrame) -> DataFrame:
+    """Attach the deterministic fixture URL law: six hostile URL
+    shapes cycling by ``doc_id % 6`` over ``(doc_id, source)``.
+    Variants 0 and 1 are DISTINCT raw strings that canonicalize to the
+    same canonical URL (www+https vs uppercase-scheme+explicit :443 +
+    trailing slash) — the collapse the canonicalizer exists to
+    produce."""
+    d = F.col("doc_id").cast("string")
+    s = F.col("source")
+    v = F.col("doc_id") % 6
+    url = (
+        F.when(v == 0, F.concat(F.lit("https://www."), s, F.lit(".example.org/docs/"), d))
+        .when(v == 1, F.concat(F.lit("HTTPS://"), F.upper(s), F.lit(".EXAMPLE.org:443/docs/"), d, F.lit("/")))
+        .when(v == 2, F.concat(F.lit("http://"), s, F.lit(".example.org:8080/docs/"), d, F.lit("?q=1")))
+        .when(v == 3, F.concat(F.lit("http://user:pw@www."), s, F.lit(".example.org:80/docs/"), d, F.lit("#top")))
+        .when(v == 4, F.concat(F.lit("//cdn."), s, F.lit(".example.org./assets/"), d))
+        .otherwise(F.concat(s, F.lit(".example.org/docs/"), d, F.lit("/")))
+    )
+    return docs.withColumn("url", url)
+
+
+def url_canonicalize(docs: DataFrame) -> DataFrame:
+    """Row-level canonicalization report: (doc_id, url, canonical_url,
+    host, port, path) over the fixture URL law — the operator's value
+    surface, one output row per document.  Entirely scan-projection
+    work: no shuffle, no UDF (the plan is Project over the parquet
+    scan)."""
+    with_url = with_fixture_urls(docs.select("doc_id", "source"))
+    p = url_parts(F.col("url"))
+    # port surfaces as BIGINT with 0 = "no port" — NOT an empty
+    # string: the driver's value-hash norm coerces numeric-looking
+    # object columns with pd.to_numeric, turning '' into NaN, and
+    # NaN != NaN fails the compare on BOTH engines' identical output
+    return with_url.select(
+        "doc_id",
+        "url",
+        canonical_url(F.col("url")).alias("curl"),
+        p["host"].alias("host"),
+        F.when(p["port"] == "", F.lit(0))
+        .otherwise(p["port"].cast("long"))
+        .cast("long")
+        .alias("port"),
+        p["path"].alias("path"),
+    )
+
+
+def url_domain_topk(docs: DataFrame, k: int = TOPK_DOMAINS) -> DataFrame:
+    """Per-domain doc counts over canonical hosts, top-``k`` by count
+    (ties to the lexically smaller host) — the publisher-concentration
+    report that feeds ``sample_domain_quota``'s cap decisions.
+
+    Scale shape: canonicalization happens in the scan projection, the
+    aggregate map-side combines on the (bounded-cardinality) host key,
+    and the top-k is a rank over the AGGREGATED per-host frame — rows
+    = distinct hosts, never documents; no corpus-sized window."""
+    from pyspark.sql import Window
+
+    per_host = (
+        with_fixture_urls(docs.select("doc_id", "source", "lang", "n_chars"))
+        .select(
+            canonical_host(F.col("url")).alias("host"),
+            "lang",
+            "n_chars",
+        )
+        .groupBy("host")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+    w = Window.orderBy(F.col("n_docs").desc(), F.col("host").asc())
+    return (
+        per_host.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("host", "n_docs", "n_langs", "total_chars", "rk")
+    )
+
+
+def _fixture_url_sql(table: str = "documents") -> str:
+    """The URL law as a SQL expression over ``{table}`` — one CTE
+    ``u(doc_id, lang, n_chars, url)`` mirroring
+    :func:`with_fixture_urls` exactly."""
+    return f"""u AS (
+      SELECT doc_id, lang, n_chars,
+             CASE doc_id % 6
+               WHEN 0 THEN 'https://www.' || source || '.example.org/docs/' || doc_id
+               WHEN 1 THEN 'HTTPS://' || upper(source) || '.EXAMPLE.org:443/docs/' || doc_id || '/'
+               WHEN 2 THEN 'http://' || source || '.example.org:8080/docs/' || doc_id || '?q=1'
+               WHEN 3 THEN 'http://user:pw@www.' || source || '.example.org:80/docs/' || doc_id || '#top'
+               WHEN 4 THEN '//cdn.' || source || '.example.org./assets/' || doc_id
+               ELSE source || '.example.org/docs/' || doc_id || '/'
+             END AS url
+      FROM {table}
+    )"""
+
+
+def _parts_sql() -> str:
+    """The canonical decomposition as a SQL CTE chain over ``u`` —
+    ``parts(doc_id, lang, n_chars, url, scheme, host, port, path,
+    query)`` using the SAME anchored backslash-free patterns as the
+    Spark side (DuckDB regexp_replace replaces first match; every
+    pattern matches at most once by anchoring, so engines agree)."""
+    return f"""p0 AS (
+      SELECT *,
+             lower(regexp_extract(url, '{_SCHEME_RE}', 1)) AS scheme_raw,
+             regexp_replace(regexp_replace(url, '{_SCHEME_STRIP_RE}', ''),
+                            '{_REL_STRIP_RE}', '') AS rest
+      FROM u
+    ),
+    p1 AS (
+      SELECT *,
+             regexp_replace(regexp_extract(rest, '{_AUTH_RE}', 1),
+                            '{_USERINFO_RE}', '') AS auth,
+             regexp_replace(regexp_replace(rest, '{_AUTH_STRIP_RE}', ''),
+                            '{_FRAG_RE}', '') AS pathq
+      FROM p0
+    ),
+    parts AS (
+      SELECT doc_id, lang, n_chars, url,
+             CASE WHEN scheme_raw = '' THEN 'http' ELSE scheme_raw END AS scheme,
+             regexp_replace(regexp_replace(
+                 lower(regexp_replace(auth, '{_PORT_STRIP_RE}', '')),
+                 '{_HOST_DOT_RE}', ''), '{_WWW_RE}', '') AS host,
+             CASE WHEN regexp_extract(auth, '{_PORT_RE}', 1) = '' THEN ''
+                  WHEN (CASE WHEN scheme_raw = '' THEN 'http' ELSE scheme_raw END) = 'http'
+                       AND regexp_extract(auth, '{_PORT_RE}', 1) = '80' THEN ''
+                  WHEN (CASE WHEN scheme_raw = '' THEN 'http' ELSE scheme_raw END) = 'https'
+                       AND regexp_extract(auth, '{_PORT_RE}', 1) = '443' THEN ''
+                  ELSE regexp_extract(auth, '{_PORT_RE}', 1)
+             END AS port,
+             CASE WHEN regexp_replace(regexp_extract(pathq, '{_PATH_RE}', 1),
+                                      '{_SLASH_RE}', '') = '' THEN '/'
+                  ELSE regexp_replace(regexp_extract(pathq, '{_PATH_RE}', 1),
+                                      '{_SLASH_RE}', '')
+             END AS path,
+             regexp_extract(pathq, '{_QUERY_RE}', 1) AS qstr
+      FROM p1
+    )"""
+
+
+def url_canonicalize_sql(table: str = "documents") -> str:
+    """DuckDB mirror of :func:`url_canonicalize`."""
+    return f"""
+    WITH {_fixture_url_sql(table)},
+    {_parts_sql()}
+    SELECT doc_id, url,
+           scheme || '://' || host ||
+           CASE WHEN port = '' THEN '' ELSE ':' || port END ||
+           path ||
+           CASE WHEN qstr = '' THEN '' ELSE '?' || qstr END AS curl,
+           host,
+           CASE WHEN port = '' THEN 0 ELSE port::BIGINT END AS port,
+           path
+    FROM parts
+    """
+
+
+def url_domain_topk_sql(table: str = "documents", k: int = TOPK_DOMAINS) -> str:
+    """DuckDB mirror of :func:`url_domain_topk`."""
+    return f"""
+    WITH {_fixture_url_sql(table)},
+    {_parts_sql()},
+    per_host AS (
+      SELECT host, count(*)::BIGINT AS n_docs,
+             count(DISTINCT lang)::BIGINT AS n_langs,
+             sum(n_chars)::BIGINT AS total_chars
+      FROM parts
+      GROUP BY host
+    )
+    SELECT host, n_docs, n_langs, total_chars, rk
+    FROM (SELECT *, row_number() OVER (ORDER BY n_docs DESC, host ASC) AS rk
+          FROM per_host)
+    WHERE rk <= {k}
+    """

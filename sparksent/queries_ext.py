@@ -25,6 +25,7 @@ from .ext import (
     sketches,
     textclean,
     textstats,
+    urls,
     vectorops,
     videodup,
 )
@@ -2351,3 +2352,38 @@ def q_epoch_shuffle_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("batch_id"),
     )
+
+
+@register(
+    "url_canonicalize",
+    oracle=urls.url_canonicalize_sql(),
+    tags=("ext", "curation", "urls"),
+)
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (VERDICT r13 ask #6): scheme/case/www/
+    port/trailing-slash/fragment normalization as pure codegen'd
+    anchored-regex string expressions — no UDF, no shuffle; the whole
+    chain folds into the parquet scan's projection.  One row per
+    document over the six-shape fixture URL law (ext/urls.py), whose
+    variants 0 and 1 are distinct raw strings that MUST collapse to
+    the same canonical URL — the publisher-identity collapse every
+    per-domain curation rule depends on (RefinedWeb/C4 key their caps
+    on canonicalized hosts)."""
+    return urls.url_canonicalize(tables.load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "url_domain_topk",
+    oracle=urls.url_domain_topk_sql(),
+    tags=("ext", "curation", "urls"),
+)
+def q_url_domain_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain publisher-concentration report over CANONICAL hosts:
+    doc counts, distinct langs, total chars, top-10 by count — the
+    stats front door to sample_domain_quota's cap decisions.  Scale
+    shape: canonicalization rides the scan projection, the aggregate
+    map-side combines on the host key, and the rank runs over the
+    AGGREGATED per-host frame (rows = distinct hosts, never
+    documents), so the single-partition window is bounded by publisher
+    cardinality, not corpus size."""
+    return urls.url_domain_topk(tables.load_table(spark, sf_dir, "documents"))

@@ -1768,7 +1768,7 @@ def test_url_canonical_collapse_and_rules(spark):
         assert "@" not in r.curl and "#" not in r.curl
         assert "www." not in r.host and not r.host.endswith(".")
         if r.port:
-            assert r.port == "8080" and r.doc_id % 6 == 2
+            assert r.port == 8080 and r.doc_id % 6 == 2
         if r.doc_id % 6 in (4, 5):
             assert r.curl.startswith("http://")
         assert not (r.path != "/" and r.path.endswith("/"))
