@@ -27,6 +27,8 @@ from .ivf_route import (  # noqa: F401
 from .neardup import (  # noqa: F401
     audio_fp_admit_batch,
     audio_fp_band_index,
+    benchmark_gram_index,
+    decontaminate_stream_batch,
     image_phash_admit_batch,
     image_phash_band_index,
     minhash_band_index,

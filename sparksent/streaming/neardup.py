@@ -706,3 +706,85 @@ def winnowing_admit_batch(
         score_name="n_shared",
         keep=lambda s: s >= min_shared,
     )
+
+
+def benchmark_gram_index(
+    bench_docs: DataFrame,
+    n: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The static side of streaming decontamination: the DISTINCT word
+    ``n``-gram set of the held-out benchmark — compute once per
+    benchmark version (real benchmark suites are a few thousand evals:
+    megabytes, comfortably broadcast), exactly the bench CTE of the
+    batch ``decontaminate`` operator (ext/curation.py)."""
+    from ..ext.curation import DECON_NGRAM
+    from ..ext.hashing import shingles
+
+    if n is None:
+        n = DECON_NGRAM
+    return (
+        bench_docs.select(F.explode(shingles(text_col, n)).alias("g"))
+        .distinct()
+    )
+
+
+def decontaminate_stream_batch(
+    batch_df: DataFrame,
+    bench_grams: DataFrame,
+    out_path: str,
+    *,
+    batch_id: int,
+    n: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """foreachBatch body for STREAMING benchmark decontamination
+    (VERDICT r13 ask #7) — the streaming dual of the batch
+    ``decontaminate_5gram``, completing the admission-loop family for
+    the one curation filter that was still batch-only: every incoming
+    training document is checked at INGEST against the broadcast
+    benchmark gram set, so contaminated documents are flagged before
+    they ever land in the corpus instead of by a later full-corpus
+    sweep.
+
+    Per micro-batch: explode each document's overlapping word
+    ``n``-grams (occurrences, not distinct — the batch operator counts
+    occurrences and the dual must match bit-for-bit), hash-join against
+    the broadcast static gram set, aggregate per document, and write
+    (doc_id, n_shared_grams) under an ``ingest_batch={batch_id}``
+    partition with dynamic partition overwrite — the same
+    replay-idempotency mechanism as the neardup admission loops: a
+    replayed micro-batch (at-least-once sink semantics) rewrites its
+    own partition instead of double-appending.
+
+    Unlike the admission loops there is NO maintained index and no
+    cross-batch state: the benchmark set is immutable for a given
+    benchmark version, and a document's shared-gram count depends only
+    on that document — so the union of all batches' emissions equals
+    the batch operator over the accumulated stream EXACTLY, for any
+    chunking (pinned by tests/test_streaming_equivalence.py, with a
+    kill-and-restart proof).  Per-batch cost is O(batch grams), corpus-
+    and stream-length-independent.  A new benchmark version means a
+    new ``bench_grams`` frame and a fresh ``out_path`` — counts from
+    different gram sets must not mix."""
+    from ..ext.curation import DECON_NGRAM
+    from ..ext.hashing import shingles
+
+    if n is None:
+        n = DECON_NGRAM
+    train = batch_df.select(
+        F.col(id_col).alias("id"), F.explode(shingles(text_col, n)).alias("g")
+    )
+    (
+        train.join(F.broadcast(bench_grams), "g")
+        .groupBy("id")
+        .agg(F.count("*").alias("n_shared_grams"))
+        .select(F.col("id").alias(id_col), "n_shared_grams")
+        .withColumn("ingest_batch", F.lit(int(batch_id)))
+        .write.mode("overwrite")
+        .partitionBy("ingest_batch")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(out_path)
+    )

@@ -3154,3 +3154,121 @@ def test_epoch_zero_event_time_edge(spark, tmp_path):
 
     assert run(0, "zero") == {1, 2}  # the ts=0 row is swallowed by Spark
     assert run(1, "one") == {0, 1, 2}  # shifted off epoch 0, all admit
+
+
+def test_streaming_decontaminate_vs_batch(spark, tmp_path):
+    """VERDICT r13 ask #7: the streaming decontamination dual.  Replay
+    the TRAIN slice (doc_id % 97 != 0) in 3 micro-batches through
+    decontaminate_stream_batch against the broadcast benchmark gram
+    index built from the held-out slice; the union of all batches'
+    (doc_id, n_shared_grams) emissions must equal the batch
+    decontaminate_5gram operator over the full corpus EXACTLY — counts
+    included (occurrence counts, not distinct-gram counts) — for any
+    chunking, since the check is per-document against an immutable
+    gram set."""
+    from pyspark.sql import types as T
+
+    from sparksent.ext.curation import BENCH_MOD, decontaminate
+    from sparksent.streaming import benchmark_gram_index, decontaminate_stream_batch
+    from sparksent.streaming.sources import file_replay_source, write_replay_chunks
+    from sparksent.tables import load_table
+
+    docs = load_table(spark, SF_DIR_SMALL, "documents").select("doc_id", "text")
+    bench_grams = benchmark_gram_index(
+        docs.filter(F.col("doc_id") % BENCH_MOD == 0)
+    ).localCheckpoint()
+    incoming = docs.filter(F.col("doc_id") % BENCH_MOD != 0)
+
+    out_path = str(tmp_path / "decon_out")
+    replay = str(tmp_path / "decon_replay")
+    write_replay_chunks(incoming, replay, 3, order_col="doc_id")
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    q = (
+        file_replay_source(spark, replay, schema=schema)
+        .writeStream.foreachBatch(
+            lambda b, i: decontaminate_stream_batch(
+                b, bench_grams, out_path, batch_id=i
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "decon_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {
+        (r.doc_id, r.n_shared_grams)
+        for r in spark.read.parquet(out_path).collect()
+    }
+    want = {
+        (r.doc_id, r.n_shared_grams) for r in decontaminate(docs).collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_streaming_decontaminate_survives_restart(spark, tmp_path):
+    """Kill-and-restart proof for the decontamination dual: stop after
+    the first committed micro-batch, restart from the checkpoint, and
+    require the union of both runs' partitions to equal the batch
+    operator — the ingest_batch dynamic-overwrite makes a replayed
+    batch rewrite its own partition instead of double-appending."""
+    import os as _os
+    import time as _time
+
+    from pyspark.sql import types as T
+
+    from sparksent.ext.curation import BENCH_MOD, decontaminate
+    from sparksent.streaming import benchmark_gram_index, decontaminate_stream_batch
+    from sparksent.streaming.sources import file_replay_source, write_replay_chunks
+    from sparksent.tables import load_table
+
+    docs = load_table(spark, SF_DIR_SMALL, "documents").select("doc_id", "text")
+    bench_grams = benchmark_gram_index(
+        docs.filter(F.col("doc_id") % BENCH_MOD == 0)
+    ).localCheckpoint()
+    incoming = docs.filter(F.col("doc_id") % BENCH_MOD != 0)
+
+    out_path = str(tmp_path / "deconr_out")
+    replay = str(tmp_path / "deconr_replay")
+    write_replay_chunks(incoming, replay, 3, order_col="doc_id")
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    ckpt = str(tmp_path / "deconr_ckpt")
+
+    def start():
+        return (
+            file_replay_source(spark, replay, schema=schema)
+            .writeStream.foreachBatch(
+                lambda b, i: decontaminate_stream_batch(
+                    b, bench_grams, out_path, batch_id=i
+                )
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = start()
+    deadline = _time.time() + 120
+    while _time.time() < deadline:
+        commits = _os.path.join(ckpt, "commits")
+        if _os.path.isdir(commits) and any(
+            not f.startswith(".") for f in _os.listdir(commits)
+        ):
+            break
+        _time.sleep(0.5)
+    q.stop()
+    q2 = start()
+    q2.awaitTermination(180)
+
+    got = {
+        (r.doc_id, r.n_shared_grams)
+        for r in spark.read.parquet(out_path).collect()
+    }
+    want = {
+        (r.doc_id, r.n_shared_grams) for r in decontaminate(docs).collect()
+    }
+    assert got == want and len(want) > 0
