@@ -55,66 +55,19 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # the priority block, so the registry surface itself is unchanged — only
 # the iteration order of queries()/oracle_sql() moves.
 #
-# Round-13 window, regenerated PURELY mechanically by
-# tools/regen_priority.py from CORRECTNESS_r01..r12.json — zero hand
-# insertions (VERDICT r12 ask #4): the two last r07-stale names
-# (tpch_q1_pricing, tpch_q3_shipping) lead, then the r08 tier up to
-# the 50-slot boundary; remainder oldest-first.  After this window
-# verifies, no name's latest driver row is older than r08.
+# Round-14 window, regenerated PURELY mechanically by
+# tools/regen_priority.py from CORRECTNESS_r01..r13.json — zero hand
+# insertions: the two never-checked round-14 registrations
+# (url_canonicalize, url_domain_topk) lead, then the ten r08-stale
+# names (VERDICT r13 ask #4: eight of them the reference
+# toxicity/opinion family) and the r10 tier up to the 50-slot
+# boundary; remainder oldest-first.  After this window verifies, no
+# name's latest driver row is older than r10.
 _PRIORITY: tuple[str, ...] = (
     # slot 1+: no green driver row yet
-    "seq_packing_bpe_512",
-    "sample_token_budget_bpe",
-    "quality_gate_per_lang_head",
-    "dedup_cluster_sizes",
-    "bpe_fertility_per_lang",
-    "packing_efficiency_bpe_512",
-    "quality_tiers_per_lang",
-    "dedup_chunks_exact",
-    # slot 9+: latest green driver row is r07
-    "tpch_q1_pricing",
-    "tpch_q3_shipping",
-    # slot 11+: latest green driver row is r08
-    "session_concurrency_capped",
-    "corpus_curation_pipeline",
-    "dedup_span_8gram",
-    "dsir_importance_weights",
-    "sample_cluster_balanced",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_ngram_containment",
-    "dedup_embedding_cosine",
-    "graph_triangle_counts",
-    "decontaminate_5gram",
-    "multimodal_resize_plan",
-    "multimodal_frame_sample",
-    "pii_redaction",
-    "boilerplate_removal",
-    "lang_id_confusion",
-    "bloom_semijoin_customers",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q4_priority_check",
-    "tpch_q5_regional",
-    "tpch_q7_nation_trade",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "tpch_q10_returns",
-    "tpch_q11_important_stock",
-    "tpch_q15_top_supplier",
-    "tpch_q20_excess_suppliers",
-    "tpch_q21_waiting_supplier",
-    "tpch_q22_global_sales_opportunity",
-    "outer_order_count_distribution",
-    "topn_orders_per_priority",
-    "rangejoin_price_bands",
-    "parse_lines",
-    "window_concat_1s",
-    "window_concat_100s",
-    "topic_count_10s",
-    "trending_10s",
-    "channel_mood_sliding_90_60",
-    "user_mood_cumulative",
-    "toxic_user_cw10",  # --- driver window ends here (50) ---
+    "url_canonicalize",
+    "url_domain_topk",
+    # slot 3+: latest green driver row is r08
     "toxic_topic_cw25",
     "toxic_channel_cw50",
     "toxic_user_literal_cw10",
@@ -125,7 +78,7 @@ _PRIORITY: tuple[str, ...] = (
     "category_opinion_cumulative",
     "toxic_user_nlp_cw10",
     "json_field_stats",
-    # slot 61+: latest green driver row is r10
+    # slot 13+: latest green driver row is r10
     "similarity_topk_ivf_trained",
     "multimodal_resample_pixels",
     "multimodal_frame_decode_sampled",
@@ -163,7 +116,7 @@ _PRIORITY: tuple[str, ...] = (
     "funnel_view_click_purchase",
     "retention_cohorts",
     "event_transition_matrix",
-    "chunk_documents_128_96",
+    "chunk_documents_128_96",  # --- driver window ends here (50) ---
     "multimodal_decode_audio",
     "column_stats_events",
     "weekly_value_wow",
@@ -176,7 +129,7 @@ _PRIORITY: tuple[str, ...] = (
     "fuzzy_name_pairs",
     "lm_bigram_score",
     "bm25_topk",
-    # slot 111+: latest green driver row is r11
+    # slot 63+: latest green driver row is r11
     "dedup_image_phash",
     "dedup_span_extents",
     "multimodal_embed_topk",
@@ -227,7 +180,7 @@ _PRIORITY: tuple[str, ...] = (
     "basket_triple_support",
     "session_path_topk",
     "entity_resolution_parts",
-    # slot 161+: latest green driver row is r12
+    # slot 113+: latest green driver row is r12
     "sample_domain_quota",
     "churn_training_set",
     "item_similarity_jaccard",
@@ -278,7 +231,59 @@ _PRIORITY: tuple[str, ...] = (
     "multimodal_image_headers",
     "embedding_centroids",
     "embedding_quantize_error",
+    # slot 163+: latest green driver row is r13
+    "seq_packing_bpe_512",
+    "sample_token_budget_bpe",
+    "quality_gate_per_lang_head",
+    "dedup_cluster_sizes",
+    "bpe_fertility_per_lang",
+    "packing_efficiency_bpe_512",
+    "quality_tiers_per_lang",
+    "dedup_chunks_exact",
+    "tpch_q1_pricing",
+    "tpch_q3_shipping",
+    "session_concurrency_capped",
+    "corpus_curation_pipeline",
+    "dedup_span_8gram",
+    "dsir_importance_weights",
+    "sample_cluster_balanced",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_ngram_containment",
+    "dedup_embedding_cosine",
+    "graph_triangle_counts",
+    "decontaminate_5gram",
+    "multimodal_resize_plan",
+    "multimodal_frame_sample",
+    "pii_redaction",
+    "boilerplate_removal",
+    "lang_id_confusion",
+    "bloom_semijoin_customers",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q4_priority_check",
+    "tpch_q5_regional",
+    "tpch_q7_nation_trade",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q10_returns",
+    "tpch_q11_important_stock",
+    "tpch_q15_top_supplier",
+    "tpch_q20_excess_suppliers",
+    "tpch_q21_waiting_supplier",
+    "tpch_q22_global_sales_opportunity",
+    "outer_order_count_distribution",
+    "topn_orders_per_priority",
+    "rangejoin_price_bands",
+    "parse_lines",
+    "window_concat_1s",
+    "window_concat_100s",
+    "topic_count_10s",
+    "trending_10s",
+    "channel_mood_sliding_90_60",
+    "user_mood_cumulative",
+    "toxic_user_cw10",
 )
+
 
 
 def _ordered() -> list[Query]:
