@@ -150,19 +150,35 @@ def q_outer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("relational", "setop"),
 )
 def q_setop_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """INTERSECT / EXCEPT / UNION ALL in one query: purchasing users who
-    also hit errors vs. those who never did. Set ops hash-shuffle on the
-    full row — here a single pruned BIGINT column."""
+    """Set-operation semantics (INTERSECT / EXCEPT over distinct user
+    sets) computed in ONE pass: per-user purchase/error flags from a
+    single scan + one user_id-keyed map-side-combined aggregate, then
+    a 2-row ``stack`` over the 1-row global count frame.  The literal
+    intersect/subtract form this replaces (round 14) scanned events
+    FOUR times (each branch feeds both set ops, no exchange reuse) and
+    shuffled four times for the same answer — the rewrite is the plan
+    a set-op should compile to when both operands derive from one
+    table: flags are free at scan time, and the set algebra becomes
+    boolean algebra on the flags (a INTERSECT b == p AND e,
+    a EXCEPT b == p AND NOT e, over distinct user rows)."""
     ev = tables.load_table(spark, sf_dir, "events")
-    p = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
-    e = ev.filter(F.col("event_type") == "error").select("user_id").distinct()
-    both = p.intersect(e).agg(F.count("*").alias("n_users")).select(
-        F.lit("purchase_and_error").alias("cohort"), "n_users"
+    flags = (
+        ev.select(
+            "user_id",
+            (F.col("event_type") == "purchase").alias("ip"),
+            (F.col("event_type") == "error").alias("ie"),
+        )
+        .groupBy("user_id")
+        .agg(F.max("ip").alias("p"), F.max("ie").alias("e"))
     )
-    only = p.subtract(e).agg(F.count("*").alias("n_users")).select(
-        F.lit("purchase_not_error").alias("cohort"), "n_users"
+    counts = flags.filter(F.col("p")).agg(
+        F.sum(F.when(F.col("e"), 1).otherwise(0)).cast("long").alias("and_n"),
+        F.sum(F.when(F.col("e"), 0).otherwise(1)).cast("long").alias("not_n"),
     )
-    return both.unionAll(only)
+    return counts.selectExpr(
+        "stack(2, 'purchase_and_error', and_n, 'purchase_not_error', not_n)"
+        " AS (cohort, n_users)"
+    )
 
 
 # ---------------------------------------------------------------------------
