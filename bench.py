@@ -286,6 +286,7 @@ HEADLINE = [
     # round-14 additions
     "url_canonicalize",
     "url_domain_topk",
+    "dedup_url_exact",
 ]
 
 # Timed and reported, but excluded from the headline sum: cost dominated

@@ -314,3 +314,111 @@ def url_domain_topk_sql(table: str = "documents", k: int = TOPK_DOMAINS) -> str:
           FROM per_host)
     WHERE rk <= {k}
     """
+
+
+N_DEDUP_HOSTS = 25  # bounded host pool for the dedup URL law
+
+
+def with_dedup_fixture_urls(docs: DataFrame) -> DataFrame:
+    """The URL law for CROSS-document collapse: unlike
+    :func:`with_fixture_urls` (whose path embeds the doc id, so every
+    canonical URL is unique — right for the row-level report, useless
+    for dedup), this law keys the PAGE on ``doc_id div 6`` and the
+    shape on ``doc_id % 6``, so each 6-document block references one
+    page through six raw shapes and the canonicalizer must merge
+    exactly the shapes that ARE the same resource:
+
+    - shapes 0 (https+www) and 1 (uppercase scheme/host + :443 +
+      trailing slash) collapse to one https URL;
+    - shapes 3 (userinfo + www + :80 + fragment) and 5 (scheme-less +
+      trailing slash) collapse to one http URL;
+    - shape 2 keeps its non-default :8080 and shape 4 its cdn host —
+      genuinely different resources, so they must NOT merge."""
+    page = (F.col("doc_id") - F.col("doc_id") % 6) / 6
+    pg = page.cast("long").cast("string")
+    host_k = (page.cast("long") % N_DEDUP_HOSTS).cast("string")
+    s = F.concat(F.lit("site"), host_k)
+    v = F.col("doc_id") % 6
+    url = (
+        F.when(v == 0, F.concat(F.lit("https://www."), s, F.lit(".example.org/page/"), pg))
+        .when(v == 1, F.concat(F.lit("HTTPS://"), F.upper(s), F.lit(".EXAMPLE.org:443/page/"), pg, F.lit("/")))
+        .when(v == 2, F.concat(F.lit("http://"), s, F.lit(".example.org:8080/page/"), pg, F.lit("?q=1")))
+        .when(v == 3, F.concat(F.lit("http://user:pw@www."), s, F.lit(".example.org:80/page/"), pg, F.lit("#top")))
+        .when(v == 4, F.concat(F.lit("//cdn."), s, F.lit(".example.org./page/"), pg))
+        .otherwise(F.concat(s, F.lit(".example.org/page/"), pg, F.lit("/")))
+    )
+    return docs.withColumn("url", url)
+
+
+def dedup_url_exact(docs: DataFrame) -> DataFrame:
+    """Exact dedup by CANONICAL URL — the standard web-corpus first
+    pass (C4 removes exact-URL duplicates before any content dedup):
+    group documents on their canonicalized URL and report every
+    multi-document group, which here exists precisely because distinct
+    raw URL shapes collapse (a raw-string dedup finds ZERO of these
+    groups — every raw URL in the law is unique).  Output: (curl,
+    n_docs, keep_id) with keep_id the group-minimum doc id — the
+    keep-first convention of ``dedup_exact``.
+
+    Scale shape: identical to ``dedup_exact`` — canonicalization rides
+    the scan projection, then ONE map-side-combined hash aggregate on
+    the canonical-URL key; shuffle carries (curl, partial count,
+    partial min) per distinct URL per task.  Group sizes are bounded
+    by the law (pairs), and real corpora's per-URL multiplicity is
+    crawl-frequency-bounded — no hot keys."""
+    with_url = with_dedup_fixture_urls(docs.select("doc_id"))
+    return (
+        with_url.select(
+            "doc_id", canonical_url(F.col("url")).alias("curl")
+        )
+        .groupBy("curl")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("keep_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def _dedup_fixture_url_sql(table: str = "documents") -> str:
+    """SQL mirror of :func:`with_dedup_fixture_urls` as a ``u`` CTE."""
+    return f"""u AS (
+      SELECT doc_id,
+             CASE doc_id % 6
+               WHEN 0 THEN 'https://www.site' || ((doc_id // 6) % {N_DEDUP_HOSTS})
+                        || '.example.org/page/' || (doc_id // 6)
+               WHEN 1 THEN 'HTTPS://' || upper('site' || ((doc_id // 6) % {N_DEDUP_HOSTS}))
+                        || '.EXAMPLE.org:443/page/' || (doc_id // 6) || '/'
+               WHEN 2 THEN 'http://site' || ((doc_id // 6) % {N_DEDUP_HOSTS})
+                        || '.example.org:8080/page/' || (doc_id // 6) || '?q=1'
+               WHEN 3 THEN 'http://user:pw@www.site' || ((doc_id // 6) % {N_DEDUP_HOSTS})
+                        || '.example.org:80/page/' || (doc_id // 6) || '#top'
+               WHEN 4 THEN '//cdn.site' || ((doc_id // 6) % {N_DEDUP_HOSTS})
+                        || '.example.org./page/' || (doc_id // 6)
+               ELSE 'site' || ((doc_id // 6) % {N_DEDUP_HOSTS})
+                        || '.example.org/page/' || (doc_id // 6) || '/'
+             END AS url
+      FROM {table}
+    )"""
+
+
+def dedup_url_exact_sql(table: str = "documents") -> str:
+    """DuckDB mirror of :func:`dedup_url_exact`.  The parts chain
+    needs (doc_id, url) only, so this re-states the ``u`` CTE with
+    dummy lang/n_chars columns to reuse :func:`_parts_sql`."""
+    return f"""
+    WITH {_dedup_fixture_url_sql(table)},
+    {_parts_sql().replace("doc_id, lang, n_chars, url", "doc_id, url")},
+    canon AS (
+      SELECT doc_id,
+             scheme || '://' || host ||
+             CASE WHEN port = '' THEN '' ELSE ':' || port END ||
+             path ||
+             CASE WHEN qstr = '' THEN '' ELSE '?' || qstr END AS curl
+      FROM parts
+    )
+    SELECT curl, count(*)::BIGINT AS n_docs, min(doc_id) AS keep_id
+    FROM canon
+    GROUP BY curl
+    HAVING count(*) > 1
+    """

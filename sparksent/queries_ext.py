@@ -2387,3 +2387,20 @@ def q_url_domain_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents), so the single-partition window is bounded by publisher
     cardinality, not corpus size."""
     return urls.url_domain_topk(tables.load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_url_exact",
+    oracle=urls.dedup_url_exact_sql(),
+    tags=("ext", "dedup", "curation", "urls"),
+)
+def q_dedup_url_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by CANONICAL URL — the C4-style web-corpus first
+    pass, and the direct consumer of the canonicalizer's collapse:
+    the dedup URL law gives each page six raw shapes of which exactly
+    {https+www, uppercase+:443+slash} and {userinfo+:80+fragment,
+    scheme-less+slash} must merge while the :8080 and cdn-host shapes
+    must not — a raw-string dedup finds ZERO groups on this corpus.
+    One map-side-combined hash aggregate on the canonical URL (the
+    dedup_exact shape); canonicalization rides the scan projection."""
+    return urls.dedup_url_exact(tables.load_table(spark, sf_dir, "documents"))

@@ -67,7 +67,8 @@ _PRIORITY: tuple[str, ...] = (
     # slot 1+: no green driver row yet
     "url_canonicalize",
     "url_domain_topk",
-    # slot 3+: latest green driver row is r08
+    "dedup_url_exact",
+    # slot 4+: latest green driver row is r08
     "toxic_topic_cw25",
     "toxic_channel_cw50",
     "toxic_user_literal_cw10",
@@ -78,7 +79,7 @@ _PRIORITY: tuple[str, ...] = (
     "category_opinion_cumulative",
     "toxic_user_nlp_cw10",
     "json_field_stats",
-    # slot 13+: latest green driver row is r10
+    # slot 14+: latest green driver row is r10
     "similarity_topk_ivf_trained",
     "multimodal_resample_pixels",
     "multimodal_frame_decode_sampled",
@@ -115,8 +116,8 @@ _PRIORITY: tuple[str, ...] = (
     "user_behavior_features",
     "funnel_view_click_purchase",
     "retention_cohorts",
-    "event_transition_matrix",
-    "chunk_documents_128_96",  # --- driver window ends here (50) ---
+    "event_transition_matrix",  # --- driver window ends here (50) ---
+    "chunk_documents_128_96",
     "multimodal_decode_audio",
     "column_stats_events",
     "weekly_value_wow",
@@ -129,7 +130,7 @@ _PRIORITY: tuple[str, ...] = (
     "fuzzy_name_pairs",
     "lm_bigram_score",
     "bm25_topk",
-    # slot 63+: latest green driver row is r11
+    # slot 64+: latest green driver row is r11
     "dedup_image_phash",
     "dedup_span_extents",
     "multimodal_embed_topk",
@@ -180,7 +181,7 @@ _PRIORITY: tuple[str, ...] = (
     "basket_triple_support",
     "session_path_topk",
     "entity_resolution_parts",
-    # slot 113+: latest green driver row is r12
+    # slot 114+: latest green driver row is r12
     "sample_domain_quota",
     "churn_training_set",
     "item_similarity_jaccard",
@@ -231,7 +232,7 @@ _PRIORITY: tuple[str, ...] = (
     "multimodal_image_headers",
     "embedding_centroids",
     "embedding_quantize_error",
-    # slot 163+: latest green driver row is r13
+    # slot 164+: latest green driver row is r13
     "seq_packing_bpe_512",
     "sample_token_budget_bpe",
     "quality_gate_per_lang_head",
@@ -283,6 +284,7 @@ _PRIORITY: tuple[str, ...] = (
     "user_mood_cumulative",
     "toxic_user_cw10",
 )
+
 
 
 
