@@ -287,6 +287,7 @@ HEADLINE = [
     "url_canonicalize",
     "url_domain_topk",
     "dedup_url_exact",
+    "sample_domain_quota_canonical",
 ]
 
 # Timed and reported, but excluded from the headline sum: cost dominated

@@ -2404,3 +2404,31 @@ def q_dedup_url_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     One map-side-combined hash aggregate on the canonical URL (the
     dedup_exact shape); canonicalization rides the scan projection."""
     return urls.dedup_url_exact(tables.load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "sample_domain_quota_canonical",
+    oracle=curation.sample_domain_quota_sql(
+        table=(
+            "(WITH " + urls._fixture_url_sql("documents") + ",\n"
+            + urls._parts_sql()
+            + "\n SELECT doc_id, host FROM parts) canon"
+        ),
+        group_col="host",
+    ),
+    tags=("ext", "curation", "sampling", "urls"),
+)
+def q_sample_domain_quota_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composition the URL family exists for: per-domain frequency
+    capping keyed on the CANONICAL host instead of a raw source label
+    — RefinedWeb/C4 key their caps on canonicalized hosts precisely
+    because raw URL strings fragment one publisher into many
+    (www/case/port/slash variants would each get their own cap).
+    Canonicalization rides the scan projection into the SAME
+    WindowGroupLimit-bounded lottery-rank take as sample_domain_quota:
+    a hot publisher still costs map-side top-cap heaps, never a
+    corpus-sized sort partition."""
+    docs = urls.with_fixture_urls(
+        tables.load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    ).select("doc_id", urls.canonical_host(F.col("url")).alias("host"))
+    return curation.sample_domain_quota(docs, group_col="host")

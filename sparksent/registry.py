@@ -68,7 +68,8 @@ _PRIORITY: tuple[str, ...] = (
     "url_canonicalize",
     "url_domain_topk",
     "dedup_url_exact",
-    # slot 4+: latest green driver row is r08
+    "sample_domain_quota_canonical",
+    # slot 5+: latest green driver row is r08
     "toxic_topic_cw25",
     "toxic_channel_cw50",
     "toxic_user_literal_cw10",
@@ -79,7 +80,7 @@ _PRIORITY: tuple[str, ...] = (
     "category_opinion_cumulative",
     "toxic_user_nlp_cw10",
     "json_field_stats",
-    # slot 14+: latest green driver row is r10
+    # slot 15+: latest green driver row is r10
     "similarity_topk_ivf_trained",
     "multimodal_resample_pixels",
     "multimodal_frame_decode_sampled",
@@ -115,8 +116,8 @@ _PRIORITY: tuple[str, ...] = (
     "fullouter_user_activity",
     "user_behavior_features",
     "funnel_view_click_purchase",
-    "retention_cohorts",
-    "event_transition_matrix",  # --- driver window ends here (50) ---
+    "retention_cohorts",  # --- driver window ends here (50) ---
+    "event_transition_matrix",
     "chunk_documents_128_96",
     "multimodal_decode_audio",
     "column_stats_events",
@@ -130,7 +131,7 @@ _PRIORITY: tuple[str, ...] = (
     "fuzzy_name_pairs",
     "lm_bigram_score",
     "bm25_topk",
-    # slot 64+: latest green driver row is r11
+    # slot 65+: latest green driver row is r11
     "dedup_image_phash",
     "dedup_span_extents",
     "multimodal_embed_topk",
@@ -181,7 +182,7 @@ _PRIORITY: tuple[str, ...] = (
     "basket_triple_support",
     "session_path_topk",
     "entity_resolution_parts",
-    # slot 114+: latest green driver row is r12
+    # slot 115+: latest green driver row is r12
     "sample_domain_quota",
     "churn_training_set",
     "item_similarity_jaccard",
@@ -232,7 +233,7 @@ _PRIORITY: tuple[str, ...] = (
     "multimodal_image_headers",
     "embedding_centroids",
     "embedding_quantize_error",
-    # slot 164+: latest green driver row is r13
+    # slot 165+: latest green driver row is r13
     "seq_packing_bpe_512",
     "sample_token_budget_bpe",
     "quality_gate_per_lang_head",
@@ -284,6 +285,7 @@ _PRIORITY: tuple[str, ...] = (
     "user_mood_cumulative",
     "toxic_user_cw10",
 )
+
 
 
 

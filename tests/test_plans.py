@@ -1722,6 +1722,13 @@ def test_domain_quota_window_group_limit(spark):
     assert "WindowGroupLimit" in plan
     assert "Join" not in plan
     assert "CartesianProduct" not in plan
+    # the canonical-host composition must keep the SAME bound — the
+    # canonicalization is scan-projection work and must not break the
+    # WindowGroupLimit rewrite or introduce a join/Python stage
+    plan_c = plan_of(spark, "sample_domain_quota_canonical")
+    assert "WindowGroupLimit" in plan_c
+    assert "Join" not in plan_c
+    assert "Python" not in plan_c
 
 
 def test_url_canonicalize_scan_projection_only(spark):

@@ -2591,3 +2591,106 @@ def test_bpe_unicode_segmentation_cross_engine(spark, ducks):
         map(tuple, con.execute(bpe.encode_sql(table="uni_docs")).fetchall())
     )
     assert got_e == want_e
+
+
+# --- URL canonicalization cross-engine fuzz (round 14) -------------------
+
+_url_host_label = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789-",
+    min_size=1,
+    max_size=8,
+)
+_url_path_seg = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyz0123456789._-~",
+    min_size=0,
+    max_size=6,
+)
+
+
+@st.composite
+def _hostile_url(draw):
+    """A URL assembled from the hostile-feature space the canonicalizer
+    claims to handle: optional mixed-case scheme / scheme-relative /
+    bare forms, optional userinfo, optional www + trailing host dot,
+    mixed-case host labels, optional port (default and non-default),
+    paths with repeated trailing slashes, optional query and
+    fragment."""
+    scheme = draw(st.sampled_from(
+        ["http://", "https://", "HTTP://", "HTTPS://", "hTtPs://", "//", ""]
+    ))
+    user = draw(st.sampled_from(["", "u@", "user:pw@"]))
+    www = draw(st.sampled_from(["", "www.", "WWW."]))
+    labels = draw(st.lists(_url_host_label, min_size=1, max_size=3))
+    host = ".".join(labels)
+    trail_dot = draw(st.sampled_from(["", "."]))
+    port = draw(st.sampled_from(["", ":80", ":443", ":8080", ":1"]))
+    segs = draw(st.lists(_url_path_seg, min_size=0, max_size=3))
+    path = "".join("/" + s for s in segs)
+    slashes = draw(st.sampled_from(["", "/", "//", "///"]))
+    query = draw(st.sampled_from(["", "?a=1", "?b=2&a=1", "?"]))
+    frag = draw(st.sampled_from(["", "#", "#frag", "#a/b?c"]))
+    return f"{scheme}{user}{www}{host}{trail_dot}{port}{path}{slashes}{query}{frag}"
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(_hostile_url(), min_size=1, max_size=40))
+def test_url_canonicalize_cross_engine_fuzz(spark, urls):
+    """The canonicalizer's cross-engine contract, fuzzed: for ANY URL
+    from the hostile-feature grammar (not just the six fixture
+    shapes), Spark's url_parts/canonical_url and the SQL mirror's
+    parts chain must produce IDENTICAL (curl, host, port, path) —
+    the anchored backslash-free patterns are supposed to make
+    replace-ALL (Spark) and replace-FIRST (DuckDB) agree, and this is
+    the test that earns that 'supposed to'.  Also pins two semantic
+    invariants on every output: no userinfo/fragment survives, and a
+    canonical URL re-canonicalizes to itself (idempotence)."""
+    import duckdb
+
+    from sparksent.ext import urls as U
+
+    rows = [(i, u) for i, u in enumerate(urls)]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    p = U.url_parts(F.col("url"))
+    got = {
+        r.doc_id: (r.curl, r.host, r.port, r.path)
+        for r in df.select(
+            "doc_id",
+            U.canonical_url(F.col("url")).alias("curl"),
+            p["host"].alias("host"),
+            p["port"].alias("port"),
+            p["path"].alias("path"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id BIGINT, url VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    sql = f"""
+    WITH u AS (SELECT doc_id, NULL AS lang, NULL AS n_chars, url FROM t),
+    {U._parts_sql()}
+    SELECT doc_id,
+           scheme || '://' || host ||
+           CASE WHEN port = '' THEN '' ELSE ':' || port END ||
+           path ||
+           CASE WHEN qstr = '' THEN '' ELSE '?' || qstr END AS curl,
+           host, port, path
+    FROM parts
+    """
+    want = {
+        int(r[0]): (r[1], r[2], r[3], r[4])
+        for r in con.execute(sql).fetchall()
+    }
+    assert got == want
+    # semantic invariants + idempotence
+    curls = [v[0] for v in got.values()]
+    for c in curls:
+        assert "@" not in c and "#" not in c
+    df2 = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(curls)], "doc_id long, url string"
+    )
+    again = {
+        r.doc_id: r.curl
+        for r in df2.select(
+            "doc_id", U.canonical_url(F.col("url")).alias("curl")
+        ).collect()
+    }
+    assert again == {i: c for i, c in enumerate(curls)}
