@@ -288,6 +288,8 @@ HEADLINE = [
     "url_domain_topk",
     "dedup_url_exact",
     "sample_domain_quota_canonical",
+    "retrieval_rrf_fusion",
+    "curriculum_quality_phases",
 ]
 
 # Timed and reported, but excluded from the headline sum: cost dominated

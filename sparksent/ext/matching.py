@@ -429,3 +429,128 @@ def bm25_topk_sql(
     ORDER BY score DESC, id
     LIMIT {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# hybrid retrieval: reciprocal-rank fusion of sparse (BM25) and dense
+# (embedding cosine) rankings — the standard production combiner
+# ---------------------------------------------------------------------------
+
+RRF_K = 60  # the Cormack et al. 2009 constant; industry default
+RRF_POOL = 20  # per-system candidate pool feeding the fusion
+RRF_TOPK = 10
+
+
+def rrf_fusion_topk(
+    docs: DataFrame,
+    emb: DataFrame,
+    pool: int = RRF_POOL,
+    k: int = RRF_TOPK,
+    rrf_k: int = RRF_K,
+    query_vec_id: int = 0,
+) -> DataFrame:
+    """Hybrid retrieval by Reciprocal Rank Fusion (Cormack et al.
+    2009): fuse the BM25 term ranking and the dense cosine ranking of
+    the SAME query — ``rrf(d) = sum over systems 1/(rrf_k + rank_d)``
+    over the union of each system's top-``pool``, missing-from-a-list
+    contributing 0 — and keep the fused top-``k``.  This is how
+    production RAG retrieval actually combines lexical and vector
+    search: rank fusion needs no score calibration between systems
+    (scores live on incomparable scales; ranks don't).
+
+    Determinism: ranks are exact integers, each contribution is ONE
+    double division with integer operands and the fused score one
+    fixed-order addition — bit-identical across engines; ties break
+    on doc id.  Missing ranks surface as 0 BIGINT (not NULL — a
+    nullable int column round-trips the driver norm as NaN).
+
+    Scale shape: each system's top-pool is already bounded (BM25's
+    TakeOrdered, ANN's per-query rank window), so everything past the
+    two retrievals — the full-outer union, the fusion arithmetic, the
+    final rank — runs on <= 2*pool rows.  At corpus scale the dense
+    side swaps brute force for the registered IVF/LSH paths with the
+    same (neighbor_id, rank) contract; the fusion tail is unchanged."""
+    from pyspark.sql import Window
+
+    from .similarity import brute_force_topk
+
+    sparse = bm25_topk(docs, k=pool)
+    ws = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    sr = sparse.select(
+        "doc_id", F.row_number().over(ws).cast("long").alias("r_sparse")
+    )
+    dense = brute_force_topk(
+        emb, emb.filter(F.col("vec_id") == query_vec_id), k=pool
+    )
+    dr = dense.select(
+        F.col("neighbor_id").cast("long").alias("doc_id"),
+        F.col("rank").cast("long").alias("r_dense"),
+    )
+    fused = (
+        sr.join(dr, "doc_id", "full_outer")
+        .withColumn(
+            "rrf_score",
+            F.coalesce(
+                F.lit(1.0) / (F.lit(rrf_k) + F.col("r_sparse")), F.lit(0.0)
+            )
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(rrf_k) + F.col("r_dense")), F.lit(0.0)
+            ),
+        )
+    )
+    wf = Window.orderBy(F.col("rrf_score").desc(), F.col("doc_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(wf).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "doc_id",
+            "rrf_score",
+            F.coalesce(F.col("r_sparse"), F.lit(0)).cast("long").alias("r_sparse"),
+            F.coalesce(F.col("r_dense"), F.lit(0)).cast("long").alias("r_dense"),
+            "rank",
+        )
+    )
+
+
+def rrf_fusion_topk_sql(
+    doc_table: str = "documents",
+    emb_table: str = "embeddings",
+    pool: int = RRF_POOL,
+    k: int = RRF_TOPK,
+    rrf_k: int = RRF_K,
+    query_vec_id: int = 0,
+) -> str:
+    """DuckDB mirror of :func:`rrf_fusion_topk`: the two systems'
+    top-pool CTEs (the registered bm25/brute oracles' own SQL), a full
+    outer join, the identical one-division-per-system fused double."""
+    from .similarity import brute_force_topk_sql
+
+    bm25 = bm25_topk_sql(doc_table, k=pool)
+    dense = brute_force_topk_sql(emb_table, k=pool, n_queries=query_vec_id + 1)
+    return f"""
+    WITH sparse AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY score DESC, doc_id) AS r_sparse
+      FROM ({bm25})
+    ),
+    dense AS (
+      SELECT neighbor_id AS doc_id, rank AS r_dense
+      FROM ({dense})
+      WHERE query_id = {query_vec_id}
+    ),
+    fused AS (
+      SELECT COALESCE(s.doc_id, d.doc_id) AS doc_id, s.r_sparse, d.r_dense,
+             COALESCE(1.0::DOUBLE / ({rrf_k} + s.r_sparse), 0.0::DOUBLE)
+             + COALESCE(1.0::DOUBLE / ({rrf_k} + d.r_dense), 0.0::DOUBLE)
+               AS rrf_score
+      FROM sparse s FULL OUTER JOIN dense d USING (doc_id)
+    )
+    SELECT doc_id, rrf_score,
+           COALESCE(r_sparse, 0)::BIGINT AS r_sparse,
+           COALESCE(r_dense, 0)::BIGINT AS r_dense,
+           rank
+    FROM (SELECT *, row_number() OVER (ORDER BY rrf_score DESC, doc_id)::BIGINT
+                 AS rank
+          FROM fused)
+    WHERE rank <= {k}
+    """

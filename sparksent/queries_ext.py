@@ -2432,3 +2432,78 @@ def q_sample_domain_quota_canonical(spark: SparkSession, sf_dir: str) -> DataFra
         tables.load_table(spark, sf_dir, "documents").select("doc_id", "source")
     ).select("doc_id", urls.canonical_host(F.col("url")).alias("host"))
     return curation.sample_domain_quota(docs, group_col="host")
+
+
+@register(
+    "retrieval_rrf_fusion",
+    oracle=matching.rrf_fusion_topk_sql(),
+    tags=("ext", "similarity", "retrieval"),
+)
+def q_retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: Reciprocal Rank Fusion of the BM25 term
+    ranking and the dense cosine ranking over the union of each
+    system's top-20, fused top-10 — how production RAG combines
+    lexical and vector search without score calibration (ranks fuse;
+    scores don't).  Both candidate pools are bounded before the
+    fusion, so the full-outer union and rank tail run on <= 40 rows
+    however large the corpus; at scale the dense side swaps brute
+    force for the registered IVF/LSH paths with the same
+    (neighbor_id, rank) contract."""
+    return matching.rrf_fusion_topk(_docs(spark, sf_dir), _emb(spark, sf_dir))
+
+
+N_CURRICULUM_PHASES = 4
+
+
+@register(
+    "curriculum_quality_phases",
+    oracle=f"""
+    WITH g AS ({{GATE_SQL}})
+    SELECT doc_id, fail_mask, alpha_ppm, ttr_ppm,
+           row_number() OVER w::BIGINT AS curriculum_rank,
+           ntile({N_CURRICULUM_PHASES}) OVER w AS phase
+    FROM g
+    WINDOW w AS (ORDER BY fail_mask ASC, alpha_ppm DESC, ttr_ppm DESC,
+                 doc_id ASC)
+    """.replace("{GATE_SQL}", textstats.gopher_quality_gate_sql()),
+    tags=("ext", "curation", "ordering"),
+)
+def q_curriculum_quality_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ascending curriculum ordering: rank the corpus
+    cleanest-first — fewest Gopher-gate failures, then highest
+    alphabetic fraction, then highest type-token ratio, id tiebreak —
+    and cut it into 4 equal training phases (curriculum learning's
+    data-ordering step: clean text early, the noisy tail late).  The
+    global rank is ext/ranks.py's range-partitioned form (NO
+    single-reducer window at any corpus size) and the phase is the
+    integer-exact NTILE arithmetic from (rank, n) — bit-identical to
+    the window-function form, so the oracle is plain row_number +
+    ntile over the same order.  Gate metrics are exact integer
+    milli/ppm, so the curriculum key is bit-identical cross-engine."""
+    from .ext.ranks import ntile_col, with_global_ranks
+
+    gate = textstats.gopher_quality_gate(_docs(spark, sf_dir))
+    keyed = gate.select(
+        "doc_id", "fail_mask", "alpha_ppm", "ttr_ppm",
+        (-F.col("alpha_ppm")).alias("neg_alpha"),
+        (-F.col("ttr_ppm")).alias("neg_ttr"),
+    )
+    ranked = with_global_ranks(
+        keyed,
+        ["fail_mask", "neg_alpha", "neg_ttr", "doc_id"],
+        rank_col="curriculum_rank",
+    )
+    n = keyed.agg(F.count("*").cast("long").alias("n_total"))
+    return (
+        ranked.crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "fail_mask",
+            "alpha_ppm",
+            "ttr_ppm",
+            "curriculum_rank",
+            ntile_col(
+                F.col("curriculum_rank"), F.col("n_total"), N_CURRICULUM_PHASES
+            ).alias("phase"),
+        )
+    )

@@ -69,7 +69,9 @@ _PRIORITY: tuple[str, ...] = (
     "url_domain_topk",
     "dedup_url_exact",
     "sample_domain_quota_canonical",
-    # slot 5+: latest green driver row is r08
+    "retrieval_rrf_fusion",
+    "curriculum_quality_phases",
+    # slot 7+: latest green driver row is r08
     "toxic_topic_cw25",
     "toxic_channel_cw50",
     "toxic_user_literal_cw10",
@@ -80,7 +82,7 @@ _PRIORITY: tuple[str, ...] = (
     "category_opinion_cumulative",
     "toxic_user_nlp_cw10",
     "json_field_stats",
-    # slot 15+: latest green driver row is r10
+    # slot 17+: latest green driver row is r10
     "similarity_topk_ivf_trained",
     "multimodal_resample_pixels",
     "multimodal_frame_decode_sampled",
@@ -114,9 +116,9 @@ _PRIORITY: tuple[str, ...] = (
     "decile_user_value",
     "event_session_ids",
     "fullouter_user_activity",
-    "user_behavior_features",
+    "user_behavior_features",  # --- driver window ends here (50) ---
     "funnel_view_click_purchase",
-    "retention_cohorts",  # --- driver window ends here (50) ---
+    "retention_cohorts",
     "event_transition_matrix",
     "chunk_documents_128_96",
     "multimodal_decode_audio",
@@ -131,7 +133,7 @@ _PRIORITY: tuple[str, ...] = (
     "fuzzy_name_pairs",
     "lm_bigram_score",
     "bm25_topk",
-    # slot 65+: latest green driver row is r11
+    # slot 67+: latest green driver row is r11
     "dedup_image_phash",
     "dedup_span_extents",
     "multimodal_embed_topk",
@@ -182,7 +184,7 @@ _PRIORITY: tuple[str, ...] = (
     "basket_triple_support",
     "session_path_topk",
     "entity_resolution_parts",
-    # slot 115+: latest green driver row is r12
+    # slot 117+: latest green driver row is r12
     "sample_domain_quota",
     "churn_training_set",
     "item_similarity_jaccard",
@@ -233,7 +235,7 @@ _PRIORITY: tuple[str, ...] = (
     "multimodal_image_headers",
     "embedding_centroids",
     "embedding_quantize_error",
-    # slot 165+: latest green driver row is r13
+    # slot 167+: latest green driver row is r13
     "seq_packing_bpe_512",
     "sample_token_budget_bpe",
     "quality_gate_per_lang_head",
@@ -285,6 +287,7 @@ _PRIORITY: tuple[str, ...] = (
     "user_mood_cumulative",
     "toxic_user_cw10",
 )
+
 
 
 
