@@ -3272,3 +3272,51 @@ def test_streaming_decontaminate_survives_restart(spark, tmp_path):
         (r.doc_id, r.n_shared_grams) for r in decontaminate(docs).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_streaming_domain_quota_on_canonical_host(spark, tmp_path):
+    """The round-14 composition streams: URL canonicalization is pure
+    projection (stateless, so streaming-legal on the micro-batch frame
+    itself) feeding the stateful per-domain quota keyed on the
+    CANONICAL host.  One-batch replay must equal the batch
+    sample_domain_quota_canonical exactly — same lottery, same rank,
+    same collapsed publisher keys."""
+    from pyspark.sql import types as T
+
+    from sparksent.ext.curation import sample_domain_quota
+    from sparksent.ext.urls import canonical_host, with_fixture_urls
+    from sparksent.streaming import streaming_domain_quota
+    from sparksent.streaming.sources import file_replay_source, write_replay_chunks
+    from sparksent.tables import load_table
+
+    docs = load_table(spark, SF_DIR_SMALL, "documents").select("doc_id", "source")
+    cap = 5
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("source", T.StringType())]
+    )
+    replay = str(tmp_path / "dqc_replay")
+    write_replay_chunks(docs, replay, 1, order_col="doc_id")
+    stream = with_fixture_urls(
+        file_replay_source(spark, replay, schema=schema)
+    ).select("doc_id", canonical_host(F.col("url")).alias("host"))
+    q = (
+        streaming_domain_quota(stream, cap=cap, group_col="host")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_dqc")
+        .option("checkpointLocation", str(tmp_path / "dqc_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {(r.doc_id, r.host, r.rk) for r in spark.table("t_dqc").collect()}
+    batch = with_fixture_urls(docs).select(
+        "doc_id", canonical_host(F.col("url")).alias("host")
+    )
+    want = {
+        (r.doc_id, r.host, r.rk)
+        for r in sample_domain_quota(batch, cap=cap, group_col="host").collect()
+    }
+    assert got == want and len(want) > 0
+    # the collapse is live on the stream: hosts carry no www./port/case
+    assert all(not h.startswith("www.") and ":" not in h for _, h, _ in got)

@@ -48,6 +48,14 @@ QUERIES = (
     "bpe_fertility_per_lang",
     "packing_efficiency_bpe_512",
     "dedup_chunks_exact",
+    # round-14 registrations (second wave): the URL family, the
+    # canonical-host quota composition, hybrid retrieval, curriculum
+    "url_canonicalize",
+    "url_domain_topk",
+    "dedup_url_exact",
+    "sample_domain_quota_canonical",
+    "retrieval_rrf_fusion",
+    "curriculum_quality_phases",
 )
 
 
