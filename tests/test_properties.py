@@ -2694,3 +2694,44 @@ def test_url_canonicalize_cross_engine_fuzz(spark, urls):
         ).collect()
     }
     assert again == {i: c for i, c in enumerate(curls)}
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(min_value=0, max_value=12)),
+            st.sampled_from(["purchase", "error", "view", None]),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_setop_cohorts_flag_rewrite_equals_literal_setops(spark, rows):
+    """The round-14 setop_user_cohorts rewrite (per-user flag
+    aggregate) must equal the literal INTERSECT/EXCEPT form on ANY
+    frame — including NULL user_ids (SQL set ops group NULLs as equal,
+    and so does groupBy) and NULL event_types (excluded by both
+    forms' predicates) — not just the NULL-free fixture the registry
+    oracle sees."""
+    df = spark.createDataFrame(rows, "user_id int, event_type string")
+    p = df.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    e = df.filter(F.col("event_type") == "error").select("user_id").distinct()
+    want_and = p.intersect(e).count()
+    want_not = p.subtract(e).count()
+
+    flags = (
+        df.select(
+            "user_id",
+            (F.col("event_type") == "purchase").alias("ip"),
+            (F.col("event_type") == "error").alias("ie"),
+        )
+        .groupBy("user_id")
+        .agg(F.max("ip").alias("p"), F.max("ie").alias("e"))
+    )
+    counts = flags.filter(F.col("p")).agg(
+        F.sum(F.when(F.col("e"), 1).otherwise(0)).alias("and_n"),
+        F.sum(F.when(F.col("e"), 0).otherwise(1)).alias("not_n"),
+    ).collect()[0]
+    assert (counts.and_n or 0) == want_and
+    assert (counts.not_n or 0) == want_not
