@@ -290,6 +290,7 @@ HEADLINE = [
     "sample_domain_quota_canonical",
     "retrieval_rrf_fusion",
     "curriculum_quality_phases",
+    "dedup_chunks_minhash",
 ]
 
 # Timed and reported, but excluded from the headline sum: cost dominated

@@ -996,3 +996,123 @@ def dsir_importance_sql(
     LEFT JOIN per_doc p ON p.id = base.{id_col}
     WHERE base.{id_col} % {target_mod} <> 0
     """
+
+
+CHUNK_CID_BASE = 100_000  # cid = doc_id * BASE + chunk_id (chunk counts
+# are n_words/stride — orders of magnitude under the base at any doc size
+# this corpus law produces; a production pipeline with million-chunk
+# documents would widen the base or carry a struct key)
+
+
+def chunk_texts(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_len: int = CHUNK_LEN,
+    stride: int = CHUNK_STRIDE,
+) -> DataFrame:
+    """The chunk expansion WITH text — (cid, ctext) — for consumers
+    that need chunk content rather than the 60-bit hash (the MinHash
+    near-dup pass below).  Same shuffle-free scan-side expansion as
+    :func:`chunk_documents`; the text column exists only inside the
+    downstream signature projection and never reaches a shuffle."""
+    ws = (
+        rebalance(df)
+        .select(F.col(id_col), F.split(F.col(text_col), " ").alias("ws"))
+        .withColumn("n", F.size("ws"))
+    )
+    return ws.select(
+        F.col(id_col),
+        "ws",
+        "n",
+        F.explode(F.expr(f"sequence(0, greatest(0, n - 1), {stride})")).alias(
+            "start"
+        ),
+    ).select(
+        (
+            F.col(id_col) * CHUNK_CID_BASE
+            + F.expr(f"start div {stride}").cast("long")
+        ).alias("cid"),
+        F.array_join(
+            F.expr(f"slice(ws, start + 1, least({chunk_len}, n - start))"), " "
+        ).alias("ctext"),
+    )
+
+
+def chunk_texts_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text: str = "text",
+    chunk_len: int = CHUNK_LEN,
+    stride: int = CHUNK_STRIDE,
+) -> str:
+    """SQL mirror of :func:`chunk_texts` as a parenthesized subquery."""
+    return f"""(
+    WITH w AS (
+      SELECT {id_col}, string_split({text}, ' ') AS ws,
+             len(string_split({text}, ' ')) AS n
+      FROM {table}
+    ),
+    s AS (
+      SELECT {id_col}, ws, n,
+             unnest(generate_series(0, greatest(0, n - 1), {stride})) AS start
+      FROM w
+    )
+    SELECT ({id_col} * {CHUNK_CID_BASE} + (start // {stride}))::BIGINT AS cid,
+           array_to_string(ws[start + 1 : start + least({chunk_len}, n - start)], ' ')
+             AS ctext
+    FROM s) ch"""
+
+
+def dedup_chunks_minhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Passage-level NEAR-dup — the companion to
+    :func:`dedup_chunks_exact` for passages that are paraphrased,
+    lightly edited, or boilerplate-injected rather than verbatim:
+    MinHash-LSH over the chunk expansion, CROSS-document pairs only
+    (consecutive chunks of one document overlap by construction —
+    stride < chunk_len — and an index build deduplicates within a
+    document by position, not similarity).  Output (cid_a, cid_b,
+    est_jaccard >= threshold), cids decomposable as doc*base+chunk.
+
+    Scale shape: the expansion is scan-side; the signature is per-row
+    projection math over the chunk text (which never shuffles); pairs
+    come from the banded (band, bsig) equi-join exactly as
+    whole-document MinHash — the chunk multiplier raises row counts
+    ~n_words/stride-fold but adds no new shuffle shape."""
+    from .dedup import minhash_lsh_pairs
+
+    chunks = chunk_texts(df, id_col, text_col)
+    pairs = minhash_lsh_pairs(
+        chunks, id_col="cid", text_col="ctext", threshold=threshold
+    )
+    same_doc = (F.col("id_a") - F.col("id_a") % CHUNK_CID_BASE) == (
+        F.col("id_b") - F.col("id_b") % CHUNK_CID_BASE
+    )
+    return pairs.filter(~same_doc).select(
+        F.col("id_a").alias("cid_a"),
+        F.col("id_b").alias("cid_b"),
+        "est_jaccard",
+    )
+
+
+def dedup_chunks_minhash_sql(
+    table: str = "documents", threshold: float = 0.5
+) -> str:
+    """DuckDB mirror: the registered minhash-pair oracle over the
+    chunk-text subquery, cross-document pairs only."""
+    from .dedup import minhash_lsh_pairs_sql
+
+    inner = minhash_lsh_pairs_sql(
+        table=chunk_texts_sql(table), id_col="cid", text="ctext",
+        threshold=threshold,
+    )
+    return f"""
+    SELECT id_a AS cid_a, id_b AS cid_b, est_jaccard
+    FROM ({inner})
+    WHERE id_a // {CHUNK_CID_BASE} <> id_b // {CHUNK_CID_BASE}
+    """

@@ -2507,3 +2507,21 @@ def q_curriculum_quality_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("phase"),
         )
     )
+
+
+@register(
+    "dedup_chunks_minhash",
+    oracle=curation.dedup_chunks_minhash_sql(),
+    tags=("ext", "dedup", "curation"),
+)
+def q_dedup_chunks_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level NEAR-dup for retrieval indexes: MinHash-LSH over
+    the 128/96 chunk expansion, cross-document pairs only — catches
+    paraphrased or lightly-edited repeated passages that
+    dedup_chunks_exact's verbatim hash cannot see and whole-document
+    MinHash dilutes away (a shared 128-word passage inside two
+    2,000-word documents moves whole-doc Jaccard by ~3%, far under
+    any threshold — at chunk granularity it IS the document).  Same
+    banded equi-join shape as whole-doc MinHash; the chunk expansion
+    is scan-side and chunk text never shuffles."""
+    return curation.dedup_chunks_minhash(_docs(spark, sf_dir))

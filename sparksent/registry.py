@@ -71,7 +71,8 @@ _PRIORITY: tuple[str, ...] = (
     "sample_domain_quota_canonical",
     "retrieval_rrf_fusion",
     "curriculum_quality_phases",
-    # slot 7+: latest green driver row is r08
+    "dedup_chunks_minhash",
+    # slot 8+: latest green driver row is r08
     "toxic_topic_cw25",
     "toxic_channel_cw50",
     "toxic_user_literal_cw10",
@@ -82,7 +83,7 @@ _PRIORITY: tuple[str, ...] = (
     "category_opinion_cumulative",
     "toxic_user_nlp_cw10",
     "json_field_stats",
-    # slot 17+: latest green driver row is r10
+    # slot 18+: latest green driver row is r10
     "similarity_topk_ivf_trained",
     "multimodal_resample_pixels",
     "multimodal_frame_decode_sampled",
@@ -115,8 +116,8 @@ _PRIORITY: tuple[str, ...] = (
     "hist_event_value",
     "decile_user_value",
     "event_session_ids",
-    "fullouter_user_activity",
-    "user_behavior_features",  # --- driver window ends here (50) ---
+    "fullouter_user_activity",  # --- driver window ends here (50) ---
+    "user_behavior_features",
     "funnel_view_click_purchase",
     "retention_cohorts",
     "event_transition_matrix",
@@ -133,7 +134,7 @@ _PRIORITY: tuple[str, ...] = (
     "fuzzy_name_pairs",
     "lm_bigram_score",
     "bm25_topk",
-    # slot 67+: latest green driver row is r11
+    # slot 68+: latest green driver row is r11
     "dedup_image_phash",
     "dedup_span_extents",
     "multimodal_embed_topk",
@@ -184,7 +185,7 @@ _PRIORITY: tuple[str, ...] = (
     "basket_triple_support",
     "session_path_topk",
     "entity_resolution_parts",
-    # slot 117+: latest green driver row is r12
+    # slot 118+: latest green driver row is r12
     "sample_domain_quota",
     "churn_training_set",
     "item_similarity_jaccard",
@@ -235,7 +236,7 @@ _PRIORITY: tuple[str, ...] = (
     "multimodal_image_headers",
     "embedding_centroids",
     "embedding_quantize_error",
-    # slot 167+: latest green driver row is r13
+    # slot 168+: latest green driver row is r13
     "seq_packing_bpe_512",
     "sample_token_budget_bpe",
     "quality_gate_per_lang_head",
@@ -287,6 +288,7 @@ _PRIORITY: tuple[str, ...] = (
     "user_mood_cumulative",
     "toxic_user_cw10",
 )
+
 
 
 
