@@ -291,6 +291,7 @@ HEADLINE = [
     "retrieval_rrf_fusion",
     "curriculum_quality_phases",
     "dedup_chunks_minhash",
+    "warc_parse_records",
 ]
 
 # Timed and reported, but excluded from the headline sum: cost dominated

@@ -1,0 +1,189 @@
+"""WARC-shaped crawl ingestion — the web-corpus front door, in-plan.
+
+Real pretraining corpora arrive as WARC: concatenated
+``WARC/1.0`` records, each a header block (``Name: value`` lines)
+separated from its payload by a blank line.  The hard part at 100 TB
+is not parsing one record — it is SPLITTING a multi-record blob and
+extracting typed fields without dropping to per-row Python.  This
+module does both declaratively: a literal-delimiter split + posexplode
+turns one blob row into its record rows (scan-side, shuffle-free), and
+anchored regex extraction types the headers — the whole parse stays in
+whole-stage codegen, and the DuckDB oracle runs the same split
+(``string_split``) and the same RE2-safe patterns.
+
+Scope, stated honestly: this is the RECORD-STRUCTURE layer (split,
+header typing, payload-length audit) over a single-line-payload law —
+the layer a real CommonCrawl job runs after decompression.  Gzip
+member decompression and multi-line/binary payloads are byte-level
+work the multimodal codecs' Arrow stage would host (`ext/multimodal.py`
+pattern), not string expressions; the fixture law therefore keeps
+payloads single-line so the structure layer is fully testable
+cross-engine.
+
+The fixture LAW (``with_warc_blobs``): documents pack 4 records per
+blob (``blob_id = doc_id div 4``) — each record carrying its id, a
+type that cycles response/request/metadata, the round-14 fixture URL,
+and a Content-Length DELIBERATELY one byte LONG for every 7th record
+(the audit the parser must catch: truncated payloads are how crawl
+corruption actually surfaces).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .urls import with_fixture_urls
+
+WARC_PER_BLOB = 4
+WARC_DELIM = "WARC/1.0\n"
+
+# RE2-safe (no lookaround, no backreferences); [^\n] bounds every
+# header value so '.' never needs dotall in either engine
+_REC_ID_RE = "WARC-Record-ID: ([0-9]+)\n"
+_TYPE_RE = "WARC-Type: ([^\n]*)\n"
+_URI_RE = "WARC-Target-URI: ([^\n]*)\n"
+_CLEN_RE = "Content-Length: ([0-9]+)\n"
+_PAYLOAD_RE = "\n\n([^\n]*)"
+
+
+def warc_record(doc_id: Column, wtype: Column, uri: Column,
+                clen: Column, payload: Column) -> Column:
+    """One WARC record as a string column (header block + blank line +
+    single-line payload + record terminator)."""
+    return F.concat(
+        F.lit(WARC_DELIM),
+        F.lit("WARC-Record-ID: "), doc_id.cast("string"), F.lit("\n"),
+        F.lit("WARC-Type: "), wtype, F.lit("\n"),
+        F.lit("WARC-Target-URI: "), uri, F.lit("\n"),
+        F.lit("Content-Length: "), clen.cast("string"), F.lit("\n"),
+        F.lit("\n"), payload, F.lit("\n\n"),
+    )
+
+
+def with_warc_blobs(docs: DataFrame) -> DataFrame:
+    """The fixture law: (blob_id, blob) with 4 records per blob.
+    Types cycle response/request/metadata by doc_id % 3; every 7th
+    record declares a Content-Length one byte LONG (the corruption
+    the parser's audit column must flag).  The pack is a (blob_id)
+    aggregate with a deterministic in-blob order — fixture-build cost,
+    not parser cost."""
+    d = F.col("doc_id")
+    wtype = (
+        F.when(d % 3 == 0, F.lit("response"))
+        .when(d % 3 == 1, F.lit("request"))
+        .otherwise(F.lit("metadata"))
+    )
+    clen = F.length("text").cast("long") + F.when(d % 7 == 0, 1).otherwise(0)
+    rec = warc_record(d, wtype, F.col("url"), clen, F.col("text"))
+    recs = with_fixture_urls(docs.select("doc_id", "source", "text")).select(
+        (F.col("doc_id") - F.col("doc_id") % WARC_PER_BLOB).alias("bkey"),
+        F.struct(F.col("doc_id").alias("i"), rec.alias("r")).alias("sr"),
+    )
+    return recs.groupBy("bkey").agg(
+        F.concat_ws(
+            "", F.transform(F.sort_array(F.collect_list("sr")), lambda s: s.r)
+        ).alias("blob")
+    ).select(
+        F.expr(f"bkey div {WARC_PER_BLOB}").cast("long").alias("blob_id"),
+        "blob",
+    )
+
+
+def warc_parse_records(blobs: DataFrame, blob_col: str = "blob") -> DataFrame:
+    """The operator: split every blob into its records and type the
+    headers — (blob_id, rec_idx, rec_id, warc_type, target_uri,
+    content_length, payload_chars, length_ok).
+
+    Plan shape: ONE literal-delimiter split + posexplode (the leading
+    empty element before the first delimiter is dropped by position,
+    not content), then anchored regex extraction per record — all
+    scan-side projection, no shuffle, no Python; at 100 TB this is the
+    map stage between decompression and the curation pipeline.
+    ``length_ok`` is the corruption audit: declared Content-Length vs
+    actual payload length."""
+    parts = blobs.select(
+        "blob_id",
+        F.posexplode(F.split(F.col(blob_col), "WARC/1[.]0\n", -1)).alias(
+            "idx", "rec"
+        ),
+    ).filter(F.col("idx") > 0)
+    payload = F.regexp_extract(F.col("rec"), _PAYLOAD_RE, 1)
+    return parts.select(
+        "blob_id",
+        (F.col("idx") - 1).cast("int").alias("rec_idx"),
+        F.regexp_extract(F.col("rec"), _REC_ID_RE, 1).cast("long").alias("rec_id"),
+        F.regexp_extract(F.col("rec"), _TYPE_RE, 1).alias("warc_type"),
+        F.regexp_extract(F.col("rec"), _URI_RE, 1).alias("target_uri"),
+        F.regexp_extract(F.col("rec"), _CLEN_RE, 1)
+        .cast("long")
+        .alias("content_length"),
+        F.length(payload).cast("long").alias("payload_chars"),
+        (
+            F.regexp_extract(F.col("rec"), _CLEN_RE, 1).cast("long")
+            == F.length(payload).cast("long")
+        ).alias("length_ok"),
+    )
+
+
+def _blob_sql(table: str = "documents") -> str:
+    """The fixture blob law in SQL — mirrors :func:`with_warc_blobs`
+    over the round-14 URL law's ``u`` CTE."""
+    from .urls import _fixture_url_sql
+
+    url_cte = _fixture_url_sql(table).replace(
+        "SELECT doc_id, lang, n_chars,", "SELECT doc_id, text,"
+    )
+    return f"""{url_cte},
+    recs AS (
+      SELECT (doc_id - doc_id % {WARC_PER_BLOB}) AS bkey, doc_id,
+             '{WARC_DELIM.rstrip(chr(10))}' || chr(10)
+             || 'WARC-Record-ID: ' || doc_id || chr(10)
+             || 'WARC-Type: ' || (CASE doc_id % 3 WHEN 0 THEN 'response'
+                                  WHEN 1 THEN 'request' ELSE 'metadata' END)
+               || chr(10)
+             || 'WARC-Target-URI: ' || url || chr(10)
+             || 'Content-Length: '
+               || (length(text) + CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END)
+               || chr(10)
+             || chr(10) || text || chr(10) || chr(10) AS rec
+      FROM u
+    ),
+    blobs AS (
+      SELECT (bkey // {WARC_PER_BLOB})::BIGINT AS blob_id,
+             string_agg(rec, '' ORDER BY doc_id) AS blob
+      FROM recs GROUP BY bkey
+    )"""
+
+
+def warc_parse_records_sql(table: str = "documents") -> str:
+    """DuckDB mirror of the fixture law + :func:`warc_parse_records`:
+    the same literal split (string_split), position-dropped leading
+    element, and RE2 patterns."""
+    return f"""
+    WITH {_blob_sql(table)},
+    split AS (
+      SELECT blob_id,
+             generate_subscripts(string_split(blob, 'WARC/1.0' || chr(10)), 1)
+               - 1 AS idx,
+             unnest(string_split(blob, 'WARC/1.0' || chr(10))) AS rec
+      FROM blobs
+    )
+    SELECT blob_id,
+           (idx - 1)::INT AS rec_idx,
+           regexp_extract(rec, 'WARC-Record-ID: ([0-9]+)' || chr(10), 1)::BIGINT
+             AS rec_id,
+           regexp_extract(rec, 'WARC-Type: ([^' || chr(10) || ']*)' || chr(10), 1)
+             AS warc_type,
+           regexp_extract(rec, 'WARC-Target-URI: ([^' || chr(10) || ']*)' || chr(10), 1)
+             AS target_uri,
+           regexp_extract(rec, 'Content-Length: ([0-9]+)' || chr(10), 1)::BIGINT
+             AS content_length,
+           length(regexp_extract(rec, chr(10) || chr(10) || '([^' || chr(10) || ']*)', 1))::BIGINT
+             AS payload_chars,
+           regexp_extract(rec, 'Content-Length: ([0-9]+)' || chr(10), 1)::BIGINT
+             = length(regexp_extract(rec, chr(10) || chr(10) || '([^' || chr(10) || ']*)', 1))
+             AS length_ok
+    FROM split
+    WHERE idx > 0
+    """

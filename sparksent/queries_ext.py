@@ -26,6 +26,7 @@ from .ext import (
     textclean,
     textstats,
     urls,
+    warc,
     vectorops,
     videodup,
 )
@@ -2525,3 +2526,26 @@ def q_dedup_chunks_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded equi-join shape as whole-doc MinHash; the chunk expansion
     is scan-side and chunk text never shuffles."""
     return curation.dedup_chunks_minhash(_docs(spark, sf_dir))
+
+
+@register(
+    "warc_parse_records",
+    oracle=warc.warc_parse_records_sql(),
+    tags=("ext", "sources", "curation"),
+)
+def q_warc_parse_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC-shaped crawl ingestion (the web-corpus front door): split
+    multi-record WARC blobs into records and type the headers —
+    record id, type, target URI, declared Content-Length — plus the
+    corruption audit (declared vs actual payload length; the fixture
+    law plants a wrong declaration on every 7th record).  The parse is
+    ONE literal-delimiter split + posexplode + anchored regex
+    extraction: scan-side projection, no shuffle, no Python — the map
+    stage between decompression and the curation pipeline at crawl
+    scale.  Scope honestly stated in ext/warc.py: the record-structure
+    layer over single-line payloads; byte-level member decompression
+    belongs in the multimodal codecs' Arrow stage."""
+    blobs = warc.with_warc_blobs(
+        tables.load_table(spark, sf_dir, "documents")
+    )
+    return warc.warc_parse_records(blobs)

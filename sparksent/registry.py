@@ -72,7 +72,8 @@ _PRIORITY: tuple[str, ...] = (
     "retrieval_rrf_fusion",
     "curriculum_quality_phases",
     "dedup_chunks_minhash",
-    # slot 8+: latest green driver row is r08
+    "warc_parse_records",
+    # slot 9+: latest green driver row is r08
     "toxic_topic_cw25",
     "toxic_channel_cw50",
     "toxic_user_literal_cw10",
@@ -83,7 +84,7 @@ _PRIORITY: tuple[str, ...] = (
     "category_opinion_cumulative",
     "toxic_user_nlp_cw10",
     "json_field_stats",
-    # slot 18+: latest green driver row is r10
+    # slot 19+: latest green driver row is r10
     "similarity_topk_ivf_trained",
     "multimodal_resample_pixels",
     "multimodal_frame_decode_sampled",
@@ -115,8 +116,8 @@ _PRIORITY: tuple[str, ...] = (
     "cube_event_value",
     "hist_event_value",
     "decile_user_value",
-    "event_session_ids",
-    "fullouter_user_activity",  # --- driver window ends here (50) ---
+    "event_session_ids",  # --- driver window ends here (50) ---
+    "fullouter_user_activity",
     "user_behavior_features",
     "funnel_view_click_purchase",
     "retention_cohorts",
@@ -134,7 +135,7 @@ _PRIORITY: tuple[str, ...] = (
     "fuzzy_name_pairs",
     "lm_bigram_score",
     "bm25_topk",
-    # slot 68+: latest green driver row is r11
+    # slot 69+: latest green driver row is r11
     "dedup_image_phash",
     "dedup_span_extents",
     "multimodal_embed_topk",
@@ -185,7 +186,7 @@ _PRIORITY: tuple[str, ...] = (
     "basket_triple_support",
     "session_path_topk",
     "entity_resolution_parts",
-    # slot 118+: latest green driver row is r12
+    # slot 119+: latest green driver row is r12
     "sample_domain_quota",
     "churn_training_set",
     "item_similarity_jaccard",
@@ -236,7 +237,7 @@ _PRIORITY: tuple[str, ...] = (
     "multimodal_image_headers",
     "embedding_centroids",
     "embedding_quantize_error",
-    # slot 168+: latest green driver row is r13
+    # slot 169+: latest green driver row is r13
     "seq_packing_bpe_512",
     "sample_token_budget_bpe",
     "quality_gate_per_lang_head",
@@ -288,6 +289,7 @@ _PRIORITY: tuple[str, ...] = (
     "user_mood_cumulative",
     "toxic_user_cw10",
 )
+
 
 
 

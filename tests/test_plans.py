@@ -1779,3 +1779,20 @@ def test_url_canonical_collapse_and_rules(spark):
         if r.doc_id % 6 in (4, 5):
             assert r.curl.startswith("http://")
         assert not (r.path != "/" and r.path.endswith("/"))
+
+
+def test_warc_parse_scan_side_after_pack(spark):
+    """The WARC parse itself is scan-side: after the fixture pack's
+    one aggregate (the blob LAW, not the operator), the split +
+    posexplode + header extraction add NO further shuffle, no join,
+    and no Python stage; and the corruption audit flags exactly the
+    planted every-7th records."""
+    plan = plan_of(spark, "warc_parse_records")
+    assert "Python" not in plan and "Join" not in plan
+    assert count_data_shuffles(plan) <= 2  # the blob-pack aggregate only
+    rows = queries()["warc_parse_records"](spark, SF_DIR).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.length_ok == (r.rec_id % 7 != 0)
+        assert r.warc_type in ("response", "request", "metadata")
+        assert r.target_uri != "" and r.rec_id is not None
