@@ -56,6 +56,8 @@ QUERIES = (
     "sample_domain_quota_canonical",
     "retrieval_rrf_fusion",
     "curriculum_quality_phases",
+    "dedup_chunks_minhash",
+    "warc_parse_records",
 )
 
 
