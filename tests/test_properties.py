@@ -2735,3 +2735,121 @@ def test_setop_cohorts_flag_rewrite_equals_literal_setops(spark, rows):
     ).collect()[0]
     assert (counts.and_n or 0) == want_and
     assert (counts.not_n or 0) == want_not
+
+
+# --- WARC record-structure cross-engine fuzz (round 14) ------------------
+
+_warc_payload = st.text(
+    alphabet=st.characters(
+        blacklist_characters="\n\r'", min_codepoint=32, max_codepoint=0x7E
+    ),
+    min_size=0,
+    max_size=60,
+)
+_warc_uri = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789:/.?#@-_",
+    min_size=0,
+    max_size=30,
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["response", "request", "metadata", "x-custom"]),
+            _warc_uri,
+            _warc_payload,
+            st.integers(min_value=0, max_value=200),
+        ),
+        min_size=1,
+        max_size=24,
+    )
+)
+def test_warc_parse_cross_engine_fuzz(spark, recs):
+    """The WARC record-structure layer, fuzzed: for ANY single-line
+    payloads (including ones containing ':', '#', header-like text,
+    or nothing at all), arbitrary URIs, and arbitrary declared
+    lengths, Spark's split+extract and the DuckDB mirror must produce
+    identical typed rows — and the parse must be LOSSLESS: every
+    record round-trips its id, type, uri, declared length, and actual
+    payload length.  (A payload can never smuggle a record boundary:
+    the delimiter contains a newline and payloads are single-line by
+    the format's own framing.)"""
+    import duckdb
+
+    from sparksent.ext import warc as W
+
+    rows = [
+        (i, wtype, uri, payload, clen)
+        for i, (wtype, uri, payload, clen) in enumerate(recs)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, wtype string, uri string, payload string, clen long"
+    )
+    rec = W.warc_record(
+        F.col("doc_id"), F.col("wtype"), F.col("uri"), F.col("clen"),
+        F.col("payload"),
+    )
+    blobs = (
+        df.select(
+            (F.col("doc_id") - F.col("doc_id") % 4).alias("bkey"),
+            F.struct(F.col("doc_id").alias("i"), rec.alias("r")).alias("sr"),
+        )
+        .groupBy("bkey")
+        .agg(
+            F.concat_ws(
+                "", F.transform(F.sort_array(F.collect_list("sr")), lambda s: s.r)
+            ).alias("blob")
+        )
+        .select(F.expr("bkey div 4").cast("long").alias("blob_id"), "blob")
+    )
+    got = {
+        (r.blob_id, r.rec_idx, r.rec_id, r.warc_type, r.target_uri,
+         r.content_length, r.payload_chars, r.length_ok)
+        for r in W.warc_parse_records(blobs).collect()
+    }
+    # losslessness against the generating rows
+    by_id = {r.rec_id: r for r in W.warc_parse_records(blobs).collect()}
+    assert len(by_id) == len(rows)
+    for i, wtype, uri, payload, clen in rows:
+        r = by_id[i]
+        assert (r.warc_type, r.target_uri, r.content_length,
+                r.payload_chars) == (wtype, uri, clen, len(payload))
+        assert r.length_ok == (clen == len(payload))
+    # cross-engine: identical blob law in DuckDB through the mirror's
+    # split+extract tail
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id BIGINT, wtype VARCHAR, uri VARCHAR,"
+                " payload VARCHAR, clen BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?, ?, ?)", rows)
+    sql = W.warc_parse_records_sql("t")
+    # swap the fixture law for the generating rows' law: same record
+    # string, packed 4 per blob
+    import re as _re
+
+    law = """u AS (SELECT doc_id FROM t),
+    recs AS (
+      SELECT (t.doc_id - t.doc_id % 4) AS bkey, t.doc_id,
+             'WARC/1.0' || chr(10)
+             || 'WARC-Record-ID: ' || t.doc_id || chr(10)
+             || 'WARC-Type: ' || t.wtype || chr(10)
+             || 'WARC-Target-URI: ' || t.uri || chr(10)
+             || 'Content-Length: ' || t.clen || chr(10)
+             || chr(10) || t.payload || chr(10) || chr(10) AS rec
+      FROM t
+    ),
+    blobs AS (
+      SELECT (bkey // 4)::BIGINT AS blob_id,
+             string_agg(rec, '' ORDER BY doc_id) AS blob
+      FROM recs GROUP BY bkey
+    )"""
+    i0 = sql.index("WITH ") + 5
+    i1 = sql.index(",\n    split AS")
+    sql = sql[:i0] + law + sql[i1:]
+    want = {
+        (int(r[0]), int(r[1]), int(r[2]), r[3], r[4], int(r[5]), int(r[6]),
+         bool(r[7]))
+        for r in con.execute(sql).fetchall()
+    }
+    assert got == want

@@ -3320,3 +3320,41 @@ def test_streaming_domain_quota_on_canonical_host(spark, tmp_path):
     assert got == want and len(want) > 0
     # the collapse is live on the stream: hosts carry no www./port/case
     assert all(not h.startswith("www.") and ":" not in h for _, h, _ in got)
+
+
+def test_warc_parse_is_streaming_legal(spark, tmp_path):
+    """The crawl front door STREAMS: warc_parse_records is pure
+    stateless projection (split + posexplode + regex extraction), so
+    it applies directly to a blob stream — no foreachBatch, no state —
+    and the streamed record set equals the batch parse of the same
+    blobs exactly."""
+    from pyspark.sql import types as T
+
+    from sparksent.ext.warc import warc_parse_records, with_warc_blobs
+    from sparksent.streaming.sources import file_replay_source, write_replay_chunks
+    from sparksent.tables import load_table
+
+    docs = load_table(spark, SF_DIR_SMALL, "documents").select(
+        "doc_id", "source", "text"
+    )
+    blobs = with_warc_blobs(docs)
+    replay = str(tmp_path / "warc_replay")
+    write_replay_chunks(blobs, replay, 3, order_col="blob_id")
+    schema = T.StructType(
+        [T.StructField("blob_id", T.LongType()), T.StructField("blob", T.StringType())]
+    )
+    q = (
+        warc_parse_records(file_replay_source(spark, replay, schema=schema))
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_warc")
+        .option("checkpointLocation", str(tmp_path / "warc_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {tuple(r) for r in spark.table("t_warc").collect()}
+    want = {tuple(r) for r in warc_parse_records(blobs).collect()}
+    assert got == want and len(want) > 0
+    # the audit survives the stream: planted corruption still flagged
+    assert any(not r[-1] for r in got) and any(r[-1] for r in got)
