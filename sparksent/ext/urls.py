@@ -422,3 +422,93 @@ def dedup_url_exact_sql(table: str = "documents") -> str:
     GROUP BY curl
     HAVING count(*) > 1
     """
+
+
+# ---------------------------------------------------------------------------
+# robots-style disallow audit — the respect-robots / blocklist filter
+# ---------------------------------------------------------------------------
+
+
+def fixture_robots_rules(spark) -> DataFrame:
+    """The fixture rule law: a small (host, path_prefix) disallow
+    table over the round-14 URL law's hosts — every cdn host disallows
+    ``/assets`` (crawlers shouldn't index asset mirrors), and every
+    5th source disallows ``/docs`` outright.  Real pipelines load this
+    frame from parsed robots.txt / a curated blocklist; it is
+    publisher-cardinality-sized and broadcasts."""
+    from pyspark.sql import functions as F
+
+    src = spark.range(20).select(
+        F.concat(F.lit("src"), F.col("id").cast("string")).alias("s"),
+        F.col("id"),
+    )
+    cdn = src.select(
+        F.concat(F.lit("cdn."), F.col("s"), F.lit(".example.org")).alias("host"),
+        F.lit("/assets").alias("path_prefix"),
+    )
+    docs_block = src.filter(F.col("id") % 5 == 0).select(
+        F.concat(F.col("s"), F.lit(".example.org")).alias("host"),
+        F.lit("/docs").alias("path_prefix"),
+    )
+    return cdn.unionByName(docs_block)
+
+
+def robots_disallow_audit(docs: DataFrame, rules: DataFrame) -> DataFrame:
+    """Per-document robots/blocklist audit: (doc_id, host, path,
+    blocked) where ``blocked`` means some disallow rule's host matches
+    the document's CANONICAL host and its path_prefix prefixes the
+    canonical path — the respect-robots filter every compliant web
+    corpus runs (C4 and RefinedWeb both honor robots at crawl or
+    curation time).
+
+    Plan shape: canonicalization rides the scan projection; the rule
+    probe is a broadcast SEMI/ANTI pair on host (equi) with the prefix
+    test as an extra join predicate — the two joins PARTITION the
+    corpus exactly (blocked / not blocked), so the whole audit is two
+    corpus scans against a publisher-cardinality broadcast with ZERO
+    shuffles and no UDF (startswith is codegen); a doc matching many
+    rules still appears once (semi join semantics).  Emitting the flag
+    rather than filtering keeps the audit a report (corpus cards want
+    block rates per host); ``.filter(NOT blocked)`` — or just the anti
+    leg — is the enforcement form."""
+    with_url = with_fixture_urls(docs.select("doc_id", "source"))
+    p = url_parts(F.col("url"))
+    c = with_url.select(
+        "doc_id", p["host"].alias("host"), p["path"].alias("path")
+    )
+    r = rules.select(
+        F.col("host").alias("r_host"), F.col("path_prefix").alias("r_prefix")
+    )
+    cond = (F.col("host") == F.col("r_host")) & F.col("path").startswith(
+        F.col("r_prefix")
+    )
+    blocked = c.join(F.broadcast(r), cond, "left_semi").withColumn(
+        "blocked", F.lit(True)
+    )
+    kept = c.join(F.broadcast(r), cond, "left_anti").withColumn(
+        "blocked", F.lit(False)
+    )
+    return blocked.unionByName(kept)
+
+
+def robots_disallow_audit_sql(table: str = "documents") -> str:
+    """DuckDB mirror: the same rule law inline (20 sources, cdn hosts
+    disallow /assets, every 5th source disallows /docs) and an EXISTS
+    prefix probe over the canonical parts."""
+    return f"""
+    WITH {_fixture_url_sql(table)},
+    {_parts_sql()},
+    rules AS (
+      SELECT 'cdn.src' || i || '.example.org' AS r_host,
+             '/assets' AS r_prefix
+      FROM (SELECT unnest(generate_series(0, 19)) AS i)
+      UNION ALL
+      SELECT 'src' || i || '.example.org' AS r_host, '/docs' AS r_prefix
+      FROM (SELECT unnest(generate_series(0, 19)) AS i) WHERE i % 5 = 0
+    )
+    SELECT doc_id, host, path,
+           EXISTS (SELECT 1 FROM rules r
+                   WHERE r.r_host = parts.host
+                     AND starts_with(parts.path, r.r_prefix)) AS blocked
+    FROM parts
+    """

@@ -2549,3 +2549,24 @@ def q_warc_parse_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         tables.load_table(spark, sf_dir, "documents")
     )
     return warc.warc_parse_records(blobs)
+
+
+@register(
+    "robots_disallow_audit",
+    oracle=urls.robots_disallow_audit_sql(),
+    tags=("ext", "curation", "urls"),
+)
+def q_robots_disallow_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots/blocklist audit — the respect-robots step every
+    compliant web corpus runs: per document, does some disallow
+    rule's host match the CANONICAL host with its path_prefix
+    prefixing the canonical path.  The rule table is
+    publisher-cardinality-sized and broadcasts; the probe is a
+    semi/anti pair that partitions the corpus exactly — two scans,
+    zero shuffles, no UDF.  The fixture rule law blocks every cdn
+    host's /assets and every 5th source's /docs, so both rule kinds
+    and both outcomes are exercised."""
+    return urls.robots_disallow_audit(
+        tables.load_table(spark, sf_dir, "documents"),
+        urls.fixture_robots_rules(spark),
+    )
