@@ -292,6 +292,7 @@ HEADLINE = [
     "curriculum_quality_phases",
     "dedup_chunks_minhash",
     "warc_parse_records",
+    "robots_disallow_audit",
 ]
 
 # Timed and reported, but excluded from the headline sum: cost dominated

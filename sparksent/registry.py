@@ -73,7 +73,8 @@ _PRIORITY: tuple[str, ...] = (
     "curriculum_quality_phases",
     "dedup_chunks_minhash",
     "warc_parse_records",
-    # slot 9+: latest green driver row is r08
+    "robots_disallow_audit",
+    # slot 10+: latest green driver row is r08
     "toxic_topic_cw25",
     "toxic_channel_cw50",
     "toxic_user_literal_cw10",
@@ -84,7 +85,7 @@ _PRIORITY: tuple[str, ...] = (
     "category_opinion_cumulative",
     "toxic_user_nlp_cw10",
     "json_field_stats",
-    # slot 19+: latest green driver row is r10
+    # slot 20+: latest green driver row is r10
     "similarity_topk_ivf_trained",
     "multimodal_resample_pixels",
     "multimodal_frame_decode_sampled",
@@ -115,8 +116,8 @@ _PRIORITY: tuple[str, ...] = (
     "event_gap_stats",
     "cube_event_value",
     "hist_event_value",
-    "decile_user_value",
-    "event_session_ids",  # --- driver window ends here (50) ---
+    "decile_user_value",  # --- driver window ends here (50) ---
+    "event_session_ids",
     "fullouter_user_activity",
     "user_behavior_features",
     "funnel_view_click_purchase",
@@ -135,7 +136,7 @@ _PRIORITY: tuple[str, ...] = (
     "fuzzy_name_pairs",
     "lm_bigram_score",
     "bm25_topk",
-    # slot 69+: latest green driver row is r11
+    # slot 70+: latest green driver row is r11
     "dedup_image_phash",
     "dedup_span_extents",
     "multimodal_embed_topk",
@@ -186,7 +187,7 @@ _PRIORITY: tuple[str, ...] = (
     "basket_triple_support",
     "session_path_topk",
     "entity_resolution_parts",
-    # slot 119+: latest green driver row is r12
+    # slot 120+: latest green driver row is r12
     "sample_domain_quota",
     "churn_training_set",
     "item_similarity_jaccard",
@@ -237,7 +238,7 @@ _PRIORITY: tuple[str, ...] = (
     "multimodal_image_headers",
     "embedding_centroids",
     "embedding_quantize_error",
-    # slot 169+: latest green driver row is r13
+    # slot 170+: latest green driver row is r13
     "seq_packing_bpe_512",
     "sample_token_budget_bpe",
     "quality_gate_per_lang_head",
@@ -289,6 +290,7 @@ _PRIORITY: tuple[str, ...] = (
     "user_mood_cumulative",
     "toxic_user_cw10",
 )
+
 
 
 

@@ -1796,3 +1796,14 @@ def test_warc_parse_scan_side_after_pack(spark):
         assert r.length_ok == (r.rec_id % 7 != 0)
         assert r.warc_type in ("response", "request", "metadata")
         assert r.target_uri != "" and r.rec_id is not None
+
+
+def test_robots_audit_zero_shuffle(spark):
+    """The robots audit's load-bearing plan property: the semi/anti
+    broadcast pair partitions the corpus with ZERO data shuffles and
+    no Python stage — rules broadcast, startswith is codegen."""
+    plan = plan_of(spark, "robots_disallow_audit")
+    assert count_data_shuffles(plan) == 0
+    assert "Python" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
