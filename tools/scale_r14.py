@@ -58,6 +58,7 @@ QUERIES = (
     "curriculum_quality_phases",
     "dedup_chunks_minhash",
     "warc_parse_records",
+    "robots_disallow_audit",
 )
 
 
