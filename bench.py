@@ -339,8 +339,6 @@ def _py_sentinel_once() -> float:
     This probe is constant-plan Arrow round-trip work: 1M rows through
     a trivial mapInPandas over 32 partitions — no file reads, no real
     computation, so its time measures worker-pool + Arrow-path health."""
-    import pandas as _pd  # noqa: F401  (worker-side import cost is part of the path)
-
     t0 = time.perf_counter()
     (
         SPARK.range(1_000_000)

@@ -171,9 +171,15 @@ def q_setop_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.max("ip").alias("p"), F.max("ie").alias("e"))
     )
+    # coalesce: on an input with zero purchase users the conditional sums
+    # are NULL, but the set-op form (and the oracle) counts 0-row sets as 0.
     counts = flags.filter(F.col("p")).agg(
-        F.sum(F.when(F.col("e"), 1).otherwise(0)).cast("long").alias("and_n"),
-        F.sum(F.when(F.col("e"), 0).otherwise(1)).cast("long").alias("not_n"),
+        F.coalesce(F.sum(F.when(F.col("e"), 1).otherwise(0)), F.lit(0))
+        .cast("long")
+        .alias("and_n"),
+        F.coalesce(F.sum(F.when(F.col("e"), 0).otherwise(1)), F.lit(0))
+        .cast("long")
+        .alias("not_n"),
     )
     return counts.selectExpr(
         "stack(2, 'purchase_and_error', and_n, 'purchase_not_error', not_n)"

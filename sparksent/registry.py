@@ -55,68 +55,16 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # the priority block, so the registry surface itself is unchanged — only
 # the iteration order of queries()/oracle_sql() moves.
 #
-# Round-14 window, regenerated PURELY mechanically by
-# tools/regen_priority.py from CORRECTNESS_r01..r13.json — zero hand
-# insertions: the two never-checked round-14 registrations
-# (url_canonicalize, url_domain_topk) lead, then the ten r08-stale
-# names (VERDICT r13 ask #4: eight of them the reference
-# toxicity/opinion family) and the r10 tier up to the 50-slot
-# boundary; remainder oldest-first.  After this window verifies, no
-# name's latest driver row is older than r10.
+# Round-15 window, regenerated PURELY mechanically by
+# tools/regen_priority.py from CORRECTNESS_r01..r14.json — zero hand
+# insertions at regen time: the 19 r10-stale names lead (VERDICT r14
+# ask #1), then the r11 tier up to the 50-slot boundary; remainder
+# oldest-first.  New registrations made AFTER this regen are prepended
+# by hand per the never-checked-first rule (they cannot appear in any
+# r01..r14 row); each such prepend is noted inline.  After this window
+# verifies, no name's latest driver row is older than r11.
 _PRIORITY: tuple[str, ...] = (
-    # slot 1+: no green driver row yet
-    "url_canonicalize",
-    "url_domain_topk",
-    "dedup_url_exact",
-    "sample_domain_quota_canonical",
-    "retrieval_rrf_fusion",
-    "curriculum_quality_phases",
-    "dedup_chunks_minhash",
-    "warc_parse_records",
-    "robots_disallow_audit",
-    # slot 10+: latest green driver row is r08
-    "toxic_topic_cw25",
-    "toxic_channel_cw50",
-    "toxic_user_literal_cw10",
-    "toxic_channel_literal_cw50",
-    "toxic_topic_literal_cw25",
-    "user_mood_nlp_cumulative",
-    "entity_opinion_30s",
-    "category_opinion_cumulative",
-    "toxic_user_nlp_cw10",
-    "json_field_stats",
-    # slot 20+: latest green driver row is r10
-    "similarity_topk_ivf_trained",
-    "multimodal_resample_pixels",
-    "multimodal_frame_decode_sampled",
-    "similarity_topk_ivfpq_adc",
-    "similarity_topk_ivfpq_refine",
-    "multimodal_resize_bilinear",
-    "hll_distinct_users",
-    "sample_bernoulli_events",
-    "sample_stratified_events",
-    "cmsketch_heavy_hitters",
-    "grouped_mode_event_type",
-    "seq_packing_512",
-    "repetition_stats",
-    "rare_word_stats",
-    "multimodal_decode_pixels",
-    "sample_weighted_tickets",
-    "split_train_valid_test",
-    "dedup_tf_cosine",
-    "quantile_sketch_value",
-    "hll_merge_rollup",
-    "tpch_q12_late_shipments",
-    "setop_user_cohorts",
-    "rollup_event_value",
-    "session_agg_30m",
-    "asof_purchase_last_view",
-    "skew_distinct_users",
-    "pivot_event_counts",
-    "event_gap_stats",
-    "cube_event_value",
-    "hist_event_value",
-    "decile_user_value",  # --- driver window ends here (50) ---
+    # slot 1+: latest green driver row is r10
     "event_session_ids",
     "fullouter_user_activity",
     "user_behavior_features",
@@ -136,7 +84,7 @@ _PRIORITY: tuple[str, ...] = (
     "fuzzy_name_pairs",
     "lm_bigram_score",
     "bm25_topk",
-    # slot 70+: latest green driver row is r11
+    # slot 20+: latest green driver row is r11
     "dedup_image_phash",
     "dedup_span_extents",
     "multimodal_embed_topk",
@@ -167,7 +115,7 @@ _PRIORITY: tuple[str, ...] = (
     "basket_pair_lift",
     "bfs_hops_copurchase",
     "snapshot_diff_users",
-    "negative_sample_user_items",
+    "negative_sample_user_items",  # --- driver window ends here (50) ---
     "grouping_sets_event_stats",
     "label_propagation_communities",
     "corr_matrix_event_types",
@@ -187,7 +135,7 @@ _PRIORITY: tuple[str, ...] = (
     "basket_triple_support",
     "session_path_topk",
     "entity_resolution_parts",
-    # slot 120+: latest green driver row is r12
+    # slot 70+: latest green driver row is r12
     "sample_domain_quota",
     "churn_training_set",
     "item_similarity_jaccard",
@@ -238,7 +186,7 @@ _PRIORITY: tuple[str, ...] = (
     "multimodal_image_headers",
     "embedding_centroids",
     "embedding_quantize_error",
-    # slot 170+: latest green driver row is r13
+    # slot 120+: latest green driver row is r13
     "seq_packing_bpe_512",
     "sample_token_budget_bpe",
     "quality_gate_per_lang_head",
@@ -289,14 +237,58 @@ _PRIORITY: tuple[str, ...] = (
     "channel_mood_sliding_90_60",
     "user_mood_cumulative",
     "toxic_user_cw10",
+    # slot 170+: latest green driver row is r14
+    "url_canonicalize",
+    "url_domain_topk",
+    "dedup_url_exact",
+    "sample_domain_quota_canonical",
+    "retrieval_rrf_fusion",
+    "curriculum_quality_phases",
+    "dedup_chunks_minhash",
+    "warc_parse_records",
+    "robots_disallow_audit",
+    "toxic_topic_cw25",
+    "toxic_channel_cw50",
+    "toxic_user_literal_cw10",
+    "toxic_channel_literal_cw50",
+    "toxic_topic_literal_cw25",
+    "user_mood_nlp_cumulative",
+    "entity_opinion_30s",
+    "category_opinion_cumulative",
+    "toxic_user_nlp_cw10",
+    "json_field_stats",
+    "similarity_topk_ivf_trained",
+    "multimodal_resample_pixels",
+    "multimodal_frame_decode_sampled",
+    "similarity_topk_ivfpq_adc",
+    "similarity_topk_ivfpq_refine",
+    "multimodal_resize_bilinear",
+    "hll_distinct_users",
+    "sample_bernoulli_events",
+    "sample_stratified_events",
+    "cmsketch_heavy_hitters",
+    "grouped_mode_event_type",
+    "seq_packing_512",
+    "repetition_stats",
+    "rare_word_stats",
+    "multimodal_decode_pixels",
+    "sample_weighted_tickets",
+    "split_train_valid_test",
+    "dedup_tf_cosine",
+    "quantile_sketch_value",
+    "hll_merge_rollup",
+    "tpch_q12_late_shipments",
+    "setop_user_cohorts",
+    "rollup_event_value",
+    "session_agg_30m",
+    "asof_purchase_last_view",
+    "skew_distinct_users",
+    "pivot_event_counts",
+    "event_gap_stats",
+    "cube_event_value",
+    "hist_event_value",
+    "decile_user_value",
 )
-
-
-
-
-
-
-
 
 
 def _ordered() -> list[Query]:

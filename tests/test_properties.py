@@ -2730,11 +2730,17 @@ def test_setop_cohorts_flag_rewrite_equals_literal_setops(spark, rows):
         .agg(F.max("ip").alias("p"), F.max("ie").alias("e"))
     )
     counts = flags.filter(F.col("p")).agg(
-        F.sum(F.when(F.col("e"), 1).otherwise(0)).alias("and_n"),
-        F.sum(F.when(F.col("e"), 0).otherwise(1)).alias("not_n"),
+        F.coalesce(F.sum(F.when(F.col("e"), 1).otherwise(0)), F.lit(0)).alias(
+            "and_n"
+        ),
+        F.coalesce(F.sum(F.when(F.col("e"), 0).otherwise(1)), F.lit(0)).alias(
+            "not_n"
+        ),
     ).collect()[0]
-    assert (counts.and_n or 0) == want_and
-    assert (counts.not_n or 0) == want_not
+    # exact equality, no `or 0` masking: the production coalesce must make
+    # an empty purchase cohort report 0, matching INTERSECT/EXCEPT counts.
+    assert counts.and_n == want_and
+    assert counts.not_n == want_not
 
 
 # --- WARC record-structure cross-engine fuzz (round 14) ------------------
