@@ -293,6 +293,9 @@ HEADLINE = [
     "dedup_chunks_minhash",
     "warc_parse_records",
     "robots_disallow_audit",
+    # round-15 additions
+    "url_registrable_domain",
+    "sample_domain_quota_registrable",
 ]
 
 # Timed and reported, but excluded from the headline sum: cost dominated

@@ -512,3 +512,229 @@ def robots_disallow_audit_sql(table: str = "documents") -> str:
                      AND starts_with(parts.path, r.r_prefix)) AS blocked
     FROM parts
     """
+
+
+# ---------------------------------------------------------------------------
+# registrable-domain (public-suffix) extraction — VERDICT r14 ask #4
+# ---------------------------------------------------------------------------
+
+# Bounded public-suffix table: a committed, VERSIONED subset of the
+# Mozilla Public Suffix List (publicsuffix.org — public data).  The real
+# list is ~9k ICANN rules; it is publisher-cardinality-bounded, so at any
+# corpus size it broadcasts — and because it is known at PLAN time it can
+# go one step further and fold into the scan projection as a literal
+# array, which is what the operator below does: the table's MAX SUFFIX
+# DEPTH is also plan-time known, so the longest-match unrolls into a
+# codegen'd CASE chain over the last-k-label joins (k = depth..1) —
+# ZERO shuffle, no join, no UDF, and no interpreted higher-order
+# functions (the transform/filter candidate-array form measured ~0.4s
+# slower per query at sf0.1 purely from interpreted HOF evaluation).
+# Scope (documented): ICANN-style exact rules + the PSL default rule
+# ("unlisted TLD => the TLD itself is the suffix"); wildcard (`*.ck`)
+# and exception (`!www.ck`) rules are out of this subset — adding them
+# is a second literal table and one more CASE arm, not a new plan shape.
+PSL_VERSION = "psl-subset-2025q3"
+PUBLIC_SUFFIXES: tuple[str, ...] = (
+    # gTLDs
+    "com", "org", "net", "edu", "gov", "mil", "int",
+    "io", "dev", "app", "info", "biz", "xyz",
+    # ccTLDs with registrations at the second level
+    "fr", "de", "it", "nl", "se", "ca", "ch", "es", "us",
+    # multi-label ccTLD trees (the reason host-grouping fragments)
+    "uk", "co.uk", "org.uk", "ac.uk", "gov.uk", "net.uk",
+    "jp", "co.jp", "ne.jp", "or.jp", "ac.jp",
+    "au", "com.au", "org.au", "net.au", "edu.au",
+    "br", "com.br", "org.br",
+    "in", "co.in", "org.in",
+    "nz", "co.nz", "org.nz",
+    "za", "co.za", "org.za",
+)
+
+
+# deepest rule in the committed table — the unroll depth of the CASE
+# chain below (the real PSL's deepest ICANN rule is 4 labels; swapping
+# the table in changes this constant and nothing else)
+MAX_SUFFIX_LABELS = max(s.count(".") + 1 for s in PUBLIC_SUFFIXES)
+
+
+def registrable_domain_cols(host: Column) -> tuple[Column, Column]:
+    """(public_suffix, registrable_domain) columns for a canonical host.
+
+    PSL longest-match, in-plan and HOF-free: the match needs only the
+    last ``MAX_SUFFIX_LABELS`` label-suffixes of the host (longer
+    candidates can never be in the table), so it unrolls at PLAN time
+    into a CASE chain — for k = depth..1, "if the last k labels joined
+    are in the literal table, that is the suffix" — with the PSL
+    default rule (last label) as the fallback for unlisted TLDs.  The
+    registrable domain is suffix + one label; a host that IS a public
+    suffix has no registrable domain (empty string — a typed sentinel,
+    never NULL, so group keys stay total).  Every expression is
+    codegen'd (split / slice / array_join / array_contains on a
+    foldable literal): no shuffle, no join, no Python, no interpreted
+    higher-order functions."""
+    labels = F.split(host, "[.]")
+    n = F.size(labels)
+    psl = F.array(*[F.lit(s) for s in PUBLIC_SUFFIXES])
+
+    def last_k(k: int) -> Column:
+        # greatest(...) keeps the start index legal when n < k; the
+        # (n >= k) guard on the CASE arm makes the value irrelevant then
+        return F.array_join(F.slice(labels, F.greatest(n - k + 1, F.lit(1)), k), ".")
+
+    chain = None
+    for k in range(MAX_SUFFIX_LABELS, 1, -1):
+        cand = last_k(k)
+        cond = (n >= k) & F.array_contains(psl, cand)
+        chain = chain.when(cond, cand) if chain is not None else F.when(cond, cand)
+    last = F.element_at(labels, -1)
+    # 1-label rules and the PSL default rule coincide on the suffix
+    # value (the last label), so the fallback covers both
+    suffix = chain.otherwise(last) if chain is not None else last
+    n_sfx = F.length(suffix) - F.length(F.replace(suffix, F.lit("."), F.lit(""))) + 1
+    registrable = F.when(n <= n_sfx, F.lit("")).otherwise(
+        F.concat(F.element_at(labels, (n - n_sfx).cast("int")), F.lit("."), suffix)
+    )
+    return suffix, registrable
+
+
+def with_psl_fixture_urls(docs: DataFrame) -> DataFrame:
+    """The PSL fixture URL law: eight host shapes cycling by
+    ``doc_id % 8``, chosen so the registrable-domain key provably
+    differs from the canonical-host key:
+
+    - shapes 0 (``www.<s>pages.co.uk``) and 1 (``news.<s>pages.co.uk``)
+      are DIFFERENT canonical hosts with the SAME registrable domain
+      (``<s>pages.co.uk``) — host-level grouping fragments exactly here;
+    - shape 3 nests two extra labels under ``ac.uk`` (deep multi-label);
+    - shape 5 is an UNLISTED TLD (``.example``) — the PSL default rule;
+    - shape 6's host IS a public suffix (``co.uk``) — no registrable
+      domain (empty-string sentinel);
+    - shapes 2/4/7 cover com, com.au, org.uk single-site hosts.
+
+    The site key is ``(doc_id div 8) % 20`` — deliberately NOT the
+    ``source`` label: shape (mod 8) and source (mod 20) can never align
+    on the same site (both are fixed mod 4), so a source-keyed law would
+    never actually produce the cross-shape registrable collision the
+    operator exists to merge.  Keying on the 8-block gives every block
+    one site, and shapes 0/1 of the SAME block share a registrable
+    domain under different canonical hosts."""
+    d = F.col("doc_id").cast("string")
+    s = F.concat(
+        F.lit("site"),
+        (F.expr("doc_id div 8").cast("long") % 20).cast("string"),
+    )
+    v = F.col("doc_id") % 8
+    url = (
+        F.when(v == 0, F.concat(F.lit("https://www."), s, F.lit("pages.co.uk/a/"), d))
+        .when(v == 1, F.concat(F.lit("http://news."), s, F.lit("pages.co.uk/b/"), d))
+        .when(v == 2, F.concat(F.lit("http://blog."), s, F.lit("pages.com/c/"), d))
+        .when(v == 3, F.concat(F.lit("https://a.b."), s, F.lit("pages.ac.uk/d/"), d))
+        .when(v == 4, F.concat(F.lit("http://"), s, F.lit("pages.com.au/e/"), d))
+        .when(v == 5, F.concat(F.lit("http://"), s, F.lit("pages.example/f/"), d))
+        .when(v == 6, F.concat(F.lit("http://co.uk/g/"), d))
+        .otherwise(F.concat(F.lit("http://x.y."), s, F.lit("pages.org.uk/h/"), d))
+    )
+    return docs.withColumn("url", url)
+
+
+def url_registrable_domain(docs: DataFrame) -> DataFrame:
+    """Row-level registrable-domain report: (doc_id, host,
+    public_suffix, registrable_domain) over the PSL fixture URL law.
+    RefinedWeb/C4 key their per-publisher caps on the REGISTRABLE
+    domain, not the host — ``www.x.co.uk`` and ``news.x.co.uk`` are one
+    publisher — and this operator is that key.  Plan: the whole chain
+    (canonicalization + candidate generation + literal-PSL longest
+    match) folds into the scan projection — zero shuffle, no join, no
+    Python."""
+    with_url = with_psl_fixture_urls(docs.select("doc_id"))
+    host = canonical_host(F.col("url"))
+    suffix, registrable = registrable_domain_cols(host)
+    return with_url.select(
+        "doc_id",
+        host.alias("host"),
+        suffix.alias("public_suffix"),
+        registrable.alias("registrable_domain"),
+    )
+
+
+def _psl_fixture_url_sql(table: str = "documents") -> str:
+    """SQL mirror of :func:`with_psl_fixture_urls` as a ``u`` CTE
+    (site key = ``'site' || ((doc_id // 8) % 20)``)."""
+    s = "'site' || ((doc_id // 8) % 20)"
+    return f"""u AS (
+      SELECT doc_id,
+             CASE doc_id % 8
+               WHEN 0 THEN 'https://www.' || {s} || 'pages.co.uk/a/' || doc_id
+               WHEN 1 THEN 'http://news.' || {s} || 'pages.co.uk/b/' || doc_id
+               WHEN 2 THEN 'http://blog.' || {s} || 'pages.com/c/' || doc_id
+               WHEN 3 THEN 'https://a.b.' || {s} || 'pages.ac.uk/d/' || doc_id
+               WHEN 4 THEN 'http://' || {s} || 'pages.com.au/e/' || doc_id
+               WHEN 5 THEN 'http://' || {s} || 'pages.example/f/' || doc_id
+               WHEN 6 THEN 'http://co.uk/g/' || doc_id
+               ELSE 'http://x.y.' || {s} || 'pages.org.uk/h/' || doc_id
+             END AS url
+      FROM {table}
+    )"""
+
+
+def _psl_literal_sql() -> str:
+    """The committed suffix subset as a SQL list literal."""
+    return "[" + ", ".join(f"'{s}'" for s in PUBLIC_SUFFIXES) + "]"
+
+
+def _registrable_sql(host_expr: str = "host") -> str:
+    """SQL CTE chain computing (public_suffix, registrable_domain) over
+    a ``parts`` relation's host column — the SAME unrolled CASE chain as
+    :func:`registrable_domain_cols` (built from the shared
+    MAX_SUFFIX_LABELS/PUBLIC_SUFFIXES constants), ending in a CTE
+    ``reg(doc_id, host, public_suffix, registrable_domain)``."""
+    psl = _psl_literal_sql()
+    arms = []
+    for k in range(MAX_SUFFIX_LABELS, 1, -1):
+        cand = f"array_to_string(labels[-{k}:], '.')"
+        arms.append(
+            f"WHEN len(labels) >= {k} AND list_contains({psl}, {cand})"
+            f" THEN {cand}"
+        )
+    case = "CASE " + " ".join(arms) + " ELSE labels[-1] END"
+    return f"""lab AS (
+      SELECT doc_id, host, string_split({host_expr}, '.') AS labels
+      FROM parts
+    ),
+    sfx AS (
+      SELECT doc_id, host, labels, {case} AS public_suffix
+      FROM lab
+    ),
+    reg AS (
+      SELECT doc_id, host, public_suffix,
+             CASE WHEN len(labels) <=
+                    length(public_suffix)
+                    - length(replace(public_suffix, '.', '')) + 1
+                  THEN ''
+                  ELSE labels[len(labels)
+                              - (length(public_suffix)
+                                 - length(replace(public_suffix, '.', '')) + 1)]
+                       || '.' || public_suffix
+             END AS registrable_domain
+      FROM sfx
+    )"""
+
+
+def url_registrable_domain_sql(table: str = "documents") -> str:
+    """DuckDB mirror of :func:`url_registrable_domain`."""
+    return f"""
+    WITH {_psl_fixture_url_sql(table)},
+    {_parts_sql().replace("doc_id, lang, n_chars, url", "doc_id, url")},
+    {_registrable_sql("host")}
+    SELECT doc_id, host, public_suffix, registrable_domain
+    FROM reg
+    """
+
+
+def registrable_table_sql(table: str = "documents") -> str:
+    """A ``(doc_id, registrable_domain)`` derived-table SQL string over
+    the PSL fixture law — the rekey feed for quota-style oracles."""
+    return f"""(WITH {_psl_fixture_url_sql(table)},
+    {_parts_sql().replace("doc_id, lang, n_chars, url", "doc_id, url")},
+    {_registrable_sql("host")}
+    SELECT doc_id, registrable_domain FROM reg)"""

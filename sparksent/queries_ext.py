@@ -2570,3 +2570,52 @@ def q_robots_disallow_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         tables.load_table(spark, sf_dir, "documents"),
         urls.fixture_robots_rules(spark),
     )
+
+
+@register(
+    "url_registrable_domain",
+    oracle=urls.url_registrable_domain_sql(),
+    tags=("ext", "curation", "urls"),
+)
+def q_url_registrable_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registrable-domain (public-suffix) extraction (VERDICT r14 ask
+    #4): the per-publisher key RefinedWeb/C4 quotas actually group on —
+    ``www.x.co.uk`` and ``news.x.co.uk`` are ONE publisher, which
+    host-level grouping provably fragments (the PSL fixture law's
+    shapes 0/1).  The committed, versioned suffix subset
+    (``ext/urls.py::PUBLIC_SUFFIXES``) is bounded and plan-time known,
+    so the longest-suffix match folds into the scan projection as
+    literal-array expressions: candidates longest-first, first match in
+    the table wins, registrable = suffix + one label; unlisted TLDs use
+    the PSL default rule and a host that IS a suffix gets the
+    empty-string sentinel — zero shuffle, no join, no Python."""
+    return urls.url_registrable_domain(
+        tables.load_table(spark, sf_dir, "documents")
+    )
+
+
+@register(
+    "sample_domain_quota_registrable",
+    oracle=curation.sample_domain_quota_sql(
+        table=urls.registrable_table_sql("documents") + " canon",
+        group_col="registrable_domain",
+    ),
+    tags=("ext", "curation", "sampling", "urls"),
+)
+def q_sample_domain_quota_registrable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-PUBLISHER frequency capping: the domain quota rekeyed on the
+    registrable domain instead of the canonical host — the
+    RefinedWeb/C4 form.  On the PSL law this matters concretely: the
+    ``www.`` and ``news.`` subdomains of one ``co.uk`` site share one
+    cap here where the host-keyed variant would give each its own.
+    Same WindowGroupLimit-bounded lottery-rank take as
+    sample_domain_quota; the PSL match rides the scan projection, so
+    the only shuffle is the capped window's."""
+    docs = urls.with_psl_fixture_urls(
+        tables.load_table(spark, sf_dir, "documents").select("doc_id")
+    )
+    _, registrable = urls.registrable_domain_cols(
+        urls.canonical_host(F.col("url"))
+    )
+    keyed = docs.select("doc_id", registrable.alias("registrable_domain"))
+    return curation.sample_domain_quota(keyed, group_col="registrable_domain")

@@ -64,7 +64,11 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # r01..r14 row); each such prepend is noted inline.  After this window
 # verifies, no name's latest driver row is older than r11.
 _PRIORITY: tuple[str, ...] = (
-    # slot 1+: latest green driver row is r10
+    # slot 1+: no green driver row yet (round-15 registrations,
+    # prepended per the never-checked-first rule)
+    "url_registrable_domain",
+    "sample_domain_quota_registrable",
+    # slot 3+: latest green driver row is r10
     "event_session_ids",
     "fullouter_user_activity",
     "user_behavior_features",

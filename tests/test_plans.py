@@ -1807,3 +1807,57 @@ def test_robots_audit_zero_shuffle(spark):
     assert "Python" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_registrable_domain_scan_projection_only(spark):
+    """url_registrable_domain's load-bearing plan property: the PSL
+    longest-suffix match is LITERAL-array expressions folded into the
+    scan projection — zero shuffles, zero Python stages, no join (the
+    suffix table never becomes a joined relation).  The quota rekey
+    keeps the WindowGroupLimit bound with no join/Python stage."""
+    plan = plan_of(spark, "url_registrable_domain")
+    assert count_data_shuffles(plan) == 0
+    assert "Python" not in plan and "MapInPandas" not in plan
+    assert "Join" not in plan
+
+    plan_q = plan_of(spark, "sample_domain_quota_registrable")
+    assert "WindowGroupLimit" in plan_q
+    assert "Join" not in plan_q
+    assert "Python" not in plan_q
+
+
+def test_registrable_domain_psl_semantics(spark):
+    """Semantic contract on the PSL fixture law: shapes 0/1 share a
+    registrable domain under DIFFERENT canonical hosts (the fragmention
+    host grouping causes); unlisted TLDs fall back to the last label;
+    a host that IS a public suffix has no registrable domain; every
+    non-sentinel registrable domain is suffix + exactly one label."""
+    rows = (
+        queries()["url_registrable_domain"](spark, SF_DIR)
+        .filter("doc_id < 160")
+        .collect()
+    )
+    by_id = {r.doc_id: r for r in rows}
+    # shapes 0 and 1 with the same source label: doc ids congruent
+    # mod lcm(8, 20) pairings — find any (i, j) with i%8==0, j%8==1
+    # and same source suffix on the host
+    regs0 = {r.registrable_domain for r in rows if r.doc_id % 8 == 0}
+    regs1 = {r.registrable_domain for r in rows if r.doc_id % 8 == 1}
+    shared = regs0 & regs1
+    assert shared, "shapes 0/1 must collapse to shared registrable domains"
+    for rd in shared:
+        hosts = {r.host for r in rows if r.registrable_domain == rd}
+        assert len(hosts) >= 2, "host grouping must provably fragment"
+    for r in rows:
+        v = r.doc_id % 8
+        if v == 5:
+            assert r.public_suffix == "example"  # PSL default rule
+            assert r.registrable_domain.endswith(".example")
+        if v == 6:
+            assert r.registrable_domain == ""  # host IS a suffix
+        if r.registrable_domain:
+            assert r.registrable_domain.endswith("." + r.public_suffix) or (
+                r.registrable_domain == r.public_suffix
+            )
+            head = r.registrable_domain[: -(len(r.public_suffix) + 1)]
+            assert head and "." not in head  # exactly one extra label
