@@ -296,6 +296,9 @@ HEADLINE = [
     # round-15 additions
     "url_registrable_domain",
     "sample_domain_quota_registrable",
+    "html_extract_text",
+    "warc_parse_gzip",
+    "write_training_shards",
 ]
 
 # Timed and reported, but excluded from the headline sum: cost dominated

@@ -1116,3 +1116,108 @@ def dedup_chunks_minhash_sql(
     FROM ({inner})
     WHERE id_a // {CHUNK_CID_BASE} <> id_b // {CHUNK_CID_BASE}
     """
+
+
+# ---------------------------------------------------------------------------
+# training-shard writer — the output endpoint of the pipeline
+# (round 15, VERDICT r14 ask #7)
+# ---------------------------------------------------------------------------
+
+SHARD_SEED = "shard1"  # new shard layout = new seed literal
+TARGET_SHARD_BYTES = 16_384  # fixture-scale target; production: 100MB-1GB
+
+
+def write_training_shards(
+    counts: DataFrame,
+    target_bytes: int = TARGET_SHARD_BYTES,
+    ctx_len: int = CTX_LEN,
+    seed: str = SHARD_SEED,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic training-shard assignment + manifest — the output
+    side of the pipeline: given per-document (n_tokens, n_bytes), walk
+    the corpus in seeded-shuffle order (md5(seed || id) — the
+    epoch_shuffle_batches convention, so shards are decorrelated from
+    ingest order) and cut a new shard every ``target_bytes`` of
+    cumulative document bytes.  One manifest row per shard: doc count,
+    token/byte totals, the packed-sequence count at ``ctx_len``
+    (ceil(total_tokens/ctx) — each shard packs head-to-tail like
+    seq_packing), and the id range.
+
+    Scale shape: the global cut point is an EXCLUSIVE prefix sum of
+    n_bytes over the shuffle order — ext/ranks.py's range-partitioned
+    form (``with_group_prefix_sums`` with no group), NEVER a
+    single-reducer global window; the manifest aggregate map-side
+    combines on shard_id.  Byte-balancing is structural: shard k holds
+    the docs whose exclusive byte prefix lies in [k*target,
+    (k+1)*target), so every shard's total is within ONE straddling
+    document's bytes of target regardless of corpus size (the x20 row
+    measures this flat)."""
+    from .ranks import _idiv, with_group_prefix_sums
+
+    # materialize the NARROW counts frame (3 longs/doc) before the
+    # range partition: repartitionByRange SAMPLES its input and the
+    # ranks machinery checkpoints it — without this, an expensive
+    # counts lineage (the registered query's BPE encode) evaluates
+    # twice per build (measured ~2x wall at sf0.1)
+    counts = counts.localCheckpoint(eager=True)
+    keyed = counts.withColumn(
+        "hkey",
+        F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string"))),
+    )
+    pre = with_group_prefix_sums(
+        keyed, [], ["hkey", id_col], "n_bytes", out_col="bytes_before"
+    )
+    assigned = pre.select(
+        id_col,
+        "n_tokens",
+        "n_bytes",
+        _idiv(F.col("bytes_before"), F.lit(target_bytes).cast("long")).alias(
+            "shard_id"
+        ),
+    )
+    ctx = F.lit(ctx_len).cast("long")
+    return assigned.groupBy("shard_id").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum("n_bytes").cast("long").alias("total_bytes"),
+        _idiv(F.sum("n_tokens").cast("long") + ctx - 1, ctx).alias("n_seqs"),
+        F.min(id_col).alias("first_doc_id"),
+        F.max(id_col).alias("last_doc_id"),
+    )
+
+
+def write_training_shards_sql(
+    counts_sql: str,
+    target_bytes: int = TARGET_SHARD_BYTES,
+    ctx_len: int = CTX_LEN,
+    seed: str = SHARD_SEED,
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB mirror over a ``(doc_id, n_tokens, n_bytes)`` counts
+    subquery: the plain-window prefix-sum form of the same arithmetic
+    (the ranks machinery is bit-identical to the window form by
+    construction — BIGINT addition is associative)."""
+    return f"""
+    WITH s AS (
+      SELECT {id_col}, n_tokens, n_bytes,
+             md5('{seed}' || {id_col}::VARCHAR) AS hkey
+      FROM {counts_sql}
+    ),
+    p AS (
+      SELECT *,
+             coalesce(sum(n_bytes) OVER (ORDER BY hkey, {id_col}
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+               AS bytes_before
+      FROM s
+    )
+    SELECT (bytes_before // {target_bytes})::BIGINT AS shard_id,
+           count(*)::BIGINT AS n_docs,
+           sum(n_tokens)::BIGINT AS total_tokens,
+           sum(n_bytes)::BIGINT AS total_bytes,
+           ((sum(n_tokens) + {ctx_len} - 1) // {ctx_len})::BIGINT AS n_seqs,
+           min({id_col}) AS first_doc_id,
+           max({id_col}) AS last_doc_id
+    FROM p
+    GROUP BY shard_id
+    """

@@ -1,0 +1,373 @@
+"""HTML-to-text main-content extraction — the missing stage of the
+real web-corpus chain (VERDICT r14 ask #2): WARC -> **HTML -> text** ->
+quality gates.
+
+A jusText/trafilatura-class extractor, Spark-first: real pipelines
+segment a page into BLOCKS at block-level tag boundaries, score each
+block (words, link density, semantic tag), promote short blocks that
+sit next to good content, and reassemble the good blocks as the
+document text.  Everything here is codegen'd string expressions —
+global regex/literal replaces, one split + posexplode, one
+lag/lead window for the neighbor rule — no UDF, no Python stage; the
+only shuffle is the per-document window, whose hash partitioning the
+reassembly aggregate reuses (plan-gated: ONE exchange total).
+
+Pipeline (one place, both engines — the DuckDB oracle mirrors every
+step on the same pattern strings):
+
+1. body      := regexp_extract '<body>(.*)</body>' (head — title,
+   style, script — never reaches the extractor);
+2. descript  := global non-greedy removal of '<script[^>]*>.*?</script>'
+   and '<style[^>]*>.*?</style>' INSIDE the body — scripts may contain
+   literal closing tags ('</div>' in a JS string — the fixture plants
+   one) that would corrupt block segmentation if stripped later;
+3. segment   := append a chr(1) sentinel after every BLOCK-closing tag
+   (</p> </h1> </nav> </footer> </div> </aside> — literal global
+   replaces, no regex), then split on the sentinel; each piece is one
+   block, tagged by its FIRST opening tag;
+4. text      := strip '<[^>]*>' -> ' ' (global), decode the HTML
+   entities (&lt; &gt; &quot; &#39; &nbsp; first, &amp; LAST — the
+   double-decode trap: '&amp;lt;' must yield literal '&lt;', never
+   '<'), collapse whitespace, trim;
+5. classify  := bad if the block tag is semantic boilerplate
+   (nav/footer/aside) or the text is empty or 3*n_links > n_words
+   (link density > 1/3); good if n_words >= MIN_GOOD_WORDS; else
+   SHORT — promoted to good iff an immediate neighbor block is
+   base-good (the jusText context rule; headings next to content
+   survive, 'Back to top' between boilerplate dies);
+6. reassemble := concat kept texts in block order per document.
+
+The fixture LAW (:func:`with_html_pages`) synthesizes a single-line
+page around ``documents.text``: nav with links, an in-body script
+holding a literal '</p></div>' trap, a main div whose h1 is a SHORT
+block adjacent to content (must be promoted), the text as 12-word
+<p> chunks with inline <b> markup on the first, a constant short
+block between content ('Read on now' — promoted), an entity block
+(every entity + the double-decode trap), a link-farm share div
+(density 1.0 — dropped), 'Back to top' between two bad blocks
+(dropped), and a footer (dropped by tag).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .textclean import _chunk_re
+
+CHUNK_WORDS = 12  # words per synthesized <p> block in the fixture law
+MAX_CHUNKS = 6  # fixture cap: at most 6 content chunks per page
+MIN_GOOD_WORDS = 5  # blocks with >= this many words are content
+# link-density rule: bad when n_links / n_words > 1/3, in exact
+# integer form (3 * n_links > n_words)
+LINK_DENSITY_NUM = 3
+
+BLOCK_CLOSE_TAGS = ("p", "h1", "nav", "footer", "div", "aside")
+BOILERPLATE_TAGS = ("nav", "footer", "aside")
+
+_SENT = "\x01"
+_BODY_RE = "<body>(.*)</body>"
+_SCRIPT_RE = "<script[^>]*>.*?</script>"
+_STYLE_RE = "<style[^>]*>.*?</style>"
+_TAG_RE = "<[^>]*>"
+_FIRST_TAG_RE = "<([a-z0-9]+)[^>]*>"
+_WS_RE = "  *"  # backslash-free 'one or more spaces'
+
+# (entity, replacement) — &amp; LAST so '&amp;lt;' single-decodes to
+# literal '&lt;' (the standard double-decode bug this order prevents)
+ENTITIES = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+)
+
+
+def with_html_pages(docs: DataFrame) -> DataFrame:
+    """The fixture law: (doc_id, html) — a deterministic single-line
+    page wrapping ``documents.text`` (columns doc_id, text required).
+    Every extractor rule has a planted witness; see the module
+    docstring for the block inventory."""
+    d = F.col("doc_id").cast("string")
+    chunks = F.slice(
+        F.regexp_extract_all(F.col("text"), F.lit(_chunk_re(CHUNK_WORDS)), 0),
+        1,
+        MAX_CHUNKS,
+    )
+    first_p = F.concat_ws(
+        "",
+        F.transform(
+            F.slice(chunks, 1, 1),
+            lambda c: F.concat(F.lit("<p><b>"), c, F.lit("</b> opens</p>")),
+        ),
+    )
+    rest_p = F.concat_ws(
+        "",
+        F.transform(
+            F.slice(chunks, 2, MAX_CHUNKS - 1),
+            lambda c: F.concat(F.lit("<p>"), c, F.lit("</p>")),
+        ),
+    )
+    html = F.concat(
+        F.lit("<html><head><title>Doc "),
+        d,
+        F.lit('</title><style>p{margin:0}</style></head><body>'),
+        F.lit('<nav><a href="/">Home</a> <a href="/s'),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit('">Section</a> <a href="/t">Tags</a></nav>'),
+        F.lit('<script>var trap="</p> not a block </div>";</script>'),
+        F.lit('<div id="main"><h1>Doc '),
+        d,
+        F.lit("</h1>"),
+        first_p,
+        F.lit("<p>Read on now</p>"),
+        rest_p,
+        F.lit(
+            "<p>Q&amp;A on &lt;p&gt; tags &quot;quoted&quot; "
+            "&amp;lt;escaped&amp;gt; today</p>"
+        ),
+        F.lit("</div>"),
+        F.lit(
+            '<div class="share"><a href="#">Share</a> '
+            '<a href="#">Tweet</a> <a href="#">Pin</a></div>'
+        ),
+        F.lit("<p>Back to top</p>"),
+        F.lit("<footer>Copyright 2031 example site All rights reserved</footer>"),
+        F.lit("</body></html>"),
+    )
+    return docs.select("doc_id", html.alias("html"))
+
+
+def _decode_entities(txt: Column) -> Column:
+    for ent, rep in ENTITIES:
+        txt = F.replace(txt, F.lit(ent), F.lit(rep))
+    return txt
+
+
+def _block_frame(pages: DataFrame, html_col: str = "html") -> DataFrame:
+    """(doc_id, bidx, tag, n_links, txt, n_words): the segmented,
+    stripped, decoded block rows — all scan-side projection plus one
+    posexplode; no shuffle yet."""
+    body = F.regexp_extract(F.col(html_col), _BODY_RE, 1)
+    descript = F.regexp_replace(
+        F.regexp_replace(body, _SCRIPT_RE, ""), _STYLE_RE, ""
+    )
+    marked = descript
+    for t in BLOCK_CLOSE_TAGS:
+        close = f"</{t}>"
+        marked = F.replace(marked, F.lit(close), F.lit(close + _SENT))
+    blocks = pages.select(
+        "doc_id",
+        F.posexplode(F.split(marked, _SENT, -1)).alias("bidx", "raw"),
+    ).filter(F.col("raw") != "")
+    raw = F.col("raw")
+    txt = F.trim(
+        F.regexp_replace(
+            _decode_entities(F.regexp_replace(raw, _TAG_RE, " ")), _WS_RE, " "
+        )
+    )
+    n_links = ((F.length(raw) - F.length(F.replace(raw, F.lit("<a ")))) / 3).cast(
+        "long"
+    )
+    # txt lands in its OWN projection: it feeds two output columns, and
+    # CollapseProject would otherwise inline the whole strip/decode
+    # chain into each use (non-cheap, multi-use aliases stay staged)
+    staged = blocks.select(
+        "doc_id",
+        F.col("bidx").cast("long").alias("bidx"),
+        F.regexp_extract(raw, _FIRST_TAG_RE, 1).alias("tag"),
+        n_links.alias("n_links"),
+        txt.alias("txt"),
+    )
+    return staged.select(
+        "doc_id",
+        "bidx",
+        "tag",
+        "n_links",
+        "txt",
+        F.when(F.col("txt") == "", F.lit(0))
+        .otherwise(F.size(F.split(F.col("txt"), " ")))
+        .cast("long")
+        .alias("n_words"),
+    )
+
+
+def _base_class() -> Column:
+    return (
+        F.when(F.col("tag").isin(*BOILERPLATE_TAGS), F.lit("bad"))
+        .when(F.col("n_words") == 0, F.lit("bad"))
+        .when(
+            F.lit(LINK_DENSITY_NUM) * F.col("n_links") > F.col("n_words"),
+            F.lit("bad"),
+        )
+        .when(F.col("n_words") >= MIN_GOOD_WORDS, F.lit("good"))
+        .otherwise(F.lit("short"))
+    )
+
+
+def html_extract_text(pages: DataFrame, html_col: str = "html") -> DataFrame:
+    """The operator: (doc_id, extracted_text, n_blocks, n_kept,
+    n_words_kept) — main-content text per page.
+
+    Plan shape: segmentation/stripping/decoding/classification are all
+    scan-side codegen; the neighbor-promotion lag/lead window shuffles
+    ONCE on doc_id and the reassembly groupBy reuses that exact hash
+    partitioning (no second exchange; plan-gated).  Per-document block
+    counts are page-structure-bounded (tens), so window groups are
+    many-and-small — the good case for PARTITION BY.  At 100 TB this
+    is one full-corpus shuffle keyed by document; the alternative
+    zero-shuffle form (array higher-order functions per page) was
+    rejected on the measured interpreted-HOF penalty (see
+    ext/urls.py::registrable_domain_cols, same trade, ~1.5x).
+
+    The one exchange is placed BEFORE the block pipeline, not at the
+    window: repartitioning pages by doc_id satisfies the window's
+    required distribution (no second exchange appears) while moving
+    the regex-heavy block projection BEHIND the shuffle — on a
+    few-split input (one parquet file) the scan-side placement ran the
+    whole strip/decode chain in a single task (measured 2.7s -> 1.4s
+    in-suite at sf0.1); the shuffle carries page html either way."""
+    base = (
+        _block_frame(pages.repartition(F.col("doc_id")), html_col)
+        .withColumn("base", _base_class())
+    )
+    w = Window.partitionBy("doc_id").orderBy("bidx")
+    promoted = base.withColumn(
+        "kept",
+        (F.col("base") == "good")
+        | (
+            (F.col("base") == "short")
+            & (
+                (F.coalesce(F.lag("base").over(w), F.lit("bad")) == "good")
+                | (F.coalesce(F.lead("base").over(w), F.lit("bad")) == "good")
+            )
+        ),
+    )
+    return promoted.groupBy("doc_id").agg(
+        F.coalesce(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("kept"), F.struct("bidx", "txt")
+                            )
+                        )
+                    ),
+                    lambda s: s.txt,
+                ),
+            ),
+            F.lit(""),
+        ).alias("extracted_text"),
+        F.count("*").cast("long").alias("n_blocks"),
+        F.sum(F.when(F.col("kept"), 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.sum(F.when(F.col("kept"), F.col("n_words")).otherwise(0))
+        .cast("long")
+        .alias("n_words_kept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB mirrors
+# ---------------------------------------------------------------------------
+
+
+def _html_law_sql(table: str = "documents") -> str:
+    """The fixture law as a ``pages(doc_id, html)`` CTE."""
+    chunks = f"regexp_extract_all(text, '{_chunk_re(CHUNK_WORDS)}', 0)[1:{MAX_CHUNKS}]"
+    return f"""pages AS (
+      SELECT doc_id,
+        '<html><head><title>Doc ' || doc_id
+        || '</title><style>p{{margin:0}}</style></head><body>'
+        || '<nav><a href="/">Home</a> <a href="/s' || (doc_id % 5)
+        || '">Section</a> <a href="/t">Tags</a></nav>'
+        || '<script>var trap="</p> not a block </div>";</script>'
+        || '<div id="main"><h1>Doc ' || doc_id || '</h1>'
+        || coalesce(array_to_string(
+             [('<p><b>' || c || '</b> opens</p>') FOR c IN {chunks}[1:1]], ''),
+             '')
+        || '<p>Read on now</p>'
+        || coalesce(array_to_string(
+             [('<p>' || c || '</p>') FOR c IN {chunks}[2:{MAX_CHUNKS}]], ''),
+             '')
+        || '<p>Q&amp;A on &lt;p&gt; tags &quot;quoted&quot; '
+        || '&amp;lt;escaped&amp;gt; today</p>'
+        || '</div>'
+        || '<div class="share"><a href="#">Share</a> '
+        || '<a href="#">Tweet</a> <a href="#">Pin</a></div>'
+        || '<p>Back to top</p>'
+        || '<footer>Copyright 2031 example site All rights reserved</footer>'
+        || '</body></html>' AS html
+      FROM {table}
+    )"""
+
+
+def _entity_decode_sql(expr: str) -> str:
+    for ent, rep in ENTITIES:
+        r = rep.replace("'", "''")
+        expr = f"replace({expr}, '{ent}', '{r}')"
+    return expr
+
+
+def html_extract_text_sql(table: str = "documents") -> str:
+    """DuckDB mirror of fixture law + :func:`html_extract_text` — the
+    same pattern strings, global ('g') replaces, sentinel split,
+    lag/lead promotion, and ordered reassembly."""
+    marked = "regexp_replace(regexp_replace(regexp_extract(html, '<body>(.*)</body>', 1), '<script[^>]*>.*?</script>', '', 'g'), '<style[^>]*>.*?</style>', '', 'g')"
+    for t in BLOCK_CLOSE_TAGS:
+        marked = f"replace({marked}, '</{t}>', '</{t}>' || chr(1))"
+    strip = "regexp_replace(raw, '<[^>]*>', ' ', 'g')"
+    txt = f"trim(regexp_replace({_entity_decode_sql(strip)}, '  *', ' ', 'g'))"
+    boiler = ", ".join(f"'{t}'" for t in BOILERPLATE_TAGS)
+    return f"""
+    WITH {_html_law_sql(table)},
+    split AS (
+      SELECT doc_id,
+             generate_subscripts(string_split({marked}, chr(1)), 1) - 1 AS bidx,
+             unnest(string_split({marked}, chr(1))) AS raw
+      FROM pages
+    ),
+    blocks AS (
+      SELECT doc_id, bidx::BIGINT AS bidx,
+             regexp_extract(raw, '<([a-z0-9]+)[^>]*>', 1) AS tag,
+             ((length(raw) - length(replace(raw, '<a ', ''))) / 3)::BIGINT
+               AS n_links,
+             {txt} AS txt
+      FROM split
+      WHERE raw <> ''
+    ),
+    scored AS (
+      SELECT *,
+             CASE WHEN txt = '' THEN 0
+                  ELSE len(string_split(txt, ' ')) END::BIGINT AS n_words
+      FROM blocks
+    ),
+    classed AS (
+      SELECT *,
+             CASE WHEN tag IN ({boiler}) THEN 'bad'
+                  WHEN n_words = 0 THEN 'bad'
+                  WHEN {LINK_DENSITY_NUM} * n_links > n_words THEN 'bad'
+                  WHEN n_words >= {MIN_GOOD_WORDS} THEN 'good'
+                  ELSE 'short' END AS base
+      FROM scored
+    ),
+    kept AS (
+      SELECT *,
+             (base = 'good' OR (base = 'short' AND (
+               coalesce(lag(base) OVER w, 'bad') = 'good'
+               OR coalesce(lead(base) OVER w, 'bad') = 'good'))) AS keep
+      FROM classed
+      WINDOW w AS (PARTITION BY doc_id ORDER BY bidx)
+    )
+    SELECT doc_id,
+           coalesce(string_agg(CASE WHEN keep THEN txt END, ' '
+                               ORDER BY bidx), '') AS extracted_text,
+           count(*)::BIGINT AS n_blocks,
+           sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+           sum(CASE WHEN keep THEN n_words ELSE 0 END)::BIGINT AS n_words_kept
+    FROM kept
+    GROUP BY doc_id
+    """

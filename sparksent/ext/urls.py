@@ -40,9 +40,21 @@ Canonicalization rules (one place, both engines):
    https:443) or absent, else kept;
 5. path      := strip trailing slashes (``/a/`` == ``/a``); empty
    path becomes ``/``;
-6. query     := kept verbatim (no param reordering — documented
-   choice, matching C4);
+6. query     := tracking parameters stripped (the documented
+   ``TRACKING_PARAMS`` list: ``utm_*`` and the click-id family —
+   round 15, VERDICT r14 ask #6; two URLs differing only in trackers
+   are one resource, and C4-style URL dedup strips them for exactly
+   that reason), remaining params kept verbatim in original order
+   (no reordering — documented choice, matching C4);
 7. fragment  := dropped.
+
+The tracker strip is two global replaces sharing one alternation: a
+non-anchored pass removes every NON-LEADING ``&tracker=value`` (Spark
+replaces all matches natively; the SQL mirror passes the ``'g'``
+flag), then an anchored pass removes the at-most-one LEADING
+``tracker=value&?`` — so any run of trackers at any position
+collapses in exactly two passes.  Scope: a bare ``tracker`` with no
+``=`` is not stripped (real trackers are always assigned).
 """
 
 from __future__ import annotations
@@ -65,6 +77,12 @@ _FRAG_RE = "#.*$"
 _QUERY_RE = "[?](.*)$"
 _PATH_RE = "^([^?]*)"
 _SLASH_RE = "/+$"
+
+# tracking parameters stripped from query strings (rule 6) — the
+# documented list; extending it is a data change, not a plan change
+TRACKING_PARAMS = "utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|mc_eid|igshid"
+_TRACK_MID_RE = f"&({TRACKING_PARAMS})=[^&]*"  # every non-leading tracker
+_TRACK_LEAD_RE = f"^({TRACKING_PARAMS})=[^&]*&?"  # the at-most-one leading
 
 TOPK_DOMAINS = 10
 
@@ -105,7 +123,13 @@ def url_parts(url: Column) -> dict[str, Column]:
         F.regexp_extract(pathq, _PATH_RE, 1), _SLASH_RE, ""
     )
     path = F.when(path_norm == "", F.lit("/")).otherwise(path_norm)
-    query = F.regexp_extract(pathq, _QUERY_RE, 1)
+    query = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_extract(pathq, _QUERY_RE, 1), _TRACK_MID_RE, ""
+        ),
+        _TRACK_LEAD_RE,
+        "",
+    )
     return {
         "scheme": scheme,
         "host": host,
@@ -152,7 +176,7 @@ def with_fixture_urls(docs: DataFrame) -> DataFrame:
     url = (
         F.when(v == 0, F.concat(F.lit("https://www."), s, F.lit(".example.org/docs/"), d))
         .when(v == 1, F.concat(F.lit("HTTPS://"), F.upper(s), F.lit(".EXAMPLE.org:443/docs/"), d, F.lit("/")))
-        .when(v == 2, F.concat(F.lit("http://"), s, F.lit(".example.org:8080/docs/"), d, F.lit("?q=1")))
+        .when(v == 2, F.concat(F.lit("http://"), s, F.lit(".example.org:8080/docs/"), d, F.lit("?q=1&utm_source=feed")))
         .when(v == 3, F.concat(F.lit("http://user:pw@www."), s, F.lit(".example.org:80/docs/"), d, F.lit("#top")))
         .when(v == 4, F.concat(F.lit("//cdn."), s, F.lit(".example.org./assets/"), d))
         .otherwise(F.concat(s, F.lit(".example.org/docs/"), d, F.lit("/")))
@@ -227,7 +251,7 @@ def _fixture_url_sql(table: str = "documents") -> str:
              CASE doc_id % 6
                WHEN 0 THEN 'https://www.' || source || '.example.org/docs/' || doc_id
                WHEN 1 THEN 'HTTPS://' || upper(source) || '.EXAMPLE.org:443/docs/' || doc_id || '/'
-               WHEN 2 THEN 'http://' || source || '.example.org:8080/docs/' || doc_id || '?q=1'
+               WHEN 2 THEN 'http://' || source || '.example.org:8080/docs/' || doc_id || '?q=1&utm_source=feed'
                WHEN 3 THEN 'http://user:pw@www.' || source || '.example.org:80/docs/' || doc_id || '#top'
                WHEN 4 THEN '//cdn.' || source || '.example.org./assets/' || doc_id
                ELSE source || '.example.org/docs/' || doc_id || '/'
@@ -275,7 +299,10 @@ def _parts_sql() -> str:
                   ELSE regexp_replace(regexp_extract(pathq, '{_PATH_RE}', 1),
                                       '{_SLASH_RE}', '')
              END AS path,
-             regexp_extract(pathq, '{_QUERY_RE}', 1) AS qstr
+             regexp_replace(
+               regexp_replace(regexp_extract(pathq, '{_QUERY_RE}', 1),
+                              '{_TRACK_MID_RE}', '', 'g'),
+               '{_TRACK_LEAD_RE}', '') AS qstr
       FROM p1
     )"""
 
@@ -332,8 +359,13 @@ def with_dedup_fixture_urls(docs: DataFrame) -> DataFrame:
       trailing slash) collapse to one https URL;
     - shapes 3 (userinfo + www + :80 + fragment) and 5 (scheme-less +
       trailing slash) collapse to one http URL;
-    - shape 2 keeps its non-default :8080 and shape 4 its cdn host —
-      genuinely different resources, so they must NOT merge."""
+    - shapes 2 and 4 (round 15) collapse to one :8080 URL that
+      survives ONLY through tracker stripping: they differ by a
+      middle ``utm_source``, a leading ``gclid``, a trailing
+      ``utm_campaign`` (all three strip positions), plus shape 4's
+      scheme-less + trailing-dot forms — and the three groups
+      ({0,1} https, {2,4} :8080, {3,5} http) stay mutually distinct,
+      so the law still proves non-merging across groups."""
     page = (F.col("doc_id") - F.col("doc_id") % 6) / 6
     pg = page.cast("long").cast("string")
     host_k = (page.cast("long") % N_DEDUP_HOSTS).cast("string")
@@ -342,9 +374,9 @@ def with_dedup_fixture_urls(docs: DataFrame) -> DataFrame:
     url = (
         F.when(v == 0, F.concat(F.lit("https://www."), s, F.lit(".example.org/page/"), pg))
         .when(v == 1, F.concat(F.lit("HTTPS://"), F.upper(s), F.lit(".EXAMPLE.org:443/page/"), pg, F.lit("/")))
-        .when(v == 2, F.concat(F.lit("http://"), s, F.lit(".example.org:8080/page/"), pg, F.lit("?q=1")))
+        .when(v == 2, F.concat(F.lit("http://"), s, F.lit(".example.org:8080/page/"), pg, F.lit("?q=1&utm_source=feed")))
         .when(v == 3, F.concat(F.lit("http://user:pw@www."), s, F.lit(".example.org:80/page/"), pg, F.lit("#top")))
-        .when(v == 4, F.concat(F.lit("//cdn."), s, F.lit(".example.org./page/"), pg))
+        .when(v == 4, F.concat(F.lit("//"), s, F.lit(".example.org.:8080/page/"), pg, F.lit("?gclid=abc&q=1&utm_campaign=x")))
         .otherwise(F.concat(s, F.lit(".example.org/page/"), pg, F.lit("/")))
     )
     return docs.withColumn("url", url)
@@ -356,7 +388,10 @@ def dedup_url_exact(docs: DataFrame) -> DataFrame:
     group documents on their canonicalized URL and report every
     multi-document group, which here exists precisely because distinct
     raw URL shapes collapse (a raw-string dedup finds ZERO of these
-    groups — every raw URL in the law is unique).  Output: (curl,
+    groups — every raw URL in the law is unique).  Since round 15 the
+    law's third group ({2,4}) merges ONLY if tracking parameters strip
+    (leading gclid, middle utm_source, trailing utm_campaign), so this
+    query is also the tracker-normalization witness.  Output: (curl,
     n_docs, keep_id) with keep_id the group-minimum doc id — the
     keep-first convention of ``dedup_exact``.
 
@@ -390,11 +425,13 @@ def _dedup_fixture_url_sql(table: str = "documents") -> str:
                WHEN 1 THEN 'HTTPS://' || upper('site' || ((doc_id // 6) % {N_DEDUP_HOSTS}))
                         || '.EXAMPLE.org:443/page/' || (doc_id // 6) || '/'
                WHEN 2 THEN 'http://site' || ((doc_id // 6) % {N_DEDUP_HOSTS})
-                        || '.example.org:8080/page/' || (doc_id // 6) || '?q=1'
+                        || '.example.org:8080/page/' || (doc_id // 6)
+                        || '?q=1&utm_source=feed'
                WHEN 3 THEN 'http://user:pw@www.site' || ((doc_id // 6) % {N_DEDUP_HOSTS})
                         || '.example.org:80/page/' || (doc_id // 6) || '#top'
-               WHEN 4 THEN '//cdn.site' || ((doc_id // 6) % {N_DEDUP_HOSTS})
-                        || '.example.org./page/' || (doc_id // 6)
+               WHEN 4 THEN '//site' || ((doc_id // 6) % {N_DEDUP_HOSTS})
+                        || '.example.org.:8080/page/' || (doc_id // 6)
+                        || '?gclid=abc&q=1&utm_campaign=x'
                ELSE 'site' || ((doc_id // 6) % {N_DEDUP_HOSTS})
                         || '.example.org/page/' || (doc_id // 6) || '/'
              END AS url

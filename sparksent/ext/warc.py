@@ -90,10 +90,16 @@ def with_warc_blobs(docs: DataFrame) -> DataFrame:
     )
 
 
-def warc_parse_records(blobs: DataFrame, blob_col: str = "blob") -> DataFrame:
+def warc_parse_records(
+    blobs: DataFrame,
+    blob_col: str = "blob",
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
     """The operator: split every blob into its records and type the
     headers — (blob_id, rec_idx, rec_id, warc_type, target_uri,
-    content_length, payload_chars, length_ok).
+    content_length, payload_chars, length_ok) plus any ``extra_cols``
+    carried through from the blob frame (the gzip stage threads its
+    per-blob member count this way — no re-join).
 
     Plan shape: ONE literal-delimiter split + posexplode (the leading
     empty element before the first delimiter is dropped by position,
@@ -104,6 +110,7 @@ def warc_parse_records(blobs: DataFrame, blob_col: str = "blob") -> DataFrame:
     actual payload length."""
     parts = blobs.select(
         "blob_id",
+        *extra_cols,
         F.posexplode(F.split(F.col(blob_col), "WARC/1[.]0\n", -1)).alias(
             "idx", "rec"
         ),
@@ -123,7 +130,155 @@ def warc_parse_records(blobs: DataFrame, blob_col: str = "blob") -> DataFrame:
             F.regexp_extract(F.col("rec"), _CLEN_RE, 1).cast("long")
             == F.length(payload).cast("long")
         ).alias("length_ok"),
+        *extra_cols,
     )
+
+
+# ---------------------------------------------------------------------------
+# gzip member decompression — VERDICT r14 ask #3: closes the honest
+# scope note above (the byte-level layer between the raw crawl file and
+# warc_parse_records).  Real .warc.gz files are CONCATENATED GZIP
+# MEMBERS, one per record (the CommonCrawl layout — readers locate
+# record boundaries by inflating member-by-member), so the fixture law
+# gzips each record separately and byte-concatenates the members, and
+# the decode stage walks them with stdlib zlib via
+# ``decompressobj.unused_data`` — the same pure-Python-codec-in-one-
+# Arrow-stage pattern as ext/multimodal.py's PNG inflate.
+# ---------------------------------------------------------------------------
+
+_GZIP_WBITS = 16 + 15  # gzip wrapper + 32k window (stdlib constant form)
+
+
+def _gzip_member(data: bytes) -> bytes:
+    """One deterministic gzip member (mtime pinned to 0 so fixture
+    bytes are stable across runs; OS byte left to the stdlib)."""
+    import gzip
+
+    return gzip.compress(data, mtime=0)
+
+
+def _inflate_members(data: bytes) -> tuple[str, int]:
+    """Inflate a concatenated-gzip-member stream: (decoded utf-8 text,
+    member count).  Raises ``ValueError`` on a truncated final member —
+    the byte-level corruption signal (the record-level Content-Length
+    audit is warc_parse_records' job)."""
+    import zlib
+
+    out: list[bytes] = []
+    n = 0
+    buf = data
+    while buf:
+        d = zlib.decompressobj(_GZIP_WBITS)
+        out.append(d.decompress(buf))
+        if not d.eof:
+            raise ValueError(f"truncated gzip member after {n} members")
+        n += 1
+        buf = d.unused_data
+    return b"".join(out).decode("utf-8"), n
+
+
+def _inflate_batches(it):
+    """mapInPandas body for the decode stage: one `_inflate_members`
+    call per blob row (decode-call count is pinned by test), Arrow
+    batch in / Arrow batch out."""
+    import pandas as pd
+
+    for pdf in it:
+        texts, counts = [], []
+        for gz in pdf["gz"]:
+            text, n = _inflate_members(bytes(gz))
+            texts.append(text)
+            counts.append(n)
+        yield pd.DataFrame(
+            {"blob_id": pdf["blob_id"], "blob": texts, "n_members": counts}
+        )
+
+
+def with_warc_gzip_blobs(docs: DataFrame) -> DataFrame:
+    """The gzip fixture law: (blob_id, gz) — the records of
+    :func:`with_warc_blobs`' law, each deflated as its OWN gzip member
+    (one Arrow stage), byte-concatenated per blob in deterministic
+    in-blob order.  The member concat is a single bounded
+    ``F.aggregate`` over the 4-element collected array (constant
+    depth — the chained-HOF analysis-cost cliff needs dozens of
+    layers)."""
+    import pandas as pd
+
+    d = F.col("doc_id")
+    wtype = (
+        F.when(d % 3 == 0, F.lit("response"))
+        .when(d % 3 == 1, F.lit("request"))
+        .otherwise(F.lit("metadata"))
+    )
+    clen = F.length("text").cast("long") + F.when(d % 7 == 0, 1).otherwise(0)
+    rec = warc_record(d, wtype, F.col("url"), clen, F.col("text"))
+    recs = with_fixture_urls(docs.select("doc_id", "source", "text")).select(
+        (F.col("doc_id") - F.col("doc_id") % WARC_PER_BLOB).alias("bkey"),
+        F.col("doc_id").alias("i"),
+        rec.alias("r"),
+    )
+
+    def gzip_batches(it):
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "bkey": pdf["bkey"],
+                    "i": pdf["i"],
+                    "member": [
+                        _gzip_member(r.encode("utf-8")) for r in pdf["r"]
+                    ],
+                }
+            )
+
+    members = recs.mapInPandas(
+        gzip_batches, "bkey long, i long, member binary"
+    )
+    return members.groupBy("bkey").agg(
+        F.aggregate(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("i", "member"))),
+                lambda s: s.member,
+            ),
+            F.lit(b""),
+            lambda acc, m: F.concat(acc, m),
+        ).alias("gz")
+    ).select(
+        F.expr(f"bkey div {WARC_PER_BLOB}").cast("long").alias("blob_id"),
+        "gz",
+    )
+
+
+def warc_parse_gzip(blobs_gz: DataFrame) -> DataFrame:
+    """The operator: inflate concatenated gzip members (ONE Arrow
+    mapInPandas stage, one decode call per blob) and run the existing
+    in-plan record split/typing on the result — the full
+    ``.warc.gz -> typed records`` front door.  Output =
+    :func:`warc_parse_records` columns + ``n_members`` (the per-blob
+    member count the decode walk found; equal to the blob's record
+    count when and only when every member held exactly one record —
+    the member/record alignment audit).
+
+    100 TB shape: decompression is embarrassingly parallel per blob
+    (real pipelines size blobs to file-split boundaries); the Arrow
+    stage moves compressed bytes in and text out once, and everything
+    after it is the scan-side parse — no shuffle in the operator."""
+    inflated = blobs_gz.mapInPandas(
+        _inflate_batches, "blob_id long, blob string, n_members long"
+    )
+    return warc_parse_records(inflated, extra_cols=("n_members",))
+
+
+def warc_parse_gzip_sql(table: str = "documents") -> str:
+    """DuckDB mirror: gzip-then-inflate is byte-identity, so the oracle
+    is the UNCOMPRESSED parse (warc_parse_records_sql) plus the member
+    count, which equals the blob's record count by the law (one record
+    per member) — counted with a window, not assumed constant (the
+    last blob may be partial)."""
+    inner = warc_parse_records_sql(table)
+    return f"""
+    SELECT *, count(*) OVER (PARTITION BY blob_id)::BIGINT AS n_members
+    FROM ({inner})
+    """
 
 
 def _blob_sql(table: str = "documents") -> str:

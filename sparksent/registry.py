@@ -68,6 +68,9 @@ _PRIORITY: tuple[str, ...] = (
     # prepended per the never-checked-first rule)
     "url_registrable_domain",
     "sample_domain_quota_registrable",
+    "html_extract_text",
+    "warc_parse_gzip",
+    "write_training_shards",
     # slot 3+: latest green driver row is r10
     "event_session_ids",
     "fullouter_user_activity",

@@ -1861,3 +1861,159 @@ def test_registrable_domain_psl_semantics(spark):
             )
             head = r.registrable_domain[: -(len(r.public_suffix) + 1)]
             assert head and "." not in head  # exactly one extra label
+
+
+def test_html_extract_single_exchange(spark):
+    """html_extract_text's load-bearing plan property: segmentation,
+    stripping, entity decode, and classification are scan-side; the
+    neighbor window shuffles ONCE on doc_id and the reassembly
+    aggregate reuses that partitioning — one exchange total, no
+    Python, no join."""
+    plan = plan_of(spark, "html_extract_text")
+    assert count_data_shuffles(plan) == 1
+    assert "Python" not in plan and "MapInPandas" not in plan
+    assert "Join" not in plan
+
+
+def test_html_extract_semantics(spark):
+    """The extractor's semantic contract on the fixture law: nav/
+    footer/share-div/'Back to top' never survive; the h1 title and
+    'Read on now' (short blocks adjacent to good content) are
+    promoted; entities single-decode (&amp;lt; stays &lt;); inline
+    <b> markup is stripped without gluing words; no tag or script
+    text leaks."""
+    rows = (
+        queries()["html_extract_text"](spark, SF_DIR)
+        .filter("doc_id < 30")
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        t = r.extracted_text
+        assert "Home" not in t and "Section" not in t  # nav dropped
+        assert "Copyright" not in t  # footer dropped
+        assert "Share" not in t and "Tweet" not in t  # link farm dropped
+        assert "Back to top" not in t  # short between bad neighbors
+        assert "trap" not in t and "var" not in t  # script stripped first
+        assert f"Doc {r.doc_id}" in t  # h1 promoted next to content
+        assert "Read on now" in t  # short promoted between content
+        assert '<p> tags "quoted"' in t  # entities decoded once
+        assert "&lt;escaped&gt;" in t  # &amp;lt; must NOT double-decode
+        assert "<b>" not in t and "</p>" not in t
+        assert r.n_kept <= r.n_blocks and r.n_words_kept >= r.n_kept
+
+
+def test_warc_gzip_two_arrow_stages(spark):
+    """warc_parse_gzip: exactly TWO Arrow stages — the fixture law's
+    member gzip and the operator's member inflate; everything after
+    the inflate is the scan-side parse (no join, no further Python).
+    The n_members audit equals the blob's record count on the
+    one-record-per-member law."""
+    plan = plan_of(spark, "warc_parse_gzip")
+    assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 2
+    assert "Join" not in plan
+    rows = queries()["warc_parse_gzip"](spark, SF_DIR).collect()
+    assert rows
+    from collections import Counter
+
+    per_blob = Counter(r.blob_id for r in rows)
+    for r in rows:
+        assert r.n_members == per_blob[r.blob_id]
+        assert r.length_ok == (r.rec_id % 7 != 0)
+
+
+def test_warc_gzip_decode_calls_and_truncation():
+    """The decode stage makes exactly ONE inflate call per blob row
+    (never per record/member), and a truncated final member raises
+    instead of silently yielding a short corpus.  Driven through the
+    actual mapInPandas body with plain pandas batches — no Spark."""
+    import pandas as pd
+
+    from sparksent.ext import warc as W
+
+    recs = [f"WARC/1.0\nWARC-Record-ID: {i}\n\npayload {i}\n\n" for i in range(6)]
+    blob0 = b"".join(W._gzip_member(r.encode()) for r in recs[:4])
+    blob1 = b"".join(W._gzip_member(r.encode()) for r in recs[4:])
+    calls = {"n": 0}
+    real = W._inflate_members
+
+    def counting(data):
+        calls["n"] += 1
+        return real(data)
+
+    W._inflate_members = counting
+    try:
+        batches = list(
+            W._inflate_batches(
+                iter([pd.DataFrame({"blob_id": [0, 1], "gz": [blob0, blob1]})])
+            )
+        )
+    finally:
+        W._inflate_members = real
+    assert calls["n"] == 2  # one per blob, not per member
+    out = batches[0]
+    assert list(out["n_members"]) == [4, 2]
+    assert out["blob"][0] == "".join(recs[:4])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="truncated gzip member"):
+        W._inflate_members(blob0[:-2])
+
+
+def test_dedup_url_tracker_merge(spark):
+    """Round-15 tracker normalization witness: the dedup URL law's
+    shapes 2/4 differ by a leading gclid, a middle utm_source, and a
+    trailing utm_campaign (plus scheme-less + trailing-dot forms) and
+    MUST merge to one :8080 canonical URL; every complete 6-doc block
+    yields exactly three pair-groups; and no canonical URL anywhere
+    retains a tracker parameter."""
+    rows = queries()["dedup_url_exact"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert "utm_" not in r.curl and "gclid" not in r.curl
+        assert r.n_docs == 2
+    port_groups = [r for r in rows if ":8080" in r.curl]
+    assert port_groups, "the tracker-only pair must merge"
+    for r in port_groups:
+        assert r.curl.endswith("?q=1")
+        assert r.keep_id % 6 == 2  # shape 2 doc is the group minimum
+    # complete 6-doc blocks yield exactly 3 groups (the final block of
+    # the fixture may be partial and lose pairs to the n_docs>1 filter)
+    from collections import Counter
+
+    n_docs = queries()["parse_lines"](spark, SF_DIR).sparkSession.read.parquet(
+        f"{SF_DIR}/documents.parquet"
+    ).count()
+    pages = Counter(r.keep_id // 6 for r in rows)
+    complete = [b for b in pages if (b + 1) * 6 <= n_docs]
+    assert complete and all(pages[b] == 3 for b in complete)
+
+
+def test_training_shards_balance_and_plan(spark):
+    """write_training_shards: byte balance is structural — every shard
+    except the last lands in [target, target + max_doc_bytes), and no
+    single-reducer global window appears (the prefix sum is the
+    range-partitioned ranks machinery; the only windows in the plan
+    run over the tiny per-partition offsets frame).  Shards partition
+    the corpus exactly."""
+    from sparksent.ext.curation import TARGET_SHARD_BYTES
+
+    df = queries()["write_training_shards"](spark, SF_DIR)
+    plan = plan_of(spark, "write_training_shards")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan  # broadcast joins only
+    rows = sorted(df.collect(), key=lambda r: r.shard_id)
+    assert rows
+    n_docs_total = sum(r.n_docs for r in rows)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    assert n_docs_total == docs.count()
+    max_doc_bytes = docs.selectExpr("max(octet_length(text))").collect()[0][0]
+    # cut rule: shard k holds docs whose exclusive byte prefix lies in
+    # [k*target, (k+1)*target) — a boundary-straddling doc can leave a
+    # shard under OR over target, but never by a full document
+    for r in rows[:-1]:
+        assert abs(r.total_bytes - TARGET_SHARD_BYTES) < max_doc_bytes
+        assert r.n_seqs == (r.total_tokens + 511) // 512
+        assert r.first_doc_id <= r.last_doc_id
+    assert rows[-1].total_bytes < TARGET_SHARD_BYTES + max_doc_bytes
+    assert [r.shard_id for r in rows] == list(range(len(rows)))

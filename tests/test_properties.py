@@ -2627,7 +2627,13 @@ def _hostile_url(draw):
     segs = draw(st.lists(_url_path_seg, min_size=0, max_size=3))
     path = "".join("/" + s for s in segs)
     slashes = draw(st.sampled_from(["", "/", "//", "///"]))
-    query = draw(st.sampled_from(["", "?a=1", "?b=2&a=1", "?"]))
+    query = draw(st.sampled_from([
+        "", "?a=1", "?b=2&a=1", "?",
+        # tracker-bearing shapes (round 15): leading, middle, trailing,
+        # all-tracker, empty-valued, and the NOT-stripped bare form
+        "?utm_source=x&a=1", "?a=1&utm_campaign=y&b=2", "?a=1&gclid=z",
+        "?utm_a=1&utm_b=2", "?fbclid=&a=1", "?a=1&utm_x",
+    ]))
     frag = draw(st.sampled_from(["", "#", "#frag", "#a/b?c"]))
     return f"{scheme}{user}{www}{host}{trail_dot}{port}{path}{slashes}{query}{frag}"
 
