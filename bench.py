@@ -299,6 +299,10 @@ HEADLINE = [
     "html_extract_text",
     "warc_parse_gzip",
     "write_training_shards",
+    "quality_gate_extracted",
+    "html_link_graph",
+    "robots_txt_parse",
+    "robots_audit_parsed",
 ]
 
 # Timed and reported, but excluded from the headline sum: cost dominated

@@ -85,11 +85,13 @@ ENTITIES = (
 )
 
 
-def with_html_pages(docs: DataFrame) -> DataFrame:
+def with_html_pages(docs: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
     """The fixture law: (doc_id, html) — a deterministic single-line
     page wrapping ``documents.text`` (columns doc_id, text required).
     Every extractor rule has a planted witness; see the module
-    docstring for the block inventory."""
+    docstring for the block inventory.  ``carry`` threads extra input
+    columns through (the link graph carries the page url — a re-join
+    would put a shuffle into an otherwise scan-side plan)."""
     d = F.col("doc_id").cast("string")
     chunks = F.slice(
         F.regexp_extract_all(F.col("text"), F.lit(_chunk_re(CHUNK_WORDS)), 0),
@@ -129,15 +131,22 @@ def with_html_pages(docs: DataFrame) -> DataFrame:
             "&amp;lt;escaped&amp;gt; today</p>"
         ),
         F.lit("</div>"),
+        # the share div's three links keep density 1.0 (dropped by the
+        # extractor) while giving the LINK GRAPH its external shapes:
+        # an absolute https URL with case + a tracker (must
+        # canonicalize + strip), a scheme-relative URL with trailing
+        # host dot + trailing slash, and a fragment-only href (dropped)
         F.lit(
-            '<div class="share"><a href="#">Share</a> '
-            '<a href="#">Tweet</a> <a href="#">Pin</a></div>'
+            '<div class="share">'
+            '<a href="https://Share.Example.COM/ref?utm_source=share&q=1">Share</a> '
+            '<a href="//cdn.example.net./img/">Tweet</a> '
+            '<a href="#">Pin</a></div>'
         ),
         F.lit("<p>Back to top</p>"),
         F.lit("<footer>Copyright 2031 example site All rights reserved</footer>"),
         F.lit("</body></html>"),
     )
-    return docs.select("doc_id", html.alias("html"))
+    return docs.select("doc_id", *carry, html.alias("html"))
 
 
 def _decode_entities(txt: Column) -> Column:
@@ -296,8 +305,10 @@ def _html_law_sql(table: str = "documents") -> str:
         || '<p>Q&amp;A on &lt;p&gt; tags &quot;quoted&quot; '
         || '&amp;lt;escaped&amp;gt; today</p>'
         || '</div>'
-        || '<div class="share"><a href="#">Share</a> '
-        || '<a href="#">Tweet</a> <a href="#">Pin</a></div>'
+        || '<div class="share">'
+        || '<a href="https://Share.Example.COM/ref?utm_source=share&q=1">Share</a> '
+        || '<a href="//cdn.example.net./img/">Tweet</a> '
+        || '<a href="#">Pin</a></div>'
         || '<p>Back to top</p>'
         || '<footer>Copyright 2031 example site All rights reserved</footer>'
         || '</body></html>' AS html
@@ -370,4 +381,143 @@ def html_extract_text_sql(table: str = "documents") -> str:
            sum(CASE WHEN keep THEN n_words ELSE 0 END)::BIGINT AS n_words_kept
     FROM kept
     GROUP BY doc_id
+    """
+
+
+# ---------------------------------------------------------------------------
+# link-graph extraction — the hyperlink stage of the web front door
+# ---------------------------------------------------------------------------
+
+_HREF_RE = '<a href="([^"]*)"'
+_ABS_SCHEME_RE = "^[A-Za-z][A-Za-z0-9+.-]*://"
+
+
+def html_link_graph(pages: DataFrame) -> DataFrame:
+    """(doc_id, href, dst_curl, internal): the outlink edge list of
+    every page — the stage that feeds link-graph quality signals
+    (PageRank-style authority, spam neighborhoods) in a real web
+    pipeline.  Requires columns (doc_id, html, url) — the page's own
+    raw URL supplies the base for relative resolution.
+
+    Resolution (RFC 3986 subset, documented): absolute URLs pass
+    through; ``//host/...`` takes the base scheme; ``/path`` joins the
+    base authority (canonical scheme/host/port); fragment-only and
+    empty hrefs are dropped (same-page); bare-relative paths
+    (``a/b``, needing dot-segment merging) are OUT of this subset and
+    drop — the fixture law plants none.  Every resolved URL goes
+    through the full canonicalizer (case, www, ports, trailing
+    slashes, TRACKER STRIPPING — the share link's utm_source must not
+    survive into the graph), and ``internal`` marks edges whose
+    canonical destination host equals the page's own.
+
+    Plan shape: hrefs are extracted from the script/style-stripped
+    page in the scan projection, one posexplode expands edges, and
+    resolution + canonicalization are further projection work — ZERO
+    shuffle, no join, no Python (plan-gated)."""
+    from .urls import canonical_url, url_parts
+
+    p = url_parts(F.col("url"))
+    stripped = F.regexp_replace(
+        F.regexp_replace(F.col("html"), _SCRIPT_RE, ""), _STYLE_RE, ""
+    )
+    edges = pages.select(
+        "doc_id",
+        p["scheme"].alias("b_scheme"),
+        p["host"].alias("b_host"),
+        p["port"].alias("b_port"),
+        F.posexplode(F.regexp_extract_all(stripped, F.lit(_HREF_RE), 1)).alias(
+            "eidx", "href"
+        ),
+    )
+    base_auth = F.concat(
+        F.col("b_scheme"),
+        F.lit("://"),
+        F.col("b_host"),
+        F.when(F.col("b_port") == "", F.lit("")).otherwise(
+            F.concat(F.lit(":"), F.col("b_port"))
+        ),
+    )
+    href = F.col("href")
+    dst_abs = (
+        F.when(href.startswith("#") | (href == ""), F.lit(None))
+        .when(href.rlike(_ABS_SCHEME_RE), href)
+        .when(href.startswith("//"), F.concat(F.col("b_scheme"), F.lit(":"), href))
+        .when(href.startswith("/"), F.concat(base_auth, href))
+        .otherwise(F.lit(None))
+    )
+    resolved = edges.withColumn("dst_abs", dst_abs).filter(
+        F.col("dst_abs").isNotNull()
+    )
+    from .urls import canonical_host
+
+    return resolved.select(
+        "doc_id",
+        "href",
+        canonical_url(F.col("dst_abs")).alias("dst_curl"),
+        (canonical_host(F.col("dst_abs")) == F.col("b_host")).alias("internal"),
+    )
+
+
+def html_link_graph_sql(table: str = "documents") -> str:
+    """DuckDB mirror: base parts from the round-14 URL law, hrefs from
+    the script-stripped page law, the same resolution CASE, then the
+    shared canonicalization chain applied to the resolved URL (prefixed
+    CTE copy)."""
+    from .urls import _fixture_url_sql, _parts_sql
+
+    strip = (
+        "regexp_replace(regexp_replace(html, '<script[^>]*>.*?</script>', '', 'g'),"
+        " '<style[^>]*>.*?</style>', '', 'g')"
+    )
+    # second canonicalization chain over the resolved edges: same text,
+    # prefixed CTE names, carrying (doc_id, href, base_host)
+    dchain = (
+        _parts_sql()
+        .replace("p0 AS (", "dp0 AS (")
+        .replace("p1 AS (", "dp1 AS (")
+        .replace("parts AS (", "dparts AS (")
+        .replace("FROM u\n", "FROM u2\n")
+        .replace("FROM p0\n", "FROM dp0\n")
+        .replace("FROM p1\n", "FROM dp1\n")
+        .replace("doc_id, lang, n_chars, url", "doc_id, href, base_host, url")
+    )
+    return f"""
+    WITH {_fixture_url_sql(table)},
+    {_parts_sql()},
+    {_html_law_sql(table)},
+    e0 AS (
+      SELECT p.doc_id, p.scheme AS b_scheme, p.host AS b_host,
+             p.port AS b_port,
+             unnest(regexp_extract_all({strip}, '<a href="([^"]*)"', 1)) AS href
+      FROM pages JOIN parts p USING (doc_id)
+    ),
+    e1 AS (
+      SELECT doc_id, href, b_host,
+             CASE
+               WHEN href LIKE '#%' OR href = '' THEN NULL
+               WHEN regexp_matches(href, '{_ABS_SCHEME_RE}') THEN href
+               WHEN href LIKE '//%' THEN b_scheme || ':' || href
+               WHEN href LIKE '/%' THEN b_scheme || '://' || b_host ||
+                    (CASE WHEN b_port = '' THEN '' ELSE ':' || b_port END) || href
+               ELSE NULL
+             END AS dst_abs
+      FROM e0
+    ),
+    u2 AS MATERIALIZED (
+      -- MATERIALIZED: DuckDB inlines plain CTEs, and inlining this one
+      -- into the d-chain's SELECT * trips an internal binder error
+      -- ("Failed to bind column reference href"); materializing the
+      -- 4-column edge frame sidesteps it (same convention as the
+      -- unrolled iterative oracles — see the verify skill's gotchas)
+      SELECT doc_id, href, b_host AS base_host, dst_abs AS url
+      FROM e1 WHERE dst_abs IS NOT NULL
+    ),
+    {dchain}
+    SELECT doc_id, href,
+           scheme || '://' || host ||
+           CASE WHEN port = '' THEN '' ELSE ':' || port END ||
+           path ||
+           CASE WHEN qstr = '' THEN '' ELSE '?' || qstr END AS dst_curl,
+           (host = base_host) AS internal
+    FROM dparts
     """

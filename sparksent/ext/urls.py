@@ -59,7 +59,7 @@ collapses in exactly two passes.  Scope: a bare ``tracker`` with no
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # anchored, backslash-free patterns shared verbatim by both engines
@@ -775,3 +775,162 @@ def registrable_table_sql(table: str = "documents") -> str:
     {_parts_sql().replace("doc_id, lang, n_chars, url", "doc_id, url")},
     {_registrable_sql("host")}
     SELECT doc_id, registrable_domain FROM reg)"""
+
+
+# ---------------------------------------------------------------------------
+# robots.txt parsing — the stage BEFORE the disallow audit (round 15):
+# real pipelines fetch robots.txt per host and parse it into the
+# (host, path_prefix) rule table the audit consumes; the round-14 audit
+# took that table as a given.
+# ---------------------------------------------------------------------------
+
+_DIRECTIVE_RE = "^([A-Za-z-]+): "
+_DIRECTIVE_VAL_RE = "^[A-Za-z-]+: (.*)$"  # lines are already newline-free
+
+
+def with_robots_txt(docs: DataFrame) -> DataFrame:
+    """The robots.txt fixture law: one (host, robots) row per DISTINCT
+    document source.  Every file carries the parser's witnesses: a
+    comment line and a blank line (skipped), a ``User-agent: *`` group
+    with ``Disallow: /assets`` (+ ``Disallow: /docs`` for every 5th
+    source) and an ``Allow`` line (parsed, not a disallow rule), a
+    ``User-agent: badbot`` group whose ``Disallow: /`` must NOT leak
+    into the ``*`` rules (the group-tracking witness), and a global
+    ``Sitemap`` line whose value itself contains ``://``."""
+    s = F.col("source")
+    host = F.concat(s, F.lit(".example.org"))
+    src_id = F.regexp_extract(s, "([0-9]+)$", 1).cast("long")
+    extra = F.when(src_id % 5 == 0, F.lit("Disallow: /docs\n")).otherwise(
+        F.lit("")
+    )
+    robots = F.concat(
+        F.lit("# robots for "), s, F.lit("\n"),
+        F.lit("\n"),
+        F.lit("User-agent: *\n"),
+        F.lit("Disallow: /assets\n"),
+        extra,
+        F.lit("Allow: /assets/public\n"),
+        F.lit("\n"),
+        F.lit("User-agent: badbot\n"),
+        F.lit("Disallow: /\n"),
+        F.lit("\n"),
+        F.lit("Sitemap: https://"), host, F.lit("/sitemap.xml\n"),
+    )
+    return docs.select("source").distinct().select(
+        host.alias("host"), robots.alias("robots")
+    )
+
+
+def robots_txt_parse(robots: DataFrame) -> DataFrame:
+    """The parser: (host, line_no, group_id, agent, directive, value)
+    — one row per directive line, with the STATEFUL part of robots.txt
+    semantics made relational: ``group_id`` is the running count of
+    ``User-agent`` lines (an inclusive prefix sum over line order) and
+    ``agent`` is the group's User-agent value (a per-(host, group)
+    window max — groups are a handful of lines, the good case for
+    PARTITION BY).  Comments and blank lines drop; ``Sitemap`` lines
+    keep whatever group they lexically follow (per spec they are
+    global — consumers filter on directive, not group).
+
+    Plan shape: the line split + posexplode + directive regexes are
+    scan-side; ONE shuffle on host keys both windows (same partition
+    key, one exchange).  Rule extraction for the audit is then a
+    filter: directive = 'Disallow' AND agent = '*'."""
+    lines = robots.select(
+        "host",
+        F.posexplode(F.split(F.col("robots"), "\n", -1)).alias("line_no", "line"),
+    ).filter((F.col("line") != "") & (~F.col("line").startswith("#")))
+    d = F.regexp_extract(F.col("line"), _DIRECTIVE_RE, 1)
+    v = F.regexp_extract(F.col("line"), _DIRECTIVE_VAL_RE, 1)
+    parsed = lines.select(
+        "host",
+        F.col("line_no").cast("long").alias("line_no"),
+        d.alias("directive"),
+        v.alias("value"),
+    ).filter(F.col("directive") != "")
+    w_grp = (
+        Window.partitionBy("host")
+        .orderBy("line_no")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    grouped = parsed.withColumn(
+        "group_id",
+        F.sum(
+            F.when(F.col("directive") == "User-agent", 1).otherwise(0)
+        ).over(w_grp).cast("long"),
+    )
+    w_agent = Window.partitionBy("host", "group_id")
+    return grouped.withColumn(
+        "agent",
+        F.coalesce(
+            F.max(
+                F.when(F.col("directive") == "User-agent", F.col("value"))
+            ).over(w_agent),
+            F.lit(""),
+        ),
+    ).select("host", "line_no", "group_id", "agent", "directive", "value")
+
+
+def parsed_disallow_rules(parsed: DataFrame) -> DataFrame:
+    """(host, path_prefix): the audit-shaped rule table — the ``*``
+    group's Disallow directives only (Allow/Sitemap and named-agent
+    groups excluded by construction of the filter, which is exactly
+    what the badbot witness tests)."""
+    return parsed.filter(
+        (F.col("directive") == "Disallow") & (F.col("agent") == "*")
+    ).select("host", F.col("value").alias("path_prefix"))
+
+
+def _robots_txt_law_sql(table: str = "documents") -> str:
+    return f"""r AS (
+      SELECT source || '.example.org' AS host,
+             '# robots for ' || source || chr(10)
+             || chr(10)
+             || 'User-agent: *' || chr(10)
+             || 'Disallow: /assets' || chr(10)
+             || (CASE WHEN regexp_extract(source, '([0-9]+)$', 1)::BIGINT % 5 = 0
+                      THEN 'Disallow: /docs' || chr(10) ELSE '' END)
+             || 'Allow: /assets/public' || chr(10)
+             || chr(10)
+             || 'User-agent: badbot' || chr(10)
+             || 'Disallow: /' || chr(10)
+             || chr(10)
+             || 'Sitemap: https://' || source || '.example.org/sitemap.xml'
+             || chr(10) AS robots
+      FROM (SELECT DISTINCT source FROM {table})
+    )"""
+
+
+def robots_txt_parse_sql(table: str = "documents") -> str:
+    """DuckDB mirror of law + parser: same split, directive regexes,
+    running-count group window, and per-group agent max."""
+    return f"""
+    WITH {_robots_txt_law_sql(table)},
+    lines AS (
+      SELECT host,
+             generate_subscripts(string_split(robots, chr(10)), 1) - 1
+               AS line_no,
+             unnest(string_split(robots, chr(10))) AS line
+      FROM r
+    ),
+    parsed AS (
+      SELECT host, line_no::BIGINT AS line_no,
+             regexp_extract(line, '{_DIRECTIVE_RE}', 1) AS directive,
+             regexp_extract(line, '{_DIRECTIVE_VAL_RE}', 1) AS value
+      FROM lines
+      WHERE line <> '' AND line NOT LIKE '#%'
+        AND regexp_extract(line, '{_DIRECTIVE_RE}', 1) <> ''
+    ),
+    grouped AS (
+      SELECT *,
+             sum(CASE WHEN directive = 'User-agent' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY host ORDER BY line_no
+                     ROWS UNBOUNDED PRECEDING)::BIGINT AS group_id
+      FROM parsed
+    )
+    SELECT host, line_no, group_id,
+           coalesce(max(CASE WHEN directive = 'User-agent' THEN value END)
+                    OVER (PARTITION BY host, group_id), '') AS agent,
+           directive, value
+    FROM grouped
+    """

@@ -71,7 +71,11 @@ _PRIORITY: tuple[str, ...] = (
     "html_extract_text",
     "warc_parse_gzip",
     "write_training_shards",
-    # slot 3+: latest green driver row is r10
+    "quality_gate_extracted",
+    "html_link_graph",
+    "robots_txt_parse",
+    "robots_audit_parsed",
+    # slot 10+: latest green driver row is r10
     "event_session_ids",
     "fullouter_user_activity",
     "user_behavior_features",

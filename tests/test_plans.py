@@ -2017,3 +2017,57 @@ def test_training_shards_balance_and_plan(spark):
         assert r.first_doc_id <= r.last_doc_id
     assert rows[-1].total_bytes < TARGET_SHARD_BYTES + max_doc_bytes
     assert [r.shard_id for r in rows] == list(range(len(rows)))
+
+
+def test_link_graph_scan_side_and_resolution(spark):
+    """html_link_graph: zero shuffles, no join, no Python (href explode
+    + resolution + canonicalization are scan projection — the page url
+    rides the law's carry, never a re-join); and the resolution/
+    canonicalization semantics on the law: trackers never survive into
+    the graph, fragment-only hrefs mint no edge, the scheme-relative
+    link collapses its trailing host dot and slash, nav links resolve
+    against the base authority including non-default ports."""
+    plan = plan_of(spark, "html_link_graph")
+    assert count_data_shuffles(plan) == 0
+    assert "Join" not in plan and "Python" not in plan
+    rows = queries()["html_link_graph"](spark, SF_DIR).collect()
+    assert rows
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+        assert "utm_" not in r.dst_curl and "#" not in r.dst_curl
+        assert not r.dst_curl.endswith("/") or r.dst_curl.count("/") == 3
+    for doc_id, edges in by_doc.items():
+        assert len(edges) == 5  # 3 nav + 2 share; fragment-only dropped
+        dsts = {e.dst_curl for e in edges}
+        assert any("share.example.com/ref?q=1" in d for d in dsts)
+        assert any("cdn.example.net/img" in d for d in dsts)
+        internal = [e for e in edges if e.internal]
+        assert len(internal) == 3  # the nav links
+        if doc_id % 6 == 2:  # law shape 2: base has :8080
+            assert all(":8080" in e.dst_curl for e in internal)
+
+
+def test_robots_parse_group_semantics(spark):
+    """robots_txt_parse: the badbot group's 'Disallow: /' must NOT
+    appear under agent '*'; comments/blanks are gone; Sitemap values
+    keep their '://'; and the parse->audit composition blocks exactly
+    the documents whose canonical path falls under a '*' Disallow
+    (never everything — the badbot leak symptom)."""
+    rows = queries()["robots_txt_parse"](spark, SF_DIR).collect()
+    assert rows
+    star_rules = [
+        r for r in rows if r.agent == "*" and r.directive == "Disallow"
+    ]
+    assert star_rules and all(r.value != "/" for r in star_rules)
+    bad = [r for r in rows if r.agent == "badbot" and r.directive == "Disallow"]
+    assert bad and all(r.value == "/" for r in bad)
+    sitemaps = [r for r in rows if r.directive == "Sitemap"]
+    assert sitemaps and all("://" in r.value for r in sitemaps)
+    assert all(not r.value.startswith("#") for r in rows)
+
+    audit = queries()["robots_audit_parsed"](spark, SF_DIR).collect()
+    blocked = [r for r in audit if r.blocked]
+    assert blocked and len(blocked) < len(audit)  # badbot didn't leak
+    for r in blocked:
+        assert r.path.startswith("/assets") or r.path.startswith("/docs")

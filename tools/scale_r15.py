@@ -39,6 +39,10 @@ QUERIES = (
     "html_extract_text",
     "warc_parse_gzip",
     "write_training_shards",
+    "quality_gate_extracted",
+    "html_link_graph",
+    "robots_txt_parse",
+    "robots_audit_parsed",
 )
 
 
