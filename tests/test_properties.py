@@ -2865,3 +2865,53 @@ def test_warc_parse_cross_engine_fuzz(spark, recs):
         for r in con.execute(sql).fetchall()
     }
     assert got == want
+
+
+# --- HTML extraction cross-engine fuzz (round 15) -------------------------
+
+_html_word = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
+    "&;'\"._-",
+    min_size=1,
+    max_size=10,
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.lists(_html_word, min_size=0, max_size=30).map(" ".join),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_html_extract_cross_engine_fuzz(spark, texts):
+    """The extractor's cross-engine contract fuzzed over ARBITRARY
+    document text (not just the word-only fixture corpus): random
+    word soups including entity-like substrings ('&amp;' inside the
+    TEXT itself must decode identically in both engines), quotes and
+    semicolons.  Spark's html_extract_text over the fixture-law pages
+    and the DuckDB mirror must produce IDENTICAL
+    (extracted_text, n_blocks, n_kept, n_words_kept) for every
+    document — the law + pipeline share their pattern strings, and
+    this is the test that the global-replace ('g') and split/window
+    mechanics agree beyond the fixture."""
+    import duckdb
+    import pandas as pd
+
+    from sparksent.ext import html as H
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.extracted_text, r.n_blocks, r.n_kept, r.n_words_kept)
+        for r in H.html_extract_text(H.with_html_pages(df)).collect()
+    }
+    con = duckdb.connect()
+    con.register("fuzz_docs_pd", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    con.execute("CREATE VIEW fuzz_docs AS SELECT * FROM fuzz_docs_pd")
+    want = {
+        int(r[0]): (r[1], int(r[2]), int(r[3]), int(r[4]))
+        for r in con.execute(H.html_extract_text_sql("fuzz_docs")).fetchall()
+    }
+    assert got == want
