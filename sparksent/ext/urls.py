@@ -566,10 +566,14 @@ def robots_disallow_audit_sql(table: str = "documents") -> str:
 # ZERO shuffle, no join, no UDF, and no interpreted higher-order
 # functions (the transform/filter candidate-array form measured ~0.4s
 # slower per query at sf0.1 purely from interpreted HOF evaluation).
-# Scope (documented): ICANN-style exact rules + the PSL default rule
-# ("unlisted TLD => the TLD itself is the suffix"); wildcard (`*.ck`)
-# and exception (`!www.ck`) rules are out of this subset — adding them
-# is a second literal table and one more CASE arm, not a new plan shape.
+# Scope: ICANN-style exact rules + the PSL default rule ("unlisted TLD
+# => the TLD itself is the suffix") + — since round 15, closing the
+# round-15a scope note — WILDCARD rules (`*.ck`: any single label under
+# the base is itself a public suffix) and EXCEPTION rules (`!city.ck`:
+# despite the wildcard, city.ck is NOT a suffix — it is a registrable
+# domain whose public suffix is the rule minus its leftmost label).
+# Exactly as predicted, each is one more literal table and one more
+# CASE-arm family, not a new plan shape.
 PSL_VERSION = "psl-subset-2025q3"
 PUBLIC_SUFFIXES: tuple[str, ...] = (
     # gTLDs
@@ -588,10 +592,23 @@ PUBLIC_SUFFIXES: tuple[str, ...] = (
 )
 
 
-# deepest rule in the committed table — the unroll depth of the CASE
+# wildcard rule BASES (rule `*.<base>`): any one label under the base
+# is a public suffix — the Cook Islands / Myanmar pattern
+PSL_WILDCARDS: tuple[str, ...] = ("ck",)
+# exception rules (`!<domain>`): carved OUT of a wildcard — the listed
+# name is registrable and its public suffix is the name minus its
+# leftmost label (publicsuffix.org's !www.ck family; 'city' here so the
+# canonicalizer's www-stripping cannot erase the witness)
+PSL_EXCEPTIONS: tuple[str, ...] = ("city.ck",)
+
+# deepest rule in the committed tables — the unroll depth of the CASE
 # chain below (the real PSL's deepest ICANN rule is 4 labels; swapping
-# the table in changes this constant and nothing else)
-MAX_SUFFIX_LABELS = max(s.count(".") + 1 for s in PUBLIC_SUFFIXES)
+# the tables in changes this constant and nothing else).  A wildcard
+# base of B labels matches suffixes of B+1 labels.
+MAX_SUFFIX_LABELS = max(
+    max(s.count(".") + 1 for s in PUBLIC_SUFFIXES),
+    max((w.count(".") + 2 for w in PSL_WILDCARDS), default=1),
+)
 
 
 def registrable_domain_cols(host: Column) -> tuple[Column, Column]:
@@ -599,15 +616,20 @@ def registrable_domain_cols(host: Column) -> tuple[Column, Column]:
 
     PSL longest-match, in-plan and HOF-free: the match needs only the
     last ``MAX_SUFFIX_LABELS`` label-suffixes of the host (longer
-    candidates can never be in the table), so it unrolls at PLAN time
-    into a CASE chain — for k = depth..1, "if the last k labels joined
-    are in the literal table, that is the suffix" — with the PSL
-    default rule (last label) as the fallback for unlisted TLDs.  The
-    registrable domain is suffix + one label; a host that IS a public
-    suffix has no registrable domain (empty string — a typed sentinel,
-    never NULL, so group keys stay total).  Every expression is
-    codegen'd (split / slice / array_join / array_contains on a
-    foldable literal): no shuffle, no join, no Python, no interpreted
+    candidates can never be in the tables), so it unrolls at PLAN time
+    into a CASE chain — EXCEPTION arms first (PSL rule precedence: a
+    host matching ``!city.ck`` gets suffix = the rule minus its
+    leftmost label, and the generic suffix+one-label arithmetic then
+    yields city.ck itself as the registrable domain); then for
+    k = depth..2, "if the last k labels are an exact rule OR the last
+    k-1 labels are a wildcard base, the suffix is the last k labels";
+    the PSL default rule (last label) is the fallback for unlisted
+    TLDs (and coincides with 1-label exact rules).  The registrable
+    domain is suffix + one label; a host that IS a public suffix has
+    no registrable domain (empty string — a typed sentinel, never
+    NULL, so group keys stay total).  Every expression is codegen'd
+    (split / slice / array_join / array_contains on foldable
+    literals): no shuffle, no join, no Python, no interpreted
     higher-order functions."""
     labels = F.split(host, "[.]")
     n = F.size(labels)
@@ -619,13 +641,25 @@ def registrable_domain_cols(host: Column) -> tuple[Column, Column]:
         return F.array_join(F.slice(labels, F.greatest(n - k + 1, F.lit(1)), k), ".")
 
     chain = None
+
+    def arm(cond: Column, val: Column):
+        nonlocal chain
+        chain = chain.when(cond, val) if chain is not None else F.when(cond, val)
+
+    for exc in PSL_EXCEPTIONS:
+        b = exc.count(".") + 1
+        arm(
+            (n >= b) & (last_k(b) == exc),
+            F.lit(exc.split(".", 1)[1]),
+        )
     for k in range(MAX_SUFFIX_LABELS, 1, -1):
-        cand = last_k(k)
-        cond = (n >= k) & F.array_contains(psl, cand)
-        chain = chain.when(cond, cand) if chain is not None else F.when(cond, cand)
+        wild_bases = [w for w in PSL_WILDCARDS if w.count(".") + 1 == k - 1]
+        cond = (n >= k) & F.array_contains(psl, last_k(k))
+        if wild_bases:
+            wild = F.array(*[F.lit(w) for w in wild_bases])
+            cond = cond | ((n >= k) & F.array_contains(wild, last_k(k - 1)))
+        arm(cond, last_k(k))
     last = F.element_at(labels, -1)
-    # 1-label rules and the PSL default rule coincide on the suffix
-    # value (the last label), so the fallback covers both
     suffix = chain.otherwise(last) if chain is not None else last
     n_sfx = F.length(suffix) - F.length(F.replace(suffix, F.lit("."), F.lit(""))) + 1
     registrable = F.when(n <= n_sfx, F.lit("")).otherwise(
@@ -635,8 +669,8 @@ def registrable_domain_cols(host: Column) -> tuple[Column, Column]:
 
 
 def with_psl_fixture_urls(docs: DataFrame) -> DataFrame:
-    """The PSL fixture URL law: eight host shapes cycling by
-    ``doc_id % 8``, chosen so the registrable-domain key provably
+    """The PSL fixture URL law: ten host shapes cycling by
+    ``doc_id % 10``, chosen so the registrable-domain key provably
     differs from the canonical-host key:
 
     - shapes 0 (``www.<s>pages.co.uk``) and 1 (``news.<s>pages.co.uk``)
@@ -646,21 +680,26 @@ def with_psl_fixture_urls(docs: DataFrame) -> DataFrame:
     - shape 5 is an UNLISTED TLD (``.example``) — the PSL default rule;
     - shape 6's host IS a public suffix (``co.uk``) — no registrable
       domain (empty-string sentinel);
-    - shapes 2/4/7 cover com, com.au, org.uk single-site hosts.
+    - shapes 2/4/7 cover com, com.au, org.uk single-site hosts;
+    - shape 8 (round 15b) sits under the WILDCARD rule ``*.ck``: the
+      suffix is the wildcard-matched label pair (``<s>pages.ck``) and
+      the registrable domain one label above it;
+    - shape 9 (round 15b) is the EXCEPTION ``!city.ck``: city.ck is
+      registrable despite the wildcard (suffix = ``ck``).
 
-    The site key is ``(doc_id div 8) % 20`` — deliberately NOT the
-    ``source`` label: shape (mod 8) and source (mod 20) can never align
-    on the same site (both are fixed mod 4), so a source-keyed law would
-    never actually produce the cross-shape registrable collision the
-    operator exists to merge.  Keying on the 8-block gives every block
-    one site, and shapes 0/1 of the SAME block share a registrable
-    domain under different canonical hosts."""
+    The site key is ``(doc_id div 10) % 20`` — deliberately NOT the
+    ``source`` label: a shape-aligned source key could never produce
+    the cross-shape registrable collision the operator exists to merge
+    (the round-15a law hit exactly this with mod-8 shapes vs mod-20
+    sources, both fixed mod 4).  Keying on the 10-block gives every
+    block one site, and shapes 0/1 of the SAME block share a
+    registrable domain under different canonical hosts."""
     d = F.col("doc_id").cast("string")
     s = F.concat(
         F.lit("site"),
-        (F.expr("doc_id div 8").cast("long") % 20).cast("string"),
+        (F.expr("doc_id div 10").cast("long") % 20).cast("string"),
     )
-    v = F.col("doc_id") % 8
+    v = F.col("doc_id") % 10
     url = (
         F.when(v == 0, F.concat(F.lit("https://www."), s, F.lit("pages.co.uk/a/"), d))
         .when(v == 1, F.concat(F.lit("http://news."), s, F.lit("pages.co.uk/b/"), d))
@@ -669,7 +708,9 @@ def with_psl_fixture_urls(docs: DataFrame) -> DataFrame:
         .when(v == 4, F.concat(F.lit("http://"), s, F.lit("pages.com.au/e/"), d))
         .when(v == 5, F.concat(F.lit("http://"), s, F.lit("pages.example/f/"), d))
         .when(v == 6, F.concat(F.lit("http://co.uk/g/"), d))
-        .otherwise(F.concat(F.lit("http://x.y."), s, F.lit("pages.org.uk/h/"), d))
+        .when(v == 7, F.concat(F.lit("http://x.y."), s, F.lit("pages.org.uk/h/"), d))
+        .when(v == 8, F.concat(F.lit("http://w."), s, F.lit("pages.ck/i/"), d))
+        .otherwise(F.concat(F.lit("http://city.ck/j/"), d))
     )
     return docs.withColumn("url", url)
 
@@ -696,11 +737,11 @@ def url_registrable_domain(docs: DataFrame) -> DataFrame:
 
 def _psl_fixture_url_sql(table: str = "documents") -> str:
     """SQL mirror of :func:`with_psl_fixture_urls` as a ``u`` CTE
-    (site key = ``'site' || ((doc_id // 8) % 20)``)."""
-    s = "'site' || ((doc_id // 8) % 20)"
+    (site key = ``'site' || ((doc_id // 10) % 20)``)."""
+    s = "'site' || ((doc_id // 10) % 20)"
     return f"""u AS (
       SELECT doc_id,
-             CASE doc_id % 8
+             CASE doc_id % 10
                WHEN 0 THEN 'https://www.' || {s} || 'pages.co.uk/a/' || doc_id
                WHEN 1 THEN 'http://news.' || {s} || 'pages.co.uk/b/' || doc_id
                WHEN 2 THEN 'http://blog.' || {s} || 'pages.com/c/' || doc_id
@@ -708,7 +749,9 @@ def _psl_fixture_url_sql(table: str = "documents") -> str:
                WHEN 4 THEN 'http://' || {s} || 'pages.com.au/e/' || doc_id
                WHEN 5 THEN 'http://' || {s} || 'pages.example/f/' || doc_id
                WHEN 6 THEN 'http://co.uk/g/' || doc_id
-               ELSE 'http://x.y.' || {s} || 'pages.org.uk/h/' || doc_id
+               WHEN 7 THEN 'http://x.y.' || {s} || 'pages.org.uk/h/' || doc_id
+               WHEN 8 THEN 'http://w.' || {s} || 'pages.ck/i/' || doc_id
+               ELSE 'http://city.ck/j/' || doc_id
              END AS url
       FROM {table}
     )"""
@@ -727,12 +770,22 @@ def _registrable_sql(host_expr: str = "host") -> str:
     ``reg(doc_id, host, public_suffix, registrable_domain)``."""
     psl = _psl_literal_sql()
     arms = []
+    for exc in PSL_EXCEPTIONS:
+        b = exc.count(".") + 1
+        cand = f"array_to_string(labels[-{b}:], '.')"
+        arms.append(
+            f"WHEN len(labels) >= {b} AND {cand} = '{exc}'"
+            f" THEN '{exc.split('.', 1)[1]}'"
+        )
     for k in range(MAX_SUFFIX_LABELS, 1, -1):
         cand = f"array_to_string(labels[-{k}:], '.')"
-        arms.append(
-            f"WHEN len(labels) >= {k} AND list_contains({psl}, {cand})"
-            f" THEN {cand}"
-        )
+        wild_bases = [w for w in PSL_WILDCARDS if w.count(".") + 1 == k - 1]
+        cond = f"list_contains({psl}, {cand})"
+        if wild_bases:
+            wl = "[" + ", ".join(f"'{w}'" for w in wild_bases) + "]"
+            wcand = f"array_to_string(labels[-{k - 1}:], '.')"
+            cond = f"({cond} OR list_contains({wl}, {wcand}))"
+        arms.append(f"WHEN len(labels) >= {k} AND {cond} THEN {cand}")
     case = "CASE " + " ".join(arms) + " ELSE labels[-1] END"
     return f"""lab AS (
       SELECT doc_id, host, string_split({host_expr}, '.') AS labels

@@ -2597,7 +2597,12 @@ def q_url_registrable_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
     literal-array expressions: candidates longest-first, first match in
     the table wins, registrable = suffix + one label; unlisted TLDs use
     the PSL default rule and a host that IS a suffix gets the
-    empty-string sentinel — zero shuffle, no join, no Python."""
+    empty-string sentinel — zero shuffle, no join, no Python.  Round
+    15b closes the scope note: WILDCARD rules (*.ck — any label under
+    the base is itself a suffix) and EXCEPTION rules (!city.ck —
+    registrable despite the wildcard, suffix = the rule minus its
+    leftmost label) are two more literal tables and CASE-arm families
+    in the same unrolled chain, exactly as the note predicted."""
     return urls.url_registrable_domain(
         tables.load_table(spark, sf_dir, "documents")
     )

@@ -1841,21 +1841,27 @@ def test_registrable_domain_psl_semantics(spark):
     # shapes 0 and 1 with the same source label: doc ids congruent
     # mod lcm(8, 20) pairings — find any (i, j) with i%8==0, j%8==1
     # and same source suffix on the host
-    regs0 = {r.registrable_domain for r in rows if r.doc_id % 8 == 0}
-    regs1 = {r.registrable_domain for r in rows if r.doc_id % 8 == 1}
+    regs0 = {r.registrable_domain for r in rows if r.doc_id % 10 == 0}
+    regs1 = {r.registrable_domain for r in rows if r.doc_id % 10 == 1}
     shared = regs0 & regs1
     assert shared, "shapes 0/1 must collapse to shared registrable domains"
     for rd in shared:
         hosts = {r.host for r in rows if r.registrable_domain == rd}
         assert len(hosts) >= 2, "host grouping must provably fragment"
     for r in rows:
-        v = r.doc_id % 8
+        v = r.doc_id % 10
         if v == 5:
             assert r.public_suffix == "example"  # PSL default rule
             assert r.registrable_domain.endswith(".example")
         if v == 6:
             assert r.registrable_domain == ""  # host IS a suffix
-        if r.registrable_domain:
+        if v == 8:  # wildcard *.ck: the label under ck IS the suffix
+            assert r.public_suffix.endswith("pages.ck")
+            assert r.registrable_domain == "w." + r.public_suffix
+        if v == 9:  # exception !city.ck: registrable despite *.ck
+            assert r.public_suffix == "ck"
+            assert r.registrable_domain == "city.ck"
+        if r.registrable_domain and v != 9:
             assert r.registrable_domain.endswith("." + r.public_suffix) or (
                 r.registrable_domain == r.public_suffix
             )
