@@ -852,7 +852,11 @@ def with_robots_txt(docs: DataFrame) -> DataFrame:
     ``Sitemap`` line whose value itself contains ``://``."""
     s = F.col("source")
     host = F.concat(s, F.lit(".example.org"))
-    src_id = F.regexp_extract(s, "([0-9]+)$", 1).cast("long")
+    # try_cast, and nullif in the SQL mirror: a source WITHOUT trailing
+    # digits must mean "no /docs rule" in BOTH engines — a plain cast
+    # would error under Spark ANSI and raise a DuckDB Conversion Error,
+    # making the two laws diverge outside the srcN fixture domain
+    src_id = F.regexp_extract(s, "([0-9]+)$", 1).try_cast("long")
     extra = F.when(src_id % 5 == 0, F.lit("Disallow: /docs\n")).otherwise(
         F.lit("")
     )
@@ -941,7 +945,7 @@ def _robots_txt_law_sql(table: str = "documents") -> str:
              || chr(10)
              || 'User-agent: *' || chr(10)
              || 'Disallow: /assets' || chr(10)
-             || (CASE WHEN regexp_extract(source, '([0-9]+)$', 1)::BIGINT % 5 = 0
+             || (CASE WHEN nullif(regexp_extract(source, '([0-9]+)$', 1), '')::BIGINT % 5 = 0
                       THEN 'Disallow: /docs' || chr(10) ELSE '' END)
              || 'Allow: /assets/public' || chr(10)
              || chr(10)

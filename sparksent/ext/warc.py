@@ -61,13 +61,15 @@ def warc_record(doc_id: Column, wtype: Column, uri: Column,
     )
 
 
-def with_warc_blobs(docs: DataFrame) -> DataFrame:
-    """The fixture law: (blob_id, blob) with 4 records per blob.
-    Types cycle response/request/metadata by doc_id % 3; every 7th
-    record declares a Content-Length one byte LONG (the corruption
-    the parser's audit column must flag).  The pack is a (blob_id)
-    aggregate with a deterministic in-blob order — fixture-build cost,
-    not parser cost."""
+def _record_frame(docs: DataFrame) -> DataFrame:
+    """The SHARED record fixture law: (bkey, i, r) — one WARC record
+    string per document, type cycling by doc_id % 3, Content-Length
+    one byte LONG on every 7th record.  Both the plain-blob pack
+    (:func:`with_warc_blobs`) and the gzip-member pack
+    (:func:`with_warc_gzip_blobs`) consume THIS frame — the gzip
+    query's oracle is the uncompressed parse, so the two laws must be
+    bit-identical, and a shared builder makes that a structural fact
+    instead of a copy-discipline promise."""
     d = F.col("doc_id")
     wtype = (
         F.when(d % 3 == 0, F.lit("response"))
@@ -76,9 +78,20 @@ def with_warc_blobs(docs: DataFrame) -> DataFrame:
     )
     clen = F.length("text").cast("long") + F.when(d % 7 == 0, 1).otherwise(0)
     rec = warc_record(d, wtype, F.col("url"), clen, F.col("text"))
-    recs = with_fixture_urls(docs.select("doc_id", "source", "text")).select(
+    return with_fixture_urls(docs.select("doc_id", "source", "text")).select(
         (F.col("doc_id") - F.col("doc_id") % WARC_PER_BLOB).alias("bkey"),
-        F.struct(F.col("doc_id").alias("i"), rec.alias("r")).alias("sr"),
+        F.col("doc_id").alias("i"),
+        rec.alias("r"),
+    )
+
+
+def with_warc_blobs(docs: DataFrame) -> DataFrame:
+    """The fixture law: (blob_id, blob) with 4 records per blob
+    (records from :func:`_record_frame`).  The pack is a (blob_id)
+    aggregate with a deterministic in-blob order — fixture-build cost,
+    not parser cost."""
+    recs = _record_frame(docs).select(
+        "bkey", F.struct(F.col("i"), F.col("r")).alias("sr")
     )
     return recs.groupBy("bkey").agg(
         F.concat_ws(
@@ -201,22 +214,12 @@ def with_warc_gzip_blobs(docs: DataFrame) -> DataFrame:
     in-blob order.  The member concat is a single bounded
     ``F.aggregate`` over the 4-element collected array (constant
     depth — the chained-HOF analysis-cost cliff needs dozens of
-    layers)."""
+    layers).  Records come from the SHARED :func:`_record_frame` law —
+    identical by construction to the uncompressed pack the oracle
+    parses."""
     import pandas as pd
 
-    d = F.col("doc_id")
-    wtype = (
-        F.when(d % 3 == 0, F.lit("response"))
-        .when(d % 3 == 1, F.lit("request"))
-        .otherwise(F.lit("metadata"))
-    )
-    clen = F.length("text").cast("long") + F.when(d % 7 == 0, 1).otherwise(0)
-    rec = warc_record(d, wtype, F.col("url"), clen, F.col("text"))
-    recs = with_fixture_urls(docs.select("doc_id", "source", "text")).select(
-        (F.col("doc_id") - F.col("doc_id") % WARC_PER_BLOB).alias("bkey"),
-        F.col("doc_id").alias("i"),
-        rec.alias("r"),
-    )
+    recs = _record_frame(docs)
 
     def gzip_batches(it):
         for pdf in it:

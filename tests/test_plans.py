@@ -1838,9 +1838,9 @@ def test_registrable_domain_psl_semantics(spark):
         .collect()
     )
     by_id = {r.doc_id: r for r in rows}
-    # shapes 0 and 1 with the same source label: doc ids congruent
-    # mod lcm(8, 20) pairings — find any (i, j) with i%8==0, j%8==1
-    # and same source suffix on the host
+    # shapes 0 and 1 share a site when they sit in the same 10-block
+    # (site key = (doc_id div 10) % 20): docs 10b and 10b+1 always
+    # collide — the collision a shape-aligned source key cannot produce
     regs0 = {r.registrable_domain for r in rows if r.doc_id % 10 == 0}
     regs1 = {r.registrable_domain for r in rows if r.doc_id % 10 == 1}
     shared = regs0 & regs1
