@@ -2915,3 +2915,67 @@ def test_html_extract_cross_engine_fuzz(spark, texts):
         for r in con.execute(H.html_extract_text_sql("fuzz_docs")).fetchall()
     }
     assert got == want
+
+
+# --- robots.txt parse cross-engine fuzz (round 15) -------------------------
+
+_robots_path = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyz0123456789/_-.", min_size=1, max_size=12
+)
+_robots_agent = st.sampled_from(["*", "badbot", "gptbot", "crawler-x"])
+
+
+@st.composite
+def _robots_file(draw):
+    """A robots.txt assembled from the grammar the parser claims to
+    handle: comment/blank lines anywhere, 1-3 User-agent groups each
+    with 0-3 Disallow/Allow lines, optional pre-group directives
+    (group 0), optional Sitemap lines between or after groups."""
+    lines = []
+    if draw(st.booleans()):
+        lines.append("# " + draw(_robots_path))
+    if draw(st.booleans()):
+        lines.append("Disallow: /" + draw(_robots_path))  # group 0
+    for _ in range(draw(st.integers(min_value=1, max_value=3))):
+        lines.append("")
+        lines.append("User-agent: " + draw(_robots_agent))
+        for _ in range(draw(st.integers(min_value=0, max_value=3))):
+            d = draw(st.sampled_from(["Disallow", "Allow"]))
+            lines.append(f"{d}: /" + draw(_robots_path))
+        if draw(st.booleans()):
+            lines.append("# mid comment")
+        if draw(st.booleans()):
+            lines.append("Sitemap: https://h.example/" + draw(_robots_path))
+    return "\n".join(lines) + "\n"
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(_robots_file(), min_size=1, max_size=8))
+def test_robots_parse_cross_engine_fuzz(spark, files):
+    """The robots parser's cross-engine contract on ARBITRARY files
+    from its grammar (not just the fixture law): identical
+    (host, line_no, group_id, agent, directive, value) rows from
+    Spark's window form and the DuckDB mirror — including pre-group
+    directives (group 0, agent ''), multiple groups, interleaved
+    comments, and Sitemap lines inheriting their lexical group."""
+    import duckdb
+    import pandas as pd
+
+    from sparksent.ext import urls as U
+
+    rows = [(f"h{i}.example", t) for i, t in enumerate(files)]
+    df = spark.createDataFrame(rows, "host string, robots string")
+    got = sorted(
+        (r.host, r.line_no, r.group_id, r.agent, r.directive, r.value)
+        for r in U.robots_txt_parse(df).collect()
+    )
+    con = duckdb.connect()
+    con.register("rfz_pd", pd.DataFrame(rows, columns=["host", "robots"]))
+    con.execute("CREATE VIEW rfz AS SELECT * FROM rfz_pd")
+    # reuse the mirror's parse chain over the fuzz frame instead of the law
+    sql = U.robots_txt_parse_sql("documents")
+    law_start = sql.index("r AS (")
+    law_end = sql.index("lines AS (")
+    sql = sql[:law_start] + "r AS (SELECT host, robots FROM rfz),\n    " + sql[law_end:]
+    want = sorted(tuple(r) for r in con.execute(sql).fetchall())
+    assert got == want
