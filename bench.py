@@ -303,6 +303,8 @@ HEADLINE = [
     "html_link_graph",
     "robots_txt_parse",
     "robots_audit_parsed",
+    "sitemap_parse",
+    "url_frontier",
 ]
 
 # Timed and reported, but excluded from the headline sum: cost dominated

@@ -991,3 +991,144 @@ def robots_txt_parse_sql(table: str = "documents") -> str:
            directive, value
     FROM grouped
     """
+
+
+# ---------------------------------------------------------------------------
+# sitemap.xml parsing — the crawl-frontier complement to robots.txt
+# (round 15): robots' Sitemap directive points at these files; parsing
+# them yields the publisher-declared URL set that seeds the frontier.
+# ---------------------------------------------------------------------------
+
+_USET = "\x01"  # sentinel appended after every </url> (the html pattern)
+_LOC_RE = "<loc>([^<]*)</loc>"
+_LASTMOD_RE = "<lastmod>([^<]*)</lastmod>"
+_PRIORITY_RE = "<priority>0[.]([0-9]+)</priority>"
+
+
+def with_sitemap_xml(docs: DataFrame) -> DataFrame:
+    """The sitemap fixture law: one (host, xml) row per distinct
+    source — a single-line urlset whose <url> entries are the host's
+    own documents in doc_id order: loc (the clean canonical page URL),
+    lastmod (a zero-padded date derived from doc_id % 28), priority
+    (0.5 / 0.8 alternating — parsed to exact MILLI integers, never a
+    float).  The per-host pack is one aggregate — fixture-build cost,
+    like the WARC blob pack."""
+    host = F.concat(F.col("source"), F.lit(".example.org"))
+    day = F.lpad((F.col("doc_id") % 28 + 1).cast("string"), 2, "0")
+    pr = F.when(F.col("doc_id") % 2 == 0, F.lit("0.5")).otherwise(F.lit("0.8"))
+    entry = F.concat(
+        F.lit("<url><loc>https://"), host, F.lit("/docs/"),
+        F.col("doc_id").cast("string"), F.lit("</loc>"),
+        F.lit("<lastmod>2031-01-"), day, F.lit("</lastmod>"),
+        F.lit("<priority>"), pr, F.lit("</priority></url>"),
+    )
+    packed = (
+        docs.select("doc_id", "source", host.alias("host"), entry.alias("e"))
+        .groupBy("host")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("doc_id", "e"))),
+                    lambda s: s.e,
+                ),
+            ).alias("body")
+        )
+    )
+    return packed.select(
+        "host",
+        F.concat(
+            F.lit('<?xml version="1.0"?><urlset>'), F.col("body"), F.lit("</urlset>")
+        ).alias("xml"),
+    )
+
+
+def sitemap_parse(sitemaps: DataFrame) -> DataFrame:
+    """(host, uidx, curl, lastmod, priority_milli): the parsed,
+    CANONICALIZED publisher-declared URL set.  Same in-plan shape as
+    the WARC/html splits: a literal ``</url>`` sentinel + split +
+    posexplode, anchored regex extraction per entry, the shared
+    canonicalizer on loc, and priority as an exact milli integer (a
+    DOUBLE 0.8 is not bit-stable across engines; '0.' || digits is).
+    After the fixture pack's aggregate the parse is scan-side — no
+    further shuffle, no Python."""
+    marked = F.replace(F.col("xml"), F.lit("</url>"), F.lit("</url>" + _USET))
+    entries = sitemaps.select(
+        "host",
+        F.posexplode(F.split(marked, _USET, -1)).alias("uidx", "entry"),
+    ).filter(F.col("entry").contains("<loc>"))
+    loc = F.regexp_extract(F.col("entry"), _LOC_RE, 1)
+    return entries.select(
+        "host",
+        F.col("uidx").cast("long").alias("uidx"),
+        canonical_url(loc).alias("curl"),
+        F.regexp_extract(F.col("entry"), _LASTMOD_RE, 1).alias("lastmod"),
+        F.rpad(F.regexp_extract(F.col("entry"), _PRIORITY_RE, 1), 3, "0")
+        .cast("long")
+        .alias("priority_milli"),
+    )
+
+
+def _sitemap_law_sql(table: str = "documents") -> str:
+    return f"""sm AS (
+      SELECT source || '.example.org' AS host,
+             '<?xml version="1.0"?><urlset>' || string_agg(
+               '<url><loc>https://' || source || '.example.org/docs/' || doc_id
+               || '</loc><lastmod>2031-01-'
+               || lpad(((doc_id % 28) + 1)::VARCHAR, 2, '0')
+               || '</lastmod><priority>'
+               || (CASE WHEN doc_id % 2 = 0 THEN '0.5' ELSE '0.8' END)
+               || '</priority></url>', '' ORDER BY doc_id)
+             || '</urlset>' AS xml
+      FROM {table}
+      GROUP BY source
+    )"""
+
+
+def sitemap_parse_sql(table: str = "documents") -> str:
+    """DuckDB mirror of law + :func:`sitemap_parse` — same sentinel
+    split, regexes, and the shared canonicalization chain over loc."""
+    marked = "replace(xml, '</url>', '</url>' || chr(1))"
+    dchain = (
+        _parts_sql()
+        .replace("p0 AS (", "sp0 AS (")
+        .replace("p1 AS (", "sp1 AS (")
+        .replace("parts AS (", "sparts AS (")
+        .replace("FROM u\n", "FROM su\n")
+        .replace("FROM p0\n", "FROM sp0\n")
+        .replace("FROM p1\n", "FROM sp1\n")
+        # smhost, not host: the chain computes its own canonical `host`
+        # column from loc, and a duplicate name would be ambiguous
+        .replace(
+            "doc_id, lang, n_chars, url",
+            "smhost, uidx, lastmod, priority_milli, url",
+        )
+    )
+    return f"""
+    WITH {_sitemap_law_sql(table)},
+    ent AS (
+      SELECT host,
+             generate_subscripts(string_split({marked}, chr(1)), 1) - 1 AS uidx,
+             unnest(string_split({marked}, chr(1))) AS entry
+      FROM sm
+    ),
+    su AS MATERIALIZED (
+      -- MATERIALIZED for the same DuckDB CTE-inlining binder error the
+      -- link-graph oracle hit (see html.py)
+      SELECT host AS smhost, uidx::BIGINT AS uidx,
+             regexp_extract(entry, '{_LASTMOD_RE}', 1) AS lastmod,
+             rpad(regexp_extract(entry, '{_PRIORITY_RE}', 1), 3, '0')::BIGINT
+               AS priority_milli,
+             regexp_extract(entry, '{_LOC_RE}', 1) AS url
+      FROM ent
+      WHERE contains(entry, '<loc>')
+    ),
+    {dchain}
+    SELECT smhost AS host, uidx,
+           scheme || '://' || host ||
+           CASE WHEN port = '' THEN '' ELSE ':' || port END ||
+           path ||
+           CASE WHEN qstr = '' THEN '' ELSE '?' || qstr END AS curl,
+           lastmod, priority_milli
+    FROM sparts
+    """

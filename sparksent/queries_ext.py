@@ -2834,3 +2834,78 @@ def q_robots_audit_parsed(spark: SparkSession, sf_dir: str) -> DataFrame:
         urls.robots_txt_parse(urls.with_robots_txt(docs))
     )
     return urls.robots_disallow_audit(docs, rules)
+
+
+@register(
+    "sitemap_parse",
+    oracle=urls.sitemap_parse_sql(),
+    tags=("ext", "curation", "urls", "sources"),
+)
+def q_sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sitemap.xml parsing — the crawl-frontier complement to
+    robots.txt (whose Sitemap directive points at these files): per
+    host, the publisher-declared URL set with lastmod and priority.
+    The parse is the proven in-plan shape (literal '</url>' sentinel +
+    split + posexplode + anchored regexes), every loc runs the shared
+    canonicalizer, and priority surfaces as an exact MILLI integer
+    ('0.' || digits, rpad to 3) — a DOUBLE 0.8 is not bit-stable
+    cross-engine.  After the fixture pack's one aggregate the parse is
+    scan-side: no further shuffle, no Python."""
+    return urls.sitemap_parse(
+        urls.with_sitemap_xml(
+            tables.load_table(spark, sf_dir, "documents").select(
+                "doc_id", "source"
+            )
+        )
+    )
+
+
+@register(
+    "url_frontier",
+    oracle=f"""
+    SELECT curl,
+           sum(is_sm)::BIGINT AS n_sitemap,
+           sum(is_lk)::BIGINT AS n_links
+    FROM (
+      SELECT curl, 1 AS is_sm, 0 AS is_lk
+      FROM ({urls.sitemap_parse_sql("documents")}) sm_side
+      UNION ALL
+      SELECT dst_curl AS curl, 0 AS is_sm, 1 AS is_lk
+      FROM ({html.html_link_graph_sql("documents")}) lk_side
+    ) u
+    GROUP BY curl
+    """,
+    tags=("ext", "curation", "urls", "graph"),
+)
+def q_url_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl FRONTIER: the union of publisher-declared URLs
+    (sitemap locs) and crawl-discovered URLs (outlink destinations),
+    deduplicated on the CANONICAL URL with per-source discovery counts
+    — the frame a crawler's scheduler consumes, and the capstone
+    composition of the URL family (both feeds are already canonical,
+    so union-dedup is exactly one map-side-combined aggregate; a raw
+    frontier would double-fetch every tracker/case/port variant).
+    Plan: two scan-side feeds + ONE hash aggregate on curl — no joins,
+    no windows."""
+    docs = tables.load_table(spark, sf_dir, "documents")
+    sm = urls.sitemap_parse(
+        urls.with_sitemap_xml(docs.select("doc_id", "source"))
+    ).select("curl", F.lit(1).alias("is_sm"), F.lit(0).alias("is_lk"))
+    lk = html.html_link_graph(
+        html.with_html_pages(
+            urls.with_fixture_urls(docs.select("doc_id", "source", "text")),
+            carry=("url",),
+        )
+    ).select(
+        F.col("dst_curl").alias("curl"),
+        F.lit(0).alias("is_sm"),
+        F.lit(1).alias("is_lk"),
+    )
+    return (
+        sm.unionByName(lk)
+        .groupBy("curl")
+        .agg(
+            F.sum("is_sm").cast("long").alias("n_sitemap"),
+            F.sum("is_lk").cast("long").alias("n_links"),
+        )
+    )

@@ -75,6 +75,8 @@ _PRIORITY: tuple[str, ...] = (
     "html_link_graph",
     "robots_txt_parse",
     "robots_audit_parsed",
+    "sitemap_parse",
+    "url_frontier",
     # slot 10+: latest green driver row is r10
     "event_session_ids",
     "fullouter_user_activity",

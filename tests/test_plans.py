@@ -2077,3 +2077,31 @@ def test_robots_parse_group_semantics(spark):
     assert blocked and len(blocked) < len(audit)  # badbot didn't leak
     for r in blocked:
         assert r.path.startswith("/assets") or r.path.startswith("/docs")
+
+
+def test_sitemap_and_frontier_semantics(spark):
+    """sitemap_parse: after the fixture pack's aggregate the parse
+    adds no Python and no join; priorities are exactly {500, 800}
+    milli, lastmod is a valid zero-padded date, every curl is https
+    and canonical (no trailing slash).  url_frontier: no joins/windows
+    — two feeds + one aggregate; sitemap-only URLs carry n_links=0,
+    link-only URLs n_sitemap=0, and every frontier row is the
+    canonical form (no trackers/fragments)."""
+    plan = plan_of(spark, "sitemap_parse")
+    assert "Python" not in plan and "Join" not in plan
+    rows = queries()["sitemap_parse"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.priority_milli in (500, 800)
+        assert r.lastmod.startswith("2031-01-") and len(r.lastmod) == 10
+        assert r.curl.startswith("https://") and not r.curl.endswith("/")
+
+    plan_f = plan_of(spark, "url_frontier")
+    assert "Join" not in plan_f and "Window" not in plan_f
+    frontier = queries()["url_frontier"](spark, SF_DIR).collect()
+    assert frontier
+    for r in frontier:
+        assert r.n_sitemap + r.n_links > 0
+        assert "utm_" not in r.curl and "#" not in r.curl
+    assert any(r.n_sitemap > 0 and r.n_links == 0 for r in frontier)
+    assert any(r.n_links > 0 and r.n_sitemap == 0 for r in frontier)
