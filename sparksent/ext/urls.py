@@ -54,7 +54,12 @@ replaces all matches natively; the SQL mirror passes the ``'g'``
 flag), then an anchored pass removes the at-most-one LEADING
 ``tracker=value&?`` — so any run of trackers at any position
 collapses in exactly two passes.  Scope: a bare ``tracker`` with no
-``=`` is not stripped (real trackers are always assigned).
+``=`` is not stripped (real trackers are always assigned).  Matching
+is CASE-INSENSITIVE (``(?i)`` — supported identically by Java regex
+and RE2): ``UTM_SOURCE=x`` is the same tracker as ``utm_source=x``
+in the wild, while param names are otherwise case-sensitive per the
+URL spec, so only the tracker alternation carries the flag (round-15
+advice item).
 """
 
 from __future__ import annotations
@@ -81,8 +86,10 @@ _SLASH_RE = "/+$"
 # tracking parameters stripped from query strings (rule 6) — the
 # documented list; extending it is a data change, not a plan change
 TRACKING_PARAMS = "utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|mc_eid|igshid"
-_TRACK_MID_RE = f"&({TRACKING_PARAMS})=[^&]*"  # every non-leading tracker
-_TRACK_LEAD_RE = f"^({TRACKING_PARAMS})=[^&]*&?"  # the at-most-one leading
+# (?i): tracker names match case-insensitively (UTM_SOURCE == utm_source;
+# Java regex and RE2 agree on the inline flag) — values stay untouched
+_TRACK_MID_RE = f"(?i)&({TRACKING_PARAMS})=[^&]*"  # every non-leading tracker
+_TRACK_LEAD_RE = f"(?i)^({TRACKING_PARAMS})=[^&]*&?"  # the at-most-one leading
 
 TOPK_DOMAINS = 10
 
@@ -163,16 +170,18 @@ def canonical_url(url: Column) -> Column:
     )
 
 
-def with_fixture_urls(docs: DataFrame) -> DataFrame:
+def with_fixture_urls(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Attach the deterministic fixture URL law: six hostile URL
-    shapes cycling by ``doc_id % 6`` over ``(doc_id, source)``.
+    shapes cycling by ``id_col % 6`` over ``(id_col, source)``.
     Variants 0 and 1 are DISTINCT raw strings that canonicalize to the
     same canonical URL (www+https vs uppercase-scheme+explicit :443 +
     trailing slash) — the collapse the canonicalizer exists to
-    produce."""
-    d = F.col("doc_id").cast("string")
+    produce.  ``id_col`` defaults to ``doc_id``; the round-16 capstone
+    keys it on the duplicate-pair id ``doc_id - doc_id % 2`` so two
+    documents share one URL (the crawl-revisit law)."""
+    d = F.col(id_col).cast("string")
     s = F.col("source")
-    v = F.col("doc_id") % 6
+    v = F.col(id_col) % 6
     url = (
         F.when(v == 0, F.concat(F.lit("https://www."), s, F.lit(".example.org/docs/"), d))
         .when(v == 1, F.concat(F.lit("HTTPS://"), F.upper(s), F.lit(".EXAMPLE.org:443/docs/"), d, F.lit("/")))
@@ -762,12 +771,16 @@ def _psl_literal_sql() -> str:
     return "[" + ", ".join(f"'{s}'" for s in PUBLIC_SUFFIXES) + "]"
 
 
-def _registrable_sql(host_expr: str = "host") -> str:
+def _registrable_sql(
+    host_expr: str = "host", id_col: str = "doc_id", parts: str = "parts"
+) -> str:
     """SQL CTE chain computing (public_suffix, registrable_domain) over
-    a ``parts`` relation's host column — the SAME unrolled CASE chain as
-    :func:`registrable_domain_cols` (built from the shared
+    a ``{parts}`` relation's host column — the SAME unrolled CASE chain
+    as :func:`registrable_domain_cols` (built from the shared
     MAX_SUFFIX_LABELS/PUBLIC_SUFFIXES constants), ending in a CTE
-    ``reg(doc_id, host, public_suffix, registrable_domain)``."""
+    ``reg({id_col}, host, public_suffix, registrable_domain)``.
+    ``id_col``/``parts`` parameterize the key and source relation (the
+    frontier-politeness oracle keys on ``curl``)."""
     psl = _psl_literal_sql()
     arms = []
     for exc in PSL_EXCEPTIONS:
@@ -788,15 +801,15 @@ def _registrable_sql(host_expr: str = "host") -> str:
         arms.append(f"WHEN len(labels) >= {k} AND {cond} THEN {cand}")
     case = "CASE " + " ".join(arms) + " ELSE labels[-1] END"
     return f"""lab AS (
-      SELECT doc_id, host, string_split({host_expr}, '.') AS labels
-      FROM parts
+      SELECT {id_col}, host, string_split({host_expr}, '.') AS labels
+      FROM {parts}
     ),
     sfx AS (
-      SELECT doc_id, host, labels, {case} AS public_suffix
+      SELECT {id_col}, host, labels, {case} AS public_suffix
       FROM lab
     ),
     reg AS (
-      SELECT doc_id, host, public_suffix,
+      SELECT {id_col}, host, public_suffix,
              CASE WHEN len(labels) <=
                     length(public_suffix)
                     - length(replace(public_suffix, '.', '')) + 1
@@ -860,6 +873,11 @@ def with_robots_txt(docs: DataFrame) -> DataFrame:
     extra = F.when(src_id % 5 == 0, F.lit("Disallow: /docs\n")).otherwise(
         F.lit("")
     )
+    # Crawl-delay (round 16, the politeness witness): 1/3/5 s cycling
+    # by source id in the '*' group; the badbot group's 10 s must NOT
+    # leak into '*' (the same group-tracking law the Disallow witness
+    # pins)
+    delay = (F.coalesce(src_id, F.lit(0)) % 3) * 2 + 1
     robots = F.concat(
         F.lit("# robots for "), s, F.lit("\n"),
         F.lit("\n"),
@@ -867,9 +885,11 @@ def with_robots_txt(docs: DataFrame) -> DataFrame:
         F.lit("Disallow: /assets\n"),
         extra,
         F.lit("Allow: /assets/public\n"),
+        F.lit("Crawl-delay: "), delay.cast("string"), F.lit("\n"),
         F.lit("\n"),
         F.lit("User-agent: badbot\n"),
         F.lit("Disallow: /\n"),
+        F.lit("Crawl-delay: 10\n"),
         F.lit("\n"),
         F.lit("Sitemap: https://"), host, F.lit("/sitemap.xml\n"),
     )
@@ -948,9 +968,13 @@ def _robots_txt_law_sql(table: str = "documents") -> str:
              || (CASE WHEN nullif(regexp_extract(source, '([0-9]+)$', 1), '')::BIGINT % 5 = 0
                       THEN 'Disallow: /docs' || chr(10) ELSE '' END)
              || 'Allow: /assets/public' || chr(10)
+             || 'Crawl-delay: '
+               || ((coalesce(nullif(regexp_extract(source, '([0-9]+)$', 1), '')::BIGINT, 0) % 3) * 2 + 1)
+               || chr(10)
              || chr(10)
              || 'User-agent: badbot' || chr(10)
              || 'Disallow: /' || chr(10)
+             || 'Crawl-delay: 10' || chr(10)
              || chr(10)
              || 'Sitemap: https://' || source || '.example.org/sitemap.xml'
              || chr(10) AS robots
@@ -1132,3 +1156,23 @@ def sitemap_parse_sql(table: str = "documents") -> str:
            lastmod, priority_milli
     FROM sparts
     """
+
+
+def crawl_delays(parsed: DataFrame) -> DataFrame:
+    """(host, crawl_delay): the ``*`` group's Crawl-delay per host —
+    the politeness feed (round 16).  The badbot group's delay is
+    excluded by the same agent filter the Disallow witness pins."""
+    return parsed.filter(
+        (F.col("directive") == "Crawl-delay") & (F.col("agent") == "*")
+    ).select("host", F.col("value").cast("long").alias("crawl_delay"))
+
+
+def crawl_delays_sql(table: str = "documents") -> str:
+    """DuckDB mirror of :func:`crawl_delays` as a derived table."""
+    from .urls import robots_txt_parse_sql  # self-import safe at call time
+
+    return f"""(
+      SELECT host, value::BIGINT AS crawl_delay
+      FROM ({robots_txt_parse_sql(table)}) pr
+      WHERE directive = 'Crawl-delay' AND agent = '*'
+    )"""

@@ -2633,6 +2633,9 @@ def _hostile_url(draw):
         # all-tracker, empty-valued, and the NOT-stripped bare form
         "?utm_source=x&a=1", "?a=1&utm_campaign=y&b=2", "?a=1&gclid=z",
         "?utm_a=1&utm_b=2", "?fbclid=&a=1", "?a=1&utm_x",
+        # mixed-case tracker names (round 16: the (?i) alternation) —
+        # stripped like their lowercase forms; values keep their case
+        "?UTM_SOURCE=x&a=1", "?a=1&Gclid=Z", "?FbClId=&UTM_x=1",
     ]))
     frag = draw(st.sampled_from(["", "#", "#frag", "#a/b?c"]))
     return f"{scheme}{user}{www}{host}{trail_dot}{port}{path}{slashes}{query}{frag}"
