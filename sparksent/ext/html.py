@@ -284,12 +284,12 @@ def html_extract_text(pages: DataFrame, html_col: str = "html") -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _html_law_sql(table: str = "documents") -> str:
-    """The fixture law as a ``pages(doc_id, html)`` CTE."""
+def page_sql_expr() -> str:
+    """The fixture-law page as a bare SQL EXPRESSION over ``doc_id`` /
+    ``text`` columns — factored out (round 16) so the HTTP-envelope
+    law can embed the page as a response body."""
     chunks = f"regexp_extract_all(text, '{_chunk_re(CHUNK_WORDS)}', 0)[1:{MAX_CHUNKS}]"
-    return f"""pages AS (
-      SELECT doc_id,
-        '<html><head><title>Doc ' || doc_id
+    return f"""'<html><head><title>Doc ' || doc_id
         || '</title><style>p{{margin:0}}</style></head><body>'
         || '<nav><a href="/">Home</a> <a href="/s' || (doc_id % 5)
         || '">Section</a> <a href="/t">Tags</a></nav>'
@@ -311,7 +311,13 @@ def _html_law_sql(table: str = "documents") -> str:
         || '<a href="#">Pin</a></div>'
         || '<p>Back to top</p>'
         || '<footer>Copyright 2031 example site All rights reserved</footer>'
-        || '</body></html>' AS html
+        || '</body></html>'"""
+
+
+def _html_law_sql(table: str = "documents") -> str:
+    """The fixture law as a ``pages(doc_id, html)`` CTE."""
+    return f"""pages AS (
+      SELECT doc_id, {page_sql_expr()} AS html
       FROM {table}
     )"""
 
@@ -323,23 +329,26 @@ def _entity_decode_sql(expr: str) -> str:
     return expr
 
 
-def html_extract_text_sql(table: str = "documents") -> str:
-    """DuckDB mirror of fixture law + :func:`html_extract_text` — the
-    same pattern strings, global ('g') replaces, sentinel split,
-    lag/lead promotion, and ordered reassembly."""
+def extract_chain_sql(
+    pages: str = "pages", out: str = "extracted", prefix: str = ""
+) -> str:
+    """The extraction pipeline as CTEs ``split``/``blocks``/``scored``/
+    ``classed``/``kept``/``{out}`` over ANY ``(doc_id, html)`` source
+    CTE — factored out (round 16) so the WARC->shards capstone can run
+    the same chain over its post-HTTP-filter page set.  ``prefix``
+    renames the internal CTEs (the capstone's WARC chain already owns
+    the name ``split``)."""
     marked = "regexp_replace(regexp_replace(regexp_extract(html, '<body>(.*)</body>', 1), '<script[^>]*>.*?</script>', '', 'g'), '<style[^>]*>.*?</style>', '', 'g')"
     for t in BLOCK_CLOSE_TAGS:
         marked = f"replace({marked}, '</{t}>', '</{t}>' || chr(1))"
     strip = "regexp_replace(raw, '<[^>]*>', ' ', 'g')"
     txt = f"trim(regexp_replace({_entity_decode_sql(strip)}, '  *', ' ', 'g'))"
     boiler = ", ".join(f"'{t}'" for t in BOILERPLATE_TAGS)
-    return f"""
-    WITH {_html_law_sql(table)},
-    split AS (
+    chain = f"""split AS (
       SELECT doc_id,
              generate_subscripts(string_split({marked}, chr(1)), 1) - 1 AS bidx,
              unnest(string_split({marked}, chr(1))) AS raw
-      FROM pages
+      FROM {pages}
     ),
     blocks AS (
       SELECT doc_id, bidx::BIGINT AS bidx,
@@ -372,15 +381,33 @@ def html_extract_text_sql(table: str = "documents") -> str:
                OR coalesce(lead(base) OVER w, 'bad') = 'good'))) AS keep
       FROM classed
       WINDOW w AS (PARTITION BY doc_id ORDER BY bidx)
-    )
-    SELECT doc_id,
+    ),
+    {out} AS (
+      SELECT doc_id,
            coalesce(string_agg(CASE WHEN keep THEN txt END, ' '
                                ORDER BY bidx), '') AS extracted_text,
            count(*)::BIGINT AS n_blocks,
            sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_kept,
            sum(CASE WHEN keep THEN n_words ELSE 0 END)::BIGINT AS n_words_kept
-    FROM kept
-    GROUP BY doc_id
+      FROM kept
+      GROUP BY doc_id
+    )"""
+    if prefix:
+        for n in ("split", "blocks", "scored", "classed", "kept"):
+            chain = chain.replace(f"{n} AS (", f"{prefix}{n} AS (").replace(
+                f"FROM {n}", f"FROM {prefix}{n}"
+            )
+    return chain
+
+
+def html_extract_text_sql(table: str = "documents") -> str:
+    """DuckDB mirror of fixture law + :func:`html_extract_text` — the
+    same pattern strings, global ('g') replaces, sentinel split,
+    lag/lead promotion, and ordered reassembly."""
+    return f"""
+    WITH {_html_law_sql(table)},
+    {extract_chain_sql()}
+    SELECT * FROM extracted
     """
 
 

@@ -45,6 +45,12 @@ _TYPE_RE = "WARC-Type: ([^\n]*)\n"
 _URI_RE = "WARC-Target-URI: ([^\n]*)\n"
 _CLEN_RE = "Content-Length: ([0-9]+)\n"
 _PAYLOAD_RE = "\n\n([^\n]*)"
+# multi-line payload form (round 16, the HTTP-envelope layer): payloads
+# that carry CRLF line endings internally but never a bare LF-LF (the
+# law ext/http.py documents), captured dotall up to the record
+# terminator.  Greedy (.*) is safe: the terminator is the LAST LF-LF in
+# the record by that law, and greedy backtracks from the end.
+_PAYLOAD_FULL_RE = "(?s)\n\n(.*)\n\n$"
 
 
 def warc_record(doc_id: Column, wtype: Column, uri: Column,
@@ -85,12 +91,12 @@ def _record_frame(docs: DataFrame) -> DataFrame:
     )
 
 
-def with_warc_blobs(docs: DataFrame) -> DataFrame:
-    """The fixture law: (blob_id, blob) with 4 records per blob
-    (records from :func:`_record_frame`).  The pack is a (blob_id)
-    aggregate with a deterministic in-blob order — fixture-build cost,
-    not parser cost."""
-    recs = _record_frame(docs).select(
+def pack_blobs(recs: DataFrame) -> DataFrame:
+    """Pack a ``(bkey, i, r)`` record frame into ``(blob_id, blob)``
+    blobs (4 records each, deterministic in-blob order) — the pack
+    stage shared by the classic law and the round-16 HTTP-envelope law
+    (`ext/http.py` builds its own record frame and packs it here)."""
+    recs = recs.select(
         "bkey", F.struct(F.col("i"), F.col("r")).alias("sr")
     )
     return recs.groupBy("bkey").agg(
@@ -103,10 +109,20 @@ def with_warc_blobs(docs: DataFrame) -> DataFrame:
     )
 
 
+def with_warc_blobs(docs: DataFrame) -> DataFrame:
+    """The fixture law: (blob_id, blob) with 4 records per blob
+    (records from :func:`_record_frame`).  The pack is a (blob_id)
+    aggregate with a deterministic in-blob order — fixture-build cost,
+    not parser cost."""
+    return pack_blobs(_record_frame(docs))
+
+
 def warc_parse_records(
     blobs: DataFrame,
     blob_col: str = "blob",
     extra_cols: tuple[str, ...] = (),
+    multiline_payload: bool = False,
+    keep_payload: bool = False,
 ) -> DataFrame:
     """The operator: split every blob into its records and type the
     headers — (blob_id, rec_idx, rec_id, warc_type, target_uri,
@@ -128,8 +144,21 @@ def warc_parse_records(
             "idx", "rec"
         ),
     ).filter(F.col("idx") > 0)
-    payload = F.regexp_extract(F.col("rec"), _PAYLOAD_RE, 1)
-    return parts.select(
+    # the payload extraction lands in its OWN projection: the dotall
+    # multi-line form is non-cheap and feeds 2-3 downstream columns
+    # (the staging rule ext/html.py documents)
+    staged = parts.select(
+        "blob_id",
+        "idx",
+        "rec",
+        *extra_cols,
+        F.regexp_extract(
+            F.col("rec"),
+            _PAYLOAD_FULL_RE if multiline_payload else _PAYLOAD_RE,
+            1,
+        ).alias("payload"),
+    )
+    return staged.select(
         "blob_id",
         (F.col("idx") - 1).cast("int").alias("rec_idx"),
         F.regexp_extract(F.col("rec"), _REC_ID_RE, 1).cast("long").alias("rec_id"),
@@ -138,11 +167,12 @@ def warc_parse_records(
         F.regexp_extract(F.col("rec"), _CLEN_RE, 1)
         .cast("long")
         .alias("content_length"),
-        F.length(payload).cast("long").alias("payload_chars"),
+        F.length("payload").cast("long").alias("payload_chars"),
         (
             F.regexp_extract(F.col("rec"), _CLEN_RE, 1).cast("long")
-            == F.length(payload).cast("long")
+            == F.length("payload").cast("long")
         ).alias("length_ok"),
+        *((("payload",) if keep_payload else ())),
         *extra_cols,
     )
 
@@ -207,19 +237,16 @@ def _inflate_batches(it):
         )
 
 
-def with_warc_gzip_blobs(docs: DataFrame) -> DataFrame:
-    """The gzip fixture law: (blob_id, gz) — the records of
-    :func:`with_warc_blobs`' law, each deflated as its OWN gzip member
-    (one Arrow stage), byte-concatenated per blob in deterministic
-    in-blob order.  The member concat is a single bounded
-    ``F.aggregate`` over the 4-element collected array (constant
-    depth — the chained-HOF analysis-cost cliff needs dozens of
-    layers).  Records come from the SHARED :func:`_record_frame` law —
-    identical by construction to the uncompressed pack the oracle
-    parses."""
+def pack_gzip_blobs(recs: DataFrame) -> DataFrame:
+    """Pack a ``(bkey, i, r)`` record frame into ``(blob_id, gz)``
+    concatenated-gzip-member blobs — each record deflated as its OWN
+    member (one Arrow stage), byte-concatenated per blob in
+    deterministic in-blob order.  The member concat is a single
+    bounded ``F.aggregate`` over the 4-element collected array
+    (constant depth — the chained-HOF analysis-cost cliff needs dozens
+    of layers).  Shared by the classic law and ext/http.py's
+    HTTP-envelope law."""
     import pandas as pd
-
-    recs = _record_frame(docs)
 
     def gzip_batches(it):
         for pdf in it:
@@ -251,7 +278,18 @@ def with_warc_gzip_blobs(docs: DataFrame) -> DataFrame:
     )
 
 
-def warc_parse_gzip(blobs_gz: DataFrame) -> DataFrame:
+def with_warc_gzip_blobs(docs: DataFrame) -> DataFrame:
+    """The gzip fixture law: :func:`pack_gzip_blobs` over the SHARED
+    :func:`_record_frame` law — identical by construction to the
+    uncompressed pack the oracle parses."""
+    return pack_gzip_blobs(_record_frame(docs))
+
+
+def warc_parse_gzip(
+    blobs_gz: DataFrame,
+    multiline_payload: bool = False,
+    keep_payload: bool = False,
+) -> DataFrame:
     """The operator: inflate concatenated gzip members (ONE Arrow
     mapInPandas stage, one decode call per blob) and run the existing
     in-plan record split/typing on the result — the full
@@ -268,7 +306,12 @@ def warc_parse_gzip(blobs_gz: DataFrame) -> DataFrame:
     inflated = blobs_gz.mapInPandas(
         _inflate_batches, "blob_id long, blob string, n_members long"
     )
-    return warc_parse_records(inflated, extra_cols=("n_members",))
+    return warc_parse_records(
+        inflated,
+        extra_cols=("n_members",),
+        multiline_payload=multiline_payload,
+        keep_payload=keep_payload,
+    )
 
 
 def warc_parse_gzip_sql(table: str = "documents") -> str:
