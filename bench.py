@@ -305,6 +305,14 @@ HEADLINE = [
     "robots_audit_parsed",
     "sitemap_parse",
     "url_frontier",
+    # round-16 additions
+    "http_parse_response",
+    "charset_quality_gate",
+    "web_pipeline_warc_to_shards",
+    "unigram_seed_vocab",
+    "unigram_encode_viterbi",
+    "unigram_em_reestimate",
+    "frontier_politeness",
 ]
 
 # Timed and reported, but excluded from the headline sum: cost dominated

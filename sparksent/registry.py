@@ -55,69 +55,24 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # the priority block, so the registry surface itself is unchanged — only
 # the iteration order of queries()/oracle_sql() moves.
 #
-# Round-15 window, regenerated PURELY mechanically by
-# tools/regen_priority.py from CORRECTNESS_r01..r14.json — zero hand
-# insertions at regen time: the 19 r10-stale names lead (VERDICT r14
-# ask #1), then the r11 tier up to the 50-slot boundary; remainder
-# oldest-first.  New registrations made AFTER this regen are prepended
-# by hand per the never-checked-first rule (they cannot appear in any
-# r01..r14 row); each such prepend is noted inline.  After this window
-# verifies, no name's latest driver row is older than r11.
+# Round-16 window, regenerated PURELY mechanically by
+# tools/regen_priority.py from CORRECTNESS_r01..r15.json AFTER the
+# round's 7 new registrations (the r15 advice item: regen after
+# prepends so the 50-slot marker is placed mechanically, never by
+# hand): the 7 never-checked round-16 names lead, then the full
+# 30-name r11 tier, then the r12 tier to the boundary; remainder
+# oldest-first.  After this window verifies, no name's latest driver
+# row is older than r12 except the r12 tail itself.
 _PRIORITY: tuple[str, ...] = (
-    # slot 1+: no green driver row yet (round-15 registrations,
-    # prepended per the never-checked-first rule)
-    "url_registrable_domain",
-    "sample_domain_quota_registrable",
-    "html_extract_text",
-    "warc_parse_gzip",
-    "write_training_shards",
-    "quality_gate_extracted",
-    "html_link_graph",
-    "robots_txt_parse",
-    "robots_audit_parsed",
-    "sitemap_parse",
-    "url_frontier",
-    # slot 10+: latest green driver row is r10
-    "event_session_ids",
-    "fullouter_user_activity",
-    "user_behavior_features",
-    "funnel_view_click_purchase",
-    "retention_cohorts",
-    "event_transition_matrix",
-    "chunk_documents_128_96",
-    "multimodal_decode_audio",
-    "column_stats_events",
-    "weekly_value_wow",
-    "multimodal_decode_png",
-    "multimodal_decode_gif",
-    "multimodal_decode_jpeg",
-    "multimodal_decode_video",
-    "multimodal_video_index",
-    "bpe_word_vocab",
-    "fuzzy_name_pairs",
-    "lm_bigram_score",
-    "bm25_topk",
-    # slot 20+: latest green driver row is r11
-    "dedup_image_phash",
-    "dedup_span_extents",
-    "multimodal_embed_topk",
-    "dedup_audio_fingerprint",
-    "dedup_video_framehash",
-    "dedup_multimodal_keep_set",
-    "multimodal_quality_gate",
-    "dedup_winnowing",
-    "similarity_topk_sq8",
-    "dedup_span_rewrite",
-    "graph_kcore_parts",
-    "epoch_shuffle_batches",
-    "decontaminate_semantic",
-    "kmv_intersection_users",
-    "k_anonymity_audit",
-    "theilsen_slope_per_user",
-    "ewma_user_value",
-    "attribution_first_touch",
-    "unpivot_user_metrics",
-    "rolling_60s_user_stats",
+    # slot 1+: no green driver row yet
+    "http_parse_response",
+    "charset_quality_gate",
+    "web_pipeline_warc_to_shards",
+    "unigram_seed_vocab",
+    "unigram_encode_viterbi",
+    "unigram_em_reestimate",
+    "frontier_politeness",
+    # slot 8+: latest green driver row is r11
     "kmeans_embeddings_2iter",
     "pagerank_word_graph",
     "mix_langs_temperature",
@@ -128,7 +83,7 @@ _PRIORITY: tuple[str, ...] = (
     "basket_pair_lift",
     "bfs_hops_copurchase",
     "snapshot_diff_users",
-    "negative_sample_user_items",  # --- driver window ends here (50) ---
+    "negative_sample_user_items",
     "grouping_sets_event_stats",
     "label_propagation_communities",
     "corr_matrix_event_types",
@@ -148,7 +103,7 @@ _PRIORITY: tuple[str, ...] = (
     "basket_triple_support",
     "session_path_topk",
     "entity_resolution_parts",
-    # slot 70+: latest green driver row is r12
+    # slot 38+: latest green driver row is r12
     "sample_domain_quota",
     "churn_training_set",
     "item_similarity_jaccard",
@@ -161,7 +116,7 @@ _PRIORITY: tuple[str, ...] = (
     "semdedup_embeddings",
     "sample_token_budget",
     "dedup_cdc_chunks",
-    "daily_median_value",
+    "daily_median_value",  # --- driver window ends here (50) ---
     "asof_view_next_purchase",
     "gopher_quality_gate",
     "session_concurrency",
@@ -199,7 +154,7 @@ _PRIORITY: tuple[str, ...] = (
     "multimodal_image_headers",
     "embedding_centroids",
     "embedding_quantize_error",
-    # slot 120+: latest green driver row is r13
+    # slot 88+: latest green driver row is r13
     "seq_packing_bpe_512",
     "sample_token_budget_bpe",
     "quality_gate_per_lang_head",
@@ -250,7 +205,7 @@ _PRIORITY: tuple[str, ...] = (
     "channel_mood_sliding_90_60",
     "user_mood_cumulative",
     "toxic_user_cw10",
-    # slot 170+: latest green driver row is r14
+    # slot 138+: latest green driver row is r14
     "url_canonicalize",
     "url_domain_topk",
     "dedup_url_exact",
@@ -301,6 +256,57 @@ _PRIORITY: tuple[str, ...] = (
     "cube_event_value",
     "hist_event_value",
     "decile_user_value",
+    # slot 188+: latest green driver row is r15
+    "url_registrable_domain",
+    "sample_domain_quota_registrable",
+    "html_extract_text",
+    "warc_parse_gzip",
+    "write_training_shards",
+    "quality_gate_extracted",
+    "html_link_graph",
+    "robots_txt_parse",
+    "robots_audit_parsed",
+    "sitemap_parse",
+    "url_frontier",
+    "event_session_ids",
+    "fullouter_user_activity",
+    "user_behavior_features",
+    "funnel_view_click_purchase",
+    "retention_cohorts",
+    "event_transition_matrix",
+    "chunk_documents_128_96",
+    "multimodal_decode_audio",
+    "column_stats_events",
+    "weekly_value_wow",
+    "multimodal_decode_png",
+    "multimodal_decode_gif",
+    "multimodal_decode_jpeg",
+    "multimodal_decode_video",
+    "multimodal_video_index",
+    "bpe_word_vocab",
+    "fuzzy_name_pairs",
+    "lm_bigram_score",
+    "bm25_topk",
+    "dedup_image_phash",
+    "dedup_span_extents",
+    "multimodal_embed_topk",
+    "dedup_audio_fingerprint",
+    "dedup_video_framehash",
+    "dedup_multimodal_keep_set",
+    "multimodal_quality_gate",
+    "dedup_winnowing",
+    "similarity_topk_sq8",
+    "dedup_span_rewrite",
+    "graph_kcore_parts",
+    "epoch_shuffle_batches",
+    "decontaminate_semantic",
+    "kmv_intersection_users",
+    "k_anonymity_audit",
+    "theilsen_slope_per_user",
+    "ewma_user_value",
+    "attribution_first_touch",
+    "unpivot_user_metrics",
+    "rolling_60s_user_stats",
 )
 
 

@@ -2105,3 +2105,203 @@ def test_sitemap_and_frontier_semantics(spark):
         assert "utm_" not in r.curl and "#" not in r.curl
     assert any(r.n_sitemap > 0 and r.n_links == 0 for r in frontier)
     assert any(r.n_links > 0 and r.n_sitemap == 0 for r in frontier)
+
+
+def test_http_parse_scan_side_and_witnesses(spark):
+    """http_parse_response (round 16): after the fixture pack's one
+    aggregate, the multi-line record split + every HTTP field
+    extraction ride the scan projection — no Python stage, no join,
+    no further shuffle.  Witnesses: the full variant law (status kills
+    the 404, content type kills the json 200, request lines never
+    parse as status lines), lowercase header names match per RFC 9110,
+    the charset cycle surfaces lowercased with '' when undeclared, and
+    the 301 Location canonicalizes (uppercase scheme+host lowered,
+    trailing dot stripped, mixed-case UTM_Source STRIPPED — the
+    round-16 (?i) tracker witness — while x=2 survives)."""
+    plan = plan_of(spark, "http_parse_response")
+    assert "Python" not in plan and "Join" not in plan
+    assert count_data_shuffles(plan) <= 2  # the blob-pack aggregate only
+    rows = queries()["http_parse_response"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        v = r.rec_id % 8
+        if v == 7:
+            assert r.warc_type == "request" and not r.is_response
+            assert r.status_code == 0 and r.http_version == ""
+            assert r.content_type == "" and r.body_chars == 0
+        else:
+            assert r.is_response and r.http_version == "HTTP/1.1"
+        if v in (0, 1, 2, 3):
+            assert r.status_code == 200 and r.content_type == "text/html"
+            assert r.is_html_ok
+            exp = {0: "utf-8", 1: "iso-8859-1", 2: ""}[r.rec_id % 3]
+            assert r.charset == exp
+        elif v == 4:
+            assert r.status_code == 404 and r.content_type == "text/html"
+            assert not r.is_html_ok  # status kills it, not content type
+        elif v == 5:
+            assert r.status_code == 301 and r.has_location
+            assert r.location_curl.startswith("https://src")
+            assert ".example.org/moved/" in r.location_curl
+            assert r.location_curl.endswith("?x=2")  # tracker stripped
+            assert "UTM" not in r.location_curl and "." != r.location_curl[-1]
+        elif v == 6:
+            assert r.status_code == 200
+            assert r.content_type == "application/json"
+            assert not r.is_html_ok  # content type kills it
+        assert r.length_ok  # this law plants no corruption
+
+
+def test_charset_gate_zero_shuffle_and_repair(spark):
+    """charset_quality_gate (round 16): pure scan projection — zero
+    shuffles, no Python, no join.  Witnesses: each planted artifact
+    class fires exactly its own fail_mask bit, clean docs pass, and
+    the repair is verified against an independent Python reimplementation
+    of the documented table on a planted doc."""
+    plan = plan_of(spark, "charset_quality_gate")
+    assert count_data_shuffles(plan) == 0
+    assert "Python" not in plan and "Join" not in plan
+    rows = {r.doc_id: r for r in queries()["charset_quality_gate"](spark, SF_DIR).collect()}
+    import hashlib
+
+    from sparksent.ext import encoding as ENC
+
+    for d, r in rows.items():
+        bits = (1 if d % 11 == 0 else 0) | (2 if d % 13 == 0 else 0) | (
+            4 if d % 17 == 0 else 0
+        )
+        assert r.fail_mask == bits, d
+        assert r["pass"] == (1 if bits == 0 else 0)
+        if d % 11 == 0:
+            assert r.n_mojibake == 7
+        if d % 13 == 0:
+            assert r.n_control == 2
+        if d % 17 == 0:
+            assert r.n_replacement == 2
+    # independent repair check on the stacked witness (doc 0): apply
+    # the documented table + strips in plain Python
+    sample = ENC.MOJIBAKE_SAMPLE + ENC.CTRL_SAMPLE + ENC.REPL_SAMPLE
+    fixed = sample
+    for seq, rep in ENC.MOJIBAKE_TABLE:
+        fixed = fixed.replace(seq, rep)
+    fixed = fixed.replace(ENC.REPLACEMENT_CHAR, "")
+    fixed = "".join(
+        c for c in fixed
+        if not (1 <= ord(c) <= 8 or ord(c) in (11, 12, 127) or 14 <= ord(c) <= 31)
+    )
+    r0 = rows[0]
+    assert r0.n_chars - r0.n_chars_clean == len(sample) - len(fixed)
+
+
+def test_web_pipeline_capstone_wiring(spark):
+    """web_pipeline_warc_to_shards (round 16): the end-to-end chain's
+    admission wiring — survivors are exactly the gate-passing half of
+    doc_id % 8 in {0, 2} (status/type kill 4..7, canonical-URL dedup
+    kills the odd pair member), recomputed INDEPENDENTLY by running
+    extraction+gate on the law-filtered doc set; manifest invariants
+    (contiguous shard ids from 0, ceil token packing at ctx 512,
+    positive totals) hold; and the plan never degenerates into a
+    cartesian or nested-loop join."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from sparksent import tables
+    from sparksent.ext import html as H
+    from sparksent.ext import textstats as TS
+
+    plan = plan_of(spark, "web_pipeline_warc_to_shards")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    shards = queries()["web_pipeline_warc_to_shards"](spark, SF_DIR).collect()
+    assert shards
+    ids = sorted(s.shard_id for s in shards)
+    assert ids == list(range(len(ids)))
+    for s in shards:
+        assert s.n_docs > 0 and s.total_tokens > 0 and s.total_bytes > 0
+        assert s.n_seqs == math.ceil(s.total_tokens / 512)
+    docs = tables.load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    surv = docs.filter((F.col("doc_id") % 8).isin(0, 2))
+    gate = TS.gopher_quality_gate(
+        H.html_extract_text(H.with_html_pages(surv)), text_col="extracted_text"
+    )
+    expected = gate.filter(F.col("pass") == 1).count()
+    assert sum(s.n_docs for s in shards) == expected
+
+
+def test_unigram_viterbi_dp_and_tiebreak():
+    """The integer Viterbi DP against hand-computed lattices: longer
+    high-probability pieces beat char paths; exact-score ties resolve
+    to FEWER pieces, then to the lexicographically smaller piece
+    string — the documented total order the SQL layered DP mirrors."""
+    from sparksent.ext.unigram import _viterbi
+
+    # 'abab': whole-word piece dominates
+    s = {"a": -3_000_000, "b": -3_000_000, "ab": -2_000_000,
+         "abab": -1_000_000}
+    assert _viterbi("abab", s) == (1, -1_000_000, "abab")
+    # remove the whole word: two 'ab' pieces beat four chars
+    del s["abab"]
+    assert _viterbi("abab", s) == (2, -4_000_000, "ab ab")
+    # score tie between ('ab','ab') and ('a','bab')? engineer an exact
+    # tie: 'ab'+'ab' = -4M vs 'a'+'bab' = -3M + -1M = -4M — the
+    # 4-piece char path also ties at -4M with np=4; fewer pieces wins,
+    # then 'a bab' < 'ab ab' lexicographically
+    s2 = {"a": -1_000_000, "b": -1_000_000, "ab": -2_000_000,
+          "bab": -3_000_000}
+    np_, sc, path = _viterbi("abab", s2)
+    assert (np_, sc) == (2, -4_000_000)
+    assert path == "a bab"  # 'a bab' < 'ab ab'
+    # coverage: single chars always segment
+    assert _viterbi("ba", {"a": -5, "b": -7}) == (2, -12, "b a")
+
+
+def test_unigram_plan_shapes(spark):
+    """seed_vocab is JVM-only (the HOF explode rides the bounded
+    distinct-word domain — no Python stage); encode is exactly ONE
+    Arrow stage; the EM step adds an aggregate, not another Python
+    stage."""
+    plan_v = plan_of(spark, "unigram_seed_vocab")
+    assert "Python" not in plan_v and "MapInPandas" not in plan_v
+    plan_e = plan_of(spark, "unigram_encode_viterbi")
+    assert len(re.findall(r"\(\d+\) MapInPandas", plan_e)) == 1
+    plan_m = plan_of(spark, "unigram_em_reestimate")
+    assert len(re.findall(r"\(\d+\) MapInPandas", plan_m)) == 1
+    # encode output joins nothing back: no corpus join anywhere
+    assert "SortMergeJoin" not in plan_e
+
+
+def test_frontier_politeness_semantics(spark):
+    """frontier_politeness: crawl delays come from the PARSED '*'
+    group only (1/3/5 by the law — the badbot group's 10 must NOT
+    leak), robots-less hosts (cdn/share) default to 1, every domain's
+    queue is serialized (fetch_slot_sec = (rank-1) x domain_delay,
+    rank 1 at slot 0, ranks contiguous) on ONE worker, and
+    sitemap-declared URLs outrank link-only URLs within a domain."""
+    rows = queries()["frontier_politeness"](spark, SF_DIR).collect()
+    assert rows
+    assert all(r.crawl_delay in (1, 3, 5) for r in rows)  # never 10
+    defaulted = [r for r in rows if "example.org" not in r.host]
+    assert defaulted and all(r.crawl_delay == 1 for r in defaulted)
+    from collections import defaultdict
+
+    by_dom = defaultdict(list)
+    for r in rows:
+        by_dom[r.registrable_domain].append(r)
+    assert len(by_dom) >= 2
+    for dom, rs in by_dom.items():
+        rs.sort(key=lambda r: r.fetch_rank)
+        assert [r.fetch_rank for r in rs] == list(range(1, len(rs) + 1))
+        dd = rs[0].domain_delay
+        assert all(r.domain_delay == dd for r in rs)
+        assert all(r.fetch_slot_sec == (r.fetch_rank - 1) * dd for r in rs)
+        assert len({r.worker for r in rs}) == 1  # one worker per domain
+    # sitemap-declared URLs outrank link-only URLs within every domain
+    sm_curls = {
+        r.curl for r in queries()["sitemap_parse"](spark, SF_DIR).collect()
+    }
+    for dom, rs in by_dom.items():
+        ranks_sm = [r.fetch_rank for r in rs if r.curl in sm_curls]
+        ranks_lk = [r.fetch_rank for r in rs if r.curl not in sm_curls]
+        if ranks_sm and ranks_lk:
+            assert max(ranks_sm) < min(ranks_lk)
