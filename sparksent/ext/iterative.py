@@ -288,6 +288,112 @@ def kmeans_cluster_stats_sql(
 # ---------------------------------------------------------------------------
 
 
+def pagerank_iterations(
+    edges: DataFrame,
+    nodes: DataFrame,
+    iters: int = 3,
+    damping: int = 85,
+    node_col: str = "tok",
+) -> DataFrame:
+    """The shared integer-PageRank loop over ``edges(src, dst, w)`` and
+    ``nodes(node_col)``: ``iters`` rounds of
+
+    ``pr' = (100-damping)*PR_TOTAL div (100*n_nodes)
+            + damping * sum((pr * w) div out_w) div 100``
+
+    — all positive-integer floordivs (bit-exact in both engines; see
+    the module docstring), dangling nodes keep teleport mass and leak
+    the rest (the standard simplification).  Callers must pass
+    edge/node frames whose lineage is safe to scan once per round
+    (``localCheckpoint`` anything expensive — both call sites do).
+    Returns ``(node_col, out_weight, pr)``.
+
+    Scale: the rank and out-weight sides are node-cardinality and
+    broadcast here; at web-scale node counts the same round structure
+    co-partitions edges and ranks on src (one shuffle per iteration) —
+    the textbook Pregel/GraphX layout."""
+    ncount = nodes.agg(F.count("*").cast("long").alias("n_nodes"))
+    outw = edges.groupBy("src").agg(F.sum("w").cast("long").alias("ow"))
+    ranks = nodes.crossJoin(F.broadcast(ncount)).select(
+        node_col,
+        "n_nodes",
+        F.expr(f"CAST({PR_TOTAL} div n_nodes AS BIGINT)").alias("pr"),
+    )
+    teleport = (
+        f"CAST(({100 - damping} * CAST({PR_TOTAL} AS BIGINT))"
+        f" div (100 * n_nodes) AS BIGINT)"
+    )
+    for _ in range(iters):
+        contrib = (
+            edges.join(
+                F.broadcast(ranks.select(F.col(node_col).alias("src"), "pr")), "src"
+            )
+            .join(F.broadcast(outw), "src")
+            .select("dst", F.expr("CAST((pr * w) div ow AS BIGINT)").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").cast("long").alias("contrib"))
+        )
+        ranks = (
+            ranks.select(node_col, "n_nodes")
+            .join(
+                F.broadcast(contrib.withColumnRenamed("dst", node_col)),
+                node_col,
+                "left",
+            )
+            .select(
+                node_col,
+                "n_nodes",
+                (
+                    F.expr(teleport)
+                    + F.expr(
+                        f"CAST(({damping} * coalesce(contrib, CAST(0 AS BIGINT)))"
+                        f" div 100 AS BIGINT)"
+                    )
+                ).alias("pr"),
+            )
+        )
+    return ranks.join(
+        F.broadcast(outw.withColumnRenamed("src", node_col)), node_col, "left"
+    ).select(
+        node_col,
+        F.coalesce("ow", F.lit(0)).cast("long").alias("out_weight"),
+        F.col("pr").cast("long").alias("pr"),
+    )
+
+
+def pagerank_rounds_sql(
+    iters: int = 3, damping: int = 85, node_col: str = "tok"
+) -> list[str]:
+    """The unrolled-round CTE parts of the PageRank oracle, expecting
+    ``edges(src, dst, w)`` and ``nodes({node_col})`` CTEs upstream;
+    ends in ``r{iters}`` plus ``outw`` (the final SELECT joins them)."""
+    t = 100 - damping
+    parts = [
+        "nn AS (SELECT count(*)::BIGINT AS n_nodes FROM nodes)",
+        "outw AS (SELECT src, sum(w)::BIGINT AS ow FROM edges GROUP BY 1)",
+        f"r0 AS (SELECT {node_col}, ({PR_TOTAL} // n_nodes)::BIGINT AS pr"
+        f" FROM nodes CROSS JOIN nn)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""ct{i} AS (
+              SELECT e.dst AS {node_col}, sum((r.pr * e.w) // o.ow)::BIGINT AS contrib
+              FROM edges e
+              JOIN r{i - 1} r ON e.src = r.{node_col}
+              JOIN outw o ON e.src = o.src
+              GROUP BY 1)"""
+        )
+        parts.append(
+            f"""r{i} AS (
+              SELECT n.{node_col},
+                     (({t} * {PR_TOTAL}::BIGINT) // (100 * nn.n_nodes)
+                      + ({damping} * coalesce(c.contrib, 0)) // 100)::BIGINT AS pr
+              FROM nodes n CROSS JOIN nn
+              LEFT JOIN ct{i} c ON n.{node_col} = c.{node_col})"""
+        )
+    return parts
+
+
 def word_pagerank(
     docs: DataFrame,
     iters: int = 3,
@@ -330,41 +436,7 @@ def word_pagerank(
         .localCheckpoint()  # consumed by outw + every iteration
     )
     nodes = toks.select("tok").distinct().localCheckpoint()
-    ncount = nodes.agg(F.count("*").cast("long").alias("n_nodes"))
-    outw = edges.groupBy("src").agg(F.sum("w").cast("long").alias("ow"))
-    ranks = nodes.crossJoin(F.broadcast(ncount)).select(
-        "tok", "n_nodes", F.expr(f"CAST({PR_TOTAL} div n_nodes AS BIGINT)").alias("pr")
-    )
-    teleport = f"CAST(({100 - damping} * CAST({PR_TOTAL} AS BIGINT)) div (100 * n_nodes) AS BIGINT)"
-    for _ in range(iters):
-        contrib = (
-            edges.join(
-                F.broadcast(ranks.select(F.col("tok").alias("src"), "pr")), "src"
-            )
-            .join(F.broadcast(outw), "src")
-            .select("dst", F.expr("CAST((pr * w) div ow AS BIGINT)").alias("c"))
-            .groupBy("dst")
-            .agg(F.sum("c").cast("long").alias("contrib"))
-        )
-        ranks = (
-            ranks.select("tok", "n_nodes")
-            .join(F.broadcast(contrib.withColumnRenamed("dst", "tok")), "tok", "left")
-            .select(
-                "tok",
-                "n_nodes",
-                (
-                    F.expr(teleport)
-                    + F.expr(f"CAST(({damping} * coalesce(contrib, CAST(0 AS BIGINT))) div 100 AS BIGINT)")
-                ).alias("pr"),
-            )
-        )
-    return ranks.join(
-        F.broadcast(outw.withColumnRenamed("src", "tok")), "tok", "left"
-    ).select(
-        "tok",
-        F.coalesce("ow", F.lit(0)).cast("long").alias("out_weight"),
-        F.col("pr").cast("long").alias("pr"),
-    )
+    return pagerank_iterations(edges, nodes, iters, damping, node_col="tok")
 
 
 def word_pagerank_sql(
@@ -374,7 +446,6 @@ def word_pagerank_sql(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> str:
-    t = 100 - damping
     parts = [
         f"""toks AS (
           SELECT DISTINCT doc_id, tok FROM (
@@ -386,27 +457,8 @@ def word_pagerank_sql(
           FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND a.tok <> b.tok
           GROUP BY 1, 2)""",
         "nodes AS (SELECT DISTINCT tok FROM toks)",
-        "nn AS (SELECT count(*)::BIGINT AS n_nodes FROM nodes)",
-        "outw AS (SELECT src, sum(w)::BIGINT AS ow FROM edges GROUP BY 1)",
-        f"r0 AS (SELECT tok, ({PR_TOTAL} // n_nodes)::BIGINT AS pr FROM nodes CROSS JOIN nn)",
     ]
-    for i in range(1, iters + 1):
-        parts.append(
-            f"""ct{i} AS (
-              SELECT e.dst AS tok, sum((r.pr * e.w) // o.ow)::BIGINT AS contrib
-              FROM edges e
-              JOIN r{i - 1} r ON e.src = r.tok
-              JOIN outw o ON e.src = o.src
-              GROUP BY 1)"""
-        )
-        parts.append(
-            f"""r{i} AS (
-              SELECT n.tok,
-                     (({t} * {PR_TOTAL}::BIGINT) // (100 * nn.n_nodes)
-                      + ({damping} * coalesce(c.contrib, 0)) // 100)::BIGINT AS pr
-              FROM nodes n CROSS JOIN nn
-              LEFT JOIN ct{i} c ON n.tok = c.tok)"""
-        )
+    parts += pagerank_rounds_sql(iters, damping, node_col="tok")
     joined = ",\n".join(parts)
     return f"""WITH {joined}
     SELECT r.tok, coalesce(o.ow, 0)::BIGINT AS out_weight, r.pr

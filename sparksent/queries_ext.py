@@ -27,6 +27,7 @@ from .ext import (
     ranks,
     similarity,
     sketches,
+    snapshots,
     textclean,
     textstats,
     unigram,
@@ -34,6 +35,7 @@ from .ext import (
     warc,
     vectorops,
     videodup,
+    webgraph,
 )
 from .graph import triangle_count_sql
 from .registry import register
@@ -3276,3 +3278,52 @@ def q_frontier_politeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("worker"),
     )
+
+
+@register(
+    "crawl_snapshot_delta",
+    oracle=snapshots.crawl_snapshot_delta_sql(),
+    tags=("ext", "urls", "curation"),
+)
+def q_crawl_snapshot_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingestion diff: two crawl snapshots of the same URL
+    space compared by CANONICAL URL + content fingerprint, every URL
+    classified unchanged / changed / new / gone (the ``doc_id % 7``
+    snapshot-B law — see ``ext/snapshots.py``).  Only new+changed pages
+    would enter the expensive extract/dedup/gate chain on a recrawl;
+    gone pages tombstone out of the index.
+
+    100 TB shape: fingerprints ride each snapshot's scan (md5 in the
+    projection, no Python); the FULL OUTER join co-partitions both
+    sides on curl, shuffling only (curl, 32-hex fp) pairs — never page
+    text; classification is pure projection after the join."""
+    docs = tables.load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    return snapshots.crawl_snapshot_delta(docs)
+
+
+@register(
+    "host_pagerank",
+    oracle=webgraph.host_pagerank_sql(),
+    tags=("ext", "urls", "graph"),
+)
+def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level web-graph authority (the CommonCrawl host-rank
+    analog): PageRank over the EXTRACTED link graph aggregated to
+    canonical hosts, self-edges dropped — composes the round-15
+    link-graph extraction with the shared integer-PageRank loop
+    (``ext/webgraph.py``; all round arithmetic in positive-integer
+    floordivs, bit-exact vs the unrolled-CTE oracle).  On the fixture
+    the two dangling share-widget hosts accumulate rank far above
+    teleport while source hosts stay at teleport level — pinned by
+    tests/test_plans.py.
+
+    100 TB shape: one (src,dst) map-side-combined aggregate builds the
+    host-pair edge frame (cardinality ≪ links), localCheckpoint-pinned
+    for the rounds; ranks/out-weights broadcast at host cardinality,
+    co-partitioned-on-src at web scale."""
+    docs = tables.load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    return webgraph.host_pagerank(docs)

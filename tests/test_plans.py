@@ -2305,3 +2305,72 @@ def test_frontier_politeness_semantics(spark):
         ranks_lk = [r.fetch_rank for r in rs if r.curl not in sm_curls]
         if ranks_sm and ranks_lk:
             assert max(ranks_sm) < min(ranks_lk)
+
+
+def test_crawl_snapshot_delta_shape_and_semantics(spark):
+    """crawl_snapshot_delta: the diff is two fingerprint scans joined
+    once on curl (SortMergeJoin, no broadcast-nested-loop, no Python
+    stage — md5 rides the scan projections) and the status law follows
+    doc_id % 7 exactly: class 0 gone, class 1 changed, class 2
+    unchanged + one new page, others unchanged."""
+    plan = plan_of(spark, "crawl_snapshot_delta")
+    assert "SortMergeJoin" in plan and "FullOuter" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    rows = queries()["crawl_snapshot_delta"](spark, SF_DIR).collect()
+    by_status = {}
+    for r in rows:
+        by_status.setdefault(r.status, []).append(r)
+    import duckdb
+
+    con = duckdb.connect()
+    mods = dict(
+        con.execute(
+            f"SELECT doc_id % 7, count(*) FROM '{SF_DIR}/documents.parquet' GROUP BY 1"
+        ).fetchall()
+    )
+    n = sum(mods.values())
+    assert len(by_status["gone"]) == mods.get(0, 0)
+    assert len(by_status["changed"]) == mods.get(1, 0)
+    assert len(by_status["new"]) == mods.get(2, 0)
+    assert len(by_status["unchanged"]) == n - mods.get(0, 0) - mods.get(1, 0)
+    # fingerprint sentinels: absent side is '' and only there
+    assert all(r.fp_b == "" and r.fp_a != "" for r in by_status["gone"])
+    assert all(r.fp_a == "" and r.fp_b != "" for r in by_status["new"])
+    assert all(
+        r.fp_a != "" and r.fp_b != "" and r.fp_a != r.fp_b
+        for r in by_status["changed"]
+    )
+    assert all(r.fp_a == r.fp_b != "" for r in by_status["unchanged"])
+    assert all(r.curl.startswith("http") for r in rows)
+
+
+def test_host_pagerank_shape_and_semantics(spark):
+    """host_pagerank: the host-pair edge aggregate map-side combines,
+    every per-round rank/out-weight join broadcasts (never a shuffled
+    join at host cardinality), no Python stage; semantically the two
+    dangling share-widget hosts accumulate rank far above teleport,
+    source hosts sit at teleport level (their only in-links are none —
+    the fixture's star shape), and total mass never exceeds PR_TOTAL
+    (dangling leak only truncates)."""
+    from sparksent.ext.iterative import PR_TOTAL
+
+    plan = plan_of(spark, "host_pagerank")
+    assert "BroadcastHashJoin" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "partial_count" in plan or "partial_sum" in plan
+    rows = queries()["host_pagerank"](spark, SF_DIR).collect()
+    by_host = {r.host: r for r in rows}
+    n = len(rows)
+    teleport_ceiling = PR_TOTAL // n  # initial/teleport-only level
+    sinks = [by_host["share.example.com"], by_host["cdn.example.net"]]
+    sources = [
+        r for r in rows if r.host not in ("share.example.com", "cdn.example.net")
+    ]
+    assert all(s.out_weight == 0 for s in sinks)  # dangling
+    assert all(r.out_weight > 0 for r in sources)
+    # 3 damped rounds over the 2-sink star leave sinks ~2x teleport
+    # (each round they absorb the sources' damped mass, then leak it)
+    assert all(s.pr > (3 * teleport_ceiling) // 2 for s in sinks)
+    assert all(r.pr <= teleport_ceiling for r in sources)
+    assert sum(r.pr for r in rows) <= PR_TOTAL
