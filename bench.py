@@ -313,6 +313,15 @@ HEADLINE = [
     "unigram_encode_viterbi",
     "unigram_em_reestimate",
     "frontier_politeness",
+    # round-16 second wave
+    "crawl_snapshot_delta",
+    "host_pagerank",
+    "wordpiece_vocab",
+    "wordpiece_encode",
+    "quality_probe_train",
+    "quality_probe_score",
+    "kn_trigram_perplexity",
+    "frontier_authority",
 ]
 
 # Timed and reported, but excluded from the headline sum: cost dominated

@@ -21,9 +21,11 @@ from .ext import (
     imagedup,
     iterative,
     jsonops,
+    knlm,
     matching,
     mmquality,
     multimodal,
+    probe,
     ranks,
     similarity,
     sketches,
@@ -33,6 +35,7 @@ from .ext import (
     unigram,
     urls,
     warc,
+    wordpiece,
     vectorops,
     videodup,
     webgraph,
@@ -3327,3 +3330,214 @@ def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", "text"
     )
     return webgraph.host_pagerank(docs)
+
+
+@register(
+    "wordpiece_vocab",
+    oracle=wordpiece.wordpiece_vocab_sql(),
+    tags=("ext", "tokenizer"),
+)
+def q_wordpiece_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece POSITION-AWARE vocabulary (BERT family — the third
+    tokenizer alongside BPE and unigram-LM): substring candidates over
+    the distinct-word domain counted separately per positional form
+    (word-initial bare, continuation ##-prefixed), occurrence-weighted;
+    top-512 under (cnt DESC, piece ASC) plus every single-char piece
+    in both forms — the coverage guarantee greedy MaxMatch needs.
+    Corpus-sized work is ONE map-side-combined word count; the
+    candidate explode runs over the bounded word domain
+    (``ext/wordpiece.py``)."""
+    return wordpiece.wordpiece_vocab(_docs(spark, sf_dir))
+
+
+@register(
+    "wordpiece_encode",
+    oracle=wordpiece.encode_wordpiece_sql(),
+    tags=("ext", "tokenizer"),
+)
+def q_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy longest-match-first WordPiece encode (BERT's MaxMatch):
+    every distinct word (<= 12 chars, the documented unigram-shared
+    scope) consumed left-to-right by the longest vocab piece in the
+    correct positional form — no scores, no DP, no tie order needed
+    (longest match is unique).  Spark: ONE Arrow mapInPandas over the
+    bounded distinct-word domain, vocab riding the closure.  The
+    oracle unrolls the greedy loop into 12 MATERIALIZED layers whose
+    per-layer argmax is span length DESC — the exact loop, not a
+    sampled check."""
+    return wordpiece.encode_wordpiece(_docs(spark, sf_dir))
+
+
+@register(
+    "quality_probe_train",
+    oracle=probe.quality_probe_train_sql(),
+    tags=("ext", "curation", "ml"),
+)
+def q_quality_probe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned quality classifier, training half (the GPT-3 /
+    FineWeb-Edu filter shape): a fastText-style hashed bag-of-words
+    linear probe trained by EXACT-INTEGER full-batch GD — 8 epochs of
+    squared loss DISTILLING the Gopher rule gate (label = the gate's
+    own pass bit — the FineWeb-Edu distillation shape), all gradient
+    arithmetic in order-insensitive integer sums, the learning-rate
+    division sign-explicit so both engines floordiv positives only,
+    the step size from the in-plan trace bound den = n_docs * max
+    ||x||^2 (``ext/probe.py``).  Output is the auditable weight
+    vector (bucket, weight_micro).
+
+    100 TB shape: per epoch ONE scan of the checkpointed binary
+    feature frame + broadcast-weight join + map-side-combined
+    aggregate to N_BUCKETS rows; only the bounded weight vector ever
+    reaches the driver."""
+    return probe.quality_probe_train(_docs(spark, sf_dir))
+
+
+@register(
+    "quality_probe_score",
+    oracle=probe.quality_probe_score_sql(),
+    tags=("ext", "curation", "ml"),
+)
+def q_quality_probe_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned quality classifier, scoring half: every document scored
+    by the probe distilled from the Gopher gate (same exact-integer GD
+    as ``quality_probe_train``), pred_pass = score > 1/2 — measured
+    AUC 0.88 / accuracy 0.79 vs the gate at sf0.01.  The scoring
+    pass is scan + broadcast weights + one per-doc aggregate — the
+    shape that gates a 100 TB corpus in one pass.  The probe's
+    separation quality (labels vs predictions) is pinned in
+    tests/test_plans.py, not just its arithmetic."""
+    return probe.quality_probe_score(_docs(spark, sf_dir))
+
+
+@register(
+    "kn_trigram_perplexity",
+    oracle=knlm.kn_trigram_perplexity_sql(),
+    tags=("ext", "curation", "lm"),
+)
+def q_kn_trigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The real CCNet LM filter: interpolated Kneser-Ney TRIGRAM
+    perplexity per document, every probability quantized to integer
+    ppb with positive-only floordivs and every logarithm computed by a
+    FIXED-POINT shift-and-square integer log2 (no libm anywhere — the
+    Spark side folds the 10 mantissa squarings in ONE constant-size
+    aggregate over a literal sequence; the oracle unrolls them as a
+    linear CTE chain; both bit-identical to the Python reference,
+    property-tested).  Output in 1/1024-bit units; docs with < 3
+    tokens carry -1 sentinels (``ext/knlm.py``).
+
+    100 TB shape: corpus-sized work is the (doc, trigram) tf aggregate
+    and the final per-doc score — both map-side combined; all model
+    frames live on the trigram-TYPE domain (broadcast here,
+    gram-co-partitioned at open-web scale)."""
+    return knlm.kn_trigram_perplexity(_docs(spark, sf_dir))
+
+
+@register(
+    "frontier_authority",
+    oracle=f"""
+    WITH fr AS MATERIALIZED (
+      SELECT curl,
+             sum(is_sm)::BIGINT AS n_sitemap,
+             sum(is_lk)::BIGINT AS n_links
+      FROM (
+        SELECT curl, 1 AS is_sm, 0 AS is_lk
+        FROM ({urls.sitemap_parse_sql("documents")}) sm_side
+        UNION ALL
+        SELECT dst_curl AS curl, 0 AS is_sm, 1 AS is_lk
+        FROM ({html.html_link_graph_sql("documents")}) lk_side
+      ) u0
+      GROUP BY curl
+    ),
+    pr AS MATERIALIZED (
+      SELECT host, pr FROM ({webgraph.host_pagerank_sql("documents")}) pr_side
+    ),
+    hr AS (
+      SELECT host, pr,
+             row_number() OVER (ORDER BY pr DESC, host ASC)::BIGINT AS host_rank
+      FROM pr
+    ),
+    fh AS (
+      SELECT f.curl, regexp_extract(f.curl, '{webgraph._CURL_HOST_RE}', 1) AS host,
+             f.n_sitemap, f.n_links
+      FROM fr f
+    )
+    SELECT fh.curl, fh.host,
+           coalesce(hr.pr, 0)::BIGINT AS host_pr,
+           coalesce(hr.host_rank, 1000000)::BIGINT AS host_rank,
+           row_number() OVER (PARTITION BY fh.host
+             ORDER BY fh.n_sitemap DESC, fh.n_links DESC, fh.curl ASC
+           )::BIGINT AS fetch_rank
+    FROM fh LEFT JOIN hr USING (host)
+    """,
+    tags=("ext", "curation", "urls", "graph"),
+)
+def q_frontier_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Authority-prioritized crawl frontier — the consumer that closes
+    the web-graph loop: every frontier URL (sitemap + discovered, the
+    ``url_frontier`` frame) keyed by its canonical host, joined with
+    the host-PageRank authority, ranked twice: ``host_rank`` orders
+    HOSTS by (pr DESC, host ASC) — crawl capacity goes to
+    high-authority sites first (the real crawl-scheduling heuristic
+    PageRank was built for); ``fetch_rank`` orders URLs WITHIN a host
+    by (sitemap-declared first, most-linked, curl) — the politeness
+    queue order.  Hosts the rank never saw take the 1e6
+    unknown-authority sentinel rank.
+
+    100 TB shape: the frontier aggregate and the rank join shuffle on
+    curl/host only; the pagerank frame is host-cardinality and
+    BROADCAST (localCheckpoint-pinned — its lineage holds the whole
+    edge build); the per-host fetch rank is ext/ranks.py's
+    range-partitioned machinery (hosts are few-huge-groups under this
+    law); the host_rank window runs over the HOST frame, never the
+    frontier."""
+    docs = tables.load_table(spark, sf_dir, "documents")
+    sm = urls.sitemap_parse(
+        urls.with_sitemap_xml(docs.select("doc_id", "source"))
+    ).select("curl", F.lit(1).alias("is_sm"), F.lit(0).alias("is_lk"))
+    lk = html.html_link_graph(
+        html.with_html_pages(
+            urls.with_fixture_urls(docs.select("doc_id", "source", "text")),
+            carry=("url",),
+        )
+    ).select(
+        F.col("dst_curl").alias("curl"),
+        F.lit(0).alias("is_sm"),
+        F.lit(1).alias("is_lk"),
+    )
+    frontier = (
+        sm.unionByName(lk)
+        .groupBy("curl")
+        .agg(
+            F.sum("is_sm").cast("long").alias("n_sitemap"),
+            F.sum("is_lk").cast("long").alias("n_links"),
+        )
+    )
+    pr = webgraph.host_pagerank(
+        docs.select("doc_id", "source", "text")
+    ).localCheckpoint()
+    w = Window.orderBy(F.col("pr").desc(), F.col("host").asc())
+    hr = pr.select("host", "pr", F.row_number().over(w).cast("long").alias("host_rank"))
+    fh = frontier.select(
+        "curl",
+        F.regexp_extract(F.col("curl"), webgraph._CURL_HOST_RE, 1).alias("host"),
+        "n_sitemap",
+        "n_links",
+    )
+    joined = fh.join(F.broadcast(hr), "host", "left").select(
+        "curl",
+        "host",
+        F.coalesce("pr", F.lit(0)).cast("long").alias("host_pr"),
+        F.coalesce("host_rank", F.lit(1_000_000)).cast("long").alias("host_rank"),
+        (-F.col("n_sitemap")).alias("neg_sm"),
+        (-F.col("n_links")).alias("neg_lk"),
+    )
+    ranked = ranks.with_group_ranks(
+        joined, ["host"], ["neg_sm", "neg_lk", "curl"], rank_col="fetch_rank"
+    )
+    return ranked.select(
+        "curl",
+        "host",
+        "host_pr",
+        "host_rank",
+        F.col("fetch_rank").cast("long").alias("fetch_rank"),
+    )

@@ -57,12 +57,10 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 #
 # Round-16 window, regenerated PURELY mechanically by
 # tools/regen_priority.py from CORRECTNESS_r01..r15.json AFTER the
-# round's 7 new registrations (the r15 advice item: regen after
-# prepends so the 50-slot marker is placed mechanically, never by
-# hand): the 7 never-checked round-16 names lead, then the full
-# 30-name r11 tier, then the r12 tier to the boundary; remainder
-# oldest-first.  After this window verifies, no name's latest driver
-# row is older than r12 except the r12 tail itself.
+# round's registrations (the r15 advice item: regen after prepends so
+# the 50-slot marker is placed mechanically, never by hand): the 15
+# never-checked round-16 names lead (7 first wave + 8 second wave),
+# then the r11 tier to the boundary; remainder oldest-first.
 _PRIORITY: tuple[str, ...] = (
     # slot 1+: no green driver row yet
     "http_parse_response",
@@ -72,7 +70,15 @@ _PRIORITY: tuple[str, ...] = (
     "unigram_encode_viterbi",
     "unigram_em_reestimate",
     "frontier_politeness",
-    # slot 8+: latest green driver row is r11
+    "crawl_snapshot_delta",
+    "host_pagerank",
+    "wordpiece_vocab",
+    "wordpiece_encode",
+    "quality_probe_train",
+    "quality_probe_score",
+    "kn_trigram_perplexity",
+    "frontier_authority",
+    # slot 16+: latest green driver row is r11
     "kmeans_embeddings_2iter",
     "pagerank_word_graph",
     "mix_langs_temperature",
@@ -103,12 +109,12 @@ _PRIORITY: tuple[str, ...] = (
     "basket_triple_support",
     "session_path_topk",
     "entity_resolution_parts",
-    # slot 38+: latest green driver row is r12
+    # slot 46+: latest green driver row is r12
     "sample_domain_quota",
     "churn_training_set",
     "item_similarity_jaccard",
     "dedup_exact_normalized",
-    "supplier_lead_time",
+    "supplier_lead_time",  # --- driver window ends here (50) ---
     "survival_km_error",
     "backtest_seasonal_naive",
     "doc_sentiment_frozen_margin",
@@ -116,7 +122,7 @@ _PRIORITY: tuple[str, ...] = (
     "semdedup_embeddings",
     "sample_token_budget",
     "dedup_cdc_chunks",
-    "daily_median_value",  # --- driver window ends here (50) ---
+    "daily_median_value",
     "asof_view_next_purchase",
     "gopher_quality_gate",
     "session_concurrency",
@@ -154,7 +160,7 @@ _PRIORITY: tuple[str, ...] = (
     "multimodal_image_headers",
     "embedding_centroids",
     "embedding_quantize_error",
-    # slot 88+: latest green driver row is r13
+    # slot 96+: latest green driver row is r13
     "seq_packing_bpe_512",
     "sample_token_budget_bpe",
     "quality_gate_per_lang_head",
@@ -205,7 +211,7 @@ _PRIORITY: tuple[str, ...] = (
     "channel_mood_sliding_90_60",
     "user_mood_cumulative",
     "toxic_user_cw10",
-    # slot 138+: latest green driver row is r14
+    # slot 146+: latest green driver row is r14
     "url_canonicalize",
     "url_domain_topk",
     "dedup_url_exact",
@@ -256,7 +262,7 @@ _PRIORITY: tuple[str, ...] = (
     "cube_event_value",
     "hist_event_value",
     "decile_user_value",
-    # slot 188+: latest green driver row is r15
+    # slot 196+: latest green driver row is r15
     "url_registrable_domain",
     "sample_domain_quota_registrable",
     "html_extract_text",

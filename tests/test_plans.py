@@ -2374,3 +2374,154 @@ def test_host_pagerank_shape_and_semantics(spark):
     assert all(s.pr > (3 * teleport_ceiling) // 2 for s in sinks)
     assert all(r.pr <= teleport_ceiling for r in sources)
     assert sum(r.pr for r in rows) <= PR_TOTAL
+
+
+def test_wordpiece_maxmatch_and_plan(spark):
+    """The greedy MaxMatch unit law (longest wins at every position,
+    position-aware forms, coverage via single chars) and the plan
+    shapes: vocab is JVM-only, encode is exactly ONE Arrow stage with
+    no corpus join."""
+    from sparksent.ext.wordpiece import _maxmatch
+
+    v = {"un", "##able", "##abl", "##ab", "u", "n", "##a", "##b",
+         "##l", "##e"}
+    assert _maxmatch("unable", v) == (2, "un ##able")
+    # longest-first is greedy, not optimal: dropping '##able' makes
+    # the match take '##abl' then chars, never reconsidering
+    v2 = v - {"##able"}
+    assert _maxmatch("unable", v2) == (3, "un ##abl ##e")
+    # positional forms are distinct vocab entries: '##ab' present but
+    # bare 'ab' absent, so a word STARTING with 'ab' uses chars first
+    assert _maxmatch("abab", {"##ab", "a", "##b"}) == (3, "a ##b ##ab")
+    plan_v = plan_of(spark, "wordpiece_vocab")
+    assert "Python" not in plan_v and "MapInPandas" not in plan_v
+    plan_e = plan_of(spark, "wordpiece_encode")
+    assert len(re.findall(r"\(\d+\) MapInPandas", plan_e)) == 1
+    assert "SortMergeJoin" not in plan_e
+    # corpus-level invariants: pieces reconstruct the word exactly;
+    # the first piece is bare, every later piece ##-prefixed; n_pieces
+    # agrees with the split
+    rows = queries()["wordpiece_encode"](spark, SF_DIR).collect()
+    assert rows
+    vocab = {
+        r.piece for r in queries()["wordpiece_vocab"](spark, SF_DIR).collect()
+    }
+    for r in rows:
+        ps = r.pieces.split(" ")
+        assert len(ps) == r.n_pieces
+        assert not ps[0].startswith("##")
+        assert all(p.startswith("##") for p in ps[1:])
+        assert "".join(p.removeprefix("##") for p in ps) == r.word
+        assert all(p in vocab for p in ps)
+
+
+def test_quality_probe_separation_and_plan(spark):
+    """The distilled probe genuinely ranks: AUC > 0.8 against the
+    Gopher gate labels and accuracy-at-1/2 beats the majority prior;
+    plan: the scoring join is broadcast (weights never shuffle the
+    corpus side), no Python stage anywhere."""
+    plan = plan_of(spark, "quality_probe_score")
+    assert "BroadcastHashJoin" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    rows = queries()["quality_probe_score"](spark, SF_DIR).collect()
+    pos = [r.score_micro for r in rows if r.y == 1]
+    neg = [r.score_micro for r in rows if r.y == 0]
+    assert pos and neg
+    wins = sum(1 for p in pos for q in neg if p > q) + 0.5 * sum(
+        1 for p in pos for q in neg if p == q
+    )
+    auc = wins / (len(pos) * len(neg))
+    assert auc > 0.8, auc
+    acc = sum(1 for r in rows if r.pred_pass == (r.y == 1)) / len(rows)
+    prior = max(len(pos), len(neg)) / len(rows)
+    assert acc >= prior, (acc, prior)
+    # train artifact consistency: scoring with the published weights
+    # reproduces the scores
+    w = {
+        r.bucket: r.weight_micro
+        for r in queries()["quality_probe_train"](spark, SF_DIR).collect()
+    }
+    assert len(w) <= 4096 and any(v > 0 for v in w.values())
+
+
+def test_kn_trigram_perplexity_log_and_plan(spark):
+    """The fixed-point log2 is within 1 ulp of its 1/1024-bit grid
+    everywhere and exact on powers of two; the KN plan broadcasts all
+    model-side joins (trigram-type domain), keeps corpus aggregates
+    map-side combined, and uses no Python stage; scores are sane
+    (positive bits, sentinel law for short docs)."""
+    import math
+    import random
+
+    from sparksent.ext.knlm import LG_S, S, _log2fp
+
+    assert LG_S == _log2fp(S)
+    rng = random.Random(7)
+    for _ in range(500):
+        x = rng.randrange(1, S + 1)
+        fp = _log2fp(x) / 1024
+        # truncation-only algorithm: fp <= log2(x), within ~2 grid units
+        assert fp <= math.log2(x) + 1e-12, x
+        assert math.log2(x) - fp < 2 / 1024 + 1e-9, x
+    for p in range(0, 30):
+        assert _log2fp(1 << p) == p * 1024
+    plan = plan_of(spark, "kn_trigram_perplexity")
+    assert "BroadcastHashJoin" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "partial_sum" in plan
+    rows = queries()["kn_trigram_perplexity"](spark, SF_DIR).collect()
+    assert rows
+    scored = [r for r in rows if r.n_trigrams > 0]
+    assert scored
+    assert all(r.nll_millibits > 0 for r in scored)
+    assert all(
+        r.bits_per_tok_milli == r.nll_millibits // r.n_trigrams for r in scored
+    )
+    # 31-token vocab: per-token cost must sit below log2(|V|^3) bits
+    # and above 0; perplexity varies across docs (the filter has a
+    # gradient to gate on)
+    assert all(0 < r.bits_per_tok_milli < 15 * 1024 for r in scored)
+    assert len({r.bits_per_tok_milli for r in scored}) > 10
+    short = [r for r in rows if r.n_trigrams == 0]
+    assert all(
+        r.nll_millibits == -1 and r.bits_per_tok_milli == -1 for r in short
+    )
+
+
+def test_frontier_authority_semantics(spark):
+    """frontier_authority: host_rank 1 is a maximal-pr host; the two
+    dangling share-widget sinks outrank every source host (they hold
+    the accumulated mass); within every host fetch_rank is contiguous
+    from 1 with sitemap-declared URLs first; the pagerank frame is
+    broadcast, never shuffled against the frontier."""
+    plan = plan_of(spark, "frontier_authority")
+    assert "BroadcastHashJoin" in plan
+    rows = queries()["frontier_authority"](spark, SF_DIR).collect()
+    assert rows
+    by_host = {}
+    for r in rows:
+        by_host.setdefault(r.host, []).append(r)
+    sink_ranks = {
+        rs[0].host_rank
+        for h, rs in by_host.items()
+        if h in ("share.example.com", "cdn.example.net")
+    }
+    src_ranks = {
+        rs[0].host_rank
+        for h, rs in by_host.items()
+        if h not in ("share.example.com", "cdn.example.net")
+    }
+    assert sink_ranks == {1, 2}
+    assert all(r > 2 for r in src_ranks)
+    for h, rs in by_host.items():
+        rs.sort(key=lambda r: r.fetch_rank)
+        assert [r.fetch_rank for r in rs] == list(range(1, len(rs) + 1))
+        assert len({r.host_pr for r in rs}) == 1
+    sm_curls = {
+        r.curl for r in queries()["sitemap_parse"](spark, SF_DIR).collect()
+    }
+    for h, rs in by_host.items():
+        ranks_sm = [r.fetch_rank for r in rs if r.curl in sm_curls]
+        ranks_lk = [r.fetch_rank for r in rs if r.curl not in sm_curls]
+        if ranks_sm and ranks_lk:
+            assert max(ranks_sm) < min(ranks_lk)
