@@ -548,3 +548,200 @@ def html_link_graph_sql(table: str = "documents") -> str:
            (host = base_host) AS internal
     FROM dparts
     """
+
+
+# ---------------------------------------------------------------------------
+# anchor-text index — what the web calls each page (search/quality signal)
+# ---------------------------------------------------------------------------
+
+# Full anchor elements (href + inner text) — the fixture law's anchors
+# are exactly this shape; elements whose inner text holds markup are
+# out of the subset (the href-only link graph still sees them).
+_ANCHOR_ELEM_RE = '<a href="[^"]*">[^<]*</a>'
+_ANCHOR_TEXT_RE = ">([^<]*)</a>"
+
+
+def html_anchor_graph(pages: DataFrame) -> DataFrame:
+    """(doc_id, src_host, anchor, dst_curl, internal): the link graph
+    WITH anchor text — what linking pages call the destination.  Real
+    pipelines index anchor text per target (it is the strongest
+    off-page relevance/spam signal; CommonCrawl ships it as a
+    dedicated dataset).  Same RFC 3986 resolution subset +
+    canonicalization as :func:`html_link_graph`; anchors are
+    lowercased, whitespace-collapsed, trimmed.  Scan-side projection +
+    one posexplode — ZERO shuffle, no Python."""
+    from .urls import canonical_url, canonical_host, url_parts
+
+    p = url_parts(F.col("url"))
+    stripped = F.regexp_replace(
+        F.regexp_replace(F.col("html"), _SCRIPT_RE, ""), _STYLE_RE, ""
+    )
+    edges = pages.select(
+        "doc_id",
+        p["scheme"].alias("b_scheme"),
+        p["host"].alias("b_host"),
+        p["port"].alias("b_port"),
+        F.posexplode(
+            F.regexp_extract_all(stripped, F.lit(_ANCHOR_ELEM_RE), 0)
+        ).alias("eidx", "elem"),
+    )
+    base_auth = F.concat(
+        F.col("b_scheme"),
+        F.lit("://"),
+        F.col("b_host"),
+        F.when(F.col("b_port") == "", F.lit("")).otherwise(
+            F.concat(F.lit(":"), F.col("b_port"))
+        ),
+    )
+    href = F.regexp_extract(F.col("elem"), _HREF_RE, 1)
+    anchor = F.trim(
+        F.regexp_replace(
+            F.lower(F.regexp_extract(F.col("elem"), _ANCHOR_TEXT_RE, 1)),
+            _WS_RE,
+            " ",
+        )
+    )
+    dst_abs = (
+        F.when(href.startswith("#") | (href == ""), F.lit(None))
+        .when(href.rlike(_ABS_SCHEME_RE), href)
+        .when(href.startswith("//"), F.concat(F.col("b_scheme"), F.lit(":"), href))
+        .when(href.startswith("/"), F.concat(base_auth, href))
+        .otherwise(F.lit(None))
+    )
+    resolved = (
+        edges.withColumn("dst_abs", dst_abs)
+        .withColumn("anchor", anchor)
+        .filter(F.col("dst_abs").isNotNull())
+    )
+    return resolved.select(
+        "doc_id",
+        F.col("b_host").alias("src_host"),
+        "anchor",
+        canonical_url(F.col("dst_abs")).alias("dst_curl"),
+        (canonical_host(F.col("dst_abs")) == F.col("b_host")).alias("internal"),
+    )
+
+
+def anchor_text_index(pages: DataFrame) -> DataFrame:
+    """(dst_curl, n_links, n_hosts, n_anchors, anchors, top_anchor,
+    top_anchor_cnt): the per-target anchor-text rollup.  Two
+    aggregates, BOTH keyed on dst_curl (the per-anchor counts re-use
+    the same hash partitioning — co-partitioned, one logical shuffle
+    family): level 1 counts each (dst, anchor) pair, level 2 takes
+    total links, distinct-anchor census, the '|'-joined sorted anchor
+    vocabulary, and the modal anchor via the ``min(struct(-cnt,
+    anchor))`` argmax (highest count, ties to the lexicographically
+    smallest anchor — a total order, both engines).  n_hosts (distinct
+    linking hosts — the signal that separates one spammy host shouting
+    from many hosts agreeing) aggregates the raw edges on the same
+    key.  At 100 TB this is exactly the production anchor-index shape:
+    everything keyed by target URL, no all-pairs stage."""
+    g = html_anchor_graph(pages)
+    per_anchor = g.groupBy("dst_curl", "anchor").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    rolled = per_anchor.groupBy("dst_curl").agg(
+        F.sum("cnt").cast("long").alias("n_links"),
+        F.count("*").cast("long").alias("n_anchors"),
+        F.array_join(F.sort_array(F.collect_list("anchor")), "|").alias("anchors"),
+        F.min(F.struct((-F.col("cnt")).alias("neg"), F.col("anchor"))).alias("top"),
+    )
+    hosts = g.groupBy("dst_curl").agg(
+        F.countDistinct("src_host").cast("long").alias("n_hosts")
+    )
+    return rolled.join(hosts, "dst_curl").select(
+        "dst_curl",
+        "n_links",
+        "n_hosts",
+        "n_anchors",
+        "anchors",
+        F.col("top.anchor").alias("top_anchor"),
+        (-F.col("top.neg")).cast("long").alias("top_anchor_cnt"),
+    )
+
+
+def anchor_text_index_sql(table: str = "documents") -> str:
+    """DuckDB mirror of :func:`anchor_text_index` — element extraction,
+    the shared resolution CASE, the prefixed canonicalization chain,
+    then the two dst-keyed aggregates."""
+    from .urls import _fixture_url_sql, _parts_sql
+
+    strip = (
+        "regexp_replace(regexp_replace(html, '<script[^>]*>.*?</script>', '', 'g'),"
+        " '<style[^>]*>.*?</style>', '', 'g')"
+    )
+    dchain = (
+        _parts_sql()
+        .replace("p0 AS (", "dp0 AS (")
+        .replace("p1 AS (", "dp1 AS (")
+        .replace("parts AS (", "dparts AS (")
+        .replace("FROM u\n", "FROM u2\n")
+        .replace("FROM p0\n", "FROM dp0\n")
+        .replace("FROM p1\n", "FROM dp1\n")
+        .replace("doc_id, lang, n_chars, url", "doc_id, anchor, base_host, url")
+    )
+    return f"""
+    WITH {_fixture_url_sql(table)},
+    {_parts_sql()},
+    {_html_law_sql(table)},
+    e0 AS (
+      SELECT p.doc_id, p.scheme AS b_scheme, p.host AS b_host,
+             p.port AS b_port,
+             unnest(regexp_extract_all({strip}, '{_ANCHOR_ELEM_RE}', 0)) AS elem
+      FROM pages JOIN parts p USING (doc_id)
+    ),
+    e1 AS (
+      SELECT doc_id, b_scheme, b_host, b_port,
+             regexp_extract(elem, '{_HREF_RE}', 1) AS href,
+             trim(regexp_replace(
+               lower(regexp_extract(elem, '{_ANCHOR_TEXT_RE}', 1)),
+               '{_WS_RE}', ' ', 'g')) AS anchor
+      FROM e0
+    ),
+    e2 AS (
+      SELECT doc_id, anchor, b_host,
+             CASE
+               WHEN href LIKE '#%' OR href = '' THEN NULL
+               WHEN regexp_matches(href, '{_ABS_SCHEME_RE}') THEN href
+               WHEN href LIKE '//%' THEN b_scheme || ':' || href
+               WHEN href LIKE '/%' THEN b_scheme || '://' || b_host ||
+                    (CASE WHEN b_port = '' THEN '' ELSE ':' || b_port END) || href
+               ELSE NULL
+             END AS dst_abs
+      FROM e1
+    ),
+    u2 AS MATERIALIZED (
+      -- MATERIALIZED for the same binder reason as html_link_graph_sql
+      SELECT doc_id, anchor, b_host AS base_host, dst_abs AS url
+      FROM e2 WHERE dst_abs IS NOT NULL
+    ),
+    {dchain},
+    edges AS MATERIALIZED (
+      SELECT base_host AS src_host, anchor,
+             scheme || '://' || host ||
+             CASE WHEN port = '' THEN '' ELSE ':' || port END ||
+             path ||
+             CASE WHEN qstr = '' THEN '' ELSE '?' || qstr END AS dst_curl
+      FROM dparts
+    ),
+    pa AS (
+      SELECT dst_curl, anchor, count(*)::BIGINT AS cnt
+      FROM edges GROUP BY 1, 2
+    ),
+    rolled AS (
+      SELECT dst_curl,
+             sum(cnt)::BIGINT AS n_links,
+             count(*)::BIGINT AS n_anchors,
+             array_to_string(list_sort(list(anchor)), '|') AS anchors,
+             min(struct_pack(neg := -cnt, anchor := anchor)) AS top
+      FROM pa GROUP BY 1
+    ),
+    hosts AS (
+      SELECT dst_curl, count(DISTINCT src_host)::BIGINT AS n_hosts
+      FROM edges GROUP BY 1
+    )
+    SELECT r.dst_curl, r.n_links, h.n_hosts, r.n_anchors, r.anchors,
+           struct_extract(r.top, 'anchor') AS top_anchor,
+           (-struct_extract(r.top, 'neg'))::BIGINT AS top_anchor_cnt
+    FROM rolled r JOIN hosts h USING (dst_curl)
+    """

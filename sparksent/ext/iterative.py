@@ -538,3 +538,145 @@ def kmeans_balanced_sample_sql(
       FROM a{iters + 1})
     WHERE rk <= {per_cluster}
     """
+
+
+# ---------------------------------------------------------------------------
+# HITS (hubs & authorities, Kleinberg 1999), integer-exact
+# ---------------------------------------------------------------------------
+
+# Total hub/authority mass after each normalization, in 1e-9 units.
+# Deliberately smaller than PR_TOTAL: the raw update multiplies a
+# score (<= HITS_TOTAL after normalization) by the TOTAL edge weight
+# before summing, so the BIGINT safety bound is
+# HITS_TOTAL * sum(w) < 2^63  =>  sum(w) < ~9.2e9 links.  That covers
+# every fixture and any single-shard corpus; at full web scale the
+# same loop would drop HITS_TOTAL another 1e3 or rescale per round by
+# the running max — documented trade, not a silent overflow.
+HITS_TOTAL = 1_000_000_000
+
+
+def hits_iterations(
+    edges: DataFrame,
+    nodes: DataFrame,
+    iters: int = 2,
+    node_col: str = "host",
+) -> DataFrame:
+    """Weighted HITS over ``edges(src, dst, w)`` / ``nodes(node_col)``:
+    per round ``auth_raw(v) = sum_{u->v} hub(u)*w`` then
+    ``hub_raw(u) = sum_{u->v} auth(v)*w``, each followed by the
+    integer L1 normalization ``x = x_raw div max(sum(x_raw) div
+    HITS_TOTAL, 1)`` — divide-by-the-scale-factor rather than
+    multiply-then-divide, so no intermediate exceeds
+    score_max * sum(w) (the module-constant bound) and both engines
+    truncate identically.  The normalized L1 total is APPROXIMATE:
+    ``sum_raw div floor(sum_raw/TOTAL)`` lands in
+    (TOTAL/2, 2*TOTAL) — HITS only consumes relative magnitudes, and
+    the looser constant buys the overflow-free update.  Hubs start at ``HITS_TOTAL div n_nodes``;
+    nodes with no in-edges hold authority 0, sinks hold hub 0 — the
+    fixture's share/cdn hosts are the planted witnesses.
+
+    Returns ``(node_col, hub, auth)``.  Callers pass checkpoint-safe
+    edge/node frames (both call sites localCheckpoint), exactly the
+    :func:`pagerank_iterations` contract; per round the score side is
+    node-cardinality (broadcast here, co-partitioned on the join key
+    at web-scale node counts)."""
+    ncount = nodes.agg(F.count("*").cast("long").alias("n_nodes"))
+    scores = nodes.crossJoin(F.broadcast(ncount)).select(
+        node_col,
+        F.expr(f"CAST({HITS_TOTAL} div n_nodes AS BIGINT)").alias("hub"),
+        F.lit(0).cast("long").alias("auth"),
+    )
+
+    def _normalized(score_col: str, key_in: str, key_out: str) -> DataFrame:
+        """(node_col, x): the half-round update — propagate
+        ``score_col`` across edges from ``key_in`` to ``key_out``,
+        then L1-normalize by the divide-by-scale-factor rule."""
+        raw = (
+            edges.join(
+                F.broadcast(
+                    scores.select(F.col(node_col).alias(key_in), score_col)
+                ),
+                key_in,
+            )
+            .select(
+                F.col(key_out).alias(node_col),
+                (F.col(score_col) * F.col("w")).cast("long").alias("c"),
+            )
+            .groupBy(node_col)
+            .agg(F.sum("c").cast("long").alias("raw"))
+        )
+        tot = raw.agg(
+            F.greatest(
+                F.expr(f"CAST(coalesce(sum(raw), 0) div {HITS_TOTAL} AS BIGINT)"),
+                F.lit(1).cast("long"),
+            ).alias("d")
+        )
+        return (
+            nodes.crossJoin(F.broadcast(tot))
+            .join(F.broadcast(raw), node_col, "left")
+            .select(
+                node_col,
+                F.expr("CAST(coalesce(raw, 0) div d AS BIGINT)").alias("x"),
+            )
+        )
+
+    for _ in range(iters):
+        auth = _normalized("hub", "src", "dst")
+        scores = scores.select(node_col, "hub").join(
+            F.broadcast(auth.withColumnRenamed("x", "auth")), node_col
+        )
+        hub = _normalized("auth", "dst", "src")
+        scores = scores.select(node_col, "auth").join(
+            F.broadcast(hub.withColumnRenamed("x", "hub")), node_col
+        )
+    return scores.select(
+        node_col,
+        F.col("hub").cast("long").alias("hub"),
+        F.col("auth").cast("long").alias("auth"),
+    )
+
+
+def hits_rounds_sql(iters: int = 2, node_col: str = "host") -> list[str]:
+    """Unrolled-round CTE parts of the HITS oracle, expecting
+    ``edges(src, dst, w)`` and ``nodes({node_col})`` upstream; ends in
+    ``h{iters}`` (hub) and ``a{iters}`` (auth), both MATERIALIZED —
+    each level is referenced twice (next half-round + final SELECT or
+    the raw join), and DuckDB inlines plain CTEs exponentially."""
+    n = node_col
+    parts = [
+        "nn AS (SELECT count(*)::BIGINT AS n_nodes FROM nodes)",
+        f"h0 AS MATERIALIZED (SELECT {n}, ({HITS_TOTAL} // n_nodes)::BIGINT"
+        f" AS hub FROM nodes CROSS JOIN nn)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""ar{i} AS (
+              SELECT e.dst AS {n}, sum(h.hub * e.w)::BIGINT AS raw
+              FROM edges e JOIN h{i - 1} h ON e.src = h.{n} GROUP BY 1)"""
+        )
+        parts.append(
+            f"ad{i} AS (SELECT greatest(coalesce(sum(raw), 0) // {HITS_TOTAL},"
+            f" 1)::BIGINT AS d FROM ar{i})"
+        )
+        parts.append(
+            f"""a{i} AS MATERIALIZED (
+              SELECT nd.{n}, (coalesce(r.raw, 0) // t.d)::BIGINT AS auth
+              FROM nodes nd CROSS JOIN ad{i} t
+              LEFT JOIN ar{i} r ON nd.{n} = r.{n})"""
+        )
+        parts.append(
+            f"""hr{i} AS (
+              SELECT e.src AS {n}, sum(a.auth * e.w)::BIGINT AS raw
+              FROM edges e JOIN a{i} a ON e.dst = a.{n} GROUP BY 1)"""
+        )
+        parts.append(
+            f"hd{i} AS (SELECT greatest(coalesce(sum(raw), 0) // {HITS_TOTAL},"
+            f" 1)::BIGINT AS d FROM hr{i})"
+        )
+        parts.append(
+            f"""h{i} AS MATERIALIZED (
+              SELECT nd.{n}, (coalesce(r.raw, 0) // t.d)::BIGINT AS hub
+              FROM nodes nd CROSS JOIN hd{i} t
+              LEFT JOIN hr{i} r ON nd.{n} = r.{n})"""
+        )
+    return parts

@@ -37,7 +37,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from . import html, urls
-from .iterative import pagerank_iterations, pagerank_rounds_sql
+from .iterative import (
+    hits_iterations,
+    hits_rounds_sql,
+    pagerank_iterations,
+    pagerank_rounds_sql,
+)
 
 # canonical URLs are 'scheme://host[:port]/path[?q]' with lowercase
 # host and no userinfo — one anchored group stops at ':' or '/'
@@ -91,13 +96,11 @@ def host_pagerank(
     return pagerank_iterations(edges, nodes, iters, damping, node_col="host")
 
 
-def host_pagerank_sql(
-    table: str = "documents", iters: int = PR_ITERS, damping: int = PR_DAMPING
-) -> str:
-    """DuckDB mirror: the link-graph oracle chain as a derived table,
-    the page-host parts chain as a second one, then the shared
-    unrolled-round SQL from :func:`pagerank_rounds_sql`."""
-    parts = [
+def _host_graph_parts(table: str = "documents") -> list[str]:
+    """Shared oracle CTE parts building ``edges(src, dst, w)`` and
+    ``nodes(host)`` from the link-graph + page-host chains — consumed
+    by both the PageRank and HITS mirrors."""
+    return [
         f"""lk AS MATERIALIZED (
           SELECT doc_id, dst_curl
           FROM ({html.html_link_graph_sql(table)}) lk_side
@@ -121,8 +124,61 @@ def host_pagerank_sql(
           SELECT src AS host FROM edges UNION SELECT dst FROM edges
         )""",
     ]
+
+
+def host_pagerank_sql(
+    table: str = "documents", iters: int = PR_ITERS, damping: int = PR_DAMPING
+) -> str:
+    """DuckDB mirror: the link-graph oracle chain as a derived table,
+    the page-host parts chain as a second one, then the shared
+    unrolled-round SQL from :func:`pagerank_rounds_sql`."""
+    parts = _host_graph_parts(table)
     parts += pagerank_rounds_sql(iters, damping, node_col="host")
     joined = ",\n".join(parts)
     return f"""WITH {joined}
     SELECT r.host, coalesce(o.ow, 0)::BIGINT AS out_weight, r.pr
     FROM r{iters} r LEFT JOIN outw o ON r.host = o.src"""
+
+
+HITS_ITERS = 2
+
+
+def host_hits(docs: DataFrame, iters: int = HITS_ITERS) -> DataFrame:
+    """(host, hub, auth): weighted HITS (Kleinberg 1999, the
+    hubs-and-authorities counterpart of :func:`host_pagerank`) over
+    the same extracted host graph — real crawl stacks compute both,
+    because they disagree exactly where spam triage needs them to
+    (a link farm is a strong hub and an empty authority; PageRank
+    alone conflates the two mass flows).
+
+    Fixture law: external links only ever point AT the two
+    share-widget hosts, so after any round authorities concentrate
+    entirely on ``share.example.com``/``cdn.example.net`` (hub 0) and
+    every page host is pure hub (auth 0) — the sharp separation the
+    witness test pins.
+
+    100 TB shape: identical to :func:`host_pagerank` — the edge build
+    is the one map-side-combined (src, dst) aggregate,
+    localCheckpoint-pinned; per half-round the score side is
+    host-cardinality (broadcast here, co-partitioned at web-scale) and
+    the raw update partial-aggregates before its shuffle.  All
+    arithmetic positive-integer (see ``hits_iterations``)."""
+    edges = host_link_edges(docs).localCheckpoint()
+    nodes = (
+        edges.select(F.col("src").alias("host"))
+        .union(edges.select(F.col("dst").alias("host")))
+        .distinct()
+        .localCheckpoint()
+    )
+    return hits_iterations(edges, nodes, iters, node_col="host")
+
+
+def host_hits_sql(table: str = "documents", iters: int = HITS_ITERS) -> str:
+    """DuckDB mirror: shared host-graph CTEs + the unrolled HITS
+    rounds from :func:`hits_rounds_sql`."""
+    parts = _host_graph_parts(table)
+    parts += hits_rounds_sql(iters, node_col="host")
+    joined = ",\n".join(parts)
+    return f"""WITH {joined}
+    SELECT h.host, h.hub, a.auth
+    FROM h{iters} h JOIN a{iters} a USING (host)"""

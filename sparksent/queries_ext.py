@@ -3333,6 +3333,62 @@ def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "host_hits",
+    oracle=webgraph.host_hits_sql(),
+    tags=("ext", "urls", "graph"),
+)
+def q_host_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted HITS hubs & authorities over the extracted host graph
+    (Kleinberg 1999) — PageRank's spam-triage counterpart: a link farm
+    is a strong hub but an empty authority, a separation PageRank's
+    single mass flow cannot express.  On the fixture the two dangling
+    share-widget hosts hold ALL authority (hub 0) and every page host
+    is pure hub (auth 0) — pinned by tests.
+
+    All per-round arithmetic is positive-integer: raw updates are
+    ``sum(score * w)`` BIGINTs and the L1 normalization divides by
+    ``max(sum div HITS_TOTAL, 1)`` instead of multiplying by the
+    target mass — no intermediate exceeds score_max * sum(w), the
+    documented overflow bound (``ext/iterative.py``).
+
+    100 TB shape: same as ``host_pagerank`` — one map-side-combined
+    (src, dst) edge aggregate, localCheckpoint-pinned; score frames
+    host-cardinality, broadcast per half-round."""
+    docs = tables.load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    return webgraph.host_hits(docs)
+
+
+@register(
+    "anchor_text_index",
+    oracle=html.anchor_text_index_sql(),
+    tags=("ext", "urls", "web"),
+)
+def q_anchor_text_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-target anchor-text rollup over the extracted link graph —
+    what the linking web CALLS each page, the strongest off-page
+    relevance/spam signal (CommonCrawl publishes host-level anchor
+    data for exactly this use).  For every canonical destination URL:
+    total in-links, distinct linking hosts (one host shouting vs many
+    agreeing), the sorted '|'-joined anchor vocabulary, and the modal
+    anchor under the total order (count DESC, anchor ASC) via the
+    ``min(struct(-cnt, anchor))`` argmax (``ext/html.py``).
+
+    100 TB shape: extraction + resolution + canonicalization are scan
+    projection (one posexplode, zero joins); both aggregates and the
+    final join are keyed on dst_curl — co-partitioned, AQE-coalesced,
+    no all-pairs stage anywhere."""
+    docs = tables.load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    pages = html.with_html_pages(
+        urls.with_fixture_urls(docs), carry=("url",)
+    )
+    return html.anchor_text_index(pages)
+
+
+@register(
     "wordpiece_vocab",
     oracle=wordpiece.wordpiece_vocab_sql(),
     tags=("ext", "tokenizer"),

@@ -2525,3 +2525,52 @@ def test_frontier_authority_semantics(spark):
         ranks_lk = [r.fetch_rank for r in rs if r.curl not in sm_curls]
         if ranks_sm and ranks_lk:
             assert max(ranks_sm) < min(ranks_lk)
+
+
+def test_host_hits_shape_and_semantics(spark):
+    """host_hits: per-half-round score joins broadcast, no Python
+    stage; semantically the fixture's star separates the mass flows
+    SHARPLY — the two dangling share-widget hosts hold ALL authority
+    and zero hub, every page host is pure hub — and each normalized
+    total stays under 2*HITS_TOTAL (the documented approximate-L1
+    bound of the divide-by-scale-factor normalization)."""
+    from sparksent.ext.iterative import HITS_TOTAL
+
+    plan = plan_of(spark, "host_hits")
+    assert "BroadcastHashJoin" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    rows = queries()["host_hits"](spark, SF_DIR).collect()
+    sinks = [r for r in rows if r.host in ("share.example.com", "cdn.example.net")]
+    sources = [
+        r for r in rows if r.host not in ("share.example.com", "cdn.example.net")
+    ]
+    assert len(sinks) == 2 and sources
+    assert all(s.hub == 0 and s.auth > 0 for s in sinks)
+    assert all(r.auth == 0 and r.hub > 0 for r in sources)
+    # the two sinks split the whole authority mass (equal in-weights
+    # per page: one share + one cdn link each)
+    assert sum(s.auth for s in sinks) < 2 * HITS_TOTAL
+    assert sum(s.auth for s in sinks) > HITS_TOTAL // 2
+    assert sum(r.hub for r in rows) < 2 * HITS_TOTAL
+
+
+def test_anchor_text_index_semantics_and_plan(spark):
+    """anchor_text_index: extraction is scan-side (no join before the
+    dst-keyed aggregates, no Python); semantically every page's share
+    link lands on ONE canonical URL (tracker stripped, case folded)
+    whose modal anchor is 'share' with one link per document, and the
+    fragment-only 'Pin' anchor never appears anywhere."""
+    plan = plan_of(spark, "anchor_text_index")
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "partial_count" in plan or "partial_sum" in plan
+    rows = queries()["anchor_text_index"](spark, SF_DIR).collect()
+    by_url = {r.dst_curl: r for r in rows}
+    share = by_url["https://share.example.com/ref?q=1"]
+    assert share.top_anchor == "share" and share.anchors == "share"
+    assert share.n_anchors == 1 and share.n_links == share.top_anchor_cnt
+    assert share.n_hosts > 1  # every page host links the widget
+    assert all("pin" not in r.anchors.split("|") for r in rows)
+    # internal nav: each host's root URL is called 'home' by its own
+    # pages only (n_hosts == 1)
+    roots = [r for r in rows if r.top_anchor == "home"]
+    assert roots and all(r.n_hosts == 1 for r in roots)
