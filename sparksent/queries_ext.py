@@ -32,6 +32,7 @@ from .ext import (
     snapshots,
     textclean,
     textstats,
+    tokcmp,
     unigram,
     urls,
     warc,
@@ -3386,6 +3387,27 @@ def q_anchor_text_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         urls.with_fixture_urls(docs), carry=("url",)
     )
     return html.anchor_text_index(pages)
+
+
+@register(
+    "tokenizer_fertility_compare",
+    oracle=tokcmp.tokenizer_fertility_compare_sql(),
+    tags=("ext", "tokenizer", "report"),
+)
+def q_tokenizer_fertility_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer bake-off report: BPE vs unigram-LM vs WordPiece
+    fertility (occurrence-weighted subword pieces per word) on ONE
+    shared distinct-word domain (length <= 12, the encode scope of the
+    unigram/WordPiece families; BPE restricted to match so the three
+    numbers are comparable) — the measurement behind choosing a
+    tokenizer for a training run (``ext/tokcmp.py``; the BPE count
+    carries its ``</w>`` marker per the Sennrich formulation, a
+    documented +1-per-word offset the raw sums let a reader remove).
+
+    100 TB shape: all three branches are bounded by the distinct-word
+    domain and end in map-side-combined scalar rollups; the result is
+    three rows."""
+    return tokcmp.tokenizer_fertility_compare(_docs(spark, sf_dir))
 
 
 @register(

@@ -2574,3 +2574,20 @@ def test_anchor_text_index_semantics_and_plan(spark):
     # pages only (n_hosts == 1)
     roots = [r for r in rows if r.top_anchor == "home"]
     assert roots and all(r.n_hosts == 1 for r in roots)
+
+
+def test_tokenizer_fertility_compare_shared_domain(spark):
+    """The bake-off is only meaningful on one word population: all
+    three families must report IDENTICAL n_words / n_occurrences
+    (the shared <= MAX_WORD_LEN distinct-word domain), fertility >= 1
+    everywhere (every word is at least one piece), and the BPE row
+    strictly higher than both subword families (its </w> marker adds
+    one piece per word by construction)."""
+    rows = queries()["tokenizer_fertility_compare"](spark, SF_DIR).collect()
+    assert sorted(r.tokenizer for r in rows) == ["bpe", "unigram", "wordpiece"]
+    assert len({r.n_words for r in rows}) == 1
+    assert len({r.n_occurrences for r in rows}) == 1
+    by = {r.tokenizer: r for r in rows}
+    assert all(r.fertility >= 1.0 for r in rows)
+    assert by["bpe"].fertility > by["unigram"].fertility
+    assert by["bpe"].fertility > by["wordpiece"].fertility
