@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from . import tables
 from .ext import (
     audiodup,
+    bitext,
     bpe,
     curation,
     dedup,
@@ -3387,6 +3388,30 @@ def q_anchor_text_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         urls.with_fixture_urls(docs), carry=("url",)
     )
     return html.anchor_text_index(pages)
+
+
+@register(
+    "bitext_mine_margin",
+    oracle=bitext.bitext_mine_margin_sql(),
+    tags=("ext", "similarity", "multilingual"),
+)
+def q_bitext_mine_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk 2019 — the LASER
+    /CCMatrix procedure): two embedding pools (even/odd vec_id — the
+    deterministic fixture split), each candidate pair scored by cosine
+    over the MEAN of both sides' k-NN neighborhood cosines (the ratio
+    margin that cancels hubness), mutual best matches kept.  Cosines
+    quantize to integer micro-units before any aggregation so
+    neighborhood sums and every rank are bit-stable across engines;
+    the margin is floor(int/int) via one IEEE division
+    (``ext/bitext.py``).
+
+    100 TB shape: the all-pairs frame IS the fixture-scale candidate
+    generator — production swaps in the ANN family's bipartite bucket
+    joins (similarity_topk_ivf*) and keeps everything downstream:
+    per-side windows and aggregates, co-partitioned on src/tgt."""
+    emb = tables.load_table(spark, sf_dir, "embeddings")
+    return bitext.bitext_mine_margin(emb)
 
 
 @register(

@@ -2591,3 +2591,19 @@ def test_tokenizer_fertility_compare_shared_domain(spark):
     assert all(r.fertility >= 1.0 for r in rows)
     assert by["bpe"].fertility > by["unigram"].fertility
     assert by["bpe"].fertility > by["wordpiece"].fertility
+
+
+def test_bitext_mutual_best_is_a_matching(spark):
+    """The mutual-best selection rule yields a partial MATCHING: no
+    src appears twice, no tgt appears twice, sides respect the parity
+    law, and every kept pair's margin is positive (a mutual best with
+    non-positive neighborhood-relative score would mean the pools are
+    anti-correlated — not this fixture)."""
+    rows = queries()["bitext_mine_margin"](spark, SF_DIR).collect()
+    assert rows
+    srcs = [r.src_id for r in rows]
+    tgts = [r.tgt_id for r in rows]
+    assert len(srcs) == len(set(srcs))
+    assert len(tgts) == len(set(tgts))
+    assert all(s % 2 == 0 and t % 2 == 1 for s, t in zip(srcs, tgts))
+    assert all(r.margin_ppm > 0 for r in rows)
