@@ -351,3 +351,123 @@ def kn_trigram_perplexity_sql(
              AS bits_per_tok_milli
     FROM {table} t LEFT JOIN per_doc p USING (doc_id)
     """
+
+
+# ---------------------------------------------------------------------------
+# domain reweighting from excess LM loss (DoReMi-flavored)
+# ---------------------------------------------------------------------------
+
+EXCESS_EPS_MILLI = 1  # uniform-fallback floor, in milli-bits
+
+
+def domain_excess_weights(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(source, n_docs, n_trigrams, bits_per_tok_milli, excess_milli,
+    weight_ppm): domain mixture weights tilted toward EXCESS LM loss —
+    the DoReMi idea (Xie et al. 2023: upweight domains whose loss
+    exceeds a reference model's, i.e. hard-but-underfit data)
+    collapsed to its one-model form: the corpus-trained KN trigram LM
+    is the reference, a domain's excess is its bits/token above the
+    corpus-wide mean, and weights are the excess (+1 milli-bit floor,
+    so all-zero excess degrades to uniform) normalized to ppm.  The
+    full group-DRO proxy-training loop is out of scope and documented
+    as such — this is the deterministic reweighting STEP that loop
+    iterates.
+
+    All arithmetic positive-integer: per-domain and corpus bits are
+    BIGINT floordivs of millibit sums over trigram counts; weights are
+    one more floordiv over the excess totals.  Sentinel docs
+    (< 3 tokens) are excluded from every sum on both engines.
+
+    100 TB shape: rides the per-doc KN scores (the heavy, already
+    scale-shaped stage); the rollup is one map-side-combined aggregate
+    at domain cardinality plus two broadcast scalars."""
+    scored = kn_trigram_perplexity(docs, text_col).filter(F.col("n_trigrams") > 0)
+    dom = (
+        docs.select("doc_id", "source")
+        .join(scored, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_trigrams").cast("long").alias("n_trigrams"),
+            F.sum("nll_millibits").cast("long").alias("nll"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_trigrams",
+            F.expr("CAST(nll div n_trigrams AS BIGINT)").alias(
+                "bits_per_tok_milli"
+            ),
+            "nll",
+        )
+    )
+    corpus = dom.agg(
+        F.expr("CAST(sum(nll) div sum(n_trigrams) AS BIGINT)").alias(
+            "corpus_milli"
+        )
+    )
+    ex = dom.crossJoin(F.broadcast(corpus)).select(
+        "source",
+        "n_docs",
+        "n_trigrams",
+        "bits_per_tok_milli",
+        F.greatest(
+            F.col("bits_per_tok_milli") - F.col("corpus_milli"), F.lit(0)
+        )
+        .cast("long")
+        .alias("excess_milli"),
+    )
+    tot = ex.agg(
+        F.sum(F.col("excess_milli") + F.lit(EXCESS_EPS_MILLI))
+        .cast("long")
+        .alias("tot")
+    )
+    return ex.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_trigrams",
+        "bits_per_tok_milli",
+        "excess_milli",
+        F.expr(
+            f"CAST(((excess_milli + {EXCESS_EPS_MILLI}) * CAST(1000000 AS BIGINT))"
+            f" div tot AS BIGINT)"
+        ).alias("weight_ppm"),
+    )
+
+
+def domain_excess_weights_sql(
+    table: str = "documents", text_col: str = "text"
+) -> str:
+    """DuckDB mirror: the per-doc KN oracle as a derived table, then
+    the identical integer rollup chain."""
+    return f"""
+    WITH scored AS MATERIALIZED (
+      SELECT * FROM ({kn_trigram_perplexity_sql(table, text_col)}) s
+      WHERE n_trigrams > 0
+    ),
+    dom AS (
+      SELECT t.source, count(*)::BIGINT AS n_docs,
+             sum(s.n_trigrams)::BIGINT AS n_trigrams,
+             (sum(s.nll_millibits) // sum(s.n_trigrams))::BIGINT
+               AS bits_per_tok_milli,
+             sum(s.nll_millibits)::BIGINT AS nll
+      FROM scored s JOIN {table} t USING (doc_id)
+      GROUP BY 1
+    ),
+    corpus AS (
+      SELECT (sum(nll) // sum(n_trigrams))::BIGINT AS corpus_milli FROM dom
+    ),
+    ex AS (
+      SELECT source, n_docs, n_trigrams, bits_per_tok_milli,
+             greatest(bits_per_tok_milli - corpus_milli, 0)::BIGINT
+               AS excess_milli
+      FROM dom CROSS JOIN corpus
+    ),
+    tot AS (
+      SELECT sum(excess_milli + {EXCESS_EPS_MILLI})::BIGINT AS tot FROM ex
+    )
+    SELECT source, n_docs, n_trigrams, bits_per_tok_milli, excess_milli,
+           (((excess_milli + {EXCESS_EPS_MILLI}) * 1000000) // tot)::BIGINT
+             AS weight_ppm
+    FROM ex CROSS JOIN tot
+    """

@@ -3391,6 +3391,31 @@ def q_anchor_text_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "domain_reweight_excess_loss",
+    oracle=knlm.domain_excess_weights_sql(),
+    tags=("ext", "curation", "lm", "mixing"),
+)
+def q_domain_reweight_excess_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain mixture weights tilted toward excess LM loss — the
+    DoReMi reweighting step (Xie et al. 2023) in its deterministic
+    one-model form: a domain's excess is its KN-trigram bits/token
+    above the corpus mean, normalized to ppm with a +1 milli-bit
+    uniform-fallback floor (``ext/knlm.py``; the group-DRO
+    proxy-training loop this step iterates inside is documented out
+    of scope).  All positive-integer floordivs, sentinel docs
+    excluded on both engines.
+
+    100 TB shape: the cost IS the per-doc KN scoring (already
+    scale-shaped — see kn_trigram_perplexity); the rollup adds one
+    domain-cardinality map-side-combined aggregate and two broadcast
+    scalars."""
+    docs = tables.load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    return knlm.domain_excess_weights(docs)
+
+
+@register(
     "bitext_mine_margin",
     oracle=bitext.bitext_mine_margin_sql(),
     tags=("ext", "similarity", "multilingual"),

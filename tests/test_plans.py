@@ -2607,3 +2607,20 @@ def test_bitext_mutual_best_is_a_matching(spark):
     assert len(tgts) == len(set(tgts))
     assert all(s % 2 == 0 and t % 2 == 1 for s, t in zip(srcs, tgts))
     assert all(r.margin_ppm > 0 for r in rows)
+
+
+def test_domain_reweight_excess_loss_semantics(spark):
+    """Weights are a ppm distribution (sum within domain-count
+    truncation slack of 1e6), every domain gets at least the uniform
+    floor's share, and the tilt is monotone: sorting by excess sorts
+    by weight."""
+    rows = queries()["domain_reweight_excess_loss"](spark, SF_DIR).collect()
+    assert rows
+    tot = sum(r.weight_ppm for r in rows)
+    assert 1_000_000 - len(rows) <= tot <= 1_000_000
+    assert all(r.weight_ppm > 0 for r in rows)
+    by_excess = sorted(rows, key=lambda r: (r.excess_milli, r.source))
+    by_weight = sorted(rows, key=lambda r: (r.weight_ppm, r.source))
+    assert [r.source for r in by_excess] == [r.source for r in by_weight]
+    # at least one domain above the corpus mean (the tilt is live)
+    assert any(r.excess_milli > 0 for r in rows)
