@@ -322,6 +322,12 @@ HEADLINE = [
     "quality_probe_score",
     "kn_trigram_perplexity",
     "frontier_authority",
+    # round-16 third wave
+    "host_hits",
+    "anchor_text_index",
+    "tokenizer_fertility_compare",
+    "bitext_mine_margin",
+    "domain_reweight_excess_loss",
 ]
 
 # Timed and reported, but excluded from the headline sum: cost dominated

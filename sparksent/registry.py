@@ -78,7 +78,12 @@ _PRIORITY: tuple[str, ...] = (
     "quality_probe_score",
     "kn_trigram_perplexity",
     "frontier_authority",
-    # slot 16+: latest green driver row is r11
+    "host_hits",
+    "anchor_text_index",
+    "domain_reweight_excess_loss",
+    "bitext_mine_margin",
+    "tokenizer_fertility_compare",
+    # slot 21+: latest green driver row is r11
     "kmeans_embeddings_2iter",
     "pagerank_word_graph",
     "mix_langs_temperature",
@@ -108,13 +113,13 @@ _PRIORITY: tuple[str, ...] = (
     "ab_test_value_by_variant",
     "basket_triple_support",
     "session_path_topk",
-    "entity_resolution_parts",
-    # slot 46+: latest green driver row is r12
+    "entity_resolution_parts",  # --- driver window ends here (50) ---
+    # slot 51+: latest green driver row is r12
     "sample_domain_quota",
     "churn_training_set",
     "item_similarity_jaccard",
     "dedup_exact_normalized",
-    "supplier_lead_time",  # --- driver window ends here (50) ---
+    "supplier_lead_time",
     "survival_km_error",
     "backtest_seasonal_naive",
     "doc_sentiment_frozen_margin",
@@ -160,7 +165,7 @@ _PRIORITY: tuple[str, ...] = (
     "multimodal_image_headers",
     "embedding_centroids",
     "embedding_quantize_error",
-    # slot 96+: latest green driver row is r13
+    # slot 101+: latest green driver row is r13
     "seq_packing_bpe_512",
     "sample_token_budget_bpe",
     "quality_gate_per_lang_head",
@@ -211,7 +216,7 @@ _PRIORITY: tuple[str, ...] = (
     "channel_mood_sliding_90_60",
     "user_mood_cumulative",
     "toxic_user_cw10",
-    # slot 146+: latest green driver row is r14
+    # slot 151+: latest green driver row is r14
     "url_canonicalize",
     "url_domain_topk",
     "dedup_url_exact",
@@ -262,7 +267,7 @@ _PRIORITY: tuple[str, ...] = (
     "cube_event_value",
     "hist_event_value",
     "decile_user_value",
-    # slot 196+: latest green driver row is r15
+    # slot 201+: latest green driver row is r15
     "url_registrable_domain",
     "sample_domain_quota_registrable",
     "html_extract_text",
