@@ -126,6 +126,17 @@ def bitext_mine_margin(
     wfb = Window.partitionBy("tgt_id").orderBy(
         F.col("margin_ppm").desc(), F.col("src_id")
     )
+    # pin the margin frame once: fwd and bwd each re-derived it from
+    # `pairs` (scan + two broadcast joins per branch), so the pinned
+    # form does HALF the upstream compute.  In-session A/B at sf0.1
+    # (4 alternating reps x 2 sessions, best-of): unpinned 5.83/6.29 s,
+    # pinned 5.75/5.93 s, chained-two-windows 5.71/5.87 s — a local
+    # wash because the duplicate branches previously back-filled idle
+    # cores (guide §2.6), but at scale the duplicated crossJoin+join
+    # subtree is pure waste (guide §1.2/§5 localCheckpoint).  The two
+    # argmax windows stay SEPARATE branches: as independent subtrees
+    # of the final join they overlap across cores.
+    m = m.localCheckpoint()
     fwd = m.withColumn("rka", F.row_number().over(wfa)).filter(F.col("rka") == 1)
     bwd = m.select(
         "src_id", "tgt_id", F.row_number().over(wfb).alias("rkb")

@@ -76,6 +76,7 @@ def word_vocab_capped(
     text_col: str = "text",
     min_count: int = 1,
     max_vocab: int | None = None,
+    wv: DataFrame | None = None,
 ) -> DataFrame:
     """:func:`word_vocab` with the production driver-bytes caps applied
     in-plan: ``min_count`` is a HAVING pushed into the same shuffle,
@@ -84,7 +85,7 @@ def word_vocab_capped(
     group-by.  This is the exact frame :func:`learn_merges` collects, so
     the driver can hash-check the only corpus-sized stage of BPE
     training (the merge loop stays the documented rows-only case)."""
-    vdf = word_vocab(df, text_col)
+    vdf = word_vocab(df, text_col) if wv is None else wv
     if min_count > 1:
         vdf = vdf.where(F.col("n") >= min_count)
     if max_vocab is not None:
@@ -608,6 +609,7 @@ def learn_merges(
     n_merges: int = N_MERGES,
     min_count: int = 1,
     max_vocab: int | None = None,
+    wv: DataFrame | None = None,
 ) -> DataFrame:
     """Distributed vocab count -> driver merge loop -> merge table
     (step, left, right, pair_count). The collect is bounded by distinct
@@ -624,7 +626,7 @@ def learn_merges(
     min_count=2, max_vocab=5_000_000 for a hard driver-bytes bound.
     Frequency truncation is the standard practical BPE compromise: words
     seen once cannot dominate any merge decision at corpus scale."""
-    vdf = word_vocab_capped(df, text_col, min_count, max_vocab)
+    vdf = word_vocab_capped(df, text_col, min_count, max_vocab, wv=wv)
     vocab = [(r["word"], r["n"]) for r in vdf.collect()]
     vocab.sort()  # collect order is partition-dependent; the loop is not
     merges = learn_merges_py(vocab, n_merges)

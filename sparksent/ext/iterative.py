@@ -604,6 +604,15 @@ def hits_iterations(
             )
             .groupBy(node_col)
             .agg(F.sum("c").cast("long").alias("raw"))
+            # pin each half-round's node-cardinality raw frame: it has
+            # TWO consumers (the L1 total and the normalize join), and
+            # the running `scores` plan feeds the next half-round — an
+            # unpinned frame doubles the whole prior-round subtree per
+            # consumer, so the final plan held 2^(2*iters) copies of the
+            # first propagation (measured: host_hits 7.7 s pinned vs
+            # 5.4 s for the same graph's 3-round PageRank; guide §3.3
+            # "materialise an intermediate to truncate the plan")
+            .localCheckpoint()
         )
         tot = raw.agg(
             F.greatest(

@@ -140,7 +140,12 @@ def quality_probe_train(docs: DataFrame) -> DataFrame:
     """(bucket, weight_micro): the trained weight vector — the
     auditable model artifact (fastText publishes exactly this)."""
     feat = doc_features(docs).localCheckpoint()
-    w = _train(feat, doc_labels(docs))
+    # labels pinned like the features: every epoch's gradient job joins
+    # `lab`, and an unpinned frame re-runs the WHOLE Gopher gate (a
+    # regex-heavy corpus scan) once per epoch — 9 gate passes for an
+    # 8-epoch train (guide §1.2: don't recompute what a pass already
+    # produced; measured 10.2 s -> see OPTIMIZATION_r16.md)
+    w = _train(feat, doc_labels(docs).localCheckpoint())
     return docs.sparkSession.createDataFrame(
         [(b, v) for b, v in sorted(w.items())],
         "bucket long, weight_micro long",
@@ -154,7 +159,9 @@ def quality_probe_score(docs: DataFrame) -> DataFrame:
     vector + one map-side-combined per-doc aggregate — the shape that
     gates a 100 TB corpus in one pass."""
     feat = doc_features(docs).localCheckpoint()
-    lab = doc_labels(docs)
+    # same label pin as quality_probe_train: 8 epoch jobs + the final
+    # outer join all consume `lab`; one gate pass instead of nine
+    lab = doc_labels(docs).localCheckpoint()
     w = _train(feat, lab)
     wdf = F.broadcast(
         docs.sparkSession.createDataFrame(

@@ -57,15 +57,22 @@ def _rollup(per_word: DataFrame, name: str) -> DataFrame:
     ).select(F.lit(name).alias("tokenizer"), "*")
 
 
-def _bpe_word_pieces(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def _bpe_word_pieces(
+    docs: DataFrame, text_col: str = "text", wv_all: DataFrame | None = None
+) -> DataFrame:
     """(word, n_occurrences, n_pieces): the BPE encode restricted to
     the shared <= MAX_WORD_LEN distinct-word domain — the JVM fold
     path of ``bpe.encode_token_counts`` (N_MERGES <= FOLD_DEPTH_LIMIT)
-    over the occurrence-counted word vocabulary."""
+    over the occurrence-counted word vocabulary.  ``wv_all``: the
+    report's one shared word-vocab frame (see
+    :func:`tokenizer_fertility_compare`)."""
     merges = [
-        (r["left"], r["right"]) for r in learn_merges(docs, text_col).collect()
+        (r["left"], r["right"])
+        for r in learn_merges(docs, text_col, wv=wv_all).collect()
     ]
-    wv = word_vocab(docs, text_col).filter(F.length("word") <= MAX_WORD_LEN)
+    if wv_all is None:
+        wv_all = word_vocab(docs, text_col)
+    wv = wv_all.filter(F.length("word") <= MAX_WORD_LEN)
     syms = F.concat(F.split(F.col("word"), ""), F.array(F.lit(END_MARK)))
     if merges:
         syms = _apply_merges_fold(
@@ -86,16 +93,21 @@ def tokenizer_fertility_compare(
     the families' own production paths (JVM merge fold / integer
     Viterbi Arrow stage / greedy MaxMatch Arrow stage) — this operator
     adds only the shared restriction and the rollups."""
+    # ONE word-vocab pass for all three families (guide §1.2): the
+    # report previously re-ran the corpus explode+aggregate ~6x (BPE
+    # merge collect + encode domain, unigram seed + domain, WordPiece
+    # vocab + domain); every branch is a pure function of this frame
+    wv_all = word_vocab(docs, text_col).localCheckpoint()
     rows = [
-        _rollup(_bpe_word_pieces(docs, text_col), "bpe"),
+        _rollup(_bpe_word_pieces(docs, text_col, wv_all=wv_all), "bpe"),
         _rollup(
-            unigram.encode_viterbi(docs, text_col).select(
+            unigram.encode_viterbi(docs, text_col, wv=wv_all).select(
                 "n_occurrences", "n_pieces"
             ),
             "unigram",
         ),
         _rollup(
-            wordpiece.encode_wordpiece(docs, text_col).select(
+            wordpiece.encode_wordpiece(docs, text_col, wv=wv_all).select(
                 "n_occurrences", "n_pieces"
             ),
             "wordpiece",

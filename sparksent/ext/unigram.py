@@ -74,13 +74,20 @@ SCORE_SCALE = 1_000_000  # micro-nats
 # ---------------------------------------------------------------------------
 
 
-def candidate_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def candidate_counts(
+    docs: DataFrame, text_col: str = "text", wv: DataFrame | None = None
+) -> DataFrame:
     """(piece, cnt): occurrence-weighted substring counts over the
     distinct-word domain — every substring of length <= MAX_PIECE_LEN
     at every start position, weighted by the word's corpus count.  The
     explode is a flatten(transform(sequence...)) projection: bounded
-    domain x bounded positions, all JVM-side."""
-    wv = word_vocab(docs, text_col)
+    domain x bounded positions, all JVM-side.  ``wv``: optional
+    prebuilt word-vocab frame — word_vocab is the one CORPUS-sized
+    aggregate of the tokenizer family, so consumers that need it twice
+    (encode: seed collect + word domain) compute it once and pass it
+    in (guide §1.2)."""
+    if wv is None:
+        wv = word_vocab(docs, text_col)
     pieces = F.flatten(
         F.transform(
             F.sequence(F.lit(1), F.length("word")),
@@ -102,14 +109,16 @@ def candidate_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def seed_vocab(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def seed_vocab(
+    docs: DataFrame, text_col: str = "text", wv: DataFrame | None = None
+) -> DataFrame:
     """(piece, cnt, in_topk): the top-``SEED_VOCAB`` candidates under
     (cnt DESC, piece ASC) plus ALL single-character pieces (coverage).
     The rank is a window over the AGGREGATED candidate frame — vocab
     cardinality, never corpus."""
     from pyspark.sql import Window
 
-    cand = candidate_counts(docs, text_col)
+    cand = candidate_counts(docs, text_col, wv=wv)
     w = Window.orderBy(F.col("cnt").desc(), F.col("piece").asc())
     ranked = cand.withColumn("rk", F.row_number().over(w))
     return (
@@ -191,7 +200,9 @@ def _viterbi(word: str, scores: dict[str, int]) -> tuple[int, int, str]:
     return np, -neg, path
 
 
-def encode_viterbi(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def encode_viterbi(
+    docs: DataFrame, text_col: str = "text", wv: DataFrame | None = None
+) -> DataFrame:
     """(word, n_occurrences, n_pieces, pieces, score_micro): the
     Viterbi segmentation of every distinct word of length <=
     MAX_WORD_LEN under the seed-vocab unigram LM.
@@ -200,10 +211,19 @@ def encode_viterbi(docs: DataFrame, text_col: str = "text") -> DataFrame:
     SEED_VOCAB + |alphabet| — the BPE merge-table precedent) and rides
     the Arrow stage's closure; the DP runs once per DISTINCT word.
     Scores quantize to integer micro-nats BEFORE the DP (module
-    docstring), so the Arrow stage does integer arithmetic only."""
+    docstring), so the Arrow stage does integer arithmetic only.
+
+    The word vocab — the family's one corpus-sized aggregate — is
+    computed ONCE and localCheckpoint-pinned: both consumers (the seed
+    collect and the Arrow stage's word domain) previously re-ran the
+    full corpus explode+aggregate (guide §1.2).  ``wv`` lets a caller
+    that already holds the frame (tokenizer_fertility_compare) share
+    it across tokenizer families."""
     import pandas as pd
 
-    vocab_rows = seed_vocab(docs, text_col).collect()
+    if wv is None:
+        wv = word_vocab(docs, text_col).localCheckpoint()
+    vocab_rows = seed_vocab(docs, text_col, wv=wv).collect()
     total = sum(r.cnt for r in vocab_rows)
     log_total = math.log(total)
     scores = {
@@ -211,10 +231,8 @@ def encode_viterbi(docs: DataFrame, text_col: str = "text") -> DataFrame:
         for r in vocab_rows
     }
 
-    words = (
-        word_vocab(docs, text_col)
-        .filter(F.length("word") <= MAX_WORD_LEN)
-        .select("word", F.col("n").alias("n_occurrences"))
+    words = wv.filter(F.length("word") <= MAX_WORD_LEN).select(
+        "word", F.col("n").alias("n_occurrences")
     )
 
     def enc(it):
@@ -327,11 +345,13 @@ def encode_viterbi_sql(table: str = "documents", text_col: str = "text") -> str:
 # ---------------------------------------------------------------------------
 
 
-def em_reestimate(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def em_reestimate(
+    docs: DataFrame, text_col: str = "text", wv: DataFrame | None = None
+) -> DataFrame:
     """(piece, em_cnt): the M-step counts — each Viterbi piece usage
     weighted by its word's corpus count.  One explode over the encoded
     word domain + one map-side-combined aggregate."""
-    enc = encode_viterbi(docs, text_col)
+    enc = encode_viterbi(docs, text_col, wv=wv)
     return (
         enc.select(
             "n_occurrences",

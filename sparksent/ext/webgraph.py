@@ -52,17 +52,25 @@ PR_ITERS = 3
 PR_DAMPING = 85
 
 
-def host_link_edges(docs: DataFrame) -> DataFrame:
+def host_link_edges(docs: DataFrame, lk: DataFrame | None = None) -> DataFrame:
     """(src, dst, w): the host-level edge list of the fixture corpus —
     link-graph edges keyed by the page's own canonical host, self-edges
     dropped, weights = link counts.  The doc→host join is
     doc_id-co-partitioned (both sides derive from one scan; Catalyst
-    collapses it to scan-side projection work here)."""
-    pages = html.with_html_pages(
-        urls.with_fixture_urls(docs.select("doc_id", "source", "text")),
-        carry=("url",),
-    )
-    lk = html.html_link_graph(pages)
+    collapses it to scan-side projection work here).
+
+    ``lk``: optional prebuilt link frame carrying (doc_id, dst_curl) —
+    consumers that ALSO need the link graph for themselves
+    (frontier_authority: frontier aggregate + this edge build) extract
+    it once and pass it in, so the regex-heavy page synthesis +
+    extraction scan runs a single time (guide §1.2: remove duplicate
+    passes before anything else)."""
+    if lk is None:
+        pages = html.with_html_pages(
+            urls.with_fixture_urls(docs.select("doc_id", "source", "text")),
+            carry=("url",),
+        )
+        lk = html.html_link_graph(pages)
     page_hosts = urls.with_fixture_urls(docs.select("doc_id", "source")).select(
         "doc_id", urls.canonical_host(F.col("url")).alias("src")
     )
@@ -79,14 +87,18 @@ def host_link_edges(docs: DataFrame) -> DataFrame:
 
 
 def host_pagerank(
-    docs: DataFrame, iters: int = PR_ITERS, damping: int = PR_DAMPING
+    docs: DataFrame,
+    iters: int = PR_ITERS,
+    damping: int = PR_DAMPING,
+    lk: DataFrame | None = None,
 ) -> DataFrame:
     """(host, out_weight, pr): integer PageRank over the host graph.
     Node set = every host appearing as a source OR destination (the
     dangling share/cdn hosts are first-class nodes — they receive
     mass, emit none, and leak the truncated remainder per the loop's
-    documented dangling simplification)."""
-    edges = host_link_edges(docs).localCheckpoint()  # outw + every round
+    documented dangling simplification).  ``lk`` as in
+    :func:`host_link_edges` (a caller-shared link-graph pass)."""
+    edges = host_link_edges(docs, lk=lk).localCheckpoint()  # outw + every round
     nodes = (
         edges.select(F.col("src").alias("host"))
         .union(edges.select(F.col("dst").alias("host")))

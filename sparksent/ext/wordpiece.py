@@ -50,13 +50,18 @@ WP_VOCAB = 512
 # ---------------------------------------------------------------------------
 
 
-def candidate_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def candidate_counts(
+    docs: DataFrame, text_col: str = "text", wv: DataFrame | None = None
+) -> DataFrame:
     """(piece, cnt): occurrence-weighted POSITIONAL substring counts
     over the distinct-word domain — substrings starting at position 1
     count under their bare form, all others under ``##``-prefixed
     form.  One flatten(transform(sequence...)) projection over the
-    bounded word-vocab frame, all JVM-side."""
-    wv = word_vocab(docs, text_col)
+    bounded word-vocab frame, all JVM-side.  ``wv``: optional prebuilt
+    word-vocab frame (the unigram-family sharing seam — see
+    ``ext/unigram.py``)."""
+    if wv is None:
+        wv = word_vocab(docs, text_col)
     pieces = F.flatten(
         F.transform(
             F.sequence(F.lit(1), F.length("word")),
@@ -79,14 +84,16 @@ def candidate_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def wordpiece_vocab(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def wordpiece_vocab(
+    docs: DataFrame, text_col: str = "text", wv: DataFrame | None = None
+) -> DataFrame:
     """(piece, cnt, in_topk): top-``WP_VOCAB`` positional candidates
     under (cnt DESC, piece ASC) plus every single-character piece in
     both forms (the coverage guarantee).  Rank is a window over the
     AGGREGATED candidate frame — vocab cardinality, never corpus."""
     from pyspark.sql import Window
 
-    cand = candidate_counts(docs, text_col)
+    cand = candidate_counts(docs, text_col, wv=wv)
     w = Window.orderBy(F.col("cnt").desc(), F.col("piece").asc())
     ranked = cand.withColumn("rk", F.row_number().over(w))
     is_char = (F.length("piece") == 1) | (
@@ -160,21 +167,26 @@ def _maxmatch(word: str, vocab: set[str]) -> tuple[int, str]:
     return len(out), " ".join(out)
 
 
-def encode_wordpiece(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def encode_wordpiece(
+    docs: DataFrame, text_col: str = "text", wv: DataFrame | None = None
+) -> DataFrame:
     """(word, n_occurrences, n_pieces, pieces): greedy WordPiece
     segmentation of every distinct word of length <= MAX_WORD_LEN.
     The vocab is collected at plan-construction time (bounded by
     WP_VOCAB + 2x|alphabet|) and rides the Arrow stage's closure; the
     match loop runs once per DISTINCT word (the unigram/bpe encode
-    shape)."""
+    shape).  The word vocab — the one corpus-sized aggregate — is
+    computed once and localCheckpoint-pinned for its two consumers
+    (vocab collect + Arrow word domain), same seam as
+    ``unigram.encode_viterbi``."""
     import pandas as pd
 
-    vocab = {r.piece for r in wordpiece_vocab(docs, text_col).collect()}
+    if wv is None:
+        wv = word_vocab(docs, text_col).localCheckpoint()
+    vocab = {r.piece for r in wordpiece_vocab(docs, text_col, wv=wv).collect()}
 
-    words = (
-        word_vocab(docs, text_col)
-        .filter(F.length("word") <= MAX_WORD_LEN)
-        .select("word", F.col("n").alias("n_occurrences"))
+    words = wv.filter(F.length("word") <= MAX_WORD_LEN).select(
+        "word", F.col("n").alias("n_occurrences")
     )
 
     def enc(it):

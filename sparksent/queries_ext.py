@@ -3622,12 +3622,23 @@ def q_frontier_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
     sm = urls.sitemap_parse(
         urls.with_sitemap_xml(docs.select("doc_id", "source"))
     ).select("curl", F.lit(1).alias("is_sm"), F.lit(0).alias("is_lk"))
-    lk = html.html_link_graph(
-        html.with_html_pages(
-            urls.with_fixture_urls(docs.select("doc_id", "source", "text")),
-            carry=("url",),
+    # ONE link-graph extraction for both consumers (guide §1.2): the
+    # frontier aggregate and host_pagerank's edge build each need the
+    # (doc_id, dst_curl) edge frame, and deriving it twice re-ran the
+    # whole page-synthesis + href-extraction + canonicalization scan —
+    # the query's single most expensive stage — twice.  Pin the narrow
+    # frame once and feed both.
+    lk_full = (
+        html.html_link_graph(
+            html.with_html_pages(
+                urls.with_fixture_urls(docs.select("doc_id", "source", "text")),
+                carry=("url",),
+            )
         )
-    ).select(
+        .select("doc_id", "dst_curl")
+        .localCheckpoint()
+    )
+    lk = lk_full.select(
         F.col("dst_curl").alias("curl"),
         F.lit(0).alias("is_sm"),
         F.lit(1).alias("is_lk"),
@@ -3641,7 +3652,7 @@ def q_frontier_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     pr = webgraph.host_pagerank(
-        docs.select("doc_id", "source", "text")
+        docs.select("doc_id", "source", "text"), lk=lk_full
     ).localCheckpoint()
     w = Window.orderBy(F.col("pr").desc(), F.col("host").asc())
     hr = pr.select("host", "pr", F.row_number().over(w).cast("long").alias("host_rank"))
