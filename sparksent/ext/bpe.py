@@ -320,15 +320,23 @@ def encode_token_counts(
       counts the Python scan with its C-speed substring skip wins ~10x
       (FOLD_DEPTH_LIMIT docstring); per-row Python on a BOUNDED
       domain, never on the occurrence stream."""
+    # ONE word-vocab corpus pass (guide §1.2): learn_merges' vocab
+    # collect and the encode word domain both need it, and the domain
+    # previously re-derived it as a SECOND corpus explode + distinct
+    # aggregate.  word_vocab already drops empty tokens, so its word
+    # set IS the distinct-word domain; the pin makes the collect's
+    # work reusable instead of recomputed (same seam as
+    # unigram/wordpiece encode).
+    wv = word_vocab(df, text_col).localCheckpoint()
     merges = [
         (r["left"], r["right"])
-        for r in learn_merges(df, text_col, n_merges).collect()
+        for r in learn_merges(df, text_col, n_merges, wv=wv).collect()
     ]
     words = (
         df.select(id_col, F.explode(F.split(F.col(text_col), " ")).alias("word"))
         .where(F.col("word") != "")
     )
-    distinct_words = words.select("word").distinct()
+    distinct_words = wv.select("word")
     if len(merges) <= fold_limit:
         syms0 = F.concat(F.split(F.col("word"), ""), F.array(F.lit(END_MARK)))
         if merges:

@@ -117,6 +117,18 @@ def _weight_map() -> Column:
     return F.create_map(*[F.lit(x) for kv in LEXICON.items() for x in kv])
 
 
+def _weight_map_expr() -> str:
+    """Spark-SQL text of the lexicon map literal — the same map
+    `_weight_map` builds, as ONE parseable string.  Column-object
+    construction of the map + the aggregate lambda costs ~100 py4j
+    round trips per call site (~0.1 s of driver plan-build time per
+    consumer query, measured by cProfile: the time is
+    socket.recv_into); a single F.expr is one round trip and yields
+    the same Catalyst expression (guide §7.3: plan-construction time
+    is driver-side, single-threaded work)."""
+    return "map(" + ", ".join(f"'{w}', {k}" for w, k in LEXICON.items()) + ")"
+
+
 def tokens(text: Column | str) -> Column:
     t = F.col(text) if isinstance(text, str) else text
     return F.split(t, " ")
@@ -124,6 +136,12 @@ def tokens(text: Column | str) -> Column:
 
 def score_raw(text: Column | str) -> Column:
     """Sum of lexicon weights over the tokens (BIGINT)."""
+    if isinstance(text, str):
+        return F.expr(
+            f"aggregate(split(`{text}`, ' '), CAST(0 AS BIGINT), "
+            f"(acc, w) -> acc + coalesce("
+            f"try_element_at({_weight_map_expr()}, w), 0))"
+        )
     m = _weight_map()
     return F.aggregate(
         tokens(text),
@@ -134,6 +152,12 @@ def score_raw(text: Column | str) -> Column:
 
 def magnitude_raw(text: Column | str) -> Column:
     """Sum of |lexicon weights| over the tokens (BIGINT)."""
+    if isinstance(text, str):
+        return F.expr(
+            f"aggregate(split(`{text}`, ' '), CAST(0 AS BIGINT), "
+            f"(acc, w) -> acc + abs(coalesce("
+            f"try_element_at({_weight_map_expr()}, w), 0)))"
+        )
     m = _weight_map()
     return F.aggregate(
         tokens(text),
@@ -185,14 +209,20 @@ def category_rows(df: DataFrame, text_col: str = "text") -> DataFrame:
     tokens, one row per matched category with confidence = hits/n_tokens.
     Same explode-aggregate shape as entity_rows with the token->category
     map applied before grouping."""
-    cmap = F.create_map(*[F.lit(x) for kv in CATEGORIES.items() for x in kv])
+    # one-expr map literal, same rationale as _weight_map_expr
+    cmap_expr = (
+        "map(" + ", ".join(f"'{w}', '{c}'" for w, c in CATEGORIES.items()) + ")"
+    )
     base = with_token_count(with_sentiment(df, text_col), text_col).filter(
         F.col("n_tokens") >= MIN_CLASSIFY_TOKENS
     )
     carried = [c for c in base.columns if c != text_col]
     exploded = (
         base.select(*carried, F.explode(tokens(text_col)).alias("tok"))
-        .select(*carried, F.try_element_at(cmap, F.col("tok")).alias("category"))
+        .select(
+            *carried,
+            F.expr(f"try_element_at({cmap_expr}, tok)").alias("category"),
+        )
         .filter(F.col("category").isNotNull())
     )
     return (

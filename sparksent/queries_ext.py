@@ -3067,7 +3067,13 @@ def q_web_pipeline_warc_to_shards(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     sized = final.withColumn(
         "n_bytes", F.octet_length("extracted_text").cast("long")
-    )
+    ).localCheckpoint()
+    # ^ pin the post-gate survivors ONCE (guide §1.2/§3.3): the BPE
+    # stage consumes its input three times (word-vocab pass, occurrence
+    # explode, per-doc join), and without the pin each consumer re-ran
+    # the ENTIRE inflate -> WARC split -> HTTP parse -> URL-dedup
+    # window -> extractor -> gate chain.  At 100 TB this is the
+    # difference between one corpus pass over raw WARC bytes and three.
     counts = bpe.encode_token_counts(
         sized, text_col="extracted_text", carry_cols=("n_bytes",)
     ).select("doc_id", "n_tokens", "n_bytes")
