@@ -313,7 +313,15 @@ def pagerank_iterations(
     co-partitions edges and ranks on src (one shuffle per iteration) —
     the textbook Pregel/GraphX layout."""
     ncount = nodes.agg(F.count("*").cast("long").alias("n_nodes"))
-    outw = edges.groupBy("src").agg(F.sum("w").cast("long").alias("ow"))
+    # ONE out-weight aggregate for the whole run: outw is consumed by
+    # every round's contrib join AND the final out_weight join, so the
+    # unpinned frame re-ran the edge aggregate iters+1 times
+    # (guide §1.2; node-cardinality, cheap to pin).
+    outw = (
+        edges.groupBy("src")
+        .agg(F.sum("w").cast("long").alias("ow"))
+        .localCheckpoint()
+    )
     ranks = nodes.crossJoin(F.broadcast(ncount)).select(
         node_col,
         "n_nodes",
@@ -333,8 +341,17 @@ def pagerank_iterations(
             .groupBy("dst")
             .agg(F.sum("c").cast("long").alias("contrib"))
         )
+        # Rebuild the node side from the PINNED `nodes` frame, not from
+        # the running `ranks` plan: with `ranks` referenced twice per
+        # round (contrib broadcast + rank rebuild) the unpinned plan
+        # doubled the whole prior-round subtree per round — 2^iters
+        # copies of the first propagation (guide §3.3).  `nodes` is the
+        # same node set `ranks` carries (crossJoin(ncount) re-attaches
+        # the scalar), so each round references the prior round exactly
+        # ONCE and the plan stays linear in iters with no per-round
+        # materialization barrier.
         ranks = (
-            ranks.select(node_col, "n_nodes")
+            nodes.crossJoin(F.broadcast(ncount))
             .join(
                 F.broadcast(contrib.withColumnRenamed("dst", node_col)),
                 node_col,

@@ -400,6 +400,14 @@ def domain_excess_weights(docs: DataFrame, text_col: str = "text") -> DataFrame:
             ),
             "nll",
         )
+        # pin the domain-cardinality rollup: it is consumed by the
+        # corpus-mean scalar AND the excess frame (which is itself
+        # consumed twice: the weight total + the final select), so the
+        # unpinned plan re-ran the ENTIRE per-doc KN scoring chain
+        # ~6x — measured 1645 plan lines / 54 exchanges collapsing to
+        # one chain pass (guide §1.2/§3.3; rows = |domains|, trivially
+        # cheap to materialize at any scale).
+        .localCheckpoint()
     )
     corpus = dom.agg(
         F.expr("CAST(sum(nll) div sum(n_trigrams) AS BIGINT)").alias(

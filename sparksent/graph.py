@@ -267,17 +267,28 @@ def triangle_count(
     """
     lo = F.least(F.col(src_col), F.col(dst_col))
     hi = F.greatest(F.col(src_col), F.col(dst_col))
-    e = edges.select(lo.alias("a"), hi.alias("b")).filter(F.col("a") != F.col("b")).distinct()
+    # pin the oriented edge list: it is referenced THREE times (both
+    # wedge sides + the closing join), and the caller's edge frame is
+    # typically itself an expensive pair-generation pipeline (the LSH
+    # banded joins), so the unpinned plan re-ran that pipeline per
+    # reference (guide §1.2/§3.3; |E| rows, cheap to materialize).
+    e = (
+        edges.select(lo.alias("a"), hi.alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
     wedges = e.join(
         e.select(F.col("a").alias("b"), F.col("b").alias("c")), "b"
     )  # a-b, b-c with a<b<c
     tris = wedges.join(
         e.select(F.col("a"), F.col("b").alias("c")), ["a", "c"]
     ).select("a", "b", "c")
+    # one reference to the triangle frame: explode the vertex triple
+    # instead of a 3-way union of projections (which re-ran BOTH joins
+    # per branch) — identical multiset of (vertex) rows.
     per_vertex = (
-        tris.select(F.col("a").alias("id"))
-        .union(tris.select("b"))
-        .union(tris.select("c"))
+        tris.select(F.explode(F.array("a", "b", "c")).alias("id"))
         .groupBy("id")
         .agg(F.count("*").alias("n_triangles"))
     )
