@@ -538,10 +538,18 @@ def temperature_mix(
         .alias("s"),
     )
     tot = scaled.agg(F.sum("s").cast("long").alias("st"))
-    targets = scaled.crossJoin(F.broadcast(tot)).select(
-        "domain",
-        "n_docs",
-        F.expr(f"CAST(({budget} * s) div st AS BIGINT)").alias("target_n"),
+    # lazy pin: `targets` has TWO consumers (the draw's broadcast + the
+    # final left join), and each reference otherwise re-ran the corpus
+    # count aggregate (and its scalar total) from the scan
+    # (guide §1.2; |domains| rows).
+    targets = (
+        scaled.crossJoin(F.broadcast(tot))
+        .select(
+            "domain",
+            "n_docs",
+            F.expr(f"CAST(({budget} * s) div st AS BIGINT)").alias("target_n"),
+        )
+        .localCheckpoint(eager=False)
     )
     from .ranks import with_group_ranks
 
@@ -836,8 +844,16 @@ def dsir_importance(
         F.explode(word_grams(text_col, 2)).alias("g"),
     ).select("id", (h28(F.col("g")) % buckets).alias("b"))
 
-    target = feats(df.filter(F.col(id_col) % target_mod == 0)).groupBy("b").agg(
-        F.count("*").alias("t")
+    # lazy pin: both model frames are <= `buckets` rows and have TWO
+    # consumers each (the scalar totals + the score join) — unpinned,
+    # `target` re-ran the target-slice explode+aggregate and
+    # `raw_model` re-aggregated the corpus-sized doc_b per consumer
+    # (guide §1.2).
+    target = (
+        feats(df.filter(F.col(id_col) % target_mod == 0))
+        .groupBy("b")
+        .agg(F.count("*").alias("t"))
+        .localCheckpoint(eager=False)
     )
     # one explode over the raw corpus: doc_b is the per-doc feature
     # table AND the source raw_model aggregates from (the oracle's
@@ -849,7 +865,11 @@ def dsir_importance(
         .agg(F.count("*").alias("tf"))
         .localCheckpoint()
     )
-    raw_model = doc_b.groupBy("b").agg(F.sum("tf").cast("long").alias("r"))
+    raw_model = (
+        doc_b.groupBy("b")
+        .agg(F.sum("tf").cast("long").alias("r"))
+        .localCheckpoint(eager=False)
+    )
     # coalesce like the oracle's totals CTE: an empty model (no
     # target-slice doc with >= 2 tokens) must yield 0, not NULL — a
     # NULL t_sum would NULL every weight while the oracle stays finite

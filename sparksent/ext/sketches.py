@@ -681,8 +681,18 @@ def hll_sliding_distinct(
         (h % HLL_M).alias("bucket"),
         _rho(F.shiftright(h, HLL_P)).alias("rho"),
     )
-    daily = base.groupBy("day", "bucket").agg(F.max("rho").alias("mj"))
-    days = base.select("day").distinct()
+    # lazy pin: the register table is 256 rows/day and has TWO
+    # consumers (the grid join + the day domain below) — and deriving
+    # the day domain from `daily` instead of `base` drops the second
+    # corpus scan entirely (same day set: a day is in `daily` iff it
+    # had a row in `base`).  One corpus pass total for the sketch path
+    # (guide §1.2/§2.4).
+    daily = (
+        base.groupBy("day", "bucket")
+        .agg(F.max("rho").alias("mj"))
+        .localCheckpoint(eager=False)
+    )
+    days = daily.select("day").distinct()
     spark = df.sparkSession
     buckets = spark.range(HLL_M).select(F.col("id").cast("long").alias("bucket"))
     grid = days.crossJoin(F.broadcast(buckets))
@@ -860,30 +870,39 @@ def kmv_intersection(
     the final crossJoin (the one-row-totals pattern).  At 100 TB the
     wire carries distinct hashes (8 B/key) and three k-row sketches."""
     uh = h60(F.col(key_col).cast("string"))
-    ua = (
-        events.filter(F.col(type_col) == type_a)
-        .select(uh.alias("uh"))
-        .distinct()
-    )
-    ub = (
-        events.filter(F.col(type_col) == type_b)
-        .select(uh.alias("uh"))
-        .distinct()
-    )
+    # ONE corpus pass builds the flagged union directly: group the
+    # filtered events by key hash and take max() membership flags —
+    # the same (uh, in_a, in_b) rows the previous two-distincts +
+    # full-outer-join form produced (in_a = 1 iff the key has a
+    # type_a event), but with ONE scan and ONE shuffle instead of six
+    # scans and three shuffles (the old frames ua/ub/both each had
+    # two consumers, so every reference re-ran its corpus subtree —
+    # guide §1.2/§2.4).  The lazy pin makes the four consumers below
+    # (union sketch, both side sketches via the membership flags,
+    # exact totals) read the one materialization (key-cardinality).
     both = (
-        ua.withColumn("in_a", F.lit(1))
-        .join(ub.withColumn("in_b", F.lit(1)), "uh", "full")
+        events.filter(F.col(type_col).isin(type_a, type_b))
         .select(
-            "uh",
-            F.coalesce("in_a", F.lit(0)).alias("in_a"),
-            F.coalesce("in_b", F.lit(0)).alias("in_b"),
+            uh.alias("uh"),
+            F.when(F.col(type_col) == type_a, F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("fa"),
+            F.when(F.col(type_col) == type_b, F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("fb"),
         )
+        .groupBy("uh")
+        .agg(
+            F.max("fa").alias("in_a"),
+            F.max("fb").alias("in_b"),
+        )
+        .localCheckpoint(eager=False)
     )
     # the union sketch carries the membership flags, so rho (members of
     # BOTH sets among the union's k smallest) needs no further join
     sk_u = both.orderBy("uh").limit(k)
-    sk_a = ua.orderBy("uh").limit(k)
-    sk_b = ub.orderBy("uh").limit(k)
+    sk_a = both.filter(F.col("in_a") == 1).orderBy("uh").limit(k)
+    sk_b = both.filter(F.col("in_b") == 1).orderBy("uh").limit(k)
     agg_u = sk_u.agg(
         F.count("*").alias("nu"),
         F.max("uh").alias("vku"),

@@ -168,15 +168,21 @@ def bigram_lift(
     # single-space fixture contract pinned by the canary there)
     grams = word_grams(text_col, 2)
     base = rebalance(df)
+    # lazy pins: `bg` has TWO consumers (scalar total + the scored
+    # join) and `uni` THREE (total + both unigram broadcasts), so the
+    # unpinned plan ran FIVE corpus explode-aggregates instead of two
+    # (guide §1.2; both frames are vocabulary-cardinality).
     bg = (
         base.select(F.explode(grams).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count("*").alias("c_ab"))
+        .localCheckpoint(eager=False)
     )
     uni = (
         base.select(F.explode(toks).alias("term"))
         .groupBy("term")
         .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=False)
     )
     totals = uni.agg(F.sum("c").alias("n_uni")).crossJoin(
         bg.agg(F.sum("c_ab").alias("n_bi"))

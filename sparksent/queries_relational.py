@@ -1280,10 +1280,15 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = tables.load_table(spark, sf_dir, "events").select(
         "user_id", "event_type", F.unix_micros("ts").alias("us")
     )
+    # v and c each have TWO consumers (the next stage + the final
+    # counts), so the unpinned plan re-derived every earlier stage per
+    # consumer — 6 corpus scans instead of 3.  Lazy pins (no job
+    # barrier); both frames are user-cardinality (guide §1.2/§3.3).
     v = (
         e.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("us").alias("v_us"))
+        .localCheckpoint(eager=False)
     )
     c = (
         e.filter(F.col("event_type") == "click")
@@ -1291,6 +1296,7 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("us") > F.col("v_us"))
         .groupBy("user_id")
         .agg(F.min("us").alias("c_us"), F.first("v_us").alias("v_us"))
+        .localCheckpoint(eager=False)
     )
     p = (
         e.filter(F.col("event_type") == "purchase")

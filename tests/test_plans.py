@@ -474,13 +474,43 @@ def test_chunk_documents_shuffle_free_expansion(spark):
 
 
 def test_funnel_conditional_aggs_all_user_keyed(spark):
+    """Round 16: the view and click stage frames are lazily
+    localCheckpoint-pinned (each had TWO consumers — the next stage
+    and the final counts — so the unpinned plan re-derived every
+    earlier stage per consumer, 6 corpus scans instead of 3).  The
+    final plan therefore shows the two pinned stages as RDD scans;
+    their pushed stage filters are gated on the stage subplans
+    directly, the purchase filter on the final plan."""
     plan = plan_of(spark, "funnel_view_click_purchase")
-    # stage filters push to the scans; the only nested-loop joins are
-    # the final one-row total cross joins
-    assert "EqualTo(event_type,view)" in plan
-    assert "EqualTo(event_type,click)" in plan
+    # the un-pinned purchase stage still pushes its filter to the scan
     assert "EqualTo(event_type,purchase)" in plan
+    # the pinned stage frames surface as RDD scans: v once (final
+    # counts) + c twice (purchase stage and final counts) = 3 tree
+    # nodes, each listed again in the details section
+    assert plan.count("Scan ExistingRDD") == 3 * 2
     assert "CartesianProduct" not in plan
+    # the pinned stages' own lineage keeps the pushed scan filters —
+    # rebuild the stage frames unpinned and gate their plans
+    from pyspark.sql import functions as F
+
+    from sparksent import tables
+
+    e = tables.load_table(spark, SF_DIR, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    for etype in ("view", "click"):
+        stage = (
+            e.filter(F.col("event_type") == etype)
+            .groupBy("user_id")
+            .agg(F.min("us").alias("m"))
+        )
+        stage_plan = stage._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert f"EqualTo(event_type,{etype})" in stage_plan, etype
+        assert "hashpartitioning(user_id" in stage_plan, etype
 
 
 def test_decode_queries_single_map_stage(spark):
@@ -1521,15 +1551,42 @@ def test_kmv_sketch_distributed_topk(spark):
     """KMV's scale contract: all three k-minimum sketches are
     distributed top-k (TakeOrderedAndProject — per-partition heads then
     one bounded merge), never a global rangepartitioning sort; the
-    membership flags come from one full-outer hash join of the two
-    distinct-hash sets; the estimator inputs are one-row aggregates
-    broadcast into the final cross joins."""
+    flagged union is built in ONE corpus pass (round 16: a grouped
+    max-flag aggregate replaced the two-distincts + full-outer join,
+    6 scans / 3 shuffles -> 1 / 1) and lazily pinned, so every sketch
+    and the exact totals read the one materialization (it surfaces as
+    RDD scans in the final plan); the estimator inputs are one-row
+    aggregates broadcast into the final cross joins."""
     plan = plan_of(spark, "kmv_intersection_users")
     assert len(re.findall(r"\(\d+\) TakeOrderedAndProject", plan)) == 3
     assert "rangepartitioning" not in plan  # no global sort
-    assert "FullOuter" in plan
+    # union sketch + both flag-filtered side sketches + exact totals
+    # all read the pinned union frame
+    assert plan.count("Scan ExistingRDD") == 4 * 2  # tree + details
     assert "CartesianProduct" not in plan
     assert plan.count("Join type: Cross") == 3  # the one-row estimator inputs
+    # the pinned union's own lineage is the one-pass grouped flag
+    # aggregate over a single isin-filtered corpus scan
+    from pyspark.sql import functions as F
+
+    from sparksent import tables
+    from sparksent.ext.hashing import h60
+
+    ev = tables.load_table(spark, SF_DIR, "events")
+    sub = (
+        ev.filter(F.col("event_type").isin("view", "purchase"))
+        .select(
+            h60(F.col("user_id").cast("string")).alias("uh"),
+            F.when(F.col("event_type") == "view", F.lit(1)).otherwise(F.lit(0)).alias("fa"),
+        )
+        .groupBy("uh")
+        .agg(F.max("fa").alias("in_a"))
+    )
+    sub_plan = sub._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert len(re.findall(r"\(\d+\) Scan parquet", sub_plan)) == 1
+    assert "In(event_type, [purchase,view])" in sub_plan  # pushed
 
 
 def test_k_anonymity_single_aggregate(spark):
