@@ -419,8 +419,9 @@ _HREF_RE = '<a href="([^"]*)"'
 _ABS_SCHEME_RE = "^[A-Za-z][A-Za-z0-9+.-]*://"
 
 
-def html_link_graph(pages: DataFrame) -> DataFrame:
-    """(doc_id, href, dst_curl, internal): the outlink edge list of
+def html_link_graph(pages: DataFrame, src_host: bool = False) -> DataFrame:
+    """(doc_id, href, dst_curl, internal[, src_host]): the outlink
+    edge list of
     every page — the stage that feeds link-graph quality signals
     (PageRank-style authority, spam neighborhoods) in a real web
     pipeline.  Requires columns (doc_id, html, url) — the page's own
@@ -443,15 +444,26 @@ def html_link_graph(pages: DataFrame) -> DataFrame:
     shuffle, no join, no Python (plan-gated)."""
     from .urls import canonical_url, url_parts
 
+    from .urls import canonical_host as _chost
+
     p = url_parts(F.col("url"))
     stripped = F.regexp_replace(
         F.regexp_replace(F.col("html"), _SCRIPT_RE, ""), _STYLE_RE, ""
     )
-    edges = pages.select(
-        "doc_id",
+    base_cols = [
+        F.col("doc_id"),
         p["scheme"].alias("b_scheme"),
         p["host"].alias("b_host"),
         p["port"].alias("b_port"),
+    ]
+    if src_host:
+        # evaluated below the explode: once per PAGE, not per link row
+        # — the same canonical_host expression the host-graph
+        # consumers' page_hosts side used to compute behind a doc_id
+        # join (guide §1.2)
+        base_cols.append(_chost(F.col("url")).alias("src_host"))
+    edges = pages.select(
+        *base_cols,
         F.posexplode(F.regexp_extract_all(stripped, F.lit(_HREF_RE), 1)).alias(
             "eidx", "href"
         ),
@@ -477,12 +489,15 @@ def html_link_graph(pages: DataFrame) -> DataFrame:
     )
     from .urls import canonical_host
 
-    return resolved.select(
-        "doc_id",
-        "href",
+    cols = [
+        F.col("doc_id"),
+        F.col("href"),
         canonical_url(F.col("dst_abs")).alias("dst_curl"),
         (canonical_host(F.col("dst_abs")) == F.col("b_host")).alias("internal"),
-    )
+    ]
+    if src_host:
+        cols.append(F.col("src_host"))
+    return resolved.select(*cols)
 
 
 def html_link_graph_sql(table: str = "documents") -> str:
@@ -636,7 +651,16 @@ def anchor_text_index(pages: DataFrame) -> DataFrame:
     from many hosts agreeing) aggregates the raw edges on the same
     key.  At 100 TB this is exactly the production anchor-index shape:
     everything keyed by target URL, no all-pairs stage."""
-    g = html_anchor_graph(pages)
+    # lazy pin, projected narrow: the anchor graph is the WHOLE regex
+    # extraction chain (strip + element explode + resolution +
+    # canonicalization) and it has TWO consumers (the per-anchor
+    # rollup and the distinct-host census) — unpinned, the extraction
+    # ran twice per action (guide §1.2; the pinned frame is
+    # edge-cardinality, a tiny fraction of the page bytes it derives
+    # from).
+    g = html_anchor_graph(pages).select(
+        "dst_curl", "anchor", "src_host"
+    ).localCheckpoint(eager=False)
     per_anchor = g.groupBy("dst_curl", "anchor").agg(
         F.count("*").cast("long").alias("cnt")
     )

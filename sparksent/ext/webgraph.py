@@ -70,17 +70,36 @@ def host_link_edges(docs: DataFrame, lk: DataFrame | None = None) -> DataFrame:
             urls.with_fixture_urls(docs.select("doc_id", "source", "text")),
             carry=("url",),
         )
-        lk = html.html_link_graph(pages)
-    page_hosts = urls.with_fixture_urls(docs.select("doc_id", "source")).select(
-        "doc_id", urls.canonical_host(F.col("url")).alias("src")
-    )
-    return (
-        lk.join(page_hosts, "doc_id")
-        .select(
+        # src_host carried out of the one extraction pass (round 16):
+        # the former page_hosts doc_id join re-derived the URL law +
+        # canonical-host CASE from a SECOND scan, and the join+agg
+        # stage fused with that CASE blew the JVM 64 KB method limit
+        # (janino "Code grows beyond 64 KB" in the round-start bench
+        # log for all three host-graph queries) — whole-stage codegen
+        # fell back to interpreted for the edge build.  The lazy pin
+        # ends the extraction's codegen stage before the aggregate;
+        # the narrow link frame is edge-cardinality (guide §1.2/§7.2).
+        lk = (
+            html.html_link_graph(pages, src_host=True)
+            .select("doc_id", "dst_curl", "src_host")
+            .localCheckpoint(eager=False)
+        )
+    if "src_host" in lk.columns:
+        keyed = lk.select(
+            F.col("src_host").alias("src"),
+            F.regexp_extract(F.col("dst_curl"), _CURL_HOST_RE, 1).alias("dst"),
+        )
+    else:
+        # seam fallback for a caller-prebuilt (doc_id, dst_curl) frame
+        page_hosts = urls.with_fixture_urls(docs.select("doc_id", "source")).select(
+            "doc_id", urls.canonical_host(F.col("url")).alias("src")
+        )
+        keyed = lk.join(page_hosts, "doc_id").select(
             "src",
             F.regexp_extract(F.col("dst_curl"), _CURL_HOST_RE, 1).alias("dst"),
         )
-        .filter(F.col("src") != F.col("dst"))
+    return (
+        keyed.filter(F.col("src") != F.col("dst"))
         .groupBy("src", "dst")
         .agg(F.count("*").cast("long").alias("w"))
     )

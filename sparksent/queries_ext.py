@@ -3234,6 +3234,16 @@ def q_frontier_politeness(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("is_lk").cast("long").alias("n_links"),
         )
     )
+    # lazy pin between the frontier aggregate and the PSL projection:
+    # fused, the hash aggregate's generated output function inlines
+    # BOTH PSL CASE chains and blows the JVM's 64 KB method limit —
+    # janino "Code grows beyond 64 KB", whole-stage codegen falls back
+    # to interpreted for the frontier's most expression-heavy stage
+    # (guide §7.2/§4; measured in the round-16 isolated runs).  The
+    # pin ends the codegen stage at the aggregate; the CASE projection
+    # compiles on its own.  No extra job: the eager `fr` checkpoint
+    # below materializes both in one pass.
+    frontier = frontier.localCheckpoint(eager=False)
     host = urls.url_parts(F.col("curl"))["host"]
     _, registrable = urls.registrable_domain_cols(host)
     fr = frontier.select(
@@ -3639,9 +3649,14 @@ def q_frontier_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
             html.with_html_pages(
                 urls.with_fixture_urls(docs.select("doc_id", "source", "text")),
                 carry=("url",),
-            )
+            ),
+            # src_host carried out of the one extraction pass so
+            # host_pagerank's edge build needs no doc_id join back to
+            # a second URL-law scan (round 16 — see
+            # webgraph.host_link_edges)
+            src_host=True,
         )
-        .select("doc_id", "dst_curl")
+        .select("doc_id", "dst_curl", "src_host")
         .localCheckpoint()
     )
     lk = lk_full.select(
