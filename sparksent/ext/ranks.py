@@ -32,42 +32,75 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+_MID_MASK = (1 << 33) - 1  # monotonically_increasing_id: low 33 bits = row index
+
+
 def with_global_ranks(
     df: DataFrame,
     order_cols: list[str],
     rank_col: str = "rank",
     num_partitions: int | None = None,
+    count_col: str | None = None,
 ) -> DataFrame:
     """Add exact 1-based global row numbers over a total order, with no
-    global sort on a single reducer (see module docstring)."""
+    global sort on a single reducer (see module docstring).
+
+    The local row number comes from ``monotonically_increasing_id`` over
+    the pinned, per-partition-sorted frame — NOT from a
+    ``Window.partitionBy(_pid)``: the window form forces an Exchange
+    that re-shuffles the whole frame by its own partition id (a full
+    corpus-sized shuffle that moves nothing anywhere useful), while the
+    id's documented layout (partition id in the upper bits, row index
+    within the partition in the low 33) yields the identical row number
+    with zero shuffle.  The 33-bit layout caps partitions at 2^33 rows —
+    ~8.6e9, far beyond any sane partition sizing.
+
+    ``count_col``, when set, adds the total row count to every row —
+    derived from the per-partition counts frame the offsets already
+    need, so callers that want (rank, n) pairs (NTILE, quantile
+    normalization) don't re-derive their corpus input just to count it.
+    """
     spark = df.sparkSession
     n_part = num_partitions or spark.sparkContext.defaultParallelism
-    ranged = df.repartitionByRange(n_part, *[F.col(c) for c in order_cols])
-    # Two subplans consume `ranged` (the offsets agg and the row_number
+    cols = [F.col(c) for c in order_cols]
+    # Two subplans consume `ranged` (the offsets agg and the row-number
     # branch); correctness requires both to observe the SAME sampled
-    # range boundaries and partition assignment.  ReusedExchange happens
-    # to guarantee that today, but nothing pins it — a recomputation
-    # under a nondeterministic upstream could desynchronize offsets from
-    # actual partition sizes and silently corrupt ranks.  Materialize
-    # the partitioning once (same multi-consumer convention as the dedup
-    # modules' persist of candidate indexes).
-    ranged = ranged.localCheckpoint(eager=True)
-    with_pid = ranged.withColumn("_pid", F.spark_partition_id())
+    # range boundaries, partition assignment AND in-partition row order.
+    # Materialize the partitioned+sorted frame once (same
+    # multi-consumer convention as the dedup modules' persist of
+    # candidate indexes); both consumers then compute identical ids.
+    ranged = (
+        df.repartitionByRange(n_part, *cols)
+        .sortWithinPartitions(*cols)
+        .localCheckpoint(eager=True)
+    )
+    m = ranged.select("*", F.monotonically_increasing_id().alias("_mid"))
+    with_pid = m.withColumn("_pid", F.shiftright(F.col("_mid"), 33))
     # tiny frame: one row per partition; the cumulative window over it is
     # the only non-parallel step
     counts = with_pid.groupBy("_pid").agg(F.count("*").alias("_cnt"))
     w_cum = (
         Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
     )
-    offsets = counts.select(
-        "_pid", F.coalesce(F.sum("_cnt").over(w_cum), F.lit(0)).alias("_off")
-    )
-    w_local = Window.partitionBy("_pid").orderBy(*[F.col(c) for c in order_cols])
+    off_cols = [
+        F.col("_pid"),
+        F.coalesce(F.sum("_cnt").over(w_cum), F.lit(0)).alias("_off"),
+    ]
+    if count_col is not None:
+        w_all = Window.orderBy("_pid").rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        off_cols.append(F.sum("_cnt").over(w_all).cast("long").alias(count_col))
+    offsets = counts.select(*off_cols)
     return (
-        with_pid.withColumn("_rn", F.row_number().over(w_local))
-        .join(F.broadcast(offsets), "_pid")
-        .withColumn(rank_col, (F.col("_off") + F.col("_rn")).cast("long"))
-        .drop("_pid", "_rn", "_off")
+        with_pid.join(F.broadcast(offsets), "_pid")
+        .withColumn(
+            rank_col,
+            (
+                F.col("_off") + F.col("_mid").bitwiseAND(F.lit(_MID_MASK)) + 1
+            ).cast("long"),
+        )
+        .drop("_pid", "_mid", "_off")
     )
 
 
@@ -77,6 +110,7 @@ def with_group_ranks(
     order_cols: list[str],
     rank_col: str = "rank",
     num_partitions: int | None = None,
+    count_col: str | None = None,
 ) -> DataFrame:
     """Exact 1-based PER-GROUP row numbers over a total order within
     each group — ``row_number() OVER (PARTITION BY group ORDER BY ...)``
@@ -98,44 +132,71 @@ def with_group_ranks(
     ``PARTITION BY`` window form (where NULL is its own partition) and
     the DuckDB oracles: the offsets rejoin uses null-safe equality
     (``<=>``) on every group column, so NULL-keyed rows are neither
-    dropped nor merged with any non-NULL group."""
+    dropped nor merged with any non-NULL group.
+
+    Like :func:`with_global_ranks`, the local row number is derived
+    from ``monotonically_increasing_id`` over the pinned frame (sorted
+    within partitions by group + order, so each group's rows are a
+    contiguous id run) minus the group's first id in the partition —
+    carried on the offsets frame as ``min(_mid)`` — instead of a
+    ``Window.partitionBy(_pid, group)`` whose Exchange re-shuffles the
+    whole corpus by its own partition id.  ``count_col``, when set,
+    adds each group's total row count (full-frame window sum over the
+    tiny counts frame — zero extra passes over the data)."""
     spark = df.sparkSession
     n_part = num_partitions or spark.sparkContext.defaultParallelism
     keys = [F.col(c) for c in group_cols + order_cols]
     # same multi-consumer materialization rationale as with_global_ranks
-    ranged = df.repartitionByRange(n_part, *keys).localCheckpoint(eager=True)
-    with_pid = ranged.withColumn("_pid", F.spark_partition_id())
-    counts = with_pid.groupBy("_pid", *group_cols).agg(F.count("*").alias("_cnt"))
+    ranged = (
+        df.repartitionByRange(n_part, *keys)
+        .sortWithinPartitions(*keys)
+        .localCheckpoint(eager=True)
+    )
+    m = ranged.select("*", F.monotonically_increasing_id().alias("_mid"))
+    with_pid = m.withColumn("_pid", F.shiftright(F.col("_mid"), 33))
+    counts = with_pid.groupBy("_pid", *group_cols).agg(
+        F.count("*").alias("_cnt"), F.min("_mid").alias("_mmin")
+    )
     w_cum = (
         Window.partitionBy(*group_cols)
         .orderBy("_pid")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    offsets = counts.select(
-        "_pid",
-        *group_cols,
+    off_cols = [
+        F.col("_pid"),
+        *[F.col(c) for c in group_cols],
+        F.col("_mmin"),
         F.coalesce(F.sum("_cnt").over(w_cum), F.lit(0)).alias("_off"),
-    )
-    w_local = Window.partitionBy("_pid", *group_cols).orderBy(
-        *[F.col(c) for c in order_cols]
-    )
+    ]
+    if count_col is not None:
+        off_cols.append(
+            F.sum("_cnt")
+            .over(Window.partitionBy(*group_cols))
+            .cast("long")
+            .alias(count_col)
+        )
+    offsets = counts.select(*off_cols)
     return (
-        with_pid.withColumn("_rn", F.row_number().over(w_local))
-        .join(F.broadcast(_null_safe_offsets(offsets, group_cols)),
-              _null_safe_cond(group_cols))
-        .withColumn(rank_col, (F.col("_off") + F.col("_rn")).cast("long"))
-        .drop("_pid", "_rn", "_off", "_opid",
+        with_pid.join(F.broadcast(_null_safe_offsets(offsets, group_cols)),
+                      _null_safe_cond(group_cols))
+        .withColumn(
+            rank_col,
+            (F.col("_off") + F.col("_mid") - F.col("_mmin") + 1).cast("long"),
+        )
+        .drop("_pid", "_mid", "_mmin", "_off", "_opid",
               *[f"_og{i}" for i in range(len(group_cols))])
     )
 
 
 def _null_safe_offsets(offsets: DataFrame, group_cols: list[str]) -> DataFrame:
     """Rename the offsets frame's join columns so the null-safe join
-    condition can reference both sides unambiguously."""
+    condition can reference both sides unambiguously; every other
+    column (offsets, group minima, optional counts) passes through."""
+    rest = [c for c in offsets.columns if c != "_pid" and c not in group_cols]
     return offsets.select(
         F.col("_pid").alias("_opid"),
         *[F.col(c).alias(f"_og{i}") for i, c in enumerate(group_cols)],
-        "_off",
+        *rest,
     )
 
 

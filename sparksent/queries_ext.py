@@ -1485,11 +1485,15 @@ def q_quality_gate_per_lang_head(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = matching.lm_bigram_score(docs, carry_cols=("lang",)).withColumn(
         "_neg", -F.col("avg_bigram_freq")
     )
-    ranked = ranks.with_group_ranks(scored, ["lang"], ["_neg", "doc_id"], "rk")
-    n_by_lang = ranked.groupBy("lang").agg(F.count("*").alias("n_lang"))
+    # n_lang rides the ranking's own broadcast offsets frame
+    # (count_col) instead of a groupBy over `ranked` that re-derived
+    # the scored corpus a second time just to count it (round 16,
+    # guide §1.2)
+    ranked = ranks.with_group_ranks(
+        scored, ["lang"], ["_neg", "doc_id"], "rk", count_col="n_lang"
+    )
     return (
-        ranked.join(F.broadcast(n_by_lang), "lang")
-        .filter(F.col("rk") * 2 <= F.col("n_lang") + 1)
+        ranked.filter(F.col("rk") * 2 <= F.col("n_lang") + 1)
         .select(
             "doc_id",
             "lang",
@@ -1522,12 +1526,13 @@ def q_quality_tiers_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = matching.lm_bigram_score(docs, carry_cols=("lang",)).withColumn(
         "_neg", -F.col("avg_bigram_freq")
     )
-    ranked = ranks.with_group_ranks(scored, ["lang"], ["_neg", "doc_id"], "rk")
-    n_by_lang = ranked.groupBy("lang").agg(F.count("*").alias("n_lang"))
+    # same count_col seam as quality_gate_per_lang_head (round 16)
+    ranked = ranks.with_group_ranks(
+        scored, ["lang"], ["_neg", "doc_id"], "rk", count_col="n_lang"
+    )
     rk3 = F.col("rk") * 3
     return (
-        ranked.join(F.broadcast(n_by_lang), "lang")
-        .select(
+        ranked.select(
             "doc_id",
             "lang",
             "avg_bigram_freq",
@@ -2509,14 +2514,18 @@ def q_curriculum_quality_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
         (-F.col("alpha_ppm")).alias("neg_alpha"),
         (-F.col("ttr_ppm")).alias("neg_ttr"),
     )
+    # n_total rides the ranking's broadcast offsets frame (count_col):
+    # the former `keyed.agg(count)` branch re-ran the ENTIRE
+    # regex-heavy Gopher gate a second time just to count its rows
+    # (round 16, guide §1.2)
     ranked = with_global_ranks(
         keyed,
         ["fail_mask", "neg_alpha", "neg_ttr", "doc_id"],
         rank_col="curriculum_rank",
+        count_col="n_total",
     )
-    n = keyed.agg(F.count("*").cast("long").alias("n_total"))
     return (
-        ranked.crossJoin(F.broadcast(n))
+        ranked
         .select(
             "doc_id",
             "fail_mask",

@@ -996,10 +996,15 @@ def q_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = tables.load_table(spark, sf_dir, "events")
     totals = ev.groupBy("user_id").agg(F.sum(_dec28("value")).alias("total"))
-    ranked = with_global_ranks(totals, ["total", "user_id"])
-    n = totals.agg(F.count("*").cast("long").alias("n_users_total"))
+    # n_users_total rides the ranking's broadcast offsets frame
+    # (count_col): the former `totals.agg(count)` branch re-scanned
+    # and re-aggregated the whole events table just to count users
+    # (round 16, guide §1.2)
+    ranked = with_global_ranks(
+        totals, ["total", "user_id"], count_col="n_users_total"
+    )
     return (
-        ranked.crossJoin(F.broadcast(n))
+        ranked
         .withColumn(
             "decile", ntile_col(F.col("rank"), F.col("n_users_total"), 10)
         )
@@ -2711,9 +2716,10 @@ def q_rank_normalize_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "value")
         .filter(F.col("value").isNotNull())
     )
-    ranked = with_global_ranks(ev, ["value", "event_id"], "rank")
-    n = ranked.agg(F.count("*").cast("long").alias("n"))
-    return ranked.crossJoin(F.broadcast(n)).select(
+    # n rides the ranking's broadcast offsets frame (count_col)
+    # instead of a second aggregate pass over `ranked` (round 16)
+    ranked = with_global_ranks(ev, ["value", "event_id"], "rank", count_col="n")
+    return ranked.select(
         "event_id",
         "value",
         F.col("rank").cast("long").alias("rank"),

@@ -253,26 +253,23 @@ def test_quality_gate_per_lang_head_shape(spark):
     The range-partitioned group rank lives behind the ranked frame's
     localCheckpoint (its Exchange rangepartitioning is in the
     checkpointed subplan, not this one — the multi-consumer
-    materialization convention), so the windows visible HERE partition
-    by (_pid, lang): per-partition local row numbers, never a
-    PARTITION BY lang global sort of the corpus — pinned by asserting
-    every row_number window's partition spec includes _pid (the one
-    lang-only window is the offsets cumsum over the tiny
-    per-(partition, lang) counts frame, a sum, not a row_number)."""
-    import re
-
+    materialization convention).  Round 16: the local row number is
+    derived from monotonically_increasing_id over the pinned sorted
+    frame, NOT a Window.partitionBy(_pid, lang) — the window form
+    forced an Exchange that re-shuffled the whole corpus by its own
+    partition id.  Pinned: the id expression is present, NO row_number
+    window exists anywhere (the only windows are the sum cumulations
+    over the tiny per-(partition, lang) counts frame), and n_lang
+    rides the broadcast offsets join rather than a second corpus
+    aggregate."""
     plan = plan_of(spark, "quality_gate_per_lang_head")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert marker not in plan
-    rn_specs = re.findall(
-        r"row_number\(\) windowspecdefinition\(([^)]*)\)", plan.lower()
-    )
-    assert rn_specs  # the local rank window must be present
-    for spec in rn_specs:
-        assert "_pid" in spec, spec
+    assert "monotonically_increasing_id" in plan
+    assert "row_number" not in plan.lower()
 
 
 def test_decontaminate_broadcast_bench_grams(spark):
@@ -1519,16 +1516,18 @@ def test_kcore_peel_round_shape(spark):
 
 def test_epoch_shuffle_no_global_sort(spark):
     """The epoch shuffle must keep the distributed-ranking shape: the
-    rank window partitions by the range-partition id (never a
-    corpus-global row_number on one reducer), the per-partition count
-    aggregate map-side combines, and the only unpartitioned window is
-    the cumulative sum over the #partitions-row offsets frame."""
+    local rank comes from monotonically_increasing_id over the pinned
+    range-partitioned sorted frame (round 16 — never a corpus-global
+    row_number on one reducer, and never the Window.partitionBy(_pid)
+    form whose Exchange re-shuffled the corpus by its own partition
+    id), the per-partition count aggregate map-side combines, and the
+    only window is the cumulative sum over the #partitions-row
+    offsets frame."""
     plan = plan_of(spark, "epoch_shuffle_batches")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert re.search(r"row_number\(\) windowspecdefinition\(_pid#\d+,", plan), (
-        "per-partition rank window missing"
-    )
+    assert "monotonically_increasing_id" in plan
+    assert "row_number" not in plan.lower()
     assert "partial_count" in plan
 
 
