@@ -142,15 +142,25 @@ def _assign(xs: DataFrame, cents: DataFrame, k_hint: int) -> DataFrame:
 
 
 def _kmeans_fit(
-    df: DataFrame, k: int, iters: int, id_col: str, vec_col: str
+    df: DataFrame,
+    k: int,
+    iters: int,
+    id_col: str,
+    vec_col: str,
+    xs: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """The shared Lloyd loop: ``iters`` (assign -> update) rounds from
     the seed vectors with ``id < k``, returning (final assignment
     (id, cl, d), final centroid frame (j, pos, c)).  Used by both
-    :func:`kmeans_cluster_stats` and :func:`kmeans_assignments`."""
-    xs = df.select(
-        F.col(id_col).cast("long").alias("id"), _scaled_vec(vec_col).alias("v")
-    ).localCheckpoint()  # scanned 2x per round; pin one materialization
+    :func:`kmeans_cluster_stats` and :func:`kmeans_assignments`.
+
+    ``xs``: optional prebuilt pinned (id, v) scaled frame — the IVF-PQ
+    composition builds it once and shares it with the PQ coding stages
+    (round 16, guide §1.2); must be floor(x * V_SCALE) longs."""
+    if xs is None:
+        xs = df.select(
+            F.col(id_col).cast("long").alias("id"), _scaled_vec(vec_col).alias("v")
+        ).localCheckpoint()  # scanned 2x per round; pin one materialization
     cents = xs.filter(F.col("id") < k).select(
         F.col("id").alias("j"), F.posexplode("v").alias("pos", "c")
     )

@@ -814,6 +814,8 @@ def ivf_trained_parts(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_centroids: int | None = None,
+    xs: DataFrame | None = None,
+    vectors: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """(cells, probes) for the trained-IVF index — split out so the
     candidate BUDGET is measurable (tests pin candidate pairs /
@@ -821,33 +823,48 @@ def ivf_trained_parts(
     ``cells`` = (neighbor_id, cv, nc, cell) — every corpus vector in
     its trained Lloyd cell; ``probes`` = (query_id, qv, nq, cell) —
     each query's top-``nprobe`` trained cells by scaled-int L2, ties to
-    the smaller cell id (the Lloyd loop's own tie-break)."""
+    the smaller cell id (the Lloyd loop's own tie-break).
+
+    ``vectors=False`` (the ADC path, round 16): the code-ranked search
+    never touches a raw vector, so the corpus join that attaches
+    (cv, nc) — a full corpus scan PLUS a corpus x corpus shuffled-hash
+    join — is pure waste there: the Lloyd assignment already IS
+    (id, cell) for every corpus id.  Cells are then the assignment
+    frame renamed, and probes skip the qv/nq attach.  ``xs``: optional
+    prebuilt pinned scaled frame shared with the PQ stages."""
     from .iterative import _kmeans_fit, _scaled_vec
 
     if n_centroids is None:
-        n_centroids = n_centroids_for(corpus.count())
+        n_centroids = n_centroids_for(
+            xs.count() if xs is not None else corpus.count()
+        )
     if nprobe is None:
         # constant-probe-fraction rule (nprobe_for): every fixture
         # resolves to the historic NPROBE = 2
         nprobe = nprobe_for(n_cells=n_centroids)
-    final, cents = _kmeans_fit(corpus, n_centroids, iters, id_col, vec_col)
-    # corpus x assignment on id: BOTH sides are corpus-sized, so the
-    # join is pinned to a shuffled hash join — the checkpointed
-    # assignment frame's fixture-small stats would otherwise let the
-    # planner broadcast a frame that grows with the corpus (the
-    # plan_audit bcast_rdd hazard class; co-partitioning on id is the
-    # correct shape at any scale)
-    cells = (
-        corpus.select(
-            F.col(id_col).cast("long").alias("id"),
-            F.col(vec_col).alias("cv"),
-            norm(F.col(vec_col)).alias("nc"),
+    final, cents = _kmeans_fit(corpus, n_centroids, iters, id_col, vec_col, xs=xs)
+    if vectors:
+        # corpus x assignment on id: BOTH sides are corpus-sized, so the
+        # join is pinned to a shuffled hash join — the checkpointed
+        # assignment frame's fixture-small stats would otherwise let the
+        # planner broadcast a frame that grows with the corpus (the
+        # plan_audit bcast_rdd hazard class; co-partitioning on id is the
+        # correct shape at any scale)
+        cells = (
+            corpus.select(
+                F.col(id_col).cast("long").alias("id"),
+                F.col(vec_col).alias("cv"),
+                norm(F.col(vec_col)).alias("nc"),
+            )
+            .join(final.select("id", "cl").hint("shuffle_hash"), "id")
+            .select(
+                F.col("id").alias("neighbor_id"), "cv", "nc", F.col("cl").alias("cell")
+            )
         )
-        .join(final.select("id", "cl").hint("shuffle_hash"), "id")
-        .select(
-            F.col("id").alias("neighbor_id"), "cv", "nc", F.col("cl").alias("cell")
+    else:
+        cells = final.select(
+            F.col("id").alias("neighbor_id"), F.col("cl").alias("cell")
         )
-    )
     qxs = queries.select(
         F.col(id_col).cast("long").alias("query_id"),
         _scaled_vec(vec_col).alias("v"),
@@ -867,8 +884,9 @@ def ivf_trained_parts(
         per.withColumn("crank", F.row_number().over(wq))
         .filter(F.col("crank") <= nprobe)
         .select("query_id", F.col("j").alias("cell"))
-        .join(qxs.select("query_id", "qv", "nq"), "query_id")
     )
+    if vectors:
+        probes = probes.join(qxs.select("query_id", "qv", "nq"), "query_id")
     return cells, probes
 
 
@@ -1241,11 +1259,15 @@ def pq_centroids(
     n_cent: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    xs: DataFrame | None = None,
 ) -> DataFrame:
     """(cent, pos, c): the per-dimension codebook rows — the scaled
     vectors with id < n_cent (the k-means seeding convention), exploded
-    by position.  n_cent x dims rows, always broadcastable."""
-    return pq_scaled(emb, id_col, vec_col).filter(F.col("id") < n_cent).select(
+    by position.  n_cent x dims rows, always broadcastable.  ``xs``:
+    optional prebuilt scaled (id, v) frame (round-16 sharing seam)."""
+    if xs is None:
+        xs = pq_scaled(emb, id_col, vec_col)
+    return xs.filter(F.col("id") < n_cent).select(
         F.col("id").alias("cent"), F.posexplode("v").alias("pos", "c")
     )
 
@@ -1256,15 +1278,18 @@ def pq_assignments(
     n_cent: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    xs: DataFrame | None = None,
 ) -> DataFrame:
     """Per-(vector, subspace) nearest-codeword assignment —
     (id, sub, b.d, b.cent) with b = min(struct(d, cent)), ties to the
     smaller centroid id: the pre-packing form of :func:`pq_codes`,
     exposed so IVF-PQ search (:func:`ivfpq_adc_topk`) can join codes
-    directly instead of unpacking the BIGINT."""
-    xs = pq_scaled(emb, id_col, vec_col)
+    directly instead of unpacking the BIGINT.  ``xs``: optional
+    prebuilt scaled (id, v) frame (round-16 sharing seam)."""
+    if xs is None:
+        xs = pq_scaled(emb, id_col, vec_col)
     ex = xs.select("id", F.posexplode("v").alias("pos", "x"))
-    cents = pq_centroids(emb, n_cent, id_col, vec_col)
+    cents = pq_centroids(emb, n_cent, id_col, vec_col, xs=xs)
     per = (
         ex.join(F.broadcast(cents), "pos")
         .groupBy(
@@ -1390,21 +1415,33 @@ def ivfpq_adc_topk(
     recall on the clustered fixture is pinned in
     tests/test_properties.py alongside the exact-re-rank variant
     (:func:`ivf_trained_topk`), the standard refinement cascade."""
+    # ONE scaled-corpus scan shared by training, coding and the LUT
+    # codebook (round 16, guide §1.2): pq_scaled == the Lloyd loop's
+    # own scaling (V_SCALE == PQ_SCALE), so the pinned frame feeds
+    # _kmeans_fit, the code explode and both codebook filters.  The
+    # search stage is code-only (vectors=False): no raw-vector attach.
+    xs = pq_scaled(corpus, id_col, vec_col).localCheckpoint()
     cells, probes = ivf_trained_parts(
-        corpus, queries, nprobe, iters, id_col, vec_col, n_centroids
+        corpus, queries, nprobe, iters, id_col, vec_col, n_centroids,
+        xs=xs, vectors=False,
     )
     cand = (
         cells.select("neighbor_id", "cell")
         .join(F.broadcast(probes.select("query_id", "cell")), "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
     )
-    codes = pq_assignments(corpus, sub_dim, n_cent_pq, id_col, vec_col).select(
+    codes = pq_assignments(
+        corpus, sub_dim, n_cent_pq, id_col, vec_col, xs=xs
+    ).select(
         F.col("id").alias("neighbor_id"), "sub", F.col("b.cent").alias("cent")
     )
     lut = (
         pq_scaled(queries, id_col, vec_col)
         .select(F.col("id").alias("query_id"), F.posexplode("v").alias("pos", "x"))
-        .join(F.broadcast(pq_centroids(corpus, n_cent_pq, id_col, vec_col)), "pos")
+        .join(
+            F.broadcast(pq_centroids(corpus, n_cent_pq, id_col, vec_col, xs=xs)),
+            "pos",
+        )
         .groupBy(
             "query_id",
             F.expr(f"CAST(pos div {sub_dim} AS BIGINT)").alias("sub"),
