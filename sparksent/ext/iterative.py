@@ -141,6 +141,34 @@ def _assign(xs: DataFrame, cents: DataFrame, k_hint: int) -> DataFrame:
     )
 
 
+def scaled_base(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    carry: list | None = None,
+) -> DataFrame:
+    """(id, v[, carry...]) — the Lloyd loop's scaled-integer input,
+    pinned once for all consumers.  ``carry`` lets vector-attaching
+    consumers (SemDeDup's side frame, trained-IVF's cell layout) ride
+    raw-vector/norm columns on the SAME pin instead of re-scanning the
+    corpus for an attach join (guide §1.2: one corpus pass).
+
+    Deliberately a PLAIN pin, not ``tables.pinned_by("id")``: the
+    repartition+AQE-off variant was A/B-tested (round 16) and measured
+    SLOWER on every kmeans-family query except multimodal_embed_topk
+    (e.g. kmeans_embeddings_2iter 2.41 -> 2.76 s, ivfpq_adc
+    3.26 -> 5.06 s isolated) — the id-keyed downstream exchanges it
+    removes are narrow or reused, while the pin-time repartition is a
+    real extra shuffle of the WIDE frame, and a pre-partitioned RDD
+    side forfeits AQE skew-splitting (the dedup_multimodal_keep_set
+    2.4x regression that reverted the CC edge pin)."""
+    cols = [
+        F.col(id_col).cast("long").alias("id"),
+        _scaled_vec(vec_col).alias("v"),
+    ]
+    return df.select(*cols, *(carry or [])).localCheckpoint()
+
+
 def _kmeans_fit(
     df: DataFrame,
     k: int,
@@ -158,16 +186,18 @@ def _kmeans_fit(
     composition builds it once and shares it with the PQ coding stages
     (round 16, guide §1.2); must be floor(x * V_SCALE) longs."""
     if xs is None:
-        xs = df.select(
-            F.col(id_col).cast("long").alias("id"), _scaled_vec(vec_col).alias("v")
-        ).localCheckpoint()  # scanned 2x per round; pin one materialization
+        xs = scaled_base(df, id_col, vec_col)
     cents = xs.filter(F.col("id") < k).select(
         F.col("id").alias("j"), F.posexplode("v").alias("pos", "c")
     )
     for _ in range(iters):
         assigned = _assign(xs, cents, k)
+        # shuffle_hash: both sides' stats read huge (xs is a pinned
+        # RDD), so broadcast cannot fire and the unhinted planner
+        # would pick sort-merge — the hint keeps the sort-free build
+        # on the narrow (id, cl) side.
         cents = (
-            xs.join(assigned.select("id", "cl"), "id")
+            xs.join(assigned.select("id", "cl").hint("shuffle_hash"), "id")
             .select("cl", F.posexplode("v").alias("pos", "x"))
             .groupBy("cl", "pos")
             .agg(F.sum("x").alias("s"), F.count("*").alias("n"))

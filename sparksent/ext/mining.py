@@ -90,7 +90,14 @@ def _copurchase_edges(items: DataFrame, weighted: bool) -> DataFrame:
         edges = joined.select(
             F.col("a.item").alias("src"), F.col("b.item").alias("dst")
         ).distinct()
-    return edges.localCheckpoint()
+    # Pinned hash-partitioned on src (round 16, guide §2.4): both
+    # iterative consumers join this frame on src EVERY round (BFS's
+    # frontier expand, LPA's vote send), so the partitioning surviving
+    # the checkpoint turns a per-round Exchange of the FAT edge side
+    # into one repartition at build time.
+    from ..tables import pinned_by
+
+    return pinned_by(edges, "src")
 
 
 def user_item_frame(events: DataFrame, key_col: str = "user_id") -> DataFrame:
@@ -285,6 +292,8 @@ def copurchase_bfs_hops(
         .limit(n_seeds)
         .select("item")
     )
+    from ..tables import pinned_by
+
     levels = seeds.withColumn("hop", F.lit(0).cast("long")).localCheckpoint()
     frontier = levels.select("item")
     for i in range(1, max_hops + 1):
@@ -294,7 +303,12 @@ def copurchase_bfs_hops(
         # them; next round's frontier then reads the persisted blocks.
         # Eager here paid a second job per round for nothing.
         nxt = bfs_expand(frontier, edges, levels, i).localCheckpoint(eager=False)
-        levels = levels.union(nxt).localCheckpoint()
+        # pinned hash-partitioned on item (round 16, guide §2.4): the
+        # seen-set anti-join probes this frame on item every later
+        # round — with the expand's distinct already partitioned on
+        # item, the anti-join is then exchange-free on both sides, and
+        # the final node-levels outer join reads it co-partitioned too.
+        levels = pinned_by(levels.union(nxt), "item")
         frontier = nxt.select("item")
     return nodes.join(levels.hint("shuffle_hash"), "item", "left").select(
         F.col("item").alias("part"),
@@ -595,12 +609,22 @@ def label_propagation(
     vote aggregate partial-combines on (dst, label) map-side; every
     round is localCheckpoint-pinned so the plan depth stays O(1).
     """
+    from ..tables import pinned
+
     items = _basket_items(lineitem, basket_col, item_col)
     edges = _copurchase_edges(items, weighted=True)
-    nodes = items.select("item").distinct().localCheckpoint()
+    # partitioning-preserving pins (round 16, guide §2.4): nodes keeps
+    # the distinct's hashpartitioning(item), and every round's label
+    # frame keeps its item-keyed join-output partitioning — so the
+    # vote-send join reads edges co-partitioned on src (the pinned_by
+    # in _copurchase_edges) against labels already partitioned on
+    # item==src, and the adopt join reads labels against the argmax's
+    # groupBy(item) output, all exchange-free; the only per-round
+    # Exchanges left are the two narrow vote aggregates.
+    nodes = pinned(items.select("item").distinct())
     labels = nodes.select("item", F.col("item").alias("lbl"))
     for _ in range(rounds):
-        labels = lpa_round(edges, labels).localCheckpoint()
+        labels = pinned(lpa_round(edges, labels))
     return labels.select(
         F.col("item").alias("part"), F.col("lbl").cast("long").alias("label")
     )

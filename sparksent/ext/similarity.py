@@ -832,30 +832,49 @@ def ivf_trained_parts(
     (id, cell) for every corpus id.  Cells are then the assignment
     frame renamed, and probes skip the qv/nq attach.  ``xs``: optional
     prebuilt pinned scaled frame shared with the PQ stages."""
-    from .iterative import _kmeans_fit, _scaled_vec
+    from .iterative import _kmeans_fit, _scaled_vec, scaled_base
 
-    if n_centroids is None:
-        n_centroids = n_centroids_for(
-            xs.count() if xs is not None else corpus.count()
+    base = None
+    if xs is None:
+        # ONE pinned corpus pass (round 16, guide §1.2): the Lloyd
+        # loop's scaled vectors AND — when the search stage needs them
+        # — the raw vector + norm ride the same pin, so the vector
+        # attach below reads the materialized RDD instead of paying a
+        # SECOND corpus scan + norm recompute.
+        carry = (
+            [F.col(vec_col).alias("cv"), norm(F.col(vec_col)).alias("nc")]
+            if vectors
+            else None
         )
+        base = scaled_base(corpus, id_col, vec_col, carry=carry)
+        xs = base
+    if n_centroids is None:
+        n_centroids = n_centroids_for(xs.count())
     if nprobe is None:
         # constant-probe-fraction rule (nprobe_for): every fixture
         # resolves to the historic NPROBE = 2
         nprobe = nprobe_for(n_cells=n_centroids)
     final, cents = _kmeans_fit(corpus, n_centroids, iters, id_col, vec_col, xs=xs)
     if vectors:
-        # corpus x assignment on id: BOTH sides are corpus-sized, so the
-        # join is pinned to a shuffled hash join — the checkpointed
-        # assignment frame's fixture-small stats would otherwise let the
-        # planner broadcast a frame that grows with the corpus (the
-        # plan_audit bcast_rdd hazard class; co-partitioning on id is the
-        # correct shape at any scale)
-        cells = (
-            corpus.select(
+        # vector side of the attach: the shared pin when this function
+        # built it; a caller-provided xs has no raw-vector carry, so
+        # that (library-only) path keeps the corpus-scan attach.
+        vside = (
+            base.select("id", "cv", "nc")
+            if base is not None
+            else corpus.select(
                 F.col(id_col).cast("long").alias("id"),
                 F.col(vec_col).alias("cv"),
                 norm(F.col(vec_col)).alias("nc"),
             )
+        )
+        # vside x assignment on id: both sides corpus-sized, so the
+        # join is shuffle_hash-pinned — the checkpoint-descended sides
+        # must not elect for broadcast (the plan_audit bcast_rdd hazard
+        # class); co-partitioning on id is the correct shape at any
+        # scale.
+        cells = (
+            vside
             .join(final.select("id", "cl").hint("shuffle_hash"), "id")
             .select(
                 F.col("id").alias("neighbor_id"), "cv", "nc", F.col("cl").alias("cell")
@@ -1777,17 +1796,32 @@ def semdedup_keep_flags(
     pair stage is a cluster-co-partitioned self-join (never all-pairs
     across clusters) with per-side norms materialized before the join;
     the drop set distincts to at most N rows and left-joins back."""
-    from .iterative import kmeans_assignments
+    from ..tables import pinned_by
+    from .iterative import _kmeans_fit, scaled_base
 
-    if k is None:
-        k = semdedup_k_for(df.count())
-    assign = kmeans_assignments(df, k, iters, id_col=id_col, vec_col=vec_col)
-    side = (
-        df.select(F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("v"))
-        .join(assign.select("id", "cl"), "id")
-        .select("id", "cl", "v", norm(F.col("v")).alias("nrm"))
-        .localCheckpoint()  # feeds both sides of the pair join + the output
+    # ONE pinned corpus pass carrying both the Lloyd loop's scaled
+    # vectors and the raw vector + norm the pair stage needs (round 16,
+    # guide §1.2): k-sizing counts the pinned RDD instead of a fresh
+    # corpus scan, and the raw-vector attach below reads the pin
+    # instead of re-deriving the corpus a second time.
+    base = scaled_base(
+        df,
+        id_col,
+        vec_col,
+        carry=[F.col(vec_col).alias("vr"), norm(F.col(vec_col)).alias("nrm")],
     )
+    if k is None:
+        k = semdedup_k_for(base.count())
+    assign, _ = _kmeans_fit(df, k, iters, id_col, vec_col, xs=base)
+    side = pinned_by(
+        base.select("id", F.col("vr").alias("v"), "nrm")
+        .join(assign.select("id", "cl").hint("shuffle_hash"), "id")
+        .select("id", "cl", "v", "nrm"),
+        # pinned hash-partitioned on cl: BOTH reads of the pair
+        # self-join below land co-partitioned, so the cluster-keyed
+        # vector shuffle happens once (at pin) instead of once per side
+        "cl",
+    )  # feeds both sides of the pair join + the output
     a = side.select(
         F.col("id").alias("ia"), "cl", F.col("v").alias("va"), F.col("nrm").alias("na")
     )

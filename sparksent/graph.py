@@ -167,6 +167,14 @@ def connected_components(
     Components in MapReduce and Beyond") remains the documented
     escalation if a graph ever exhausts even that.
     """
+    # Deliberately NOT pre-partitioned by src (round-16 A/B): pinning e
+    # by src (tables.pinned_by) looked like the §2.4 win — the send
+    # join probes e on src every round in its own job — but a
+    # pre-partitioned RDD side cannot be AQE skew-split, and dup-pair
+    # graphs are exactly the skewed-src case: dedup_multimodal_keep_set
+    # measured 7.9 -> 15.8 s with the pin (both one-step and
+    # pin-of-pin variants).  The per-round src Exchange under AQE IS
+    # the skew handling; it stays.
     e = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .union(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))

@@ -60,6 +60,52 @@ def rebalance(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     return df.repartition(target)
 
 
+def pinned(df: DataFrame, eager: bool = True) -> DataFrame:
+    """``localCheckpoint`` that KEEPS the frame's output partitioning.
+
+    ``Dataset.localCheckpoint`` copies the physical plan's
+    ``outputPartitioning`` onto the LogicalRDD — but only when that plan
+    is not an ``AdaptiveSparkPlan``, whose partitioning reads
+    ``UnknownPartitioning(0)`` before execution.  Measured on this
+    session's Spark 4.1: an aggregate over ``repartition("id")
+    .localCheckpoint()`` re-Exchanges with AQE on and is exchange-free
+    with AQE off.  So the pin's own compilation runs with AQE disabled
+    (restored immediately; consumer queries still plan under AQE).  The
+    trade: the pin subtree itself loses AQE partition coalescing — use
+    this for frames whose downstream consumers join/aggregate on the
+    frame's existing key (guide §2.4: operations keyed the same way
+    share one exchange), keep plain ``localCheckpoint()`` elsewhere.
+
+    ``eager=False`` works too: the RDD (and thus the physical plan and
+    its partitioning) is built at call time, materialization happens on
+    first action."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        return df.localCheckpoint(eager=eager)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+
+def pinned_by(df: DataFrame, *cols: str, eager: bool = True) -> DataFrame:
+    """Hash-partition ``df`` by ``cols`` and :func:`pinned`-checkpoint it,
+    so every downstream join/aggregate keyed on the same columns reads
+    the RDD co-partitioned and inserts NO Exchange.  One shuffle at pin
+    time replaces one shuffle per consumer — the §2.4 shape for frames
+    an iterative loop re-joins every round in SEPARATE jobs (eager
+    per-round checkpoints mean cross-round exchange reuse never fires).
+
+    SKEW CAVEAT (round-16 A/B): a pre-partitioned RDD side cannot be
+    AQE skew-split — on a skewed key this loses to the per-round
+    Exchange it replaces (dedup_multimodal_keep_set measured 2x slower
+    with its dup-graph edges pinned by src).  Use only where the key's
+    per-value load is bounded by construction (unique ids, capped
+    cluster/basket sizes); leave skew-prone frames on plain
+    ``localCheckpoint`` + per-round AQE."""
+    return pinned(df.repartition(*[F.col(c) for c in cols]), eager=eager)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
