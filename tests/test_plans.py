@@ -2680,3 +2680,91 @@ def test_domain_reweight_excess_loss_semantics(spark):
     assert [r.source for r in by_excess] == [r.source for r in by_weight]
     # at least one domain above the corpus mean (the tilt is live)
     assert any(r.excess_milli > 0 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# round-16 optimization gates: partitioning-preserving pins + one-pass
+# vector carries (OPTIMIZATION_r16.md batches 9-10)
+# ---------------------------------------------------------------------------
+
+
+def test_pinned_by_partitioning_survives_checkpoint(spark):
+    """tables.pinned_by's whole mechanism: the hash partitioning SURVIVES
+    the localCheckpoint (the pin compiles with AQE off), so a same-key
+    aggregate over the pin inserts NO Exchange — while the identical
+    repartition + plain localCheckpoint under AQE forgets the layout and
+    re-Exchanges.  If Spark ever changes either behavior, this gate
+    fires and the pinned/pinned_by call sites need a re-audit."""
+    from pyspark.sql import functions as F
+
+    from sparksent.tables import pinned_by
+
+    def agg_plan(frame):
+        return (
+            frame.groupBy("id").agg(F.sum("x").alias("s"))
+            ._jdf.queryExecution().explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                    "formatted"
+                )
+            )
+        )
+
+    df = spark.range(1000).select("id", (F.col("id") % 7).alias("x"))
+    kept = pinned_by(df, "id")
+    assert count_data_shuffles(agg_plan(kept)) == 0
+    plain = df.repartition(F.col("id")).localCheckpoint()
+    assert count_data_shuffles(agg_plan(plain)) == 1
+
+
+def test_semdedup_single_corpus_pass_and_copartitioned_pairs(spark):
+    """SemDeDup's round-16 shape: the corpus is derived ONCE (the carry
+    pin — no parquet scan survives into the final plan; every leaf is a
+    pinned RDD) and the within-cluster pair self-join reads the
+    cl-partitioned side pin co-partitioned on both reads, leaving at
+    most two Exchanges (the drop-set distinct and the output join).
+    Before the change the same plan carried four."""
+    plan = plan_of(spark, "semdedup_embeddings")
+    assert "Scan parquet" not in plan
+    assert count_data_shuffles(plan) <= 2
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivf_trained_cell_attach_reads_pin(spark):
+    """Trained-IVF's cell layout attaches raw vectors + norms from the
+    shared scaled_base pin (carry columns cv/nc on a Scan ExistingRDD
+    leaf), never from a second corpus scan — the round-16 one-pass
+    carry (a regression would re-grow the plan's parquet scan count and
+    re-pay the norm computation corpus-wide)."""
+    plan = plan_of(spark, "similarity_topk_ivf_trained")
+    outs = re.findall(
+        r"\(\d+\) Scan ExistingRDD[^\n]*\nOutput \[\d+\]: \[([^\]]*)\]", plan
+    )
+    assert any("cv#" in o and "nc#" in o for o in outs), outs
+
+
+def test_lpa_round_over_pinned_loop_frames(spark):
+    """label_propagation's loop invariant after round 16: with edges
+    pinned_by("src") (_copurchase_edges) and labels carrying their
+    item-keyed partitioning through tables.pinned, a round's ONLY
+    Exchange is the narrow vote shuffle (the (dst, lbl) partial
+    aggregate and the per-item argmax share one dst-keyed exchange) —
+    the edge join and the adopt join read both fat sides
+    co-partitioned."""
+    from pyspark.sql import functions as F
+
+    from sparksent.ext.mining import _basket_items, _copurchase_edges, lpa_round
+    from sparksent.tables import load_table, pinned
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    items = _basket_items(li, "l_orderkey", "l_partkey")
+    edges = _copurchase_edges(items, weighted=True)
+    nodes = pinned(items.select("item").distinct())
+    labels = nodes.select("item", F.col("item").alias("lbl"))
+    plan = lpa_round(edges, labels)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert count_data_shuffles(plan) == 1
+    assert len(re.findall(r"\(\d+\) ShuffledHashJoin", plan)) == 2
+    # both fat-side scans advertise the surviving hash partitioning
+    assert len(re.findall(r"ExistingRDD, hashpartitioning\(", plan)) >= 3
