@@ -95,6 +95,18 @@ def _copurchase_edges(items: DataFrame, weighted: bool) -> DataFrame:
     # frontier expand, LPA's vote send), so the partitioning surviving
     # the checkpoint turns a per-round Exchange of the FAT edge side
     # into one repartition at build time.
+    #
+    # SKEW CAVEAT (ADVICE r16): per-src degree here is NOT bounded by
+    # construction — it is the sum of co-basket partners over every
+    # basket containing src.  Basket width is capped (TPC-H <= 7
+    # lines/order) but a catalog-popular item appears in MANY baskets,
+    # so on a real power-law catalog one src key can own a large slice
+    # of the edge list, and a pre-partitioned RDD side forfeits AQE
+    # skew-splitting in every BFS/LPA round (the dedup-graph failure
+    # mode graph.py documents and reverted).  TPC-H item popularity is
+    # near-uniform (measured max/median src degree ~2x at sf0.1), which
+    # is why the pin wins on this data; for skewed catalogs keep the
+    # edges on plain localCheckpoint + per-round AQE, or salt src.
     from ..tables import pinned_by
 
     return pinned_by(edges, "src")

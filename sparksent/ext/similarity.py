@@ -1819,7 +1819,17 @@ def semdedup_keep_flags(
         .select("id", "cl", "v", "nrm"),
         # pinned hash-partitioned on cl: BOTH reads of the pair
         # self-join below land co-partitioned, so the cluster-keyed
-        # vector shuffle happens once (at pin) instead of once per side
+        # vector shuffle happens once (at pin) instead of once per side.
+        # IMBALANCE CAVEAT (ADVICE r16): k-means gives no balance
+        # guarantee — k scales with N (semdedup_k_for) so the MEAN
+        # cluster is bounded, but a degenerate embedding distribution
+        # can still put most rows in one cluster, and the
+        # pre-partitioned side then forfeits AQE skew-splitting on
+        # exactly the quadratic within-cluster self-join.  For corpora
+        # where hot clusters are plausible (near-constant embeddings),
+        # drop this to a plain localCheckpoint + per-side AQE exchange
+        # or salt cl; kept pinned here because the fixture's Lloyd
+        # assignments are near-balanced and the win is measured.
         "cl",
     )  # feeds both sides of the pair join + the output
     a = side.select(

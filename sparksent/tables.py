@@ -15,6 +15,7 @@ prunes partitions from pushed-down ``ts`` predicates.
 from __future__ import annotations
 
 import os
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -60,6 +61,19 @@ def rebalance(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     return df.repartition(target)
 
 
+# pinned() toggles the session-global AQE conf around plan compilation;
+# interleaved pinned() calls from two driver threads could capture each
+# other's prev='false' and leave AQE off permanently, so the toggle is
+# serialized.  The lock does NOT protect unrelated queries compiled
+# concurrently on the same SparkSession during the pin window — they
+# would silently plan with AQE disabled.  This library assumes the
+# single-threaded driver the bench/oracle contract uses; if you submit
+# queries from multiple driver threads, build pins on a separate
+# SparkSession.newSession() or accept that concurrent compilations may
+# lose AQE (ADVICE r16).
+_PIN_LOCK = threading.Lock()
+
+
 def pinned(df: DataFrame, eager: bool = True) -> DataFrame:
     """``localCheckpoint`` that KEEPS the frame's output partitioning.
 
@@ -70,22 +84,33 @@ def pinned(df: DataFrame, eager: bool = True) -> DataFrame:
     session's Spark 4.1: an aggregate over ``repartition("id")
     .localCheckpoint()`` re-Exchanges with AQE on and is exchange-free
     with AQE off.  So the pin's own compilation runs with AQE disabled
-    (restored immediately; consumer queries still plan under AQE).  The
-    trade: the pin subtree itself loses AQE partition coalescing — use
-    this for frames whose downstream consumers join/aggregate on the
-    frame's existing key (guide §2.4: operations keyed the same way
-    share one exchange), keep plain ``localCheckpoint()`` elsewhere.
+    (restored immediately; consumer queries still plan under AQE).
+
+    The trade (ADVICE r16): the pin subtree's physical plan is FROZEN
+    without an AdaptiveSparkPlan node, so the ENTIRE build job — not
+    just its final exchange — runs without AQE partition coalescing and
+    without AQE skew-join splitting, whether it materializes eagerly
+    here or lazily at the first action (the plan is fixed at call time
+    either way; restoring the conf before the action cannot bring
+    adaptivity back into an already-compiled plan).  That lost skew
+    handling is the measured mechanism of the round-16
+    connected-components 2.4x regression.  Use this for frames whose
+    downstream consumers join/aggregate on the frame's existing key
+    (guide §2.4: operations keyed the same way share one exchange) AND
+    whose pin subtree has no skew-prone wide shuffle; keep plain
+    ``localCheckpoint()`` elsewhere.
 
     ``eager=False`` works too: the RDD (and thus the physical plan and
     its partitioning) is built at call time, materialization happens on
     first action."""
     spark = df.sparkSession
-    prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try:
-        return df.localCheckpoint(eager=eager)
-    finally:
-        spark.conf.set("spark.sql.adaptive.enabled", prev)
+    with _PIN_LOCK:
+        prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            return df.localCheckpoint(eager=eager)
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", prev)
 
 
 def pinned_by(df: DataFrame, *cols: str, eager: bool = True) -> DataFrame:

@@ -2713,6 +2713,17 @@ def test_pinned_by_partitioning_survives_checkpoint(spark):
     kept = pinned_by(df, "id")
     assert count_data_shuffles(agg_plan(kept)) == 0
     plain = df.repartition(F.col("id")).localCheckpoint()
+    # Canary, not a contract (ADVICE r16): current Spark FORGETS the
+    # partitioning under a plain AQE localCheckpoint, which is the only
+    # reason pinned() exists.  A future Spark that preserves it is an
+    # IMPROVEMENT — skip with a re-audit message instead of failing.
+    if count_data_shuffles(agg_plan(plain)) == 0:
+        pytest.skip(
+            "plain localCheckpoint now preserves partitioning under AQE: "
+            "pinned()/pinned_by() are no longer needed — re-audit every "
+            "call site (the AQE-off compile trades away skew handling "
+            "for a benefit this Spark version provides for free)"
+        )
     assert count_data_shuffles(agg_plan(plain)) == 1
 
 

@@ -2,7 +2,7 @@
 """Round-16 optimization workbench: isolated warmed best-of-N timing +
 ``explain("formatted")`` capture for named registry queries.
 
-Writes ``plans/r16/<name>_<tag>.txt`` (tag = before/after/...) and
+Writes ``plans/<round>/<name>_<tag>.txt`` (default r17) (tag = before/after/...) and
 prints one JSON line of timings — the per-query evidence the
 optimization round commits alongside each change (guide §1.4/§7.2:
 noop-sink timing, formatted plans).
@@ -30,6 +30,7 @@ def main() -> None:
     ap.add_argument("--tag", default="before")
     ap.add_argument("--reps", type=int, default=2)
     ap.add_argument("--no-plan", action="store_true")
+    ap.add_argument("--round", default="r17", help="plans/<round> output dir")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -75,7 +76,7 @@ def main() -> None:
     psent = min(_psent() for _ in range(3))
     print(f"  [sentinel] jvm {sent:.3f} py {psent:.3f}", file=sys.stderr)
 
-    plans_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r16")
+    plans_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", args.round)
     os.makedirs(plans_dir, exist_ok=True)
     out = {}
     for n in args.names:
