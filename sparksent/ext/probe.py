@@ -125,8 +125,14 @@ def _train(feat: DataFrame, lab: DataFrame) -> dict[int, int]:
             err = lab.select(
                 "doc_id", (-F.col("y") * F.lit(Y_SCALE)).alias("e")
             )
+        # err is hinted shuffle_hash (build side): the planner otherwise
+        # BROADCASTS feat — a corpus-derived frame whose RDD stats read
+        # small (the round-6 hazard; collected to the driver and shipped
+        # once PER EPOCH).  Both sides are doc_id-co-partitioned RDDs
+        # (_pinned_inputs), so the SHJ inserts no Exchange and builds
+        # only the one-row-per-doc err partition.
         grad_rows = (
-            feat.join(err, "doc_id")
+            feat.join(err.hint("shuffle_hash"), "doc_id")
             .groupBy("bucket")
             .agg(F.sum(F.col("e") * F.col("c")).cast("long").alias("g"))
             .collect()
@@ -136,16 +142,37 @@ def _train(feat: DataFrame, lab: DataFrame) -> dict[int, int]:
     return w
 
 
+def _pinned_inputs(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """feat and lab pinned HASH-PARTITIONED ON doc_id (round 17, guide
+    §2.4): every epoch job aggregates preds by doc_id, left-joins lab
+    with preds on doc_id, and joins feat with err on doc_id — three
+    doc_id-keyed operations per epoch that each re-Exchanged the
+    feature frame when the pin carried the groupBy's (doc_id, bucket)
+    partitioning.  One extra compact shuffle at pin time (the feature
+    frame is already aggregated to distinct (doc, bucket) rows) makes
+    all EPOCHS x 3 of them exchange-free; only the <= N_BUCKETS-row
+    gradient aggregate still shuffles.  Per-doc_id load is bounded by
+    construction (<= min(N_BUCKETS, doc tokens) feature rows, 1 label
+    row), so the pinned_by skew caveat is satisfied.
+
+    The label pin also keeps the round-16 property: every epoch's
+    gradient job joins `lab`, and an unpinned frame re-runs the WHOLE
+    Gopher gate (a regex-heavy corpus scan) once per epoch — 9 gate
+    passes for an 8-epoch train (guide §1.2; measured 10.2 s -> see
+    OPTIMIZATION_r16.md)."""
+    from ..tables import pinned_by
+
+    return (
+        pinned_by(doc_features(docs), "doc_id"),
+        pinned_by(doc_labels(docs), "doc_id"),
+    )
+
+
 def quality_probe_train(docs: DataFrame) -> DataFrame:
     """(bucket, weight_micro): the trained weight vector — the
     auditable model artifact (fastText publishes exactly this)."""
-    feat = doc_features(docs).localCheckpoint()
-    # labels pinned like the features: every epoch's gradient job joins
-    # `lab`, and an unpinned frame re-runs the WHOLE Gopher gate (a
-    # regex-heavy corpus scan) once per epoch — 9 gate passes for an
-    # 8-epoch train (guide §1.2: don't recompute what a pass already
-    # produced; measured 10.2 s -> see OPTIMIZATION_r16.md)
-    w = _train(feat, doc_labels(docs).localCheckpoint())
+    feat, lab = _pinned_inputs(docs)
+    w = _train(feat, lab)
     return docs.sparkSession.createDataFrame(
         [(b, v) for b, v in sorted(w.items())],
         "bucket long, weight_micro long",
@@ -158,10 +185,10 @@ def quality_probe_score(docs: DataFrame) -> DataFrame:
     scoring pass is the feature scan joined with the BROADCAST weight
     vector + one map-side-combined per-doc aggregate — the shape that
     gates a 100 TB corpus in one pass."""
-    feat = doc_features(docs).localCheckpoint()
-    # same label pin as quality_probe_train: 8 epoch jobs + the final
-    # outer join all consume `lab`; one gate pass instead of nine
-    lab = doc_labels(docs).localCheckpoint()
+    # same doc_id-co-partitioned pins as quality_probe_train; the final
+    # scoring aggregate and the lab outer join below are then
+    # exchange-free too
+    feat, lab = _pinned_inputs(docs)
     w = _train(feat, lab)
     wdf = F.broadcast(
         docs.sparkSession.createDataFrame(
