@@ -155,16 +155,35 @@ def _pinned_inputs(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
     construction (<= min(N_BUCKETS, doc tokens) feature rows, 1 label
     row), so the pinned_by skew caveat is satisfied.
 
+    The pin's partition count is SIZE-DERIVED, not the session
+    shuffle-partition constant (guide §2.2: partitions in the
+    100 MB - 1 GB band; scope rule: scale-dependent settings
+    parameterised with sane local defaults).  ~65k docs per partition
+    x <= ~64 distinct feature rows/doc x ~50 B/row ~= 200 MB, capped
+    at the session's shuffle partitions (the cluster-sized knob at
+    scale) and FLOORED AT 2: Spark does not record a 1-partition hash
+    partitioning on the checkpointed RDD (measured: the epoch plan
+    re-Exchanges at n=1, and is exchange-free at any n >= 2).
+    Measured A/B at sf0.1 (alternating x4 in one session, identical
+    weights asserted): plain-pin 5.42 s median, pinned at the
+    session's 32 partitions 6.88 s (32 overhead-dominated tasks per
+    epoch stage on ~90 KB), size-derived n=2 3.91 s / n=4 3.97 s —
+    the co-partitioned loop wins locally AND at scale once the
+    partition count tracks the data.
+
     The label pin also keeps the round-16 property: every epoch's
     gradient job joins `lab`, and an unpinned frame re-runs the WHOLE
     Gopher gate (a regex-heavy corpus scan) once per epoch — 9 gate
     passes for an 8-epoch train (guide §1.2; measured 10.2 s -> see
     OPTIMIZATION_r16.md)."""
-    from ..tables import pinned_by
+    from ..tables import pinned
 
+    spark = docs.sparkSession
+    cap = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    n_parts = max(2, min(cap, docs.count() // 65536 + 1))
     return (
-        pinned_by(doc_features(docs), "doc_id"),
-        pinned_by(doc_labels(docs), "doc_id"),
+        pinned(doc_features(docs).repartition(n_parts, F.col("doc_id"))),
+        pinned(doc_labels(docs).repartition(n_parts, F.col("doc_id"))),
     )
 
 

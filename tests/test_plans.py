@@ -2500,6 +2500,51 @@ def test_quality_probe_separation_and_plan(spark):
     assert len(w) <= 4096 and any(v > 0 for v in w.values())
 
 
+def test_quality_probe_epoch_shape(spark):
+    """Round-17 gate for the probe's per-epoch gradient job: with feat
+    and lab pinned co-partitioned on doc_id (size-derived partition
+    count >= 2), one epoch's gradient frame must plan with exactly ONE
+    data Exchange (the <= 4096-row bucket aggregate) and must NOT
+    broadcast the corpus-derived feature frame (the round-6 hazard —
+    only the tiny driver-built weight table may broadcast).  A
+    1-partition pin silently loses the recorded partitioning and
+    re-Exchanges every epoch (measured), which the exchange count
+    catches."""
+    from pyspark.sql import functions as F
+
+    from sparksent.ext.probe import Y_SCALE, _pinned_inputs
+    from sparksent.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    feat, lab = _pinned_inputs(docs)
+    assert feat.rdd.getNumPartitions() >= 2
+    wdf = F.broadcast(
+        spark.createDataFrame([(1, 5), (2, 7)], "bucket long, wv long")
+    )
+    preds = (
+        feat.join(wdf, "bucket")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("wv") * F.col("c")).cast("long").alias("pred"))
+    )
+    err = lab.join(preds, "doc_id", "left").select(
+        "doc_id",
+        (F.coalesce(F.col("pred"), F.lit(0)) - F.col("y") * F.lit(Y_SCALE)).alias(
+            "e"
+        ),
+    )
+    grad = (
+        feat.join(err.hint("shuffle_hash"), "doc_id")
+        .groupBy("bucket")
+        .agg(F.sum(F.col("e") * F.col("c")).cast("long").alias("g"))
+    )
+    plan = grad._sc._jvm.PythonSQLUtils.explainString(
+        grad._jdf.queryExecution(), "formatted"
+    )
+    assert len(re.findall(r"\n\(\d+\) Exchange", plan)) == 1, plan
+    assert len(re.findall(r"\n\(\d+\) BroadcastExchange", plan)) == 1, plan
+    assert "ShuffledHashJoin" in plan
+
+
 def test_kn_trigram_perplexity_log_and_plan(spark):
     """The fixed-point log2 is within 1 ulp of its 1/1024-bit grid
     everywhere and exact on powers of two; the KN plan broadcasts all
